@@ -1,13 +1,20 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Lifecycle, Marts}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Marts.q05RegionalRevenue(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Marts.queries ++ Lifecycle.queries
+
+  /** For each key in queries, equivalent SQL runnable by DuckDB on the
+    * same parquet tables. Omitted keys get a weaker rows-only check. */
+  def oracleSql: Map[String, String] =
+    Marts.oracles ++ Lifecycle.oracles
 }

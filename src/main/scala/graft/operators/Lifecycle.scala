@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Bronze→Silver→Gold lifecycle operators from the reference's medallion
+  * pipeline (finnoio/jobhouse docs/Pipeline Architecture.mermaid):
+  * raw-layer partition keying (src/storage/raw_layer.py:26-29),
+  * schema-on-read over raw JSON payloads (src/common/data.py RawJobPosting.
+  * raw_content), change detection, cleaning/standardization, the
+  * dedup-check ingestion gate, and gold marts / ML features.
+  */
+object Lifecycle {
+  import Tables._
+
+  /** Raw-layer partition key `source/YYYY/MM/DD/HH` exactly as the
+    * reference derives it per batch (raw_layer.py:26-29). At 100 TB this
+    * is the physical partition layout: time+source pruning comes free.
+    */
+  def q21BronzePartitionKeys(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(concat(col("event_type"), lit("/"),
+        date_format(col("ts"), "yyyy/MM/dd/HH")).as("raw_key"))
+      .groupBy("raw_key")
+      .agg(count(lit(1)).as("n_records"))
+
+  /** Schema-on-read over the raw JSON payload column (the reference keeps
+    * `raw_content` as opaque JSON in bronze; silver extracts fields).
+    */
+  def q22JsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+
+  /** Change detection (silver CDC box): classify rows of a keyed snapshot
+    * pair as insert/update/delete by full-outer join. Generic helper +
+    * a deterministic instantiation over `orders` for the oracle.
+    */
+  def cdcDiff(oldDf: DataFrame, newDf: DataFrame, key: String,
+      valueCols: Seq[String]): DataFrame = {
+    val o = oldDf.select((key +: valueCols).map(c => col(c).as(s"old_$c")): _*)
+    val n = newDf.select((key +: valueCols).map(c => col(c).as(s"new_$c")): _*)
+    val neq: Column = valueCols
+      .map(c => not(col(s"new_$c") <=> col(s"old_$c")))
+      .reduce(_ || _)
+    o.join(n, col(s"old_$key") === col(s"new_$key"), "full_outer")
+      .withColumn("change_type",
+        when(col(s"old_$key").isNull, "insert")
+          .when(col(s"new_$key").isNull, "delete")
+          .when(neq, "update")
+          .otherwise("unchanged"))
+      .filter(col("change_type") =!= "unchanged")
+      .select(coalesce(col(s"new_$key"), col(s"old_$key")).as(key), col("change_type"))
+  }
+
+  def q23CdcChanges(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d)
+    // Simulated previous snapshot: some rows missing (→ inserts in new),
+    // some values stale (→ updates); new snapshot drops others (→ deletes).
+    val old = base.filter(col("o_orderkey") % 7 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 0.9)
+          .otherwise(col("o_totalprice")))
+    val neu = base.filter(col("o_orderkey") % 11 =!= 0)
+    cdcDiff(old, neu, "o_orderkey", Seq("o_totalprice", "o_orderstatus"))
+  }
+
+  /** Silver cleaning + standardization: trim/case-normalize, extract the
+    * numeric id embedded in the name, bucket the balance sign.
+    */
+  def q24CleanStandardize(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(
+      col("c_custkey"),
+      upper(trim(col("c_mktsegment"))).as("segment"),
+      regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long").as("cust_num"),
+      when(col("c_acctbal") < 0, "delinquent").otherwise("ok").as("balance_status"),
+      round(coalesce(col("c_acctbal"), lit(0.0)), 2).as("acctbal"))
+
+  /** Dedup-check ingestion gate (mermaid: Meta -..-> Dedup Check): only
+    * keys never seen before pass bronze. Anti-join against the seen-keys
+    * table — at scale the seen set is bucketed by key so this is a
+    * shuffle-free join against the bucketed metadata store.
+    */
+  def dedupGate(incoming: DataFrame, seen: DataFrame, key: String): DataFrame =
+    incoming.join(seen.select(key).distinct(), Seq(key), "left_anti")
+
+  def q25DedupIngestGate(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val seen = docs.filter(col("doc_id") % 3 === 0)
+    dedupGate(docs, seen, "doc_id").select("doc_id", "source", "lang")
+  }
+
+  /** Sessionization mart: 30-min-gap sessions per user via lag + running
+    * sum — the batch twin of streaming.EventsStream's stateful sessionizer.
+    */
+  def q26Sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_sess").over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+  }
+
+  /** Gold funnel mart: daily counts + value by event type. */
+  def q27EventFunnel(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+
+  /** Gold ML features: RFM (recency/frequency/monetary) per customer —
+    * the reference's "ML Features" box. One shuffle (agg on o_custkey),
+    * then a broadcast-able join back to the dimension.
+    */
+  def q28MlFeatures(s: SparkSession, d: String): DataFrame = {
+    val rfm = orders(s, d).groupBy("o_custkey").agg(
+      datediff(lit("2001-12-31").cast("date"), max(col("o_orderdate")).cast("date"))
+        .cast("long").as("recency_days"),
+      count(lit(1)).as("frequency"),
+      round(sum("o_totalprice"), 2).as("monetary"))
+    customer(s, d)
+      .join(rfm, col("c_custkey") === col("o_custkey"))
+      .select("c_custkey", "c_mktsegment", "recency_days", "frequency", "monetary")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_bronze_partition_keys" -> q21BronzePartitionKeys _,
+    "q22_json_extract" -> q22JsonExtract _,
+    "q23_cdc_changes" -> q23CdcChanges _,
+    "q24_clean_standardize" -> q24CleanStandardize _,
+    "q25_dedup_ingest_gate" -> q25DedupIngestGate _,
+    "q26_sessionize" -> q26Sessionize _,
+    "q27_event_funnel" -> q27EventFunnel _,
+    "q28_ml_features" -> q28MlFeatures _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q21_bronze_partition_keys" ->
+      """SELECT event_type || '/' || strftime(ts, '%Y/%m/%d/%H') AS raw_key,
+        | count(*) AS n_records
+        |FROM events GROUP BY 1""".stripMargin,
+    "q22_json_extract" ->
+      """SELECT event_id,
+        | CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_val
+        |FROM events""".stripMargin,
+    "q23_cdc_changes" ->
+      """WITH old AS (
+        |  SELECT o_orderkey,
+        |   CASE WHEN o_orderkey%5=0 THEN o_totalprice*0.9 ELSE o_totalprice END AS o_totalprice,
+        |   o_orderstatus
+        |  FROM orders WHERE o_orderkey%7<>0),
+        | new AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey%11<>0)
+        |SELECT coalesce(new.o_orderkey, old.o_orderkey) AS o_orderkey,
+        | CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+        |      WHEN new.o_orderkey IS NULL THEN 'delete'
+        |      WHEN new.o_totalprice IS DISTINCT FROM old.o_totalprice
+        |        OR new.o_orderstatus IS DISTINCT FROM old.o_orderstatus THEN 'update'
+        |      ELSE 'unchanged' END AS change_type
+        |FROM old FULL OUTER JOIN new ON old.o_orderkey=new.o_orderkey
+        |WHERE NOT (old.o_orderkey IS NOT NULL AND new.o_orderkey IS NOT NULL
+        |  AND new.o_totalprice IS NOT DISTINCT FROM old.o_totalprice
+        |  AND new.o_orderstatus IS NOT DISTINCT FROM old.o_orderstatus)""".stripMargin,
+    "q24_clean_standardize" ->
+      """SELECT c_custkey, upper(trim(c_mktsegment)) AS segment,
+        | CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS cust_num,
+        | CASE WHEN c_acctbal < 0 THEN 'delinquent' ELSE 'ok' END AS balance_status,
+        | round(coalesce(c_acctbal, 0), 2) AS acctbal
+        |FROM customer""".stripMargin,
+    "q25_dedup_ingest_gate" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE NOT EXISTS (SELECT 1 FROM documents d2
+        |                  WHERE d2.doc_id % 3 = 0 AND d2.doc_id = documents.doc_id)""".stripMargin,
+    "q26_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        | s AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(prev_ts AS TIMESTAMP)) > 1800000000
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        | t AS (
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM s)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | round(sum(value),2) AS session_value
+        |FROM t GROUP BY 1,2""".stripMargin,
+    "q27_event_funnel" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
+        | round(sum(value),2) AS total_value
+        |FROM events GROUP BY 1,2""".stripMargin,
+    "q28_ml_features" ->
+      """SELECT c_custkey, c_mktsegment,
+        | date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '2001-12-31') AS recency_days,
+        | count(*) AS frequency, round(sum(o_totalprice),2) AS monetary
+        |FROM customer JOIN orders ON c_custkey=o_custkey
+        |GROUP BY c_custkey, c_mktsegment""".stripMargin,
+  )
+}

@@ -1,0 +1,329 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Gold-layer analytic data marts — the reference's "Gold Layer (Analytics)"
+  * box (finnoio/jobhouse docs/Pipeline Architecture.mermaid) re-expressed as
+  * declarative Spark plans over the star schema.
+  *
+  * Design notes (100 TB posture):
+  *  - Every query is a pure DataFrame plan: filters/projections reach the
+  *    parquet scan (PushedFilters), Catalyst reorders joins, AQE re-plans.
+  *  - Dimension tables (region/nation/supplier/part/customer-side lookups)
+  *    are broadcast-joined; only fact-fact joins shuffle.
+  *  - Double aggregates are rounded on output (and identically in the DuckDB
+  *    oracles) so the correctness hash is stable across summation orders.
+  *  - Top-k always carries a unique tiebreaker so LIMIT is deterministic.
+  */
+object Marts {
+  import Tables._
+
+  /** TPC-H Q1-style pricing summary: single scan, map-side partial agg. */
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Selective filter + narrow projection; both must reach the scan. */
+  def q02FilterProject(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") < 5)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_shipdate").cast("date").as("ship_date"))
+
+  /** TPC-H Q3-style: dim-filtered 3-way join, agg, deterministic top-10. */
+  def q03TopUnshipped(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = orders(s, d).filter(col("o_orderdate") < lit("1997-01-01"))
+    val l = lineitem(s, d).filter(col("l_shipdate") > lit("1997-01-01"))
+    broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q4-style EXISTS: left-semi join with a cross-side predicate. */
+  def q04OrderPriority(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01") && col("o_orderdate") < lit("1995-04-01"))
+    o.join(lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q5-style star join: broadcast dims, shuffle the fact chain. */
+  def q05RegionalRevenue(s: SparkSession, d: String): DataFrame = {
+    val dims = broadcast(
+      region(s, d).filter(col("r_name") === "ASIA")
+        .join(nation(s, d), col("r_regionkey") === col("n_regionkey")))
+    customer(s, d)
+      .join(dims, col("c_nationkey") === col("n_nationkey"))
+      .join(orders(s, d).filter(
+        col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01")),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** TPC-H Q6-style: scan-local agg, zero shuffles beyond the final reduce. */
+  def q06RevenueDelta(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** Ranked window per segment (high-cardinality partition key). */
+  def q07WindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+    customer(s, d)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal", "rk")
+  }
+
+  /** Running total per customer (rows-unbounded window). */
+  def q08RunningTotal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+      round(sum("o_totalprice").over(w), 2).as("running_spend"))
+  }
+
+  /** Exact distinct aggregation (expand + two-phase agg under the hood). */
+  def q09DistinctAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("distinct_parts"),
+        countDistinct("l_suppkey").as("distinct_supps"))
+
+  /** Global top-k → TakeOrderedAndProject, O(k) per partition. */
+  def q10TopkOrders(s: SparkSession, d: String): DataFrame =
+    orders(s, d).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate").cast("date").as("order_date"))
+
+  /** Pivot-style conditional aggregation in one pass. */
+  def q11ConditionalAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).groupBy("l_returnflag")
+      .agg(
+        round(sum(when(col("l_quantity") > 25, col("l_extendedprice")).otherwise(0.0)), 2).as("rev_bulk"),
+        round(sum(when(col("l_quantity") <= 25, col("l_extendedprice")).otherwise(0.0)), 2).as("rev_small"),
+        sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("n_bulk"))
+
+  /** Union of heterogeneous branches aligned by name. */
+  def q12UnionAll(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"), lit("customer").as("kind"))
+    val p = supplier(s, d).filter(col("s_acctbal") > 9000)
+      .select(col("s_suppkey").as("id"), col("s_name").as("name"), lit("supplier").as("kind"))
+    c.unionByName(p)
+  }
+
+  /** Left-outer join preserving zero-order customers. */
+  def q13OuterJoinCount(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey", "c_name")
+      .agg(count(col("o_orderkey")).as("num_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spend"))
+
+  /** NOT EXISTS → left-anti join (customers who never placed a big order). */
+  def q14AntiJoin(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** IN-subquery → left-semi join. */
+  def q15SemiJoin(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  /** Scalar subquery: broadcast a 1-row aggregate against the scan. */
+  def q16ScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    val ap = part(s, d).agg(avg("p_retailprice").as("ap"))
+    part(s, d).crossJoin(broadcast(ap))
+      .filter(col("p_retailprice") > col("ap"))
+      .select("p_partkey", "p_name", "p_retailprice")
+  }
+
+  /** Post-aggregation filter (HAVING). */
+  def q17Having(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).groupBy("l_partkey")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("total_qty"))
+      .filter(col("cnt") > 35)
+
+  /** Hierarchical subtotals via ROLLUP (expand-based grouping sets). */
+  def q18Rollup(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+
+  /** Codegen'd string kernel: LIKE / substring / regexp / case mapping. */
+  def q19StringFuncs(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .filter(col("p_name").contains("g"))
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_name"), 1, 4).as("prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        regexp_replace(col("p_name"), " ", "_").as("slug"))
+
+  /** Monthly truncation mart. */
+  def q20DateTrunc(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(round(sum("o_totalprice"), 2).as("monthly_rev"), count(lit(1)).as("num_orders"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q01PricingSummary _,
+    "q02_filter_project" -> q02FilterProject _,
+    "q03_top_unshipped" -> q03TopUnshipped _,
+    "q04_order_priority" -> q04OrderPriority _,
+    "q05_regional_revenue" -> q05RegionalRevenue _,
+    "q06_revenue_delta" -> q06RevenueDelta _,
+    "q07_window_rank" -> q07WindowRank _,
+    "q08_running_total" -> q08RunningTotal _,
+    "q09_distinct_agg" -> q09DistinctAgg _,
+    "q10_topk_orders" -> q10TopkOrders _,
+    "q11_conditional_agg" -> q11ConditionalAgg _,
+    "q12_union_all" -> q12UnionAll _,
+    "q13_outer_join_count" -> q13OuterJoinCount _,
+    "q14_anti_join" -> q14AntiJoin _,
+    "q15_semi_join" -> q15SemiJoin _,
+    "q16_scalar_subquery" -> q16ScalarSubquery _,
+    "q17_having" -> q17Having _,
+    "q18_rollup" -> q18Rollup _,
+    "q19_string_funcs" -> q19StringFuncs _,
+    "q20_date_trunc" -> q20DateTrunc _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        | CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem WHERE l_returnflag='R' AND l_quantity<5""".stripMargin,
+    "q03_top_unshipped" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM customer JOIN orders ON c_custkey=o_custkey
+        | JOIN lineitem ON o_orderkey=l_orderkey
+        |WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01'
+        | AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY 1,2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+        | AND EXISTS (SELECT 1 FROM lineitem
+        |             WHERE l_orderkey=o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q05_regional_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM region JOIN nation ON r_regionkey=n_regionkey
+        | JOIN customer ON c_nationkey=n_nationkey
+        | JOIN orders ON c_custkey=o_custkey
+        | JOIN lineitem ON o_orderkey=l_orderkey
+        | JOIN supplier ON l_suppkey=s_suppkey AND s_nationkey=c_nationkey
+        |WHERE r_name='ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        | AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q06_revenue_delta" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        | AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q07_window_rank" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal, rk FROM (
+        | SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+        |  row_number() OVER (PARTITION BY c_mktsegment
+        |                     ORDER BY c_acctbal DESC, c_custkey) AS rk
+        | FROM customer) t WHERE rk <= 5""".stripMargin,
+    "q08_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_spend
+        |FROM orders""".stripMargin,
+    "q09_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
+        | count(DISTINCT l_suppkey) AS distinct_supps
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q10_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_date
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q11_conditional_agg" ->
+      """SELECT l_returnflag,
+        | round(sum(CASE WHEN l_quantity>25 THEN l_extendedprice ELSE 0 END),2) AS rev_bulk,
+        | round(sum(CASE WHEN l_quantity<=25 THEN l_extendedprice ELSE 0 END),2) AS rev_small,
+        | CAST(sum(CASE WHEN l_quantity>25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q12_union_all" ->
+      """SELECT c_custkey AS id, c_name AS name, 'customer' AS kind
+        |FROM customer WHERE c_acctbal > 9000
+        |UNION ALL
+        |SELECT s_suppkey AS id, s_name AS name, 'supplier' AS kind
+        |FROM supplier WHERE s_acctbal > 9000""".stripMargin,
+    "q13_outer_join_count" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS num_orders,
+        | round(coalesce(sum(o_totalprice),0),2) AS total_spend
+        |FROM customer LEFT OUTER JOIN orders ON c_custkey=o_custkey
+        |GROUP BY c_custkey, c_name""".stripMargin,
+    "q14_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey=c_custkey AND o_totalprice > 300000)""".stripMargin,
+    "q15_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey=c_custkey AND o_totalprice > 400000)""".stripMargin,
+    "q16_scalar_subquery" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)""".stripMargin,
+    "q17_having" ->
+      """SELECT l_partkey, count(*) AS cnt, round(sum(l_quantity),2) AS total_qty
+        |FROM lineitem GROUP BY l_partkey HAVING count(*) > 35""".stripMargin,
+    "q18_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q19_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname, substr(p_name,1,4) AS prefix,
+        | CAST(length(p_name) AS BIGINT) AS name_len,
+        | replace(p_name, ' ', '_') AS slug
+        |FROM part WHERE p_name LIKE '%g%'""".stripMargin,
+    "q20_date_trunc" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        | round(sum(o_totalprice),2) AS monthly_rev, count(*) AS num_orders
+        |FROM orders GROUP BY 1""".stripMargin,
+  )
+}
