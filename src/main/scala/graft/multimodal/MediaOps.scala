@@ -1,0 +1,100 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal column plumbing (SURVEY.md §2.3): media payloads as opaque
+  * `binary` columns with a typed metadata struct, processed in partition-
+  * local batches. The container has no image/audio codecs, so the decode
+  * kernel is STUBBED with a deterministic byte-statistics fake — the
+  * Spark-side contract (schema, batch shape, partitioning, fixed-width
+  * feature output) is the real, tested part; swap `decodeStub` for a JNI/
+  * codec call on a real cluster.
+  */
+object MediaOps {
+
+  case class MediaRow(doc_id: Long, blob: Array[Byte], mime: String, n_bytes: Long)
+  case class MediaFeatures(doc_id: Long, n_frames: Int, features: Array[Float])
+
+  val FrameBytes = 256  // fixed "frame" stride for the frame-sampler
+  val FeatureDim = 8
+
+  /** Attach a binary payload + typed metadata. (Test tables carry no real
+    * media, so document bodies stand in as the blob bytes.)
+    */
+  def attachBlobs(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("blob"),
+      lit("application/octet-stream").as("mime"),
+      octet_length(col("text")).cast("long").as("n_bytes"))
+
+  /** Frame sampling: every k-th fixed-width byte window, as pure column
+    * ops (substring on binary) — no driver loop, no UDF.
+    */
+  def frameSample(media: DataFrame, everyK: Int): DataFrame =
+    media
+      .withColumn("n_frames",
+        ceil(col("n_bytes").cast("double") / FrameBytes).cast("int"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(everyK))))
+      .select(col("doc_id"), col("frame_idx"),
+        expr(s"substring(blob, frame_idx * $FrameBytes + 1, $FrameBytes)").as("frame"))
+
+  /** STUB decode kernel: deterministic per-frame byte statistics standing
+    * in for a real image/audio decoder. Partition-local batching via
+    * mapPartitions — the Scala analog of mapInPandas batch processing.
+    */
+  def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    val f = new Array[Float](FeatureDim)
+    if (bytes.nonEmpty) {
+      var i = 0
+      while (i < bytes.length) {
+        f(i % FeatureDim) += (bytes(i) & 0xFF).toFloat
+        i += 1
+      }
+      var j = 0
+      while (j < FeatureDim) { f(j) /= bytes.length; j += 1 }
+    }
+    f
+  }
+
+  /** Batched feature extraction over the media rows. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "blob", "mime", "n_bytes").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val nFrames = math.max(1, math.ceil(r.n_bytes.toDouble / FrameBytes).toInt)
+          MediaFeatures(r.doc_id, nFrames, decodeStub(r.blob))
+        }
+      }
+  }
+
+  /** Oracled metadata query: blob byte accounting per document. */
+  def q41MediaMeta(s: SparkSession, d: String): DataFrame =
+    attachBlobs(Tables.documents(s, d))
+      .select(col("doc_id"), col("mime"), col("n_bytes"),
+        ceil(col("n_bytes").cast("double") / FrameBytes).cast("long").as("n_chunks"))
+
+  /** Rows-only feature-extraction query (stubbed decode → spec-verified). */
+  def q42MediaFeatures(s: SparkSession, d: String): DataFrame = {
+    val feats = extractFeatures(s, attachBlobs(Tables.documents(s, d)))
+    feats.toDF().select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+      round(element_at(col("features"), 1), 4).as("f0"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_media_meta" -> q41MediaMeta _,
+    "q42_media_features" -> q42MediaFeatures _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q41_media_meta" ->
+      """SELECT doc_id, 'application/octet-stream' AS mime,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE)/256) AS BIGINT) AS n_chunks
+        |FROM documents""".stripMargin,
+  )
+}

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis + deduplication operators for large-scale training-data
+  * pipelines (SURVEY.md §2.3), over the `documents` table. The reference
+  * gates re-ingestion on exact identity (jobhouse mermaid "Deduplication
+  * Check"); here the full dedup family: exact content hash, normalized
+  * fingerprint, token/quality/language scoring, and set-similarity
+  * near-dup pairs. All expressions are codegen'd `functions._` — no UDFs.
+  */
+object TextOps {
+  import Tables._
+
+  private val ws = "\\s+"
+
+  /** Tokens as a deduplicated word set (lowercased, whitespace split). */
+  def wordSet(text: Column): Column =
+    array_distinct(split(lower(trim(text)), ws))
+
+  /** Exact dedup: one content hash per distinct body; keep the smallest id
+    * as the canonical representative. One map-side-combinable shuffle.
+    */
+  def q30DedupExact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (alpha runs / digit runs / single punctuation).
+    */
+  def q31TokenCount(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      size(split(trim(col("text")), ws)).cast("long").as("n_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+        .as("n_bpe_pieces"),
+      length(col("text")).cast("long").as("n_chars"))
+
+  /** Document fingerprint: md5 over the whitespace-normalized, lowercased
+    * body — the near-exact dedup key (catches reformatting-only copies).
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, ws, " "))))
+
+  def q32Fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  /** Quality scoring: length saturation + stopword ratio + punctuation
+    * density, one codegen'd pass.
+    */
+  def q33QualityScore(s: SparkSession, d: String): DataFrame = {
+    val words = size(split(trim(col("text")), ws)).cast("double")
+    val chars = length(col("text")).cast("double")
+    val punct = regexp_count(col("text"), lit("[.,!?;:]")).cast("double")
+    val stops = regexp_count(concat(lit(" "), lower(col("text")), lit(" ")),
+      lit(" (the|a|of|and|to|in|is) ")).cast("double")
+    documents(s, d).select(
+      col("doc_id"),
+      round(least(words / 100.0, lit(1.0)) * 0.5 +
+        (stops / words) * 0.3 +
+        (lit(1.0) - punct / chars) * 0.2, 4).as("quality"))
+  }
+
+  /** Language ID: stopword-vote n-gram heuristic with a fixed tie-break
+    * order. (Votes, not a model — deterministic and shuffle-free.)
+    */
+  def q34LangId(s: SparkSession, d: String): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    def votes(alts: String): Column = regexp_count(padded, lit(s" ($alts) "))
+    val ve = votes("the|and|of|to|in|is|that")
+    val vd = votes("der|die|und|das|ist|nicht|mit")
+    val vs = votes("el|la|de|los|que|y|en")
+    val vf = votes("le|la|les|et|des|un|est")
+    documents(s, d).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      when(ve === 0 && vd === 0 && vs === 0 && vf === 0, "und")
+        .when(ve >= vd && ve >= vs && ve >= vf, "en")
+        .when(vd >= vs && vd >= vf, "de")
+        .when(vs >= vf, "es")
+        .otherwise("fr").as("pred_lang"))
+  }
+
+  /** Word-set Jaccard near-dup pairs. Candidate generation is an inverted-
+    * index join (explode distinct words → co-group on word) restricted to
+    * same-language docs, never a cartesian; at 100 TB the same shape holds
+    * but candidates come from MinHash bands (q36) instead of raw words.
+    */
+  def q35NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val words = docs.select(col("doc_id"), col("lang"),
+      explode(wordSet(col("text"))).as("w"))
+    val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = words.as("a")
+      .join(words.as("b"),
+        col("a.w") === col("b.w") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast("double") /
+      (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")
+    inter
+      .join(sizes.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b_id") === col("sb.doc_id"))
+      .filter(jac >= 0.8)
+      .select(col("a_id"), col("b_id"), round(jac, 4).as("jaccard"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_dedup_exact" -> q30DedupExact _,
+    "q31_token_count" -> q31TokenCount _,
+    "q32_fingerprint" -> q32Fingerprint _,
+    "q33_quality_score" -> q33QualityScore _,
+    "q34_lang_id" -> q34LangId _,
+    "q35_ngram_jaccard" -> q35NgramJaccard _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q31_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_pieces,
+        | CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
+    "q32_fingerprint" ->
+      """SELECT doc_id,
+        | md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents""".stripMargin,
+    "q33_quality_score" ->
+      """SELECT doc_id, round(
+        | least(CAST(len(regexp_split_to_array(trim(text),'\s+')) AS DOUBLE)/100.0, 1.0)*0.5
+        | + (CAST(len(regexp_extract_all(' '||lower(text)||' ', ' (the|a|of|and|to|in|is) ')) AS DOUBLE)
+        |    / CAST(len(regexp_split_to_array(trim(text),'\s+')) AS DOUBLE))*0.3
+        | + (1.0 - CAST(len(regexp_extract_all(text,'[.,!?;:]')) AS DOUBLE)
+        |    / CAST(length(text) AS DOUBLE))*0.2, 4) AS quality
+        |FROM documents""".stripMargin,
+    "q34_lang_id" ->
+      """WITH v AS (SELECT doc_id, lang,
+        |  len(regexp_extract_all(' '||lower(text)||' ', ' (the|and|of|to|in|is|that) ')) AS ve,
+        |  len(regexp_extract_all(' '||lower(text)||' ', ' (der|die|und|das|ist|nicht|mit) ')) AS vd,
+        |  len(regexp_extract_all(' '||lower(text)||' ', ' (el|la|de|los|que|y|en) ')) AS vs,
+        |  len(regexp_extract_all(' '||lower(text)||' ', ' (le|la|les|et|des|un|est) ')) AS vf
+        | FROM documents)
+        |SELECT doc_id, lang AS labeled_lang,
+        | CASE WHEN ve=0 AND vd=0 AND vs=0 AND vf=0 THEN 'und'
+        |      WHEN ve>=vd AND ve>=vs AND ve>=vf THEN 'en'
+        |      WHEN vd>=vs AND vd>=vf THEN 'de'
+        |      WHEN vs>=vf THEN 'es'
+        |      ELSE 'fr' END AS pred_lang
+        |FROM v""".stripMargin,
+    "q35_ngram_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |   unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS w
+        |  FROM documents),
+        | sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY 1),
+        | inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |  FROM w a JOIN w b ON a.w=b.w AND a.lang=b.lang AND a.doc_id<b.doc_id
+        |  GROUP BY 1,2)
+        |SELECT a_id, b_id,
+        | round(CAST(inter AS DOUBLE)/(sa.sz+sb.sz-inter), 4) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id=a_id JOIN sz sb ON sb.doc_id=b_id
+        |WHERE CAST(inter AS DOUBLE)/(sa.sz+sb.sz-inter) >= 0.8""".stripMargin,
+  )
+}

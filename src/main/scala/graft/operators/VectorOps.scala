@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Sketch-based dedup and similarity search (SURVEY.md §2.3): MinHash+LSH,
+  * SimHash, and embedding-space ANN over the `embeddings` table.
+  *
+  * Scale shape: every sketch is computed map-side per document (one
+  * groupBy), candidate pairs come from equality joins on band/bucket keys —
+  * never an n² cartesian. At 100 TB the band join is the only shuffle and
+  * its key cardinality (bands × sig) keeps partitions balanced.
+  */
+object VectorOps {
+  import Tables._
+  import TextOps.wordSet
+
+  // ---- MinHash + banded LSH --------------------------------------------
+
+  val NumHashes = 16
+  val Bands     = 4
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** Per-doc MinHash signature: k independent hash families simulated by
+    * seeding xxhash64 with the family index; min over the word set.
+    * One shuffle (groupBy doc), k aggregates fused in one pass.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"), explode(wordSet(col("text"))).as("w"))
+    words.groupBy("doc_id").agg(
+      min(xxhash64(lit(0), col("w"))).as("mh0"),
+      (1 until NumHashes).map(i => min(xxhash64(lit(i), col("w"))).as(s"mh$i")): _*)
+  }
+
+  /** Candidate near-dup pairs: docs sharing ≥1 LSH band. Band signature =
+    * hash of the band's minhash rows; self-equi-join on (band, sig).
+    */
+  def q36MinhashLsh(s: SparkSession, d: String): DataFrame =
+    q36MinhashLshOn(documents(s, d))
+
+  def q36MinhashLshOn(docs: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    val bandCols = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("sig"))
+    }
+    val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  /** 64-bit SimHash: per-token hash bit-votes weighted by term frequency,
+    * folded into one long. 64 fused aggregates, still a single shuffle.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("w")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, col("tf"))
+        .otherwise(-col("tf"))).as(s"v$i")
+    }
+    val folded = (0 until 64).map { i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    tf.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), folded.as("simhash"))
+  }
+
+  /** SimHash near-dups: candidates from 16-bit chunk equality (any of 4
+    * chunks equal → candidate; guarantees recall for hamming ≤ 3), then
+    * exact hamming ≤ 8 filter via bit_count(xor).
+    */
+  def q37Simhash(s: SparkSession, d: String): DataFrame = {
+    val sh = simhash(documents(s, d))
+    val chunks = (0 until 4).map { j =>
+      struct(lit(j).as("chunk"),
+        shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+    }
+    val bucketed = sh.select(col("doc_id"), col("simhash"),
+      explode(array(chunks: _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+  }
+
+  // ---- Embedding-space similarity --------------------------------------
+
+  /** Cosine kernel in codegen'd higher-order functions (floats upcast to
+    * double so accumulation matches engine-independent math).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def withVec(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("vec"))
+      .withColumn("norm", sqrt(dot(col("vec"), col("vec"))))
+
+  /** Brute-force cosine top-k: broadcast the small query set against the
+    * corpus scan — the exact baseline every ANN variant is judged against.
+    * At 100 TB: corpus streams, queries broadcast, per-partition top-k
+    * before the final k-merge (window over q_id).
+    */
+  def q38EmbedTopk(s: SparkSession, d: String): DataFrame = {
+    val all = withVec(embeddings(s, d))
+    val queries = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("norm").as("q_norm"))
+    val corpus = all.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("vec").as("c_vec"), col("norm").as("c_norm"))
+    val cos = dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("cos", cos)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos"), col("rk"))
+  }
+
+  /** Random-hyperplane LSH: 8 fixed (seed=42) hyperplanes → 8-bit bucket
+    * signature; candidates = same-bucket pairs, scored exactly. The scale
+    * path for corpus×corpus similarity where brute force is n².
+    */
+  val NumPlanes = 8
+  private lazy val planes: Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumPlanes)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  def lshSignature(vec: Column): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val planeCol = array(p.map(lit(_)): _*)
+      when(dot(vec, planeCol) > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  def q39EmbedLsh(s: SparkSession, d: String): DataFrame = {
+    val sig = withVec(embeddings(s, d)).withColumn("sig", lshSignature(col("vec")))
+    val cos = dot(col("a.vec"), col("b.vec")) / (col("a.norm") * col("b.norm"))
+    sig.as("a")
+      .join(sig.as("b"),
+        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        round(cos, 6).as("cos"))
+      .filter(col("cos") >= 0.2)
+  }
+
+  /** Embedding-cosine near-dup pairs, exact within a blocking key (label):
+    * the dedup-by-embedding operator with cluster-pruned candidates.
+    */
+  def q40EmbedNeardup(s: SparkSession, d: String): DataFrame = {
+    val v = withVec(embeddings(s, d))
+    val cos = dot(col("a.vec"), col("b.vec")) / (col("a.norm") * col("b.norm"))
+    v.as("a")
+      .join(v.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.label").as("label"), round(cos, 6).as("cos"))
+      .filter(col("cos") >= 0.3)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_minhash_lsh" -> q36MinhashLsh _,
+    "q37_simhash" -> q37Simhash _,
+    "q38_embed_topk" -> q38EmbedTopk _,
+    "q39_embed_lsh" -> q39EmbedLsh _,
+    "q40_embed_neardup" -> q40EmbedNeardup _,
+  )
+
+  /** Sketches hash with engine-specific functions (xxhash64) and the ANN
+    * scores are float-accumulation-sensitive — these are rows-only checked
+    * by the driver and exactly verified by ScalaTest specs instead.
+    */
+  val oracles: Map[String, String] = Map.empty
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming ingest — the reference schedules a daily batch pull via
+  * Airflow (finnoio/jobhouse dags/extract_raw_jobs.py); the Spark-native
+  * shape is Structured Streaming over the same event schema: watermarked
+  * tumbling-window marts plus stateful sessionization.
+  *
+  * Both transforms take a generic DataFrame/Dataset so they run identically
+  * over `readStream` sources and batch frames (the batch twin of the
+  * sessionizer is operators.Lifecycle.q26Sessionize).
+  */
+object EventsStream {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long,
+      totalValue: Double)
+
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+      n_events: Long, total_value: Double)
+
+  /** Watermarked tumbling-window counts per event type. On a stream this
+    * emits append-mode finalized windows; late events beyond 10 min are
+    * dropped at the watermark, bounding state.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+
+  private val GapMs = 30L * 60 * 1000
+
+  /** Stateful sessionizer: 30-min-gap sessions per user, state expired via
+    * event-time timeout so state size is O(active users), not O(history).
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, new Timestamp(s.sessionStart), s.nEvents, s.totalValue))
+          } else {
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= GapMs =>
+                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
+                    totalValue = s.totalValue + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, new Timestamp(s.sessionStart), s.nEvents, s.totalValue)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + GapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Lifecycle, TextOps}
+
+class LifecycleSpec extends SparkSpec {
+
+  test("cdcDiff classifies insert/update/delete and drops unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "status", "price")
+    val neu = Seq((2L, "b", 25.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("id", "status", "price")
+    val got = Lifecycle.cdcDiff(old, neu, "id", Seq("status", "price"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("change_type")).toMap
+    assert(got == Map(1L -> "delete", 2L -> "update", 4L -> "insert"))
+  }
+
+  test("cdcDiff treats null values with null-safe equality") {
+    import spark.implicits._
+    val old = Seq((1L, Option.empty[String]), (2L, Option("x"))).toDF("id", "v")
+    val neu = Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("id", "v")
+    val got = Lifecycle.cdcDiff(old, neu, "id", Seq("v"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("change_type")).toMap
+    assert(got == Map(2L -> "update")) // null==null is unchanged, x→null is update
+  }
+
+  test("dedupGate passes only unseen keys") {
+    import spark.implicits._
+    val incoming = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
+    val seen = Seq(Tuple1(2L)).toDF("k")
+    val got = Lifecycle.dedupGate(incoming, seen, "k")
+      .collect().map(_.getAs[Long]("k")).sorted
+    assert(got.sameElements(Array(1L, 3L)))
+  }
+
+  test("fingerprint collapses whitespace/case variants, separates content") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello   World"),
+      (2L, "hello world"),
+      (3L, "  hello\tworld "),
+      (4L, "goodbye world"),
+    ).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L) && fps(2L) == fps(3L))
+    assert(fps(1L) != fps(4L))
+  }
+}

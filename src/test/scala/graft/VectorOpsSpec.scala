@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.VectorOps
+
+class VectorOpsSpec extends SparkSpec {
+
+  test("cosine kernel: identical vectors score 1, orthogonal score 0") {
+    val df = spark.createDataFrame(Seq(
+      (1L, Seq(1.0, 0.0, 2.0), Seq(1.0, 0.0, 2.0)),
+      (2L, Seq(1.0, 0.0), Seq(0.0, 3.0)),
+      (3L, Seq(1.0, 1.0), Seq(-1.0, -1.0)),
+    )).toDF("id", "a", "b")
+    val got = df.select(col("id"), round(VectorOps.cosine(col("a"), col("b")), 9).as("cos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 1.0)
+    assert(got(2L) === 0.0)
+    assert(got(3L) === -1.0)
+  }
+
+  test("q38 top-k: k=5 per query, rank 1 is the true argmax, deterministic") {
+    val res = VectorOps.q38EmbedTopk(spark, sfDir)
+    val rows = res.collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 10)
+    assert(byQ.values.forall(_.length == 5))
+    // rank ordering consistent with scores
+    byQ.values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Long]("rk"))
+      val scores = sorted.map(_.getAs[Double]("cos"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // stable across runs (determinism)
+    val again = VectorOps.q38EmbedTopk(spark, sfDir).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("minhash LSH: exact duplicate docs always collide in every band") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark shuffle join window agg scan"),
+      (2L, "spark shuffle join window agg scan"), // exact dup of 1
+      (3L, "completely different words entirely unrelated body"),
+    ).toDF("doc_id", "text")
+    val pairs = VectorOps.q36MinhashLshOn(docs).collect()
+    val p12 = pairs.find(r => r.getAs[Long]("a_id") == 1L && r.getAs[Long]("b_id") == 2L)
+    assert(p12.isDefined, "exact dups must share bands")
+    assert(p12.get.getAs[Long]("n_shared_bands") == VectorOps.Bands.toLong)
+    assert(!pairs.exists(r => r.getAs[Long]("b_id") == 3L || r.getAs[Long]("a_id") == 3L))
+  }
+
+  test("simhash: identical docs hamming 0; disjoint docs far apart") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven eight nine ten"),
+    ).toDF("doc_id", "text")
+    val sh = VectorOps.simhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(1L) == sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) > 8)
+  }
+
+  test("hyperplane LSH signature is stable and buckets identical vectors together") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0, Array.tabulate(64)(i => (i % 7).toFloat)),
+      (2L, 0, Array.tabulate(64)(i => (i % 7).toFloat)),
+    ).toDF("vec_id", "label", "embedding")
+    val sigs = df.select(col("vec_id"),
+        VectorOps.lshSignature(VectorOps.asDouble(col("embedding"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+  }
+}
