@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -83,19 +84,30 @@ object TextOps {
         .otherwise("fr").as("pred_lang"))
   }
 
-  /** Word-set Jaccard near-dup pairs. Candidate generation is an inverted-
-    * index join (explode distinct words → co-group on word) restricted to
-    * same-language docs, never a cartesian; at 100 TB the same shape holds
-    * but candidates come from MinHash bands (q36) instead of raw words.
+  /** N-gram (3-shingle) Jaccard near-dup pairs via an inverted-index join:
+    * explode distinct shingles → co-group on (shingle, lang) → pair
+    * counts → |∩|/|∪| ≥ 0.8. Shingle frequencies are low (unlike raw
+    * words), so the index join stays sparse — the exact-similarity shape
+    * that scales; candidate volume is Σ_shingle c², not n² per block.
     */
   def q35NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val words = docs.select(col("doc_id"), col("lang"),
-      explode(wordSet(col("text"))).as("w"))
-    val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = words.as("a")
-      .join(words.as("b"),
-        col("a.w") === col("b.w") && col("a.lang") === col("b.lang") &&
+    // Shingling via posexplode + window leads keeps the whole pipeline in
+    // codegen'd operators (a transform() lambda here runs interpreted and
+    // is ~10x slower JIT-cold).
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val ex = documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(lower(trim(col("text"))), ws)))
+      .withColumn("w1", lead("col", 1).over(byPos))
+      .withColumn("w2", lead("col", 2).over(byPos))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", col("col"), col("w1"), col("w2")).as("s"))
+      .distinct()
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = ex.as("a")
+      .join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
@@ -155,14 +167,20 @@ object TextOps {
         |      ELSE 'fr' END AS pred_lang
         |FROM v""".stripMargin,
     "q35_ngram_jaccard" ->
-      """WITH w AS (
+      """WITH t AS (
         |  SELECT doc_id, lang,
-        |   unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS w
+        |   regexp_split_to_array(lower(trim(text)), '\s+') AS wl
         |  FROM documents),
-        | sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY 1),
+        | sh AS (
+        |  SELECT doc_id, lang,
+        |   list_distinct(list_transform(range(1, len(wl)-1),
+        |     i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])) AS shl
+        |  FROM t),
+        | sz AS (SELECT doc_id, len(shl) AS sz FROM sh),
+        | ex AS (SELECT doc_id, lang, unnest(shl) AS s FROM sh),
         | inter AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-        |  FROM w a JOIN w b ON a.w=b.w AND a.lang=b.lang AND a.doc_id<b.doc_id
+        |  FROM ex a JOIN ex b ON a.s=b.s AND a.lang=b.lang AND a.doc_id<b.doc_id
         |  GROUP BY 1,2)
         |SELECT a_id, b_id,
         | round(CAST(inter AS DOUBLE)/(sa.sz+sb.sz-inter), 4) AS jaccard
