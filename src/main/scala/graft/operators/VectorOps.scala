@@ -102,10 +102,15 @@ object VectorOps {
 
   // ---- Embedding-space similarity --------------------------------------
 
-  /** Cosine kernel in codegen'd higher-order functions (floats upcast to
-    * double so accumulation matches engine-independent math).
+  /** Dot kernel: native codegen'd Catalyst expression (graft.plans.
+    * DotProduct) — one tight loop per row, float inputs upcast per
+    * element. The higher-order-function formulation (`dotHof`) is kept as
+    * the portable reference implementation; both produce bit-identical
+    * doubles (same widening, same accumulation order).
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = graft.plans.GraftFunctions.vec_dot(a, b)
+
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
@@ -114,7 +119,7 @@ object VectorOps {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   private def withVec(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("vec"))
+    df.select(col("vec_id"), col("label"), col("embedding").as("vec"))
       .withColumn("norm", sqrt(dot(col("vec"), col("vec"))))
 
   /** Brute-force cosine top-k: broadcast the small query set against the

@@ -1,0 +1,26 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.sqrt
+
+/** Column/SQL surface for graft's native expressions. */
+object GraftFunctions {
+
+  import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+
+  /** Codegen'd dot product over array<float>/array<double> columns. */
+  def vec_dot(a: Column, b: Column): Column = toCol(DotProduct(toExpr(a), toExpr(b)))
+
+  /** Cosine similarity composed from the native dot kernel. */
+  def vec_cosine(a: Column, b: Column): Column =
+    vec_dot(a, b) / (sqrt(vec_dot(a, a)) * sqrt(vec_dot(b, b)))
+
+  /** L2 norm. */
+  def vec_norm(v: Column): Column = sqrt(vec_dot(v, v))
+
+  /** Register the SQL-callable names on a session. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  }
+}

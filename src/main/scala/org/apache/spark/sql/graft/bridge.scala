@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge for graft's native expressions.
+  *
+  * Spark 4 split the public `Column` API from catalyst; the conversion
+  * helpers live in `org.apache.spark.sql.classic` and are private[sql],
+  * so extensions expose them from inside the package — the standard
+  * pattern for third-party Catalyst expression libraries.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -63,6 +63,20 @@ class VectorOpsSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) > 8)
   }
 
+  test("native DotProduct expression matches the higher-order reference bit-for-bit") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val both = emb.limit(200).select(
+      VectorOps.dot(col("embedding"), col("embedding")).as("native"),
+      VectorOps.dotHof(VectorOps.asDouble(col("embedding")),
+        VectorOps.asDouble(col("embedding"))).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // and it survives codegen + SQL registration
+    graft.plans.GraftFunctions.register(spark)
+    emb.limit(5).createOrReplaceTempView("emb_t")
+    val viaSql = spark.sql("SELECT vec_dot(embedding, embedding) AS d FROM emb_t")
+    assert(viaSql.collect().forall(_.getDouble(0) > 0))
+  }
+
   test("hyperplane LSH signature is stable and buckets identical vectors together") {
     import spark.implicits._
     val df = Seq(
