@@ -195,7 +195,31 @@ object Marts {
       .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
       .agg(round(sum("o_totalprice"), 2).as("monthly_rev"), count(lit(1)).as("num_orders"))
 
+  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * quantile_cont). The approximate twin is q44.
+    */
+  def q29Percentile(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).groupBy("l_returnflag")
+      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+
+  /** Full CUBE grouping-sets lattice. */
+  def q43Cube(s: SparkSession, d: String): DataFrame =
+    orders(s, d).cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+
+  /** HLL-sketch approximate distinct — the 100 TB path where exact
+    * distinct (q09) shuffles too much. Sketch values are implementation-
+    * specific → rows-only check + spec.
+    */
+  def q44ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_partkey", 0.02).as("approx_parts"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_percentile" -> q29Percentile _,
+    "q43_cube" -> q43Cube _,
+    "q44_approx_distinct" -> q44ApproxDistinct _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
     "q03_top_unshipped" -> q03TopUnshipped _,
@@ -219,6 +243,15 @@ object Marts {
   )
 
   val oracles: Map[String, String] = Map(
+    "q29_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q43_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        | round(sum(o_totalprice),2) AS revenue
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import graft.operators.{Marts, TextOps, VectorOps}
+
+/** Physical-plan assertions: the properties that decide whether these
+  * operators survive a 100 TB scale-up — pushdown at the scan, broadcasts
+  * for dim joins, no cartesian products in the similarity self-joins,
+  * top-k as TakeOrderedAndProject rather than a global sort.
+  */
+class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private def planString(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString + "\n" +
+      df.queryExecution.optimizedPlan.toString
+  }
+
+  test("q02: filter and projection reach the parquet scan") {
+    val df = Marts.q02FilterProject(spark, sfDir)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_returnflag), IsNotNull(l_quantity)"),
+      s"missing pushed filters in:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double"),
+      s"projection not pruned to 5 columns in:\n$scan")
+  }
+
+  test("q05: star join broadcasts the dimension side") {
+    val df = Marts.q05RegionalRevenue(spark, sfDir)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
+  test("q10: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val df = Marts.q10TopkOrders(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not O(k):\n$plan")
+  }
+
+  test("similarity self-joins never plan a cartesian/nested-loop product") {
+    Seq(
+      TextOps.q35NgramJaccard(spark, sfDir),
+      VectorOps.q36MinhashLsh(spark, sfDir),
+      VectorOps.q37Simhash(spark, sfDir),
+      VectorOps.q39EmbedLsh(spark, sfDir),
+      VectorOps.q40EmbedNeardup(spark, sfDir),
+    ).foreach { df =>
+      val plan = planString(df)
+      assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop in:\n$plan")
+    }
+  }
+
+  test("q38: query side broadcasts against the streamed corpus") {
+    val df = VectorOps.q38EmbedTopk(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query set not broadcast in:\n$plan")
+  }
+
+  test("q01: aggregation is two-phase (map-side partial before the shuffle)") {
+    val df = Marts.q01PricingSummary(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      s"no partial aggregation in:\n$plan")
+  }
+}
