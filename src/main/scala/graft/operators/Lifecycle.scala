@@ -130,7 +130,18 @@ object Lifecycle {
       .select("c_custkey", "c_mktsegment", "recency_days", "frequency", "monetary")
   }
 
+  /** Silver standardization for ML features: per-group z-score without a
+    * join (two window aggregates over one shuffle).
+    */
+  def q46ZscoreNormalize(s: SparkSession, d: String): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    events(s, d).select(col("event_id"), col("event_type"),
+      round((col("value") - avg("value").over(byType)) /
+        stddev_samp("value").over(byType), 4).as("zscore"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_zscore_normalize" -> q46ZscoreNormalize _,
     "q21_bronze_partition_keys" -> q21BronzePartitionKeys _,
     "q22_json_extract" -> q22JsonExtract _,
     "q23_cdc_changes" -> q23CdcChanges _,
@@ -142,6 +153,11 @@ object Lifecycle {
   )
 
   val oracles: Map[String, String] = Map(
+    "q46_zscore_normalize" ->
+      """SELECT event_id, event_type,
+        | round((value - avg(value) OVER (PARTITION BY event_type))
+        |   / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS zscore
+        |FROM events""".stripMargin,
     "q21_bronze_partition_keys" ->
       """SELECT event_type || '/' || strftime(ts, '%Y/%m/%d/%H') AS raw_key,
         | count(*) AS n_records

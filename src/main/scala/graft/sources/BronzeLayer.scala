@@ -53,6 +53,24 @@ object BronzeLayer {
       col("p_source"), col("y"), col("m"), col("d"), col("h"), col("batch_id"))
   }
 
+  /** Streaming twin of readRaw: tail the bronze zone as a file-source
+    * stream (the Spark-native version of the reference's scheduled
+    * incremental pull). New batch directories become micro-batches.
+    */
+  def readRawStream(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.readStream
+      .option("basePath", path)
+      .option("maxFilesPerTrigger", "16")
+      .schema("value STRING, p_source STRING, y STRING, m STRING, d STRING, h STRING, batch_id STRING")
+      .text(path)
+    raw.select(
+      get_json_object(col("value"), "$.posting_id").as("posting_id"),
+      get_json_object(col("value"), "$.raw_content").as("raw_content"),
+      get_json_object(col("value"), "$.source").as("source"),
+      get_json_object(col("value"), "$.extracted_at").cast("timestamp").as("extracted_at"),
+      col("p_source"), col("batch_id"))
+  }
+
   /** StorageMetadata per row: the reference's {source, batch_id, s3_key,
     * created_at, etag} with etag = content md5 (raw_layer.py:55-64).
     */

@@ -47,6 +47,24 @@ class BronzeLayerSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || pruned.inputFiles.length <= 2)
   }
 
+  test("bronze zone tails as a structured stream (incremental ingest)") {
+    val dir = Files.createTempDirectory("bronze").toString
+    BronzeLayer.writeRaw(sampleBatch, dir, "batch_001")
+    val q = BronzeLayer.readRawStream(spark, dir)
+      .writeStream.format("memory").queryName("bronze_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("bronze_tail").count() == 3)
+      // a new batch landing in the zone becomes the next micro-batch
+      BronzeLayer.writeRaw(sampleBatch.limit(1), dir, "batch_002")
+      q.processAllAvailable()
+      val rows = spark.table("bronze_tail")
+      assert(rows.count() == 4)
+      assert(rows.filter(col("batch_id") === "batch_002").count() == 1)
+    } finally q.stop()
+  }
+
   test("storage metadata derives the reference's s3 key + etag") {
     val meta = BronzeLayer.storageMetadata(sampleBatch, "batch_001").collect()
     val m1 = meta.find(_.getAs[String]("etag") != null).get
