@@ -140,7 +140,21 @@ object Lifecycle {
         stddev_samp("value").over(byType), 4).as("zscore"))
   }
 
+  /** SCD2-style validity intervals per key: each event carries
+    * [valid_from, valid_to) with the next event's timestamp as the upper
+    * bound, null marking the current row — the silver temporal-table
+    * pattern over the bronze event log.
+    */
+  def q50Scd2(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("valid_from_us"),
+      unix_micros(lead("ts", 1).over(byUser)).as("valid_to_us"))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_scd2" -> q50Scd2 _,
     "q46_zscore_normalize" -> q46ZscoreNormalize _,
     "q21_bronze_partition_keys" -> q21BronzePartitionKeys _,
     "q22_json_extract" -> q22JsonExtract _,
@@ -153,6 +167,13 @@ object Lifecycle {
   )
 
   val oracles: Map[String, String] = Map(
+    "q50_scd2" ->
+      """SELECT user_id, event_id,
+        | epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us,
+        | epoch_us(CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |   AS TIMESTAMP)) AS valid_to_us,
+        | lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM events""".stripMargin,
     "q46_zscore_normalize" ->
       """SELECT event_id, event_type,
         | round((value - avg(value) OVER (PARTITION BY event_type))

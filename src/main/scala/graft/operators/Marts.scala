@@ -216,7 +216,33 @@ object Marts {
     lineitem(s, d).groupBy("l_returnflag")
       .agg(approx_count_distinct("l_partkey", 0.02).as("approx_parts"))
 
+  /** Pivot (wide-format mart): status columns from row values. */
+  def q47Pivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum("l_quantity"), 2))
+
+  /** Argmax aggregates (max_by/min_by). Balances are unique at the group
+    * extremes in this data; with ties the composite-key window form (q07)
+    * is the deterministic alternative.
+    */
+  def q48Argmax(s: SparkSession, d: String): DataFrame =
+    customer(s, d).groupBy("c_mktsegment")
+      .agg(
+        max_by(col("c_custkey"), col("c_acctbal")).as("richest_cust"),
+        min_by(col("c_custkey"), col("c_acctbal")).as("poorest_cust"),
+        round(max("c_acctbal"), 2).as("max_bal"))
+
+  /** Statistical aggregates: correlation + sample covariance. */
+  def q49Corr(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).groupBy("l_returnflag")
+      .agg(round(corr("l_quantity", "l_extendedprice"), 4).as("qty_price_corr"),
+        round(covar_samp("l_quantity", "l_discount"), 4).as("qty_disc_covar"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_pivot" -> q47Pivot _,
+    "q48_argmax" -> q48Argmax _,
+    "q49_corr" -> q49Corr _,
     "q29_percentile" -> q29Percentile _,
     "q43_cube" -> q43Cube _,
     "q44_approx_distinct" -> q44ApproxDistinct _,
@@ -243,6 +269,22 @@ object Marts {
   )
 
   val oracles: Map[String, String] = Map(
+    "q47_pivot" ->
+      """SELECT l_returnflag,
+        | round(sum(CASE WHEN l_linestatus='F' THEN l_quantity END),2) AS F,
+        | round(sum(CASE WHEN l_linestatus='O' THEN l_quantity END),2) AS O
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q48_argmax" ->
+      """SELECT c_mktsegment,
+        | arg_max(c_custkey, c_acctbal) AS richest_cust,
+        | arg_min(c_custkey, c_acctbal) AS poorest_cust,
+        | round(max(c_acctbal),2) AS max_bal
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q49_corr" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        | round(covar_samp(l_quantity, l_discount), 4) AS qty_disc_covar
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q29_percentile" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
