@@ -56,6 +56,30 @@ object VectorOps {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Single-pass LSH dedup clustering: every doc maps to the smallest
+    * doc_id seen in any of its band buckets. Emits O(n × bands) rows
+    * instead of O(bucket²) pairs — at 100 TB the pairwise listing (q36)
+    * is quadratic inside hot buckets, while this stays linear; one more
+    * min-propagation round gives full connected components if needed.
+    */
+  def q51DedupClusters(s: SparkSession, d: String): DataFrame =
+    q51DedupClustersOn(documents(s, d))
+
+  def q51DedupClustersOn(docs: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    val bandCols = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("sig"))
+    }
+    val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val bucketMin = banded.withColumn("bucket_min",
+      min("doc_id").over(Window.partitionBy("band", "sig")))
+    bucketMin.groupBy("doc_id")
+      .agg(min("bucket_min").as("cluster_rep"))
+      .withColumn("is_keeper", col("cluster_rep") === col("doc_id"))
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** 64-bit SimHash: per-token hash bit-votes weighted by term frequency,
@@ -185,6 +209,7 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_minhash_lsh" -> q36MinhashLsh _,
+    "q51_dedup_clusters" -> q51DedupClusters _,
     "q37_simhash" -> q37Simhash _,
     "q38_embed_topk" -> q38EmbedTopk _,
     "q39_embed_lsh" -> q39EmbedLsh _,

@@ -50,6 +50,20 @@ class VectorOpsSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getAs[Long]("b_id") == 3L || r.getAs[Long]("a_id") == 3L))
   }
 
+  test("LSH dedup clustering maps exact dups to one keeper, linear output") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "spark shuffle join window agg scan"),
+      (11L, "spark shuffle join window agg scan"),
+      (12L, "spark shuffle join window agg scan"),
+      (13L, "totally different content with other words"),
+    ).toDF("doc_id", "text")
+    val reps = VectorOps.q51DedupClustersOn(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
+    assert(reps(10L) == 10L && reps(11L) == 10L && reps(12L) == 10L)
+    assert(reps(13L) == 13L)
+  }
+
   test("simhash: identical docs hamming 0; disjoint docs far apart") {
     import spark.implicits._
     val docs = Seq(
