@@ -80,6 +80,43 @@ object VectorOps {
       .withColumn("is_keeper", col("cluster_rep") === col("doc_id"))
   }
 
+  /** Converged dedup clustering: connected components over the doc↔band-
+    * bucket bipartite graph by alternating min-label exchanges (the
+    * classic map-reduce CC). Each round is two keyed aggregations over the
+    * O(n × bands) edge list — no pairwise materialization, O(diameter)
+    * rounds (near-dup clusters have tiny diameters).
+    */
+  def dedupClustersConverged(docs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = {
+      val sigs = minhashSignatures(docs)
+      val bandCols = (0 until Bands).map { b =>
+        val rows = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+        xxhash64((lit(b) +: rows): _*).as(s"bk$b")
+      }
+      sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
+        .localCheckpoint(true)
+    }
+    var labels = edges.select("doc_id").distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_rep"))
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val bucketMin = edges.join(labels, "doc_id")
+        .groupBy("bucket").agg(min("cluster_rep").as("bucket_rep"))
+      val next = edges.join(bucketMin, "bucket")
+        .groupBy("doc_id").agg(min("bucket_rep").as("prop_rep"))
+        .join(labels, "doc_id")
+        .select(col("doc_id"), least(col("prop_rep"), col("cluster_rep")).as("cluster_rep"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.select(col("doc_id"), col("cluster_rep").as("old_rep")).as("o"), "doc_id")
+        .filter(col("cluster_rep") =!= col("old_rep")).count()
+      labels = next
+      iter += 1
+    }
+    labels.withColumn("is_keeper", col("cluster_rep") === col("doc_id"))
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** 64-bit SimHash: per-token hash bit-votes weighted by term frequency,

@@ -1,0 +1,31 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Silver/gold parquet layout writer. At 100 TB the physical layout IS
+  * the query plan: partition columns give pruning, in-file ordering gives
+  * min/max row-group skipping, and target file sizing avoids the
+  * small-files problem that kills scan parallelism.
+  */
+object ParquetSink {
+
+  /** Write with hive-style partitions, sorted within files so parquet
+    * column statistics (min/max per row group) prune point/range reads.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String], sortCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val sorted =
+      if (sortCols.isEmpty) df
+      else df.repartition(partitionCols.map(col): _*)
+        .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+    sorted.write
+      .partitionBy(partitionCols: _*)
+      .mode(mode)
+      .parquet(path)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

