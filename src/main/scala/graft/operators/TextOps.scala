@@ -120,7 +120,37 @@ object TextOps {
       .select(col("a_id"), col("b_id"), round(jac, 4).as("jaccard"))
   }
 
+  /** Corpus-wide frequent tokens via the SpaceSaving sketch aggregate
+    * (graft.plans.TopKFreq). Capacity exceeds this corpus's vocabulary so
+    * the sketch is exact here — which is what lets DuckDB oracle it; at
+    * 100 TB the same plan runs with bounded state instead of a full
+    * vocabulary shuffle.
+    */
+  def q52HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.GraftFunctions.topk_freq
+    documents(s, d)
+      .select(explode(split(lower(trim(col("text"))), ws)).as("w"))
+      .agg(topk_freq(col("w"), k = 10, capacity = 4096).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.word").as("word"), col("t.cnt").as("cnt"))
+  }
+
+  /** The SQL-text surface: the same engine driven through spark.sql over
+    * registered views (how a reference user ports their ad-hoc SQL).
+    */
+  def q53SqlSurface(s: SparkSession, d: String): DataFrame = {
+    documents(s, d).createOrReplaceTempView("documents_v")
+    s.sql("""
+      SELECT lang, source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents_v
+      GROUP BY lang, source
+    """)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_heavy_hitters" -> q52HeavyHitters _,
+    "q53_sql_surface" -> q53SqlSurface _,
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_token_count" -> q31TokenCount _,
     "q32_fingerprint" -> q32Fingerprint _,
@@ -130,6 +160,16 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q52_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+        |  FROM documents)
+        |SELECT word, count(*) AS cnt FROM w
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 10""".stripMargin,
+    "q53_sql_surface" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang, source""".stripMargin,
     "q30_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         | count(*) AS n_copies

@@ -18,6 +18,12 @@ object GraftFunctions {
   /** L2 norm. */
   def vec_norm(v: Column): Column = sqrt(vec_dot(v, v))
 
+  /** SpaceSaving heavy-hitters aggregate: top-k frequent values with
+    * bounded sketch state (exact when distinct values <= capacity).
+    */
+  def topk_freq(c: Column, k: Int, capacity: Int = 4096): Column =
+    toCol(TopKFreq(toExpr(c), k, capacity).toAggregateExpression())
+
   /** Register the SQL-callable names on a session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

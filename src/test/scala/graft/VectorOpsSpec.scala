@@ -97,6 +97,18 @@ class VectorOpsSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) > 8)
   }
 
+  test("TopKFreq sketch: exact under capacity, finds the majority item under eviction") {
+    import spark.implicits._
+    import graft.plans.GraftFunctions.topk_freq
+    // 60% of tokens are "hot"; 200 distinct cold tokens vs capacity 16
+    val tokens = (Seq.fill(300)("hot") ++ (1 to 200).map(i => s"cold$i")).toDF("w")
+      .repartition(8) // force partial buffers + merge
+    val top = tokens.agg(topk_freq(col("w"), k = 3, capacity = 16).as("t"))
+      .select(explode(col("t")).as("s")).select("s.word", "s.cnt").collect()
+    assert(top.head.getString(0) == "hot")
+    assert(top.head.getLong(1) >= 300) // SpaceSaving never undercounts
+  }
+
   test("native DotProduct expression matches the higher-order reference bit-for-bit") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val both = emb.limit(200).select(
