@@ -28,4 +28,18 @@ object ParquetSink {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed managed table: co-locates join keys at write time so
+    * bucket-aligned joins/aggregations run with NO exchange — the
+    * pre-shuffle trade that pays for itself on every repeated 100 TB
+    * fact-fact join.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .mode(mode)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -35,6 +35,16 @@ object EventsStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
 
+  /** Streaming dedup gate: drop re-delivered events by id within the
+    * watermark horizon — the streaming twin of Lifecycle.dedupGate (the
+    * reference's metadata dedup check), with state bounded by the
+    * watermark instead of growing forever.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   private val GapMs = 30L * 60 * 1000
 
   /** Stateful sessionizer: 30-min-gap sessions per user, state expired via

@@ -65,6 +65,25 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup gate drops re-delivered events across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventsStream.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Event(1, ts("00:00"), 1, "click", 1.0),
+        Event(2, ts("00:01"), 1, "view", 2.0),
+        Event(1, ts("00:00"), 1, "click", 1.0)) // dup in same batch
+      q.processAllAvailable()
+      input.addData(Event(2, ts("00:02"), 1, "view", 2.0)) // redelivery next batch
+      q.processAllAvailable()
+      assert(spark.table("dedup_gate").count() == 2)
+    } finally q.stop()
+  }
+
   test("windowedCounts is batch/stream agnostic (same result on a batch frame)") {
     import spark.implicits._
     val batch = Seq(

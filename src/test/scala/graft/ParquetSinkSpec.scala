@@ -28,4 +28,22 @@ class ParquetSinkSpec extends SparkSpec {
       .select("o_orderdate", "o_orderkey").collect()
     assert(rows.nonEmpty)
   }
+
+  test("bucket-aligned join runs with no shuffle exchange") {
+    val orders = Tables.orders(spark, sfDir)
+    val lineitem = Tables.lineitem(spark, sfDir)
+    ParquetSink.writeBucketed(orders, "orders_b", "o_orderkey", 8)
+    ParquetSink.writeBucketed(lineitem, "lineitem_b", "l_orderkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == lineitem.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
