@@ -32,6 +32,16 @@ class ParquetSinkSpec extends SparkSpec {
   test("bucket-aligned join runs with no shuffle exchange") {
     val orders = Tables.orders(spark, sfDir)
     val lineitem = Tables.lineitem(spark, sfDir)
+    // managed-table locations survive across JVMs — make reruns idempotent
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     ParquetSink.writeBucketed(orders, "orders_b", "o_orderkey", 8)
     ParquetSink.writeBucketed(lineitem, "lineitem_b", "l_orderkey", 8)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
