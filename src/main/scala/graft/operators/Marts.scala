@@ -239,7 +239,22 @@ object Marts {
       .agg(round(corr("l_quantity", "l_extendedprice"), 4).as("qty_price_corr"),
         round(covar_samp("l_quantity", "l_discount"), 4).as("qty_disc_covar"))
 
+  /** Window-function suite: sliding-frame moving sum, dense_rank,
+    * ntile quartiles — one shuffle on the partition key serves all three.
+    */
+  def q55WindowSuite(s: SparkSession, d: String): DataFrame = {
+    val seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val frame = seq.rowsBetween(-2, Window.currentRow)
+    val byPrice = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      round(sum("o_totalprice").over(frame), 2).as("moving_sum3"),
+      dense_rank().over(byPrice).cast("long").as("price_rank"),
+      ntile(4).over(byPrice).cast("long").as("price_quartile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_window_suite" -> q55WindowSuite _,
     "q47_pivot" -> q47Pivot _,
     "q48_argmax" -> q48Argmax _,
     "q49_corr" -> q49Corr _,
@@ -269,6 +284,16 @@ object Marts {
   )
 
   val oracles: Map[String, String] = Map(
+    "q55_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_sum3,
+        | dense_rank() OVER (PARTITION BY o_custkey
+        |   ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+        | ntile(4) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile
+        |FROM orders""".stripMargin,
     "q47_pivot" ->
       """SELECT l_returnflag,
         | round(sum(CASE WHEN l_linestatus='F' THEN l_quantity END),2) AS F,
