@@ -148,9 +148,29 @@ object TextOps {
     """)
   }
 
+  /** Training-data chunking: overlapping fixed-width token windows
+    * (window=64, stride=48 → 16-token overlap). One generator explode,
+    * all codegen'd slice/concat — no per-doc driver work, so a 100 TB
+    * corpus chunks at scan speed.
+    */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  def q56Chunking(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("wl", split(lower(trim(col("text"))), ws))
+      .withColumn("start",
+        explode(sequence(lit(0), greatest(size(col("wl")) - 1, lit(0)), lit(ChunkStride))))
+      .select(
+        col("doc_id"),
+        (col("start") / ChunkStride).cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("wl"), col("start") + 1, lit(ChunkTokens))).as("chunk_text"),
+        size(slice(col("wl"), col("start") + 1, lit(ChunkTokens))).cast("long").as("n_chunk_tokens"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_heavy_hitters" -> q52HeavyHitters _,
     "q53_sql_surface" -> q53SqlSurface _,
+    "q56_chunking" -> q56Chunking _,
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_token_count" -> q31TokenCount _,
     "q32_fingerprint" -> q32Fingerprint _,
@@ -170,6 +190,17 @@ object TextOps {
       """SELECT lang, source, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang, source""".stripMargin,
+    "q56_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS wl
+        |  FROM documents),
+        | c AS (
+        |  SELECT doc_id, wl, unnest(range(0, greatest(len(wl), 1), 48)) AS start
+        |  FROM t)
+        |SELECT doc_id, CAST(start / 48 AS BIGINT) AS chunk_id,
+        | array_to_string(list_slice(wl, start + 1, least(start + 64, len(wl))), ' ') AS chunk_text,
+        | CAST(len(list_slice(wl, start + 1, least(start + 64, len(wl)))) AS BIGINT) AS n_chunk_tokens
+        |FROM c""".stripMargin,
     "q30_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         | count(*) AS n_copies

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalacheck.{Gen, rng}
+import graft.operators.Lifecycle
+
+/** Property: cdcDiff output is a complete, sound change log — applying
+  * the classified changes to the old snapshot reconstructs the new one.
+  * (Raw ScalaCheck generators; the scalatestplus bridge isn't on the
+  * offline classpath.)
+  */
+class CdcPropertySpec extends SparkSpec {
+
+  private val snapshotGen: Gen[Map[Long, (String, Double)]] =
+    Gen.mapOf(for {
+      k <- Gen.choose(0L, 30L)
+      s <- Gen.oneOf("a", "b", "c")
+      p <- Gen.choose(0, 999).map(_ / 10.0)
+    } yield k -> (s, p))
+
+  private def sample(seedN: Long): Map[Long, (String, Double)] =
+    snapshotGen(Gen.Parameters.default, rng.Seed(seedN))
+      .getOrElse(Map.empty)
+
+  test("applying cdcDiff's change log to old reconstructs new (20 random pairs)") {
+    import spark.implicits._
+    (1 to 20).foreach { i =>
+      val oldM = sample(i * 2L)
+      val newM = sample(i * 2L + 1)
+      val oldDf = oldM.toSeq.map { case (k, (s, p)) => (k, s, p) }.toDF("id", "status", "price")
+      val newDf = newM.toSeq.map { case (k, (s, p)) => (k, s, p) }.toDF("id", "status", "price")
+      val changes = Lifecycle.cdcDiff(oldDf, newDf, "id", Seq("status", "price"))
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("change_type")).toMap
+      // soundness + completeness, key by key
+      (oldM.keySet ++ newM.keySet).foreach { k =>
+        val expected = (oldM.get(k), newM.get(k)) match {
+          case (None, Some(_)) => Some("insert")
+          case (Some(_), None) => Some("delete")
+          case (Some(a), Some(b)) if a != b => Some("update")
+          case _ => None // unchanged rows must NOT appear
+        }
+        assert(changes.get(k) == expected,
+          s"seed $i key $k: got ${changes.get(k)}, expected $expected")
+      }
+      // reconstruction: old + changes == new
+      val reconstructed =
+        oldM.filter { case (k, _) => !changes.get(k).contains("delete") } ++
+          newM.view.filterKeys(k =>
+            changes.get(k).contains("insert") || changes.get(k).contains("update")).toMap
+      assert(reconstructed == newM, s"seed $i reconstruction mismatch")
+    }
+  }
+}
