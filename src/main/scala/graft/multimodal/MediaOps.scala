@@ -37,8 +37,9 @@ object MediaOps {
     media
       .withColumn("n_frames",
         ceil(col("n_bytes").cast("double") / FrameBytes).cast("int"))
+      .filter(col("n_frames") > 0) // empty blob → 0 frames, consistent with q41
       .withColumn("frame_idx",
-        explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(everyK))))
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))))
       .select(col("doc_id"), col("frame_idx"),
         expr(s"substring(blob, frame_idx * $FrameBytes + 1, $FrameBytes)").as("frame"))
 
@@ -66,7 +67,8 @@ object MediaOps {
     media.select("doc_id", "blob", "mime", "n_bytes").as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val nFrames = math.max(1, math.ceil(r.n_bytes.toDouble / FrameBytes).toInt)
+          // same convention as q41MediaMeta/frameSample: empty blob → 0 frames
+          val nFrames = math.ceil(r.n_bytes.toDouble / FrameBytes).toInt
           MediaFeatures(r.doc_id, nFrames, decodeStub(r.blob))
         }
       }

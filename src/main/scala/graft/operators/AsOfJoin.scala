@@ -38,7 +38,11 @@ object AsOfJoin {
     val w = Window.partitionBy("__k").orderBy("__t", "__side")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     combined
-      .withColumn("__match", last("__payload", ignoreNulls = true).over(w))
+      // SQL join semantics: NULL keys never match (the null window
+      // partition would otherwise pair null-key rows with each other)
+      .withColumn("__match",
+        when(col("__k").isNotNull,
+          last("__payload", ignoreNulls = true).over(w)))
       .filter(col("__side") === 1)
       .select(leftCols.map(col) :+ col("__match"): _*)
   }

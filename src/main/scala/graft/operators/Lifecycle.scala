@@ -135,9 +135,13 @@ object Lifecycle {
     */
   def q46ZscoreNormalize(s: SparkSession, d: String): DataFrame = {
     val byType = Window.partitionBy("event_type")
+    // Spark stddev_samp of a single-row group is NaN where SQL engines
+    // give NULL — normalize to NULL so singleton groups match the oracle.
+    val sd = stddev_samp("value").over(byType)
+    val z = (col("value") - avg("value").over(byType)) /
+      when(isnan(sd), lit(null)).otherwise(sd)
     events(s, d).select(col("event_id"), col("event_type"),
-      round((col("value") - avg("value").over(byType)) /
-        stddev_samp("value").over(byType), 4).as("zscore"))
+      round(z, 4).as("zscore"))
   }
 
   /** SCD2-style validity intervals per key: each event carries

@@ -17,9 +17,13 @@ object SkewJoin {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       salt: Int): DataFrame = {
     require(salt > 1, "salt must be > 1")
-    // Deterministic per-row spread on the large side: hash the whole row.
+    // Row-position salt: byte-identical duplicate rows (the usual hot-key
+    // shape: null/empty-content records) must still spread across salts,
+    // so a content hash is NOT usable here. The salt only affects
+    // partitioning, never the join result, so non-determinism across
+    // retries is safe.
     val salted = large.withColumn("__salt",
-      pmod(xxhash64(struct(large.columns.map(col): _*)), lit(salt.toLong)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
     val replicated = small
       .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

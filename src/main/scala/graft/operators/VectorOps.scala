@@ -34,6 +34,20 @@ object VectorOps {
       (1 until NumHashes).map(i => min(xxhash64(lit(i), col("w"))).as(s"mh$i")): _*)
   }
 
+  /** One row per (doc, band) with the band's bucket signature — the
+    * single source of the banding layout shared by the pairwise listing,
+    * the one-pass clustering, and the converged clustering.
+    */
+  def bandedSignatures(docs: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    val bandCols = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("sig"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
   /** Candidate near-dup pairs: docs sharing ≥1 LSH band. Band signature =
     * hash of the band's minhash rows; self-equi-join on (band, sig).
     */
@@ -41,13 +55,7 @@ object VectorOps {
     q36MinhashLshOn(documents(s, d))
 
   def q36MinhashLshOn(docs: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(docs)
-    val bandCols = (0 until Bands).map { b =>
-      val rows = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(rows: _*).as("sig"))
-    }
-    val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val banded = bandedSignatures(docs)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -66,13 +74,7 @@ object VectorOps {
     q51DedupClustersOn(documents(s, d))
 
   def q51DedupClustersOn(docs: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(docs)
-    val bandCols = (0 until Bands).map { b =>
-      val rows = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(rows: _*).as("sig"))
-    }
-    val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val banded = bandedSignatures(docs)
     val bucketMin = banded.withColumn("bucket_min",
       min("doc_id").over(Window.partitionBy("band", "sig")))
     bucketMin.groupBy("doc_id")
@@ -87,15 +89,9 @@ object VectorOps {
     * rounds (near-dup clusters have tiny diameters).
     */
   def dedupClustersConverged(docs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val edges = {
-      val sigs = minhashSignatures(docs)
-      val bandCols = (0 until Bands).map { b =>
-        val rows = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
-        xxhash64((lit(b) +: rows): _*).as(s"bk$b")
-      }
-      sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
-        .localCheckpoint(true)
-    }
+    val edges = bandedSignatures(docs)
+      .select(col("doc_id"), xxhash64(col("band"), col("sig")).as("bucket"))
+      .localCheckpoint(true)
     var labels = edges.select("doc_id").distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_rep"))
     var iter = 0

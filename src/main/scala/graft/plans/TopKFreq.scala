@@ -61,11 +61,17 @@ case class TopKFreq(child: Expression, k: Int, capacity: Int,
     }.toArray[Any])
   }
 
+  // Length-prefixed UTF-8, not writeUTF: modified-UTF-8 caps entries at
+  // 64 KB and a single oversized token (base64 blob, minified JS) would
+  // fail the whole partial-aggregate shuffle.
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (w, c) => out.writeUTF(w); out.writeLong(c) }
+    buf.foreach { case (w, c) =>
+      val b = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -73,7 +79,12 @@ case class TopKFreq(child: Expression, k: Int, capacity: Int,
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
-    (0 until n).foreach(_ => buf.update(in.readUTF(), in.readLong()))
+    (0 until n).foreach { _ =>
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+    }
     buf
   }
 

@@ -69,7 +69,12 @@ object EventsStream {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.lastTs <= GapMs =>
-                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
+                  // late-but-admitted events must not rewind the session
+                  // frontier or we split sessions on the next event
+                  cur = Some(s.copy(
+                    sessionStart = math.min(t, s.sessionStart),
+                    lastTs = math.max(t, s.lastTs),
+                    nEvents = s.nEvents + 1,
                     totalValue = s.totalValue + e.value))
                 case Some(s) =>
                   closed ::= SessionOut(userId, new Timestamp(s.sessionStart), s.nEvents, s.totalValue)

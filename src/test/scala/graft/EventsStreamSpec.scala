@@ -65,6 +65,32 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late-but-admitted event does not rewind the session frontier") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventsStream.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess_late").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Event(1, ts("00:00"), 5, "click", 1.0),
+        Event(2, ts("00:20"), 5, "view", 1.0))
+      q.processAllAvailable()
+      // late event (admitted: after watermark) arrives out of order
+      input.addData(Event(3, ts("00:15"), 5, "click", 1.0))
+      q.processAllAvailable()
+      // 28 min after the TRUE frontier (00:20) → must merge, not split
+      input.addData(Event(4, ts("00:48"), 5, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(5, ts("04:00"), 6, "click", 0.1))
+      q.processAllAvailable()
+      input.addData(Event(6, ts("08:00"), 6, "click", 0.1))
+      q.processAllAvailable()
+      val rows = spark.table("sess_late").collect().filter(_.getAs[Long]("user_id") == 5L)
+      assert(rows.length == 1, s"session split on late event: ${rows.mkString(";")}")
+      assert(rows.head.getAs[Long]("n_events") == 4)
+    } finally q.stop()
+  }
+
   test("streaming dedup gate drops re-delivered events across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

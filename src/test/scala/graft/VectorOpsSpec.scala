@@ -109,6 +109,16 @@ class VectorOpsSpec extends SparkSpec {
     assert(top.head.getLong(1) >= 300) // SpaceSaving never undercounts
   }
 
+  test("TopKFreq survives tokens larger than the 64KB modified-UTF8 limit") {
+    import spark.implicits._
+    import graft.plans.GraftFunctions.topk_freq
+    val big = "x" * 70000
+    val tokens = (Seq.fill(5)(big) ++ Seq.fill(3)("small")).toDF("w").repartition(2)
+    val top = tokens.agg(topk_freq(col("w"), k = 2, capacity = 16).as("t"))
+      .select(explode(col("t")).as("s")).select("s.word", "s.cnt").collect()
+    assert(top.head.getString(0) == big && top.head.getLong(1) == 5L)
+  }
+
   test("native DotProduct expression matches the higher-order reference bit-for-bit") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val both = emb.limit(200).select(
