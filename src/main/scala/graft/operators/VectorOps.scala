@@ -240,7 +240,79 @@ object VectorOps {
       .filter(col("cos") >= 0.3)
   }
 
+  // ---- IVF (inverted-file) ANN ------------------------------------------
+
+  val NumCentroids = 16
+  val NumProbes    = 4
+
+  /** Assign each vector to its best centroid by cosine (broadcast the
+    * centroid table, native dot kernel, deterministic tie-break).
+    */
+  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val cos = dot(col("vec"), col("cvec")) / (col("norm") * col("cnorm"))
+    val best = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("ccos", cos)
+      .withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("vec"), col("norm"))
+  }
+
+  /** IVF index: deterministic seed centroids (every n/C-th vector by id)
+    * plus one Lloyd refinement, all as DataFrame ops — the coarse
+    * quantizer that makes ANN sub-linear: queries probe nProbe buckets
+    * instead of the whole corpus.
+    */
+  def ivfIndex(corpus: DataFrame): (DataFrame, DataFrame) = {
+    val n = corpus.count()
+    val step = math.max(1L, n / NumCentroids)
+    val seeds = corpus
+      .withColumn("rk", row_number().over(Window.orderBy("vec_id")).cast("long"))
+      .filter((col("rk") - 1) % step === 0 && col("rk") <= step * NumCentroids)
+      .select(((col("rk") - 1) / step).cast("int").as("cid"),
+        col("vec").as("cvec"), col("norm").as("cnorm"))
+    val assigned = assign(corpus, seeds)
+    // Lloyd step: per-centroid per-dimension mean, reassembled in order
+    val refined = assigned
+      .select(col("cid"), posexplode(col("vec")))
+      .groupBy("cid", "pos").agg(avg("col").as("m"))
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cid"), expr("transform(pm, x -> x.m)").as("cvec"))
+      .withColumn("cnorm", sqrt(dot(col("cvec"), col("cvec"))))
+    (refined, assign(corpus, refined).select("vec_id", "cid"))
+  }
+
+  /** IVF-probed cosine top-k: rank centroids per query, exact-search only
+    * the nProbe nearest buckets. Approximate (recall < 1) by design —
+    * q38 is the exact baseline it trades against.
+    */
+  def q57IvfTopk(s: SparkSession, d: String): DataFrame = {
+    val all = withVec(embeddings(s, d))
+    val queries = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("norm").as("q_norm"))
+    val corpus = all.filter(col("vec_id") >= 10)
+    val (centroids, assignments) = ivfIndex(corpus)
+    val qcos = dot(col("q_vec"), col("cvec")) / (col("q_norm") * col("cnorm"))
+    val probeRank = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("cid"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("pcos", qcos)
+      .withColumn("prn", row_number().over(probeRank))
+      .filter(col("prn") <= NumProbes)
+      .select("q_id", "q_vec", "q_norm", "cid")
+    val cand = probes
+      .join(assignments, "cid")
+      .join(corpus.select(col("vec_id"), col("vec").as("c_vec"), col("norm").as("c_norm")), "vec_id")
+    val cos = dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))
+    val topk = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("cos", cos)
+      .withColumn("rk", row_number().over(topk).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("c_id"), round(col("cos"), 6).as("cos"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_ivf_topk" -> q57IvfTopk _,
     "q36_minhash_lsh" -> q36MinhashLsh _,
     "q51_dedup_clusters" -> q51DedupClusters _,
     "q37_simhash" -> q37Simhash _,

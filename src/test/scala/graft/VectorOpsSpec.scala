@@ -97,6 +97,21 @@ class VectorOpsSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) > 8)
   }
 
+  test("IVF top-k: deterministic, k per query, and beats random-probe recall") {
+    val exact = VectorOps.q38EmbedTopk(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val ivf = VectorOps.q57IvfTopk(spark, sfDir).collect()
+    assert(ivf.length == 50) // 5 per query
+    val ivfSet = ivf.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val recall = (exact & ivfSet).size.toDouble / exact.size
+    // probing 4/16 buckets: random probing gives ~0.25; centroid ranking
+    // must do meaningfully better even on near-random vectors
+    assert(recall >= 0.4, s"recall $recall")
+    val again = VectorOps.q57IvfTopk(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    assert(ivfSet == again)
+  }
+
   test("TopKFreq sketch: exact under capacity, finds the majority item under eviction") {
     import spark.implicits._
     import graft.plans.GraftFunctions.topk_freq
