@@ -25,8 +25,12 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       rightPayload: Seq[String]): DataFrame = {
     val payload = struct(rightPayload.map(col): _*)
-    val r = right.select(col(key).as("__k"), col(rightTime).as("__t"),
-      lit(0).as("__side"), payload.as("__payload"))
+    // SQL ASOF semantics: left.t >= NULL is never true, so null-time
+    // right rows can never match (they'd otherwise sort first and leak
+    // their payload to every early left row)
+    val r = right.filter(col(rightTime).isNotNull)
+      .select(col(key).as("__k"), col(rightTime).as("__t"),
+        lit(0).as("__side"), payload.as("__payload"))
     val leftCols = left.columns
     val l = left.select(
       (Seq(col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),

@@ -135,11 +135,12 @@ object Lifecycle {
     */
   def q46ZscoreNormalize(s: SparkSession, d: String): DataFrame = {
     val byType = Window.partitionBy("event_type")
-    // Spark stddev_samp of a single-row group is NaN where SQL engines
-    // give NULL — normalize to NULL so singleton groups match the oracle.
+    // Degenerate groups: Spark gives NaN stddev for singletons (DuckDB:
+    // NULL) and NULL for x/0 (DuckDB: NaN) — normalize both to a NULL
+    // divisor so zscore is NULL on both engines (oracle uses nullif).
     val sd = stddev_samp("value").over(byType)
     val z = (col("value") - avg("value").over(byType)) /
-      when(isnan(sd), lit(null)).otherwise(sd)
+      when(isnan(sd) || sd === 0.0, lit(null)).otherwise(sd)
     events(s, d).select(col("event_id"), col("event_type"),
       round(z, 4).as("zscore"))
   }
@@ -181,7 +182,7 @@ object Lifecycle {
     "q46_zscore_normalize" ->
       """SELECT event_id, event_type,
         | round((value - avg(value) OVER (PARTITION BY event_type))
-        |   / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS zscore
+        |   / nullif(stddev_samp(value) OVER (PARTITION BY event_type), 0), 4) AS zscore
         |FROM events""".stripMargin,
     "q21_bronze_partition_keys" ->
       """SELECT event_type || '/' || strftime(ts, '%Y/%m/%d/%H') AS raw_key,

@@ -15,11 +15,16 @@ import graft.sources.Tables
 object TextOps {
   import Tables._
 
-  private val ws = "\\s+"
+  /** THE tokenization used by every text sketch/score/chunk operator —
+    * change it here and simhash/minhash/jaccard/chunking stay in sync. */
+  val WhitespaceRe = "\\s+"
+  private val ws = WhitespaceRe
+
+  /** Lowercased whitespace tokens in document order. */
+  def tokens(text: Column): Column = split(lower(trim(text)), WhitespaceRe)
 
   /** Tokens as a deduplicated word set (lowercased, whitespace split). */
-  def wordSet(text: Column): Column =
-    array_distinct(split(lower(trim(text)), ws))
+  def wordSet(text: Column): Column = array_distinct(tokens(text))
 
   /** Exact dedup: one content hash per distinct body; keep the smallest id
     * as the canonical representative. One map-side-combinable shuffle.
@@ -97,7 +102,7 @@ object TextOps {
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val ex = documents(s, d)
       .select(col("doc_id"), col("lang"),
-        posexplode(split(lower(trim(col("text"))), ws)))
+        posexplode(tokens(col("text"))))
       .withColumn("w1", lead("col", 1).over(byPos))
       .withColumn("w2", lead("col", 2).over(byPos))
       .filter(col("w2").isNotNull)
@@ -129,7 +134,7 @@ object TextOps {
   def q52HeavyHitters(s: SparkSession, d: String): DataFrame = {
     import graft.plans.GraftFunctions.topk_freq
     documents(s, d)
-      .select(explode(split(lower(trim(col("text"))), ws)).as("w"))
+      .select(explode(tokens(col("text"))).as("w"))
       .agg(topk_freq(col("w"), k = 10, capacity = 4096).as("top"))
       .select(explode(col("top")).as("t"))
       .select(col("t.word").as("word"), col("t.cnt").as("cnt"))
@@ -158,7 +163,7 @@ object TextOps {
 
   def q56Chunking(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .withColumn("wl", split(lower(trim(col("text"))), ws))
+      .withColumn("wl", tokens(col("text")))
       .withColumn("start",
         explode(sequence(lit(0), greatest(size(col("wl")) - 1, lit(0)), lit(ChunkStride))))
       .select(

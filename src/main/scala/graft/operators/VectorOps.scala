@@ -120,7 +120,7 @@ object VectorOps {
     */
   def simhash(docs: DataFrame): DataFrame = {
     val tf = docs
-      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       .withColumn("h", xxhash64(col("w")))
     val votes = (0 until 64).map { i =>
@@ -161,9 +161,10 @@ object VectorOps {
 
   /** Dot kernel: native codegen'd Catalyst expression (graft.plans.
     * DotProduct) — one tight loop per row, float inputs upcast per
-    * element. The higher-order-function formulation (`dotHof`) is kept as
-    * the portable reference implementation; both produce bit-identical
-    * doubles (same widening, same accumulation order).
+    * element. The higher-order-function formulation (`dotHof`) is the
+    * portable reference; bit-identical ONLY for array<double> inputs
+    * (on raw float arrays zip_with multiplies in float before widening,
+    * and it null-pads ragged arrays where DotProduct uses min length).
     */
   def dot(a: Column, b: Column): Column = graft.plans.GraftFunctions.vec_dot(a, b)
 
@@ -258,18 +259,23 @@ object VectorOps {
       .select(col("vec_id"), col("cid"), col("vec"), col("norm"))
   }
 
-  /** IVF index: deterministic seed centroids (every n/C-th vector by id)
-    * plus one Lloyd refinement, all as DataFrame ops — the coarse
-    * quantizer that makes ANN sub-linear: queries probe nProbe buckets
-    * instead of the whole corpus.
+  /** IVF index: deterministic hash-sampled seed centroids plus one Lloyd
+    * refinement, all as DataFrame ops — the coarse quantizer that makes
+    * ANN sub-linear: queries probe nProbe buckets instead of the whole
+    * corpus. The corpus frame is checkpointed once (it feeds the seed
+    * sample, the Lloyd pass, and the final assignment); the only global
+    * sort runs over the ~4C-row seed sample, never the corpus.
     */
-  def ivfIndex(corpus: DataFrame): (DataFrame, DataFrame) = {
+  def ivfIndex(corpusIn: DataFrame): (DataFrame, DataFrame) = {
+    val corpus = corpusIn.localCheckpoint(true)
     val n = corpus.count()
-    val step = math.max(1L, n / NumCentroids)
+    // deterministic ~4C-row sample via id hash, then rank the tiny sample
+    val sampleStep = math.max(1L, n / (NumCentroids * 4L))
     val seeds = corpus
+      .filter(pmod(xxhash64(col("vec_id")), lit(sampleStep)) === 0)
       .withColumn("rk", row_number().over(Window.orderBy("vec_id")).cast("long"))
-      .filter((col("rk") - 1) % step === 0 && col("rk") <= step * NumCentroids)
-      .select(((col("rk") - 1) / step).cast("int").as("cid"),
+      .filter(col("rk") <= NumCentroids)
+      .select((col("rk") - 1).cast("int").as("cid"),
         col("vec").as("cvec"), col("norm").as("cnorm"))
     val assigned = assign(corpus, seeds)
     // Lloyd step: per-centroid per-dimension mean, reassembled in order

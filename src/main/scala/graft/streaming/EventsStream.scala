@@ -10,9 +10,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * shape is Structured Streaming over the same event schema: watermarked
   * tumbling-window marts plus stateful sessionization.
   *
-  * Both transforms take a generic DataFrame/Dataset so they run identically
-  * over `readStream` sources and batch frames (the batch twin of the
-  * sessionizer is operators.Lifecycle.q26Sessionize).
+  * windowedCounts and dedupStream run identically over `readStream`
+  * sources and batch frames; the sessionizer is streaming-only (its
+  * sessions close on event-time timeouts) — its batch twin is
+  * operators.Lifecycle.q26Sessionize.
   */
 object EventsStream {
 
@@ -27,7 +28,9 @@ object EventsStream {
 
   /** Watermarked tumbling-window counts per event type. On a stream this
     * emits append-mode finalized windows; late events beyond 10 min are
-    * dropped at the watermark, bounding state.
+    * dropped at the watermark, bounding state. (Unlike the sessionizer
+    * below, this transform IS batch/stream agnostic — window aggregation
+    * needs no timeout to finalize in batch mode.)
     */
   def windowedCounts(events: DataFrame): DataFrame =
     events
@@ -49,6 +52,10 @@ object EventsStream {
 
   /** Stateful sessionizer: 30-min-gap sessions per user, state expired via
     * event-time timeout so state size is O(active users), not O(history).
+    *
+    * STREAMING-ONLY: sessions close on the event-time timeout, which never
+    * fires in batch execution — a batch run would drop each user's trailing
+    * session. The batch twin is operators.Lifecycle.q26Sessionize.
     */
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
