@@ -48,19 +48,46 @@ object VectorOps {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
+  /** Pairwise listing is O(width²) per bucket; buckets wider than this are
+    * degenerate near-exact-dup clusters (empty docs, boilerplate) where the
+    * full pair list is useless AND quadratic — they get star-routed
+    * instead. 512 keeps every sf0.01 bucket (max width 279) on the exact
+    * pairwise path while the four ~2,300-wide sf0.1 template clusters
+    * (22.5M of 24M candidate pairs) collapse to O(width) star edges.
+    */
+  val MaxBucketWidth = 512
+
   /** Candidate near-dup pairs: docs sharing ≥1 LSH band. Band signature =
-    * hash of the band's minhash rows; self-equi-join on (band, sig).
+    * hash of the band's minhash rows; self-equi-join on (band, sig) —
+    * but only within buckets of bounded width. Oversized buckets emit
+    * star edges (bucket_min ↔ member) instead of all pairs: connectivity
+    * (what dedup consumes) is preserved, the O(width²) blowup is not.
+    * With `maxBucketWidth = Int.MaxValue` this is the exact pairwise
+    * listing; `n_shared_bands` counts buckets the pair co-occurred in
+    * on whichever path routed them.
     */
   def q36MinhashLsh(s: SparkSession, d: String): DataFrame =
     q36MinhashLshOn(documents(s, d))
 
-  def q36MinhashLshOn(docs: DataFrame): DataFrame = {
-    val banded = bandedSignatures(docs)
-    banded.as("a")
-      .join(banded.as("b"),
+  def q36MinhashLshOn(docs: DataFrame,
+      maxBucketWidth: Int = MaxBucketWidth): DataFrame = {
+    val bucket = Window.partitionBy("band", "sig")
+    // one shuffle on (band, sig) annotates width + min without a join
+    val keyed = bandedSignatures(docs)
+      .withColumn("w", count(lit(1)).over(bucket))
+      .withColumn("bucket_min", min("doc_id").over(bucket))
+    val narrow = keyed.filter(col("w") <= maxBucketWidth)
+      .select("doc_id", "band", "sig")
+    val narrowPairs = narrow.as("a")
+      .join(narrow.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    val starPairs = keyed
+      .filter(col("w") > maxBucketWidth && col("doc_id") =!= col("bucket_min"))
+      .select(col("bucket_min").as("a_id"), col("doc_id").as("b_id"))
+    narrowPairs.union(starPairs)
+      .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
@@ -115,10 +142,20 @@ object VectorOps {
 
   // ---- SimHash ----------------------------------------------------------
 
-  /** 64-bit SimHash: per-token hash bit-votes weighted by term frequency,
-    * folded into one long. 64 fused aggregates, still a single shuffle.
+  /** 64-bit SimHash, fused per-row kernel (graft.plans.SimHash64): the
+    * whole signature computes inside the scan projection — no shuffle.
     */
-  def simhash(docs: DataFrame): DataFrame = {
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.plans.GraftFunctions.simhash64(TextOps.tokens(col("text"))).as("simhash"))
+
+  /** Reference formulation of [[simhash]] in pure SQL aggregates (explode →
+    * tf → 64 fused bit-vote sums → fold): one shuffle, 64 buffers per doc.
+    * Kept as the cross-check the fused kernel is asserted bit-identical to
+    * (VectorOpsSpec) — and as the fallback a non-extension deployment
+    * could run.
+    */
+  def simhashAgg(docs: DataFrame): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))

@@ -24,6 +24,9 @@ object GraftFunctions {
   def topk_freq(c: Column, k: Int, capacity: Int = 4096): Column =
     toCol(TopKFreq(toExpr(c), k, capacity).toAggregateExpression())
 
+  /** Fused per-row 64-bit SimHash over an array<string> token column. */
+  def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
+
   /** Register the SQL-callable names on a session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

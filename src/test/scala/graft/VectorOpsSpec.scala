@@ -84,6 +84,43 @@ class VectorOpsSpec extends SparkSpec {
     reps.values.foreach(r => assert(reps(r) == r, s"non-canonical rep in $reps"))
   }
 
+  test("q36 bucket cap: default cap output identical to exact pairwise at sf0.01") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val capped = VectorOps.q36MinhashLshOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = VectorOps.q36MinhashLshOn(docs, Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped == exact, "sf0.01 buckets (max width 279) must all stay on the pairwise path")
+  }
+
+  test("q36 bucket cap: wide buckets star-route, keeping every member connected") {
+    import spark.implicits._
+    val dup = "spark shuffle join window agg scan"
+    val docs = ((1L to 10L).map(i => (i, dup)) :+
+      (20L, "completely different words entirely unrelated body") :+
+      (21L, "completely different words entirely unrelated body")).toDF("doc_id", "text")
+    val pairs = VectorOps.q36MinhashLshOn(docs, maxBucketWidth = 4).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Long]("n_shared_bands")))
+    // the 10-wide dup bucket exceeds the cap in every band: star edges only
+    val starEdges = pairs.filter(_._1 == 1L)
+    assert(starEdges.map(_._2).sorted.sameElements(2L to 10L),
+      s"every wide-bucket member must link to the bucket min, got $pairs")
+    assert(starEdges.forall(_._3 == VectorOps.Bands.toLong), "co-occurs in all 4 wide buckets")
+    assert(!pairs.exists(p => p._1 > 1L && p._2 <= 10L), "no pairwise listing inside wide buckets")
+    // the 2-wide bucket is under the cap: exact pairwise as before
+    assert(pairs.contains((20L, 21L, VectorOps.Bands.toLong)))
+  }
+
+  test("fused SimHash64 kernel is bit-identical to the aggregate formulation") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val fused = VectorOps.simhash(docs)
+    val agg = VectorOps.simhashAgg(docs).withColumnRenamed("simhash", "simhash_agg")
+    val joined = fused.join(agg, "doc_id")
+    assert(joined.count() == docs.count(), "aggregate form must cover every doc")
+    val diff = joined.filter(col("simhash") =!= col("simhash_agg")).count()
+    assert(diff == 0, s"$diff signatures differ between fused kernel and aggregate reference")
+  }
+
   test("simhash: identical docs hamming 0; disjoint docs far apart") {
     import spark.implicits._
     val docs = Seq(
