@@ -141,9 +141,10 @@ class VectorOpsSpec extends SparkSpec {
     assert(ivf.length == 50) // 5 per query
     val ivfSet = ivf.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
     val recall = (exact & ivfSet).size.toDouble / exact.size
-    // probing 4/16 buckets: random probing gives ~0.25; centroid ranking
-    // must do meaningfully better even on near-random vectors
-    assert(recall >= 0.4, s"recall $recall")
+    // nProbe=8 of ~sqrt(n) centroids: random probing would give ~8/22;
+    // centroid ranking must reach the 0.8 recall target even on
+    // near-random vectors
+    assert(recall >= 0.8, s"recall $recall")
     val again = VectorOps.q57IvfTopk(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
     assert(ivfSet == again)
