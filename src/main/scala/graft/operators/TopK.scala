@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.SortOrder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
-import graft.plans.{TopKPerKeyPlan, TopKPerKeyStrategy}
+import graft.plans.TopKPerKeyPlan
 import graft.sources.Tables
 
 /** Public surface of the custom grouped-top-k operator
@@ -15,13 +15,14 @@ object TopK {
 
   /** orderExpr ranks rows (e.g. `struct(col("a"), col("b"))` for
     * composite keys); ties resolved only if it is unique per row.
+    *
+    * Requires the session to carry [[graft.GraftExtensions]] (which
+    * injects `TopKPerKeyStrategy`) — the config-only packaging a real
+    * cluster deployment uses; no `spark.experimental` mutation here.
     */
   def topKPerKey(df: DataFrame, keys: Seq[String], orderExpr: Column,
       descending: Boolean, k: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
     val direction =
       if (descending) org.apache.spark.sql.catalyst.expressions.Descending
       else org.apache.spark.sql.catalyst.expressions.Ascending

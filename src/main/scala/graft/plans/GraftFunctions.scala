@@ -1,6 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
 import org.apache.spark.sql.functions.sqrt
 
 /** Column/SQL surface for graft's native expressions. */
@@ -27,9 +29,44 @@ object GraftFunctions {
   /** Fused per-row 64-bit SimHash over an array<string> token column. */
   def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
 
-  /** Register the SQL-callable names on a session. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-  }
+  private def intArg(e: Expression, fn: String, pos: Int): Int =
+    if (e.foldable) e.eval().asInstanceOf[Number].intValue
+    else throw new IllegalArgumentException(s"$fn: argument $pos must be a literal int")
+
+  /** name → (usage, SQL builder) for every native function — the single
+    * table both the temp-function [[register]] path and the
+    * `graft.GraftExtensions` session-extension path install from.
+    */
+  val sqlFunctions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("vec_dot", "vec_dot(a, b) - codegen'd dot product of two float/double arrays",
+      es => DotProduct(es(0), es(1))),
+    ("vec_norm", "vec_norm(v) - L2 norm of a float/double array",
+      es => Sqrt(DotProduct(es(0), es(0)))),
+    ("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float/double arrays",
+      es => Divide(DotProduct(es(0), es(1)),
+        Multiply(Sqrt(DotProduct(es(0), es(0))), Sqrt(DotProduct(es(1), es(1)))))),
+    ("simhash64", "simhash64(tokens) - fused 64-bit SimHash of an array<string>",
+      es => SimHash64(es(0))),
+    ("topk_freq", "topk_freq(v, k[, capacity]) - SpaceSaving top-k frequent values",
+      es => TopKFreq(es(0), intArg(es(1), "topk_freq", 1),
+        if (es.length > 2) intArg(es(2), "topk_freq", 2) else 4096)
+        .toAggregateExpression()),
+  )
+
+  /** Register the SQL-callable names as temp functions on an existing
+    * session (the path for sessions built without extensions; prefer
+    * `spark.sql.extensions=graft.GraftExtensions` for new sessions).
+    */
+  def register(spark: SparkSession): Unit =
+    sqlFunctions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+
+  private[graft] def expressionInfo(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft.plans.GraftFunctions", null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
+  private[graft] def identifier(name: String): FunctionIdentifier =
+    FunctionIdentifier(name)
 }

@@ -5,17 +5,31 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Whole-operator top-k-per-key: for each key, retain the k best rows by
   * `order` — the grouped-top-k Spark can only express as a full window
   * sort + filter (sorting every group entirely to keep k rows).
   *
-  * The physical operator keeps a bounded k-heap per key per partition:
-  * O(n log k) work, O(keys × k) memory, no sort of the long tail. The
-  * planner inserts the key-clustered exchange via
-  * `requiredChildDistribution`, so the heaps see all rows of a key.
+  * Planned as a two-phase aggregation shape:
+  *
+  *   partial (map-side) heaps → key-clustered exchange → final heaps
+  *
+  * The partial phase runs on the child's partitions and forwards at most
+  * `keys-per-partition × k` rows into the shuffle — the same
+  * map-side-combine trick partial aggregation uses, so shuffle volume is
+  * bounded by key cardinality, not input size. The final phase merges the
+  * per-partition survivor sets, which is exact: a row in the true global
+  * top-k of its key is in that key's top-k of its own partition.
+  *
+  * Memory contract: each phase keeps O(keys-in-partition × k) rows on
+  * heap and does not spill — the operator targets bounded key
+  * cardinality per partition (segments, categories, tenants). For
+  * pathological key counts where keys × k approaches partition row
+  * counts, the window-sort formulation (which spills) is the right plan;
+  * the partial phase also degrades gracefully there (it forwards at most
+  * its input, never more).
   */
 case class TopKPerKeyPlan(keys: Seq[Expression], order: SortOrder, k: Int,
     child: LogicalPlan) extends UnaryNode {
@@ -25,11 +39,19 @@ case class TopKPerKeyPlan(keys: Seq[Expression], order: SortOrder, k: Int,
 }
 
 case class TopKPerKeyExec(keys: Seq[Expression], order: SortOrder, k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan, partial: Boolean) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
+
+  /** The final phase needs all rows of a key co-located; the partial
+    * phase runs wherever the child's rows already are (no exchange below
+    * it — the planner inserts the shuffle between partial and final).
+    */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
@@ -68,7 +90,9 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: SortOrder, k: Int,
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyPlan(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+      TopKPerKeyExec(keys, order, k,
+        TopKPerKeyExec(keys, order, k, planLater(child), partial = true),
+        partial = false) :: Nil
     case _ => Nil
   }
 }
