@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Persistent StorageMetadata store + the gated ingest flow — the wired
+  * version of the reference's metadata table and its dedup edge
+  * (finnoio/jobhouse src/storage/raw_layer.py:55-64 writes
+  * StorageMetadata per upload; the architecture mermaid routes
+  * Meta -..-> "Deduplication Check" in front of bronze).
+  *
+  * The store is append-only parquet keyed by content etag; the gate
+  * anti-joins incoming rows against it, so a re-delivered payload (same
+  * md5) never lands in bronze twice. At 100 TB the seen-set is the big
+  * side: [[compactBucketed]] rewrites it as a bucketed table so the
+  * recurring gate join reads it pre-shuffled by etag instead of
+  * exchanging it on every ingest.
+  */
+object MetadataStore {
+
+  /** {source, batch_id, s3_key, created_at, etag} — BronzeLayer.storageMetadata's schema. */
+  val schema: StructType = StructType.fromDDL(
+    "source STRING, batch_id STRING, s3_key STRING, created_at TIMESTAMP, etag STRING")
+
+  def append(meta: DataFrame, path: String): Unit =
+    meta.write.mode(SaveMode.Append).parquet(path)
+
+  /** Empty-store-safe read: a missing directory is an empty seen-set. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
+
+  /** The documented ingest flow: etag incoming rows, drop ones the store
+    * has seen, land the survivors in bronze AND their metadata in the
+    * store, atomically enough for the batch contract (metadata lands
+    * after bronze; a crash between the two re-ingests a batch whose
+    * rows then dedup-gate to zero). Returns the accepted rows.
+    */
+  def ingestWithGate(incoming: DataFrame, bronzePath: String,
+      metaPath: String, batchId: String): DataFrame = {
+    val spark = incoming.sparkSession
+    val withEtag = incoming.withColumn("etag", md5(col("raw_content")))
+    val fresh = graft.operators.Lifecycle
+      .dedupGate(withEtag, read(spark, metaPath), "etag")
+      // materialize once: feeds the bronze write, the metadata append,
+      // and the caller - and must not re-read the store mid-flow
+      .localCheckpoint(true)
+    BronzeLayer.writeRaw(fresh.drop("etag"), bronzePath, batchId)
+    append(BronzeLayer.storageMetadata(fresh, batchId), metaPath)
+    fresh
+  }
+
+  /** Compact the append-only store into a bucketed managed table so the
+    * gate's anti-join stops exchanging the seen-set every ingest.
+    */
+  def compactBucketed(spark: SparkSession, metaPath: String, table: String,
+      buckets: Int = 32): Unit =
+    ParquetSink.writeBucketed(read(spark, metaPath), table, "etag", buckets)
+}
