@@ -172,7 +172,47 @@ object TextOps {
         concat_ws(" ", slice(col("wl"), col("start") + 1, lit(ChunkTokens))).as("chunk_text"),
         size(slice(col("wl"), col("start") + 1, lit(ChunkTokens))).cast("long").as("n_chunk_tokens"))
 
+  /** Stable content-hash bucket in [0, buckets): the engine-portable
+    * deterministic replacement for RNG sampling decisions — identical on
+    * any engine with md5 (what makes it oracle-able), independent of
+    * partitioning and rerun-stable (rand(seed) is neither). Salt the
+    * input (`concat(lit("purpose:"), text)`) for decisions that must be
+    * independent of each other.
+    */
+  def hashBucket(text: Column, buckets: Int = 100): Column =
+    pmod(conv(substring(md5(text), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+
+  /** Deterministic 80/10/10 train/valid/test split by content hash — the
+    * split a 100 TB corpus can recompute on any engine, any partitioning,
+    * and get the same answer.
+    */
+  def q59HashSplit(s: SparkSession, d: String): DataFrame = {
+    val b = hashBucket(col("text"))
+    documents(s, d).select(col("doc_id"), b.as("split_bucket"),
+      when(b < 80, "train").when(b < 90, "valid").otherwise("test").as("split"))
+  }
+
+  /** Per-language keep-rates — the domain-reweighting mix a training-data
+    * pipeline applies before tokenization. */
+  val MixRates: Seq[(String, Int)] =
+    Seq("en" -> 90, "de" -> 70, "es" -> 50, "fr" -> 30, "zh" -> 10)
+
+  /** Mixture sampling: deterministic per-language downsampling via a
+    * salted content-hash bucket (salted so the mix decision is
+    * independent of the q59 split decision).
+    */
+  def q60MixtureSample(s: SparkSession, d: String): DataFrame = {
+    val rate = MixRates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    documents(s, d)
+      .filter(hashBucket(concat(lit("mix:"), col("text"))) < rate)
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_hash_split" -> q59HashSplit _,
+    "q60_mixture_sample" -> q60MixtureSample _,
     "q52_heavy_hitters" -> q52HeavyHitters _,
     "q53_sql_surface" -> q53SqlSurface _,
     "q56_chunking" -> q56Chunking _,
@@ -185,6 +225,26 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q59_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |   CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS BIGINT) AS split_bucket
+        |  FROM documents)
+        |SELECT doc_id, split_bucket,
+        | CASE WHEN split_bucket < 80 THEN 'train'
+        |      WHEN split_bucket < 90 THEN 'valid'
+        |      ELSE 'test' END AS split
+        |FROM b""".stripMargin,
+    "q60_mixture_sample" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |   CAST(('0x' || substr(md5('mix:' || text), 1, 8))::BIGINT % 100 AS BIGINT) AS bkt
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_sampled FROM b
+        |WHERE bkt < CASE lang WHEN 'en' THEN 90 WHEN 'de' THEN 70
+        |                      WHEN 'es' THEN 50 WHEN 'fr' THEN 30
+        |                      WHEN 'zh' THEN 10 ELSE 0 END
+        |GROUP BY lang""".stripMargin,
     "q52_heavy_hitters" ->
       """WITH w AS (
         |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word

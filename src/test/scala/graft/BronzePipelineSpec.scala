@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.BronzeLayer
+import graft.streaming.BronzePipeline
+
+class BronzePipelineSpec extends SparkSpec {
+
+  private def writeBatch(dir: String, batchId: String, ids: Seq[String]): Unit = {
+    import spark.implicits._
+    val df = ids.map(id => (id, s"content-$id", "hh", "2024-09-23 10:00:00"))
+      .toDF("posting_id", "raw_content", "source", "extracted_at")
+      .withColumn("extracted_at", to_timestamp(col("extracted_at")))
+    BronzeLayer.writeRaw(df, dir, batchId)
+  }
+
+  test("bronze to silver drains incrementally, exactly once across restarts") {
+    val root = Files.createTempDirectory("graft_pipeline").toString
+    val bronze = s"$root/bronze"
+    val silver = s"$root/silver"
+    val checkpoint = s"$root/checkpoint"
+
+    writeBatch(bronze, "b1", Seq("p1", "p2"))
+    writeBatch(bronze, "b2", Seq("p3"))
+    BronzePipeline.runOnce(spark, bronze, silver, checkpoint).awaitTermination()
+    val run1 = spark.read.parquet(silver)
+    assert(run1.count() == 3)
+    assert(run1.columns.toSet.contains("etag") && run1.columns.toSet.contains("extracted_date"))
+
+    // new batch arrives; the next scheduled invocation drains ONLY it
+    writeBatch(bronze, "b3", Seq("p4", "p5"))
+    BronzePipeline.runOnce(spark, bronze, silver, checkpoint).awaitTermination()
+    val run2 = spark.read.parquet(silver)
+    assert(run2.count() == 5, "b1/b2 must not be reprocessed")
+    assert(run2.select("posting_id").distinct().count() == 5)
+
+    // idempotent no-op when nothing new arrived
+    BronzePipeline.runOnce(spark, bronze, silver, checkpoint).awaitTermination()
+    assert(spark.read.parquet(silver).count() == 5)
+
+    // silver fields derive from the payload
+    val row = spark.read.parquet(silver).filter(col("posting_id") === "p1").head()
+    assert(row.getAs[String]("etag").length == 32)
+    assert(row.getAs[Long]("content_chars") == "content-p1".length.toLong)
+  }
+}
