@@ -346,6 +346,21 @@ object VectorOps {
     embedNeardupBlocked(withVec(embeddings(s, d)),
       threshold = 0.4, numPlanes = 16, bandBits = 2, seed = 7L)
 
+  /** The SQL face of the native vector kernels: the same engine a
+    * reference user reaches with `spark.sql` once
+    * `spark.sql.extensions=graft.GraftExtensions` is set — no Column API
+    * in sight, and still fully DuckDB-oracled.
+    */
+  def q61SqlVector(s: SparkSession, d: String): DataFrame = {
+    embeddings(s, d).createOrReplaceTempView("embeddings_v")
+    s.sql("""
+      SELECT vec_id,
+             round(vec_norm(embedding), 6) AS norm,
+             round(vec_dot(embedding, embedding), 6) AS self_dot
+      FROM embeddings_v
+    """)
+  }
+
   // ---- IVF (inverted-file) ANN ------------------------------------------
 
   val DefaultProbes         = 8
@@ -465,6 +480,7 @@ object VectorOps {
     "q39_embed_lsh" -> q39EmbedLsh _,
     "q40_embed_neardup" -> q40EmbedNeardup _,
     "q58_neardup_blocked" -> q58NeardupBlocked _,
+    "q61_sql_vector" -> q61SqlVector _,
   )
 
   /** The hash/sketch queries (q36/q37/q39/q51/q57) hash with
@@ -508,5 +524,13 @@ object VectorOps {
         | round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 6) AS cos
         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 6) >= 0.4""".stripMargin,
+    "q61_sql_vector" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings)
+        |SELECT vec_id,
+        | round(sqrt(list_dot_product(vec, vec)), 6) AS norm,
+        | round(list_dot_product(vec, vec), 6) AS self_dot
+        |FROM v""".stripMargin,
   )
 }
