@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Binned range join: point-in-interval joins as equi-joins.
+  *
+  * Spark plans a bare `p >= lo AND p < hi` join as a broadcast/cartesian
+  * nested loop — O(|points| × |intervals|) compares, the classic 100 TB
+  * killer. The standard fix is grid binning: explode each interval to the
+  * fixed-width bins it overlaps, bin each point once, equi-join on the
+  * bin, then apply the exact range predicate. The join is then a plain
+  * shuffled/broadcast HASH join on the bin key; candidate volume is
+  * points × the intervals sharing their bin, not the full cross product.
+  *
+  * No duplicate results: a point lives in exactly one bin, so each
+  * (point, interval) pair meets at most once — no post-join dedup.
+  *
+  * Picking `binWidth`: ≈ the typical interval width. Replication factor
+  * per interval is ceil(width / binWidth) + 1, so wider bins mean fewer
+  * interval copies but more candidates per bin. Degenerate hot bins
+  * (everything in one time bucket) are ordinary equi-join skew — AQE
+  * skew-join or SkewJoin.saltedJoin applies unchanged.
+  */
+object RangeJoin {
+
+  /** Inner-join `points` to every interval containing them:
+    * `loCol <= pointCol < hiCol`. The three columns must be numeric and
+    * same-scaled (e.g. epoch seconds); empty intervals (hi <= lo) match
+    * nothing. Output = point columns ++ interval columns.
+    */
+  def pointInInterval(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p = points.withColumn("__graft_bin", floor(col(pointCol) / binWidth))
+    val iv = intervals
+      .filter(col(hiCol) > col(loCol))
+      .withColumn("__graft_bin", explode(sequence(
+        floor(col(loCol) / binWidth), floor((col(hiCol) - 1) / binWidth))))
+    p.join(iv, Seq("__graft_bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__graft_bin")
+  }
+
+  /** Shipments-per-order-week: for each March-1995 order, the lineitems
+    * (any order's) shipped within [o_orderdate, o_orderdate + 7 days) —
+    * a genuine cross-entity range join, binned at interval width.
+    */
+  def q62RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val Week = 7L * 86400
+    val intervals = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= "1995-03-01" && col("o_orderdate") < "1995-04-01")
+      .select(col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("lo"),
+        (unix_timestamp(col("o_orderdate")) + Week).as("hi"))
+    val points = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= "1995-03-01" && col("l_shipdate") < "1995-04-08")
+      .select(unix_timestamp(col("l_shipdate")).as("p"), col("l_quantity"))
+    pointInInterval(points, "p", intervals, "lo", "hi", binWidth = Week)
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_shipped_in_week"),
+        round(sum("l_quantity"), 2).as("total_qty"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_range_join" -> q62RangeJoin _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q62_range_join" ->
+      """SELECT o.o_orderkey, count(*) AS n_shipped_in_week,
+        | round(sum(l.l_quantity), 2) AS total_qty
+        |FROM orders o JOIN lineitem l
+        |  ON l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+        |WHERE o.o_orderdate >= DATE '1995-03-01' AND o.o_orderdate < DATE '1995-04-01'
+        |  AND l.l_shipdate >= DATE '1995-03-01' AND l.l_shipdate < DATE '1995-04-08'
+        |GROUP BY o.o_orderkey""".stripMargin,
+  )
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RangeJoin
+
+class RangeJoinSpec extends SparkSpec {
+
+  test("binned range join equals the naive inequality join, bin width irrespective") {
+    import spark.implicits._
+    // points 0..999; intervals of assorted widths incl. empty + bin-straddling
+    val points = (0L until 1000L).map(p => (p, s"pt$p")).toDF("p", "ptag")
+    val intervals = Seq(
+      (1L, 0L, 10L), (2L, 5L, 105L), (3L, 99L, 100L), (4L, 100L, 100L), // empty
+      (5L, 950L, 2000L), (6L, 0L, 1000L), (7L, 777L, 778L))
+      .toDF("iv_id", "lo", "hi")
+    val naive = points.join(intervals, col("p") >= col("lo") && col("p") < col("hi"))
+      .select("p", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (w <- Seq(1L, 7L, 64L, 10000L)) {
+      val binned = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", w)
+        .select("p", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(binned.length == binned.toSet.size, s"duplicates at binWidth=$w")
+      assert(binned.toSet == naive, s"mismatch at binWidth=$w")
+    }
+  }
+
+  test("plans as a hash equi-join on the bin key, never a nested loop") {
+    import spark.implicits._
+    val points = (0L until 100L).map(p => (p, p)).toDF("p", "v")
+    val intervals = (0L until 20L).map(i => (i, i * 10, i * 10 + 15)).toDF("iv_id", "lo", "hi")
+    val df = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", 16L)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi join on the bin key:\n$plan")
+  }
+
+  test("q62 shape: every interval week counts only its own points") {
+    val res = RangeJoin.q62RangeJoin(spark, "/root/testdata/sf0.001").collect()
+    assert(res.nonEmpty)
+    assert(res.forall(_.getAs[Long]("n_shipped_in_week") > 0))
+  }
+}
