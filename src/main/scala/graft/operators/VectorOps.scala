@@ -23,11 +23,22 @@ object VectorOps {
   val Bands     = 4
   val RowsPerBand: Int = NumHashes / Bands
 
-  /** Per-doc MinHash signature: k independent hash families simulated by
-    * seeding xxhash64 with the family index; min over the word set.
-    * One shuffle (groupBy doc), k aggregates fused in one pass.
+  /** Per-doc MinHash signature via the fused kernel (graft.plans.MinHash):
+    * all k families in one per-row pass — no explode, no shuffle, the
+    * corpus minhashes at scan speed.
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.plans.GraftFunctions.minhash(TextOps.tokens(col("text")), NumHashes).as("mh"))
+      .select(col("doc_id") +: (0 until NumHashes).map(i => col("mh")(i).as(s"mh$i")): _*)
+
+  /** Reference formulation of [[minhashSignatures]] in SQL aggregates
+    * (explode word set → k fused min(xxhash64(i, w)) aggregates): one
+    * shuffle per corpus. Kept as the cross-check the fused kernel is
+    * asserted bit-identical to (VectorOpsSpec) and as the no-extensions
+    * fallback.
+    */
+  def minhashSignaturesAgg(docs: DataFrame): DataFrame = {
     val words = docs.select(col("doc_id"), explode(wordSet(col("text"))).as("w"))
     words.groupBy("doc_id").agg(
       min(xxhash64(lit(0), col("w"))).as("mh0"),

@@ -29,6 +29,10 @@ object GraftFunctions {
   /** Fused per-row 64-bit SimHash over an array<string> token column. */
   def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
 
+  /** Fused k-way MinHash signature (array<long>) over a token column. */
+  def minhash(tokens: Column, numHashes: Int): Column =
+    toCol(MinHash(toExpr(tokens), numHashes))
+
   private def intArg(e: Expression, fn: String, pos: Int): Int =
     if (e.foldable) e.eval().asInstanceOf[Number].intValue
     else throw new IllegalArgumentException(s"$fn: argument $pos must be a literal int")
@@ -47,6 +51,8 @@ object GraftFunctions {
         Multiply(Sqrt(DotProduct(es(0), es(0))), Sqrt(DotProduct(es(1), es(1)))))),
     ("simhash64", "simhash64(tokens) - fused 64-bit SimHash of an array<string>",
       es => SimHash64(es(0))),
+    ("minhash", "minhash(tokens, k) - fused k-way MinHash signature of an array<string>",
+      es => MinHash(es(0), intArg(es(1), "minhash", 1))),
     ("topk_freq", "topk_freq(v, k[, capacity]) - SpaceSaving top-k frequent values",
       es => TopKFreq(es(0), intArg(es(1), "topk_freq", 1),
         if (es.length > 2) intArg(es(2), "topk_freq", 2) else 4096)

@@ -111,6 +111,20 @@ class VectorOpsSpec extends SparkSpec {
     assert(pairs.contains((20L, 21L, VectorOps.Bands.toLong)))
   }
 
+  test("fused MinHash kernel is bit-identical to the aggregate formulation") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val fused = VectorOps.minhashSignatures(docs)
+    val agg = VectorOps.minhashSignaturesAgg(docs)
+      .select(col("doc_id") +:
+        (0 until VectorOps.NumHashes).map(i => col(s"mh$i").as(s"agg$i")): _*)
+    val joined = fused.join(agg, "doc_id")
+    assert(joined.count() == docs.count())
+    val diff = (0 until VectorOps.NumHashes)
+      .map(i => col(s"mh$i") =!= col(s"agg$i")).reduce(_ || _)
+    assert(joined.filter(diff).count() == 0,
+      "fused kernel must reproduce xxhash64(lit(i), w) chains exactly")
+  }
+
   test("fused SimHash64 kernel is bit-identical to the aggregate formulation") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
     val fused = VectorOps.simhash(docs)
