@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.sources.BronzeLayer
+import graft.sources.{BronzeLayer, MetadataStore}
 
 /** End-to-end incremental bronze → silver pipeline: the reference's daily
   * Airflow pull + transform (finnoio/jobhouse dags/extract_raw_jobs.py)
@@ -26,6 +26,32 @@ object BronzePipeline {
       .withColumn("etag", md5(col("raw_content")))
       .withColumn("content_chars", length(col("raw_content")).cast("long"))
       .withColumn("extracted_date", to_date(col("extracted_at")))
+
+  /** Streaming gated ingest: tail a landing zone of raw JSONL drops and
+    * route every micro-batch through `MetadataStore.ingestWithGate`, so
+    * re-delivered payloads are dropped against the PERSISTENT seen-set —
+    * unlike `EventsStream.dedupStream`, whose in-stream state only spans
+    * the watermark horizon. The checkpoint makes each landing file
+    * process exactly once; the etag gate makes same-content re-drops
+    * (new files, old payloads) land nowhere. This is the full reference
+    * ingest edge (extract → dedup check → bronze + metadata) as one
+    * incremental flow.
+    */
+  def gatedIngest(spark: SparkSession, stagingPath: String,
+      bronzePath: String, metaPath: String,
+      checkpointPath: String): StreamingQuery = {
+    val raw = spark.readStream
+      .schema("posting_id STRING, raw_content STRING, source STRING, extracted_at TIMESTAMP")
+      .json(stagingPath)
+    raw.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        MetadataStore.ingestWithGate(batch.toDF(), bronzePath, metaPath, f"stream-$id%05d")
+        ()
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 
   /** Drain all currently-available bronze batches into silver parquet and
     * stop. Exactly-once across invocations/crashes via the checkpoint.

@@ -16,6 +16,37 @@ class BronzePipelineSpec extends SparkSpec {
     BronzeLayer.writeRaw(df, dir, batchId)
   }
 
+  test("streaming gated ingest: landing-zone re-drops never reach bronze") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_gated").toString
+    val staging = s"$root/staging"
+    val bronze = s"$root/bronze"
+    val meta = s"$root/meta"
+    val checkpoint = s"$root/ckpt"
+    def drop(rows: Seq[(String, String)]): Unit =
+      rows.map { case (id, c) => (id, c, "hh", "2024-09-23 12:00:00") }
+        .toDF("posting_id", "raw_content", "source", "extracted_at")
+        .withColumn("extracted_at", to_timestamp(col("extracted_at")))
+        .coalesce(1).write.mode("append").json(staging)
+
+    drop(Seq("p1" -> "c1", "p2" -> "c2"))
+    BronzePipeline.gatedIngest(spark, staging, bronze, meta, checkpoint).awaitTermination()
+    assert(BronzeLayer.readRaw(spark, bronze).count() == 2)
+
+    // a NEW landing file re-delivers c2 and adds c3: the file is fresh
+    // (checkpoint processes it) but the c2 payload must gate out
+    drop(Seq("p3" -> "c2", "p4" -> "c3"))
+    BronzePipeline.gatedIngest(spark, staging, bronze, meta, checkpoint).awaitTermination()
+    val rows = BronzeLayer.readRaw(spark, bronze)
+    assert(rows.count() == 3, "re-dropped payload must not land")
+    assert(rows.select("raw_content").distinct().count() == 3)
+    assert(graft.sources.MetadataStore.read(spark, meta).count() == 3)
+
+    // nothing new: no-op
+    BronzePipeline.gatedIngest(spark, staging, bronze, meta, checkpoint).awaitTermination()
+    assert(BronzeLayer.readRaw(spark, bronze).count() == 3)
+  }
+
   test("bronze to silver drains incrementally, exactly once across restarts") {
     val root = Files.createTempDirectory("graft_pipeline").toString
     val bronze = s"$root/bronze"
