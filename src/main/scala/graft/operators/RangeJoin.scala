@@ -26,17 +26,42 @@ import graft.sources.Tables
 object RangeJoin {
 
   /** Inner-join `points` to every interval containing them:
-    * `loCol <= pointCol < hiCol`. The three columns must be numeric and
-    * same-scaled (e.g. epoch seconds); empty intervals (hi <= lo) match
-    * nothing. Output = point columns ++ interval columns.
+    * `loCol <= pointCol < hiCol`. The three columns must be INTEGRAL and
+    * same-scaled (e.g. epoch seconds — the `hi - 1` exclusive-bound bin
+    * math is exact only on integers; fractional bounds would silently
+    * drop matches, so they are rejected at plan time). Empty intervals
+    * (hi <= lo) match nothing. An interval spanning more than
+    * `maxBinsPerInterval` bins fails fast with a clear error instead of
+    * exploding a billion-element bin array (one dirty open-ended
+    * sentinel interval must not OOM the whole job). Output = point
+    * columns ++ interval columns.
     */
   def pointInInterval(points: DataFrame, pointCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
-      binWidth: Long): DataFrame = {
+      binWidth: Long, maxBinsPerInterval: Long = 1L << 16): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    def requireIntegral(df: DataFrame, c: String): Unit = {
+      import org.apache.spark.sql.types._
+      val ok = df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok, s"$c must be an integral column, got ${df.schema(c).dataType.catalogString}")
+    }
+    requireIntegral(points, pointCol)
+    requireIntegral(intervals, loCol)
+    requireIntegral(intervals, hiCol)
     val p = points.withColumn("__graft_bin", floor(col(pointCol) / binWidth))
+    val widthOk = assert_true(
+      (col(hiCol) - col(loCol)) <= maxBinsPerInterval * binWidth,
+      lit(s"range-join interval wider than maxBinsPerInterval=$maxBinsPerInterval " +
+        s"bins of $binWidth - widen binWidth or clean the interval table"))
     val iv = intervals
       .filter(col(hiCol) > col(loCol))
+      // assert_true yields null on success (filter keeps the row) and
+      // throws on violation; expressing it as a filter keeps the check
+      // from being pruned away as an unused column
+      .filter(widthOk.isNull)
       .withColumn("__graft_bin", explode(sequence(
         floor(col(loCol) / binWidth), floor((col(hiCol) - 1) / binWidth))))
     p.join(iv, Seq("__graft_bin"))

@@ -72,7 +72,11 @@ object BatchRunner {
             job(b, BronzeLayer.readRaw(spark, bronzePath)
               .filter(col("batch_id") === b))
             ok = true
-          } catch { case e: Throwable => lastErr = e }
+          } catch {
+            // NonFatal only: an OOM/interrupt must not burn retries in a
+            // broken JVM or swallow a cancellation
+            case scala.util.control.NonFatal(e) => lastErr = e
+          }
         }
         if (ok) {
           val out = fs.create(new Path(ledger, s"$b.done"), true)
@@ -82,8 +86,8 @@ object BatchRunner {
           out.close()
           processed += b
         } else {
-          System.err.println(
-            s"[batch-runner] $b failed after $attempt attempts: ${lastErr.getMessage}")
+          System.err.println(s"[batch-runner] $b failed after $attempt attempts:")
+          lastErr.printStackTrace()
           failed += b
         }
       }

@@ -26,9 +26,14 @@ object JdbcSink {
     * is testable, and a load report for ops. */
   case class WriteStats(rows: Long, batches: Long)
 
-  def writePartitioned(df: DataFrame, url: String, table: String,
+  def writePartitioned(dfIn: DataFrame, url: String, table: String,
       partitionCol: String, batchSize: Int = 500): WriteStats = {
     require(batchSize > 0)
+    // materialize once: the partition scan and the insert scan MUST see
+    // the same rows (a nondeterministic df recomputed per phase would
+    // desync the deleted vs inserted partition sets), and an expensive
+    // mart should not compute twice
+    val df = dfIn.localCheckpoint(true)
     val cols = df.schema.fieldNames
     val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
       s"VALUES (${cols.map(_ => "?").mkString(", ")})"
@@ -39,8 +44,13 @@ object JdbcSink {
     try {
       conn.setAutoCommit(false)
       val del = conn.prepareStatement(s"DELETE FROM $table WHERE $partitionCol = ?")
-      parts.foreach { v => del.setObject(1, v); del.addBatch() }
+      parts.filter(_ != null).foreach { v => del.setObject(1, v); del.addBatch() }
       del.executeBatch()
+      // 'col = NULL' never matches in SQL three-valued logic: the null
+      // partition needs its own IS NULL delete or reloads would duplicate
+      if (parts.contains(null))
+        conn.createStatement().execute(
+          s"DELETE FROM $table WHERE $partitionCol IS NULL")
       conn.commit()
       del.close()
     } finally conn.close()

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -35,16 +36,32 @@ object MetadataStore {
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
   }
 
-  /** The documented ingest flow: etag incoming rows, drop ones the store
-    * has seen, land the survivors in bronze AND their metadata in the
-    * store, atomically enough for the batch contract (metadata lands
-    * after bronze; a crash between the two re-ingests a batch whose
-    * rows then dedup-gate to zero). Returns the accepted rows.
+  /** The documented ingest flow: etag incoming rows, dedup them within
+    * the batch (first posting_id per etag wins) AND against the store,
+    * land the survivors in bronze, then their metadata in the store.
+    * Returns the accepted rows.
+    *
+    * Failure contract: bronze lands before metadata, and the metadata
+    * rows of a batch are its commit marker (one atomic-commit parquet
+    * job, written last). A retry with the SAME batchId is exactly-once
+    * wherever the crash fell: no marker → any bronze leftovers of that
+    * batch are cleared and the batch re-runs cleanly; marker present →
+    * nothing is cleared (the bronze files are good) and the gate admits
+    * zero rows. Streaming retries get this for free —
+    * `BronzePipeline.gatedIngest` derives batchId from the replayed
+    * micro-batch id.
     */
   def ingestWithGate(incoming: DataFrame, bronzePath: String,
       metaPath: String, batchId: String): DataFrame = {
     val spark = incoming.sparkSession
-    val withEtag = incoming.withColumn("etag", md5(col("raw_content")))
+    val committed =
+      read(spark, metaPath).filter(col("batch_id") === batchId).limit(1).count() > 0
+    if (!committed) clearBatch(spark, bronzePath, batchId)
+    val inBatchFirst = Window.partitionBy("etag").orderBy("posting_id")
+    val withEtag = incoming
+      .withColumn("etag", md5(col("raw_content")))
+      .withColumn("__rn", row_number().over(inBatchFirst))
+      .filter(col("__rn") === 1).drop("__rn")
     val fresh = graft.operators.Lifecycle
       .dedupGate(withEtag, read(spark, metaPath), "etag")
       // materialize once: feeds the bronze write, the metadata append,
@@ -53,6 +70,19 @@ object MetadataStore {
     BronzeLayer.writeRaw(fresh.drop("etag"), bronzePath, batchId)
     append(BronzeLayer.storageMetadata(fresh, batchId), metaPath)
     fresh
+  }
+
+  /** Remove every bronze partition directory a batch id wrote (they are
+    * scattered across source/hour partitions) — crash-leftover cleanup
+    * for same-batchId retries.
+    */
+  private def clearBatch(spark: SparkSession, bronzePath: String,
+      batchId: String): Unit = {
+    val root = new Path(bronzePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root))
+      fs.globStatus(new Path(bronzePath, s"*/*/*/*/*/batch_id=$batchId"))
+        .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** Compact the append-only store into a bucketed managed table so the

@@ -3,25 +3,16 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
-import graft.sources.{BatchRunner, BronzeLayer}
+import graft.sources.BatchRunner
 
 class BatchRunnerSpec extends SparkSpec {
-
-  private def writeBatch(dir: String, batchId: String, ids: Seq[String]): Unit = {
-    import spark.implicits._
-    val df = ids.map(id => (id, s"content-$id", "hh", "2024-09-23 10:00:00"))
-      .toDF("posting_id", "raw_content", "source", "extracted_at")
-      .withColumn("extracted_at", to_timestamp(col("extracted_at")))
-    BronzeLayer.writeRaw(df, dir, batchId)
-  }
 
   test("killed run resumes with exactly-once batch processing") {
     val bronze = Files.createTempDirectory("graft_bronze").toString
     val ledger = Files.createTempDirectory("graft_ledger").toString
-    writeBatch(bronze, "b1", Seq("p1", "p2"))
-    writeBatch(bronze, "b2", Seq("p3"))
-    writeBatch(bronze, "b3", Seq("p4", "p5", "p6"))
+    writeRawBatch(bronze, "b1", Seq("p1", "p2"))
+    writeRawBatch(bronze, "b2", Seq("p3"))
+    writeRawBatch(bronze, "b3", Seq("p4", "p5", "p6"))
 
     val seen = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
     // run 1 "dies" on b2 every attempt — b1/b3 complete, b2 leaves no marker
@@ -49,7 +40,7 @@ class BatchRunnerSpec extends SparkSpec {
   test("per-batch retries: flaky job succeeds within the retry budget") {
     val bronze = Files.createTempDirectory("graft_bronze2").toString
     val ledger = Files.createTempDirectory("graft_ledger2").toString
-    writeBatch(bronze, "flaky", Seq("p1"))
+    writeRawBatch(bronze, "flaky", Seq("p1"))
     var attempts = 0
     val r = BatchRunner.run(spark, bronze, ledger, retries = 3) { (_, _) =>
       attempts += 1

@@ -8,26 +8,14 @@ import graft.streaming.BronzePipeline
 
 class BronzePipelineSpec extends SparkSpec {
 
-  private def writeBatch(dir: String, batchId: String, ids: Seq[String]): Unit = {
-    import spark.implicits._
-    val df = ids.map(id => (id, s"content-$id", "hh", "2024-09-23 10:00:00"))
-      .toDF("posting_id", "raw_content", "source", "extracted_at")
-      .withColumn("extracted_at", to_timestamp(col("extracted_at")))
-    BronzeLayer.writeRaw(df, dir, batchId)
-  }
-
   test("streaming gated ingest: landing-zone re-drops never reach bronze") {
-    import spark.implicits._
     val root = Files.createTempDirectory("graft_gated").toString
     val staging = s"$root/staging"
     val bronze = s"$root/bronze"
     val meta = s"$root/meta"
     val checkpoint = s"$root/ckpt"
     def drop(rows: Seq[(String, String)]): Unit =
-      rows.map { case (id, c) => (id, c, "hh", "2024-09-23 12:00:00") }
-        .toDF("posting_id", "raw_content", "source", "extracted_at")
-        .withColumn("extracted_at", to_timestamp(col("extracted_at")))
-        .coalesce(1).write.mode("append").json(staging)
+      rawPostings(rows).coalesce(1).write.mode("append").json(staging)
 
     drop(Seq("p1" -> "c1", "p2" -> "c2"))
     BronzePipeline.gatedIngest(spark, staging, bronze, meta, checkpoint).awaitTermination()
@@ -53,15 +41,15 @@ class BronzePipelineSpec extends SparkSpec {
     val silver = s"$root/silver"
     val checkpoint = s"$root/checkpoint"
 
-    writeBatch(bronze, "b1", Seq("p1", "p2"))
-    writeBatch(bronze, "b2", Seq("p3"))
+    writeRawBatch(bronze, "b1", Seq("p1", "p2"))
+    writeRawBatch(bronze, "b2", Seq("p3"))
     BronzePipeline.runOnce(spark, bronze, silver, checkpoint).awaitTermination()
     val run1 = spark.read.parquet(silver)
     assert(run1.count() == 3)
     assert(run1.columns.toSet.contains("etag") && run1.columns.toSet.contains("extracted_date"))
 
     // new batch arrives; the next scheduled invocation drains ONLY it
-    writeBatch(bronze, "b3", Seq("p4", "p5"))
+    writeRawBatch(bronze, "b3", Seq("p4", "p5"))
     BronzePipeline.runOnce(spark, bronze, silver, checkpoint).awaitTermination()
     val run2 = spark.read.parquet(silver)
     assert(run2.count() == 5, "b1/b2 must not be reprocessed")
