@@ -95,12 +95,25 @@ object TextOps {
     * words), so the index join stays sparse — the exact-similarity shape
     * that scales; candidate volume is Σ_shingle c², not n² per block.
     */
-  def q35NgramJaccard(s: SparkSession, d: String): DataFrame = {
+  def q35NgramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccard(documents(s, d), maxShingleDF = Int.MaxValue)
+
+  /** N-gram Jaccard with a shingle document-frequency cap — the 100 TB
+    * guard for q35's inverted index. A shingle appearing in c docs
+    * contributes c² candidate rows; boilerplate shingles ("all rights
+    * reserved" trigrams) make that quadratic in corpus size. Capping DF
+    * drops only those index entries; per-doc shingle SIZES stay exact, so
+    * for doc pairs that share no dropped shingle (every pair at sf≤0.1:
+    * asserted in TextOpsSpec) the Jaccard is exact, and otherwise it is a
+    * strict lower bound — capping can only MISS near-dups whose overlap
+    * is mostly corpus-wide boilerplate, never invent one.
+    */
+  def ngramJaccard(docs: DataFrame, maxShingleDF: Int): DataFrame = {
     // Shingling via posexplode + window leads keeps the whole pipeline in
     // codegen'd operators (a transform() lambda here runs interpreted and
     // is ~10x slower JIT-cold).
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    val ex = documents(s, d)
+    val ex = docs
       .select(col("doc_id"), col("lang"),
         posexplode(tokens(col("text"))))
       .withColumn("w1", lead("col", 1).over(byPos))
@@ -110,8 +123,13 @@ object TextOps {
         concat_ws(" ", col("col"), col("w1"), col("w2")).as("s"))
       .distinct()
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = ex.as("a")
-      .join(ex.as("b"),
+    val index =
+      if (maxShingleDF == Int.MaxValue) ex
+      else ex.withColumn("df", count(lit(1)).over(Window.partitionBy("s", "lang")))
+        .filter(col("df") <= maxShingleDF)
+        .drop("df")
+    val inter = index.as("a")
+      .join(index.as("b"),
         col("a.s") === col("b.s") && col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))

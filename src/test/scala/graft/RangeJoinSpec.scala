@@ -36,6 +36,31 @@ class RangeJoinSpec extends SparkSpec {
       s"expected an equi join on the bin key:\n$plan")
   }
 
+  test("property: binned == naive on random point/interval sets and bin widths") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, rng}
+    val pointsGen = Gen.listOfN(60, Gen.choose(-50L, 150L))
+    val ivGen = Gen.listOfN(25, for {
+      lo <- Gen.choose(-60L, 140L)
+      w <- Gen.choose(-5L, 40L) // negative/zero widths = empty intervals
+    } yield (lo, lo + w))
+    def sample[A](g: Gen[A], seed: Long): A =
+      g(Gen.Parameters.default, rng.Seed(seed)).get
+    (1 to 8).foreach { i =>
+      val pts = sample(pointsGen, i * 3L).zipWithIndex
+        .map { case (p, ix) => (ix.toLong, p) }.toDF("pid", "p")
+      val ivs = sample(ivGen, i * 3L + 1).zipWithIndex
+        .map { case ((lo, hi), ix) => (ix.toLong, lo, hi) }.toDF("iv_id", "lo", "hi")
+      val naive = pts.join(ivs, col("p") >= col("lo") && col("p") < col("hi"))
+        .select("pid", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = 1L + (i % 4) * 6 // bin widths 1, 7, 13, 19
+      val binned = RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi", w)
+        .select("pid", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(binned.length == binned.toSet.size, s"seed $i width $w: duplicates")
+      assert(binned.toSet == naive, s"seed $i width $w: mismatch")
+    }
+  }
+
   test("q62 shape: every interval week counts only its own points") {
     val res = RangeJoin.q62RangeJoin(spark, "/root/testdata/sf0.001").collect()
     assert(res.nonEmpty)

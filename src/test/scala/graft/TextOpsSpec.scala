@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+import graft.sources.Tables
+
+class TextOpsSpec extends SparkSpec {
+
+  test("DF-capped jaccard equals the exact index on this corpus (no hot shingles)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = collect(TextOps.ngramJaccard(docs, Int.MaxValue))
+    val capped = collect(TextOps.ngramJaccard(docs, maxShingleDF = 64))
+    assert(capped == exact, "sf0.01 shingle DFs are below the cap - outputs must match")
+  }
+
+  test("DF cap prunes boilerplate shingles but still finds real near-dups") {
+    import spark.implicits._
+    val boiler = "copyright all rights reserved worldwide"
+    // 30 docs: shared boilerplate + unique tails; docs 1 and 2 are near-dups
+    // whose UNIQUE overlap dominates (the cap zeroes the boilerplate
+    // contribution to |∩| while sizes stay exact, so the capped score only
+    // clears 0.8 when the rare-shingle overlap alone does)
+    val sharedTail = (1 to 40).map(i => s"shared$i").mkString(" ")
+    val nearA = s"$boiler $sharedTail theta"
+    val nearB = s"$boiler $sharedTail iota"
+    val docs = ((1L, nearA) +: (2L, nearB) +:
+      (3L to 30L).map(i => (i, s"$boiler unique$i content$i body$i text$i words$i here$i")))
+      .map { case (id, t) => (id, t, "en") }.toSeq.toDF("doc_id", "text", "lang")
+    val exact = TextOps.ngramJaccard(docs, Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = TextOps.ngramJaccard(docs, maxShingleDF = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((1L, 2L)))
+    assert(capped.contains((1L, 2L)), "near-dups share rare shingles - cap must keep them")
+    assert(capped.subsetOf(exact), "capping is a lower bound: it can miss, never invent")
+    // and the index actually shrank: boilerplate shingles have DF=30 > 10
+    val Window = org.apache.spark.sql.expressions.Window
+    val shingles = docs.select(col("doc_id"), col("lang"),
+        posexplode(TextOps.tokens(col("text"))))
+      .withColumn("w1", lead("col", 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+      .withColumn("w2", lead("col", 2).over(Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("w2").isNotNull)
+      .select(concat_ws(" ", col("col"), col("w1"), col("w2")).as("s"), col("doc_id"))
+      .distinct()
+    val hot = shingles.groupBy("s").count().filter(col("count") > 10).count()
+    assert(hot >= 3, "the boilerplate run must produce hot shingles for this test to bite")
+  }
+
+  test("hashBucket is uniform-ish and rerun/partitioning stable") {
+    val docs = Tables.documents(spark, sfDir)
+    val b = TextOps.hashBucket(col("text"))
+    val once = docs.select(col("doc_id"), b.as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val again = docs.repartition(7).select(col("doc_id"), b.as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(once == again, "bucket must not depend on partitioning")
+    assert(once.values.forall(v => v >= 0 && v < 100))
+    // crude uniformity: no bucket-decile owns more than half the docs
+    val byDecile = once.values.groupBy(_ / 10).view.mapValues(_.size)
+    assert(byDecile.values.max < once.size / 2)
+  }
+}
