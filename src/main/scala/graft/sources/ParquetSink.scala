@@ -42,4 +42,25 @@ object ParquetSink {
       .mode(mode)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Upsert-by-partition into an existing partitioned layout: overwrite
+    * ONLY the partitions present in `df`, leave every other partition
+    * untouched — the parquet-side MERGE a gold layer runs per refresh
+    * (and the file twin of JdbcSink's overwrite-by-partition contract).
+    * Uses Spark's dynamic partition-overwrite mode scoped to this one
+    * write, so a daily job rewrites yesterday's partition without
+    * touching (or reading) years of history.
+    */
+  def overwritePartitions(df: DataFrame, path: String,
+      partitionCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    val sorted =
+      if (sortCols.isEmpty) df
+      else df.repartition(partitionCols.map(col): _*)
+        .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+    sorted.write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
 }

@@ -29,6 +29,28 @@ class ParquetSinkSpec extends SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("overwritePartitions rewrites only the touched partitions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sink_upsert").toString
+    val day1 = Seq(("2024-01-01", 1L, 10.0), ("2024-01-01", 2L, 20.0),
+      ("2024-01-02", 3L, 30.0)).toDF("day", "id", "v")
+    ParquetSink.writePartitioned(day1, dir, Seq("day"), Seq("id"))
+
+    // refresh ONLY 2024-01-02 (corrected row) + append a new day
+    val refresh = Seq(("2024-01-02", 3L, 99.0), ("2024-01-03", 4L, 40.0))
+      .toDF("day", "id", "v")
+    ParquetSink.overwritePartitions(refresh, dir, Seq("day"), Seq("id"))
+
+    // partition-value inference reads `day` back as DATE — stringify
+    val got = spark.read.parquet(dir).select(col("day").cast("string"), col("id"), col("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(
+      ("2024-01-01", 1L, 10.0), ("2024-01-01", 2L, 20.0), // untouched
+      ("2024-01-02", 3L, 99.0),                           // overwritten
+      ("2024-01-03", 4L, 40.0)))                          // new partition
+  }
+
   test("bucket-aligned join runs with no shuffle exchange") {
     val orders = Tables.orders(spark, sfDir)
     val lineitem = Tables.lineitem(spark, sfDir)
