@@ -52,9 +52,12 @@ object RangeJoin {
     requireIntegral(intervals, loCol)
     requireIntegral(intervals, hiCol)
     val p = points.withColumn("__graft_bin", floor(col(pointCol) / binWidth))
-    val widthOk = assert_true(
-      (col(hiCol) - col(loCol)) <= maxBinsPerInterval * binWidth,
-      lit(s"range-join interval wider than maxBinsPerInterval=$maxBinsPerInterval " +
+    val loBin = floor(col(loCol) / binWidth)
+    val hiBin = floor((col(hiCol) - 1) / binWidth)
+    // count bins directly (no width x cap multiplication, which would
+    // overflow for a caller passing Long.MaxValue to opt out)
+    val widthOk = assert_true(hiBin - loBin + 1 <= maxBinsPerInterval,
+      lit(s"range-join interval spans more than maxBinsPerInterval=$maxBinsPerInterval " +
         s"bins of $binWidth - widen binWidth or clean the interval table"))
     val iv = intervals
       .filter(col(hiCol) > col(loCol))
@@ -62,8 +65,7 @@ object RangeJoin {
       // throws on violation; expressing it as a filter keeps the check
       // from being pruned away as an unused column
       .filter(widthOk.isNull)
-      .withColumn("__graft_bin", explode(sequence(
-        floor(col(loCol) / binWidth), floor((col(hiCol) - 1) / binWidth))))
+      .withColumn("__graft_bin", explode(sequence(loBin, hiBin)))
     p.join(iv, Seq("__graft_bin"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__graft_bin")

@@ -103,7 +103,7 @@ object TextOps {
     * contributes c² candidate rows; boilerplate shingles ("all rights
     * reserved" trigrams) make that quadratic in corpus size. Capping DF
     * drops only those index entries; per-doc shingle SIZES stay exact, so
-    * for doc pairs that share no dropped shingle (every pair at sf≤0.1:
+    * for doc pairs that share no dropped shingle (every pair at sf0.01 —
     * asserted in TextOpsSpec) the Jaccard is exact, and otherwise it is a
     * strict lower bound — capping can only MISS near-dups whose overlap
     * is mostly corpus-wide boilerplate, never invent one.
@@ -125,9 +125,16 @@ object TextOps {
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val index =
       if (maxShingleDF == Int.MaxValue) ex
-      else ex.withColumn("df", count(lit(1)).over(Window.partitionBy("s", "lang")))
-        .filter(col("df") <= maxShingleDF)
-        .drop("df")
+      else {
+        // the over-cap set is tiny by construction (few shingles are
+        // corpus-wide): partial-aggregated count + broadcast anti-join,
+        // never a (s,lang) window that would ship every posting of a hot
+        // shingle into one task - the exact skew the cap is for
+        val hot = ex.groupBy("s", "lang").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDF)
+          .select("s", "lang")
+        ex.join(broadcast(hot), Seq("s", "lang"), "left_anti")
+      }
     val inter = index.as("a")
       .join(index.as("b"),
         col("a.s") === col("b.s") && col("a.lang") === col("b.lang") &&

@@ -53,10 +53,23 @@ object MetadataStore {
     */
   def ingestWithGate(incoming: DataFrame, bronzePath: String,
       metaPath: String, batchId: String): DataFrame = {
+    // strict id charset: the id names filesystem partition directories
+    // and (on retry) a cleanup glob - "b*" must never be able to match
+    // and delete another batch's data
+    require(batchId.matches("[A-Za-z0-9._-]+"),
+      s"batchId must be [A-Za-z0-9._-]+, got '$batchId'")
     val spark = incoming.sparkSession
-    val committed =
-      read(spark, metaPath).filter(col("batch_id") === batchId).limit(1).count() > 0
-    if (!committed) clearBatch(spark, bronzePath, batchId)
+    val fs = new Path(metaPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commitMarker = new Path(metaPath, s"_commit_$batchId")
+    val attemptMarker = new Path(metaPath, s"_attempt_$batchId")
+    // O(1) state probe: underscore-prefixed files are invisible to the
+    // parquet reader, so the store dir carries its own ledger. Leftover
+    // cleanup (a bronze-tree glob) only runs when a prior attempt of
+    // this id started but never committed - the common first-attempt
+    // path does no listing at all.
+    val committed = fs.exists(commitMarker)
+    if (!committed && fs.exists(attemptMarker)) clearBatch(spark, bronzePath, batchId)
+    if (!committed) { fs.mkdirs(new Path(metaPath)); fs.create(attemptMarker, true).close() }
     val inBatchFirst = Window.partitionBy("etag").orderBy("posting_id")
     val withEtag = incoming
       .withColumn("etag", md5(col("raw_content")))
@@ -67,14 +80,18 @@ object MetadataStore {
       // materialize once: feeds the bronze write, the metadata append,
       // and the caller - and must not re-read the store mid-flow
       .localCheckpoint(true)
-    BronzeLayer.writeRaw(fresh.drop("etag"), bronzePath, batchId)
-    append(BronzeLayer.storageMetadata(fresh, batchId), metaPath)
+    if (!committed) {
+      BronzeLayer.writeRaw(fresh.drop("etag"), bronzePath, batchId)
+      append(BronzeLayer.storageMetadata(fresh, batchId), metaPath)
+      fs.create(commitMarker, true).close()
+    }
     fresh
   }
 
   /** Remove every bronze partition directory a batch id wrote (they are
     * scattered across source/hour partitions) — crash-leftover cleanup
-    * for same-batchId retries.
+    * for same-batchId retries. The id charset is pre-validated, so the
+    * glob is literal in the batch_id segment.
     */
   private def clearBatch(spark: SparkSession, bronzePath: String,
       batchId: String): Unit = {

@@ -13,18 +13,21 @@ object ParquetSink {
   /** Write with hive-style partitions, sorted within files so parquet
     * column statistics (min/max per row group) prune point/range reads.
     */
+  /** One partition-clustered, stat-friendly physical ordering shared by
+    * every partitioned write path. */
+  private def layoutSorted(df: DataFrame, partitionCols: Seq[String],
+      sortCols: Seq[String]): DataFrame =
+    if (sortCols.isEmpty) df
+    else df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+
   def writePartitioned(df: DataFrame, path: String,
       partitionCols: Seq[String], sortCols: Seq[String],
-      mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val sorted =
-      if (sortCols.isEmpty) df
-      else df.repartition(partitionCols.map(col): _*)
-        .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
-    sorted.write
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    layoutSorted(df, partitionCols, sortCols).write
       .partitionBy(partitionCols: _*)
       .mode(mode)
       .parquet(path)
-  }
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
@@ -52,15 +55,10 @@ object ParquetSink {
     * touching (or reading) years of history.
     */
   def overwritePartitions(df: DataFrame, path: String,
-      partitionCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
-    val sorted =
-      if (sortCols.isEmpty) df
-      else df.repartition(partitionCols.map(col): _*)
-        .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
-    sorted.write
+      partitionCols: Seq[String], sortCols: Seq[String] = Nil): Unit =
+    layoutSorted(df, partitionCols, sortCols).write
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .mode(SaveMode.Overwrite)
       .parquet(path)
-  }
 }

@@ -53,7 +53,9 @@ class MetadataStoreSpec extends SparkSpec {
     val meta = Files.createTempDirectory("graft_meta_retry").toString + "/store"
     MetadataStore.ingestWithGate(rawPostings(Seq("p1" -> "c1")), bronze, meta, "b1")
 
-    // crash state: b2's bronze files landed but its metadata never did
+    // crash state: b2's attempt started (marker written first), its
+    // bronze files landed, but the commit marker never did
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(meta, "_attempt_b2"))
     writeRawBatch(bronze, "b2", Seq("p2"))
     assert(BronzeLayer.readRaw(spark, bronze).count() == 2)
     val retried = MetadataStore.ingestWithGate(

@@ -61,6 +61,32 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("guards: fractional columns rejected, oversized intervals fail fast") {
+    import spark.implicits._
+    val pts = Seq((1L, 5L)).toDF("pid", "p")
+    val ivs = Seq((1L, 0L, 10L)).toDF("iv_id", "lo", "hi")
+    // fractional bound column -> plan-time rejection
+    val fracIvs = Seq((1L, 0.5, 2.5)).toDF("iv_id", "lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts, "p", fracIvs, "lo", "hi", 1L)
+    }
+    assert(e.getMessage.contains("integral"))
+    // a sentinel open-ended interval must error clearly, not OOM
+    val dirty = Seq((1L, 0L, 10L), (2L, 0L, Long.MaxValue / 2)).toDF("iv_id", "lo", "hi")
+    val err = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, "p", dirty, "lo", "hi", 10L, maxBinsPerInterval = 100)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("maxBinsPerInterval")),
+      s"expected the width guard to fire, got: $err")
+    // opting out with Long.MaxValue must not overflow into rejecting everything
+    val ok = RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi", 1L,
+      maxBinsPerInterval = Long.MaxValue).collect()
+    assert(ok.length == 1)
+  }
+
   test("q62 shape: every interval week counts only its own points") {
     val res = RangeJoin.q62RangeJoin(spark, "/root/testdata/sf0.001").collect()
     assert(res.nonEmpty)
