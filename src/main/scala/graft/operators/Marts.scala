@@ -216,6 +216,17 @@ object Marts {
     lineitem(s, d).groupBy("l_returnflag")
       .agg(approx_count_distinct("l_partkey", 0.02).as("approx_parts"))
 
+  /** Approximate quantiles via the KLL-style percentile_approx sketch —
+    * bounded mergeable state vs q29's exact sort-based percentile;
+    * sketch outputs are accuracy-parameter-specific → rows-only check +
+    * an error-bound spec against the exact values.
+    */
+  def q63ApproxQuantile(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("approx_p90"))
+
   /** Pivot (wide-format mart): status columns from row values. */
   def q47Pivot(s: SparkSession, d: String): DataFrame =
     lineitem(s, d).groupBy("l_returnflag")
@@ -259,6 +270,7 @@ object Marts {
     "q48_argmax" -> q48Argmax _,
     "q49_corr" -> q49Corr _,
     "q29_percentile" -> q29Percentile _,
+    "q63_approx_quantile" -> q63ApproxQuantile _,
     "q43_cube" -> q43Cube _,
     "q44_approx_distinct" -> q44ApproxDistinct _,
     "q01_pricing_summary" -> q01PricingSummary _,
