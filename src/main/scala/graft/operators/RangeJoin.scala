@@ -36,38 +36,65 @@ object RangeJoin {
     * sentinel interval must not OOM the whole job). Output = point
     * columns ++ interval columns.
     */
+  private def requireIntegral(df: DataFrame, c: String): Unit = {
+    import org.apache.spark.sql.types._
+    val ok = df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(ok, s"$c must be an integral column, got ${df.schema(c).dataType.catalogString}")
+  }
+
+  /** Drop empty intervals, fail fast on ones spanning more than `maxBins`
+    * bins (counted directly — no width×cap multiplication, which would
+    * overflow for a caller passing Long.MaxValue to opt out), and explode
+    * the survivors to their `__graft_bin` grid cells. `assert_true`
+    * yields null on success (the filter keeps the row) and throws on
+    * violation; expressing it as a filter keeps the check from being
+    * pruned away as an unused column.
+    */
+  private def binned(df: DataFrame, loCol: String, hiCol: String,
+      binWidth: Long, maxBins: Long): DataFrame = {
+    requireIntegral(df, loCol)
+    requireIntegral(df, hiCol)
+    val loBin = floor(col(loCol) / binWidth)
+    val hiBin = floor((col(hiCol) - 1) / binWidth)
+    val widthOk = assert_true(hiBin - loBin + 1 <= maxBins,
+      lit(s"range-join interval spans more than maxBinsPerInterval=$maxBins " +
+        s"bins of $binWidth - widen binWidth or clean the interval table"))
+    df.filter(col(hiCol) > col(loCol))
+      .filter(widthOk.isNull)
+      .withColumn("__graft_bin", explode(sequence(loBin, hiBin)))
+  }
+
   def pointInInterval(points: DataFrame, pointCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
       binWidth: Long, maxBinsPerInterval: Long = 1L << 16): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    def requireIntegral(df: DataFrame, c: String): Unit = {
-      import org.apache.spark.sql.types._
-      val ok = df.schema(c).dataType match {
-        case ByteType | ShortType | IntegerType | LongType => true
-        case _ => false
-      }
-      require(ok, s"$c must be an integral column, got ${df.schema(c).dataType.catalogString}")
-    }
     requireIntegral(points, pointCol)
-    requireIntegral(intervals, loCol)
-    requireIntegral(intervals, hiCol)
     val p = points.withColumn("__graft_bin", floor(col(pointCol) / binWidth))
-    val loBin = floor(col(loCol) / binWidth)
-    val hiBin = floor((col(hiCol) - 1) / binWidth)
-    // count bins directly (no width x cap multiplication, which would
-    // overflow for a caller passing Long.MaxValue to opt out)
-    val widthOk = assert_true(hiBin - loBin + 1 <= maxBinsPerInterval,
-      lit(s"range-join interval spans more than maxBinsPerInterval=$maxBinsPerInterval " +
-        s"bins of $binWidth - widen binWidth or clean the interval table"))
-    val iv = intervals
-      .filter(col(hiCol) > col(loCol))
-      // assert_true yields null on success (filter keeps the row) and
-      // throws on violation; expressing it as a filter keeps the check
-      // from being pruned away as an unused column
-      .filter(widthOk.isNull)
-      .withColumn("__graft_bin", explode(sequence(loBin, hiBin)))
-    p.join(iv, Seq("__graft_bin"))
+    p.join(binned(intervals, loCol, hiCol, binWidth, maxBinsPerInterval), Seq("__graft_bin"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__graft_bin")
+  }
+
+  /** Interval × interval overlap join: pairs where `[lLo,lHi)` and
+    * `[rLo,rHi)` intersect. Same grid binning, plus the canonical-bin
+    * trick for duplicate-free output WITHOUT a distinct(): a pair that
+    * shares many bins is emitted only from the first bin its
+    * intersection occupies, `floor(max(lLo,rLo)/binWidth)` — a bin both
+    * sides are guaranteed to have exploded to. Column names must be
+    * disjoint between the two frames.
+    */
+  def intervalOverlap(left: DataFrame, lLo: String, lHi: String,
+      right: DataFrame, rLo: String, rHi: String,
+      binWidth: Long, maxBinsPerInterval: Long = 1L << 16): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val l = binned(left, lLo, lHi, binWidth, maxBinsPerInterval)
+    val r = binned(right, rLo, rHi, binWidth, maxBinsPerInterval)
+    l.join(r, Seq("__graft_bin"))
+      .filter(col(lLo) < col(rHi) && col(rLo) < col(lHi))
+      .filter(col("__graft_bin") === floor(greatest(col(lLo), col(rLo)) / binWidth))
       .drop("__graft_bin")
   }
 
@@ -91,8 +118,28 @@ object RangeJoin {
         round(sum("l_quantity"), 2).as("total_qty"))
   }
 
+  /** Overlapping order-weeks: for each March-1995 order, how many other
+    * March orders' week-long windows intersect its own, and the total
+    * overlap in days — the interval×interval operator on real data.
+    */
+  def q64IntervalOverlap(s: SparkSession, d: String): DataFrame = {
+    val Week = 7L * 86400
+    def weeks(prefix: String) = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= "1995-03-01" && col("o_orderdate") < "1995-04-01")
+      .select(col("o_orderkey").as(s"${prefix}_key"),
+        unix_timestamp(col("o_orderdate")).as(s"${prefix}_lo"),
+        (unix_timestamp(col("o_orderdate")) + Week).as(s"${prefix}_hi"))
+    val overlapSec = least(col("a_hi"), col("b_hi")) - greatest(col("a_lo"), col("b_lo"))
+    intervalOverlap(weeks("a"), "a_lo", "a_hi", weeks("b"), "b_lo", "b_hi", binWidth = Week)
+      .filter(col("a_key") < col("b_key"))
+      .groupBy(col("a_key").as("o_orderkey"))
+      .agg(count(lit(1)).as("n_overlapping"),
+        round(sum(overlapSec) / 86400.0, 2).as("total_overlap_days"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_range_join" -> q62RangeJoin _,
+    "q64_interval_overlap" -> q64IntervalOverlap _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -105,5 +152,17 @@ object RangeJoin {
         |WHERE o.o_orderdate >= DATE '1995-03-01' AND o.o_orderdate < DATE '1995-04-01'
         |  AND l.l_shipdate >= DATE '1995-03-01' AND l.l_shipdate < DATE '1995-04-08'
         |GROUP BY o.o_orderkey""".stripMargin,
+    "q64_interval_overlap" ->
+      """WITH w AS (
+        |  SELECT o_orderkey AS k,
+        |   epoch(o_orderdate) AS lo, epoch(o_orderdate) + 7*86400 AS hi
+        |  FROM orders
+        |  WHERE o_orderdate >= DATE '1995-03-01' AND o_orderdate < DATE '1995-04-01')
+        |SELECT a.k AS o_orderkey, count(*) AS n_overlapping,
+        | round(sum(least(a.hi, b.hi) - greatest(a.lo, b.lo)) / 86400.0, 2)
+        |   AS total_overlap_days
+        |FROM w a JOIN w b
+        |  ON a.lo < b.hi AND b.lo < a.hi AND a.k < b.k
+        |GROUP BY a.k""".stripMargin,
   )
 }

@@ -87,6 +87,33 @@ class RangeJoinSpec extends SparkSpec {
     assert(ok.length == 1)
   }
 
+  test("property: interval overlap binned == naive, duplicate-free, across widths") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, rng}
+    val ivGen = Gen.listOfN(30, for {
+      lo <- Gen.choose(-60L, 140L)
+      w <- Gen.choose(-5L, 40L)
+    } yield (lo, lo + w))
+    def sample[A](g: Gen[A], seed: Long): A =
+      g(Gen.Parameters.default, rng.Seed(seed)).get
+    (1 to 6).foreach { i =>
+      val a = sample(ivGen, i * 7L).zipWithIndex
+        .map { case ((lo, hi), ix) => (ix.toLong, lo, hi) }.toDF("a_id", "a_lo", "a_hi")
+      val b = sample(ivGen, i * 7L + 3).zipWithIndex
+        .map { case ((lo, hi), ix) => (ix.toLong, lo, hi) }.toDF("b_id", "b_lo", "b_hi")
+      val naive = a.join(b,
+          col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi") &&
+            col("a_hi") > col("a_lo") && col("b_hi") > col("b_lo"))
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = 1L + (i % 3) * 9
+      val binnedRes = RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi", w)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(binnedRes.length == binnedRes.toSet.size,
+        s"seed $i width $w: canonical-bin dedup failed")
+      assert(binnedRes.toSet == naive, s"seed $i width $w: mismatch")
+    }
+  }
+
   test("q62 shape: every interval week counts only its own points") {
     val res = RangeJoin.q62RangeJoin(spark, "/root/testdata/sf0.001").collect()
     assert(res.nonEmpty)
