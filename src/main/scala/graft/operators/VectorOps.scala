@@ -458,6 +458,18 @@ object VectorOps {
       .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("norm").as("q_norm"))
     val corpus = all.filter(col("vec_id") >= 10)
     val (centroids, assignments) = ivfIndex(corpus, numCentroids, lloydIters, assignReplicas)
+    ivfSearch(queries, corpus, centroids, assignments, numProbes)
+  }
+
+  /** Search a (pre-built) IVF index: probe the nProbe nearest centroid
+    * buckets per query, exact-score their members, keep top-k. Separated
+    * from the build so an index persisted by [[saveIvfIndex]] serves
+    * many query batches — at 100 TB the build is the expensive pass and
+    * runs once.
+    */
+  def ivfSearch(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      assignments: DataFrame, numProbes: Int = DefaultProbes,
+      k: Int = 5): DataFrame = {
     val qcos = dot(col("q_vec"), col("cvec")) / (col("q_norm") * col("cnorm"))
     val probeRank = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("cid"))
     val probes = queries.crossJoin(broadcast(centroids))
@@ -475,9 +487,25 @@ object VectorOps {
     val topk = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     cand.withColumn("cos", cos)
       .withColumn("rk", row_number().over(topk).cast("long"))
-      .filter(col("rk") <= 5)
+      .filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id").as("c_id"), round(col("cos"), 6).as("cos"), col("rk"))
   }
+
+  /** Persist an IVF index (centroid table + bucket assignments) — the
+    * build-once/query-many deployment shape. Assignments are written
+    * partitioned by centroid so a probe reads only its buckets'
+    * files (partition pruning on `cid`).
+    */
+  def saveIvfIndex(centroids: DataFrame, assignments: DataFrame,
+      path: String): Unit = {
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    assignments.write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$path/assignments")
+  }
+
+  def loadIvfIndex(s: SparkSession, path: String): (DataFrame, DataFrame) = (
+    s.read.parquet(s"$path/centroids"),
+    s.read.parquet(s"$path/assignments").select(col("vec_id"), col("cid")))
 
   def q57IvfTopk(s: SparkSession, d: String): DataFrame =
     ivfTopk(withVec(embeddings(s, d)))
