@@ -48,6 +48,28 @@ object EventsStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream interval join: attribute each purchase to
+    * the views by the same user in the preceding hour. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can expire buffered state — the requirements for a
+    * stream-stream join that runs forever without growing. The batch
+    * twin of the same shape is `operators.AsOfJoin` / `RangeJoin`.
+    */
+  def attributionJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    v.join(p, expr(
+      """v_user = p_user AND
+        |purchase_ts >= view_ts AND
+        |purchase_ts <= view_ts + INTERVAL 1 HOUR""".stripMargin))
+      .select(col("p_user").as("user_id"), col("view_id"),
+        col("purchase_id"), col("view_ts"), col("purchase_ts"), col("value"))
+  }
+
   private val GapMs = 30L * 60 * 1000
 
   /** Stateful sessionizer: 30-min-gap sessions per user, state expired via

@@ -118,4 +118,28 @@ class EventsStreamSpec extends SparkSpec {
     val rows = EventsStream.windowedCounts(batch).collect()
     assert(rows.length == 1 && rows.head.getAs[Long]("n_events") == 2)
   }
+
+  test("stream-stream attribution join pairs purchases with in-window views only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventsStream.attributionJoin(views.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attr").outputMode(OutputMode.Append).start()
+    try {
+      views.addData(
+        Event(10, ts("00:00"), 1, "view", 0.0),   // in window for the 00:30 purchase
+        Event(11, ts("00:10"), 2, "view", 0.0),   // other user - never joins
+        Event(12, ts("02:00"), 1, "view", 0.0))   // after the purchase - never joins
+      purchases.addData(
+        Event(20, ts("00:30"), 1, "purchase", 9.99))
+      q.processAllAvailable()
+      val rows = spark.table("attr").collect()
+      assert(rows.length == 1, s"exactly one attribution, got ${rows.mkString(";")}")
+      val r = rows.head
+      assert(r.getAs[Long]("user_id") == 1L)
+      assert(r.getAs[Long]("view_id") == 10L && r.getAs[Long]("purchase_id") == 20L)
+      assert(r.getAs[Double]("value") == 9.99)
+    } finally q.stop()
+  }
 }
