@@ -46,6 +46,9 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       VectorOps.q37Simhash(spark, sfDir),
       VectorOps.q39EmbedLsh(spark, sfDir),
       VectorOps.q40EmbedNeardup(spark, sfDir),
+      VectorOps.q58NeardupBlocked(spark, sfDir),
+      graft.operators.RangeJoin.q62RangeJoin(spark, sfDir),
+      graft.operators.RangeJoin.q64IntervalOverlap(spark, sfDir),
     ).foreach { df =>
       val plan = planString(df)
       assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
@@ -59,6 +62,14 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"query set not broadcast in:\n$plan")
+  }
+
+  test("q59: column pruning reaches the documents scan") {
+    val df = TextOps.q59HashSplit(spark, sfDir)
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("doc_id") && scan.contains("text") && !scan.contains("lang"),
+      s"scan must read only doc_id+text: $scan")
   }
 
   test("q01: aggregation is two-phase (map-side partial before the shuffle)") {
