@@ -98,17 +98,25 @@ object RangeJoin {
       .drop("__graft_bin")
   }
 
+  private val Week = 7L * 86400
+
+  /** Week-long [orderdate, orderdate + 7d) epoch intervals for the
+    * March-1995 orders — the interval set both range-join queries share.
+    */
+  private def marchOrderWeeks(s: SparkSession, d: String,
+      keyCol: String, loCol: String, hiCol: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= "1995-03-01" && col("o_orderdate") < "1995-04-01")
+      .select(col("o_orderkey").as(keyCol),
+        unix_timestamp(col("o_orderdate")).as(loCol),
+        (unix_timestamp(col("o_orderdate")) + Week).as(hiCol))
+
   /** Shipments-per-order-week: for each March-1995 order, the lineitems
     * (any order's) shipped within [o_orderdate, o_orderdate + 7 days) —
     * a genuine cross-entity range join, binned at interval width.
     */
   def q62RangeJoin(s: SparkSession, d: String): DataFrame = {
-    val Week = 7L * 86400
-    val intervals = Tables.orders(s, d)
-      .filter(col("o_orderdate") >= "1995-03-01" && col("o_orderdate") < "1995-04-01")
-      .select(col("o_orderkey"),
-        unix_timestamp(col("o_orderdate")).as("lo"),
-        (unix_timestamp(col("o_orderdate")) + Week).as("hi"))
+    val intervals = marchOrderWeeks(s, d, "o_orderkey", "lo", "hi")
     val points = Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= "1995-03-01" && col("l_shipdate") < "1995-04-08")
       .select(unix_timestamp(col("l_shipdate")).as("p"), col("l_quantity"))
@@ -118,19 +126,19 @@ object RangeJoin {
         round(sum("l_quantity"), 2).as("total_qty"))
   }
 
-  /** Overlapping order-weeks: for each March-1995 order, how many other
-    * March orders' week-long windows intersect its own, and the total
-    * overlap in days — the interval×interval operator on real data.
+  /** Upper-triangle overlap pairs of March-1995 order weeks, aggregated
+    * per smaller key: each overlapping pair is counted exactly once,
+    * under its lower orderkey (`a_key < b_key`), with the pair's overlap
+    * length in days — the interval×interval operator on real data. (For
+    * a per-order NEIGHBOR count, drop the triangle filter and group on
+    * either side.)
     */
   def q64IntervalOverlap(s: SparkSession, d: String): DataFrame = {
-    val Week = 7L * 86400
-    def weeks(prefix: String) = Tables.orders(s, d)
-      .filter(col("o_orderdate") >= "1995-03-01" && col("o_orderdate") < "1995-04-01")
-      .select(col("o_orderkey").as(s"${prefix}_key"),
-        unix_timestamp(col("o_orderdate")).as(s"${prefix}_lo"),
-        (unix_timestamp(col("o_orderdate")) + Week).as(s"${prefix}_hi"))
     val overlapSec = least(col("a_hi"), col("b_hi")) - greatest(col("a_lo"), col("b_lo"))
-    intervalOverlap(weeks("a"), "a_lo", "a_hi", weeks("b"), "b_lo", "b_hi", binWidth = Week)
+    intervalOverlap(
+        marchOrderWeeks(s, d, "a_key", "a_lo", "a_hi"), "a_lo", "a_hi",
+        marchOrderWeeks(s, d, "b_key", "b_lo", "b_hi"), "b_lo", "b_hi",
+        binWidth = Week)
       .filter(col("a_key") < col("b_key"))
       .groupBy(col("a_key").as("o_orderkey"))
       .agg(count(lit(1)).as("n_overlapping"),

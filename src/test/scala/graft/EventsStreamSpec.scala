@@ -130,7 +130,10 @@ class EventsStreamSpec extends SparkSpec {
       views.addData(
         Event(10, ts("00:00"), 1, "view", 0.0),   // in window for the 00:30 purchase
         Event(11, ts("00:10"), 2, "view", 0.0),   // other user - never joins
-        Event(12, ts("02:00"), 1, "view", 0.0))   // after the purchase - never joins
+        Event(12, ts("02:00"), 1, "view", 0.0),   // after the purchase - never joins
+        // >1h BEFORE the purchase - rejected by the upper bound, the
+        // condition that makes the join's state expirable
+        Event(13, Timestamp.valueOf("2023-12-31 23:00:00"), 1, "view", 0.0))
       purchases.addData(
         Event(20, ts("00:30"), 1, "purchase", 9.99))
       q.processAllAvailable()

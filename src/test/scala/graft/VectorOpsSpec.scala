@@ -201,24 +201,28 @@ class VectorOpsSpec extends SparkSpec {
   }
 
   test("persisted IVF index: saved+loaded index answers identically to in-memory") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/index"
-    val all = graft.sources.Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("label"), col("embedding").as("vec"))
-      .withColumn("norm", sqrt(VectorOps.dot(col("vec"), col("vec"))))
-    val queries = all.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("norm").as("q_norm"))
-    val corpus = all.filter(col("vec_id") >= 10)
-    val (centroids, assignments) = VectorOps.ivfIndex(corpus)
-    val direct = VectorOps.ivfSearch(queries, corpus, centroids, assignments)
-      .collect().map(_.toString).sorted
-    VectorOps.saveIvfIndex(centroids, assignments, dir)
-    val (lc, la) = VectorOps.loadIvfIndex(spark, dir)
-    val viaDisk = VectorOps.ivfSearch(queries, corpus, lc, la)
-      .collect().map(_.toString).sorted
-    assert(viaDisk.sameElements(direct), "round-tripped index must answer identically")
-    // bucket files are partition-pruned by centroid
-    assert(new java.io.File(s"$dir/assignments").listFiles()
-      .exists(_.getName.startsWith("cid=")), "assignments must be partitioned by cid")
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf")
+    val dir = root.toString + "/index"
+    try {
+      val all = graft.sources.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("label"), col("embedding").as("vec"))
+        .withColumn("norm", sqrt(VectorOps.dot(col("vec"), col("vec"))))
+      val queries = all.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("norm").as("q_norm"))
+      val corpus = all.filter(col("vec_id") >= 10)
+      val (centroids, assignments) = VectorOps.ivfIndex(corpus)
+      val direct = VectorOps.ivfSearch(queries, corpus, centroids, assignments)
+        .collect().map(_.toString).sorted
+      VectorOps.saveIvfIndex(centroids, assignments, dir)
+      val (lc, la) = VectorOps.loadIvfIndex(spark, dir)
+      val viaDisk = VectorOps.ivfSearch(queries, corpus, lc, la)
+        .collect().map(_.toString).sorted
+      assert(viaDisk.sameElements(direct), "round-tripped index must answer identically")
+      // bucket files are partition-pruned by centroid
+      assert(new java.io.File(s"$dir/assignments").listFiles()
+        .exists(_.getName.startsWith("cid=")), "assignments must be partitioned by cid")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
   }
 
   test("blocked near-dup: high recall on planted near-dups at a fraction of the candidates") {
