@@ -23,12 +23,22 @@ object VectorOps {
   val Bands     = 4
   val RowsPerBand: Int = NumHashes / Bands
 
+  /** Docs with no token content (null or whitespace-only text) carry no
+    * MinHash information: the fused kernel would hand every one of them
+    * the same degenerate signature, so all empty docs would share every
+    * band bucket and flood the candidate listing as mutual "near-dups".
+    * Both signature forms exclude them up front — empty docs are an
+    * exact-dedup concern (q30), not an LSH one.
+    */
+  private def tokenBearing(docs: DataFrame): DataFrame =
+    docs.filter(coalesce(trim(col("text")), lit("")) =!= "")
+
   /** Per-doc MinHash signature via the fused kernel (graft.plans.MinHash):
     * all k families in one per-row pass — no explode, no shuffle, the
     * corpus minhashes at scan speed.
     */
   def minhashSignatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    tokenBearing(docs).select(col("doc_id"),
         graft.plans.GraftFunctions.minhash(TextOps.tokens(col("text")), NumHashes).as("mh"))
       .select(col("doc_id") +: (0 until NumHashes).map(i => col("mh")(i).as(s"mh$i")): _*)
 
@@ -39,7 +49,8 @@ object VectorOps {
     * fallback.
     */
   def minhashSignaturesAgg(docs: DataFrame): DataFrame = {
-    val words = docs.select(col("doc_id"), explode(wordSet(col("text"))).as("w"))
+    val words = tokenBearing(docs)
+      .select(col("doc_id"), explode(wordSet(col("text"))).as("w"))
     words.groupBy("doc_id").agg(
       min(xxhash64(lit(0), col("w"))).as("mh0"),
       (1 until NumHashes).map(i => min(xxhash64(lit(i), col("w"))).as(s"mh$i")): _*)

@@ -25,15 +25,34 @@ object MetadataStore {
   val schema: StructType = StructType.fromDDL(
     "source STRING, batch_id STRING, s3_key STRING, created_at TIMESTAMP, etag STRING")
 
+  /** Batch-keyed append: rows land under `path/batch_id=<id>/`, so a
+    * batch's store rows are one deletable subtree. This is what makes the
+    * gate's retry contract crash-safe — an append that lands without its
+    * commit marker can be cleared (or ignored by [[read]]) instead of
+    * permanently poisoning the seen-set.
+    */
   def append(meta: DataFrame, path: String): Unit =
-    meta.write.mode(SaveMode.Append).parquet(path)
+    meta.write.mode(SaveMode.Append).partitionBy("batch_id").parquet(path)
 
-  /** Empty-store-safe read: a missing directory is an empty seen-set. */
+  /** Empty-store-safe read: a missing directory is an empty seen-set.
+    * Batches with an attempt marker but no commit marker (a crashed,
+    * not-yet-retried gate ingest) are invisible: their bronze files may be
+    * partial or already cleared, so their etags must not gate future
+    * deliveries out. Rows appended outside the gate (no markers at all)
+    * stay visible — a plain [[append]] is its own commit.
+    */
   def read(spark: SparkSession, path: String): DataFrame = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    if (!fs.exists(p))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val names = fs.listStatus(p).map(_.getPath.getName)
+    val inFlight =
+      names.collect { case n if n.startsWith("_attempt_") => n.stripPrefix("_attempt_") }.toSet --
+      names.collect { case n if n.startsWith("_commit_") => n.stripPrefix("_commit_") }
+    val df = spark.read.schema(schema).parquet(path)
+    if (inFlight.isEmpty) df
+    else df.filter(!col("batch_id").isInCollection(inFlight))
   }
 
   /** The documented ingest flow: etag incoming rows, dedup them within
@@ -41,15 +60,17 @@ object MetadataStore {
     * land the survivors in bronze, then their metadata in the store.
     * Returns the accepted rows.
     *
-    * Failure contract: bronze lands before metadata, and the metadata
-    * rows of a batch are its commit marker (one atomic-commit parquet
-    * job, written last). A retry with the SAME batchId is exactly-once
-    * wherever the crash fell: no marker → any bronze leftovers of that
-    * batch are cleared and the batch re-runs cleanly; marker present →
-    * nothing is cleared (the bronze files are good) and the gate admits
-    * zero rows. Streaming retries get this for free —
-    * `BronzePipeline.gatedIngest` derives batchId from the replayed
-    * micro-batch id.
+    * Failure contract: bronze lands, then the batch's metadata (under its
+    * own `batch_id=` subtree), then the commit marker. A retry with the
+    * SAME batchId is exactly-once wherever the crash fell: no commit
+    * marker → the batch's bronze leftovers AND its metadata subtree are
+    * cleared and the batch re-runs cleanly; marker present → nothing is
+    * cleared (the files are good) and the gate admits zero rows. A crash
+    * in the append→marker window cannot silently lose data even if the
+    * batch is never retried: [[read]] ignores attempt-without-commit
+    * batches, so the orphaned etags never gate a future delivery out.
+    * Streaming retries get this for free — `BronzePipeline.gatedIngest`
+    * derives batchId from the replayed micro-batch id.
     */
   def ingestWithGate(incoming: DataFrame, bronzePath: String,
       metaPath: String, batchId: String): DataFrame = {
@@ -68,7 +89,10 @@ object MetadataStore {
     // this id started but never committed - the common first-attempt
     // path does no listing at all.
     val committed = fs.exists(commitMarker)
-    if (!committed && fs.exists(attemptMarker)) clearBatch(spark, bronzePath, batchId)
+    if (!committed && fs.exists(attemptMarker)) {
+      clearBatch(spark, bronzePath, batchId)
+      fs.delete(new Path(metaPath, s"batch_id=$batchId"), true)
+    }
     if (!committed) { fs.mkdirs(new Path(metaPath)); fs.create(attemptMarker, true).close() }
     val inBatchFirst = Window.partitionBy("etag").orderBy("posting_id")
     val withEtag = incoming

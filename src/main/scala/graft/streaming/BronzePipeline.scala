@@ -1,5 +1,8 @@
 package graft.streaming
 
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -36,21 +39,51 @@ object BronzePipeline {
     * (new files, old payloads) land nowhere. This is the full reference
     * ingest edge (extract → dedup check → bronze + metadata) as one
     * incremental flow.
+    *
+    * Batch ids are namespaced by a per-checkpoint pipeline id: micro-batch
+    * ids alone restart at 0 whenever the checkpoint is deleted/rebuilt,
+    * and a bare `stream-00000` would collide with the previous
+    * checkpoint's commit marker — the gate would treat the fresh
+    * micro-batch as already committed and silently drop its rows.
     */
   def gatedIngest(spark: SparkSession, stagingPath: String,
       bronzePath: String, metaPath: String,
       checkpointPath: String): StreamingQuery = {
+    val pid = pipelineId(spark, checkpointPath)
     val raw = spark.readStream
       .schema("posting_id STRING, raw_content STRING, source STRING, extracted_at TIMESTAMP")
       .json(stagingPath)
     raw.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        MetadataStore.ingestWithGate(batch.toDF(), bronzePath, metaPath, f"stream-$id%05d")
+        MetadataStore.ingestWithGate(batch.toDF(), bronzePath, metaPath, f"$pid-$id%05d")
         ()
       }
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** Stable-per-checkpoint identity: created once next to the checkpoint
+    * and re-read on every restart, so replayed micro-batches keep their
+    * batch ids (the exactly-once retry path needs that) while a rebuilt
+    * checkpoint — whose micro-batch ids restart at 0 — gets a fresh
+    * namespace and can never alias an older run's committed batches.
+    */
+  private[streaming] def pipelineId(spark: SparkSession, checkpointPath: String): String = {
+    val dir = new Path(checkpointPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val f = new Path(dir, "_graft_pipeline_id")
+    if (fs.exists(f)) {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    } else {
+      val id = java.util.UUID.randomUUID().toString
+      fs.mkdirs(dir)
+      val out = fs.create(f, false)
+      try out.write(id.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      id
+    }
   }
 
   /** Drain all currently-available bronze batches into silver parquet and

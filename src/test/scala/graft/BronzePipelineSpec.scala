@@ -35,6 +35,31 @@ class BronzePipelineSpec extends SparkSpec {
     assert(BronzeLayer.readRaw(spark, bronze).count() == 3)
   }
 
+  test("a rebuilt checkpoint gets a fresh batch namespace (no silent drops)") {
+    val root = Files.createTempDirectory("graft_gated_ckpt").toString
+    val staging = s"$root/staging"
+    val bronze = s"$root/bronze"
+    val meta = s"$root/meta"
+    def drop(rows: Seq[(String, String)]): Unit =
+      rawPostings(rows).coalesce(1).write.mode("append").json(staging)
+
+    drop(Seq("p1" -> "c1"))
+    BronzePipeline.gatedIngest(spark, staging, bronze, meta, s"$root/ckpt1").awaitTermination()
+    assert(BronzeLayer.readRaw(spark, bronze).count() == 1)
+
+    // the checkpoint is lost and rebuilt: micro-batch ids restart at 0.
+    // Without the per-checkpoint namespace, batch 0 aliases the committed
+    // _commit_...00000 marker and the NEW payload is silently dropped.
+    drop(Seq("p2" -> "c2"))
+    BronzePipeline.gatedIngest(spark, staging, bronze, meta, s"$root/ckpt2").awaitTermination()
+    val rows = BronzeLayer.readRaw(spark, bronze)
+    assert(rows.filter(col("raw_content") === "c2").count() == 1,
+      "new payload after a checkpoint rebuild must land")
+    // the replayed old file is content-gated, not duplicated
+    assert(rows.count() == 2)
+    assert(rows.select("raw_content").distinct().count() == 2)
+  }
+
   test("bronze to silver drains incrementally, exactly once across restarts") {
     val root = Files.createTempDirectory("graft_pipeline").toString
     val bronze = s"$root/bronze"

@@ -41,4 +41,28 @@ class JdbcSinkSpec extends SparkSpec {
     assert(count("WHERE part = 'a'") == 1, "partition a must be overwritten")
     assert(count("WHERE part = 'b'") == 4, "partition b must be untouched")
   }
+
+  test("merge keeps only the winning attempt per partition") {
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE TABLE mart2 (part VARCHAR(10), id BIGINT, metric DOUBLE)")
+      st.execute("CREATE TABLE mart2_stage (part VARCHAR(10), id BIGINT, " +
+        "metric DOUBLE, gstg_part INTEGER, gstg_att BIGINT)")
+      // partition 0 committed TWICE (a speculative race that both won the
+      // stage commit): identical content under attempt ids 7 and 9
+      st.execute("INSERT INTO mart2_stage VALUES ('a', 1, 1.0, 0, 7)")
+      st.execute("INSERT INTO mart2_stage VALUES ('a', 1, 1.0, 0, 9)")
+      st.execute("INSERT INTO mart2_stage VALUES ('b', 2, 2.0, 1, 8)")
+    } finally c.close()
+
+    val rows = JdbcSink.mergeStage(url, "mart2", "mart2_stage", "part",
+      Seq("part", "id", "metric"))
+    assert(rows == 2, "only the winning attempt's rows merge")
+    val c2 = DriverManager.getConnection(url)
+    try {
+      val rs = c2.createStatement().executeQuery("SELECT COUNT(*) FROM mart2")
+      rs.next(); assert(rs.getLong(1) == 2, "no duplicate from the losing attempt")
+    } finally c2.close()
+  }
 }

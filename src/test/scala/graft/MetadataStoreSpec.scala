@@ -74,4 +74,34 @@ class MetadataStoreSpec extends SparkSpec {
       "committed batch must survive a redundant retry untouched")
     assert(MetadataStore.read(spark, meta).count() == 2)
   }
+
+  test("a crash between metadata append and commit marker cannot lose data") {
+    val bronze = Files.createTempDirectory("graft_bronze_window").toString
+    val meta = Files.createTempDirectory("graft_meta_window").toString + "/store"
+    MetadataStore.ingestWithGate(rawPostings(Seq("p1" -> "c1")), bronze, meta, "b1")
+
+    // crash state for b2: attempt marker, bronze files AND the metadata
+    // append all landed — only the commit marker is missing. This is the
+    // window where the b2 etags used to poison the seen-set forever.
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(meta, "_attempt_b2"))
+    writeRawBatch(bronze, "b2", Seq("p2"))
+    MetadataStore.append(
+      BronzeLayer.storageMetadata(rawPostings(Seq("p2" -> "content-p2")), "b2"), meta)
+
+    // the orphaned etags are invisible: only b1's committed row gates
+    assert(MetadataStore.read(spark, meta).count() == 1,
+      "attempt-without-commit metadata must not be part of the seen-set")
+
+    // same-id retry: leftovers (bronze AND the meta subtree) are cleared,
+    // the payload lands exactly once, and the batch commits cleanly
+    val retried = MetadataStore.ingestWithGate(
+      rawPostings(Seq("p2" -> "content-p2")), bronze, meta, "b2")
+    assert(retried.count() == 1,
+      "a payload recorded only by the crashed append must still land")
+    val rows = BronzeLayer.readRaw(spark, bronze)
+    assert(rows.count() == 2)
+    assert(rows.select("raw_content").distinct().count() == 2)
+    assert(MetadataStore.read(spark, meta).count() == 2)
+    assert(MetadataStore.read(spark, meta).select("etag").distinct().count() == 2)
+  }
 }
