@@ -235,7 +235,100 @@ object TextOps {
       .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
   }
 
+  /** Raw 32-bit content-hash key (the value [[hashBucket]] buckets):
+    * engine-portable deterministic rank material for sampling decisions. */
+  def hashKey(text: Column): Column =
+    conv(substring(md5(text), 1, 8), 16, 10).cast("long")
+
+  /** Benchmark-decontamination window: the n-gram width a training corpus
+    * is screened with against eval sets (13 is the published GPT-3 /
+    * open-data-pipeline convention). */
+  val ContamN = 13
+
+  /** Overlapping word n-grams of width n, one row per gram. */
+  private def wordGrams(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .withColumn("wl", tokens(col("text")))
+      .filter(size(col("wl")) >= n)
+      .withColumn("i", explode(sequence(lit(1), size(col("wl")) - (n - 1))))
+      .select(col("doc_id"), concat_ws(" ", slice(col("wl"), col("i"), lit(n))).as("g"))
+
+  /** Benchmark decontamination: flag training docs sharing any 13-gram
+    * with the eval set (proxy here: every 17th doc plays the benchmark
+    * registry). Inverted-index shape — both sides explode to grams and
+    * meet in an equi-join keyed by the gram's 64-bit hash (narrow shuffle
+    * key at 100 TB) with the exact gram string as the residual filter, so
+    * a hash collision can never flag a clean doc. No n² document
+    * comparison anywhere.
+    */
+  def q65Decontaminate(s: SparkSession, d: String): DataFrame =
+    decontaminate(documents(s, d), col("doc_id") % 17 === 0)
+
+  /** `isEval` marks the benchmark side; rows where it holds screen the
+    * rest of the corpus. */
+  def decontaminate(docs: DataFrame, isEval: Column, n: Int = ContamN): DataFrame = {
+    val evalGrams = wordGrams(docs.filter(isEval), n)
+      .select(xxhash64(col("g")).as("gh"), col("g").as("eg")).distinct()
+    wordGrams(docs.filter(!isEval), n)
+      .join(evalGrams, xxhash64(col("g")) === col("gh"))
+      .filter(col("g") === col("eg"))
+      .groupBy("doc_id")
+      .agg(countDistinct("g").as("n_shared_grams"))
+  }
+
+  /** Intra-document repetition score (the Gopher-style quality signal):
+    * fraction of a doc's 3-grams that are repeats of an earlier gram.
+    * Per-doc aggregation only — one shuffle keyed by doc_id, no
+    * cross-document work, so it runs at corpus-scan scale.
+    */
+  def q66Repetition(s: SparkSession, d: String): DataFrame =
+    q66RepetitionOn(documents(s, d))
+
+  def q66RepetitionOn(docs: DataFrame): DataFrame =
+    wordGrams(docs, 3)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        countDistinct("g").as("n_distinct"),
+        round(lit(1.0) - countDistinct("g").cast("double") / count(lit(1)), 4)
+          .as("rep_score"))
+
+  /** PII-shape scrubbing over the raw event payloads: numeric identifiers
+    * are masked and pattern hits counted; an email pattern rides along
+    * (this corpus contains none — the cross-engine regex contract is
+    * still verified on the zero counts). Pure per-row codegen'd regex —
+    * scan-speed at any scale.
+    */
+  def q67PiiScrub(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("event_id"),
+      regexp_replace(col("props"), "[0-9]+", "<NUM>").as("scrubbed"),
+      regexp_count(col("props"), lit("[0-9]+")).cast("long").as("n_numeric"),
+      regexp_count(col("props"), lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
+        .cast("long").as("n_emails"))
+
+  /** Deterministic stratified sampling: exactly k docs per language,
+    * picked by salted content-hash order (engine-portable, rerun- and
+    * partitioning-stable — the same contract as q59/q60). Planned as the
+    * bounded-heap TopKPerKey operator, NOT a window: lang is a
+    * low-cardinality stratum key, and a window sort would funnel the
+    * whole corpus through a handful of partitions at 100 TB, while the
+    * heap operator keeps k rows per stratum per partition map-side.
+    */
+  def q68StratifiedSample(s: SparkSession, d: String): DataFrame =
+    stratifiedSample(documents(s, d))
+
+  def stratifiedSample(docs: DataFrame, k: Int = 20): DataFrame =
+    TopK.topKPerKey(
+      docs.withColumn("hk", hashKey(concat(lit("strat:"), col("text")))),
+      Seq("lang"), struct(col("hk"), col("doc_id")), descending = false, k)
+      .select("lang", "doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_decontaminate" -> q65Decontaminate _,
+    "q66_repetition" -> q66Repetition _,
+    "q67_pii_scrub" -> q67PiiScrub _,
+    "q68_stratified_sample" -> q68StratifiedSample _,
     "q59_hash_split" -> q59HashSplit _,
     "q60_mixture_sample" -> q60MixtureSample _,
     "q52_heavy_hitters" -> q52HeavyHitters _,
@@ -250,6 +343,42 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q65_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS wl
+        |  FROM documents),
+        | grams AS (
+        |  SELECT doc_id, array_to_string(wl[i:i+12], ' ') AS g
+        |  FROM toks, unnest(generate_series(1, greatest(len(wl) - 12, 0))) AS u(i)),
+        | ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0)
+        |SELECT doc_id, count(DISTINCT g) AS n_shared_grams
+        |FROM grams JOIN ev USING (g)
+        |WHERE doc_id % 17 <> 0
+        |GROUP BY doc_id""".stripMargin,
+    "q66_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS wl
+        |  FROM documents),
+        | grams AS (
+        |  SELECT doc_id, array_to_string(wl[i:i+2], ' ') AS g
+        |  FROM toks, unnest(generate_series(1, greatest(len(wl) - 2, 0))) AS u(i))
+        |SELECT doc_id, count(*) AS n_grams, count(DISTINCT g) AS n_distinct,
+        | round(1 - CAST(count(DISTINCT g) AS DOUBLE) / count(*), 4) AS rep_score
+        |FROM grams GROUP BY doc_id""".stripMargin,
+    "q67_pii_scrub" ->
+      """SELECT event_id,
+        | regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+        | CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_numeric,
+        | CAST(len(regexp_extract_all(props,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails
+        |FROM events""".stripMargin,
+    "q68_stratified_sample" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |   row_number() OVER (PARTITION BY lang ORDER BY
+        |     ('0x' || substr(md5('strat:' || text), 1, 8))::BIGINT, doc_id) AS rn
+        |  FROM documents) s
+        |WHERE rn <= 20""".stripMargin,
     "q59_hash_split" ->
       """WITH b AS (
         |  SELECT doc_id,

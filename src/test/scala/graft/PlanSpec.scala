@@ -49,6 +49,7 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       VectorOps.q58NeardupBlocked(spark, sfDir),
       graft.operators.RangeJoin.q62RangeJoin(spark, sfDir),
       graft.operators.RangeJoin.q64IntervalOverlap(spark, sfDir),
+      TextOps.q65Decontaminate(spark, sfDir),
     ).foreach { df =>
       val plan = planString(df)
       assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
@@ -73,6 +74,12 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       assert(scan.contains("doc_id") && scan.contains("text") && !scan.contains("lang"),
         s"scan must read only doc_id+text: $scan")
     }
+  }
+
+  test("q68: stratified sampling plans as the bounded-heap operator, not a window sort") {
+    val plan = planString(TextOps.q68StratifiedSample(spark, sfDir))
+    assert(plan.contains("TopKPerKey"), s"expected TopKPerKeyExec in:\n$plan")
+    assert(!plan.contains("Window"), s"low-cardinality stratum must not window-sort:\n$plan")
   }
 
   test("q01: aggregation is two-phase (map-side partial before the shuffle)") {

@@ -48,6 +48,44 @@ class TextOpsSpec extends SparkSpec {
     assert(hot >= 3, "the boilerplate run must produce hot shingles for this test to bite")
   }
 
+  test("decontamination flags exactly the docs sharing a 13-gram with the eval set") {
+    import spark.implicits._
+    val run = (1 to 13).map(i => s"w$i").mkString(" ")       // a shared 13-token run
+    val docs = Seq(
+      (1L, s"intro words $run trailing content here", "en"), // eval doc
+      (2L, s"totally different prefix $run and a suffix", "en"), // contaminated
+      (3L, (1 to 30).map(i => s"clean$i").mkString(" "), "en"),  // clean
+      (4L, "short doc under thirteen tokens", "en"),             // unscreenable
+    ).toDF("doc_id", "text", "lang")
+    val flagged = TextOps.decontaminate(docs, col("doc_id") === 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(flagged.keySet == Set(2L), s"only doc 2 overlaps the eval doc: $flagged")
+    assert(flagged(2L) == 1L, "exactly the one shared 13-gram")
+  }
+
+  test("repetition score: duplicate-gram fraction, zero for all-distinct docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a a a", "en"),                              // 4 grams, 1 distinct
+      (2L, (1 to 10).map(i => s"u$i").mkString(" "), "en"),   // all distinct
+    ).toDF("doc_id", "text", "lang")
+    val rows = TextOps.q66RepetitionOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows(1L) == ((4L, 1L, 0.75)), s"got ${rows(1L)}")
+    assert(rows(2L) == ((8L, 8L, 0.0)), s"got ${rows(2L)}")
+  }
+
+  test("stratified sample: exactly k per stratum, stable under repartitioning") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    def sortedSample(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+      TextOps.stratifiedSample(df).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    val base = sortedSample(docs)
+    assert(base.groupBy(_._1).values.forall(_.size == 20), "k=20 per stratum")
+    assert(sortedSample(docs.repartition(7)) == base,
+      "sample must not depend on physical partitioning")
+  }
+
   test("hashBucket is uniform-ish and rerun/partitioning stable") {
     val docs = Tables.documents(spark, sfDir)
     val b = TextOps.hashBucket(col("text"))
