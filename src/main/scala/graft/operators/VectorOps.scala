@@ -197,8 +197,23 @@ object VectorOps {
     * chunks equal → candidate; guarantees recall for hamming ≤ 3), then
     * exact hamming ≤ 8 filter via bit_count(xor).
     */
-  def q37Simhash(s: SparkSession, d: String): DataFrame = {
-    val sh = simhash(documents(s, d))
+  def q37Simhash(s: SparkSession, d: String): DataFrame =
+    q37SimhashOn(documents(s, d))
+
+  /** Chunk buckets get the same width discipline as q36's band buckets:
+    * pairwise listing only inside buckets of bounded width, oversized
+    * buckets (boilerplate/empty-template clusters — the degenerate case
+    * where a 16-bit chunk key collapses) star-route members against the
+    * bucket's smallest doc instead of exploding O(width²) pairs. Star
+    * edges still pass the exact hamming filter, so no pair is ever
+    * reported that the exact listing would reject; with
+    * `maxBucketWidth = Int.MaxValue` this is the exact pairwise form
+    * (and the two are spec-asserted identical at sf0.01, where every
+    * bucket is narrow).
+    */
+  def q37SimhashOn(docs: DataFrame,
+      maxBucketWidth: Int = MaxBucketWidth): DataFrame = {
+    val sh = simhash(docs)
     val chunks = (0 until 4).map { j =>
       struct(lit(j).as("chunk"),
         shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
@@ -206,12 +221,25 @@ object VectorOps {
     val bucketed = sh.select(col("doc_id"), col("simhash"),
       explode(array(chunks: _*)).as("ck"))
       .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-    bucketed.as("a")
-      .join(bucketed.as("b"),
+    val bucket = Window.partitionBy("chunk", "key")
+    // one shuffle on (chunk, key) annotates width + min-doc without a join
+    val keyed = bucketed
+      .withColumn("w", count(lit(1)).over(bucket))
+      .withColumn("m", min(struct(col("doc_id"), col("simhash"))).over(bucket))
+    val narrow = keyed.filter(col("w") <= maxBucketWidth)
+    val narrowPairs = narrow.as("a")
+      .join(narrow.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+        col("a.simhash").as("a_sh"), col("b.simhash").as("b_sh"))
+    val starPairs = keyed
+      .filter(col("w") > maxBucketWidth && col("doc_id") =!= col("m.doc_id"))
+      .select(col("m.doc_id").as("a_id"), col("doc_id").as("b_id"),
+        col("m.simhash").as("a_sh"), col("simhash").as("b_sh"))
+    narrowPairs.union(starPairs)
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 8)
   }

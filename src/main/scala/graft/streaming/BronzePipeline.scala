@@ -63,6 +63,34 @@ object BronzePipeline {
       .start()
   }
 
+  /** Streaming gold mart over the silver tail: per-source hourly posting
+    * counts and payload volume. Watermarked, so aggregation state stays
+    * bounded no matter how long the pipeline runs; append mode emits each
+    * hour exactly once — when the watermark passes it (a later hour's
+    * data arriving in this or a subsequent drain) — so repeated scheduled
+    * [[martRunOnce]] invocations build the mart incrementally with no
+    * overwrites and no recomputation. This is the reference's gold-mart
+    * box (docs/Pipeline Architecture.mermaid) as a continuous flow.
+    */
+  def goldMartStream(spark: SparkSession, bronzePath: String): DataFrame =
+    silverStream(spark, bronzePath)
+      .withWatermark("extracted_at", "1 hour")
+      .groupBy(col("source"), window(col("extracted_at"), "1 hour"))
+      .agg(count(lit(1)).as("n_postings"), sum("content_chars").as("total_chars"))
+      .select(col("source"), col("window.start").as("hour"),
+        col("n_postings"), col("total_chars"))
+
+  /** Drain available bronze into the incremental hourly mart and stop. */
+  def martRunOnce(spark: SparkSession, bronzePath: String, martPath: String,
+      checkpointPath: String): StreamingQuery =
+    goldMartStream(spark, bronzePath).writeStream
+      .format("parquet")
+      .option("path", martPath)
+      .option("checkpointLocation", checkpointPath)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stable-per-checkpoint identity: created once next to the checkpoint
     * and re-read on every restart, so replayed micro-batches keep their
     * batch ids (the exactly-once retry path needs that) while a rebuilt

@@ -35,6 +35,43 @@ class BronzePipelineSpec extends SparkSpec {
     assert(BronzeLayer.readRaw(spark, bronze).count() == 3)
   }
 
+  test("streaming gold mart finalizes each hour exactly once across drains") {
+    val root = Files.createTempDirectory("graft_mart").toString
+    val bronze = s"$root/bronze"
+    val mart = s"$root/mart"
+    val checkpoint = s"$root/ckpt"
+    def landAt(batchId: String, ids: Seq[String], hour: Int): Unit = {
+      import spark.implicits._
+      val df = ids.map(id => (id, s"content-$id", "hh", f"2024-09-23 $hour%02d:10:00"))
+        .toDF("posting_id", "raw_content", "source", "extracted_at")
+        .withColumn("extracted_at", to_timestamp(col("extracted_at")))
+      BronzeLayer.writeRaw(df, bronze, batchId)
+    }
+    def drain(): Unit =
+      BronzePipeline.martRunOnce(spark, bronze, mart, checkpoint).awaitTermination()
+
+    landAt("b1", Seq("p1", "p2"), hour = 10)
+    drain()
+    landAt("b2", Seq("p3"), hour = 12)
+    drain()
+    landAt("b3", Seq("p4"), hour = 14)
+    drain()
+
+    val rows = spark.read.parquet(mart).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("hour").toString ->
+        ((r.getAs[Long]("n_postings"), r.getAs[Long]("total_chars"))))
+    // hour 10 closed by hour-12 data; emitted once with both rows
+    val h10 = rows.filter(_._1.startsWith("2024-09-23 10"))
+    assert(h10.length == 1, s"hour 10 must finalize exactly once, got ${rows.mkString(";")}")
+    assert(h10.head._2 == ((2L, 20L)), s"got ${h10.head._2}")
+    // hour 14 is still open (nothing later arrived): never emitted early
+    assert(!rows.exists(_._1.startsWith("2024-09-23 14")), "open window must not emit")
+
+    // an empty drain adds nothing (idempotent scheduled run)
+    drain()
+    assert(spark.read.parquet(mart).count() == rows.length.toLong)
+  }
+
   test("a rebuilt checkpoint gets a fresh batch namespace (no silent drops)") {
     val root = Files.createTempDirectory("graft_gated_ckpt").toString
     val staging = s"$root/staging"

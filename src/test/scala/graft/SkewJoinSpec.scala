@@ -19,6 +19,39 @@ class SkewJoinSpec extends SparkSpec {
     assert(salted.count(_.contains("hot")) == 1800)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (unplanned-skew path)") {
+    import spark.implicits._
+    // saltedJoin covers skew you PLAN for; this pins down the config-only
+    // path a cluster run leans on when skew shows up at runtime: AQE must
+    // recognize the oversized shuffle partition and split it.
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      val left = ((1 to 60000).map(i => (7L, s"payload-$i-$i-$i")) ++
+        (1L to 40L).map(k => (k, "cold"))).toDF("k", "v")
+      val right = (1L to 40L).map(k => (k, k * 2)).toDF("k", "w")
+      val joined = left.join(right, "k")
+      // execute THIS frame: count() would spin up its own query execution
+      // and leave joined's adaptive plan unfinalized
+      assert(joined.collect().length == 60040)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the hot partition as skew-split:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("asof join picks the latest right row at-or-before each left time") {
     import spark.implicits._
     val left = Seq((1L, 100L, "p1"), (1L, 205L, "p2"), (2L, 50L, "p3"))

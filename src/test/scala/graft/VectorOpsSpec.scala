@@ -111,6 +111,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(pairs.contains((20L, 21L, VectorOps.Bands.toLong)))
   }
 
+  test("q37 chunk-bucket cap: capped equals exact at sf0.01; wide buckets star-route") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(collect(VectorOps.q37SimhashOn(docs)) ==
+      collect(VectorOps.q37SimhashOn(docs, Int.MaxValue)),
+      "sf0.01 chunk buckets are all under the cap - capped must equal exact")
+
+    // planted wide bucket: 10 identical docs (hamming 0, same chunk keys)
+    import spark.implicits._
+    val dup = "spark shuffle join window agg scan"
+    val planted = (1L to 10L).map(i => (i, dup)).toDF("doc_id", "text")
+    val pairs = collect(VectorOps.q37SimhashOn(planted, maxBucketWidth = 4))
+    assert(pairs == (2L to 10L).map(i => (1L, i, 0L)).toSet,
+      s"wide bucket must star-route to the bucket min only, got $pairs")
+  }
+
   test("fused MinHash kernel is bit-identical to the aggregate formulation") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
     val fused = VectorOps.minhashSignatures(docs)
