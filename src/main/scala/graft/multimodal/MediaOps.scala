@@ -1,16 +1,22 @@
 package graft.multimodal
 
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
 /** Multimodal column plumbing (SURVEY.md §2.3): media payloads as opaque
   * `binary` columns with a typed metadata struct, processed in partition-
-  * local batches. The container has no image/audio codecs, so the decode
-  * kernel is STUBBED with a deterministic byte-statistics fake — the
-  * Spark-side contract (schema, batch shape, partitioning, fixed-width
-  * feature output) is the real, tested part; swap `decodeStub` for a JNI/
-  * codec call on a real cluster.
+  * local batches. Image payloads decode for REAL through the JDK's
+  * ImageIO registry (png/bmp/gif/jpeg need no native codec); payloads no
+  * installed reader claims — audio/video in this container — fall back to
+  * a deterministic byte-statistics stub, so the Spark-side contract
+  * (schema, batch shape, partitioning, fixed-width feature output) is
+  * exercised end-to-end either way. Swap/extend the kernel table for
+  * JNI codecs on a cluster that has them.
   */
 object MediaOps {
 
@@ -43,8 +49,40 @@ object MediaOps {
       .select(col("doc_id"), col("frame_idx"),
         expr(s"substring(blob, frame_idx * $FrameBytes + 1, $FrameBytes)").as("frame"))
 
-  /** STUB decode kernel: deterministic per-frame byte statistics standing
-    * in for a real image/audio decoder. Partition-local batching via
+  /** Real image decode: ImageIO sniffs the container format from the
+    * bytes themselves and returns [width, height, avgR, avgG, avgB,
+    * aspect, 0, 0] — a genuine decoded-pixel feature row. Pixel reads are
+    * subsampled to a bounded grid so a pathological 100-megapixel blob
+    * costs the same as a thumbnail. Returns None when no installed
+    * reader claims the payload (not an image, or a codec this JVM
+    * lacks) — callers fall back to [[decodeStub]].
+    */
+  def decodeImage(bytes: Array[Byte]): Option[Array[Float]] = {
+    val img =
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+    img.map { im =>
+      val (w, h) = (im.getWidth, im.getHeight)
+      val stepX = math.max(1, w / 64)
+      val stepY = math.max(1, h / 64)
+      var (r, g, b, n) = (0L, 0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = im.getRGB(x, y)
+          r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF; n += 1
+          x += stepX
+        }
+        y += stepY
+      }
+      Array(w.toFloat, h.toFloat, r.toFloat / n, g.toFloat / n, b.toFloat / n,
+        w.toFloat / h, 0f, 0f)
+    }
+  }
+
+  /** Fallback kernel: deterministic per-blob byte statistics for payloads
+    * without an installed decoder. Partition-local batching via
     * mapPartitions — the Scala analog of mapInPandas batch processing.
     */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
@@ -69,7 +107,10 @@ object MediaOps {
         rows.map { r =>
           // same convention as q41MediaMeta/frameSample: empty blob → 0 frames
           val nFrames = math.ceil(r.n_bytes.toDouble / FrameBytes).toInt
-          MediaFeatures(r.doc_id, nFrames, decodeStub(r.blob))
+          val feats =
+            if (r.mime.startsWith("image/")) decodeImage(r.blob).getOrElse(decodeStub(r.blob))
+            else decodeStub(r.blob)
+          MediaFeatures(r.doc_id, nFrames, feats)
         }
       }
   }

@@ -23,6 +23,32 @@ class MediaOpsSpec extends SparkSpec {
     assert(f0.length == MediaOps.FrameBytes)
   }
 
+  test("image payloads decode for real through ImageIO; unclaimed bytes fall back") {
+    import spark.implicits._
+    // 4x2 PNG: left half pure red, right half pure blue
+    val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0xFF0000 else 0x0000FF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+
+    val media = Seq(
+      (1L, png, "image/png", png.length.toLong),
+      (2L, "not an image at all".getBytes("UTF-8"), "image/png", 19L),
+    ).toDF("doc_id", "blob", "mime", "n_bytes")
+    val feats = MediaOps.extractFeatures(spark, media).collect()
+      .map(f => f.doc_id -> f.features).toMap
+
+    val real = feats(1L)
+    assert(real(0) == 4f && real(1) == 2f, s"decoded dimensions: ${real.mkString(",")}")
+    assert(real(2) == 127.5f && real(3) == 0f && real(4) == 127.5f,
+      s"decoded channel means: ${real.mkString(",")}")
+    assert(real(5) == 2f, "aspect ratio from decoded pixels")
+    // bytes no reader claims take the stub path, bit-for-bit
+    assert(feats(2L).sameElements(MediaOps.decodeStub("not an image at all".getBytes("UTF-8"))))
+  }
+
   test("decode stub is deterministic, fixed-dim, and distributed via mapPartitions") {
     val media = MediaOps.attachBlobs(Tables.documents(spark, sfDir))
     val f1 = MediaOps.extractFeatures(spark, media).collect().sortBy(_.doc_id)
