@@ -150,16 +150,57 @@ object Lifecycle {
     * bound, null marking the current row — the silver temporal-table
     * pattern over the bronze event log.
     */
-  def q50Scd2(s: SparkSession, d: String): DataFrame = {
+  def q50Scd2(s: SparkSession, d: String): DataFrame =
+    scd2Rebuild(events(s, d))
+
+  /** Full SCD2 rebuild over an event log: validity chained by lead(). */
+  def scd2Rebuild(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    events(s, d).select(col("user_id"), col("event_id"),
+    ev.select(col("user_id"), col("event_id"),
       unix_micros(col("ts")).as("valid_from_us"),
       unix_micros(lead("ts", 1).over(byUser)).as("valid_to_us"))
       .withColumn("is_current", col("valid_to_us").isNull)
   }
 
+  /** Incremental SCD2 merge — the lakehouse upsert path: instead of
+    * rebuilding the whole dimension, chain the NEW events among
+    * themselves, close each affected user's open interval at their first
+    * new event, and union. Touches only the update set plus a key-join
+    * against current (at 100 TB: the rebuild re-windows the full history
+    * every run; the merge's cost is proportional to the delta).
+    * Contract: every update is strictly later than the user's current
+    * intervals (true for any time-based split); under it the merge is
+    * exactly equivalent to a full rebuild — which is how q72 is oracled.
+    */
+  def scd2Merge(current: DataFrame, updates: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("valid_from_us", "event_id")
+    val upd = updates.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("valid_from_us"))
+      .withColumn("valid_to_us", lead("valid_from_us", 1).over(byUser))
+    val firstNew = upd.groupBy("user_id").agg(min("valid_from_us").as("__first_new"))
+    val closed = current.join(firstNew, Seq("user_id"), "left")
+      .withColumn("valid_to_us",
+        when(col("is_current") && col("__first_new").isNotNull, col("__first_new"))
+          .otherwise(col("valid_to_us")))
+      .drop("__first_new")
+    closed.unionByName(upd.withColumn("is_current", lit(true)))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select("user_id", "event_id", "valid_from_us", "valid_to_us", "is_current")
+  }
+
+  /** Mid-history split: everything before the cut is the standing
+    * dimension, everything after arrives as one update batch. */
+  val Scd2SplitTs = "2024-01-16 00:00:00"
+
+  def q72Scd2Merge(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val cut = lit(Scd2SplitTs).cast("timestamp")
+    scd2Merge(scd2Rebuild(ev.filter(col("ts") < cut)), ev.filter(col("ts") >= cut))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_scd2" -> q50Scd2 _,
+    "q72_scd2_merge" -> q72Scd2Merge _,
     "q46_zscore_normalize" -> q46ZscoreNormalize _,
     "q21_bronze_partition_keys" -> q21BronzePartitionKeys _,
     "q22_json_extract" -> q22JsonExtract _,
@@ -172,6 +213,15 @@ object Lifecycle {
   )
 
   val oracles: Map[String, String] = Map(
+    // the merge is oracled against the FULL REBUILD: incremental upsert
+    // and rebuild must produce byte-identical dimensions
+    "q72_scd2_merge" ->
+      """SELECT user_id, event_id,
+        | epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us,
+        | epoch_us(CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |   AS TIMESTAMP)) AS valid_to_us,
+        | lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM events""".stripMargin,
     "q50_scd2" ->
       """SELECT user_id, event_id,
         | epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us,

@@ -324,7 +324,56 @@ object TextOps {
       Seq("lang"), struct(col("hk"), col("doc_id")), descending = false, k)
       .select("lang", "doc_id")
 
+  /** The composed Gopher-style quality gate: every per-doc heuristic this
+    * file defines, fused into one scan with named boolean verdicts — the
+    * single filter a training-data pipeline actually runs before
+    * tokenization. Pure codegen'd row-local expressions; the whole gate
+    * is one parquet scan, no shuffle at all.
+    */
+  def q69QualityGate(s: SparkSession, d: String): DataFrame = {
+    val words = size(split(trim(col("text")), ws)).cast("double")
+    val distinctWords = size(array_distinct(split(lower(trim(col("text"))), ws))).cast("double")
+    val stops = regexp_count(concat(lit(" "), lower(col("text")), lit(" ")),
+      lit(" (the|a|of|and|to|in|is) ")).cast("double")
+    val punct = regexp_count(col("text"), lit("[.,!?;:]")).cast("double")
+    val chars = length(col("text")).cast("double")
+    documents(s, d).select(
+      col("doc_id"),
+      (words < 15).as("too_short"),
+      (distinctWords / words < 0.5).as("low_diversity"),
+      (stops / words < 0.01).as("low_stopword"),
+      (punct / chars > 0.1).as("high_punct"))
+      .withColumn("keep",
+        !col("too_short") && !col("low_diversity") &&
+          !col("low_stopword") && !col("high_punct"))
+  }
+
+  /** Context-window capacity for sequence packing. */
+  val PackTokens = 512
+
+  /** Approximate greedy sequence packing: assign docs to fixed-capacity
+    * context windows by running token count, sharded so no window
+    * partition ever holds more than ~1/16th of a language (the
+    * distributed-packing shape: per-shard packers are independent, and
+    * `lang` alone would be a low-cardinality window key at 100 TB).
+    * `pack_id` is the window each doc STARTS in; a doc may straddle two
+    * packs (the standard concat-then-chunk training layout).
+    */
+  def q70Pack(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), ws)).cast("long").as("n_tokens"),
+        hashBucket(concat(lit("pack:"), col("text")), 16).as("shard"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("lang"), col("shard"),
+        floor((col("cum") - col("n_tokens")) / PackTokens).cast("long").as("pack_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_quality_gate" -> q69QualityGate _,
+    "q70_pack" -> q70Pack _,
     "q65_decontaminate" -> q65Decontaminate _,
     "q66_repetition" -> q66Repetition _,
     "q67_pii_scrub" -> q67PiiScrub _,
@@ -343,6 +392,38 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q69_quality_gate" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS words,
+        |   CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS DOUBLE) AS dw,
+        |   CAST(len(regexp_extract_all(' ' || lower(text) || ' ',
+        |     ' (the|a|of|and|to|in|is) ')) AS DOUBLE) AS stops,
+        |   CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS punct,
+        |   CAST(length(text) AS DOUBLE) AS chars
+        |  FROM documents)
+        |SELECT doc_id,
+        | words < 15 AS too_short,
+        | dw / words < 0.5 AS low_diversity,
+        | stops / words < 0.01 AS low_stopword,
+        | punct / chars > 0.1 AS high_punct,
+        | NOT (words < 15 OR dw / words < 0.5 OR stops / words < 0.01
+        |      OR punct / chars > 0.1) AS keep
+        |FROM m""".stripMargin,
+    "q70_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |   ('0x' || substr(md5('pack:' || text), 1, 8))::BIGINT % 16 AS shard
+        |  FROM documents),
+        | c AS (
+        |  SELECT doc_id, lang, shard, n_tokens,
+        |   sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard,
+        | CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+        |FROM c""".stripMargin,
     "q65_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS wl

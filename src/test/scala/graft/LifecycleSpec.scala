@@ -47,4 +47,30 @@ class LifecycleSpec extends SparkSpec {
     assert(fps(1L) == fps(2L) && fps(2L) == fps(3L))
     assert(fps(1L) != fps(4L))
   }
+
+  test("scd2Merge closes open intervals and equals the full rebuild") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def ev(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("user_id", "event_id", "t")
+        .select(col("user_id"), col("event_id"), to_timestamp(col("t")).as("ts"))
+    val history = ev(Seq(
+      (1L, 1L, "2024-01-01 10:00:00"), (1L, 2L, "2024-01-05 10:00:00"),
+      (2L, 3L, "2024-01-02 10:00:00")))
+    val updates = ev(Seq(
+      (1L, 4L, "2024-01-20 10:00:00"),   // existing user: closes event 2
+      (3L, 5L, "2024-01-21 10:00:00")))  // brand-new user
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4))).toSet
+
+    val merged = graft.operators.Lifecycle.scd2Merge(
+      graft.operators.Lifecycle.scd2Rebuild(history), updates)
+    val rebuilt = graft.operators.Lifecycle.scd2Rebuild(history.unionByName(updates))
+    assert(key(merged) == key(rebuilt), "merge must equal the full rebuild")
+    // user 2 saw no updates: its open interval stays open
+    val open = merged.filter(col("is_current")).select("user_id", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(open == Map(1L -> 4L, 2L -> 3L, 3L -> 5L))
+  }
 }
