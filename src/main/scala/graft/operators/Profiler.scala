@@ -18,7 +18,14 @@ import graft.sources.Tables
   */
 object Profiler {
 
-  /** Numeric-column profile: one row per column. */
+  /** Numeric-column profile: one row per column. The aggregate row is
+    * collected once and the per-column rows built driver-side — a union
+    * of projections over the aggregate would re-plan (and re-scan) the
+    * aggregation once per column, because column pruning gives each
+    * branch a different pruned Aggregate that exchange reuse can't
+    * dedupe. Collecting ONE row is free at any table size and keeps the
+    * single-pass promise literal.
+    */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
     val aggs = cols.flatMap { c =>
@@ -28,16 +35,15 @@ object Profiler {
         min(col(c)).cast("double").as(s"min__$c"),
         max(col(c)).cast("double").as(s"max__$c"))
     } :+ count(lit(1)).as("n_rows")
-    val row = df.agg(aggs.head, aggs.tail: _*)
-    cols.map { c =>
-      row.select(
-        lit(c).as("col_name"),
-        col("n_rows"),
-        col(s"nulls__$c").as("n_nulls"),
-        col(s"dist__$c").as("n_distinct"),
-        col(s"min__$c").as("min_v"),
-        col(s"max__$c").as("max_v"))
-    }.reduce(_ unionByName _)
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    def grab[A](name: String): A = row.getAs[A](name)
+    val out = cols.map { c =>
+      (c, grab[Long]("n_rows"), grab[Long](s"nulls__$c"), grab[Long](s"dist__$c"),
+        Option(row.getAs[Any](s"min__$c")).map(_.asInstanceOf[Double]),
+        Option(row.getAs[Any](s"max__$c")).map(_.asInstanceOf[Double]))
+    }
+    import df.sparkSession.implicits._
+    out.toDF("col_name", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v")
   }
 
   def q71Profile(s: SparkSession, d: String): DataFrame =

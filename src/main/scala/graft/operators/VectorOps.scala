@@ -92,25 +92,39 @@ object VectorOps {
     q36MinhashLshOn(documents(s, d))
 
   def q36MinhashLshOn(docs: DataFrame,
-      maxBucketWidth: Int = MaxBucketWidth): DataFrame = {
-    val bucket = Window.partitionBy("band", "sig")
-    // one shuffle on (band, sig) annotates width + min without a join
-    val keyed = bandedSignatures(docs)
-      .withColumn("w", count(lit(1)).over(bucket))
-      .withColumn("bucket_min", min("doc_id").over(bucket))
-    val narrow = keyed.filter(col("w") <= maxBucketWidth)
-      .select("doc_id", "band", "sig")
-    val narrowPairs = narrow.as("a")
-      .join(narrow.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-    val starPairs = keyed
-      .filter(col("w") > maxBucketWidth && col("doc_id") =!= col("bucket_min"))
-      .select(col("bucket_min").as("a_id"), col("doc_id").as("b_id"))
-    narrowPairs.union(starPairs)
+      maxBucketWidth: Int = MaxBucketWidth): DataFrame =
+    widthCappedPairs(bandedSignatures(docs), Seq("band", "sig"), Nil, maxBucketWidth)
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("n_shared_bands"))
+
+  /** THE cap/star-route scaffolding shared by every bucketed pairwise
+    * listing (q36 band buckets, q37 chunk buckets): one window shuffle on
+    * the bucket key annotates width + min row, buckets of bounded width
+    * list pairs exactly, oversized buckets emit star edges
+    * (bucket-min ↔ member) so connectivity survives without the O(width²)
+    * blowup. `carry` columns ride along as `a_<c>`/`b_<c>` for downstream
+    * residual filters. Pair order: `a_id < b_id` on the narrow path, and
+    * the star source is the bucket's smallest doc_id, so it holds on both.
+    */
+  private def widthCappedPairs(bucketed: DataFrame, keyCols: Seq[String],
+      carry: Seq[String], maxBucketWidth: Int): DataFrame = {
+    val bucket = Window.partitionBy(keyCols.map(col): _*)
+    // min over struct(doc_id, carry...) is ordered by doc_id first, so it
+    // selects the bucket-min row together with its carried payload
+    val keyed = bucketed
+      .withColumn("w", count(lit(1)).over(bucket))
+      .withColumn("m", min(struct((col("doc_id") +: carry.map(col)): _*)).over(bucket))
+    val narrow = keyed.filter(col("w") <= maxBucketWidth).drop("w", "m")
+    val joinCond = keyCols.map(k => col(s"a.$k") === col(s"b.$k"))
+      .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
+    val narrowPairs = narrow.as("a").join(narrow.as("b"), joinCond)
+      .select(col("a.doc_id").as("a_id") +: col("b.doc_id").as("b_id") +:
+        carry.flatMap(c => Seq(col(s"a.$c").as(s"a_$c"), col(s"b.$c").as(s"b_$c"))): _*)
+    val starPairs = keyed
+      .filter(col("w") > maxBucketWidth && col("doc_id") =!= col("m.doc_id"))
+      .select(col("m.doc_id").as("a_id") +: col("doc_id").as("b_id") +:
+        carry.flatMap(c => Seq(col(s"m.$c").as(s"a_$c"), col(c).as(s"b_$c"))): _*)
+    narrowPairs.union(starPairs)
   }
 
   /** Single-pass LSH dedup clustering: every doc maps to the smallest
@@ -221,25 +235,9 @@ object VectorOps {
     val bucketed = sh.select(col("doc_id"), col("simhash"),
       explode(array(chunks: _*)).as("ck"))
       .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-    val bucket = Window.partitionBy("chunk", "key")
-    // one shuffle on (chunk, key) annotates width + min-doc without a join
-    val keyed = bucketed
-      .withColumn("w", count(lit(1)).over(bucket))
-      .withColumn("m", min(struct(col("doc_id"), col("simhash"))).over(bucket))
-    val narrow = keyed.filter(col("w") <= maxBucketWidth)
-    val narrowPairs = narrow.as("a")
-      .join(narrow.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.simhash").as("a_sh"), col("b.simhash").as("b_sh"))
-    val starPairs = keyed
-      .filter(col("w") > maxBucketWidth && col("doc_id") =!= col("m.doc_id"))
-      .select(col("m.doc_id").as("a_id"), col("doc_id").as("b_id"),
-        col("m.simhash").as("a_sh"), col("simhash").as("b_sh"))
-    narrowPairs.union(starPairs)
+    widthCappedPairs(bucketed, Seq("chunk", "key"), Seq("simhash"), maxBucketWidth)
       .select(col("a_id"), col("b_id"),
-        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long").as("hamming"))
+        bit_count(col("a_simhash").bitwiseXOR(col("b_simhash"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 8)
   }

@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.sql.{Connection, DriverManager}
+import java.util.UUID
 
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row}
@@ -25,15 +26,20 @@ import org.apache.spark.sql.{DataFrame, Row}
   *     untouched, and re-running the load rebuilds staging from scratch.
   * Re-running a load of the same partitions first deletes what it is
   * about to rewrite — overwrite-by-partition idempotence, the same
-  * contract as a parquet dynamic-partition overwrite. Concurrent loads
-  * of the SAME partition are excluded by contract (the reference
-  * serializes runs via max_active_runs=1; BatchRunner's ledger does the
-  * equivalent here).
+  * contract as a parquet dynamic-partition overwrite. The staging table
+  * is named uniquely per load, so concurrent loads of DIFFERENT
+  * partitions of one table cannot clobber each other's staging;
+  * concurrent loads of the SAME partition remain excluded by contract
+  * (the reference serializes runs via max_active_runs=1; BatchRunner's
+  * ledger does the equivalent here). The stage is dropped on every
+  * normal or failed completion; only a hard JVM kill can leak one, and
+  * any `<table>_gstg_*` leftover is safe to drop manually.
   */
 object JdbcSink {
 
-  /** rows merged into the target / JDBC batches executed while staging —
-    * spec-observable so batching is testable, and a load report for ops. */
+  /** rows merged into the target / JDBC batches the winning attempts
+    * executed while staging — spec-observable so batching is testable,
+    * and a load report for ops. */
   case class WriteStats(rows: Long, batches: Long)
 
   private val Ident = "[A-Za-z][A-Za-z0-9_]*"
@@ -46,67 +52,66 @@ object JdbcSink {
     val cols = df.schema.fieldNames
     (partitionCol +: cols).foreach(c =>
       require(c.matches(Ident), s"column must match $Ident, got '$c'"))
-    val stage = s"${table}_graft_stage"
+    // unique per load: concurrent loads of one table each stage privately
+    val stage = s"${table}_gstg_${UUID.randomUUID().toString.replace("-", "").take(12)}"
     val colList = cols.mkString(", ")
 
-    // phase 0 (driver): (re)create staging as a constraint-free schema
-    // clone of the target plus the task-identity columns the retry /
-    // speculation story needs. A leftover stage from a crashed run is
-    // dropped here, so crashes never need manual cleanup.
+    // phase 0 (driver): create staging as a constraint-free schema clone
+    // of the target plus the task-identity columns the retry/speculation
+    // story needs
     withConn(url) { c =>
-      dropIfExists(c, stage)
       exec(c, s"CREATE TABLE $stage AS SELECT $colList FROM $table WITH NO DATA")
       exec(c, s"ALTER TABLE $stage ADD COLUMN gstg_part INTEGER")
       exec(c, s"ALTER TABLE $stage ADD COLUMN gstg_att BIGINT")
     }
-
-    // phase 1 (executors): each task stages its rows in one transaction,
-    // tagged (partitionId, taskAttemptId); delete-before-insert on the
-    // partition id makes a retried task idempotent in staging.
-    val insertSql = s"INSERT INTO $stage ($colList, gstg_part, gstg_att) " +
-      s"VALUES (${cols.map(_ => "?").mkString(", ")}, ?, ?)"
-    val batchAcc = df.sparkSession.sparkContext.longAccumulator("jdbc_sink_batches")
-    val nCols = cols.length
-    df.foreachPartition { (it: Iterator[Row]) =>
-      if (it.hasNext) {
-        val tc = TaskContext.get()
-        val part = tc.partitionId()
-        val att = tc.taskAttemptId()
-        val c = DriverManager.getConnection(url)
-        try {
-          c.setAutoCommit(false)
-          val del = c.prepareStatement(s"DELETE FROM $stage WHERE gstg_part = ?")
-          del.setInt(1, part); del.executeUpdate(); del.close()
-          val ps = c.prepareStatement(insertSql)
-          var pending = 0
-          it.foreach { r =>
-            var i = 0
-            while (i < nCols) { ps.setObject(i + 1, r.get(i)); i += 1 }
-            ps.setInt(nCols + 1, part)
-            ps.setLong(nCols + 2, att)
-            ps.addBatch()
-            pending += 1
-            if (pending == batchSize) { ps.executeBatch(); batchAcc.add(1); pending = 0 }
-          }
-          if (pending > 0) { ps.executeBatch(); batchAcc.add(1) }
-          c.commit()
-          ps.close()
-        } finally c.close()
+    try {
+      // phase 1 (executors): each task stages its rows in one transaction,
+      // tagged (partitionId, taskAttemptId); delete-before-insert on the
+      // partition id makes a retried task idempotent in staging.
+      val insertSql = s"INSERT INTO $stage ($colList, gstg_part, gstg_att) " +
+        s"VALUES (${cols.map(_ => "?").mkString(", ")}, ?, ?)"
+      val nCols = cols.length
+      df.foreachPartition { (it: Iterator[Row]) =>
+        if (it.hasNext) {
+          val tc = TaskContext.get()
+          val part = tc.partitionId()
+          val att = tc.taskAttemptId()
+          val c = DriverManager.getConnection(url)
+          try {
+            c.setAutoCommit(false)
+            val del = c.prepareStatement(s"DELETE FROM $stage WHERE gstg_part = ?")
+            del.setInt(1, part); del.executeUpdate(); del.close()
+            val ps = c.prepareStatement(insertSql)
+            var pending = 0
+            it.foreach { r =>
+              var i = 0
+              while (i < nCols) { ps.setObject(i + 1, r.get(i)); i += 1 }
+              ps.setInt(nCols + 1, part)
+              ps.setLong(nCols + 2, att)
+              ps.addBatch()
+              pending += 1
+              if (pending == batchSize) { ps.executeBatch(); pending = 0 }
+            }
+            if (pending > 0) ps.executeBatch()
+            c.commit()
+            ps.close()
+          } finally c.close()
+        }
       }
-    }
-
-    val rows = mergeStage(url, table, stage, partitionCol, cols)
-    WriteStats(rows, batchAcc.value)
+      mergeStage(url, table, stage, partitionCol, cols, batchSize)
+    } finally withConn(url)(dropIfExists(_, stage))
   }
 
   /** Phase 2 (driver, ONE transaction): overwrite the staged partitions.
     * `winners` keeps exactly one committed attempt per Spark partition
     * (the one with the highest globally-unique task-attempt id), so even
     * a speculative duplicate that raced its sibling to commit cannot
-    * double rows in the target. Returns the merged row count.
+    * double rows in the target. Stats derive from the winning rows alone
+    * (batches = Σ ceil(winner-partition rows / batchSize)), so retried or
+    * losing attempts never skew the load report.
     */
   private[graft] def mergeStage(url: String, table: String, stage: String,
-      partitionCol: String, cols: Seq[String]): Long = {
+      partitionCol: String, cols: Seq[String], batchSize: Int = 500): WriteStats = {
     val colList = cols.mkString(", ")
     val winners = s"SELECT gstg_part wp, MAX(gstg_att) wa FROM $stage GROUP BY gstg_part"
     val merged = s"$stage s JOIN ($winners) w ON s.gstg_part = w.wp AND s.gstg_att = w.wa"
@@ -116,6 +121,11 @@ object JdbcSink {
         s"SELECT DISTINCT s.$partitionCol FROM $merged")
       val loaded = Iterator.continually(rs).takeWhile(_.next()).map(_.getObject(1)).toVector
       rs.close()
+      val brs = c.createStatement().executeQuery(
+        s"SELECT COUNT(*) FROM $merged GROUP BY s.gstg_part")
+      val batches = Iterator.continually(brs).takeWhile(_.next())
+        .map(r => (r.getLong(1) + batchSize - 1) / batchSize).sum
+      brs.close()
       val del = c.prepareStatement(s"DELETE FROM $table WHERE $partitionCol = ?")
       loaded.filter(_ != null).foreach { v => del.setObject(1, v); del.addBatch() }
       del.executeBatch(); del.close()
@@ -126,9 +136,7 @@ object JdbcSink {
       val rows = c.createStatement().executeUpdate(
         s"INSERT INTO $table ($colList) SELECT ${cols.map("s." + _).mkString(", ")} FROM $merged")
       c.commit()
-      dropIfExists(c, stage)
-      c.commit()
-      rows.toLong
+      WriteStats(rows.toLong, batches)
     }
   }
 
@@ -142,11 +150,15 @@ object JdbcSink {
     try st.execute(sql) finally st.close()
   }
 
-  /** Metadata-probe drop (no reliance on vendor-specific SQLSTATEs). */
+  /** Metadata-probe drop (no reliance on vendor-specific SQLSTATEs).
+    * `getTables` patterns treat '_' as a single-char wildcard — escape it
+    * so a similarly-shaped sibling table can't fake a match. */
   private def dropIfExists(c: Connection, table: String): Unit = {
     val md = c.getMetaData
+    val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+    def pat(t: String) = t.replace("_", s"${esc}_")
     val exists = Seq(table, table.toUpperCase, table.toLowerCase).exists { t =>
-      val rs = md.getTables(null, null, t, null)
+      val rs = md.getTables(null, null, pat(t), null)
       try rs.next() finally rs.close()
     }
     if (exists) exec(c, s"DROP TABLE $table")

@@ -47,12 +47,23 @@ object MetadataStore {
     if (!fs.exists(p))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     val names = fs.listStatus(p).map(_.getPath.getName)
+    // a flat (pre-batch-keyed) layout mixed with batch_id= dirs would make
+    // partition discovery throw downstream with a cryptic error — fail
+    // loudly with the migration instead
+    val flat = names.filter(n =>
+      !n.startsWith("_") && !n.startsWith(".") && !n.startsWith("batch_id="))
+    require(flat.isEmpty,
+      s"legacy flat metadata layout under $path (${flat.take(3).mkString(", ")}...): " +
+        "re-write it batch-keyed (read with the explicit schema, write with " +
+        "partitionBy(\"batch_id\")) before using this store")
     val inFlight =
       names.collect { case n if n.startsWith("_attempt_") => n.stripPrefix("_attempt_") }.toSet --
       names.collect { case n if n.startsWith("_commit_") => n.stripPrefix("_commit_") }
     val df = spark.read.schema(schema).parquet(path)
     if (inFlight.isEmpty) df
-    else df.filter(!col("batch_id").isInCollection(inFlight))
+    // null-safe: a null batch_id (possible via direct append) must stay
+    // visible — NOT(null IN (...)) would silently drop it
+    else df.filter(col("batch_id").isNull || !col("batch_id").isInCollection(inFlight))
   }
 
   /** The documented ingest flow: etag incoming rows, dedup them within

@@ -56,9 +56,10 @@ class JdbcSinkSpec extends SparkSpec {
       st.execute("INSERT INTO mart2_stage VALUES ('b', 2, 2.0, 1, 8)")
     } finally c.close()
 
-    val rows = JdbcSink.mergeStage(url, "mart2", "mart2_stage", "part",
+    val stats = JdbcSink.mergeStage(url, "mart2", "mart2_stage", "part",
       Seq("part", "id", "metric"))
-    assert(rows == 2, "only the winning attempt's rows merge")
+    assert(stats.rows == 2, "only the winning attempt's rows merge")
+    assert(stats.batches == 2, "batch stats count winning attempts only")
     val c2 = DriverManager.getConnection(url)
     try {
       val rs = c2.createStatement().executeQuery("SELECT COUNT(*) FROM mart2")
