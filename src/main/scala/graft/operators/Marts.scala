@@ -264,7 +264,26 @@ object Marts {
       ntile(4).over(byPrice).cast("long").as("price_quartile"))
   }
 
+  /** Trailing 7-day revenue per customer: a RANGE frame over event-time
+    * (value-based, so all same-day peers join the frame — a ROWS frame
+    * cannot express this). Money sums go through integer cents: a
+    * windowed double sum's floating-point association differs between
+    * engines (incremental vs segment-tree), so rounding the double would
+    * flake on half-boundary values, while integer sums are exact
+    * everywhere.
+    */
+  def q73TrailingWindow(s: SparkSession, d: String): DataFrame = {
+    val day = datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+    val w = Window.partitionBy("o_custkey").orderBy(col("day_n")).rangeBetween(-6, 0)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), day.cast("long").as("day_n"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .select(col("o_custkey"), col("o_orderkey"), col("day_n"),
+        sum("cents").over(w).as("trailing_7d_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_trailing_window" -> q73TrailingWindow _,
     "q55_window_suite" -> q55WindowSuite _,
     "q47_pivot" -> q47Pivot _,
     "q48_argmax" -> q48Argmax _,
@@ -296,6 +315,16 @@ object Marts {
   )
 
   val oracles: Map[String, String] = Map(
+    "q73_trailing_window" ->
+      """WITH t AS (
+        |  SELECT o_custkey, o_orderkey,
+        |   CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_n,
+        |   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, day_n,
+        | CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY day_n
+        |   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_7d_cents
+        |FROM t""".stripMargin,
     "q55_window_suite" ->
       """SELECT o_custkey, o_orderkey,
         | round(sum(o_totalprice) OVER (PARTITION BY o_custkey

@@ -61,4 +61,33 @@ object ParquetSink {
       .partitionBy(partitionCols: _*)
       .mode(SaveMode.Overwrite)
       .parquet(path)
+
+  /** Small-file compaction: rewrite a flat parquet directory into
+    * ~targetBytes files. Incremental appends (streaming sinks, per-batch
+    * ingests) accrete files whose count — not size — throttles scan
+    * parallelism and floods the driver with footer reads; a periodic
+    * compaction pass restores the layout. File count derives from the
+    * CURRENT on-disk bytes, so the pass is right-sized without a config
+    * guess. The rewrite goes through a temp sibling directory and swaps
+    * via rename, so concurrent readers never observe a half-written
+    * layout (readers mid-swap should retry; writers must be paused — the
+    * same maintenance-window contract as any table-format compaction).
+    */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetBytes > 0)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}__compact_tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(path).repartition(nFiles).write.parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}__compact_old")
+    fs.delete(old, true)
+    require(fs.rename(p, old), s"compact: could not move $p aside")
+    require(fs.rename(tmp, p), s"compact: could not swap $tmp into place")
+    fs.delete(old, true)
+    nFiles
+  }
 }

@@ -78,4 +78,24 @@ class ParquetSinkSpec extends SparkSpec {
       assert(joined.count() == lineitem.count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("compact collapses a small-file layout without changing its contents") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sink_compact").toString + "/t"
+    val df = (1 to 5000).map(i => (i.toLong, s"row-$i")).toDF("id", "payload")
+    df.repartition(40).write.parquet(dir)
+    def dataFiles() = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles() == 40, "fixture must start fragmented")
+
+    val n = ParquetSink.compact(spark, dir, targetBytes = 512L * 1024)
+    assert(dataFiles() == n && n < 40, s"expected few files, got ${dataFiles()}")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 5000)
+    assert(back.agg(sum("id")).head().getLong(0) == 5000L * 5001 / 2,
+      "contents must survive the rewrite byte-for-byte")
+    // no temp/backup residue next to the table
+    val siblings = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!siblings.exists(_.contains("__compact")), siblings.mkString(","))
+  }
 }
