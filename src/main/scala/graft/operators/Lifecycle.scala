@@ -67,6 +67,54 @@ object Lifecycle {
     cdcDiff(old, neu, "o_orderkey", Seq("o_totalprice", "o_orderstatus"))
   }
 
+  /** Value-carrying CDC delta: same classification as [[cdcDiff]] but
+    * each insert/update row carries the NEW values (deletes carry nulls)
+    * — the feed [[cdcApply]] consumes.
+    */
+  def cdcDelta(oldDf: DataFrame, newDf: DataFrame, key: String,
+      valueCols: Seq[String]): DataFrame = {
+    val o = oldDf.select((key +: valueCols).map(c => col(c).as(s"old_$c")): _*)
+    val n = newDf.select((key +: valueCols).map(c => col(c).as(s"new_$c")): _*)
+    val neq: Column = valueCols
+      .map(c => not(col(s"new_$c") <=> col(s"old_$c")))
+      .reduce(_ || _)
+    o.join(n, col(s"old_$key") === col(s"new_$key"), "full_outer")
+      .withColumn("change_type",
+        when(col(s"old_$key").isNull, "insert")
+          .when(col(s"new_$key").isNull, "delete")
+          .when(neq, "update")
+          .otherwise("unchanged"))
+      .filter(col("change_type") =!= "unchanged")
+      .select(coalesce(col(s"new_$key"), col(s"old_$key")).as(key) +:
+        col("change_type") +: valueCols.map(c => col(s"new_$c").as(c)): _*)
+  }
+
+  /** Apply a CDC delta to the previous snapshot — MERGE semantics as one
+    * anti-join plus a union: deletes drop, updates replace, inserts add.
+    * The round-trip law `cdcApply(old, cdcDelta(old, new)) == new` is
+    * exactly how q74 is oracled (the oracle IS the new snapshot), so the
+    * diff and the apply verify each other.
+    */
+  def cdcApply(snapshot: DataFrame, delta: DataFrame, key: String,
+      valueCols: Seq[String]): DataFrame = {
+    val cols = (key +: valueCols).map(col)
+    val kept = snapshot.join(delta.select(key), Seq(key), "left_anti")
+    kept.select(cols: _*).unionByName(
+      delta.filter(col("change_type") =!= "delete").select(cols: _*))
+  }
+
+  def q74CdcApply(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d)
+    // same simulated snapshots as q23
+    val old = base.filter(col("o_orderkey") % 7 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 0.9)
+          .otherwise(col("o_totalprice")))
+    val neu = base.filter(col("o_orderkey") % 11 =!= 0)
+    val cols = Seq("o_totalprice", "o_orderstatus")
+    cdcApply(old, cdcDelta(old, neu, "o_orderkey", cols), "o_orderkey", cols)
+  }
+
   /** Silver cleaning + standardization: trim/case-normalize, extract the
     * numeric id embedded in the name, bucket the balance sign.
     */
@@ -201,6 +249,7 @@ object Lifecycle {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_scd2" -> q50Scd2 _,
     "q72_scd2_merge" -> q72Scd2Merge _,
+    "q74_cdc_apply" -> q74CdcApply _,
     "q46_zscore_normalize" -> q46ZscoreNormalize _,
     "q21_bronze_partition_keys" -> q21BronzePartitionKeys _,
     "q22_json_extract" -> q22JsonExtract _,
@@ -213,6 +262,11 @@ object Lifecycle {
   )
 
   val oracles: Map[String, String] = Map(
+    // diff∘apply is oracled against the NEW SNAPSHOT itself: the delta
+    // and its application must round-trip byte-identically
+    "q74_cdc_apply" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey % 11 <> 0""".stripMargin,
     // the merge is oracled against the FULL REBUILD: incremental upsert
     // and rebuild must produce byte-identical dimensions
     "q72_scd2_merge" ->

@@ -282,7 +282,24 @@ object Marts {
         sum("cents").over(w).as("trailing_7d_cents"))
   }
 
+  /** INTERSECT/EXCEPT set operators: customers active in BOTH the first
+    * two months (repeat) vs only the first (lapsed). Set semantics are
+    * distinct-based on both engines; each set op plans as an aggregate-
+    * style shuffle on the full row — no join needed.
+    */
+  def q75SetOps(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .withColumn("m", date_format(col("o_orderdate").cast("date"), "yyyy-MM"))
+    def month(m: String) = o.filter(col("m") === m).select("o_custkey")
+    val repeat = month("1995-01").intersect(month("1995-02"))
+      .withColumn("cohort", lit("repeat"))
+    val lapsed = month("1995-01").except(month("1995-02"))
+      .withColumn("cohort", lit("lapsed"))
+    repeat.unionByName(lapsed)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_set_ops" -> q75SetOps _,
     "q73_trailing_window" -> q73TrailingWindow _,
     "q55_window_suite" -> q55WindowSuite _,
     "q47_pivot" -> q47Pivot _,
@@ -315,6 +332,19 @@ object Marts {
   )
 
   val oracles: Map[String, String] = Map(
+    "q75_set_ops" ->
+      """WITH m AS (
+        |  SELECT o_custkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS m
+        |  FROM orders)
+        |SELECT o_custkey, 'repeat' AS cohort FROM (
+        |  SELECT o_custkey FROM m WHERE m = '1995-01'
+        |  INTERSECT
+        |  SELECT o_custkey FROM m WHERE m = '1995-02') r
+        |UNION ALL
+        |SELECT o_custkey, 'lapsed' AS cohort FROM (
+        |  SELECT o_custkey FROM m WHERE m = '1995-01'
+        |  EXCEPT
+        |  SELECT o_custkey FROM m WHERE m = '1995-02') l""".stripMargin,
     "q73_trailing_window" ->
       """WITH t AS (
         |  SELECT o_custkey, o_orderkey,

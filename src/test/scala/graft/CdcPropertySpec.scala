@@ -47,6 +47,13 @@ class CdcPropertySpec extends SparkSpec {
           newM.view.filterKeys(k =>
             changes.get(k).contains("insert") || changes.get(k).contains("update")).toMap
       assert(reconstructed == newM, s"seed $i reconstruction mismatch")
+
+      // and the ENGINE-side round trip: cdcApply(old, cdcDelta(old, new)) == new
+      val applied = Lifecycle.cdcApply(oldDf,
+          Lifecycle.cdcDelta(oldDf, newDf, "id", Seq("status", "price")),
+          "id", Seq("status", "price"))
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+      assert(applied == newM, s"seed $i: cdcApply round-trip mismatch")
     }
   }
 }
