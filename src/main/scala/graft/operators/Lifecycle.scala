@@ -39,21 +39,8 @@ object Lifecycle {
     * a deterministic instantiation over `orders` for the oracle.
     */
   def cdcDiff(oldDf: DataFrame, newDf: DataFrame, key: String,
-      valueCols: Seq[String]): DataFrame = {
-    val o = oldDf.select((key +: valueCols).map(c => col(c).as(s"old_$c")): _*)
-    val n = newDf.select((key +: valueCols).map(c => col(c).as(s"new_$c")): _*)
-    val neq: Column = valueCols
-      .map(c => not(col(s"new_$c") <=> col(s"old_$c")))
-      .reduce(_ || _)
-    o.join(n, col(s"old_$key") === col(s"new_$key"), "full_outer")
-      .withColumn("change_type",
-        when(col(s"old_$key").isNull, "insert")
-          .when(col(s"new_$key").isNull, "delete")
-          .when(neq, "update")
-          .otherwise("unchanged"))
-      .filter(col("change_type") =!= "unchanged")
-      .select(coalesce(col(s"new_$key"), col(s"old_$key")).as(key), col("change_type"))
-  }
+      valueCols: Seq[String]): DataFrame =
+    cdcDelta(oldDf, newDf, key, valueCols).select(key, "change_type")
 
   def q23CdcChanges(s: SparkSession, d: String): DataFrame = {
     val base = orders(s, d)
@@ -67,21 +54,29 @@ object Lifecycle {
     cdcDiff(old, neu, "o_orderkey", Seq("o_totalprice", "o_orderstatus"))
   }
 
-  /** Value-carrying CDC delta: same classification as [[cdcDiff]] but
-    * each insert/update row carries the NEW values (deletes carry nulls)
-    * — the feed [[cdcApply]] consumes.
+  /** Value-carrying CDC delta: [[cdcDiff]]'s classification with each
+    * insert/update row carrying the NEW values (deletes carry nulls) —
+    * the feed [[cdcApply]] consumes, and the single home of the
+    * classification logic (cdcDiff projects it).
+    *
+    * Keys join null-safely and presence is tracked with literal flags —
+    * with a plain `===` join a null-keyed row present unchanged on both
+    * sides would split into a spurious insert+delete pair and break the
+    * diff∘apply round trip.
     */
   def cdcDelta(oldDf: DataFrame, newDf: DataFrame, key: String,
       valueCols: Seq[String]): DataFrame = {
     val o = oldDf.select((key +: valueCols).map(c => col(c).as(s"old_$c")): _*)
+      .withColumn("__old_present", lit(true))
     val n = newDf.select((key +: valueCols).map(c => col(c).as(s"new_$c")): _*)
+      .withColumn("__new_present", lit(true))
     val neq: Column = valueCols
       .map(c => not(col(s"new_$c") <=> col(s"old_$c")))
       .reduce(_ || _)
-    o.join(n, col(s"old_$key") === col(s"new_$key"), "full_outer")
+    o.join(n, col(s"old_$key") <=> col(s"new_$key"), "full_outer")
       .withColumn("change_type",
-        when(col(s"old_$key").isNull, "insert")
-          .when(col(s"new_$key").isNull, "delete")
+        when(col("__old_present").isNull, "insert")
+          .when(col("__new_present").isNull, "delete")
           .when(neq, "update")
           .otherwise("unchanged"))
       .filter(col("change_type") =!= "unchanged")
@@ -98,7 +93,10 @@ object Lifecycle {
   def cdcApply(snapshot: DataFrame, delta: DataFrame, key: String,
       valueCols: Seq[String]): DataFrame = {
     val cols = (key +: valueCols).map(col)
-    val kept = snapshot.join(delta.select(key), Seq(key), "left_anti")
+    // null-safe anti-join: a changed null-keyed row must still evict its
+    // snapshot counterpart (=== would keep it and duplicate the upsert)
+    val touched = delta.select(col(key).as("__touched_key"))
+    val kept = snapshot.join(touched, col(key) <=> col("__touched_key"), "left_anti")
     kept.select(cols: _*).unionByName(
       delta.filter(col("change_type") =!= "delete").select(cols: _*))
   }

@@ -63,27 +63,44 @@ object ParquetSink {
       .parquet(path)
 
   /** Small-file compaction: rewrite a flat parquet directory into
-    * ~targetBytes files. Incremental appends (streaming sinks, per-batch
-    * ingests) accrete files whose count — not size — throttles scan
-    * parallelism and floods the driver with footer reads; a periodic
-    * compaction pass restores the layout. File count derives from the
-    * CURRENT on-disk bytes, so the pass is right-sized without a config
-    * guess. The rewrite goes through a temp sibling directory and swaps
-    * via rename, so concurrent readers never observe a half-written
-    * layout (readers mid-swap should retry; writers must be paused — the
-    * same maintenance-window contract as any table-format compaction).
+    * ~targetBytes files. Incremental appends (per-batch ingests) accrete
+    * files whose count — not size — throttles scan parallelism and
+    * floods the driver with footer reads; a periodic compaction pass
+    * restores the layout. File count derives from the CURRENT on-disk
+    * bytes, so the pass is right-sized without a config guess.
+    *
+    * NOT for streaming-sink outputs: a `_spark_metadata` transaction log
+    * (FileStreamSink) pins the visible file set, and a rename-swap would
+    * silently hide every compacted row from log-driven reads — such dirs
+    * are refused. Compact a streaming sink's output by rewriting to a
+    * NEW path and repointing readers.
+    *
+    * Crash safety: data is never deleted until the new layout is in
+    * place. The window between the two renames leaves `path` briefly
+    * absent (readers retry; writers must be paused — the standard
+    * maintenance-window contract); a crash inside that window is
+    * self-healing — the next [[compact]] call restores the set-aside
+    * original before starting over.
     */
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
     require(targetBytes > 0)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}__compact_old")
+    // crashed-mid-swap recovery: the original was set aside but the new
+    // layout never swapped in - put it back and redo the work
+    if (!fs.exists(p) && fs.exists(old))
+      require(fs.rename(old, p), s"compact: could not restore $old to $p")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(p, "_spark_metadata")),
+      s"compact: $path is a streaming-sink output (_spark_metadata log); " +
+        "a rename-swap would hide compacted files from log-driven reads - " +
+        "rewrite to a new path instead")
     val totalBytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}__compact_tmp")
     fs.delete(tmp, true)
     spark.read.parquet(path).repartition(nFiles).write.parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}__compact_old")
     fs.delete(old, true)
     require(fs.rename(p, old), s"compact: could not move $p aside")
     require(fs.rename(tmp, p), s"compact: could not swap $tmp into place")

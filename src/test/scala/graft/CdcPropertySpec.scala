@@ -56,4 +56,25 @@ class CdcPropertySpec extends SparkSpec {
       assert(applied == newM, s"seed $i: cdcApply round-trip mismatch")
     }
   }
+
+  test("null-keyed rows classify once and round-trip (no phantom insert+delete)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def frame(rows: Seq[(Option[Long], String)]) =
+      rows.toDF("id", "status")
+        .select(col("id").cast("long").as("id"), col("status"))
+    // null key unchanged on both sides + one real change elsewhere
+    val oldDf = frame(Seq(None -> "keep", Some(1L) -> "a"))
+    val newDf = frame(Seq(None -> "keep", Some(1L) -> "b"))
+    val delta = Lifecycle.cdcDelta(oldDf, newDf, "id", Seq("status")).collect()
+    assert(delta.length == 1 && delta.head.getString(1) == "update",
+      s"unchanged null-key row must produce no delta: ${delta.mkString(";")}")
+
+    // a CHANGED null-keyed row must evict its snapshot counterpart
+    val newDf2 = frame(Seq(None -> "changed", Some(1L) -> "a"))
+    val applied = Lifecycle.cdcApply(oldDf,
+        Lifecycle.cdcDelta(oldDf, newDf2, "id", Seq("status")), "id", Seq("status"))
+      .collect().map(r => Option(r.get(0)) -> r.getString(1)).toSet
+    assert(applied == Set(None -> "changed", Some(1L) -> "a"), applied.toString)
+  }
 }

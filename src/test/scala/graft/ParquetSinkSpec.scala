@@ -98,4 +98,30 @@ class ParquetSinkSpec extends SparkSpec {
     val siblings = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
     assert(!siblings.exists(_.contains("__compact")), siblings.mkString(","))
   }
+
+  test("compact refuses streaming-sink outputs and recovers a crashed swap") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("sink_compact_edge").toString
+    // a _spark_metadata log means the visible file set is pinned by the
+    // sink's transaction log: rename-swap would hide every compacted row
+    val streamDir = s"$root/stream_out"
+    Seq((1L, "x")).toDF("id", "p").write.parquet(streamDir)
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(streamDir, "_spark_metadata"))
+    val e = intercept[IllegalArgumentException](ParquetSink.compact(spark, streamDir))
+    assert(e.getMessage.contains("_spark_metadata"))
+
+    // crashed mid-swap: the table was set aside, the new layout never
+    // landed - the next compact() must restore and complete
+    val dir = s"$root/t"
+    val df = (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "p")
+    df.repartition(10).write.parquet(dir)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(s"$root/.t__compact_old"))
+    assert(!new java.io.File(dir).exists())
+    ParquetSink.compact(spark, dir, targetBytes = Long.MaxValue)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 100, "recovered table must hold the full contents")
+    assert(!new java.io.File(s"$root/.t__compact_old").exists())
+  }
 }
