@@ -109,18 +109,13 @@ object TextOps {
     * is mostly corpus-wide boilerplate, never invent one.
     */
   def ngramJaccard(docs: DataFrame, maxShingleDF: Int): DataFrame = {
-    // Shingling via posexplode + window leads keeps the whole pipeline in
-    // codegen'd operators (a transform() lambda here runs interpreted and
-    // is ~10x slower JIT-cold).
-    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    // Shingling is a per-row codegen'd kernel (plans.Shingles): the old
+    // posexplode + window-lead form paid a full doc_id-keyed shuffle
+    // before the index could even build. (A transform() lambda would
+    // also be per-row but runs interpreted — ~10x slower JIT-cold.)
     val ex = docs
       .select(col("doc_id"), col("lang"),
-        posexplode(tokens(col("text"))))
-      .withColumn("w1", lead("col", 1).over(byPos))
-      .withColumn("w2", lead("col", 2).over(byPos))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), col("lang"),
-        concat_ws(" ", col("col"), col("w1"), col("w2")).as("s"))
+        explode(graft.plans.GraftFunctions.shingles(tokens(col("text")), 3)).as("s"))
       .distinct()
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val index =
@@ -245,13 +240,11 @@ object TextOps {
     * open-data-pipeline convention). */
   val ContamN = 13
 
-  /** Overlapping word n-grams of width n, one row per gram. */
+  /** Overlapping word n-grams of width n, one row per gram — the
+    * per-row Shingles kernel, so gram construction never shuffles. */
   private def wordGrams(docs: DataFrame, n: Int): DataFrame =
-    docs
-      .withColumn("wl", tokens(col("text")))
-      .filter(size(col("wl")) >= n)
-      .withColumn("i", explode(sequence(lit(1), size(col("wl")) - (n - 1))))
-      .select(col("doc_id"), concat_ws(" ", slice(col("wl"), col("i"), lit(n))).as("g"))
+    docs.select(col("doc_id"),
+      explode(graft.plans.GraftFunctions.shingles(tokens(col("text")), n)).as("g"))
 
   /** Benchmark decontamination: flag training docs sharing any 13-gram
     * with the eval set (proxy here: every 17th doc plays the benchmark

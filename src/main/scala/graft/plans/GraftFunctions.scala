@@ -33,6 +33,10 @@ object GraftFunctions {
   def minhash(tokens: Column, numHashes: Int): Column =
     toCol(MinHash(toExpr(tokens), numHashes))
 
+  /** Per-row word n-gram shingles (array<string>) over a token column. */
+  def shingles(tokens: Column, n: Int): Column =
+    toCol(Shingles(toExpr(tokens), n))
+
   private def intArg(e: Expression, fn: String, pos: Int): Int =
     if (e.foldable) e.eval().asInstanceOf[Number].intValue
     else throw new IllegalArgumentException(s"$fn: argument $pos must be a literal int")
@@ -53,6 +57,8 @@ object GraftFunctions {
       es => SimHash64(es(0))),
     ("minhash", "minhash(tokens, k) - fused k-way MinHash signature of an array<string>",
       es => MinHash(es(0), intArg(es(1), "minhash", 1))),
+    ("shingles", "shingles(tokens, n) - overlapping space-joined word n-grams",
+      es => Shingles(es(0), intArg(es(1), "shingles", 1))),
     ("topk_freq", "topk_freq(v, k[, capacity]) - SpaceSaving top-k frequent values",
       es => TopKFreq(es(0), intArg(es(1), "topk_freq", 1),
         if (es.length > 2) intArg(es(2), "topk_freq", 2) else 4096)

@@ -48,6 +48,31 @@ class TextOpsSpec extends SparkSpec {
     assert(hot >= 3, "the boilerplate run must produce hot shingles for this test to bite")
   }
 
+  test("Shingles kernel is identical to the window-lead formulation") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val Window = org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val kernel = collect(docs.select(col("doc_id"),
+      explode(graft.plans.GraftFunctions.shingles(TextOps.tokens(col("text")), 3)).as("s")))
+    val windowed = collect(docs
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+      .withColumn("w1", lead("col", 1).over(byPos))
+      .withColumn("w2", lead("col", 2).over(byPos))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("col"), col("w1"), col("w2")).as("s")))
+    assert(kernel == windowed, "per-row kernel must reproduce the shuffle-based shingling")
+
+    // edges: fewer tokens than n -> empty; exactly n -> one gram
+    import spark.implicits._
+    val tiny = Seq((1L, "one two"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = tiny.select(col("doc_id"),
+        graft.plans.GraftFunctions.shingles(TextOps.tokens(col("text")), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L).isEmpty && got(2L) == Seq("a b c"))
+  }
+
   test("decontamination flags exactly the docs sharing a 13-gram with the eval set") {
     import spark.implicits._
     val run = (1 to 13).map(i => s"w$i").mkString(" ")       // a shared 13-token run

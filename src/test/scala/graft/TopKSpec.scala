@@ -71,6 +71,8 @@ class TopKSpec extends SparkSpec {
       .head().getDouble(0) == 11.0)
     val sh = spark.sql("SELECT simhash64(array('alpha','beta')) AS s").head().getLong(0)
     assert(sh != 0L)
+    assert(spark.sql("SELECT shingles(array('a','b','c'), 2) AS g").head()
+      .getSeq[String](0) == Seq("a b", "b c"))
     val hh = spark.sql(
       "SELECT topk_freq(w, 1, 16) AS t FROM (SELECT explode(array('x','x','y')) AS w)")
       .select(explode(col("t")).as("e")).select("e.word", "e.cnt").head()
