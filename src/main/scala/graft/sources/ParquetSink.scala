@@ -62,6 +62,41 @@ object ParquetSink {
       .mode(SaveMode.Overwrite)
       .parquet(path)
 
+  /** Z-order-style layout clustering over TWO numeric columns: rows are
+    * range-partitioned and sorted by the bit-interleaved (Morton) key of
+    * the rank-normalized values, so every file is clustered in BOTH
+    * dimensions at once. Parquet min/max stats then prune point/range
+    * predicates on EITHER column — a plain sort prunes only its own
+    * leading column and leaves the other dimension scattered across all
+    * files. Cost: one min/max agg pass + one range-exchange write; the
+    * interleave itself is codegen'd shift/mask arithmetic.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      nFiles: Int): Unit = {
+    require(nFiles > 0)
+    import org.apache.spark.sql.functions._
+    val b = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    def norm(c: String, lo: Double, hi: Double) =
+      if (hi > lo) ((col(c).cast("double") - lo) / (hi - lo) * 65535.0).cast("int")
+      else lit(0)
+    // standard Morton bit-spread: 16 bits -> even bit positions of 32
+    def spread(x: org.apache.spark.sql.Column) = {
+      val s1 = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FF))
+      val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0F))
+      val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333))
+      s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555))
+    }
+    val z = spread(norm(colA, b.getDouble(0), b.getDouble(1)))
+      .bitwiseOR(shiftleft(spread(norm(colB, b.getDouble(2), b.getDouble(3))), 1))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z") // projection after the sort keeps row order
+      .write.parquet(path)
+  }
+
   /** Small-file compaction: rewrite a flat parquet directory into
     * ~targetBytes files. Incremental appends (per-batch ingests) accrete
     * files whose count — not size — throttles scan parallelism and

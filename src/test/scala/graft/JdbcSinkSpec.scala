@@ -42,6 +42,20 @@ class JdbcSinkSpec extends SparkSpec {
     assert(count("WHERE part = 'b'") == 4, "partition b must be untouched")
   }
 
+  test("JdbcSource reads the served mart back as a partitioned scan") {
+    // runs after the load test populated `mart` (ScalaTest executes in
+    // declaration order within a suite)
+    val back = graft.sources.JdbcSource.read(spark, url, "mart", "id",
+      numPartitions = 3)
+    assert(back.rdd.getNumPartitions == 3, "scan must fan out across slices")
+    val rows = back.collect().map(r =>
+      (r.getAs[String]("PART"), r.getAs[Long]("ID"), r.getAs[Double]("METRIC"))).toSet
+    // state after the load test: partition a overwritten with one row,
+    // partition b holding its original four
+    assert(rows.size == 5 && rows.contains(("a", 100L, 9.9)), rows.toString)
+    assert(rows.count(_._1 == "b") == 4)
+  }
+
   test("merge keeps only the winning attempt per partition") {
     val c = DriverManager.getConnection(url)
     try {

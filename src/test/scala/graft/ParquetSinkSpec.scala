@@ -99,6 +99,30 @@ class ParquetSinkSpec extends SparkSpec {
     assert(!siblings.exists(_.contains("__compact")), siblings.mkString(","))
   }
 
+  test("z-ordered layout clusters BOTH dimensions (per-file ranges shrink)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("sink_zorder").toString
+    // uniform 2-D grid: under an x-only sort, every file spans ~the full
+    // y range; under z-order both per-file ranges shrink
+    val pts = (0 until 40000).map { i =>
+      val r = new scala.util.Random(i)
+      (r.nextInt(1 << 16).toLong, r.nextInt(1 << 16).toLong)
+    }.toDF("x", "y")
+    ParquetSink.writeZOrdered(pts, s"$root/z", "x", "y", nFiles = 16)
+    pts.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$root/xsort")
+
+    def avgYRange(path: String): Double =
+      spark.read.parquet(path)
+        .groupBy(input_file_name()).agg((max("y") - min("y")).as("r"))
+        .agg(avg("r")).head().getDouble(0)
+    val (zr, xr) = (avgYRange(s"$root/z"), avgYRange(s"$root/xsort"))
+    assert(zr < xr * 0.5,
+      s"z-order must shrink per-file y ranges: z=$zr vs x-sort=$xr")
+    // contents survive
+    assert(spark.read.parquet(s"$root/z").count() == 40000)
+  }
+
   test("compact refuses streaming-sink outputs and recovers a crashed swap") {
     import spark.implicits._
     val root = Files.createTempDirectory("sink_compact_edge").toString
