@@ -544,6 +544,24 @@ object VectorOps {
     s.read.parquet(s"$path/centroids"),
     s.read.parquet(s"$path/assignments").select(col("vec_id"), col("cid")))
 
+  /** Incremental index growth: assign NEW vectors to the EXISTING
+    * centroids (same replicated assignment as the build) and append
+    * their bucket rows — no re-clustering, no touch of existing
+    * assignment files (the append lands only in the new rows' `cid=`
+    * partitions). The centroid geometry slowly staled by appends is
+    * recovered by a periodic full rebuild — the same merge-vs-rebuild
+    * cadence as [[graft.operators.Lifecycle.scd2Merge]]. Search after
+    * append = loadIvfIndex + ivfSearch over the grown corpus.
+    */
+  def ivfAppend(newVecs: DataFrame, path: String,
+      assignReplicas: Int = DefaultAssignReplicas): Unit = {
+    val centroids = newVecs.sparkSession.read.parquet(s"$path/centroids")
+    assign(newVecs, centroids, assignReplicas)
+      .select("vec_id", "cid")
+      .write.mode("append").partitionBy("cid")
+      .parquet(s"$path/assignments")
+  }
+
   def q57IvfTopk(s: SparkSession, d: String): DataFrame =
     ivfTopk(withVec(embeddings(s, d)))
 

@@ -63,6 +63,49 @@ object BronzePipeline {
       .start()
   }
 
+  /** Full content hygiene on the streaming ingest edge: the exact
+    * re-delivery gate (persistent etags, [[MetadataStore.ingestWithGate]])
+    * composed with NEAR-dup gating against everything previously ingested
+    * ([[graft.operators.IncrementalDedup]] band signatures). A re-worded
+    * or re-whitespaced copy of an already-ingested posting — same tokens,
+    * different bytes, so the etag gate alone would admit it — never
+    * reaches bronze.
+    *
+    * Ordering is load-bearing: signatures are recorded only for rows
+    * that actually LANDED (after the bronze commit), so a crashed batch
+    * can never poison the near-dup store with content that isn't in
+    * bronze; the replayed batch re-gates cleanly. Signature appends are
+    * therefore at-least-once — duplicates are harmless to a semi-join
+    * gate. Near-dups WITHIN one micro-batch both land (cross-batch is
+    * this gate's job; in-batch pairs are q30/q36's).
+    */
+  def nearDupGatedIngest(spark: SparkSession, stagingPath: String,
+      bronzePath: String, metaPath: String, sigPath: String,
+      checkpointPath: String): StreamingQuery = {
+    val pid = pipelineId(spark, checkpointPath)
+    val raw = spark.readStream
+      .schema("posting_id STRING, raw_content STRING, source STRING, extracted_at TIMESTAMP")
+      .json(stagingPath)
+    raw.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val keyed = batch.toDF().withColumn("__did", xxhash64(col("posting_id")))
+        val fresh = graft.operators.IncrementalDedup.gate(
+          keyed.select(col("__did").as("doc_id"), col("raw_content").as("text")), sigPath)
+        val survivors = keyed
+          .join(fresh.select(col("doc_id").as("__did")), Seq("__did"), "left_semi")
+          .drop("__did")
+        val landed = MetadataStore.ingestWithGate(
+          survivors, bronzePath, metaPath, f"$pid-$id%05d")
+        graft.operators.IncrementalDedup.appendSignatures(
+          landed.select(xxhash64(col("posting_id")).as("doc_id"),
+            col("raw_content").as("text")), sigPath)
+        ()
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming gold mart over the silver tail: per-source hourly posting
     * counts and payload volume. Watermarked, so aggregation state stays
     * bounded no matter how long the pipeline runs; append mode emits each

@@ -35,6 +35,35 @@ class BronzePipelineSpec extends SparkSpec {
     assert(BronzeLayer.readRaw(spark, bronze).count() == 3)
   }
 
+  test("near-dup gated ingest drops re-worded copies, not just exact re-deliveries") {
+    val root = Files.createTempDirectory("graft_neardup_ingest").toString
+    val staging = s"$root/staging"
+    val bronze = s"$root/bronze"
+    val meta = s"$root/meta"
+    val sigs = s"$root/sigs"
+    val checkpoint = s"$root/ckpt"
+    def drop(rows: Seq[(String, String)]): Unit =
+      rawPostings(rows).coalesce(1).write.mode("append").json(staging)
+    def drain(): Unit = BronzePipeline.nearDupGatedIngest(
+      spark, staging, bronze, meta, sigs, checkpoint).awaitTermination()
+
+    drop(Seq("p1" -> "spark shuffle join window agg scan filter sort"))
+    drain()
+    assert(BronzeLayer.readRaw(spark, bronze).count() == 1)
+
+    // p2: SAME tokens, different whitespace -> different etag, so the
+    // exact gate alone would admit it; the near-dup gate must not.
+    // p3: genuinely new content -> lands.
+    drop(Seq(
+      "p2" -> "spark  shuffle join window agg scan filter sort",
+      "p3" -> "a completely different body with novel words entirely"))
+    drain()
+    val rows = BronzeLayer.readRaw(spark, bronze)
+    assert(rows.count() == 2, "re-worded near-dup must be gated out")
+    assert(rows.filter(col("posting_id") === "p2").count() == 0)
+    assert(rows.filter(col("posting_id") === "p3").count() == 1)
+  }
+
   test("streaming gold mart finalizes each hour exactly once across drains") {
     val root = Files.createTempDirectory("graft_mart").toString
     val bronze = s"$root/bronze"

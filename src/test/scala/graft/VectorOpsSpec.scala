@@ -242,6 +242,40 @@ class VectorOpsSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
   }
 
+  test("ivfAppend: appended vectors are searchable without a rebuild") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_app")
+    val dir = root.toString + "/index"
+    try {
+      val all = graft.sources.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("label"), col("embedding").as("vec"))
+        .withColumn("norm", sqrt(VectorOps.dot(col("vec"), col("vec"))))
+      val queries = all.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("norm").as("q_norm"))
+      val corpus = all.filter(col("vec_id") >= 10)
+      val (centroids, assignments) = VectorOps.ivfIndex(corpus)
+      VectorOps.saveIvfIndex(centroids, assignments, dir)
+
+      // the appended batch: exact twins of the queries under fresh ids —
+      // their true nearest neighbor is themselves, so search MUST surface
+      // them at rank 1 with cos 1.0 if the append really took
+      val twins = queries.select(
+        (col("q_id") + 100000L).as("vec_id"), col("q_vec").as("vec"),
+        col("q_norm").as("norm"))
+      VectorOps.ivfAppend(twins, dir)
+
+      val (lc, la) = VectorOps.loadIvfIndex(spark, dir)
+      val grown = corpus.select("vec_id", "vec", "norm").unionByName(twins)
+      val top1 = VectorOps.ivfSearch(queries, grown, lc, la)
+        .filter(col("rk") === 1)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      queries.select("q_id").collect().map(_.getLong(0)).foreach { q =>
+        assert(top1(q) == ((q + 100000L, 1.0)),
+          s"query $q must find its appended twin at rank 1, got ${top1(q)}")
+      }
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+  }
+
   test("blocked near-dup: high recall on planted near-dups at a fraction of the candidates") {
     import spark.implicits._
     // 150 random base vectors + 150 perturbed copies (cos ~ 0.98), one label
