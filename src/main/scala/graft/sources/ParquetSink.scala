@@ -72,15 +72,30 @@ object ParquetSink {
     * interleave itself is codegen'd shift/mask arithmetic.
     */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
-      nFiles: Int): Unit = {
+      nFiles: Int, saveMode: SaveMode = SaveMode.Overwrite): Unit = {
     require(nFiles > 0)
     import org.apache.spark.sql.functions._
+    // NaN-blind bounds: one NaN would poison max() (NaN sorts largest),
+    // the hi > lo guard would then fail, and the whole dimension would
+    // silently collapse to a constant. NaN/null ROWS still write - they
+    // normalize to cell 0 (double->int cast maps NaN to 0).
+    def safe(c: String) = {
+      val d = col(c).cast("double")
+      when(!isnan(d), d)
+    }
     val b = df.agg(
-      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+      min(safe(colA)), max(safe(colA)), min(safe(colB)), max(safe(colB))).head()
+    // empty input / all-null column -> null bounds -> constant dimension
+    def bound(i: Int): Double = if (b.isNullAt(i)) 0.0 else b.getDouble(i)
+    // NaN/null rows normalize to cell 0 explicitly (ANSI mode rejects a
+    // NaN->int cast) — they cluster together instead of failing the write
     def norm(c: String, lo: Double, hi: Double) =
-      if (hi > lo) ((col(c).cast("double") - lo) / (hi - lo) * 65535.0).cast("int")
-      else lit(0)
+      if (hi > lo) {
+        val d = col(c).cast("double")
+        coalesce(
+          when(!isnan(d), ((d - lo) / (hi - lo) * 65535.0).cast("int")),
+          lit(0))
+      } else lit(0)
     // standard Morton bit-spread: 16 bits -> even bit positions of 32
     def spread(x: org.apache.spark.sql.Column) = {
       val s1 = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FF))
@@ -88,13 +103,13 @@ object ParquetSink {
       val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333))
       s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555))
     }
-    val z = spread(norm(colA, b.getDouble(0), b.getDouble(1)))
-      .bitwiseOR(shiftleft(spread(norm(colB, b.getDouble(2), b.getDouble(3))), 1))
+    val z = spread(norm(colA, bound(0), bound(1)))
+      .bitwiseOR(shiftleft(spread(norm(colB, bound(2), bound(3))), 1))
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z") // projection after the sort keeps row order
-      .write.parquet(path)
+      .write.mode(saveMode).parquet(path)
   }
 
   /** Small-file compaction: rewrite a flat parquet directory into

@@ -71,13 +71,16 @@ object BronzePipeline {
     * different bytes, so the etag gate alone would admit it — never
     * reaches bronze.
     *
-    * Ordering is load-bearing: signatures are recorded only for rows
-    * that actually LANDED (after the bronze commit), so a crashed batch
-    * can never poison the near-dup store with content that isn't in
-    * bronze; the replayed batch re-gates cleanly. Signature appends are
-    * therefore at-least-once — duplicates are harmless to a semi-join
-    * gate. Near-dups WITHIN one micro-batch both land (cross-batch is
-    * this gate's job; in-batch pairs are q30/q36's).
+    * Ordering is load-bearing: signatures derive from the batch's rows
+    * IN BRONZE (read back after the commit), not from the ingest's
+    * return value — so a crashed batch can never poison the near-dup
+    * store with content that isn't in bronze, AND a replay of an
+    * already-committed batch (whose ingest returns empty, the etags
+    * being in the store) still re-records its signatures from the
+    * committed files instead of losing them forever. Signature appends
+    * are at-least-once — duplicates are harmless to a semi-join gate.
+    * Near-dups WITHIN one micro-batch both land (cross-batch is this
+    * gate's job; in-batch pairs are q30/q36's).
     */
   def nearDupGatedIngest(spark: SparkSession, stagingPath: String,
       bronzePath: String, metaPath: String, sigPath: String,
@@ -88,16 +91,20 @@ object BronzePipeline {
       .json(stagingPath)
     raw.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val keyed = batch.toDF().withColumn("__did", xxhash64(col("posting_id")))
-        val fresh = graft.operators.IncrementalDedup.gate(
-          keyed.select(col("__did").as("doc_id"), col("raw_content").as("text")), sigPath)
-        val survivors = keyed
-          .join(fresh.select(col("doc_id").as("__did")), Seq("__did"), "left_semi")
-          .drop("__did")
-        val landed = MetadataStore.ingestWithGate(
-          survivors, bronzePath, metaPath, f"$pid-$id%05d")
+        val batchId = f"$pid-$id%05d"
+        // gate() preserves every input column, so the whole batch rides
+        // through it - no second join to recover the survivors
+        val survivors = graft.operators.IncrementalDedup.gate(
+            batch.toDF()
+              .withColumn("doc_id", xxhash64(col("posting_id")))
+              .withColumn("text", col("raw_content")),
+            sigPath)
+          .drop("doc_id", "text")
+        MetadataStore.ingestWithGate(survivors, bronzePath, metaPath, batchId)
+        val committed = BronzeLayer.readRaw(spark, bronzePath)
+          .filter(col("batch_id") === batchId)
         graft.operators.IncrementalDedup.appendSignatures(
-          landed.select(xxhash64(col("posting_id")).as("doc_id"),
+          committed.select(xxhash64(col("posting_id")).as("doc_id"),
             col("raw_content").as("text")), sigPath)
         ()
       }

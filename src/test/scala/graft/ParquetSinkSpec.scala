@@ -121,6 +121,22 @@ class ParquetSinkSpec extends SparkSpec {
       s"z-order must shrink per-file y ranges: z=$zr vs x-sort=$xr")
     // contents survive
     assert(spark.read.parquet(s"$root/z").count() == 40000)
+
+    // edges: empty input writes without NPE; a NaN row neither poisons
+    // the bounds (clustering keeps working) nor goes missing
+    ParquetSink.writeZOrdered(pts.limit(0), s"$root/zempty", "x", "y", nFiles = 2)
+    assert(new java.io.File(s"$root/zempty").exists())
+    val withNan = pts.limit(1000)
+      .select(col("x").cast("double").as("x"), col("y").cast("double").as("y"))
+      .unionByName(Seq((Double.NaN, 7.0)).toDF("x", "y"))
+    ParquetSink.writeZOrdered(withNan, s"$root/znan", "x", "y", nFiles = 4)
+    assert(spark.read.parquet(s"$root/znan").count() == 1001)
+    val nanRange = spark.read.parquet(s"$root/znan")
+      .filter(!isnan(col("x")))
+      .groupBy(input_file_name()).agg((max("x") - min("x")).as("r"))
+      .agg(avg("r")).head().getDouble(0)
+    assert(nanRange < 65536 * 0.9,
+      s"x must still cluster with a NaN present (avg per-file range $nanRange)")
   }
 
   test("compact refuses streaming-sink outputs and recovers a crashed swap") {

@@ -52,8 +52,10 @@ class TextOpsSpec extends SparkSpec {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val Window = org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    // sorted Seq, not Set: q66's repetition score depends on gram
+    // MULTIPLICITY, so the equivalence must hold per-occurrence
     def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSet
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
     val kernel = collect(docs.select(col("doc_id"),
       explode(graft.plans.GraftFunctions.shingles(TextOps.tokens(col("text")), 3)).as("s")))
     val windowed = collect(docs
