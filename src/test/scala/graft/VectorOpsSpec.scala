@@ -128,6 +128,40 @@ class VectorOpsSpec extends SparkSpec {
       s"wide bucket must star-route to the bucket min only, got $pairs")
   }
 
+  test("width cap preserves connected components (property over random corpora)") {
+    import spark.implicits._
+    // Star-routing's contract is NOT pair-set equality - it is that dedup
+    // connectivity survives: capped and exact pair graphs must induce the
+    // same components, with the capped graph never inventing an edge
+    // between docs the exact graph keeps apart.
+    def components(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map((1L to n.toLong).map(i => i -> i): _*)
+      def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      (1L to n.toLong).map(i => i -> find(i)).toMap
+    }
+    val vocab = Seq("spark", "join", "agg", "scan", "sort", "window", "key", "row")
+    (1 to 8).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val docs = (1L to n.toLong).map { i =>
+        // small vocab + short docs -> rich bucket collisions and wide buckets
+        (i, Seq.fill(4 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }.toDF("doc_id", "text")
+      def pairs(cap: Int) = VectorOps.q36MinhashLshOn(docs, cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val exact = pairs(Int.MaxValue)
+      val capped = pairs(3)
+      val (ce, cc) = (components(n, exact), components(n, capped))
+      // same partition of the doc ids (roots may differ; member sets not)
+      def blocks(m: Map[Long, Long]) =
+        (1L to n.toLong).groupBy(m).values.map(_.toSet).toSet
+      assert(blocks(ce) == blocks(cc),
+        s"seed $seed: capped components diverge from exact")
+      assert(capped.size <= exact.size, s"seed $seed: capping must not add pairs")
+    }
+  }
+
   test("fused MinHash kernel is bit-identical to the aggregate formulation") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
     val fused = VectorOps.minhashSignatures(docs)
