@@ -108,14 +108,25 @@ object TextOps {
     * strict lower bound — capping can only MISS near-dups whose overlap
     * is mostly corpus-wide boilerplate, never invent one.
     */
-  def ngramJaccard(docs: DataFrame, maxShingleDF: Int): DataFrame = {
+  /** `hashShingles = true` is the 100 TB shuffle diet: the index joins on
+    * the shingle's 64-bit hash instead of its ~20-40 byte string,
+    * shrinking every exchange in the pipeline several-fold. A hash
+    * collision (≈ D²/2⁶⁴ for D distinct shingles — ~3e-9 even at a
+    * billion shingles) could merge two shingles and nudge one
+    * intersection count; the driver-oracled q35 therefore stays on exact
+    * strings, and the hashed path is spec-asserted identical on the test
+    * corpus.
+    */
+  def ngramJaccard(docs: DataFrame, maxShingleDF: Int,
+      hashShingles: Boolean = false): DataFrame = {
     // Shingling is a per-row codegen'd kernel (plans.Shingles): the old
     // posexplode + window-lead form paid a full doc_id-keyed shuffle
     // before the index could even build. (A transform() lambda would
     // also be per-row but runs interpreted — ~10x slower JIT-cold.)
-    val ex = docs
+    val raw = docs
       .select(col("doc_id"), col("lang"),
         explode(graft.plans.GraftFunctions.shingles(tokens(col("text")), 3)).as("s"))
+    val ex = (if (hashShingles) raw.withColumn("s", xxhash64(col("s"))) else raw)
       .distinct()
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val index =

@@ -6,6 +6,14 @@ import graft.sources.Tables
 
 class TextOpsSpec extends SparkSpec {
 
+  test("hashed-shingle index answers identically to the string index") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    def collect(h: Boolean) = TextOps.ngramJaccard(docs, Int.MaxValue, hashShingles = h)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(collect(true) == collect(false),
+      "the 64-bit-key shuffle diet must not change any pair or score")
+  }
+
   test("DF-capped jaccard equals the exact index on this corpus (no hot shingles)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
