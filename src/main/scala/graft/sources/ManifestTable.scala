@@ -5,7 +5,7 @@ import java.util.UUID
 
 import scala.io.Source
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Minimal manifest-pinned table: atomic commits and snapshot-isolated
@@ -39,13 +39,19 @@ object ManifestTable {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Atomic publish: write a temp sibling, then ONE overwriting rename
+    * (FileContext.rename(OVERWRITE) — atomic on HDFS and local). A
+    * delete-then-rename pair would open a window where `_latest` does
+    * not exist at all: readers would see "no committed version" and a
+    * writer crash inside the window would fork the version timeline.
+    */
   private def writeFile(spark: SparkSession, p: Path, content: String): Unit = {
     val f = fs(spark, p)
     val tmp = new Path(p.getParent, s".${p.getName}.tmp-${UUID.randomUUID()}")
     val out = f.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    f.delete(p, false)
-    require(f.rename(tmp, p), s"manifest-table: could not publish $p")
+    val fc = FileContext.getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, p, Options.Rename.OVERWRITE)
   }
 
   private def readFile(spark: SparkSession, p: Path): String = {
@@ -104,27 +110,44 @@ object ManifestTable {
     val f = fs(spark, root)
     val bytes = dataDirs(spark, table, v)
       .map(d => f.getContentSummary(new Path(root, d)).getLength).sum
-    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val nFiles = ParquetSink.targetFileCount(bytes, targetBytes)
     commit(read(spark, table, v).repartition(nFiles), table, append = false)
   }
 
   /** Delete data dirs no version ≥ (current - keepVersions + 1) references,
-    * and their superseded manifests. Run once readers of old snapshots
-    * are done — the same retention contract as any table format.
+    * superseded manifests, and crashed-publish temp files. Run once
+    * readers of old snapshots are done — the same retention contract as
+    * any table format. Manifests a stricter earlier vacuum already
+    * removed are skipped, and deletions are driven by a directory
+    * listing, so a vacuum's cost tracks actual garbage, not the
+    * table's age.
     */
   def vacuum(spark: SparkSession, table: String, keepVersions: Int = 1): Unit = {
     require(keepVersions >= 1)
     val v = currentVersion(spark, table)
     if (v == 0) return
     val keepFrom = math.max(1L, v - keepVersions + 1)
-    val live = (keepFrom to v).flatMap(dataDirs(spark, table, _)).toSet
     val root = new Path(table)
     val f = fs(spark, root)
+    val live = (keepFrom to v)
+      .filter(ver => f.exists(manifestPath(table, ver)))
+      .flatMap(dataDirs(spark, table, _)).toSet
     val dataRoot = new Path(root, "data")
     if (f.exists(dataRoot))
       f.listStatus(dataRoot)
         .filter(st => !live.contains(s"data/${st.getPath.getName}"))
         .foreach(st => f.delete(st.getPath, true))
-    (1L until keepFrom).foreach(old => f.delete(manifestPath(table, old), false))
+    val manifestRoot = new Path(root, "_manifests")
+    if (f.exists(manifestRoot))
+      f.listStatus(manifestRoot).foreach { st =>
+        val name = st.getPath.getName
+        val superseded = name.startsWith("m-") &&
+          name.stripPrefix("m-").stripSuffix(".txt").toLongOption.exists(_ < keepFrom)
+        if (superseded || name.contains(".tmp-")) f.delete(st.getPath, false)
+      }
+    // crashed _latest publishes leave temps in the table root
+    f.listStatus(root)
+      .filter(_.getPath.getName.contains(".tmp-"))
+      .foreach(st => f.delete(st.getPath, false))
   }
 }

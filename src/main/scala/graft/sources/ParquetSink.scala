@@ -112,6 +112,12 @@ object ParquetSink {
       .write.mode(saveMode).parquet(path)
   }
 
+  /** Shared file-count sizing for every compaction path. */
+  private[sources] def targetFileCount(totalBytes: Long, targetBytes: Long): Int = {
+    require(targetBytes > 0)
+    math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+  }
+
   /** Small-file compaction: rewrite a flat parquet directory into
     * ~targetBytes files. Incremental appends (per-batch ingests) accrete
     * files whose count — not size — throttles scan parallelism and
@@ -148,7 +154,7 @@ object ParquetSink {
         "a rename-swap would hide compacted files from log-driven reads - " +
         "rewrite to a new path instead")
     val totalBytes = fs.getContentSummary(p).getLength
-    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val nFiles = targetFileCount(totalBytes, targetBytes)
     fs.delete(tmp, true)
     spark.read.parquet(path).repartition(nFiles).write.parquet(tmp.toString)
     fs.delete(old, true)

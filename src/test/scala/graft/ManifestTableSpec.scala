@@ -50,5 +50,17 @@ class ManifestTableSpec extends SparkSpec {
     val e = intercept[Exception](
       ManifestTable.read(spark, table, version = 2).count())
     assert(e != null, "vacuumed snapshot is gone")
+
+    // a LARGER retention after a stricter vacuum must skip the manifests
+    // the stricter one already removed, not crash on them
+    ManifestTable.commit(Seq((7L, "w")).toDF("id", "v"), table, append = true)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(table, "_manifests", ".m-000099.txt.tmp-dead"),
+      "garbage".getBytes)
+    ManifestTable.vacuum(spark, table, keepVersions = 3)
+    assert(ManifestTable.read(spark, table).count() == before + 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(table, "_manifests", ".m-000099.txt.tmp-dead")),
+      "crashed-publish temps must be swept")
   }
 }
