@@ -562,6 +562,20 @@ object VectorOps {
       .parquet(s"$path/assignments")
   }
 
+  /** Index-health probe for the append cadence: mean cosine between each
+    * assigned vector and its bucket's centroid. A fresh build sets the
+    * reference value; as appends accumulate vectors the centroids were
+    * never trained on, the mean decays — rebuild when it drops past the
+    * tolerance (e.g. 10%). One broadcast join over the assignments, so
+    * the probe is cheap enough to run per append.
+    */
+  def ivfMeanAssignCosine(corpus: DataFrame, centroids: DataFrame,
+      assignments: DataFrame): Double =
+    assignments.join(corpus, "vec_id")
+      .join(broadcast(centroids), "cid")
+      .agg(avg(dot(col("vec"), col("cvec")) / (col("norm") * col("cnorm"))))
+      .head().getDouble(0)
+
   def q57IvfTopk(s: SparkSession, d: String): DataFrame =
     ivfTopk(withVec(embeddings(s, d)))
 

@@ -306,6 +306,22 @@ class VectorOpsSpec extends SparkSpec {
         assert(top1(q) == ((q + 100000L, 1.0)),
           s"query $q must find its appended twin at rank 1, got ${top1(q)}")
       }
+
+      // drift probe: adversarial appends (negated corpus vectors - max
+      // distance from every trained centroid) must decay the mean
+      // assign-cosine, signalling a rebuild
+      import spark.implicits._
+      val buildHealth = VectorOps.ivfMeanAssignCosine(grown, lc, la)
+      val hostile = corpus.limit(200).select(
+        (col("vec_id") + 200000L).as("vec_id"),
+        org.apache.spark.sql.functions.transform(col("vec"), v => -v).as("vec"),
+        col("norm"))
+      VectorOps.ivfAppend(hostile, dir)
+      val (_, la2) = VectorOps.loadIvfIndex(spark, dir)
+      val afterHealth = VectorOps.ivfMeanAssignCosine(
+        grown.unionByName(hostile), lc, la2)
+      assert(afterHealth < buildHealth,
+        s"hostile appends must decay index health: $buildHealth -> $afterHealth")
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
   }
