@@ -62,55 +62,65 @@ object ParquetSink {
       .mode(SaveMode.Overwrite)
       .parquet(path)
 
-  /** Z-order-style layout clustering over TWO numeric columns: rows are
-    * range-partitioned and sorted by the bit-interleaved (Morton) key of
-    * the rank-normalized values, so every file is clustered in BOTH
+  /** Z-order-style layout clustering over N numeric columns (2–8): rows
+    * are range-partitioned and sorted by the bit-interleaved (Morton) key
+    * of the rank-normalized values, so every file is clustered in ALL the
     * dimensions at once. Parquet min/max stats then prune point/range
-    * predicates on EITHER column — a plain sort prunes only its own
-    * leading column and leaves the other dimension scattered across all
-    * files. Cost: one min/max agg pass + one range-exchange write; the
-    * interleave itself is codegen'd shift/mask arithmetic.
+    * predicates on ANY of them — a plain sort prunes only its own leading
+    * column and leaves the other dimensions scattered across all files.
+    * Each column gets ⌊63/N⌋ bits (≤16); cost is one min/max agg pass +
+    * one range-exchange write, and the interleave itself is codegen'd
+    * shift/mask arithmetic.
     */
-  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
-      nFiles: Int, saveMode: SaveMode = SaveMode.Overwrite): Unit = {
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
+      nFiles: Int, saveMode: SaveMode): Unit = {
     require(nFiles > 0)
+    require(cols.size >= 2 && cols.size <= 8, "z-order needs 2-8 columns")
     import org.apache.spark.sql.functions._
+    val k = cols.size
+    val bits = math.min(16, 63 / k)
+    val cells = (1 << bits) - 1
     // NaN-blind bounds: one NaN would poison max() (NaN sorts largest),
     // the hi > lo guard would then fail, and the whole dimension would
-    // silently collapse to a constant. NaN/null ROWS still write - they
-    // normalize to cell 0 (double->int cast maps NaN to 0).
+    // silently collapse to a constant.
     def safe(c: String) = {
       val d = col(c).cast("double")
       when(!isnan(d), d)
     }
     val b = df.agg(
-      min(safe(colA)), max(safe(colA)), min(safe(colB)), max(safe(colB))).head()
-    // empty input / all-null column -> null bounds -> constant dimension
-    def bound(i: Int): Double = if (b.isNullAt(i)) 0.0 else b.getDouble(i)
+      min(safe(cols.head)), max(safe(cols.head)) +:
+        cols.tail.flatMap(c => Seq(min(safe(c)), max(safe(c)))): _*).head()
+    // empty input / all-null column -> null bounds -> constant dimension;
     // NaN/null rows normalize to cell 0 explicitly (ANSI mode rejects a
-    // NaN->int cast) — they cluster together instead of failing the write
-    def norm(c: String, lo: Double, hi: Double) =
+    // NaN->long cast) — they cluster together instead of failing the write
+    def norm(j: Int) = {
+      val (lo, hi) = (
+        if (b.isNullAt(2 * j)) 0.0 else b.getDouble(2 * j),
+        if (b.isNullAt(2 * j + 1)) 0.0 else b.getDouble(2 * j + 1))
       if (hi > lo) {
-        val d = col(c).cast("double")
+        val d = col(cols(j)).cast("double")
         coalesce(
-          when(!isnan(d), ((d - lo) / (hi - lo) * 65535.0).cast("int")),
-          lit(0))
-      } else lit(0)
-    // standard Morton bit-spread: 16 bits -> even bit positions of 32
-    def spread(x: org.apache.spark.sql.Column) = {
-      val s1 = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FF))
-      val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0F))
-      val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333))
-      s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555))
+          when(!isnan(d), ((d - lo) / (hi - lo) * cells).cast("long")),
+          lit(0L))
+      } else lit(0L)
     }
-    val z = spread(norm(colA, bound(0), bound(1)))
-      .bitwiseOR(shiftleft(spread(norm(colB, bound(2), bound(3))), 1))
+    // bit i of column j lands at interleaved position i*k + j
+    val z = (0 until k).map { j =>
+      val n = norm(j)
+      (0 until bits).map(i =>
+        shiftleft(shiftright(n, i).bitwiseAND(lit(1L)), i * k + j))
+        .reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z") // projection after the sort keeps row order
       .write.mode(saveMode).parquet(path)
   }
+
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      nFiles: Int, saveMode: SaveMode = SaveMode.Overwrite): Unit =
+    writeZOrdered(df, path, Seq(colA, colB), nFiles, saveMode)
 
   /** Shared file-count sizing for every compaction path. */
   private[sources] def targetFileCount(totalBytes: Long, targetBytes: Long): Int = {

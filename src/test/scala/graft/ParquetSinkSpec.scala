@@ -139,6 +139,29 @@ class ParquetSinkSpec extends SparkSpec {
       s"x must still cluster with a NaN present (avg per-file range $nanRange)")
   }
 
+  test("N-column z-order clusters every dimension at once") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("sink_zorder_n").toString
+    val pts = (0 until 40000).map { i =>
+      val r = new scala.util.Random(1000 + i)
+      (r.nextInt(1 << 16).toLong, r.nextInt(1 << 16).toLong, r.nextInt(1 << 16).toLong)
+    }.toDF("x", "y", "w")
+    ParquetSink.writeZOrdered(pts, s"$root/z3", Seq("x", "y", "w"), 16,
+      org.apache.spark.sql.SaveMode.Overwrite)
+    pts.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$root/xsort")
+    def avgRange(path: String, c: String): Double =
+      spark.read.parquet(path)
+        .groupBy(input_file_name()).agg((max(c) - min(c)).as("r"))
+        .agg(avg("r")).head().getDouble(0)
+    // the non-leading dimensions must cluster vs the single-column sort
+    Seq("y", "w").foreach { c =>
+      val (zr, xr) = (avgRange(s"$root/z3", c), avgRange(s"$root/xsort", c))
+      assert(zr < xr * 0.7, s"$c: z3=$zr vs x-sort=$xr")
+    }
+    assert(spark.read.parquet(s"$root/z3").count() == 40000)
+  }
+
   test("compact refuses streaming-sink outputs and recovers a crashed swap") {
     import spark.implicits._
     val root = Files.createTempDirectory("sink_compact_edge").toString
