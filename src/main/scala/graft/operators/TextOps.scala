@@ -107,8 +107,8 @@ object TextOps {
     * asserted in TextOpsSpec) the Jaccard is exact, and otherwise it is a
     * strict lower bound — capping can only MISS near-dups whose overlap
     * is mostly corpus-wide boilerplate, never invent one.
-    */
-  /** `hashShingles = true` is the 100 TB shuffle diet: the index joins on
+    *
+    * `hashShingles = true` is the 100 TB shuffle diet: the index joins on
     * the shingle's 64-bit hash instead of its ~20-40 byte string,
     * shrinking every exchange in the pipeline several-fold. A hash
     * collision (≈ D²/2⁶⁴ for D distinct shingles — ~3e-9 even at a

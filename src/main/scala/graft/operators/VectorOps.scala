@@ -566,15 +566,31 @@ object VectorOps {
     * assigned vector and its bucket's centroid. A fresh build sets the
     * reference value; as appends accumulate vectors the centroids were
     * never trained on, the mean decays — rebuild when it drops past the
-    * tolerance (e.g. 10%). One broadcast join over the assignments, so
-    * the probe is cheap enough to run per append.
+    * tolerance (e.g. 10%). Cost: one key join of assignments against the
+    * corpus plus a broadcast of the centroids — cheap enough per append.
+    *
+    * The corpus frame must cover every assigned vec_id (i.e. pass the
+    * GROWN corpus after appends): assignments the corpus can't resolve
+    * fail loudly, because silently dropping them would pin the metric at
+    * its build-time value and the rebuild signal would never fire — the
+    * exact failure the probe exists to catch.
     */
   def ivfMeanAssignCosine(corpus: DataFrame, centroids: DataFrame,
-      assignments: DataFrame): Double =
-    assignments.join(corpus, "vec_id")
+      assignments: DataFrame): Double = {
+    val r = assignments
+      .join(corpus.select(col("vec_id"), col("vec"), col("norm")), Seq("vec_id"), "left")
       .join(broadcast(centroids), "cid")
-      .agg(avg(dot(col("vec"), col("cvec")) / (col("norm") * col("cnorm"))))
-      .head().getDouble(0)
+      .agg(
+        avg(dot(col("vec"), col("cvec")) / (col("norm") * col("cnorm"))).as("m"),
+        count(lit(1)).as("n"),
+        count(when(col("vec").isNull, 1)).as("unresolved"))
+      .head()
+    require(r.getLong(2) == 0,
+      s"${r.getLong(2)} assigned vec_ids missing from the corpus frame - " +
+        "pass the grown corpus (build + appends), not the build-time one")
+    require(r.getLong(1) > 0, "empty assignments: nothing to probe")
+    r.getDouble(0)
+  }
 
   def q57IvfTopk(s: SparkSession, d: String): DataFrame =
     ivfTopk(withVec(embeddings(s, d)))

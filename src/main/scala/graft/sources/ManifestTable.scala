@@ -75,11 +75,22 @@ object ManifestTable {
 
   /** Commit `df` as the next version. `append = true` carries the current
     * snapshot's data dirs forward into the new manifest; `false` makes
-    * the new data the entire snapshot (atomic overwrite).
+    * the new data the entire snapshot (atomic overwrite). Appends must
+    * match the current snapshot's schema (names + types) — a drifted
+    * append fails HERE, at the write that caused it, instead of
+    * poisoning arbitrary later reads with footer-sampling surprises.
     */
   def commit(df: DataFrame, table: String, append: Boolean): Long = {
     val spark = df.sparkSession
     val v = currentVersion(spark, table)
+    if (append && v > 0) {
+      def shape(s: org.apache.spark.sql.types.StructType) =
+        s.fields.map(f => (f.name, f.dataType)).toSeq
+      val current = read(spark, table, v).schema
+      require(shape(df.schema) == shape(current),
+        s"manifest-table: append schema ${df.schema.simpleString} does not " +
+          s"match the snapshot's ${current.simpleString}")
+    }
     val dirName = s"data/${UUID.randomUUID().toString.replace("-", "").take(16)}"
     df.write.parquet(new Path(table, dirName).toString)
     val dirs = (if (append) dataDirs(spark, table, v) else Nil) :+ dirName
@@ -121,33 +132,53 @@ object ManifestTable {
     * removed are skipped, and deletions are driven by a directory
     * listing, so a vacuum's cost tracks actual garbage, not the
     * table's age.
+    *
+    * Safe alongside an IN-FLIGHT commit: manifests numbered past the
+    * current pointer are treated as live (a writer mid-publish), and
+    * unmanifested data dirs / temp files are only reclaimed once older
+    * than `graceMs` — a data dir younger than that may simply not have
+    * its manifest yet (the Delta/Iceberg retention pattern). Keep
+    * graceMs comfortably above the longest commit's write time.
     */
-  def vacuum(spark: SparkSession, table: String, keepVersions: Int = 1): Unit = {
+  def vacuum(spark: SparkSession, table: String, keepVersions: Int = 1,
+      graceMs: Long = 60L * 60 * 1000): Unit = {
     require(keepVersions >= 1)
     val v = currentVersion(spark, table)
     if (v == 0) return
     val keepFrom = math.max(1L, v - keepVersions + 1)
     val root = new Path(table)
     val f = fs(spark, root)
-    val live = (keepFrom to v)
-      .filter(ver => f.exists(manifestPath(table, ver)))
+    val cutoff = System.currentTimeMillis() - graceMs
+    val manifestRoot = new Path(root, "_manifests")
+    val manifestVers: Seq[Long] =
+      if (f.exists(manifestRoot))
+        f.listStatus(manifestRoot).toSeq.flatMap(st =>
+          Option(st.getPath.getName)
+            .filter(n => n.startsWith("m-") && n.endsWith(".txt"))
+            .flatMap(_.stripPrefix("m-").stripSuffix(".txt").toLongOption))
+      else Nil
+    // live = everything the retained versions reference PLUS anything an
+    // in-flight (not-yet-pointed) manifest references
+    val live = manifestVers.filter(_ >= keepFrom)
       .flatMap(dataDirs(spark, table, _)).toSet
     val dataRoot = new Path(root, "data")
     if (f.exists(dataRoot))
       f.listStatus(dataRoot)
         .filter(st => !live.contains(s"data/${st.getPath.getName}"))
+        .filter(_.getModificationTime < cutoff)
         .foreach(st => f.delete(st.getPath, true))
-    val manifestRoot = new Path(root, "_manifests")
     if (f.exists(manifestRoot))
       f.listStatus(manifestRoot).foreach { st =>
         val name = st.getPath.getName
         val superseded = name.startsWith("m-") &&
           name.stripPrefix("m-").stripSuffix(".txt").toLongOption.exists(_ < keepFrom)
-        if (superseded || name.contains(".tmp-")) f.delete(st.getPath, false)
+        val staleTmp = name.contains(".tmp-") && st.getModificationTime < cutoff
+        if (superseded || staleTmp) f.delete(st.getPath, false)
       }
     // crashed _latest publishes leave temps in the table root
     f.listStatus(root)
-      .filter(_.getPath.getName.contains(".tmp-"))
+      .filter(st => st.getPath.getName.contains(".tmp-") &&
+        st.getModificationTime < cutoff)
       .foreach(st => f.delete(st.getPath, false))
   }
 }

@@ -57,7 +57,9 @@ class ManifestTableSpec extends SparkSpec {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(table, "_manifests", ".m-000099.txt.tmp-dead"),
       "garbage".getBytes)
-    ManifestTable.vacuum(spark, table, keepVersions = 3)
+    // graceMs = 0: the production default would (correctly) protect
+    // just-written files as possible in-flight commits
+    ManifestTable.vacuum(spark, table, keepVersions = 3, graceMs = 0L)
     assert(ManifestTable.read(spark, table).count() == before + 1)
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(table, "_manifests", ".m-000099.txt.tmp-dead")),
