@@ -1,5 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entrypoint. Prints one per-query progress line as each query
+  * finishes (full name, so a human or log scraper can follow along), then a
+  * single summary JSON line LAST.
+  *
+  * The driver captures only the final ~2000 characters of output, so the
+  * summary line must stay short: query keys are compressed to their `qNN`
+  * prefix and seconds are rounded to 3 decimals (75 queries ≈ 1100 chars,
+  * comfortably inside the capture window; the old full-name line was ~3400
+  * chars and was truncated every round). Full names appear in the
+  * incremental lines above and map 1:1 onto the `qNN` prefixes.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -26,12 +38,23 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val a = timeOnce(fn)
       val b = if (a >= 0) timeOnce(fn) else -1.0
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val best = if (a < 0 || b < 0) -1.0 else math.min(a, b)
+      println(f"""{"q":"$name","sec":$best%.3f}""")
+      // Drop anything a query persisted/checkpointed so state never leaks
+      // into the next query's measurement (session is shared across all 75).
+      // localCheckpoint blocks live at the RDD layer, not the SQL cache
+      // manager, so both must be cleared.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      name -> best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) =>
+      // q01_pricing_summary -> q01; non-qNN names kept whole.
+      val short = if (k.matches("q\\d+_.*")) k.takeWhile(_ != '_') else k
+      f""""$short":$v%.3f"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -49,7 +49,11 @@ object IncrementalDedup {
     docs.join(hit, Seq("doc_id"), "left_anti")
   }
 
-  /** Gate, land the survivors' signatures, return the survivors. */
+  /** Gate, land the survivors' signatures, return the survivors. The
+    * returned frame is an eager checkpoint — callers should
+    * `graft.CacheHygiene.release` it once consumed, or its blocks outlive
+    * the batch.
+    */
   def ingest(docs: DataFrame, path: String): DataFrame = {
     // materialize once: the gate result feeds both the signature append
     // and the caller, and must not re-read the store mid-flow

@@ -157,6 +157,11 @@ object VectorOps {
       .localCheckpoint(true)
     var labels = edges.select("doc_id").distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_rep"))
+    // only frames THIS loop checkpointed may be released: the initial
+    // labels frame is a projection over `edges`, and releasing it would
+    // tree-match nothing (root-only), but tracking explicitly keeps the
+    // invariant obvious
+    var prevCk: DataFrame = null
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -170,10 +175,18 @@ object VectorOps {
       changed = next.as("n")
         .join(labels.select(col("doc_id"), col("cluster_rep").as("old_rep")).as("o"), "doc_id")
         .filter(col("cluster_rep") =!= col("old_rep")).count()
+      // `changed` above was the old checkpoint's last consumer
+      if (prevCk != null) graft.CacheHygiene.release(prevCk)
+      prevCk = next
       labels = next
       iter += 1
     }
-    labels.withColumn("is_keeper", col("cluster_rep") === col("doc_id"))
+    val out = labels.withColumn("is_keeper", col("cluster_rep") === col("doc_id"))
+    // the final labels checkpoint stays (it backs `out`); the edge list is
+    // only safe to drop once no returned plan references it — i.e. after
+    // at least one iteration replaced `labels` with a checkpoint
+    if (prevCk != null) graft.CacheHygiene.release(edges)
+    out
   }
 
   // ---- SimHash ----------------------------------------------------------
@@ -469,6 +482,7 @@ object VectorOps {
     var centroids = seeds.localCheckpoint(true)
     var i = 0
     while (i < lloydIters) {
+      val prev = centroids
       // Lloyd step: per-centroid per-dimension mean, reassembled in order
       centroids = assign(corpus, centroids)
         .select(col("cid"), posexplode(col("vec")))
@@ -478,9 +492,16 @@ object VectorOps {
         .select(col("cid"), expr("transform(pm, x -> x.m)").as("cvec"))
         .withColumn("cnorm", sqrt(dot(col("cvec"), col("cvec"))))
         .localCheckpoint(true)
+      // the eager checkpoint above was this frame's last consumer
+      graft.CacheHygiene.release(prev)
       i += 1
     }
-    (centroids, assign(corpus, centroids, assignReplicas).select("vec_id", "cid"))
+    // materialize the assignment so the corpus checkpoint can be released
+    // here instead of living for the rest of the session
+    val assignments = assign(corpus, centroids, assignReplicas)
+      .select("vec_id", "cid").localCheckpoint(true)
+    graft.CacheHygiene.release(corpus)
+    (centroids, assignments)
   }
 
   /** IVF-probed cosine top-k: rank centroids per query, exact-search only
@@ -495,7 +516,12 @@ object VectorOps {
       .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("norm").as("q_norm"))
     val corpus = all.filter(col("vec_id") >= 10)
     val (centroids, assignments) = ivfIndex(corpus, numCentroids, lloydIters, assignReplicas)
-    ivfSearch(queries, corpus, centroids, assignments, numProbes)
+    // materialize the (tiny, k×queries-row) result so the index frames can
+    // be released now — otherwise every ivfTopk call leaks its index
+    val res = ivfSearch(queries, corpus, centroids, assignments, numProbes)
+      .localCheckpoint(true)
+    graft.CacheHygiene.release(centroids, assignments)
+    res
   }
 
   /** Search a (pre-built) IVF index: probe the nProbe nearest centroid

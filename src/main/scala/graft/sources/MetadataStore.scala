@@ -82,6 +82,10 @@ object MetadataStore {
     * batches, so the orphaned etags never gate a future delivery out.
     * Streaming retries get this for free — `BronzePipeline.gatedIngest`
     * derives batchId from the replayed micro-batch id.
+    *
+    * The returned frame is an eager checkpoint (it must not re-read the
+    * store after the append) — callers should `graft.CacheHygiene.release`
+    * it once consumed, or its blocks outlive the batch.
     */
   def ingestWithGate(incoming: DataFrame, bronzePath: String,
       metaPath: String, batchId: String): DataFrame = {

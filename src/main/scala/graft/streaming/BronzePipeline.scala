@@ -55,8 +55,9 @@ object BronzePipeline {
       .json(stagingPath)
     raw.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        MetadataStore.ingestWithGate(batch.toDF(), bronzePath, metaPath, f"$pid-$id%05d")
-        ()
+        val fresh = MetadataStore.ingestWithGate(batch.toDF(), bronzePath, metaPath, f"$pid-$id%05d")
+        // the ingest's internal writes were the frame's only consumers here
+        graft.CacheHygiene.release(fresh)
       }
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
@@ -100,7 +101,8 @@ object BronzePipeline {
               .withColumn("text", col("raw_content")),
             sigPath)
           .drop("doc_id", "text")
-        MetadataStore.ingestWithGate(survivors, bronzePath, metaPath, batchId)
+        graft.CacheHygiene.release(
+          MetadataStore.ingestWithGate(survivors, bronzePath, metaPath, batchId))
         val committed = BronzeLayer.readRaw(spark, bronzePath)
           .filter(col("batch_id") === batchId)
         graft.operators.IncrementalDedup.appendSignatures(
