@@ -314,14 +314,25 @@ object VectorOps {
       when(dot(vec, planeCol) > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
 
-  def q39EmbedLsh(s: SparkSession, d: String): DataFrame = {
-    val sig = withVec(embeddings(s, d)).withColumn("sig", lshSignature(col("vec")))
-    val cos = dot(col("a.vec"), col("b.vec")) / (col("a.norm") * col("b.norm"))
-    sig.as("a")
-      .join(sig.as("b"),
-        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        round(cos, 6).as("cos"))
+  def q39EmbedLsh(s: SparkSession, d: String): DataFrame =
+    q39EmbedLshOn(withVec(embeddings(s, d)))
+
+  /** An 8-plane signature has only 256 possible buckets, so an uncapped
+    * self-join is O(n²/256) with guaranteed 256-key shuffle skew at scale —
+    * the candidate join therefore rides the same width-cap/star-route
+    * scaffolding as q36/q37: buckets up to `maxBucketWidth` list exact
+    * pairs, wider (degenerate) buckets emit bucket-min star edges, which
+    * preserves the connectivity near-dup consumes without the quadratic
+    * blowup. Every sf0.01 bucket is far under the cap, so capped ≡ exact
+    * there (asserted in VectorOpsSpec).
+    */
+  def q39EmbedLshOn(vecs: DataFrame,
+      maxBucketWidth: Int = MaxBucketWidth): DataFrame = {
+    val sig = vecs.withColumn("sig", lshSignature(col("vec")))
+      .select(col("vec_id").as("doc_id"), col("sig"), col("vec"), col("norm"))
+    val cos = dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm"))
+    widthCappedPairs(sig, Seq("sig"), Seq("vec", "norm"), maxBucketWidth)
+      .select(col("a_id"), col("b_id"), round(cos, 6).as("cos"))
       .filter(col("cos") >= 0.2)
   }
 

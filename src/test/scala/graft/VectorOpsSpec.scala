@@ -128,6 +128,33 @@ class VectorOpsSpec extends SparkSpec {
       s"wide bucket must star-route to the bucket min only, got $pairs")
   }
 
+  test("q39 bucket cap: capped equals exact at sf0.01; hot buckets star-route") {
+    def vecsOf(dir: String) =
+      graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").as("vec"))
+        .withColumn("norm", sqrt(VectorOps.dot(col("vec"), col("vec"))))
+    def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Double]("cos"))).toSet
+    val vecs = vecsOf("/root/testdata/sf0.01")
+    assert(collect(VectorOps.q39EmbedLshOn(vecs)) ==
+      collect(VectorOps.q39EmbedLshOn(vecs, Int.MaxValue)),
+      "sf0.01 signature buckets are all under the cap - capped must equal exact")
+
+    // planted hot bucket: 10 identical vectors share one signature; a
+    // 2-wide opposite-sign bucket stays on the exact path
+    import spark.implicits._
+    val up = Seq.fill(64)(1.0)
+    val down = up.map(-_)
+    val planted = ((1L to 10L).map(i => (i, up)) :+ (20L, down) :+ (21L, down))
+      .toDF("vec_id", "vec")
+      .withColumn("norm", sqrt(VectorOps.dot(col("vec"), col("vec"))))
+    val pairs = collect(VectorOps.q39EmbedLshOn(planted, maxBucketWidth = 4))
+    assert(pairs.map(p => (p._1, p._2)) ==
+      ((2L to 10L).map(i => (1L, i)) :+ (20L -> 21L)).toSet,
+      s"hot bucket must star-route to the bucket min only, got $pairs")
+    assert(pairs.forall(_._3 == 1.0), "identical vectors score cosine 1")
+  }
+
   test("width cap preserves connected components (property over random corpora)") {
     import spark.implicits._
     // Star-routing's contract is NOT pair-set equality - it is that dedup
