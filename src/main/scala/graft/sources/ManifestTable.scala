@@ -1,12 +1,14 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.util.UUID
+import java.util.{Base64, UUID}
 
 import scala.io.Source
 
-import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, max, min}
+import org.apache.spark.sql.types._
 
 /** Minimal manifest-pinned table: atomic commits and snapshot-isolated
   * reads over plain parquet — the table-format pattern (Iceberg/Delta's
@@ -14,25 +16,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *   table/
   *     data/<uuid>/part-*.parquet     one directory per commit
-  *     _manifests/m-<version>.txt     sorted data-dir list per version
-  *     _latest                        pointer file: current version
+  *     _manifests/m-<version>.txt     per version: data dirs + column stats
+  *     _latest                        pointer file: current version hint
   *
-  * Data lands FIRST, the manifest names it, and the `_latest` pointer
-  * flips LAST via a same-directory temp-file rename — so a reader either
-  * sees the previous complete snapshot or the new one, never a partial
-  * write, and a crash at any point leaves only invisible garbage (data
-  * without a manifest / manifest without the pointer), never a broken
-  * table. Readers that pin a version keep a consistent snapshot while
-  * writers commit ahead; [[vacuum]] reclaims superseded commits once no
-  * reader needs them.
+  * Data lands FIRST, then the manifest is published by an atomic
+  * no-overwrite rename — creating `m-(v+1)` IS the commit, and doubles as
+  * the optimistic-concurrency lock: two writers racing to the same version
+  * can only have one rename land; the loser re-reads the new head and
+  * retries on top of it (append commits carry the winner's data forward,
+  * so no commit is ever lost). `_latest` is a monotonically-advanced hint
+  * for readers, not the source of truth — a writer that crashes between
+  * manifest and pointer leaves a committed version the next commit or
+  * pointer advance publishes. A crash at any earlier point leaves only
+  * invisible garbage (data without a manifest), never a broken table.
   *
-  * This also closes [[ParquetSink.compact]]'s documented reader-retry
-  * window: [[compactCommit]] rewrites the current snapshot and swaps the
-  * pointer with zero reader-visible downtime.
+  * Manifests also record per-commit min/max stats for caller-chosen
+  * columns, and [[readRange]] prunes a snapshot read to the data dirs
+  * whose range intersects the predicate — partition pruning without
+  * physical partitioning, the manifest-level file-skipping that makes a
+  * time- or key-scoped query at 100 TB read only the commits that can
+  * match.
   *
-  * Single-writer contract (like every pointer-swap table format without
-  * a lock service): serialize commits per table — BatchRunner's ledger
-  * is the natural way.
+  * Readers that pin a version keep a consistent snapshot while writers
+  * commit ahead; [[vacuum]] reclaims superseded commits once no reader
+  * needs them. This also closes [[ParquetSink.compact]]'s documented
+  * reader-retry window: [[compactCommit]] rewrites the current snapshot
+  * and swaps the pointer with zero reader-visible downtime.
+  *
+  * Concurrency: the manifest CAS is atomic on HDFS and any store with
+  * atomic no-overwrite rename; on the local filesystem the
+  * exists-check-then-rename window is microscopic but nonzero (the same
+  * caveat every Hadoop-on-local deployment carries).
   */
 object ManifestTable {
 
@@ -54,6 +68,25 @@ object ManifestTable {
     fc.rename(tmp, p, Options.Rename.OVERWRITE)
   }
 
+  /** CAS publish: same temp-then-rename shape, but the rename REFUSES an
+    * existing destination — exactly one concurrent publisher of a given
+    * path wins. Returns whether this writer won.
+    */
+  private def casCreateFile(spark: SparkSession, p: Path, content: String): Boolean = {
+    val f = fs(spark, p)
+    if (f.exists(p)) return false
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp-${UUID.randomUUID()}")
+    f.mkdirs(p.getParent)
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val fc = FileContext.getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+    try { fc.rename(tmp, p); true }
+    catch {
+      case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
+        f.delete(tmp, false); false
+    }
+  }
+
   private def readFile(spark: SparkSession, p: Path): String = {
     val in = fs(spark, p).open(p)
     try Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
@@ -68,35 +101,138 @@ object ManifestTable {
   private def manifestPath(table: String, v: Long) =
     new Path(table, f"_manifests/m-$v%06d.txt")
 
-  private def dataDirs(spark: SparkSession, table: String, v: Long): Seq[String] =
+  /** Highest version any manifest file claims — the commit head, which
+    * can run ahead of the `_latest` hint (writer crashed mid-publish, or
+    * a concurrent writer between manifest and pointer).
+    */
+  private def highestManifest(spark: SparkSession, table: String): Long = {
+    val root = new Path(table, "_manifests")
+    val f = fs(spark, root)
+    if (!f.exists(root)) 0L
+    else f.listStatus(root).foldLeft(0L) { (acc, st) =>
+      val n = st.getPath.getName
+      if (n.startsWith("m-") && n.endsWith(".txt"))
+        n.stripPrefix("m-").stripSuffix(".txt").toLongOption.fold(acc)(math.max(acc, _))
+      else acc
+    }
+  }
+
+  // ---- manifest entry format ---------------------------------------------
+  // one line per data dir:  <dir>[\t<col>:<tag>:<minB64>:<maxB64>;...]
+  // stats values are base64 so arbitrary string minima can't collide with
+  // the separators; tag is `num` (compare as decimal) or `str` (compare
+  // lexically — correct for strings and ISO dates).
+
+  private[graft] case class ColStat(tag: String, min: String, max: String)
+  private[graft] case class Entry(dir: String, stats: Map[String, ColStat])
+
+  private def b64(s: String) =
+    Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+  private def unb64(s: String) =
+    new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+
+  private def renderEntry(e: Entry): String =
+    if (e.stats.isEmpty) e.dir
+    else e.dir + "\t" + e.stats.toSeq.sortBy(_._1).map { case (c, s) =>
+      s"$c:${s.tag}:${b64(s.min)}:${b64(s.max)}"
+    }.mkString(";")
+
+  private def parseEntry(line: String): Entry = line.split('\t') match {
+    case Array(dir) => Entry(dir, Map.empty)
+    case Array(dir, stats) => Entry(dir, stats.split(';').map { part =>
+      val Array(c, tag, mn, mx) = part.split(':')
+      c -> ColStat(tag, unb64(mn), unb64(mx))
+    }.toMap)
+    case other => Entry(other.head, Map.empty)
+  }
+
+  private[graft] def manifestEntries(spark: SparkSession, table: String,
+      v: Long): Seq[Entry] =
     if (v == 0) Nil
     else readFile(spark, manifestPath(table, v)).linesIterator
-      .map(_.trim).filter(_.nonEmpty).toSeq
+      .map(_.trim).filter(_.nonEmpty).map(parseEntry).toSeq
 
-  /** Commit `df` as the next version. `append = true` carries the current
-    * snapshot's data dirs forward into the new manifest; `false` makes
-    * the new data the entire snapshot (atomic overwrite). Appends must
-    * match the current snapshot's schema (names + types) — a drifted
-    * append fails HERE, at the write that caused it, instead of
-    * poisoning arbitrary later reads with footer-sampling surprises.
+  private def dataDirs(spark: SparkSession, table: String, v: Long): Seq[String] =
+    manifestEntries(spark, table, v).map(_.dir)
+
+  /** Min/max stats for the written commit, read back from its own files —
+    * a column-pruned scan of just the new dir, never a recompute of the
+    * input plan. Unsupported column types are skipped (absent stats = the
+    * dir is never pruned — always safe).
     */
-  def commit(df: DataFrame, table: String, append: Boolean): Long = {
-    val spark = df.sparkSession
-    val v = currentVersion(spark, table)
-    if (append && v > 0) {
-      def shape(s: org.apache.spark.sql.types.StructType) =
-        s.fields.map(f => (f.name, f.dataType)).toSeq
-      val current = read(spark, table, v).schema
-      require(shape(df.schema) == shape(current),
-        s"manifest-table: append schema ${df.schema.simpleString} does not " +
-          s"match the snapshot's ${current.simpleString}")
+  private def commitStats(spark: SparkSession, dirPath: Path,
+      statsCols: Seq[String]): Map[String, ColStat] = {
+    if (statsCols.isEmpty) return Map.empty
+    val df = spark.read.parquet(dirPath.toString)
+    val tags = statsCols.flatMap { c =>
+      df.schema.find(_.name == c).map(_.dataType).collect {
+        case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+             _: FloatType | _: DoubleType => c -> "num"
+        case _: StringType | _: DateType => c -> "str"
+      }
+    }.toMap
+    if (tags.isEmpty) return Map.empty
+    val aggs = tags.keys.toSeq.sorted.flatMap(c =>
+      Seq(min(col(c)).cast("string").as(s"mn_$c"), max(col(c)).cast("string").as(s"mx_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    tags.flatMap { case (c, tag) =>
+      val (mn, mx) = (row.getAs[String](s"mn_$c"), row.getAs[String](s"mx_$c"))
+      if (mn == null || mx == null) None else Some(c -> ColStat(tag, mn, mx))
     }
+  }
+
+  /** Commit `df` as the next version. `append = true` carries the commit
+    * head's data dirs (and their stats) forward into the new manifest;
+    * `false` makes the new data the entire snapshot (atomic overwrite).
+    * Appends must match the head snapshot's schema (names + types) — a
+    * drifted append fails HERE, at the write that caused it, instead of
+    * poisoning arbitrary later reads with footer-sampling surprises.
+    *
+    * `statsCols` columns get min/max recorded in the manifest for
+    * [[readRange]] pruning.
+    *
+    * Safe under concurrent writers: the data dir is written once, then
+    * the manifest CAS loop retries against whatever head wins each race —
+    * every committer's data lands in some version, in CAS order.
+    */
+  def commit(df: DataFrame, table: String, append: Boolean,
+      statsCols: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
     val dirName = s"data/${UUID.randomUUID().toString.replace("-", "").take(16)}"
-    df.write.parquet(new Path(table, dirName).toString)
-    val dirs = (if (append) dataDirs(spark, table, v) else Nil) :+ dirName
-    writeFile(spark, manifestPath(table, v + 1), dirs.sorted.mkString("\n"))
-    writeFile(spark, new Path(table, "_latest"), (v + 1).toString)
-    v + 1
+    val dirPath = new Path(table, dirName)
+    df.write.parquet(dirPath.toString)
+    val entry = Entry(dirName, commitStats(spark, dirPath, statsCols))
+    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+    var committed = 0L
+    while (committed == 0L) {
+      val base = highestManifest(spark, table)
+      if (append && base > 0) {
+        val current = read(spark, table, base).schema
+        require(shape(df.schema) == shape(current),
+          s"manifest-table: append schema ${df.schema.simpleString} does not " +
+            s"match the snapshot's ${current.simpleString}")
+      }
+      val entries = (if (append) manifestEntries(spark, table, base) else Nil) :+ entry
+      val content = entries.sortBy(_.dir).map(renderEntry).mkString("\n")
+      if (casCreateFile(spark, manifestPath(table, base + 1), content))
+        committed = base + 1
+      // else: lost the race - loop re-reads the new head and retries
+    }
+    advancePointer(spark, table, committed)
+    committed
+  }
+
+  /** Monotonic `_latest` advance: never regress the hint. Two racing
+    * advancers can interleave read/write, so re-check after writing and
+    * let the higher target win (converges in one extra pass).
+    */
+  private def advancePointer(spark: SparkSession, table: String, target: Long): Unit = {
+    val ptr = new Path(table, "_latest")
+    var guard = 0
+    while (currentVersion(spark, table) < target && guard < 5) {
+      writeFile(spark, ptr, target.toString)
+      guard += 1
+    }
   }
 
   /** Read a snapshot: the current one, or a pinned `version` for
@@ -109,12 +245,45 @@ object ManifestTable {
     spark.read.parquet(paths: _*)
   }
 
+  /** The data dirs of a snapshot whose recorded [min,max] for `column`
+    * intersects [lo,hi] — plus any dir with no stats for the column
+    * (absent stats never prune: always safe, never complete-silently-
+    * wrong). Bounds are the stats' string form: decimal strings for
+    * numeric columns, raw values for string/date.
+    */
+  private[graft] def prunedDataDirs(spark: SparkSession, table: String,
+      column: String, lo: String, hi: String, version: Long = 0L): Seq[String] = {
+    val v = if (version > 0) version else currentVersion(spark, table)
+    require(v > 0, s"manifest-table: $table has no committed version")
+    manifestEntries(spark, table, v).filter { e =>
+      e.stats.get(column) match {
+        case None => true
+        case Some(ColStat("num", mn, mx)) =>
+          BigDecimal(mx) >= BigDecimal(lo) && BigDecimal(mn) <= BigDecimal(hi)
+        case Some(ColStat(_, mn, mx)) => mx >= lo && mn <= hi
+      }
+    }.map(_.dir)
+  }
+
+  /** Range-scoped snapshot read: scans only the commits whose recorded
+    * stats can contain `column ∈ [lo, hi]`. The caller still applies its
+    * row-level filter — this prunes I/O, it does not filter rows.
+    */
+  def readRange(spark: SparkSession, table: String, column: String,
+      lo: String, hi: String, version: Long = 0L): DataFrame = {
+    val dirs = prunedDataDirs(spark, table, column, lo, hi, version)
+    if (dirs.isEmpty) read(spark, table, version).limit(0)
+    else spark.read.parquet(dirs.map(d => new Path(table, d).toString): _*)
+  }
+
   /** Rewrite the current snapshot into ~targetBytes files and commit the
     * result as a new version — compaction with zero reader-visible
     * downtime (old snapshot stays pinned-readable until vacuumed).
+    * `statsCols` re-records stats on the compacted commit.
     */
   def compactCommit(spark: SparkSession, table: String,
-      targetBytes: Long = 128L * 1024 * 1024): Long = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      statsCols: Seq[String] = Nil): Long = {
     val v = currentVersion(spark, table)
     require(v > 0, s"manifest-table: $table has no committed version")
     val root = new Path(table)
@@ -122,7 +291,8 @@ object ManifestTable {
     val bytes = dataDirs(spark, table, v)
       .map(d => f.getContentSummary(new Path(root, d)).getLength).sum
     val nFiles = ParquetSink.targetFileCount(bytes, targetBytes)
-    commit(read(spark, table, v).repartition(nFiles), table, append = false)
+    commit(read(spark, table, v).repartition(nFiles), table, append = false,
+      statsCols = statsCols)
   }
 
   /** Delete data dirs no version ≥ (current - keepVersions + 1) references,

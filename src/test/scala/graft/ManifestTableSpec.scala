@@ -65,4 +65,75 @@ class ManifestTableSpec extends SparkSpec {
       java.nio.file.Paths.get(table, "_manifests", ".m-000099.txt.tmp-dead")),
       "crashed-publish temps must be swept")
   }
+
+  test("stats-recorded commits prune range reads to matching data dirs only") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_manifest_stats").toString + "/t"
+    // three commits, disjoint id ranges + day keys, stats on both columns
+    ManifestTable.commit(
+      (1 to 100).map(i => (i.toLong, "2026-01-01", s"r$i")).toDF("id", "day", "v"),
+      table, append = false, statsCols = Seq("id", "day"))
+    ManifestTable.commit(
+      (101 to 200).map(i => (i.toLong, "2026-01-02", s"r$i")).toDF("id", "day", "v"),
+      table, append = true, statsCols = Seq("id", "day"))
+    ManifestTable.commit(
+      (201 to 300).map(i => (i.toLong, "2026-01-03", s"r$i")).toDF("id", "day", "v"),
+      table, append = true, statsCols = Seq("id", "day"))
+
+    assert(ManifestTable.read(spark, table).count() == 300)
+    // numeric pruning: [120,130] can only live in the second commit
+    val dirs = ManifestTable.prunedDataDirs(spark, table, "id", "120", "130")
+    assert(dirs.size == 1, s"one matching commit expected, got $dirs")
+    val pruned = ManifestTable.readRange(spark, table, "id", "120", "130")
+    assert(pruned.inputFiles.forall(_.contains(dirs.head)),
+      "range read must scan only the surviving dir's files")
+    assert(pruned.filter($"id".between(120, 130)).count() == 11)
+    // string pruning on the day key
+    assert(ManifestTable.prunedDataDirs(
+      spark, table, "day", "2026-01-03", "2026-01-09").size == 1)
+    // out-of-range predicate prunes everything but keeps the schema
+    val none = ManifestTable.readRange(spark, table, "id", "5000", "6000")
+    assert(none.count() == 0 && none.columns.sameElements(Array("id", "day", "v")))
+    // a column with no recorded stats never prunes (always safe)
+    assert(ManifestTable.prunedDataDirs(spark, table, "v", "a", "b").size == 3)
+    // stats survive the append carry-forward AND a compaction re-records
+    val cv = ManifestTable.compactCommit(spark, table, statsCols = Seq("id"))
+    assert(ManifestTable.prunedDataDirs(
+      spark, table, "id", "120", "130", version = cv).size == 1,
+      "compacted single-dir snapshot still matches the range")
+  }
+
+  test("two interleaved committers: CAS loser retries on the winner's head, no commit lost") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_manifest_cas").toString + "/t"
+    ManifestTable.commit(Seq((1L, "base")).toDF("id", "v"), table, append = false)
+
+    // deterministic interleave: a "winner" publishes m-000002 out from
+    // under this committer (data landed first, as a real racer's would)
+    Seq((2L, "winner")).toDF("id", "v").write.parquet(s"$table/data/winner0000000001")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(table, "_manifests"))
+    val m1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(table, "_manifests", "m-000001.txt")), "UTF-8")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(table, "_manifests", "m-000002.txt"),
+      (m1.trim + "\ndata/winner0000000001").getBytes("UTF-8"))
+
+    val v = ManifestTable.commit(Seq((3L, "loser")).toDF("id", "v"), table, append = true)
+    assert(v == 3, s"CAS loser must land at the next free version, got $v")
+    val vs = ManifestTable.read(spark, table).collect().map(_.getString(1)).sorted
+    assert(vs.sameElements(Array("base", "loser", "winner")),
+      s"both racing commits' rows must be in the snapshot, got ${vs.mkString(",")}")
+
+    // genuinely concurrent appends: every committer's rows land
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val racers = (10 to 13).map(i => Future {
+      ManifestTable.commit(Seq((i.toLong, s"c$i")).toDF("id", "v"), table, append = true)
+    })
+    val versions = Await.result(Future.sequence(racers), 120.seconds)
+    assert(versions.toSet.size == 4, s"each racer gets its own version, got $versions")
+    assert(ManifestTable.read(spark, table).count() == 3 + 4,
+      "all concurrent appends must be present in the final snapshot")
+  }
 }
