@@ -356,23 +356,52 @@ object TextOps {
   val PackTokens = 512
 
   /** Approximate greedy sequence packing: assign docs to fixed-capacity
-    * context windows by running token count, sharded so no window
-    * partition ever holds more than ~1/16th of a language (the
-    * distributed-packing shape: per-shard packers are independent, and
-    * `lang` alone would be a low-cardinality window key at 100 TB).
-    * `pack_id` is the window each doc STARTS in; a doc may straddle two
-    * packs (the standard concat-then-chunk training layout).
+    * context windows by running token count, sharded so per-shard packers
+    * are independent (`lang` alone would be a low-cardinality window key
+    * at 100 TB). `pack_id` is the window each doc STARTS in; a doc may
+    * straddle two packs (the standard concat-then-chunk training layout).
+    *
+    * `shards` is a FIXED fan-out — fine when the per-language row counts
+    * are known and bounded (the oracle query pins 16); a constant shard
+    * count only divides each language by that constant, so a 100 TB
+    * English slice would still push terabytes through one window task.
+    * [[packAutoSharded]] is the scale path: it sizes the fan-out from the
+    * observed per-language counts.
     */
-  def q70Pack(s: SparkSession, d: String): DataFrame = {
+  def q70Pack(s: SparkSession, d: String): DataFrame =
+    packOn(documents(s, d), shards = 16)
+
+  def packOn(docs: DataFrame, shards: Int): DataFrame =
+    packSharded(docs, hashBucket(concat(lit("pack:"), col("text")), shards))
+
+  private def packSharded(docs: DataFrame, shard: Column): DataFrame = {
     val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents(s, d)
+    docs
       .select(col("doc_id"), col("lang"),
         size(split(trim(col("text")), ws)).cast("long").as("n_tokens"),
-        hashBucket(concat(lit("pack:"), col("text")), 16).as("shard"))
+        shard.as("shard"))
       .withColumn("cum", sum("n_tokens").over(w))
       .select(col("doc_id"), col("lang"), col("shard"),
         floor((col("cum") - col("n_tokens")) / PackTokens).cast("long").as("pack_id"))
+  }
+
+  /** Packing with a per-language shard fan-out scaled to the corpus: one
+    * cheap counting pass (rows per language — bounded by the language
+    * count) sizes each language's shard count to keep every window
+    * partition under `maxRowsPerShard`, so a skewed corpus (English at
+    * 100 TB next to a long tail) gets wide fan-out exactly where the
+    * volume is and single-shard determinism where it isn't. The counts
+    * ride back in via a broadcast join — no second scan of the text.
+    */
+  def packAutoSharded(docs: DataFrame, maxRowsPerShard: Long = 1000000L): DataFrame = {
+    require(maxRowsPerShard > 0)
+    val fanout = docs.groupBy("lang")
+      .agg(ceil(count(lit(1)).cast("double") / maxRowsPerShard).cast("int").as("n_shards"))
+    val sharded = docs.join(broadcast(fanout), Seq("lang"))
+    packSharded(sharded,
+      pmod(conv(substring(md5(concat(lit("pack:"), col("text"))), 1, 8), 16, 10).cast("long"),
+        greatest(col("n_shards").cast("long"), lit(1L))))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -121,6 +121,27 @@ class TextOpsSpec extends SparkSpec {
       "sample must not depend on physical partitioning")
   }
 
+  test("packAutoSharded bounds window-partition rows on a skewed corpus") {
+    import spark.implicits._
+    // skew: one heavy language next to a long-tail one
+    val docs = ((1 to 900).map(i => (i.toLong, "en", s"alpha beta gamma doc number $i")) ++
+      (901 to 910).map(i => (i.toLong, "de", s"eins zwei drei doc $i")))
+      .toDF("doc_id", "lang", "text")
+    val packed = TextOps.packAutoSharded(docs, maxRowsPerShard = 100).collect()
+    assert(packed.length == 910, "packing must assign every doc")
+    val widths = packed.groupBy(r => (r.getString(1), r.getLong(2))).view.mapValues(_.size)
+    // en fans out to ceil(900/100)=9 hash shards: no shard should carry
+    // much more than the target (2x slack for hash variance)
+    assert(widths.collect { case ((l, _), n) if l == "en" => n }.max <= 200,
+      s"heavy language must fan out, got $widths")
+    assert(widths.keys.count(_._1 == "en") > 1, "en must use multiple shards")
+    // the tail language stays single-shard (ceil(10/100) = 1)
+    assert(widths.keys.count(_._1 == "de") == 1, "tail language needs no fan-out")
+    // per-shard packing starts at pack 0 (running sum is per-shard)
+    packed.groupBy(r => (r.getString(1), r.getLong(2))).values.foreach(rows =>
+      assert(rows.map(_.getLong(3)).min == 0L))
+  }
+
   test("hashBucket is uniform-ish and rerun/partitioning stable") {
     val docs = Tables.documents(spark, sfDir)
     val b = TextOps.hashBucket(col("text"))
