@@ -480,6 +480,22 @@ object VectorOps {
     val corpus = corpusIn.localCheckpoint(true)
     val n = corpus.count()
     val c = if (numCentroids > 0) numCentroids else ivfNumCentroids(n)
+    val centroids = buildCentroids(corpus, c, lloydIters)
+    // materialize the assignment so the corpus checkpoint can be released
+    // here instead of living for the rest of the session
+    val assignments = assign(corpus, centroids, assignReplicas)
+      .select("vec_id", "cid").localCheckpoint(true)
+    graft.CacheHygiene.release(corpus)
+    (centroids, assignments)
+  }
+
+  /** Seed + Lloyd-refine `c` centroids (cids 0..c-1) over an eagerly
+    * checkpointed corpus frame. Shared by the full build and the
+    * decayed-bucket partial rebuild. The returned frame is a checkpoint;
+    * intermediates are released as superseded.
+    */
+  private def buildCentroids(corpus: DataFrame, c: Int, lloydIters: Int): DataFrame = {
+    val n = corpus.count()
     // deterministic ~4C-row sample via id hash, ranked inside one array
     val sampleStep = math.max(1L, n / (c * 4L))
     val seeds = corpus
@@ -507,12 +523,7 @@ object VectorOps {
       graft.CacheHygiene.release(prev)
       i += 1
     }
-    // materialize the assignment so the corpus checkpoint can be released
-    // here instead of living for the rest of the session
-    val assignments = assign(corpus, centroids, assignReplicas)
-      .select("vec_id", "cid").localCheckpoint(true)
-    graft.CacheHygiene.release(corpus)
-    (centroids, assignments)
+    centroids
   }
 
   /** IVF-probed cosine top-k: rank centroids per query, exact-search only
@@ -627,6 +638,115 @@ object VectorOps {
         "pass the grown corpus (build + appends), not the build-time one")
     require(r.getLong(1) > 0, "empty assignments: nothing to probe")
     r.getDouble(0)
+  }
+
+  /** Per-bucket index health: mean member↔centroid cosine by cid, the
+    * bucket-resolution version of [[ivfMeanAssignCosine]]. Same corpus
+    * contract — assignments the corpus can't resolve fail loudly.
+    */
+  def ivfBucketHealth(corpus: DataFrame, centroids: DataFrame,
+      assignments: DataFrame): DataFrame = {
+    val joined = assignments
+      .join(corpus.select(col("vec_id"), col("vec"), col("norm")), Seq("vec_id"), "left")
+      .join(broadcast(centroids), "cid")
+    joined.groupBy("cid").agg(
+      avg(dot(col("vec"), col("cvec")) / (col("norm") * col("cnorm"))).as("mean_cos"),
+      count(lit(1)).as("n"),
+      count(when(col("vec").isNull, 1)).as("unresolved"))
+  }
+
+  /** Record the index's CURRENT per-bucket health as the drift reference —
+    * run right after build+save (and after rebuilds) so later probes
+    * compare each bucket to its own trained cohesion, not to a global
+    * mean a naturally-loose bucket would always violate.
+    */
+  def saveIvfBucketHealth(corpus: DataFrame, path: String): Unit = {
+    val spark = corpus.sparkSession
+    val (centroids, assignments) = loadIvfIndex(spark, path)
+    val health = ivfBucketHealth(corpus, centroids, assignments).localCheckpoint(true)
+    require(health.agg(sum("unresolved")).head().getLong(0) == 0,
+      "assigned vec_ids missing from the corpus frame - pass the grown corpus")
+    health.select("cid", "mean_cos", "n")
+      .write.mode("overwrite").parquet(s"$path/health")
+    graft.CacheHygiene.release(health)
+  }
+
+  /** Drift-triggered PARTIAL rebuild: re-cluster only the buckets whose
+    * current mean assign-cosine fell more than `tolerance` below their
+    * recorded build-time health ([[saveIvfBucketHealth]]). Decayed
+    * buckets' members are re-seeded and Lloyd-refined among themselves,
+    * the replacement centroids take over the decayed cids, and ONLY those
+    * `cid=` partitions are rewritten (dynamic partition overwrite) — at
+    * 100 TB a handful of append-polluted buckets rebuild in minutes while
+    * the healthy ones' files are never touched. The health reference for
+    * the rebuilt buckets is refreshed.
+    *
+    * Members are reassigned among the REPLACEMENT centroids only (a
+    * healthy centroid that got closer keeps its own files unchanged) —
+    * the scoped trade that makes the rebuild partial; the full-rebuild
+    * cadence remains the eventual consistency point.
+    *
+    * Returns the rebuilt cids (empty = no bucket crossed the tolerance).
+    */
+  def ivfPartialRebuild(corpus: DataFrame, path: String,
+      tolerance: Double = 0.1,
+      lloydIters: Int = DefaultLloydIters,
+      assignReplicas: Int = DefaultAssignReplicas): Seq[Int] = {
+    val spark = corpus.sparkSession
+    val (centroids, assignments) = loadIvfIndex(spark, path)
+    val ref = spark.read.parquet(s"$path/health")
+      .select(col("cid"), col("mean_cos").as("ref_cos"))
+    val current = ivfBucketHealth(corpus, centroids, assignments)
+    require(current.agg(sum("unresolved")).head().getLong(0) == 0,
+      "assigned vec_ids missing from the corpus frame - pass the grown corpus")
+    val decayed = current.join(ref, "cid")
+      .filter(col("mean_cos") < col("ref_cos") * (1 - tolerance))
+      .select("cid").collect().map(_.getInt(0)).sorted.toSeq
+    if (decayed.isEmpty) return Nil
+
+    val memberIds = assignments
+      .filter(col("cid").isin(decayed.map(Int.box): _*))
+      .select("vec_id").distinct()
+    val members = corpus.select(col("vec_id"), col("vec"), col("norm"))
+      .join(memberIds, "vec_id")
+      .localCheckpoint(true)
+    val fresh = buildCentroids(members, decayed.length, lloydIters)
+    // remap the rebuild's 0..k-1 cids onto the decayed cids by rank; if
+    // the seed sample produced fewer than k centroids, the unmapped cids
+    // keep their old centroid+files (their members also land in the
+    // replaced buckets - the duplicate assignment rows are harmless to
+    // probe-time dropDuplicates, and the next full rebuild clears them)
+    import spark.implicits._
+    val mapping = broadcast(
+      decayed.indices.map(i => (i, decayed(i))).toDF("cid", "new_cid"))
+    val replaced = fresh.join(mapping, "cid")
+      .select(col("new_cid").as("cid"), col("cvec"), col("cnorm"))
+      .localCheckpoint(true)
+    graft.CacheHygiene.release(fresh)
+    val replacedCids = replaced.select("cid").collect().map(_.getInt(0)).toSet
+
+    // materialize BEFORE the writes: both frames' lineage reads the very
+    // files the writes replace
+    val newAssign = assign(members, replaced, assignReplicas)
+      .select("vec_id", "cid").localCheckpoint(true)
+    val updatedCentroids = centroids
+      .filter(!col("cid").isin(replacedCids.toSeq.map(Int.box): _*))
+      .unionByName(replaced)
+      .localCheckpoint(true)
+    graft.CacheHygiene.release(members, replaced)
+
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      newAssign.write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$path/assignments")
+    finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    updatedCentroids.write.mode("overwrite").parquet(s"$path/centroids")
+    graft.CacheHygiene.release(newAssign, updatedCentroids)
+    // refresh the drift reference for the rebuilt buckets
+    saveIvfBucketHealth(corpus, path)
+    decayed
   }
 
   def q57IvfTopk(s: SparkSession, d: String): DataFrame =

@@ -1,0 +1,124 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Driver-side paced pull-extract: the reference's sliding-window rate
+  * limiter + paged vacancy fan-out (finnoio/jobhouse
+  * src/extract/hh_api.py:44-72 `RateLimiter`, :129-175 paged fetch with
+  * 429 backoff) re-expressed as the pull-side FEEDER of the file-landing
+  * ingest edge. The fetch function is pluggable (an HTTP client in
+  * production, a fake in specs — credential plumbing stays outside the
+  * engine); each fetched page lands atomically as one JSONL file in the
+  * staging directory that [[graft.streaming.BronzePipeline.gatedIngest]]
+  * tails, so pacing, cursoring, and retry live HERE while exactly-once
+  * and dedup stay where they already are (checkpoint + etag gate).
+  *
+  * Crash contract: the page cursor persists AFTER a page lands, and a
+  * page always lands under its deterministic `page-NNNNNN.jsonl` name via
+  * temp-file + atomic rename — so a retry of the crash window re-fetches
+  * at most one page and overwrites the very same file (no partial files,
+  * no duplicate landings), and the downstream etag gate would drop the
+  * re-delivered payloads even if it didn't.
+  *
+  * Deliberately driver-side and sequential: a paced extract is
+  * rate-bound, not compute-bound — 7 req/s (the reference API's ceiling)
+  * is no job for a cluster; the cluster's work starts at the staging dir.
+  */
+object PacedExtractor {
+
+  /** Sliding-window limiter: at most `calls` acquires per `periodMs`,
+    * blocking the caller until the oldest stamp leaves the window. Clock
+    * and sleeper are injectable so specs can assert the pacing timeline
+    * deterministically.
+    */
+  final class RateLimiter(calls: Int, periodMs: Long,
+      nowMs: () => Long = () => System.currentTimeMillis(),
+      sleepMs: Long => Unit = Thread.sleep) {
+    require(calls > 0 && periodMs > 0)
+    private val stamps = mutable.Queue.empty[Long]
+    private def evict(now: Long): Unit =
+      while (stamps.nonEmpty && now - stamps.head >= periodMs) stamps.dequeue()
+    def acquire(): Unit = synchronized {
+      evict(nowMs())
+      if (stamps.size >= calls) {
+        val wait = stamps.head + periodMs - nowMs()
+        if (wait > 0) sleepMs(wait)
+        evict(nowMs())
+      }
+      stamps.enqueue(nowMs())
+    }
+  }
+
+  /** What one paged fetch returned. */
+  sealed trait Response
+  /** A page of raw JSONL lines (the staging schema is the fetcher's
+    * contract with the pipeline) and whether more pages remain.
+    */
+  final case class Fetched(lines: Seq[String], hasMore: Boolean) extends Response
+  /** The 429 path: back off, then retry the SAME page. */
+  case object Backoff extends Response
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeAtomic(spark: SparkSession, p: Path, content: String): Unit = {
+    val f = fs(spark, p)
+    f.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val fc = FileContext.getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, p, Options.Rename.OVERWRITE)
+  }
+
+  /** Next page to fetch: 0 on a fresh extract, else the persisted cursor. */
+  def cursor(spark: SparkSession, cursorPath: String): Int = {
+    val p = new Path(cursorPath)
+    val f = fs(spark, p)
+    if (!f.exists(p)) 0
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    }
+  }
+
+  /** Pull pages from `fetch` under the limiter's pacing until the source
+    * reports no more (or `maxPages` per invocation — the scheduled-run
+    * budget), landing each non-empty page in `stagingDir` and advancing
+    * the persisted cursor. Returns the number of pages fetched this run.
+    *
+    * A killed run resumes exactly where it stopped: the cursor names the
+    * first page whose landing was never confirmed.
+    */
+  def run(spark: SparkSession, fetch: Int => Response, stagingDir: String,
+      cursorPath: String, limiter: RateLimiter, maxPages: Int = Int.MaxValue,
+      backoffMs: Long = 5000L,
+      sleepMs: Long => Unit = Thread.sleep): Int = {
+    require(maxPages >= 0)
+    var page = cursor(spark, cursorPath)
+    var fetched = 0
+    var more = true
+    while (more && fetched < maxPages) {
+      limiter.acquire()
+      fetch(page) match {
+        case Backoff =>
+          sleepMs(backoffMs) // retry the same page, still limiter-paced
+        case Fetched(lines, hasMore) =>
+          if (lines.nonEmpty)
+            writeAtomic(spark, new Path(stagingDir, f"page-$page%06d.jsonl"),
+              lines.mkString("", "\n", "\n"))
+          writeAtomic(spark, new Path(cursorPath), (page + 1).toString)
+          page += 1
+          fetched += 1
+          more = hasMore
+      }
+    }
+    fetched
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.PacedExtractor
+import graft.sources.PacedExtractor.{Backoff, Fetched, RateLimiter}
+
+class PacedExtractorSpec extends SparkSpec {
+
+  /** Deterministic time: the clock only advances when the code sleeps. */
+  private class FakeClock {
+    var now = 0L
+    def nowMs(): Long = now
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def sleepMs(ms: Long): Unit = { sleeps += ms; now += ms }
+  }
+
+  private def line(id: String, content: String) =
+    s"""{"posting_id":"$id","raw_content":"$content","source":"paced","extracted_at":"2026-08-12T10:00:00.000Z"}"""
+
+  test("rate limiter enforces the calls-per-window ceiling") {
+    val clock = new FakeClock
+    val limiter = new RateLimiter(2, 1000L, clock.nowMs _, clock.sleepMs _)
+    val stamps = (1 to 6).map { _ => limiter.acquire(); clock.now }
+    // any two acquires 2 apart must span at least a full window
+    stamps.sliding(3).foreach(w =>
+      assert(w.last - w.head >= 1000L,
+        s"3 acquires inside one window: $stamps"))
+    assert(clock.sleeps.nonEmpty, "a saturated limiter must have slept")
+    // and it never sleeps when the window has room
+    val idleClock = new FakeClock
+    val roomy = new RateLimiter(10, 1000L, idleClock.nowMs _, idleClock.sleepMs _)
+    (1 to 5).foreach(_ => roomy.acquire())
+    assert(idleClock.sleeps.isEmpty, "an unsaturated limiter must not sleep")
+  }
+
+  test("paced run: pages land once, 429 backs off and retries, killed run resumes at the cursor") {
+    val root = Files.createTempDirectory("graft_paced").toString
+    val staging = s"$root/staging"
+    val cursorP = s"$root/cursor"
+    val clock = new FakeClock
+    val limiter = new RateLimiter(7, 1000L, clock.nowMs _, clock.sleepMs _)
+
+    val fetchLog = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var served429 = false
+    def fetch(page: Int): PacedExtractor.Response = {
+      fetchLog += page
+      if (page == 1 && !served429) { served429 = true; Backoff }
+      else if (page == 3) throw new RuntimeException("killed mid-extract")
+      else Fetched(Seq(line(s"p$page-a", s"content $page a"),
+        line(s"p$page-b", s"content $page b")), hasMore = page < 5)
+    }
+
+    // first run dies at page 3 - pages 0..2 are landed and the cursor
+    // points at the failed page
+    val killed = intercept[RuntimeException](PacedExtractor.run(
+      spark, fetch, staging, cursorP, limiter, sleepMs = clock.sleepMs _))
+    assert(killed.getMessage == "killed mid-extract")
+    assert(PacedExtractor.cursor(spark, cursorP) == 3)
+    assert(fetchLog.count(_ == 1) == 2, "429'd page must be retried in place")
+    assert(clock.sleeps.contains(5000L), "429 must back off before the retry")
+
+    // the resumed run starts AT the cursor: no re-fetch of landed pages
+    fetchLog.clear()
+    var fetched = 0
+    def fetch2(page: Int): PacedExtractor.Response = {
+      fetchLog += page; fetched += 1
+      Fetched(Seq(line(s"p$page-a", s"content $page a"),
+        line(s"p$page-b", s"content $page b")), hasMore = page < 5)
+    }
+    val n = PacedExtractor.run(spark, fetch2, staging, cursorP, limiter,
+      sleepMs = clock.sleepMs _)
+    assert(fetchLog.head == 3 && n == 3, s"resume must start at page 3, got $fetchLog")
+    assert(PacedExtractor.cursor(spark, cursorP) == 6)
+
+    // every page landed exactly once, as page-keyed files
+    val files = new java.io.File(staging).listFiles().map(_.getName)
+      .filterNot(_.endsWith(".crc")).sorted
+    assert(files.sameElements((0 to 5).map(i => f"page-$i%06d.jsonl")),
+      s"got ${files.mkString(",")}")
+
+    // a second invocation against an exhausted cursor does nothing
+    assert(PacedExtractor.run(spark, p => Fetched(Seq(line(s"x$p", "dup")), p < 5),
+      staging, cursorP, limiter, sleepMs = clock.sleepMs _) match {
+      case fetchedAgain => fetchedAgain == 1 // page 6: lands, hasMore=false
+    })
+  }
+
+  test("landed pages flow through the gated ingest: re-delivered payloads never reach bronze") {
+    val root = Files.createTempDirectory("graft_paced_gate").toString
+    val staging = s"$root/staging"
+    val clock = new FakeClock
+    val limiter = new RateLimiter(7, 1000L, clock.nowMs _, clock.sleepMs _)
+    // pages 1 and 2 re-deliver page 0's payloads under fresh ids (the
+    // API re-serving content) plus one genuinely new posting each
+    def fetch(page: Int): PacedExtractor.Response = Fetched(
+      Seq(line(s"p$page-new", s"fresh content $page"),
+        line(s"p$page-dup", "same payload every page")), hasMore = page < 2)
+    PacedExtractor.run(spark, fetch, staging, s"$root/cursor", limiter,
+      sleepMs = clock.sleepMs _)
+
+    val q = graft.streaming.BronzePipeline.gatedIngest(
+      spark, staging, s"$root/bronze", s"$root/meta", s"$root/ckpt")
+    q.awaitTermination()
+    val bronze = graft.sources.BronzeLayer.readRaw(spark, s"$root/bronze")
+    assert(bronze.count() == 4,
+      "3 fresh payloads + 1 first copy of the re-delivered one")
+    assert(bronze.filter(org.apache.spark.sql.functions.col("raw_content")
+      .startsWith("same payload")).count() == 1,
+      "re-delivered payloads must be gated to a single landing")
+  }
+}

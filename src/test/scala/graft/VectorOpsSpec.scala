@@ -353,6 +353,69 @@ class VectorOpsSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
   }
 
+  test("drift-triggered partial rebuild restores decayed buckets without touching healthy files") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_pr")
+    val dir = root.toString + "/index"
+    try {
+      import spark.implicits._
+      val corpus = graft.sources.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").as("vec"))
+        .withColumn("norm", sqrt(VectorOps.dot(col("vec"), col("vec"))))
+      val (centroids, assignments) = VectorOps.ivfIndex(corpus)
+      VectorOps.saveIvfIndex(centroids, assignments, dir)
+      VectorOps.saveIvfBucketHealth(corpus, dir)
+
+      assert(VectorOps.ivfPartialRebuild(corpus, dir).isEmpty,
+        "an undrifted index must trigger no rebuild")
+
+      // hostile appends concentrated by construction: scaled copies of the
+      // NEGATED cid-0 centroid all share one direction, so they pollute
+      // only the top-replica buckets for that direction
+      val c0 = centroids.filter(col("cid") === 0).head()
+      val c0vec = c0.getSeq[Double](c0.fieldIndex("cvec")).toList
+      val c0norm = c0.getAs[Double]("cnorm")
+      val hostile = (0 until 60).map { i =>
+        val s = 1.0 + i / 1000.0
+        (300000L + i, c0vec.map(v => -v * s), c0norm * s)
+      }.toDF("vec_id", "vec", "norm")
+      VectorOps.ivfAppend(hostile, dir)
+      val grown = corpus.unionByName(hostile)
+
+      val (lc1, la1) = VectorOps.loadIvfIndex(spark, dir)
+      val polluted = la1.filter(col("vec_id") >= 300000L)
+        .select("cid").distinct().collect().map(_.getInt(0)).toSet
+      val decayedHealth = VectorOps.ivfMeanAssignCosine(grown, lc1, la1)
+
+      def partFiles(): Map[String, Set[(String, Long, Long)]] =
+        new java.io.File(s"$dir/assignments").listFiles()
+          .filter(_.getName.startsWith("cid=")).map(d =>
+            d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+              .map(f => (f.getName, f.length(), f.lastModified())).toSet).toMap
+      val before = partFiles()
+
+      val rebuilt = VectorOps.ivfPartialRebuild(grown, dir, tolerance = 0.1)
+      assert(rebuilt.nonEmpty, "polluted buckets must cross the tolerance")
+      assert(rebuilt.toSet.subsetOf(polluted),
+        s"only polluted buckets may rebuild: $rebuilt vs $polluted")
+
+      val after = partFiles()
+      val healthy = before.keySet.filterNot(k =>
+        rebuilt.map(c => s"cid=$c").contains(k))
+      healthy.foreach(k => assert(before(k) == after(k),
+        s"healthy bucket $k files must be byte-identical after a partial rebuild"))
+      rebuilt.foreach(c => assert(before(s"cid=$c") != after(s"cid=$c"),
+        s"rebuilt bucket cid=$c must have rewritten files"))
+
+      val (lc2, la2) = VectorOps.loadIvfIndex(spark, dir)
+      val restored = VectorOps.ivfMeanAssignCosine(grown, lc2, la2)
+      assert(restored > decayedHealth,
+        s"partial rebuild must restore the drift metric: $decayedHealth -> $restored")
+      assert(VectorOps.ivfPartialRebuild(grown, dir, tolerance = 0.1).isEmpty,
+        "a freshly-rebuilt index must probe healthy again")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+  }
+
   test("blocked near-dup: high recall on planted near-dups at a fraction of the candidates") {
     import spark.implicits._
     // 150 random base vectors + 150 perturbed copies (cos ~ 0.98), one label
