@@ -62,6 +62,37 @@ object PacedExtractor {
   final case class Fetched(lines: Seq[String], hasMore: Boolean) extends Response
   /** The 429 path: back off, then retry the SAME page. */
   case object Backoff extends Response
+  /** The 401 path: the access token expired mid-extract — refresh the
+    * credential and retry the SAME page.
+    */
+  case object Unauthorized extends Response
+
+  /** Cached-credential lifecycle (the reference's refresh-token exchange,
+    * refresh_token_oauth.py:45-57, re-expressed engine-side): `refresh`
+    * performs one credential exchange (the OAuth refresh grant in
+    * production, a fake in specs) returning (token, ttlMs); the provider
+    * caches the token until expiry-minus-slack and re-exchanges on
+    * demand, or immediately after [[invalidate]] (the 401 path — a token
+    * revoked server-side before its ttl). The HTTP transport and secret
+    * storage stay outside the engine, like the fetch function itself.
+    */
+  final class TokenProvider(refresh: () => (String, Long),
+      nowMs: () => Long = () => System.currentTimeMillis(),
+      slackMs: Long = 30000L) {
+    private var token: Option[String] = None
+    private var expiresAtMs = Long.MinValue
+    def current(): String = synchronized {
+      if (token.isEmpty || nowMs() >= expiresAtMs - slackMs) {
+        val (t, ttlMs) = refresh()
+        token = Some(t)
+        expiresAtMs = nowMs() + ttlMs
+      }
+      token.get
+    }
+    // drop the token itself, not just the expiry: an expiry sentinel of
+    // Long.MinValue would underflow the `expiresAtMs - slackMs` check
+    def invalidate(): Unit = synchronized { token = None }
+  }
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -99,16 +130,27 @@ object PacedExtractor {
   def run(spark: SparkSession, fetch: Int => Response, stagingDir: String,
       cursorPath: String, limiter: RateLimiter, maxPages: Int = Int.MaxValue,
       backoffMs: Long = 5000L,
-      sleepMs: Long => Unit = Thread.sleep): Int = {
+      sleepMs: Long => Unit = Thread.sleep,
+      tokens: Option[TokenProvider] = None,
+      maxAuthRetries: Int = 3): Int = {
     require(maxPages >= 0)
     var page = cursor(spark, cursorPath)
     var fetched = 0
     var more = true
+    var authRetries = 0
     while (more && fetched < maxPages) {
       limiter.acquire()
       fetch(page) match {
         case Backoff =>
           sleepMs(backoffMs) // retry the same page, still limiter-paced
+        case Unauthorized =>
+          // refresh the credential and retry the page; bounded so a
+          // revoked grant fails the run instead of spinning on the API
+          authRetries += 1
+          if (authRetries > maxAuthRetries || tokens.isEmpty)
+            throw new IllegalStateException(
+              s"page $page still unauthorized after $maxAuthRetries token refreshes")
+          tokens.foreach(_.invalidate())
         case Fetched(lines, hasMore) =>
           if (lines.nonEmpty)
             writeAtomic(spark, new Path(stagingDir, f"page-$page%06d.jsonl"),
@@ -117,6 +159,7 @@ object PacedExtractor {
           page += 1
           fetched += 1
           more = hasMore
+          authRetries = 0
       }
     }
     fetched

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import graft.sources.PacedExtractor
-import graft.sources.PacedExtractor.{Backoff, Fetched, RateLimiter}
+import graft.sources.PacedExtractor.{Backoff, Fetched, RateLimiter, Unauthorized}
 
 class PacedExtractorSpec extends SparkSpec {
 
@@ -84,6 +84,47 @@ class PacedExtractorSpec extends SparkSpec {
       staging, cursorP, limiter, sleepMs = clock.sleepMs _) match {
       case fetchedAgain => fetchedAgain == 1 // page 6: lands, hasMore=false
     })
+  }
+
+  test("token lifecycle: cached until expiry, refreshed on 401, revoked grant fails loudly") {
+    val clock = new FakeClock
+    var exchanges = 0
+    var issued = ""
+    val provider = new PacedExtractor.TokenProvider(
+      () => { exchanges += 1; issued = s"tok-$exchanges"; (issued, 60000L) },
+      clock.nowMs _, slackMs = 1000L)
+
+    // cached within ttl, re-exchanged after expiry-minus-slack
+    assert(provider.current() == "tok-1" && provider.current() == "tok-1")
+    assert(exchanges == 1, "a live token must be served from cache")
+    clock.now += 59500L
+    assert(provider.current() == "tok-2", "past expiry-slack the grant re-exchanges")
+
+    // 401 mid-extract: server revoked tok-2 early - the fetcher sees the
+    // stale token, signals Unauthorized, the run invalidates + retries
+    val root = Files.createTempDirectory("graft_paced_auth").toString
+    val limiter = new RateLimiter(100, 1000L, clock.nowMs _, clock.sleepMs _)
+    val fetchLog = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    def fetch(page: Int): PacedExtractor.Response = {
+      val t = provider.current()
+      fetchLog += ((page, t))
+      if (t == "tok-2") Unauthorized
+      else Fetched(Seq(line(s"p$page", s"content $page")), hasMore = page < 1)
+    }
+    val n = PacedExtractor.run(spark, fetch, s"$root/staging", s"$root/cursor",
+      limiter, sleepMs = clock.sleepMs _, tokens = Some(provider))
+    assert(n == 2 && exchanges == 3,
+      s"401 must force exactly one re-exchange, got $exchanges exchanges")
+    assert(fetchLog.take(2) == Seq((0, "tok-2"), (0, "tok-3")),
+      s"the 401'd page must retry under the fresh token, got $fetchLog")
+
+    // a permanently-revoked grant must fail the run, not spin
+    val dead = new PacedExtractor.TokenProvider(
+      () => ("dead", 60000L), clock.nowMs _)
+    val e = intercept[IllegalStateException](PacedExtractor.run(
+      spark, _ => Unauthorized, s"$root/staging2", s"$root/cursor2",
+      limiter, sleepMs = clock.sleepMs _, tokens = Some(dead)))
+    assert(e.getMessage.contains("unauthorized"))
   }
 
   test("landed pages flow through the gated ingest: re-delivered payloads never reach bronze") {
