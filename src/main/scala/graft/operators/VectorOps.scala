@@ -703,22 +703,72 @@ object VectorOps {
       .filter(col("mean_cos") < col("ref_cos") * (1 - tolerance))
       .select("cid").collect().map(_.getInt(0)).sorted.toSeq
     if (decayed.isEmpty) return Nil
+    reclusterBuckets(corpus, path, centroids, assignments,
+      oldCids = decayed, targetCids = decayed, lloydIters, assignReplicas)
+    decayed
+  }
 
+  /** Width-triggered bucket SPLIT: buckets whose assignment count exceeds
+    * `maxBucketRows` re-cluster into enough sub-buckets to get back under
+    * it, with fresh cids beyond the current maximum for the extras. This
+    * is the growth path past the √n centroid cap: at extreme corpus
+    * sizes buckets would otherwise grow O(n / 4096) and probe cost with
+    * them — splitting the few heavy buckets keeps per-probe scan size
+    * bounded without re-clustering the corpus. Same scoped-write contract
+    * as [[ivfPartialRebuild]]: only the split buckets' `cid=` partitions
+    * are rewritten (plus the new cids' partitions appearing).
+    *
+    * Returns the cids that were split (empty = nothing over the bound).
+    */
+  def ivfSplitWideBuckets(corpus: DataFrame, path: String,
+      maxBucketRows: Long,
+      lloydIters: Int = DefaultLloydIters,
+      assignReplicas: Int = DefaultAssignReplicas): Seq[Int] = {
+    require(maxBucketRows > 0)
+    val spark = corpus.sparkSession
+    val (centroids, assignments) = loadIvfIndex(spark, path)
+    val wide = assignments.groupBy("cid").count()
+      .filter(col("count") > maxBucketRows)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    if (wide.isEmpty) return Nil
+    val wideCids = wide.map(_._1)
+    // enough sub-buckets per wide bucket to land under the bound
+    val k = wide.map { case (_, n) => ((n + maxBucketRows - 1) / maxBucketRows).toInt }.sum
+    val maxCid = centroids.agg(max("cid")).head().getInt(0)
+    val targetCids = wideCids ++ (maxCid + 1 until maxCid + 1 + (k - wideCids.length))
+    reclusterBuckets(corpus, path, centroids, assignments,
+      oldCids = wideCids, targetCids = targetCids, lloydIters, assignReplicas)
+    wideCids
+  }
+
+  /** Shared scoped-rewrite core of [[ivfPartialRebuild]] and
+    * [[ivfSplitWideBuckets]]: re-seed + Lloyd-refine `targetCids.length`
+    * centroids over the members of `oldCids`, remap them onto
+    * `targetCids`, reassign the members among the replacements only, and
+    * rewrite exactly those `cid=` partitions (dynamic partition
+    * overwrite). The drift reference is refreshed afterwards.
+    */
+  private def reclusterBuckets(corpus: DataFrame, path: String,
+      centroids: DataFrame, assignments: DataFrame,
+      oldCids: Seq[Int], targetCids: Seq[Int],
+      lloydIters: Int, assignReplicas: Int): Unit = {
+    val spark = corpus.sparkSession
     val memberIds = assignments
-      .filter(col("cid").isin(decayed.map(Int.box): _*))
+      .filter(col("cid").isin(oldCids.map(Int.box): _*))
       .select("vec_id").distinct()
     val members = corpus.select(col("vec_id"), col("vec"), col("norm"))
       .join(memberIds, "vec_id")
       .localCheckpoint(true)
-    val fresh = buildCentroids(members, decayed.length, lloydIters)
-    // remap the rebuild's 0..k-1 cids onto the decayed cids by rank; if
-    // the seed sample produced fewer than k centroids, the unmapped cids
-    // keep their old centroid+files (their members also land in the
-    // replaced buckets - the duplicate assignment rows are harmless to
-    // probe-time dropDuplicates, and the next full rebuild clears them)
+    val fresh = buildCentroids(members, targetCids.length, lloydIters)
+    // remap the rebuild's 0..k-1 cids onto the target cids by rank; if
+    // the seed sample produced fewer than k centroids, the unmapped
+    // target cids simply never materialize - the old buckets' members
+    // were still reassigned among the replacements that did, and a stale
+    // unrewritten partition is unreachable (its cid has no centroid, so
+    // no probe ranks it) until the next full rebuild clears it
     import spark.implicits._
     val mapping = broadcast(
-      decayed.indices.map(i => (i, decayed(i))).toDF("cid", "new_cid"))
+      targetCids.indices.map(i => (i, targetCids(i))).toDF("cid", "new_cid"))
     val replaced = fresh.join(mapping, "cid")
       .select(col("new_cid").as("cid"), col("cvec"), col("cnorm"))
       .localCheckpoint(true)
@@ -729,8 +779,9 @@ object VectorOps {
     // files the writes replace
     val newAssign = assign(members, replaced, assignReplicas)
       .select("vec_id", "cid").localCheckpoint(true)
+    val droppedCids = (oldCids.toSet ++ replacedCids).toSeq
     val updatedCentroids = centroids
-      .filter(!col("cid").isin(replacedCids.toSeq.map(Int.box): _*))
+      .filter(!col("cid").isin(droppedCids.map(Int.box): _*))
       .unionByName(replaced)
       .localCheckpoint(true)
     graft.CacheHygiene.release(members, replaced)
@@ -746,7 +797,6 @@ object VectorOps {
     graft.CacheHygiene.release(newAssign, updatedCentroids)
     // refresh the drift reference for the rebuilt buckets
     saveIvfBucketHealth(corpus, path)
-    decayed
   }
 
   def q57IvfTopk(s: SparkSession, d: String): DataFrame =

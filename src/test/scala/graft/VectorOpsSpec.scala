@@ -416,6 +416,92 @@ class VectorOpsSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
   }
 
+  test("wide-bucket split: only heavy buckets rewrite, members stay searchable, widths bounded") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_split")
+    val dir = root.toString + "/index"
+    try {
+      import spark.implicits._
+      val corpus = graft.sources.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").as("vec"))
+        .withColumn("norm", sqrt(VectorOps.dot(col("vec"), col("vec"))))
+      val (centroids, assignments) = VectorOps.ivfIndex(corpus)
+      VectorOps.saveIvfIndex(centroids, assignments, dir)
+      VectorOps.saveIvfBucketHealth(corpus, dir)
+      val maxCidBefore = centroids.agg(max("cid")).head().getInt(0)
+
+      // bounded above every current width -> nothing to split
+      assert(VectorOps.ivfSplitWideBuckets(corpus, dir, 100000L).isEmpty)
+
+      // bloat ONE bucket: 150 directionally-jittered copies of cid 0's
+      // centroid all assign to the same neighborhood, but their spread
+      // is sub-clusterable (exact scaled copies would be one unsplittable
+      // cosine direction)
+      val c0 = centroids.filter(col("cid") === 0).head()
+      val c0vec = c0.getSeq[Double](c0.fieldIndex("cvec")).toList
+      val scale = c0.getAs[Double]("cnorm") / 64.0
+      val bloat = (0 until 150).map { i =>
+        val v = c0vec.zipWithIndex.map { case (x, j) =>
+          x + 5.0 * scale * math.sin((i + 1.0) * (j + 1.0)) }
+        (400000L + i, v, math.sqrt(v.map(x => x * x).sum))
+      }.toDF("vec_id", "vec", "norm")
+      VectorOps.ivfAppend(bloat, dir)
+      val grown = corpus.unionByName(bloat)
+
+      val (_, la1) = VectorOps.loadIvfIndex(spark, dir)
+      val widths = la1.groupBy("cid").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val bound = 100L
+      val wideExpected = widths.filter(_._2 > bound).keys.toSet
+      assert(wideExpected.nonEmpty, "the bloat must create at least one wide bucket")
+
+      def partSnapshot(): Map[String, Set[(String, Long)]] =
+        new java.io.File(s"$dir/assignments").listFiles()
+          .filter(_.getName.startsWith("cid=")).map(d =>
+            d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+              .map(f => (f.getName, f.lastModified())).toSet).toMap
+      val before = partSnapshot()
+
+      // replicas=1 isolates the Voronoi partitioning from the replica
+      // redundancy (a central sub-centroid lands in every member's top-2,
+      // so replicated widths can't show the split's balance)
+      val split = VectorOps.ivfSplitWideBuckets(grown, dir, bound, assignReplicas = 1)
+      assert(split.toSet == wideExpected, s"split $split vs wide $wideExpected")
+
+      val (lc2, la2) = VectorOps.loadIvfIndex(spark, dir)
+      // new sub-bucket cids extend past the previous maximum
+      assert(lc2.agg(max("cid")).head().getInt(0) > maxCidBefore,
+        "splitting must mint fresh cids for the extra sub-buckets")
+      // live buckets (those with a centroid) are all under ~the bound;
+      // replicas can double-count members, so check the primary width by
+      // distinct vec_ids per live cid
+      val liveCids = lc2.select("cid").collect().map(_.getInt(0)).toSet
+      val liveWidths = la2.filter(col("cid").isin(liveCids.toSeq.map(Int.box): _*))
+        .groupBy("cid").agg(countDistinct("vec_id").as("w")).collect()
+        .map(_.getLong(1))
+      assert(liveWidths.max <= 2 * bound,
+        s"split buckets must land near the bound, got max ${liveWidths.max}")
+      // untouched buckets' files stay byte-identical
+      val after = partSnapshot()
+      val rewritten = after.keySet.filter(k => before.get(k).forall(_ != after(k)))
+      before.keySet.filterNot(k => split.contains(k.stripPrefix("cid=").toInt))
+        .filterNot(k => rewritten.contains(k))
+        .foreach(k => assert(before(k) == after(k)))
+      assert(rewritten.forall(k =>
+        !before.contains(k) || split.contains(k.stripPrefix("cid=").toInt)),
+        s"only split/new partitions may change, changed: $rewritten")
+
+      // every bloat member is still findable: search its own vector
+      val probeQ = bloat.limit(3).select(col("vec_id").as("q_id"),
+        col("vec").as("q_vec"), col("norm").as("q_norm"))
+      val hits = VectorOps.ivfSearch(probeQ, grown, lc2, la2, numProbes = 8)
+        .filter(col("rk") === 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      hits.foreach { case (q, c) => assert(q == c,
+        s"query $q must find itself at rank 1 after the split, got $c") }
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+  }
+
   test("blocked near-dup: high recall on planted near-dups at a fraction of the candidates") {
     import spark.implicits._
     // 150 random base vectors + 150 perturbed copies (cos ~ 0.98), one label
