@@ -191,12 +191,20 @@ object ManifestTable {
     * `statsCols` columns get min/max recorded in the manifest for
     * [[readRange]] pruning.
     *
+    * `allowEvolution = true` permits Iceberg-style additive schema
+    * evolution on append: the new commit may ADD columns (earlier
+    * commits read them as null) or OMIT existing ones (the new rows read
+    * null there) — but a column present on both sides must keep its
+    * type, enforced HERE so type drift fails at the write that caused it,
+    * not at some later read's parquet merge error. The default stays
+    * strict: an accidental shape change is usually a bug, not evolution.
+    *
     * Safe under concurrent writers: the data dir is written once, then
     * the manifest CAS loop retries against whatever head wins each race —
     * every committer's data lands in some version, in CAS order.
     */
   def commit(df: DataFrame, table: String, append: Boolean,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, allowEvolution: Boolean = false): Long = {
     val spark = df.sparkSession
     val dirName = s"data/${UUID.randomUUID().toString.replace("-", "").take(16)}"
     val dirPath = new Path(table, dirName)
@@ -208,9 +216,18 @@ object ManifestTable {
       val base = highestManifest(spark, table)
       if (append && base > 0) {
         val current = read(spark, table, base).schema
-        require(shape(df.schema) == shape(current),
-          s"manifest-table: append schema ${df.schema.simpleString} does not " +
-            s"match the snapshot's ${current.simpleString}")
+        if (allowEvolution) {
+          val cur = current.fields.map(f => f.name -> f.dataType).toMap
+          df.schema.fields.foreach(f => cur.get(f.name).foreach(t =>
+            require(t == f.dataType,
+              s"manifest-table: column ${f.name} type drift " +
+                s"(${t.simpleString} -> ${f.dataType.simpleString}) - " +
+                "evolution is additive, not mutating")))
+        } else
+          require(shape(df.schema) == shape(current),
+            s"manifest-table: append schema ${df.schema.simpleString} does not " +
+              s"match the snapshot's ${current.simpleString} " +
+              "(allowEvolution = true for additive evolution)")
       }
       val entries = (if (append) manifestEntries(spark, table, base) else Nil) :+ entry
       val content = entries.sortBy(_.dir).map(renderEntry).mkString("\n")
@@ -242,7 +259,11 @@ object ManifestTable {
     val v = if (version > 0) version else currentVersion(spark, table)
     require(v > 0, s"manifest-table: $table has no committed version")
     val paths = dataDirs(spark, table, v).map(d => new Path(table, d).toString)
-    spark.read.parquet(paths: _*)
+    // mergeSchema: evolved snapshots read as the union of their commits'
+    // schemas (missing columns null-fill); identical-schema tables read
+    // unchanged. Cost is a footer read per file at planning - compact
+    // when file counts grow.
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
   }
 
   /** The data dirs of a snapshot whose recorded [min,max] for `column`
@@ -273,7 +294,8 @@ object ManifestTable {
       lo: String, hi: String, version: Long = 0L): DataFrame = {
     val dirs = prunedDataDirs(spark, table, column, lo, hi, version)
     if (dirs.isEmpty) read(spark, table, version).limit(0)
-    else spark.read.parquet(dirs.map(d => new Path(table, d).toString): _*)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(dirs.map(d => new Path(table, d).toString): _*)
   }
 
   /** Rewrite the current snapshot into ~targetBytes files and commit the

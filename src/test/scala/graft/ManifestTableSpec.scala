@@ -103,6 +103,38 @@ class ManifestTableSpec extends SparkSpec {
       "compacted single-dir snapshot still matches the range")
   }
 
+  test("additive schema evolution: new columns null-fill history, type drift still fails") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_manifest_evo").toString + "/t"
+    ManifestTable.commit(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), table, append = false)
+
+    // strict default: a drifted append is a bug, not evolution
+    val strict = intercept[IllegalArgumentException](ManifestTable.commit(
+      Seq((3L, "c", 0.5)).toDF("id", "v", "score"), table, append = true))
+    assert(strict.getMessage.contains("allowEvolution"))
+
+    // additive: new column lands, earlier commits read it as null
+    ManifestTable.commit(Seq((3L, "c", 0.5)).toDF("id", "v", "score"),
+      table, append = true, allowEvolution = true)
+    val snap = ManifestTable.read(spark, table)
+    assert(snap.columns.sorted.sameElements(Array("id", "score", "v")))
+    assert(snap.filter($"score".isNull).count() == 2,
+      "pre-evolution rows must null-fill the new column")
+    assert(snap.filter($"score" === 0.5).count() == 1)
+
+    // an append may also OMIT columns: its rows null-fill them
+    ManifestTable.commit(Seq((4L, 1.5)).toDF("id", "score"),
+      table, append = true, allowEvolution = true)
+    assert(ManifestTable.read(spark, table).filter($"v".isNull).count() == 1)
+
+    // but a shared column may never change type, even under evolution
+    val drift = intercept[IllegalArgumentException](ManifestTable.commit(
+      Seq(("5", "e")).toDF("id", "v"), table, append = true,
+      allowEvolution = true))
+    assert(drift.getMessage.contains("type drift"))
+  }
+
   test("two interleaved committers: CAS loser retries on the winner's head, no commit lost") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft_manifest_cas").toString + "/t"
