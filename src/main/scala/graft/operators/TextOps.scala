@@ -211,7 +211,14 @@ object TextOps {
     * independent of each other.
     */
   def hashBucket(text: Column, buckets: Int = 100): Column =
-    pmod(conv(substring(md5(text), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+    hashBucket(text, lit(buckets.toLong))
+
+  /** Column-modulus variant for data-dependent fan-outs (packAutoSharded's
+    * per-language shard counts) — same hash, so a fixed and a dynamic
+    * bucketing with equal counts agree.
+    */
+  def hashBucket(text: Column, buckets: Column): Column =
+    pmod(conv(substring(md5(text), 1, 8), 16, 10).cast("long"), buckets.cast("long"))
 
   /** Deterministic 80/10/10 train/valid/test split by content hash — the
     * split a 100 TB corpus can recompute on any engine, any partitioning,
@@ -396,12 +403,17 @@ object TextOps {
     */
   def packAutoSharded(docs: DataFrame, maxRowsPerShard: Long = 1000000L): DataFrame = {
     require(maxRowsPerShard > 0)
-    val fanout = docs.groupBy("lang")
+    // null-safe language key: a plain equi-join on lang would silently
+    // drop every untagged (lang IS NULL) document - q70Pack keeps them,
+    // so the scale path must too
+    val key = coalesce(col("lang"), lit("\u0000"))
+    val fanout = docs.groupBy(key.as("__lk"))
       .agg(ceil(count(lit(1)).cast("double") / maxRowsPerShard).cast("int").as("n_shards"))
-    val sharded = docs.join(broadcast(fanout), Seq("lang"))
+    val sharded = docs.withColumn("__lk", key)
+      .join(broadcast(fanout), Seq("__lk")).drop("__lk")
     packSharded(sharded,
-      pmod(conv(substring(md5(concat(lit("pack:"), col("text"))), 1, 8), 16, 10).cast("long"),
-        greatest(col("n_shards").cast("long"), lit(1L))))
+      hashBucket(concat(lit("pack:"), col("text")),
+        greatest(col("n_shards"), lit(1))))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

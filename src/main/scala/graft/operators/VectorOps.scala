@@ -107,7 +107,8 @@ object VectorOps {
     * the star source is the bucket's smallest doc_id, so it holds on both.
     */
   private def widthCappedPairs(bucketed: DataFrame, keyCols: Seq[String],
-      carry: Seq[String], maxBucketWidth: Int): DataFrame = {
+      carry: Seq[String], maxBucketWidth: Int,
+      markStars: Boolean = false): DataFrame = {
     val bucket = Window.partitionBy(keyCols.map(col): _*)
     // min over struct(doc_id, carry...) is ordered by doc_id first, so it
     // selects the bucket-min row together with its carried payload
@@ -124,7 +125,14 @@ object VectorOps {
       .filter(col("w") > maxBucketWidth && col("doc_id") =!= col("m.doc_id"))
       .select(col("m.doc_id").as("a_id") +: col("doc_id").as("b_id") +:
         carry.flatMap(c => Seq(col(s"m.$c").as(s"a_$c"), col(c).as(s"b_$c"))): _*)
-    narrowPairs.union(starPairs)
+    // markStars: downstream SIMILARITY thresholds must exempt star edges
+    // (they are connectivity scaffolding, not similarity claims - a
+    // bucket-min can be dissimilar to two members that are near-dups of
+    // each other, and filtering its edges away would split their cluster)
+    if (markStars)
+      narrowPairs.withColumn("is_star", lit(false))
+        .union(starPairs.withColumn("is_star", lit(true)))
+    else narrowPairs.union(starPairs)
   }
 
   /** Single-pass LSH dedup clustering: every doc maps to the smallest
@@ -327,13 +335,19 @@ object VectorOps {
     * there (asserted in VectorOpsSpec).
     */
   def q39EmbedLshOn(vecs: DataFrame,
-      maxBucketWidth: Int = MaxBucketWidth): DataFrame = {
+      maxBucketWidth: Int = MaxBucketWidth,
+      threshold: Double = 0.2): DataFrame = {
     val sig = vecs.withColumn("sig", lshSignature(col("vec")))
       .select(col("vec_id").as("doc_id"), col("sig"), col("vec"), col("norm"))
     val cos = dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm"))
-    widthCappedPairs(sig, Seq("sig"), Seq("vec", "norm"), maxBucketWidth)
-      .select(col("a_id"), col("b_id"), round(cos, 6).as("cos"))
-      .filter(col("cos") >= 0.2)
+    // star edges are exempt from the similarity threshold: a bucket-min
+    // can score below it against members that are near-dups of each
+    // other, and dropping its edges would disconnect their cluster
+    widthCappedPairs(sig, Seq("sig"), Seq("vec", "norm"), maxBucketWidth,
+        markStars = true)
+      .select(col("a_id"), col("b_id"), round(cos, 6).as("cos"), col("is_star"))
+      .filter(col("cos") >= threshold || col("is_star"))
+      .drop("is_star")
   }
 
   /** Embedding-cosine near-dup pairs, exact within a blocking key (label):
@@ -793,10 +807,35 @@ object VectorOps {
         .parquet(s"$path/assignments")
     finally
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    // dynamic overwrite only rewrites cids PRESENT in newAssign: an old
+    // cid whose members all reassigned elsewhere (or a replacement
+    // centroid that attracted zero members) would keep its stale
+    // pre-rebuild partition on disk, still reachable if its cid kept a
+    // live centroid - delete those partitions explicitly
+    val writtenCids = newAssign.select("cid").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val fsys = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (oldCids.toSet ++ replacedCids -- writtenCids).foreach(c =>
+      fsys.delete(new org.apache.hadoop.fs.Path(s"$path/assignments/cid=$c"), true))
     updatedCentroids.write.mode("overwrite").parquet(s"$path/centroids")
     graft.CacheHygiene.release(newAssign, updatedCentroids)
-    // refresh the drift reference for the rebuilt buckets
-    saveIvfBucketHealth(corpus, path)
+
+    // refresh the drift reference for the AFFECTED buckets only: a full
+    // refresh would re-base every healthy bucket's reference onto its
+    // current (possibly sub-tolerance-decayed) value, and repeated
+    // partial rebuilds would ratchet those references down - unbounded
+    // accumulated decay that never fires the probe
+    val affected = (oldCids.toSet ++ replacedCids).toSeq
+    val (c2, a2) = loadIvfIndex(spark, path)
+    val refreshed = ivfBucketHealth(corpus, c2,
+        a2.filter(col("cid").isin(affected.map(Int.box): _*)))
+      .select("cid", "mean_cos", "n")
+    val kept = spark.read.parquet(s"$path/health")
+      .filter(!col("cid").isin(affected.map(Int.box): _*))
+    val newHealth = kept.unionByName(refreshed).localCheckpoint(true)
+    newHealth.write.mode("overwrite").parquet(s"$path/health")
+    graft.CacheHygiene.release(newHealth)
   }
 
   def q57IvfTopk(s: SparkSession, d: String): DataFrame =

@@ -175,9 +175,16 @@ object ManifestTable {
     val aggs = tags.keys.toSeq.sorted.flatMap(c =>
       Seq(min(col(c)).cast("string").as(s"mn_$c"), max(col(c)).cast("string").as(s"mx_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    // numeric bounds must parse as decimals later: NaN/Infinity minima or
+    // maxima (NaN sorts largest in Spark's max) would make every future
+    // prunedDataDirs call throw, so such columns record no stats for this
+    // commit - unprunable, never wrong
+    def finite(tag: String, s: String) =
+      tag != "num" || scala.util.Try(BigDecimal(s)).isSuccess
     tags.flatMap { case (c, tag) =>
       val (mn, mx) = (row.getAs[String](s"mn_$c"), row.getAs[String](s"mx_$c"))
-      if (mn == null || mx == null) None else Some(c -> ColStat(tag, mn, mx))
+      if (mn == null || mx == null || !finite(tag, mn) || !finite(tag, mx)) None
+      else Some(c -> ColStat(tag, mn, mx))
     }
   }
 
@@ -201,7 +208,13 @@ object ManifestTable {
     *
     * Safe under concurrent writers: the data dir is written once, then
     * the manifest CAS loop retries against whatever head wins each race —
-    * every committer's data lands in some version, in CAS order.
+    * every committer's data lands in some version, in CAS order. An
+    * APPEND retry carries the race winner's data forward; an OVERWRITE
+    * retry is last-writer-wins by design (its content does not derive
+    * from the snapshot it replaces — racing commits serialize in CAS
+    * order, exactly as if they had run back-to-back). A compaction,
+    * whose content DOES derive from the snapshot, must not blind-retry:
+    * [[compactCommit]] pins its base and recomputes on a lost race.
     */
   def commit(df: DataFrame, table: String, append: Boolean,
       statsCols: Seq[String] = Nil, allowEvolution: Boolean = false): Long = {
@@ -240,8 +253,12 @@ object ManifestTable {
   }
 
   /** Monotonic `_latest` advance: never regress the hint. Two racing
-    * advancers can interleave read/write, so re-check after writing and
-    * let the higher target win (converges in one extra pass).
+    * advancers can interleave read/write (A reads 1, B writes 3, A writes
+    * 2 — a regression B's own re-check cannot see), so after the write
+    * loop each advancer re-reads the manifest HEAD and heals the hint up
+    * to it. Any residual interleaving leaves the hint at a lower LIVE
+    * version only until the next commit/advance heals it — reads stay
+    * correct (every manifest is complete), at worst briefly stale.
     */
   private def advancePointer(spark: SparkSession, table: String, target: Long): Unit = {
     val ptr = new Path(table, "_latest")
@@ -250,6 +267,9 @@ object ManifestTable {
       writeFile(spark, ptr, target.toString)
       guard += 1
     }
+    val head = highestManifest(spark, table)
+    if (head > target && currentVersion(spark, table) < head)
+      writeFile(spark, ptr, head.toString)
   }
 
   /** Read a snapshot: the current one, or a pinned `version` for
@@ -280,7 +300,11 @@ object ManifestTable {
       e.stats.get(column) match {
         case None => true
         case Some(ColStat("num", mn, mx)) =>
-          BigDecimal(mx) >= BigDecimal(lo) && BigDecimal(mn) <= BigDecimal(hi)
+          // unparseable recorded bounds keep the dir - pruning must only
+          // ever skip what provably cannot match
+          scala.util.Try(
+            BigDecimal(mx) >= BigDecimal(lo) && BigDecimal(mn) <= BigDecimal(hi)
+          ).getOrElse(true)
         case Some(ColStat(_, mn, mx)) => mx >= lo && mn <= hi
       }
     }.map(_.dir)
@@ -302,19 +326,36 @@ object ManifestTable {
     * result as a new version — compaction with zero reader-visible
     * downtime (old snapshot stays pinned-readable until vacuumed).
     * `statsCols` re-records stats on the compacted commit.
+    *
+    * Content-preserving under concurrency, unlike a plain overwrite: the
+    * base is the manifest HEAD (not the `_latest` hint, which can lag a
+    * crashed publisher — basing on the hint would silently drop the
+    * head's commits), and the CAS is PINNED to that base — if any commit
+    * wins the race, the stale-derived rewrite is discarded and recomputed
+    * from the new head rather than published over it.
     */
   def compactCommit(spark: SparkSession, table: String,
       targetBytes: Long = 128L * 1024 * 1024,
       statsCols: Seq[String] = Nil): Long = {
-    val v = currentVersion(spark, table)
-    require(v > 0, s"manifest-table: $table has no committed version")
     val root = new Path(table)
     val f = fs(spark, root)
-    val bytes = dataDirs(spark, table, v)
-      .map(d => f.getContentSummary(new Path(root, d)).getLength).sum
-    val nFiles = ParquetSink.targetFileCount(bytes, targetBytes)
-    commit(read(spark, table, v).repartition(nFiles), table, append = false,
-      statsCols = statsCols)
+    var committed = 0L
+    while (committed == 0L) {
+      val v = highestManifest(spark, table)
+      require(v > 0, s"manifest-table: $table has no committed version")
+      val bytes = dataDirs(spark, table, v)
+        .map(d => f.getContentSummary(new Path(root, d)).getLength).sum
+      val nFiles = ParquetSink.targetFileCount(bytes, targetBytes)
+      val dirName = s"data/${UUID.randomUUID().toString.replace("-", "").take(16)}"
+      val dirPath = new Path(table, dirName)
+      read(spark, table, v).repartition(nFiles).write.parquet(dirPath.toString)
+      val entry = Entry(dirName, commitStats(spark, dirPath, statsCols))
+      if (casCreateFile(spark, manifestPath(table, v + 1), renderEntry(entry)))
+        committed = v + 1
+      else f.delete(dirPath, true) // stale-derived rewrite: recompute
+    }
+    advancePointer(spark, table, committed)
+    committed
   }
 
   /** Delete data dirs no version ≥ (current - keepVersions + 1) references,

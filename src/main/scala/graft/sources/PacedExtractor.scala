@@ -132,16 +132,25 @@ object PacedExtractor {
       backoffMs: Long = 5000L,
       sleepMs: Long => Unit = Thread.sleep,
       tokens: Option[TokenProvider] = None,
-      maxAuthRetries: Int = 3): Int = {
+      maxAuthRetries: Int = 3,
+      maxBackoffs: Int = 60): Int = {
     require(maxPages >= 0)
     var page = cursor(spark, cursorPath)
     var fetched = 0
     var more = true
     var authRetries = 0
+    var backoffs = 0
     while (more && fetched < maxPages) {
       limiter.acquire()
       fetch(page) match {
         case Backoff =>
+          // bounded: a permanently-throttled endpoint fails the tick
+          // loudly (the cursor is untouched - the next scheduled run
+          // resumes here) instead of hanging the scheduler forever
+          backoffs += 1
+          if (backoffs > maxBackoffs)
+            throw new IllegalStateException(
+              s"page $page still throttled after $maxBackoffs backoffs")
           sleepMs(backoffMs) // retry the same page, still limiter-paced
         case Unauthorized =>
           // refresh the credential and retry the page; bounded so a
@@ -160,6 +169,7 @@ object PacedExtractor {
           fetched += 1
           more = hasMore
           authRetries = 0
+          backoffs = 0
       }
     }
     fetched

@@ -103,6 +103,26 @@ class ManifestTableSpec extends SparkSpec {
       "compacted single-dir snapshot still matches the range")
   }
 
+  test("compaction bases on the manifest head, not a lagging pointer hint") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_manifest_lag").toString + "/t"
+    ManifestTable.commit((1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "v"),
+      table, append = false)
+    ManifestTable.commit((101 to 150).map(i => (i.toLong, s"r$i")).toDF("id", "v"),
+      table, append = true)
+    // simulate a publisher that crashed between manifest and pointer:
+    // the hint lags the committed head
+    java.nio.file.Files.write(java.nio.file.Paths.get(table, "_latest"),
+      "1".getBytes("UTF-8"))
+    // the raw write invalidates Hadoop's checksum sidecar - drop it
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(table, "._latest.crc"))
+    val cv = ManifestTable.compactCommit(spark, table)
+    assert(cv == 3, s"compaction must commit past the head, got $cv")
+    assert(ManifestTable.read(spark, table).count() == 150,
+      "a hint-lagged compaction must not drop the head commit's rows")
+  }
+
   test("additive schema evolution: new columns null-fill history, type drift still fails") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft_manifest_evo").toString + "/t"

@@ -153,6 +153,16 @@ class VectorOpsSpec extends SparkSpec {
       ((2L to 10L).map(i => (1L, i)) :+ (20L -> 21L)).toSet,
       s"hot bucket must star-route to the bucket min only, got $pairs")
     assert(pairs.forall(_._3 == 1.0), "identical vectors score cosine 1")
+
+    // star edges are connectivity scaffolding, exempt from the similarity
+    // threshold: with an unsatisfiable threshold the narrow pair (20,21)
+    // drops but every star edge survives - filtering them would split the
+    // wide bucket's cluster whenever its bucket-min is dissimilar
+    val starsOnly = collect(VectorOps.q39EmbedLshOn(
+      planted, maxBucketWidth = 4, threshold = 2.0))
+    assert(starsOnly.map(p => (p._1, p._2)) ==
+      (2L to 10L).map(i => (1L, i)).toSet,
+      s"star edges must bypass the threshold, got $starsOnly")
   }
 
   test("width cap preserves connected components (property over random corpora)") {
@@ -393,10 +403,23 @@ class VectorOpsSpec extends SparkSpec {
               .map(f => (f.getName, f.length(), f.lastModified())).toSet).toMap
       val before = partFiles()
 
+      val refBefore = spark.read.parquet(s"$dir/health")
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
       val rebuilt = VectorOps.ivfPartialRebuild(grown, dir, tolerance = 0.1)
       assert(rebuilt.nonEmpty, "polluted buckets must cross the tolerance")
       assert(rebuilt.toSet.subsetOf(polluted),
         s"only polluted buckets may rebuild: $rebuilt vs $polluted")
+
+      // the drift reference refreshes ONLY for rebuilt buckets: re-basing
+      // healthy buckets onto their current (possibly slightly decayed)
+      // value would ratchet the reference down and the probe could never
+      // accumulate past tolerance
+      val refAfter = spark.read.parquet(s"$dir/health")
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      refBefore.keys.filterNot(rebuilt.contains).foreach(c =>
+        assert(refBefore(c) == refAfter(c),
+          s"healthy bucket $c's drift reference must be untouched"))
 
       val after = partFiles()
       val healthy = before.keySet.filterNot(k =>
