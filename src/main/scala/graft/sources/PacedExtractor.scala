@@ -133,7 +133,21 @@ object PacedExtractor {
       sleepMs: Long => Unit = Thread.sleep,
       tokens: Option[TokenProvider] = None,
       maxAuthRetries: Int = 3,
-      maxBackoffs: Int = 60): Int = {
+      maxBackoffs: Int = 60): Int =
+    runPages(spark, fetch, stagingDir, cursorPath, limiter, maxPages,
+      backoffMs, sleepMs, tokens, maxAuthRetries, maxBackoffs, "")._1
+
+  /** Core loop; also reports whether the source was EXHAUSTED (the last
+    * page said no-more) vs merely budget-capped — the distinction the
+    * incremental watermark needs. `filePrefix` namespaces landed files
+    * (per-generation prefixes keep re-pulls from colliding with earlier
+    * generations' page numbers).
+    */
+  private def runPages(spark: SparkSession, fetch: Int => Response,
+      stagingDir: String, cursorPath: String, limiter: RateLimiter,
+      maxPages: Int, backoffMs: Long, sleepMs: Long => Unit,
+      tokens: Option[TokenProvider], maxAuthRetries: Int, maxBackoffs: Int,
+      filePrefix: String): (Int, Boolean) = {
     require(maxPages >= 0)
     var page = cursor(spark, cursorPath)
     var fetched = 0
@@ -162,7 +176,8 @@ object PacedExtractor {
           tokens.foreach(_.invalidate())
         case Fetched(lines, hasMore) =>
           if (lines.nonEmpty)
-            writeAtomic(spark, new Path(stagingDir, f"page-$page%06d.jsonl"),
+            writeAtomic(spark,
+              new Path(stagingDir, f"${filePrefix}page-$page%06d.jsonl"),
               lines.mkString("", "\n", "\n"))
           writeAtomic(spark, new Path(cursorPath), (page + 1).toString)
           page += 1
@@ -172,6 +187,58 @@ object PacedExtractor {
           backoffs = 0
       }
     }
-    fetched
+    (fetched, !more)
+  }
+
+  private def readOpt(spark: SparkSession, p: Path): Option[String] = {
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  /** The incremental re-pull loop (the reference's daily catch-up DAG as
+    * a watermark protocol): each completed extract GENERATION commits a
+    * caller-supplied watermark (typically the tick's start time — so
+    * records updated while the pull ran land in the next one), and the
+    * next generation's fetches receive it as the updated-since bound.
+    *
+    * Crash contract, layered on [[run]]'s: the watermark advances ONLY
+    * when a generation drains to the source's last page — a killed or
+    * budget-capped tick leaves watermark AND generation untouched, so the
+    * next invocation resumes the same generation at its page cursor with
+    * the same bound. Landed files are generation-prefixed, so a re-pull's
+    * page numbers never collide with an earlier generation's.
+    *
+    * Returns (pages fetched, generation completed).
+    */
+  def runIncremental(spark: SparkSession,
+      fetch: (Option[String], Int) => Response,
+      stagingDir: String, statePath: String, limiter: RateLimiter,
+      tickWatermark: String, maxPages: Int = Int.MaxValue,
+      backoffMs: Long = 5000L,
+      sleepMs: Long => Unit = Thread.sleep,
+      tokens: Option[TokenProvider] = None,
+      maxAuthRetries: Int = 3,
+      maxBackoffs: Int = 60): (Int, Boolean) = {
+    val since = readOpt(spark, new Path(statePath, "watermark"))
+    val gen = readOpt(spark, new Path(statePath, "gen")).map(_.toLong).getOrElse(1L)
+    val (fetched, exhausted) = runPages(spark, p => fetch(since, p),
+      stagingDir, s"$statePath/cursor-$gen", limiter, maxPages, backoffMs,
+      sleepMs, tokens, maxAuthRetries, maxBackoffs, f"gen-$gen%06d-")
+    if (exhausted) {
+      // order matters for the crash window: bump the generation FIRST so
+      // a crash between the two writes re-drains a fresh generation under
+      // the OLD bound (harmless duplicates the etag gate drops) instead
+      // of skipping the window between old and new watermarks
+      writeAtomic(spark, new Path(statePath, "gen"), (gen + 1).toString)
+      writeAtomic(spark, new Path(statePath, "watermark"), tickWatermark)
+      // completed generation's cursor is dead state; best-effort cleanup
+      fs(spark, new Path(statePath)).delete(new Path(s"$statePath/cursor-$gen"), false)
+    }
+    (fetched, exhausted)
   }
 }

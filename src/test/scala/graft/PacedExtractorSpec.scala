@@ -127,6 +127,58 @@ class PacedExtractorSpec extends SparkSpec {
     assert(e.getMessage.contains("unauthorized"))
   }
 
+  test("incremental re-pull: watermark advances only on drained generations, files namespaced per generation") {
+    val root = Files.createTempDirectory("graft_paced_inc").toString
+    val staging = s"$root/staging"
+    val state = s"$root/state"
+    val clock = new FakeClock
+    val limiter = new RateLimiter(100, 1000L, clock.nowMs _, clock.sleepMs _)
+    val fetchLog = scala.collection.mutable.ArrayBuffer.empty[(Option[String], Int)]
+    def source(pagesThisGen: Int)(since: Option[String], page: Int): PacedExtractor.Response = {
+      fetchLog += ((since, page))
+      Fetched(Seq(line(s"w${since.getOrElse("none")}-p$page", s"content $since $page")),
+        hasMore = page < pagesThisGen - 1)
+    }
+
+    // tick 1: full backfill (no watermark), 3 pages, commits w1
+    val (n1, done1) = PacedExtractor.runIncremental(spark, source(3), staging,
+      state, limiter, tickWatermark = "2026-08-12T00:00:00Z",
+      sleepMs = clock.sleepMs _)
+    assert(n1 == 3 && done1)
+    assert(fetchLog.forall(_._1.isEmpty), "backfill generation has no bound")
+
+    // tick 2, budget-capped mid-generation: watermark must NOT advance
+    fetchLog.clear()
+    val (n2, done2) = PacedExtractor.runIncremental(spark, source(3), staging,
+      state, limiter, tickWatermark = "2026-08-13T00:00:00Z", maxPages = 2,
+      sleepMs = clock.sleepMs _)
+    assert(n2 == 2 && !done2)
+    assert(fetchLog.forall(_._1.contains("2026-08-12T00:00:00Z")),
+      s"generation 2 must pull with tick 1's watermark, got $fetchLog")
+
+    // tick 3 resumes the SAME generation at its cursor with the SAME
+    // bound, drains it, and only then commits the new watermark
+    fetchLog.clear()
+    val (n3, done3) = PacedExtractor.runIncremental(spark, source(3), staging,
+      state, limiter, tickWatermark = "2026-08-13T06:00:00Z",
+      sleepMs = clock.sleepMs _)
+    assert(n3 == 1 && done3, s"resume must fetch only the remaining page, got $n3")
+    assert(fetchLog == Seq((Some("2026-08-12T00:00:00Z"), 2)))
+
+    // tick 4 opens generation 3 under the newly-committed bound
+    fetchLog.clear()
+    PacedExtractor.runIncremental(spark, source(1), staging, state, limiter,
+      tickWatermark = "2026-08-14T00:00:00Z", sleepMs = clock.sleepMs _)
+    assert(fetchLog == Seq((Some("2026-08-13T06:00:00Z"), 0)))
+
+    // generations never collide on page numbers
+    val files = new java.io.File(staging).listFiles().map(_.getName)
+      .filterNot(_.endsWith(".crc")).sorted
+    assert(files.count(_.startsWith("gen-000001-")) == 3)
+    assert(files.count(_.startsWith("gen-000002-")) == 3)
+    assert(files.count(_.startsWith("gen-000003-")) == 1)
+  }
+
   test("landed pages flow through the gated ingest: re-delivered payloads never reach bronze") {
     val root = Files.createTempDirectory("graft_paced_gate").toString
     val staging = s"$root/staging"
