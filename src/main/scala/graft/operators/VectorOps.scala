@@ -773,6 +773,15 @@ object VectorOps {
     val members = corpus.select(col("vec_id"), col("vec"), col("norm"))
       .join(memberIds, "vec_id")
       .localCheckpoint(true)
+    // fail loudly on a stale corpus (same contract as the probes): the
+    // inner join above would otherwise silently DROP any assigned vec_id
+    // the corpus can't resolve, and the rewrite would erase those vectors
+    // from the index
+    val nMembers = members.count()
+    val nAssigned = memberIds.count()
+    require(nMembers == nAssigned,
+      s"${nAssigned - nMembers} assigned vec_ids missing from the corpus " +
+        "frame - pass the grown corpus (build + appends)")
     val fresh = buildCentroids(members, targetCids.length, lloydIters)
     // remap the rebuild's 0..k-1 cids onto the target cids by rank; if
     // the seed sample produced fewer than k centroids, the unmapped
@@ -826,16 +835,37 @@ object VectorOps {
     // current (possibly sub-tolerance-decayed) value, and repeated
     // partial rebuilds would ratchet those references down - unbounded
     // accumulated decay that never fires the probe
-    val affected = (oldCids.toSet ++ replacedCids).toSeq
-    val (c2, a2) = loadIvfIndex(spark, path)
-    val refreshed = ivfBucketHealth(corpus, c2,
-        a2.filter(col("cid").isin(affected.map(Int.box): _*)))
-      .select("cid", "mean_cos", "n")
-    val kept = spark.read.parquet(s"$path/health")
-      .filter(!col("cid").isin(affected.map(Int.box): _*))
-    val newHealth = kept.unionByName(refreshed).localCheckpoint(true)
-    newHealth.write.mode("overwrite").parquet(s"$path/health")
-    graft.CacheHygiene.release(newHealth)
+    val healthPath = new org.apache.hadoop.fs.Path(s"$path/health")
+    if (!fsys.exists(healthPath)) {
+      // no reference was ever recorded (split on a health-less index):
+      // create the full reference now rather than crashing mid-maintenance
+      saveIvfBucketHealth(corpus, path)
+    } else {
+      val affected = (oldCids.toSet ++ replacedCids).toSeq
+      val (c2, a2) = loadIvfIndex(spark, path)
+      val refreshedRows = ivfBucketHealth(corpus, c2,
+          a2.filter(col("cid").isin(affected.map(Int.box): _*)))
+        .select("cid", "mean_cos", "n").collect() // ≤ |affected| rows
+      // a live replacement centroid that attracted zero members has no
+      // health row to aggregate - seed its reference (with the rebuild's
+      // own mean cohesion) so later appends into it stay drift-watched;
+      // without a row, the probe's inner join would exempt it forever
+      val have = refreshedRows.map(_.getInt(0)).toSet
+      val seedRef =
+        if (refreshedRows.nonEmpty)
+          refreshedRows.map(_.getDouble(1)).sum / refreshedRows.length
+        else 1.0
+      val seeds = (replacedCids -- have).toSeq.sorted
+        .map(c => (c, seedRef, 0L))
+      val refreshed = refreshedRows
+        .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSeq
+        .++(seeds).toDF("cid", "mean_cos", "n")
+      val kept = spark.read.parquet(s"$path/health")
+        .filter(!col("cid").isin(affected.map(Int.box): _*))
+      val newHealth = kept.unionByName(refreshed).localCheckpoint(true)
+      newHealth.write.mode("overwrite").parquet(s"$path/health")
+      graft.CacheHygiene.release(newHealth)
+    }
   }
 
   def q57IvfTopk(s: SparkSession, d: String): DataFrame =

@@ -296,15 +296,24 @@ object ManifestTable {
       column: String, lo: String, hi: String, version: Long = 0L): Seq[String] = {
     val v = if (version > 0) version else currentVersion(spark, table)
     require(v > 0, s"manifest-table: $table has no committed version")
+    // caller bounds parse OUTSIDE the per-entry tolerance: a non-numeric
+    // bound against a num column is a caller bug that must fail loudly,
+    // not degrade into a silent full-table scan
+    lazy val callerBounds =
+      try (BigDecimal(lo), BigDecimal(hi))
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"manifest-table: non-numeric bounds [$lo,$hi] for numeric column $column")
+      }
     manifestEntries(spark, table, v).filter { e =>
       e.stats.get(column) match {
         case None => true
         case Some(ColStat("num", mn, mx)) =>
-          // unparseable recorded bounds keep the dir - pruning must only
+          val (l, h) = callerBounds
+          // unparseable RECORDED bounds keep the dir - pruning must only
           // ever skip what provably cannot match
-          scala.util.Try(
-            BigDecimal(mx) >= BigDecimal(lo) && BigDecimal(mn) <= BigDecimal(hi)
-          ).getOrElse(true)
+          scala.util.Try(BigDecimal(mx) >= l && BigDecimal(mn) <= h)
+            .getOrElse(true)
         case Some(ColStat(_, mn, mx)) => mx >= lo && mn <= hi
       }
     }.map(_.dir)
@@ -315,11 +324,28 @@ object ManifestTable {
     * row-level filter — this prunes I/O, it does not filter rows.
     */
   def readRange(spark: SparkSession, table: String, column: String,
-      lo: String, hi: String, version: Long = 0L): DataFrame = {
-    val dirs = prunedDataDirs(spark, table, column, lo, hi, version)
-    if (dirs.isEmpty) read(spark, table, version).limit(0)
+      lo: String, hi: String, version: Long = 0L): DataFrame =
+    readWhere(spark, table, Seq((column, lo, hi)), version)
+
+  /** Multi-predicate pruned read: a commit survives only if EVERY
+    * (column, lo, hi) range can match its recorded stats — conjunctive
+    * pruning, so each extra predicate can only shrink the scan (e.g. a
+    * time window AND a key range on a table committed by day).
+    */
+  def readWhere(spark: SparkSession, table: String,
+      ranges: Seq[(String, String, String)], version: Long = 0L): DataFrame = {
+    require(ranges.nonEmpty, "readWhere needs at least one (column, lo, hi)")
+    // resolve the snapshot ONCE: per-predicate resolution could straddle a
+    // concurrent commit and intersect dir sets from different versions
+    // (typically an empty - silently wrong - result)
+    val v = if (version > 0) version else currentVersion(spark, table)
+    require(v > 0, s"manifest-table: $table has no committed version")
+    val dirs = ranges.map { case (c, lo, hi) =>
+      prunedDataDirs(spark, table, c, lo, hi, v).toSet
+    }.reduce(_ intersect _)
+    if (dirs.isEmpty) read(spark, table, v).limit(0)
     else spark.read.option("mergeSchema", "true")
-      .parquet(dirs.map(d => new Path(table, d).toString): _*)
+      .parquet(dirs.toSeq.sorted.map(d => new Path(table, d).toString): _*)
   }
 
   /** Rewrite the current snapshot into ~targetBytes files and commit the

@@ -108,16 +108,8 @@ object PacedExtractor {
   }
 
   /** Next page to fetch: 0 on a fresh extract, else the persisted cursor. */
-  def cursor(spark: SparkSession, cursorPath: String): Int = {
-    val p = new Path(cursorPath)
-    val f = fs(spark, p)
-    if (!f.exists(p)) 0
-    else {
-      val in = f.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-      finally in.close()
-    }
-  }
+  def cursor(spark: SparkSession, cursorPath: String): Int =
+    readOpt(spark, new Path(cursorPath)).map(_.toInt).getOrElse(0)
 
   /** Pull pages from `fetch` under the limiter's pacing until the source
     * reports no more (or `maxPages` per invocation — the scheduled-run
@@ -202,9 +194,19 @@ object PacedExtractor {
 
   /** The incremental re-pull loop (the reference's daily catch-up DAG as
     * a watermark protocol): each completed extract GENERATION commits a
-    * caller-supplied watermark (typically the tick's start time — so
-    * records updated while the pull ran land in the next one), and the
-    * next generation's fetches receive it as the updated-since bound.
+    * watermark, and the next generation's fetches receive it as the
+    * updated-since bound.
+    *
+    * The committed value is the watermark of the tick that OPENED the
+    * generation (persisted as pending state at open), NOT the tick that
+    * happened to drain it: a generation can span several budget-capped
+    * ticks, and a record updated after its early pages were fetched but
+    * before the draining tick would be skipped forever if the draining
+    * tick's (later) watermark were committed — it sorts into the
+    * already-fetched region of THIS pull and past the bound of the next.
+    * Pass the tick's start time as `tickWatermark` and the overlap
+    * guarantee holds: anything updated at-or-after a generation opened
+    * is re-examined by the next generation.
     *
     * Crash contract, layered on [[run]]'s: the watermark advances ONLY
     * when a generation drains to the source's last page — a killed or
@@ -226,6 +228,13 @@ object PacedExtractor {
       maxBackoffs: Int = 60): (Int, Boolean) = {
     val since = readOpt(spark, new Path(statePath, "watermark"))
     val gen = readOpt(spark, new Path(statePath, "gen")).map(_.toLong).getOrElse(1L)
+    // pin the generation's future watermark at OPEN (first tick to touch
+    // this generation); resuming ticks reuse it
+    val pendingPath = new Path(statePath, s"pending-$gen")
+    val pending = readOpt(spark, pendingPath).getOrElse {
+      writeAtomic(spark, pendingPath, tickWatermark)
+      tickWatermark
+    }
     val (fetched, exhausted) = runPages(spark, p => fetch(since, p),
       stagingDir, s"$statePath/cursor-$gen", limiter, maxPages, backoffMs,
       sleepMs, tokens, maxAuthRetries, maxBackoffs, f"gen-$gen%06d-")
@@ -235,9 +244,11 @@ object PacedExtractor {
       // the OLD bound (harmless duplicates the etag gate drops) instead
       // of skipping the window between old and new watermarks
       writeAtomic(spark, new Path(statePath, "gen"), (gen + 1).toString)
-      writeAtomic(spark, new Path(statePath, "watermark"), tickWatermark)
-      // completed generation's cursor is dead state; best-effort cleanup
-      fs(spark, new Path(statePath)).delete(new Path(s"$statePath/cursor-$gen"), false)
+      writeAtomic(spark, new Path(statePath, "watermark"), pending)
+      // completed generation's cursor/pending are dead state; best-effort
+      val f = fs(spark, new Path(statePath))
+      f.delete(new Path(s"$statePath/cursor-$gen"), false)
+      f.delete(pendingPath, false)
     }
     (fetched, exhausted)
   }

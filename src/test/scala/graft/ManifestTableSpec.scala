@@ -96,6 +96,18 @@ class ManifestTableSpec extends SparkSpec {
     assert(none.count() == 0 && none.columns.sameElements(Array("id", "day", "v")))
     // a column with no recorded stats never prunes (always safe)
     assert(ManifestTable.prunedDataDirs(spark, table, "v", "a", "b").size == 3)
+    // conjunctive multi-predicate pruning: id range matches commit 2,
+    // day range matches commits 2+3 - the intersection scans only 2
+    val both = ManifestTable.readWhere(spark, table,
+      Seq(("id", "150", "250"), ("day", "2026-01-01", "2026-01-02")))
+    assert(both.inputFiles.forall(_.contains(
+      ManifestTable.prunedDataDirs(spark, table, "id", "150", "199").head)),
+      "conjunction must scan only the commit both ranges can match")
+    assert(both.count() == 100)
+    // contradictory conjunction prunes everything
+    assert(ManifestTable.readWhere(spark, table,
+      Seq(("id", "1", "50"), ("day", "2026-01-03", "2026-01-09"))).count() == 0)
+
     // stats survive the append carry-forward AND a compaction re-records
     val cv = ManifestTable.compactCommit(spark, table, statsCols = Seq("id"))
     assert(ManifestTable.prunedDataDirs(

@@ -165,11 +165,16 @@ class PacedExtractorSpec extends SparkSpec {
     assert(n3 == 1 && done3, s"resume must fetch only the remaining page, got $n3")
     assert(fetchLog == Seq((Some("2026-08-12T00:00:00Z"), 2)))
 
-    // tick 4 opens generation 3 under the newly-committed bound
+    // tick 4 opens generation 3 under the committed bound - which is the
+    // watermark of the tick that OPENED generation 2 (tick 2), not the
+    // one that drained it (tick 3): a record updated between tick 2's
+    // early pages and tick 3 sorts into the already-fetched region, and
+    // only the opening tick's bound re-examines it next generation
     fetchLog.clear()
     PacedExtractor.runIncremental(spark, source(1), staging, state, limiter,
       tickWatermark = "2026-08-14T00:00:00Z", sleepMs = clock.sleepMs _)
-    assert(fetchLog == Seq((Some("2026-08-13T06:00:00Z"), 0)))
+    assert(fetchLog == Seq((Some("2026-08-13T00:00:00Z"), 0)),
+      s"the opening tick's watermark must commit, got $fetchLog")
 
     // generations never collide on page numbers
     val files = new java.io.File(staging).listFiles().map(_.getName)
