@@ -524,13 +524,12 @@ object VectorOps {
     var i = 0
     while (i < lloydIters) {
       val prev = centroids
-      // Lloyd step: per-centroid per-dimension mean, reassembled in order
+      // Lloyd step: per-centroid vector mean as ONE aggregate (native
+      // VectorAvg buffer) - the posexplode → (cid,pos) avg → re-assemble
+      // formulation shuffled dim×n rows per pass
       centroids = assign(corpus, centroids)
-        .select(col("cid"), posexplode(col("vec")))
-        .groupBy("cid", "pos").agg(avg("col").as("m"))
         .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), expr("transform(pm, x -> x.m)").as("cvec"))
+        .agg(graft.plans.GraftFunctions.vec_avg(col("vec")).as("cvec"))
         .withColumn("cnorm", sqrt(dot(col("cvec"), col("cvec"))))
         .localCheckpoint(true)
       // the eager checkpoint above was this frame's last consumer

@@ -26,6 +26,13 @@ object GraftFunctions {
   def topk_freq(c: Column, k: Int, capacity: Int = 4096): Column =
     toCol(TopKFreq(toExpr(c), k, capacity).toAggregateExpression())
 
+  /** Element-wise mean of array<double> vectors (the k-means centroid
+    * kernel): one running-sum buffer per group instead of a
+    * dim×n-row posexplode shuffle.
+    */
+  def vec_avg(v: Column): Column =
+    toCol(VectorAvg(toExpr(v)).toAggregateExpression())
+
   /** Fused per-row 64-bit SimHash over an array<string> token column. */
   def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
 
@@ -63,6 +70,8 @@ object GraftFunctions {
       es => TopKFreq(es(0), intArg(es(1), "topk_freq", 1),
         if (es.length > 2) intArg(es(2), "topk_freq", 2) else 4096)
         .toAggregateExpression()),
+    ("vec_avg", "vec_avg(v) - element-wise mean of array<double> vectors",
+      es => VectorAvg(es(0)).toAggregateExpression()),
   )
 
   /** Register the SQL-callable names as temp functions on an existing

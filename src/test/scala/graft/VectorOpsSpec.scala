@@ -274,6 +274,45 @@ class VectorOpsSpec extends SparkSpec {
     assert(top.head.getString(0) == big && top.head.getLong(1) == 5L)
   }
 
+  test("native VectorAvg matches the posexplode formulation; nulls skipped; mixed lengths fail") {
+    import spark.implicits._
+    // power-of-two values: sums are exact in binary, so both formulations
+    // must agree bit-for-bit regardless of accumulation order
+    val vecs = (1 to 64).map(i =>
+      (i % 4, Seq(i.toDouble, i * 0.5, i * 0.25, -i.toDouble)))
+      .toDF("k", "vec").repartition(7) // force cross-partition merges
+    val native = vecs.groupBy("k")
+      .agg(graft.plans.GraftFunctions.vec_avg(col("vec")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toList).toMap
+    val reference = vecs.select(col("k"), posexplode(col("vec")))
+      .groupBy("k", "pos").agg(avg("col").as("m"))
+      .groupBy("k").agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("k"), expr("transform(pm, x -> x.m)").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toList).toMap
+    assert(native == reference, s"native $native vs reference $reference")
+
+    // nulls are skipped like SQL avg; an all-null group is null
+    val withNulls = Seq((1, Seq(2.0, 4.0)), (1, null), (2, null))
+      .toDF("k", "vec")
+    val n = withNulls.groupBy("k")
+      .agg(graft.plans.GraftFunctions.vec_avg(col("vec")).as("m"))
+      .collect().map(r => r.getInt(0) -> Option(r.get(1))).toMap
+    assert(n(1).map(_.asInstanceOf[scala.collection.Seq[Double]].toList)
+      .contains(List(2.0, 4.0)))
+    assert(n(2).isEmpty, "all-null group must yield null, not zeros")
+
+    // silent truncation would corrupt centroids - mixed lengths throw
+    val e = intercept[Exception](Seq((1, Seq(1.0)), (1, Seq(1.0, 2.0)))
+      .toDF("k", "vec")
+      .groupBy("k").agg(graft.plans.GraftFunctions.vec_avg(col("vec")))
+      .collect())
+    assert(e.getMessage != null)
+
+    // the SQL face works through the extensions
+    vecs.createOrReplaceTempView("vecs_avg_v")
+    assert(spark.sql("SELECT k, vec_avg(vec) FROM vecs_avg_v GROUP BY k").count() == 4)
+  }
+
   test("native DotProduct expression matches the higher-order reference bit-for-bit") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val both = emb.limit(200).select(
@@ -344,15 +383,36 @@ class VectorOpsSpec extends SparkSpec {
           s"query $q must find its appended twin at rank 1, got ${top1(q)}")
       }
 
-      // drift probe: adversarial appends (negated corpus vectors - max
-      // distance from every trained centroid) must decay the mean
-      // assign-cosine, signalling a rebuild
+      // drift probe: adversarial appends must decay the mean
+      // assign-cosine, signalling a rebuild. The decisive construction is
+      // a vector ORTHOGONAL to the whole centroid span (cosine ~0 to
+      // every trained centroid, vs the ~0.2 corpus mean): on near-random
+      // embeddings any mere direction flip still correlates ~±0.2 with
+      // some centroid by chance and the comparison would ride on ulps.
       import spark.implicits._
       val buildHealth = VectorOps.ivfMeanAssignCosine(grown, lc, la)
-      val hostile = corpus.limit(200).select(
-        (col("vec_id") + 200000L).as("vec_id"),
-        org.apache.spark.sql.functions.transform(col("vec"), v => -v).as("vec"),
-        col("norm"))
+      val cents = lc.collect().map(r =>
+        r.getSeq[Double](r.fieldIndex("cvec")).toArray)
+      // Gram-Schmidt: orthonormal basis of the centroid span, then strip
+      // a deterministic seed vector's components in that span
+      def dotA(a: Array[Double], b: Array[Double]) =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      val basis = cents.foldLeft(List.empty[Array[Double]]) { (bs, c) =>
+        val r = bs.foldLeft(c.clone()) { (v, b) =>
+          val p = dotA(v, b); v.zip(b).map { case (x, y) => x - p * y } }
+        val n = math.sqrt(dotA(r, r))
+        if (n > 1e-9) (r.map(_ / n)) :: bs else bs
+      }
+      val rnd = new scala.util.Random(11)
+      val seedVec = Array.fill(64)(rnd.nextGaussian())
+      val perp = basis.foldLeft(seedVec) { (v, b) =>
+        val p = dotA(v, b); v.zip(b).map { case (x, y) => x - p * y } }
+      val perpNorm = math.sqrt(dotA(perp, perp))
+      assert(perpNorm > 1e-9, "centroids must not span the full space")
+      val hostile = (0 until 200).map { i =>
+        val s = 1.0 + i / 1000.0
+        (200000L + i, perp.toList.map(_ * s), perpNorm * s)
+      }.toDF("vec_id", "vec", "norm")
       VectorOps.ivfAppend(hostile, dir)
       val (_, la2) = VectorOps.loadIvfIndex(spark, dir)
       val afterHealth = VectorOps.ivfMeanAssignCosine(
