@@ -460,21 +460,35 @@ object VectorOps {
   def ivfNumCentroids(n: Long): Int =
     math.max(4, math.min(4096, math.sqrt(n.toDouble).toInt))
 
-  /** Assign each vector to its top-`replicas` centroids by cosine
-    * (broadcast the centroid table, native dot kernel, deterministic
-    * tie-break). `replicas > 1` is the redundant "spill" assignment that
-    * buys ANN recall for index size: a vector near a bucket boundary is
-    * findable from either side.
+  /** Assign each vector to its top-`replicas` centroids by cosine, as a
+    * per-row kernel (plans.TopCentroids) over the driver-collected
+    * centroid table — ≤4096×64 doubles ≈ 2 MB, the same payload a
+    * broadcast ships. The crossJoin + row_number-window formulation this
+    * replaces materialized n×C rows and EXCHANGED them to rank per
+    * vector — trillions of shuffled rows at 10⁹ vectors; this one scans
+    * the corpus once and shuffles nothing. Tie-break (cos desc, cid asc,
+    * NaN greatest) matches the window formulation exactly.
+    * `replicas > 1` is the redundant "spill" assignment that buys ANN
+    * recall for index size: a vector near a bucket boundary is findable
+    * from either side.
     */
   private def assign(vecs: DataFrame, centroids: DataFrame,
       replicas: Int = 1): DataFrame = {
-    val cos = dot(col("vec"), col("cvec")) / (col("norm") * col("cnorm"))
-    val best = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
-    vecs.crossJoin(broadcast(centroids))
-      .withColumn("ccos", cos)
-      .withColumn("rn", row_number().over(best))
-      .filter(col("rn") <= replicas)
-      .select(col("vec_id"), col("cid"), col("vec"), col("norm"))
+    val rows = centroids.select("cid", "cvec", "cnorm").collect()
+      .sortBy(_.getInt(0))
+    val cids = rows.map(_.getInt(0))
+    // seed centroids are raw corpus vectors (array<float> for the
+    // embeddings tables); Lloyd means are array<double> - normalize here
+    val cvecs = rows.map(_.getSeq[Any](1).iterator.map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toArray)
+    val cnorms = rows.map(_.getDouble(2))
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    val top = toCol(graft.plans.TopCentroids(
+      toExpr(col("vec")), toExpr(col("norm")), cids, cvecs, cnorms, replicas))
+    vecs.select(col("vec_id"), col("vec"), col("norm"), explode(top).as("tc"))
+      .select(col("vec_id"), col("tc.cid").as("cid"), col("vec"), col("norm"))
   }
 
   /** IVF index: deterministic hash-sampled seed centroids plus `lloydIters`

@@ -1,0 +1,95 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Per-row top-k nearest centroids by cosine — the IVF assignment kernel
+  * with the centroid table embedded in the expression (it is
+  * driver-collectable by construction: ≤4096 centroids × 64 dims ≈ 2 MB,
+  * the same payload a broadcast would ship). The DataFrame alternative
+  * (crossJoin against broadcast centroids, then a row_number window over
+  * vec_id) materializes n×C rows and EXCHANGES them to rank per vector —
+  * at 10⁹ vectors × 4096 centroids that is trillions of rows through a
+  * shuffle; this expression scans each vector once, keeps a k-slot
+  * running top list, and shuffles nothing.
+  *
+  * Ordering matches the window formulation exactly: cosine descending,
+  * centroid id ascending on ties, NaN ordered greatest (Spark's double
+  * ordering), so the two formulations pick identical assignments.
+  *
+  * Returns array<struct<cid:int, ccos:double>> of length min(k, C).
+  */
+case class TopCentroids(vec: Expression, norm: Expression,
+    cids: Array[Int], cvecs: Array[Array[Double]], cnorms: Array[Double],
+    k: Int)
+    extends Expression with CodegenFallback {
+
+  require(k > 0 && cids.length == cvecs.length && cids.length == cnorms.length)
+
+  override def children: Seq[Expression] = Seq(vec, norm)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, norm.dataType) match {
+      case (ArrayType(DoubleType | FloatType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (v, n) => TypeCheckResult.TypeCheckFailure(
+        s"top_centroids needs (array<float|double>, double), got (${v.simpleString(10)}, ${n.simpleString(10)})")
+    }
+
+  private lazy val vecIsFloat = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("cid", IntegerType, nullable = false),
+    StructField("ccos", DoubleType, nullable = false))), containsNull = false)
+
+  // Spark double ordering: NaN greatest; (cos desc, cid asc)
+  private def beats(cosA: Double, cidA: Int, cosB: Double, cidB: Int): Boolean = {
+    val c = java.lang.Double.compare(cosA, cosB) // NaN > any, matches Spark
+    c > 0 || (c == 0 && cidA < cidB)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = vec.eval(input)
+    val n = norm.eval(input)
+    if (v == null || n == null) return null
+    val arr = v.asInstanceOf[ArrayData]
+    val vnorm = n.asInstanceOf[Double]
+    val dim = arr.numElements()
+    val x = new Array[Double](dim)
+    var i = 0
+    if (vecIsFloat) while (i < dim) { x(i) = arr.getFloat(i).toDouble; i += 1 }
+    else while (i < dim) { x(i) = arr.getDouble(i); i += 1 }
+    val kk = math.min(k, cids.length)
+    val topCos = Array.fill(kk)(Double.NegativeInfinity)
+    val topCid = Array.fill(kk)(Int.MaxValue)
+    var j = 0
+    while (j < cids.length) {
+      val cv = cvecs(j)
+      var d = 0.0
+      var t = 0
+      val m = math.min(dim, cv.length)
+      while (t < m) { d += x(t) * cv(t); t += 1 }
+      val cos = d / (vnorm * cnorms(j))
+      if (beats(cos, cids(j), topCos(kk - 1), topCid(kk - 1))) {
+        // insertion into the k-slot sorted list (k is 1-2 in practice)
+        var p = kk - 1
+        while (p > 0 && beats(cos, cids(j), topCos(p - 1), topCid(p - 1))) {
+          topCos(p) = topCos(p - 1); topCid(p) = topCid(p - 1); p -= 1
+        }
+        topCos(p) = cos; topCid(p) = cids(j)
+      }
+      j += 1
+    }
+    new GenericArrayData(
+      (0 until kk).map(p => InternalRow(topCid(p), topCos(p))).toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(vec = c(0), norm = c(1))
+}

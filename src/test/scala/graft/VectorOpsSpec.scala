@@ -313,6 +313,26 @@ class VectorOpsSpec extends SparkSpec {
     assert(spark.sql("SELECT k, vec_avg(vec) FROM vecs_avg_v GROUP BY k").count() == 4)
   }
 
+  test("TopCentroids assignment kernel matches the crossJoin+window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").as("vec"))
+      .withColumn("norm", sqrt(VectorOps.dot(col("vec"), col("vec"))))
+    val (centroids, assignments) = VectorOps.ivfIndex(corpus)
+    val viaKernel = assignments.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val cos = VectorOps.dot(col("vec"), col("cvec")) / (col("norm") * col("cnorm"))
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    val viaWindow = corpus.crossJoin(broadcast(centroids))
+      .withColumn("ccos", cos)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= VectorOps.DefaultAssignReplicas)
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(viaKernel == viaWindow,
+      "per-row kernel must pick the identical replicated assignment")
+  }
+
   test("native DotProduct expression matches the higher-order reference bit-for-bit") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val both = emb.limit(200).select(
