@@ -288,8 +288,10 @@ object VectorOps {
 
   /** Brute-force cosine top-k: broadcast the small query set against the
     * corpus scan — the exact baseline every ANN variant is judged against.
-    * At 100 TB: corpus streams, queries broadcast, per-partition top-k
-    * before the final k-merge (window over q_id).
+    * At 100 TB: corpus streams, queries broadcast, and the grouped top-k
+    * is the bounded-heap TopKPerKey operator (map-side partial heaps →
+    * k-row exchange) — a row_number window here would exchange every
+    * scored (corpus × query) row to rank them.
     */
   def q38EmbedTopk(s: SparkSession, d: String): DataFrame = {
     val all = withVec(embeddings(s, d))
@@ -298,12 +300,24 @@ object VectorOps {
     val corpus = all.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("c_id"), col("vec").as("c_vec"), col("norm").as("c_norm"))
     val cos = dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
-    corpus.crossJoin(broadcast(queries))
-      .withColumn("cos", cos)
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 5)
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col("q_id"), col("c_id"), cos.as("cos"))
+    rankTopK(scored, "q_id", "c_id", k = 5)
       .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos"), col("rk"))
+  }
+
+  /** Exact per-key cosine top-k via the bounded-heap operator, then a
+    * row_number over the k×keys-row result to materialize ranks — the
+    * window input is the ALREADY-REDUCED top set, never the full scored
+    * volume. Tie-break (cos desc, id asc) matches the window formulation
+    * it replaces.
+    */
+  private def rankTopK(scored: DataFrame, keyCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val top = graft.operators.TopK.topKPerKey(scored, Seq(keyCol),
+      struct(col("cos"), negate(col(idCol))), descending = true, k = k)
+    val w = Window.partitionBy(keyCol).orderBy(col("cos").desc, col(idCol))
+    top.withColumn("rk", row_number().over(w).cast("long"))
   }
 
   /** Random-hyperplane LSH: 8 fixed (seed=42) hyperplanes → 8-bit bucket
@@ -474,6 +488,16 @@ object VectorOps {
     */
   private def assign(vecs: DataFrame, centroids: DataFrame,
       replicas: Int = 1): DataFrame = {
+    val top = topCentroidsCol(centroids, col("vec"), col("norm"), replicas)
+    vecs.select(col("vec_id"), col("vec"), col("norm"), explode(top).as("tc"))
+      .select(col("vec_id"), col("tc.cid").as("cid"), col("vec"), col("norm"))
+  }
+
+  /** The TopCentroids kernel as a Column over a driver-collected centroid
+    * table (≤4096 × 64 doubles ≈ 2 MB — broadcast-sized by construction).
+    */
+  private def topCentroidsCol(centroids: DataFrame, vecCol: Column,
+      normCol: Column, k: Int): Column = {
     val rows = centroids.select("cid", "cvec", "cnorm").collect()
       .sortBy(_.getInt(0))
     val cids = rows.map(_.getInt(0))
@@ -485,10 +509,8 @@ object VectorOps {
     }.toArray)
     val cnorms = rows.map(_.getDouble(2))
     import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
-    val top = toCol(graft.plans.TopCentroids(
-      toExpr(col("vec")), toExpr(col("norm")), cids, cvecs, cnorms, replicas))
-    vecs.select(col("vec_id"), col("vec"), col("norm"), explode(top).as("tc"))
-      .select(col("vec_id"), col("tc.cid").as("cid"), col("vec"), col("norm"))
+    toCol(graft.plans.TopCentroids(
+      toExpr(vecCol), toExpr(normCol), cids, cvecs, cnorms, k))
   }
 
   /** IVF index: deterministic hash-sampled seed centroids plus `lloydIters`
@@ -582,13 +604,12 @@ object VectorOps {
   def ivfSearch(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       assignments: DataFrame, numProbes: Int = DefaultProbes,
       k: Int = 5): DataFrame = {
-    val qcos = dot(col("q_vec"), col("cvec")) / (col("q_norm") * col("cnorm"))
-    val probeRank = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("cid"))
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("pcos", qcos)
-      .withColumn("prn", row_number().over(probeRank))
-      .filter(col("prn") <= numProbes)
-      .select("q_id", "q_vec", "q_norm", "cid")
+    // probe selection: per-row top-numProbes kernel over the collected
+    // centroid table - the crossJoin+window it replaces exchanged
+    // queries × C rows just to pick each query's probe list
+    val probes = queries.select(col("q_id"), col("q_vec"), col("q_norm"),
+        explode(topCentroidsCol(centroids, col("q_vec"), col("q_norm"), numProbes)).as("tc"))
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("tc.cid").as("cid"))
     val cand = probes
       .join(assignments, "cid")
       // replicated assignment can surface a vector from several probed
@@ -596,10 +617,8 @@ object VectorOps {
       .dropDuplicates("q_id", "vec_id")
       .join(corpus.select(col("vec_id"), col("vec").as("c_vec"), col("norm").as("c_norm")), "vec_id")
     val cos = dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))
-    val topk = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    cand.withColumn("cos", cos)
-      .withColumn("rk", row_number().over(topk).cast("long"))
-      .filter(col("rk") <= k)
+    rankTopK(cand.select(col("q_id"), col("vec_id"), cos.as("cos")),
+        "q_id", "vec_id", k)
       .select(col("q_id"), col("vec_id").as("c_id"), round(col("cos"), 6).as("cos"), col("rk"))
   }
 
