@@ -302,21 +302,21 @@ object VectorOps {
     val cos = dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))
     val scored = corpus.crossJoin(broadcast(queries))
       .select(col("q_id"), col("c_id"), cos.as("cos"))
-    rankTopK(scored, "q_id", "c_id", k = 5)
+    rankTopK(scored, "q_id", "c_id", "cos", k = 5)
       .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos"), col("rk"))
   }
 
-  /** Exact per-key cosine top-k via the bounded-heap operator, then a
-    * row_number over the k×keys-row result to materialize ranks — the
-    * window input is the ALREADY-REDUCED top set, never the full scored
-    * volume. Tie-break (cos desc, id asc) matches the window formulation
-    * it replaces.
+  /** Exact per-key top-k by `scoreCol` via the bounded-heap operator,
+    * then a row_number over the k×keys-row result to materialize ranks —
+    * the window input is the ALREADY-REDUCED top set, never the full
+    * scored volume. Tie-break (score desc, id asc) matches the window
+    * formulation it replaces.
     */
   private def rankTopK(scored: DataFrame, keyCol: String, idCol: String,
-      k: Int): DataFrame = {
+      scoreCol: String, k: Int): DataFrame = {
     val top = graft.operators.TopK.topKPerKey(scored, Seq(keyCol),
-      struct(col("cos"), negate(col(idCol))), descending = true, k = k)
-    val w = Window.partitionBy(keyCol).orderBy(col("cos").desc, col(idCol))
+      struct(col(scoreCol), negate(col(idCol))), descending = true, k = k)
+    val w = Window.partitionBy(keyCol).orderBy(col(scoreCol).desc, col(idCol))
     top.withColumn("rk", row_number().over(w).cast("long"))
   }
 
@@ -489,7 +489,14 @@ object VectorOps {
   private def assign(vecs: DataFrame, centroids: DataFrame,
       replicas: Int = 1): DataFrame = {
     val top = topCentroidsCol(centroids, col("vec"), col("norm"), replicas)
-    vecs.select(col("vec_id"), col("vec"), col("norm"), explode(top).as("tc"))
+    // fail-fast on null vectors: the kernel yields null there and
+    // explode() would DROP the row - a vector silently vanishing from
+    // the index. assert_true-as-filter survives column pruning
+    // (RangeJoin.binned's established pattern).
+    val nullOk = assert_true(col("vec").isNotNull && col("norm").isNotNull,
+      lit("ivf assign: null vec/norm - clean the corpus before indexing"))
+    vecs.filter(nullOk.isNull)
+      .select(col("vec_id"), col("vec"), col("norm"), explode(top).as("tc"))
       .select(col("vec_id"), col("tc.cid").as("cid"), col("vec"), col("norm"))
   }
 
@@ -618,7 +625,7 @@ object VectorOps {
       .join(corpus.select(col("vec_id"), col("vec").as("c_vec"), col("norm").as("c_norm")), "vec_id")
     val cos = dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))
     rankTopK(cand.select(col("q_id"), col("vec_id"), cos.as("cos")),
-        "q_id", "vec_id", k)
+        "q_id", "vec_id", "cos", k)
       .select(col("q_id"), col("vec_id").as("c_id"), round(col("cos"), 6).as("cos"), col("rk"))
   }
 

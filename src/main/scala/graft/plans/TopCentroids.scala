@@ -71,10 +71,13 @@ case class TopCentroids(vec: Expression, norm: Expression,
     var j = 0
     while (j < cids.length) {
       val cv = cvecs(j)
+      // fail loudly on dimension drift: a truncated dot product would
+      // assign wrong-dimensioned appends to arbitrary buckets silently
+      require(dim == cv.length,
+        s"top_centroids: $dim-dim vector against ${cv.length}-dim centroid")
       var d = 0.0
       var t = 0
-      val m = math.min(dim, cv.length)
-      while (t < m) { d += x(t) * cv(t); t += 1 }
+      while (t < dim) { d += x(t) * cv(t); t += 1 }
       val cos = d / (vnorm * cnorms(j))
       if (beats(cos, cids(j), topCos(kk - 1), topCid(kk - 1))) {
         // insertion into the k-slot sorted list (k is 1-2 in practice)

@@ -3,6 +3,7 @@ package graft.plans
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -16,9 +17,13 @@ import org.apache.spark.sql.types._
   * single array per partial — at 100 TB of 64-dim vectors that is a 64×
   * smaller Lloyd-pass exchange.
   *
-  * Null vectors are ignored (SQL avg semantics); an empty group yields
-  * null. Rows whose length differs from the first-seen length fail
-  * loudly — a silent truncation would corrupt every centroid downstream.
+  * Accepts array<float> and array<double> (reading a float-backed array
+  * with double accessors would silently reinterpret bits — wrong means,
+  * no error). Null VECTORS are ignored (SQL avg semantics); an empty
+  * group yields null. Null ELEMENTS and rows whose length differs from
+  * the first-seen length fail loudly — posexplode+avg would skip a null
+  * element per-dimension, and silently averaging 0.0 instead (or
+  * truncating) would corrupt every centroid downstream.
   */
 case class VectorAvg(child: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
@@ -28,6 +33,23 @@ case class VectorAvg(child: Expression,
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType | FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vec_avg needs array<float|double>, got ${t.simpleString(10)}")
+  }
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def elem(arr: ArrayData, i: Int): Double = {
+    require(!arr.isNullAt(i),
+      "vec_avg: null vector element - clean or impute before averaging")
+    if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+  }
+
   override def createAggregationBuffer(): VectorAvg.Buf =
     new VectorAvg.Buf(Array.emptyDoubleArray, 0L)
 
@@ -36,13 +58,13 @@ case class VectorAvg(child: Expression,
     if (buf.count == 0L && buf.sum.isEmpty) {
       val s = new Array[Double](n)
       var i = 0
-      while (i < n) { s(i) = arr.getDouble(i); i += 1 }
+      while (i < n) { s(i) = elem(arr, i); i += 1 }
       new VectorAvg.Buf(s, 1L)
     } else {
       require(n == buf.sum.length,
         s"vec_avg: mixed vector lengths ($n vs ${buf.sum.length})")
       var i = 0
-      while (i < n) { buf.sum(i) += arr.getDouble(i); i += 1 }
+      while (i < n) { buf.sum(i) += elem(arr, i); i += 1 }
       buf.count += 1
       buf
     }

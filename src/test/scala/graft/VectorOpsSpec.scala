@@ -311,6 +311,17 @@ class VectorOpsSpec extends SparkSpec {
     // the SQL face works through the extensions
     vecs.createOrReplaceTempView("vecs_avg_v")
     assert(spark.sql("SELECT k, vec_avg(vec) FROM vecs_avg_v GROUP BY k").count() == 4)
+
+    // float input: the embeddings tables' vec column is array<float>, and
+    // reading a float-backed array with double accessors silently
+    // reinterprets bits (wrong means ~1e-8 where truth is ~1e-2, no
+    // error) - THE bug this case pins down
+    val floats = Seq((1, Seq(1.0f, 3.0f)), (1, Seq(3.0f, 5.0f)))
+      .toDF("k", "vec")
+    val fm = floats.groupBy("k")
+      .agg(graft.plans.GraftFunctions.vec_avg(col("vec")).as("m"))
+      .head().getSeq[Double](1).toList
+    assert(fm == List(2.0, 4.0), s"float vectors must average correctly, got $fm")
   }
 
   test("TopCentroids assignment kernel matches the crossJoin+window formulation") {
