@@ -88,4 +88,36 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
       s"no partial aggregation in:\n$plan")
   }
+
+  test("q38: brute-force top-k plans as bounded heaps over the scored volume") {
+    val plan = planString(VectorOps.q38EmbedTopk(spark, sfDir))
+    assert(plan.contains("TopKPerKey"),
+      s"scored n x q rows must reduce through the heap operator:\n$plan")
+    // the only Window allowed is the rank materializer OVER the k-row
+    // heap output - i.e. downstream of TopKPerKey, never above the join
+    val lines = plan.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    val heapIdx = lines.indexWhere(_.contains("TopKPerKey"))
+    assert(winIdx < heapIdx,
+      s"rank window must consume the heap output, not the full volume:\n$plan")
+  }
+
+  test("ivfSearch: probe selection is kernel-projected - no crossJoin against centroids") {
+    // q57IvfTopk returns an eager checkpoint (opaque LogicalRDD), so
+    // assert on the search plan before materialization
+    import org.apache.spark.sql.functions._
+    val all = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").as("vec"))
+      .withColumn("norm", sqrt(VectorOps.dot(col("vec"), col("vec"))))
+    val queries = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("norm").as("q_norm"))
+    val corpus = all.filter(col("vec_id") >= 10)
+    val (centroids, assignments) = VectorOps.ivfIndex(corpus)
+    val plan = planString(
+      VectorOps.ivfSearch(queries, corpus, centroids, assignments)).toLowerCase
+    assert(plan.contains("topcentroids"),
+      s"expected the per-row probe kernel in:\n$plan")
+    assert(!plan.contains("cartesianproduct"),
+      s"probe selection must not cartesian-join:\n$plan")
+  }
 }
