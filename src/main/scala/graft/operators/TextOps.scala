@@ -335,6 +335,23 @@ object TextOps {
       Seq("lang"), struct(col("hk"), col("doc_id")), descending = false, k)
       .select("lang", "doc_id")
 
+  /** Per-source document cap — the crawl-pipeline "domain spam" control:
+    * keep at most `k` docs per source, chosen deterministically by salted
+    * content hash (rerun- and partitioning-stable, engine-portable), so
+    * one over-represented source cannot dominate the training mix.
+    * Planned as the bounded-heap TopKPerKey operator: `source` is a
+    * low-cardinality key at 100 TB, and a window row_number would funnel
+    * each source's full volume through one task.
+    */
+  def q76SourceCap(s: SparkSession, d: String): DataFrame =
+    sourceCapped(documents(s, d), 10)
+
+  def sourceCapped(docs: DataFrame, k: Int): DataFrame =
+    graft.operators.TopK.topKPerKey(
+      docs.withColumn("hk", md5(concat(lit("cap:"), col("text")))),
+      Seq("source"), struct(col("hk"), col("doc_id")), descending = false, k = k)
+      .select("doc_id", "source")
+
   /** The composed Gopher-style quality gate: every per-doc heuristic this
     * file defines, fused into one scan with named boolean verdicts — the
     * single filter a training-data pipeline actually runs before
@@ -423,6 +440,7 @@ object TextOps {
     "q66_repetition" -> q66Repetition _,
     "q67_pii_scrub" -> q67PiiScrub _,
     "q68_stratified_sample" -> q68StratifiedSample _,
+    "q76_source_cap" -> q76SourceCap _,
     "q59_hash_split" -> q59HashSplit _,
     "q60_mixture_sample" -> q60MixtureSample _,
     "q52_heavy_hitters" -> q52HeavyHitters _,
@@ -505,6 +523,13 @@ object TextOps {
         |     ('0x' || substr(md5('strat:' || text), 1, 8))::BIGINT, doc_id) AS rn
         |  FROM documents) s
         |WHERE rn <= 20""".stripMargin,
+    "q76_source_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |   row_number() OVER (PARTITION BY source
+        |     ORDER BY md5('cap:' || text), doc_id) AS rn
+        |  FROM documents) s
+        |WHERE rn <= 10""".stripMargin,
     "q59_hash_split" ->
       """WITH b AS (
         |  SELECT doc_id,

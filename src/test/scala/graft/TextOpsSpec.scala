@@ -142,6 +142,21 @@ class TextOpsSpec extends SparkSpec {
       assert(rows.map(_.getLong(3)).min == 0L))
   }
 
+  test("source cap: at most k per source, heap-planned, stable under repartitioning") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    def capped(df: org.apache.spark.sql.DataFrame) =
+      TextOps.sourceCapped(df, 10).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val base = capped(docs)
+    assert(base.groupBy(_._2).values.forall(_.size == 10),
+      "every 25-doc source must cap to exactly 10")
+    assert(capped(docs.repartition(7)) == base,
+      "the kept set must not depend on physical partitioning")
+    val plan = TextOps.sourceCapped(docs, 10).queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey") && !plan.contains("Window"),
+      s"low-cardinality source key must heap-plan, not window-sort:\n$plan")
+  }
+
   test("hashBucket is uniform-ish and rerun/partitioning stable") {
     val docs = Tables.documents(spark, sfDir)
     val b = TextOps.hashBucket(col("text"))
