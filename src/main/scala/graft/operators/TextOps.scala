@@ -348,7 +348,12 @@ object TextOps {
 
   def sourceCapped(docs: DataFrame, k: Int): DataFrame =
     graft.operators.TopK.topKPerKey(
-      docs.withColumn("hk", md5(concat(lit("cap:"), col("text")))),
+      // hashKey = the file's one salted-hash rank convention (q68 shares
+      // it); coalesce keeps null-text docs rankable identically on both
+      // engines (a null hash would sort NULLS FIRST here, NULLS LAST in
+      // the oracle's window)
+      docs.withColumn("hk",
+        hashKey(concat(lit("cap:"), coalesce(col("text"), lit(""))))),
       Seq("source"), struct(col("hk"), col("doc_id")), descending = false, k = k)
       .select("doc_id", "source")
 
@@ -527,7 +532,8 @@ object TextOps {
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source,
         |   row_number() OVER (PARTITION BY source
-        |     ORDER BY md5('cap:' || text), doc_id) AS rn
+        |     ORDER BY ('0x' || substr(md5('cap:' || coalesce(text, '')), 1, 8))::BIGINT,
+        |       doc_id) AS rn
         |  FROM documents) s
         |WHERE rn <= 10""".stripMargin,
     "q59_hash_split" ->

@@ -90,16 +90,22 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   }
 
   test("q38: brute-force top-k plans as bounded heaps over the scored volume") {
-    val plan = planString(VectorOps.q38EmbedTopk(spark, sfDir))
+    // executedPlan only: planString appends the optimized LOGICAL plan,
+    // whose Window lines would sit below the physical heap line and trip
+    // the ordering assertion
+    val plan = VectorOps.q38EmbedTopk(spark, sfDir)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey"),
       s"scored n x q rows must reduce through the heap operator:\n$plan")
     // the only Window allowed is the rank materializer OVER the k-row
-    // heap output - i.e. downstream of TopKPerKey, never above the join
+    // heap output - i.e. downstream of (printed above) the TopKPerKey
+    // node; EVERY Window occurrence must satisfy it, and one must exist
     val lines = plan.linesIterator.toSeq
-    val winIdx = lines.indexWhere(_.contains("Window"))
+    val winIdxs = lines.zipWithIndex.collect { case (l, i) if l.contains("Window") => i }
     val heapIdx = lines.indexWhere(_.contains("TopKPerKey"))
-    assert(winIdx < heapIdx,
-      s"rank window must consume the heap output, not the full volume:\n$plan")
+    assert(winIdxs.nonEmpty && heapIdx >= 0, s"missing rank window or heap:\n$plan")
+    assert(winIdxs.forall(_ < heapIdx),
+      s"every window must consume the heap output, not the full volume:\n$plan")
   }
 
   test("ivfSearch: probe selection is kernel-projected - no crossJoin against centroids") {
