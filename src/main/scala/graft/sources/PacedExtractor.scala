@@ -119,15 +119,20 @@ object PacedExtractor {
     * A killed run resumes exactly where it stopped: the cursor names the
     * first page whose landing was never confirmed.
     */
+  /** `filePrefix` namespaces landed files — REQUIRED when several paced
+    * sources share one staging dir (each also needs its own cursor/state
+    * path), or two sources' page numbers overwrite each other.
+    */
   def run(spark: SparkSession, fetch: Int => Response, stagingDir: String,
       cursorPath: String, limiter: RateLimiter, maxPages: Int = Int.MaxValue,
       backoffMs: Long = 5000L,
       sleepMs: Long => Unit = Thread.sleep,
       tokens: Option[TokenProvider] = None,
       maxAuthRetries: Int = 3,
-      maxBackoffs: Int = 60): Int =
+      maxBackoffs: Int = 60,
+      filePrefix: String = ""): Int =
     runPages(spark, fetch, stagingDir, cursorPath, limiter, maxPages,
-      backoffMs, sleepMs, tokens, maxAuthRetries, maxBackoffs, "")._1
+      backoffMs, sleepMs, tokens, maxAuthRetries, maxBackoffs, filePrefix)._1
 
   /** Core loop; also reports whether the source was EXHAUSTED (the last
     * page said no-more) vs merely budget-capped — the distinction the
@@ -225,7 +230,8 @@ object PacedExtractor {
       sleepMs: Long => Unit = Thread.sleep,
       tokens: Option[TokenProvider] = None,
       maxAuthRetries: Int = 3,
-      maxBackoffs: Int = 60): (Int, Boolean) = {
+      maxBackoffs: Int = 60,
+      filePrefix: String = ""): (Int, Boolean) = {
     val since = readOpt(spark, new Path(statePath, "watermark"))
     val gen = readOpt(spark, new Path(statePath, "gen")).map(_.toLong).getOrElse(1L)
     // pin the generation's future watermark at OPEN (first tick to touch
@@ -237,7 +243,7 @@ object PacedExtractor {
     }
     val (fetched, exhausted) = runPages(spark, p => fetch(since, p),
       stagingDir, s"$statePath/cursor-$gen", limiter, maxPages, backoffMs,
-      sleepMs, tokens, maxAuthRetries, maxBackoffs, f"gen-$gen%06d-")
+      sleepMs, tokens, maxAuthRetries, maxBackoffs, f"${filePrefix}gen-$gen%06d-")
     if (exhausted) {
       // order matters for the crash window: bump the generation FIRST so
       // a crash between the two writes re-drains a fresh generation under

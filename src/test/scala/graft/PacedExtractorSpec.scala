@@ -184,6 +184,24 @@ class PacedExtractorSpec extends SparkSpec {
     assert(files.count(_.startsWith("gen-000003-")) == 1)
   }
 
+  test("two paced sources share one staging dir without page collisions") {
+    val root = Files.createTempDirectory("graft_paced_multi").toString
+    val staging = s"$root/staging"
+    val clock = new FakeClock
+    val limiter = new RateLimiter(100, 1000L, clock.nowMs _, clock.sleepMs _)
+    def src(tag: String)(page: Int): PacedExtractor.Response =
+      Fetched(Seq(line(s"$tag-p$page", s"$tag content $page")), hasMore = page < 1)
+    PacedExtractor.run(spark, src("a"), staging, s"$root/cur-a", limiter,
+      sleepMs = clock.sleepMs _, filePrefix = "srcA-")
+    PacedExtractor.run(spark, src("b"), staging, s"$root/cur-b", limiter,
+      sleepMs = clock.sleepMs _, filePrefix = "srcB-")
+    val files = new java.io.File(staging).listFiles().map(_.getName)
+      .filterNot(_.endsWith(".crc")).sorted
+    assert(files.sameElements(Seq("srcA-page-000000.jsonl", "srcA-page-000001.jsonl",
+      "srcB-page-000000.jsonl", "srcB-page-000001.jsonl")),
+      s"both sources' pages must land, got ${files.mkString(",")}")
+  }
+
   test("landed pages flow through the gated ingest: re-delivered payloads never reach bronze") {
     val root = Files.createTempDirectory("graft_paced_gate").toString
     val staging = s"$root/staging"
