@@ -118,8 +118,8 @@ object PacedExtractor {
     *
     * A killed run resumes exactly where it stopped: the cursor names the
     * first page whose landing was never confirmed.
-    */
-  /** `filePrefix` namespaces landed files — REQUIRED when several paced
+    *
+    * `filePrefix` namespaces landed files — REQUIRED when several paced
     * sources share one staging dir (each also needs its own cursor/state
     * path), or two sources' page numbers overwrite each other.
     */

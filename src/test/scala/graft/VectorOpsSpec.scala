@@ -344,6 +344,20 @@ class VectorOpsSpec extends SparkSpec {
       "per-row kernel must pick the identical replicated assignment")
   }
 
+  test("TopCentroids rejects dimension drift instead of truncating the dot product") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    val kernel = toCol(graft.plans.TopCentroids(
+      toExpr(col("vec")), toExpr(col("norm")),
+      Array(0), Array(Array(1.0, 0.0, 0.0)), Array(1.0), k = 1))
+    val wrongDim = Seq((1L, Seq(1.0, 2.0), math.sqrt(5.0))).toDF("vec_id", "vec", "norm")
+    val e = intercept[Exception](wrongDim.select(kernel).collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("2-dim vector against 3-dim centroid")),
+      s"dimension drift must fail loudly, got $e")
+  }
+
   test("native DotProduct expression matches the higher-order reference bit-for-bit") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val both = emb.limit(200).select(
