@@ -202,6 +202,45 @@ class PacedExtractorSpec extends SparkSpec {
       s"both sources' pages must land, got ${files.mkString(",")}")
   }
 
+  test("the reference's full daily flow: paced pull -> gated bronze -> silver -> hourly mart") {
+    val root = Files.createTempDirectory("graft_paced_e2e").toString
+    val clock = new FakeClock
+    val limiter = new RateLimiter(7, 1000L, clock.nowMs _, clock.sleepMs _)
+    // page -> event hour: 0,1 land in the first scheduled tick; later
+    // ticks pull hours 5 and 6, whose arrival advances the watermark and
+    // finalizes the earlier hours (append-mode hourly mart protocol)
+    val pageHour = Map(0 -> 0, 1 -> 1, 2 -> 5, 3 -> 6)
+    def fetch(page: Int): PacedExtractor.Response = PacedExtractor.Fetched(
+      Seq(
+        s"""{"posting_id":"p$page-a","raw_content":"posting $page a","source":"hh","extracted_at":"2026-08-12T0${pageHour(page)}:10:00.000Z"}""",
+        s"""{"posting_id":"p$page-b","raw_content":"posting $page b","source":"alt","extracted_at":"2026-08-12T0${pageHour(page)}:20:00.000Z"}"""),
+      hasMore = page < 1)
+
+    def tick(): Unit = {
+      PacedExtractor.run(spark, fetch, s"$root/staging", s"$root/cursor",
+        limiter, sleepMs = clock.sleepMs _)
+      graft.streaming.BronzePipeline.gatedIngest(spark, s"$root/staging",
+        s"$root/bronze", s"$root/meta", s"$root/ckpt-ingest").awaitTermination()
+      graft.streaming.BronzePipeline.runOnce(spark, s"$root/bronze",
+        s"$root/silver", s"$root/ckpt-silver").awaitTermination()
+      graft.streaming.BronzePipeline.martRunOnce(spark, s"$root/bronze",
+        s"$root/mart", s"$root/ckpt-mart").awaitTermination()
+    }
+    tick(); tick(); tick()
+
+    assert(spark.read.parquet(s"$root/silver").count() == 8,
+      "every pulled posting must reach silver exactly once")
+    val mart = spark.read.parquet(s"$root/mart")
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[java.sql.Timestamp]("hour").toInstant.toString,
+        r.getAs[Long]("n_postings"))).toSet
+    val finalized = Set(
+      ("hh", "2026-08-12T00:00:00Z", 1L), ("alt", "2026-08-12T00:00:00Z", 1L),
+      ("hh", "2026-08-12T01:00:00Z", 1L), ("alt", "2026-08-12T01:00:00Z", 1L))
+    assert(finalized.subsetOf(mart),
+      s"earlier hours must finalize once later pulls advance the watermark, got $mart")
+  }
+
   test("landed pages flow through the gated ingest: re-delivered payloads never reach bronze") {
     val root = Files.createTempDirectory("graft_paced_gate").toString
     val staging = s"$root/staging"
