@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.graft.ColumnBridge
 
@@ -14,21 +15,28 @@ import org.apache.spark.sql.graft.ColumnBridge
   * frames returned to callers are released by the caller via [[release]]
   * once fully consumed.
   *
-  * Root-only on purpose: matching is restricted to a frame whose plan root
-  * IS the checkpoint's `LogicalRDD`. Walking the whole tree would also hit
-  * checkpoints *embedded* in derived plans (e.g. a projection over a
-  * checkpointed edge list) and unpersist frames still in use.
+  * Near-root-only on purpose: matching follows single-source wrappers
+  * (Project/Filter chains — a checkpoint a builder returned with a final
+  * column tacked on is still "the checkpoint" to its caller) down to a
+  * `LogicalRDD`, and nothing else. Walking the whole tree would also hit
+  * checkpoints *embedded* in derived plans (e.g. a join of two
+  * checkpointed frames) and unpersist frames still in use.
   */
 object CacheHygiene {
   /** Unpersist the block-backed RDD behind checkpointed frames. No-op for
-    * frames that are not themselves checkpoints. After release the frame
-    * must not be read again (lineage is gone — a re-read fails loudly
-    * rather than recomputing).
+    * frames that are not themselves (possibly projected/filtered)
+    * checkpoints. After release the frame must not be read again
+    * (lineage is gone — a re-read fails loudly rather than recomputing).
     */
   def release(dfs: DataFrame*): Unit = dfs.foreach { df =>
-    ColumnBridge.analyzed(df) match {
-      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    unwrap(ColumnBridge.analyzed(df)).foreach(_.rdd.unpersist(blocking = false))
+  }
+
+  @annotation.tailrec
+  private def unwrap(plan: LogicalPlan): Option[LogicalRDD] = plan match {
+    case lr: LogicalRDD => Some(lr)
+    case p: Project => unwrap(p.child)
+    case f: Filter => unwrap(f.child)
+    case _ => None
   }
 }

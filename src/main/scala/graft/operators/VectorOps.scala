@@ -166,9 +166,9 @@ object VectorOps {
     var labels = edges.select("doc_id").distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_rep"))
     // only frames THIS loop checkpointed may be released: the initial
-    // labels frame is a projection over `edges`, and releasing it would
-    // tree-match nothing (root-only), but tracking explicitly keeps the
-    // invariant obvious
+    // labels frame is a DISTINCT over `edges`, which release() refuses to
+    // unwrap (only Project/Filter chains), but tracking explicitly keeps
+    // the invariant obvious
     var prevCk: DataFrame = null
     var iter = 0
     var changed = 1L
@@ -537,7 +537,7 @@ object VectorOps {
     val corpus = corpusIn.localCheckpoint(true)
     val n = corpus.count()
     val c = if (numCentroids > 0) numCentroids else ivfNumCentroids(n)
-    val centroids = buildCentroids(corpus, c, lloydIters)
+    val centroids = buildCentroids(corpus, c, lloydIters, n)
     // materialize the assignment so the corpus checkpoint can be released
     // here instead of living for the rest of the session
     val assignments = assign(corpus, centroids, assignReplicas)
@@ -547,12 +547,14 @@ object VectorOps {
   }
 
   /** Seed + Lloyd-refine `c` centroids (cids 0..c-1) over an eagerly
-    * checkpointed corpus frame. Shared by the full build and the
-    * decayed-bucket partial rebuild. The returned frame is a checkpoint;
-    * intermediates are released as superseded.
+    * checkpointed corpus frame of `n` rows (callers have always just
+    * counted it — recounting here would re-scan every cached block per
+    * build). Shared by the full build and the decayed-bucket partial
+    * rebuild. The returned frame is a checkpoint; intermediates are
+    * released as superseded.
     */
-  private def buildCentroids(corpus: DataFrame, c: Int, lloydIters: Int): DataFrame = {
-    val n = corpus.count()
+  private def buildCentroids(corpus: DataFrame, c: Int, lloydIters: Int,
+      n: Long): DataFrame = {
     // deterministic ~4C-row sample via id hash, ranked inside one array
     val sampleStep = math.max(1L, n / (c * 4L))
     val seeds = corpus
@@ -613,8 +615,13 @@ object VectorOps {
       k: Int = 5): DataFrame = {
     // probe selection: per-row top-numProbes kernel over the collected
     // centroid table - the crossJoin+window it replaces exchanged
-    // queries × C rows just to pick each query's probe list
-    val probes = queries.select(col("q_id"), col("q_vec"), col("q_norm"),
+    // queries × C rows just to pick each query's probe list. Null query
+    // vectors fail loudly (same contract as assign): the kernel yields
+    // null there and explode() would silently drop the query
+    val qNullOk = assert_true(col("q_vec").isNotNull && col("q_norm").isNotNull,
+      lit("ivf search: null q_vec/q_norm - clean the query set"))
+    val probes = queries.filter(qNullOk.isNull)
+      .select(col("q_id"), col("q_vec"), col("q_norm"),
         explode(topCentroidsCol(centroids, col("q_vec"), col("q_norm"), numProbes)).as("tc"))
       .select(col("q_id"), col("q_vec"), col("q_norm"), col("tc.cid").as("cid"))
     val cand = probes
@@ -821,7 +828,7 @@ object VectorOps {
     require(nMembers == nAssigned,
       s"${nAssigned - nMembers} assigned vec_ids missing from the corpus " +
         "frame - pass the grown corpus (build + appends)")
-    val fresh = buildCentroids(members, targetCids.length, lloydIters)
+    val fresh = buildCentroids(members, targetCids.length, lloydIters, nMembers)
     // remap the rebuild's 0..k-1 cids onto the target cids by rank; if
     // the seed sample produced fewer than k centroids, the unmapped
     // target cids simply never materialize - the old buckets' members

@@ -137,10 +137,13 @@ object ManifestTable {
       s"$c:${s.tag}:${b64(s.min)}:${b64(s.max)}"
     }.mkString(";")
 
-  private def parseEntry(line: String): Entry = line.split('\t') match {
+  private def parseEntry(line: String): Entry = line.split("\t", -1) match {
     case Array(dir) => Entry(dir, Map.empty)
+    // split with limit -1: Java's default drops TRAILING empty strings,
+    // so an empty-string min/max (b64("") == "") would destructure into
+    // 2-3 fields and MatchError every subsequent read of the table
     case Array(dir, stats) => Entry(dir, stats.split(';').map { part =>
-      val Array(c, tag, mn, mx) = part.split(':')
+      val Array(c, tag, mn, mx) = part.split(":", -1)
       c -> ColStat(tag, unb64(mn), unb64(mx))
     }.toMap)
     case other => Entry(other.head, Map.empty)
@@ -163,6 +166,9 @@ object ManifestTable {
   private def commitStats(spark: SparkSession, dirPath: Path,
       statsCols: Seq[String]): Map[String, ColStat] = {
     if (statsCols.isEmpty) return Map.empty
+    // column names are manifest-format separators' namespace
+    statsCols.foreach(c => require(!c.exists(":;\t\n".contains(_)),
+      s"manifest-table: stats column name '$c' may not contain : ; tab or newline"))
     val df = spark.read.parquet(dirPath.toString)
     val tags = statsCols.flatMap { c =>
       df.schema.find(_.name == c).map(_.dataType).collect {
@@ -331,6 +337,12 @@ object ManifestTable {
     * (column, lo, hi) range can match its recorded stats — conjunctive
     * pruning, so each extra predicate can only shrink the scan (e.g. a
     * time window AND a key range on a table committed by day).
+    *
+    * The result always carries the FULL snapshot schema: on an evolved
+    * table, a column living only in pruned-out commits null-fills rather
+    * than disappearing — otherwise the schema would depend on which
+    * commits a predicate happens to keep, breaking any caller that
+    * references an evolved column.
     */
   def readWhere(spark: SparkSession, table: String,
       ranges: Seq[(String, String, String)], version: Long = 0L): DataFrame = {
@@ -340,12 +352,19 @@ object ManifestTable {
     // (typically an empty - silently wrong - result)
     val v = if (version > 0) version else currentVersion(spark, table)
     require(v > 0, s"manifest-table: $table has no committed version")
+    val full = read(spark, table, v)
     val dirs = ranges.map { case (c, lo, hi) =>
       prunedDataDirs(spark, table, c, lo, hi, v).toSet
     }.reduce(_ intersect _)
-    if (dirs.isEmpty) read(spark, table, v).limit(0)
-    else spark.read.option("mergeSchema", "true")
-      .parquet(dirs.toSeq.sorted.map(d => new Path(table, d).toString): _*)
+    if (dirs.isEmpty) full.limit(0)
+    else {
+      val pruned = spark.read.option("mergeSchema", "true")
+        .parquet(dirs.toSeq.sorted.map(d => new Path(table, d).toString): _*)
+      val have = pruned.columns.toSet
+      pruned.select(full.schema.fields.map(f =>
+        if (have(f.name)) org.apache.spark.sql.functions.col(f.name)
+        else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)): _*)
+    }
   }
 
   /** Rewrite the current snapshot into ~targetBytes files and commit the

@@ -100,7 +100,11 @@ object PacedExtractor {
   private def writeAtomic(spark: SparkSession, p: Path, content: String): Unit = {
     val f = fs(spark, p)
     f.mkdirs(p.getParent)
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    // UUID temp: a fixed temp name would let two extractors mistakenly
+    // sharing a state path interleave create/rename on the same file and
+    // publish a torn cursor (ManifestTable.writeFile's pattern)
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
     val fc = FileContext.getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)

@@ -165,6 +165,28 @@ class ManifestTableSpec extends SparkSpec {
       Seq(("5", "e")).toDF("id", "v"), table, append = true,
       allowEvolution = true))
     assert(drift.getMessage.contains("type drift"))
+
+    // pruned reads keep the FULL snapshot schema: a column living only in
+    // pruned-out commits null-fills instead of disappearing
+    val t3 = Files.createTempDirectory("graft_manifest_prsch").toString + "/t"
+    ManifestTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t3,
+      append = false, statsCols = Seq("id"))
+    ManifestTable.commit(Seq((10L, "z", 9.9)).toDF("id", "v", "score"), t3,
+      append = true, allowEvolution = true, statsCols = Seq("id"))
+    val prunedEvolved = ManifestTable.readRange(spark, t3, "id", "1", "2")
+    assert(prunedEvolved.columns.sorted.sameElements(Array("id", "score", "v")),
+      s"pruned schema must not depend on the predicate, got ${prunedEvolved.columns.mkString(",")}")
+    assert(prunedEvolved.count() == 2 &&
+      prunedEvolved.filter($"score".isNotNull).count() == 0,
+      "the evolved column null-fills when its commits are pruned out")
+
+    // empty-string stats bounds round-trip (Java split drops trailing
+    // empties - this bricked every later read before the limit=-1 fix)
+    val t2 = Files.createTempDirectory("graft_manifest_empty").toString + "/t"
+    ManifestTable.commit(Seq((1L, "")).toDF("id", "tag"), t2,
+      append = false, statsCols = Seq("tag"))
+    assert(ManifestTable.read(spark, t2).count() == 1)
+    assert(ManifestTable.prunedDataDirs(spark, t2, "tag", "", "a").size == 1)
   }
 
   test("two interleaved committers: CAS loser retries on the winner's head, no commit lost") {
