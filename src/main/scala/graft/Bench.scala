@@ -1,21 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark entrypoint. Prints one per-query progress line as each query
-  * finishes (full name, so a human or log scraper can follow along), then a
-  * single summary JSON line LAST.
+/** Benchmark entrypoint.
   *
-  * The driver captures only the final ~2000 characters of output, so the
-  * summary line must stay short: query keys are compressed to their `qNN`
-  * prefix and seconds are rounded to 3 decimals (75 queries ≈ 1100 chars,
-  * comfortably inside the capture window; the old full-name line was ~3400
-  * chars and was truncated every round). Full names appear in the
-  * incremental lines above and map 1:1 onto the `qNN` prefixes.
+  * Measurement structure (r6): the whole suite runs as THREE complete
+  * independent passes — every query once per pass, in name order — and each
+  * query reports its MINIMUM across passes. Earlier rounds ran best-of-2
+  * back-to-back per query, which left both samples inside the same noise
+  * window: three separate rounds saw a *contiguous alphabetical cluster* of
+  * sub-second queries swing 3–5× on unchanged binaries (r3 q53–q58, r5
+  * q67–q70), i.e. the noise source (GC cycle / codegen-cache pressure /
+  * sandbox co-tenancy) is positional in time, not per-query. Independent
+  * full passes decorrelate position: a noise burst can inflate a cluster in
+  * one pass but the min across passes survives it. A full GC runs between
+  * passes so heap debt from pass N doesn't bill pass N+1.
+  *
+  * Output: one progress line per (pass, query) as it finishes; full per-pass
+  * data additionally lands in BENCH_PASSES.json next to this repo (the
+  * driver's stdout capture keeps only the final ~2000 characters, so the
+  * file is the durable record). The final summary line keeps the driver
+  * contract (`queries` = per-query min, `qNN` keys, 3 decimals) and adds a
+  * compact `p` object with per-pass centisecond arrays so the artifact
+  * itself distinguishes noise from regression; `p` degrades to just the
+  * noisy entries (spread >1.5×) and then drops entirely if the line would
+  * blow the 2000-char tail budget.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions)
@@ -23,38 +37,65 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen/parquet-footer paths so the first measured
-    // query doesn't absorb session startup cost.
+    // Warm the JVM/codegen/parquet-footer paths so pass 1's first query
+    // doesn't absorb session startup cost.
     SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
-    // Best of two runs per query: single measurements at this scale carry
-    // ~15% scheduler/GC noise. Failed queries report -1 (never a
-    // fast-looking elapsed time) and are excluded from the total.
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val a = timeOnce(fn)
-      val b = if (a >= 0) timeOnce(fn) else -1.0
-      val best = if (a < 0 || b < 0) -1.0 else math.min(a, b)
-      println(f"""{"q":"$name","sec":$best%.3f}""")
-      // Drop anything a query persisted/checkpointed so state never leaks
-      // into the next query's measurement (session is shared across all 75).
-      // localCheckpoint blocks live at the RDD layer, not the SQL cache
-      // manager, so both must be cleared.
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      name -> best
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // perPass(i) = results of pass i in name order; -1 marks a failed run.
+    val perPass: Seq[Seq[Double]] = (1 to passes).map { pass =>
+      if (pass > 1) System.gc() // settle heap debt from the previous pass
+      names.map { case (name, fn) =>
+        val t = timeOnce(fn)
+        println(f"""{"pass":$pass,"q":"$name","sec":$t%.3f}""")
+        // Drop anything a query persisted/checkpointed so state never leaks
+        // into the next measurement (session is shared across the suite).
+        // localCheckpoint blocks live at the RDD layer, not the SQL cache
+        // manager, so both must be cleared.
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        t
+      }
     }
-    val qs = results.map { case (k, v) =>
-      // q01_pricing_summary -> q01; non-qNN names kept whole.
-      val short = if (k.matches("q\\d+_.*")) k.takeWhile(_ != '_') else k
-      f""""$short":$v%.3f"""
-    }.mkString("{", ",", "}")
+    val results: Seq[(String, Double, Seq[Double])] = names.zipWithIndex.map { case ((name, _), i) =>
+      val samples = perPass.map(_(i))
+      val ok = samples.filter(_ >= 0)
+      val best = if (ok.isEmpty) -1.0 else ok.min
+      (name, best, samples)
+    }
+    // Durable full-precision record of every pass (driver tail keeps only
+    // ~2000 chars; this file survives in the repo for post-hoc diagnosis).
+    val passesJson = results.map { case (name, best, samples) =>
+      f""""$name":{"min":$best%.3f,"passes":[${samples.map(s => f"$s%.3f").mkString(",")}]}"""
+    }.mkString("{\"sf\":\"" + sfDir + "\",\"queries\":{", ",", "}}")
+    try {
+      val w = new java.io.PrintWriter("/root/repo/BENCH_PASSES.json")
+      try w.println(passesJson) finally w.close()
+    } catch { case _: Throwable => () } // never let bookkeeping kill the bench
+    def short(k: String): String = if (k.matches("q\\d+_.*")) k.takeWhile(_ != '_') else k
+    val qs = results.map { case (k, best, _) => f""""${short(k)}":$best%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def line(p: String): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$p,"sf":"$sfDir"}"""
+    // Per-pass centiseconds, keyed by bare NN: `"68":[15,77,16]`.
+    def pEntry(k: String, samples: Seq[Double]): String =
+      s""""${short(k).drop(1)}":[${samples.map(s => math.round(s * 100)).mkString(",")}]"""
+    val pAll = results.map { case (k, _, s) => pEntry(k, s) }.mkString(""","p":{""", ",", "}")
+    val noisy = results.filter { case (_, best, s) =>
+      best > 0 && s.exists(v => v >= 0 && v > best * 1.5)
+    }
+    val pNoisy = if (noisy.isEmpty) "" else noisy.map { case (k, _, s) => pEntry(k, s) }.mkString(""","p":{""", ",", "}")
+    val budget = 1900 // driver tail is 2000 chars incl. sbt's trailing [success] line
+    val finalLine =
+      if (line(pAll).length <= budget) line(pAll)
+      else if (line(pNoisy).length <= budget) line(pNoisy)
+      else line("")
+    println(finalLine)
     spark.stop()
   }
 }

@@ -191,6 +191,65 @@ object PacedExtractor {
     (fetched, !more)
   }
 
+  /** One member of a concurrent extract fleet: its own fetch function,
+    * cursor and file prefix (so pages never collide in the shared staging
+    * dir), optionally its own credential — pacing is the fleet's, not the
+    * member's.
+    */
+  final case class Source(name: String, fetch: Int => Response,
+      cursorPath: String, filePrefix: String,
+      maxPages: Int = Int.MaxValue, tokens: Option[TokenProvider] = None)
+
+  /** Fan out N paced sources concurrently under ONE shared rate budget —
+    * the reference fans all pages out under a single limiter
+    * (finnoio/jobhouse src/extract/hh_api.py:144-151 `asyncio.gather`
+    * under one `RateLimiter`); here the fan-out unit is a source (or a
+    * page-window of one source, expressed as two Sources with disjoint
+    * fetch ranges), so one slow or throttled source no longer serializes
+    * the fleet the way chained [[run]] calls do.
+    *
+    * Each source keeps its own cursor and file prefix, so the per-source
+    * crash contract is exactly [[run]]'s: a failed source resumes at its
+    * own cursor next invocation while the others' completions stand.
+    * Failures are therefore returned per-source (`Failure` alongside the
+    * others' `Success`), not thrown — throwing would discard the fleet's
+    * surviving results and re-pull completed sources on retry (harmless
+    * but rate-budget waste, which is the scarce resource here).
+    *
+    * The limiter's `acquire()` is a single monitor, so the ceiling holds
+    * across threads by construction; a thread sleeping for window room
+    * holds the monitor, which is correct (no other admission could
+    * proceed anyway — the window is full) and keeps the admission order
+    * fair enough for a 7-req/s extract feeder.
+    */
+  def runConcurrent(spark: SparkSession, sources: Seq[Source],
+      stagingDir: String, limiter: RateLimiter,
+      backoffMs: Long = 5000L,
+      sleepMs: Long => Unit = Thread.sleep,
+      maxAuthRetries: Int = 3,
+      maxBackoffs: Int = 60): Map[String, scala.util.Try[(Int, Boolean)]] = {
+    require(sources.nonEmpty, "empty fleet")
+    require(sources.map(_.name).distinct.size == sources.size,
+      "duplicate source names")
+    require(sources.map(_.cursorPath).distinct.size == sources.size,
+      "sources must not share a cursor path")
+    require(sources.forall(_.filePrefix.nonEmpty) &&
+      sources.map(_.filePrefix).distinct.size == sources.size,
+      "each source needs a distinct non-empty filePrefix or page files collide")
+    val results = new java.util.concurrent.ConcurrentHashMap[String, scala.util.Try[(Int, Boolean)]]()
+    val threads = sources.map { s =>
+      new Thread(() => {
+        results.put(s.name, scala.util.Try(runPages(spark, s.fetch,
+          stagingDir, s.cursorPath, limiter, s.maxPages, backoffMs, sleepMs,
+          s.tokens, maxAuthRetries, maxBackoffs, s.filePrefix)))
+      }, s"graft-paced-${s.name}")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    results.asScala.toMap
+  }
+
   private def readOpt(spark: SparkSession, p: Path): Option[String] = {
     val f = fs(spark, p)
     if (!f.exists(p)) None

@@ -241,6 +241,60 @@ class PacedExtractorSpec extends SparkSpec {
       s"earlier hours must finalize once later pulls advance the watermark, got $mart")
   }
 
+  test("concurrent fleet: shared rate ceiling, per-source cursor resume, gated landing of both streams") {
+    val root = Files.createTempDirectory("graft_paced_fleet").toString
+    val staging = s"$root/staging"
+    // threads race on the virtual clock, so it must be its own monitor
+    object clock {
+      private var now = 0L
+      def nowMs(): Long = synchronized(now)
+      def sleepMs(ms: Long): Unit = synchronized { now += ms }
+    }
+    val limiter = new RateLimiter(2, 1000L, clock.nowMs _, clock.sleepMs _)
+
+    def fetchA(page: Int): PacedExtractor.Response =
+      if (page > 4) Fetched(Seq.empty, hasMore = false)
+      else Fetched(Seq(line(s"a$page", s"A content $page")), hasMore = page < 4)
+    @volatile var bKilled = false
+    def fetchB(page: Int): PacedExtractor.Response =
+      if (page == 2 && !bKilled) { bKilled = true; throw new RuntimeException("B died mid-extract") }
+      else if (page > 4) Fetched(Seq.empty, hasMore = false)
+      else Fetched(Seq(line(s"b$page", s"B content $page")), hasMore = page < 4)
+
+    val sources = Seq(
+      PacedExtractor.Source("A", fetchA, s"$root/cur-a", "srcA-"),
+      PacedExtractor.Source("B", fetchB, s"$root/cur-b", "srcB-"))
+
+    // run 1: A drains (pages 0..4); B dies at page 2 — its failure must
+    // surface per-source without discarding A's completion
+    val r1 = PacedExtractor.runConcurrent(spark, sources, staging, limiter,
+      sleepMs = clock.sleepMs _)
+    assert(r1("A") == scala.util.Success((5, true)), s"A must drain: ${r1("A")}")
+    assert(r1("B").isFailure, "B's death must surface as its own Failure")
+    assert(PacedExtractor.cursor(spark, s"$root/cur-b") == 2,
+      "B's cursor must point at the page whose landing was never confirmed")
+    // shared ceiling: 5 (A) + 3 (B: pages 0,1 + the fatal fetch of 2) = 8
+    // acquires through a 2-per-1000ms limiter need at least 3 full windows
+    assert(clock.nowMs() >= 3000L,
+      s"8 acquires through a 2/1000ms shared limiter must span >=3 windows, clock=${clock.nowMs()}")
+
+    // run 2: B resumes at ITS cursor; A probes one empty page and stops
+    val r2 = PacedExtractor.runConcurrent(spark, sources, staging, limiter,
+      sleepMs = clock.sleepMs _)
+    assert(r2("B") == scala.util.Success((3, true)), s"B must resume at page 2: ${r2("B")}")
+
+    val files = new java.io.File(staging).listFiles().map(_.getName)
+      .filterNot(_.endsWith(".crc")).sorted
+    assert(files.count(_.startsWith("srcA-")) == 5 && files.count(_.startsWith("srcB-")) == 5,
+      s"both streams' pages must land prefix-disambiguated, got ${files.mkString(",")}")
+
+    // both streams flow through the etag-gated ingest exactly once
+    graft.streaming.BronzePipeline.gatedIngest(spark, staging,
+      s"$root/bronze", s"$root/meta", s"$root/ckpt").awaitTermination()
+    assert(graft.sources.BronzeLayer.readRaw(spark, s"$root/bronze").count() == 10,
+      "10 distinct payloads across both streams must reach bronze exactly once")
+  }
+
   test("landed pages flow through the gated ingest: re-delivered payloads never reach bronze") {
     val root = Files.createTempDirectory("graft_paced_gate").toString
     val staging = s"$root/staging"
