@@ -474,6 +474,27 @@ object VectorOps {
   def ivfNumCentroids(n: Long): Int =
     math.max(4, math.min(4096, math.sqrt(n.toDouble).toInt))
 
+  /** The documented single-index ANN envelope (docs/TUNING.md, "ANN at a
+    * billion vectors"): past ~16k-wide buckets the capped centroid count
+    * makes probe cost grow linearly with the corpus instead of as √n —
+    * the design wants one more index shard, not a wider index. Returns
+    * the warning for a build outside the envelope, None inside; exposed
+    * so deployment code can turn the same check into its own hard gate.
+    */
+  def ivfWidthWarning(n: Long, c: Int): Option[String] = {
+    val width = if (c > 0) n / c else n
+    if (n > 0 && width > 16384)
+      Some(s"ivf build: $n vectors under $c centroids means ~$width-wide " +
+        "buckets - probe cost now grows linearly with the corpus. Shard " +
+        s"the index by hash(vec_id) into ~${n / 16777216L + 1} shards " +
+        "(each rebuilds its own sqrt-n centroids) or raise numCentroids " +
+        "explicitly, and widen queries with ivfSearchAdaptive; see " +
+        "docs/TUNING.md 'ANN at a billion vectors'")
+    else None
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.VectorOps")
+
   /** Assign each vector to its top-`replicas` centroids by cosine, as a
     * per-row kernel (plans.TopCentroids) over the driver-collected
     * centroid table — ≤4096×64 doubles ≈ 2 MB, the same payload a
@@ -515,6 +536,15 @@ object VectorOps {
       case d: Double => d
     }.toArray)
     val cnorms = rows.map(_.getDouble(2))
+    // the kernel embeds the centroid table in the plan (broadcast-shaped
+    // payload). 4096 × 64-dim doubles ≈ 2 MB; a deliberate numCentroids /
+    // high-dim build can push this to plan-poisoning weight - fail the
+    // build loudly at the documented hard cap instead of shipping a
+    // quarter-gigabyte expression to every executor
+    val payload = cvecs.length.toLong * cvecs.headOption.map(_.length).getOrElse(0) * 8
+    require(payload <= (256L << 20),
+      s"centroid kernel payload ${payload >> 20} MB exceeds the 256 MB hard cap - " +
+        "shard the index instead (docs/TUNING.md 'ANN at a billion vectors')")
     import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
     toCol(graft.plans.TopCentroids(
       toExpr(vecCol), toExpr(normCol), cids, cvecs, cnorms, k))
@@ -537,6 +567,7 @@ object VectorOps {
     val corpus = corpusIn.localCheckpoint(true)
     val n = corpus.count()
     val c = if (numCentroids > 0) numCentroids else ivfNumCentroids(n)
+    ivfWidthWarning(n, c).foreach(log.warn)
     val centroids = buildCentroids(corpus, c, lloydIters, n)
     // materialize the assignment so the corpus checkpoint can be released
     // here instead of living for the rest of the session
@@ -624,7 +655,16 @@ object VectorOps {
       .select(col("q_id"), col("q_vec"), col("q_norm"),
         explode(topCentroidsCol(centroids, col("q_vec"), col("q_norm"), numProbes)).as("tc"))
       .select(col("q_id"), col("q_vec"), col("q_norm"), col("tc.cid").as("cid"))
-    val cand = probes
+    scoreProbes(probes, corpus, assignments, k)
+  }
+
+  /** Exact-score the probed buckets' members and keep top-k per query —
+    * the shared tail of the fixed-probe and adaptive searches. `probes`
+    * is (q_id, q_vec, q_norm, cid): one row per (query, probed bucket).
+    */
+  private def scoreProbes(probes: DataFrame, corpus: DataFrame,
+      assignments: DataFrame, k: Int): DataFrame = {
+    val cand = probes.select("q_id", "q_vec", "q_norm", "cid")
       .join(assignments, "cid")
       // replicated assignment can surface a vector from several probed
       // buckets — dedupe before ranking so top-k rows stay distinct
@@ -635,6 +675,60 @@ object VectorOps {
         "q_id", "vec_id", "cos", k)
       .select(col("q_id"), col("vec_id").as("c_id"), round(col("cos"), 6).as("cos"), col("rk"))
   }
+
+  /** Query-time multi-probe expansion: per query, probe centroid buckets
+    * in cosine-rank order until their cumulative member count reaches
+    * `minCandidates` (then stop — the bucket that crosses the budget is
+    * the last probed), capped at `maxProbes` buckets. This is the standard
+    * compensation for bucket-width drift: a fixed nProbe tuned on a fresh
+    * index under-probes once appends widen/unbalance buckets (recall
+    * sags), while a candidate budget keeps the SCAN cost — the thing that
+    * actually bills at 100 TB — constant and recovers the recall by
+    * reading however many buckets that budget buys.
+    *
+    * Returns (q_id, cid, probe_rank, bucket_n) — the probe plan, exposed
+    * so callers (and specs) can audit exactly how much each query read.
+    * Cost shape: bucket sizes are one ≤C-row aggregate broadcast to a
+    * queries×maxProbes ranked frame; the running sum is a per-query
+    * window over ≤maxProbes rows — no corpus-wide work before the probe
+    * join itself.
+    */
+  def ivfAdaptiveProbes(queries: DataFrame, centroids: DataFrame,
+      assignments: DataFrame, minCandidates: Int,
+      maxProbes: Int = 8 * DefaultProbes): DataFrame = {
+    require(minCandidates > 0 && maxProbes > 0)
+    val sizes = assignments.groupBy("cid").agg(count(lit(1)).as("bucket_n"))
+    val qNullOk = assert_true(col("q_vec").isNotNull && col("q_norm").isNotNull,
+      lit("ivf search: null q_vec/q_norm - clean the query set"))
+    val ranked = queries.filter(qNullOk.isNull)
+      .select(col("q_id"), col("q_vec"), col("q_norm"),
+        posexplode(topCentroidsCol(centroids, col("q_vec"), col("q_norm"), maxProbes)))
+      .select(col("q_id"), col("q_vec"), col("q_norm"),
+        col("pos").as("probe_rank"), col("col.cid").as("cid"))
+    // a centroid whose bucket is empty has no sizes row: it costs nothing
+    // to "probe", so it never consumes budget
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy("probe_rank")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    ranked.join(broadcast(sizes), Seq("cid"), "left")
+      .withColumn("bucket_n", coalesce(col("bucket_n"), lit(0L)))
+      .withColumn("cum_before", coalesce(sum(col("bucket_n")).over(w), lit(0L)))
+      // keep a bucket iff the budget was still unmet BEFORE it: the first
+      // bucket to cross minCandidates is included, nothing after it
+      .filter(col("cum_before") < minCandidates)
+      .select("q_id", "q_vec", "q_norm", "cid", "probe_rank", "bucket_n")
+  }
+
+  /** [[ivfSearch]] with the adaptive probe plan of [[ivfAdaptiveProbes]]:
+    * per-query probe depth expands until `minCandidates` bucket members
+    * are in scope (bounded by `maxProbes`), instead of a fixed nProbe.
+    */
+  def ivfSearchAdaptive(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, assignments: DataFrame, minCandidates: Int,
+      maxProbes: Int = 8 * DefaultProbes, k: Int = 5): DataFrame =
+    scoreProbes(
+      ivfAdaptiveProbes(queries, centroids, assignments, minCandidates, maxProbes),
+      corpus, assignments, k)
 
   /** Persist an IVF index (centroid table + bucket assignments) — the
     * build-once/query-many deployment shape. Assignments are written

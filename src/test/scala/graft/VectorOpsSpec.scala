@@ -630,6 +630,128 @@ class VectorOpsSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
   }
 
+  test("adaptive multi-probe: candidate budget recovers post-append recall with bounded extra reads") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_mp")
+    val dir = root.toString + "/index"
+    try {
+      import spark.implicits._
+      // double-cast vectors so driver-side twin construction and the
+      // engine agree bit-for-bit on every cosine
+      val all = graft.sources.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+        .withColumn("norm", sqrt(VectorOps.dot(col("vec"), col("vec"))))
+      val queries = all.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("norm").as("q_norm"))
+      val corpus = all.filter(col("vec_id") >= 10).select("vec_id", "vec", "norm")
+      // replicas=1: boundary spill would mask the staleness this test plants
+      val (centroids, assignments) = VectorOps.ivfIndex(corpus, assignReplicas = 1)
+      VectorOps.saveIvfIndex(centroids, assignments, dir)
+
+      def bruteTop5(corp: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+        val cos = VectorOps.dot(col("q_vec"), col("vec")) / (col("q_norm") * col("norm"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+        corp.crossJoin(broadcast(queries))
+          .select(col("q_id"), col("vec_id"), cos.as("cos"))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+          .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+      }
+      def recallOf(res: org.apache.spark.sql.DataFrame, truth: Set[(Long, Long)]): Double = {
+        val got = res.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+        (got & truth).size.toDouble / truth.size
+      }
+
+      val freshTruth = bruteTop5(corpus)
+      val rFresh = recallOf(
+        VectorOps.ivfSearch(queries, corpus, centroids, assignments), freshTruth)
+
+      // Hostile-but-realistic append: per query, two twins mixed toward
+      // the query's rank-10 and rank-13 centroid DIRECTIONS (1.5·ĉ + 1.0·q̂).
+      // The centroid component pins ivfAppend's nearest-centroid assignment
+      // to a bucket the fixed 8-probe search never reads for that query,
+      // while the query component keeps cos(q, twin) ≈ 0.58 — above the
+      // ~0.51 background max of these near-random embeddings, so each twin
+      // is its query's true nearest neighbor. That is exactly the
+      // post-append failure mode: the index is consistent, but fresh data
+      // sits in buckets the fresh-tuned probe count no longer reaches.
+      val cRows = centroids.collect().map(r => (r.getAs[Int]("cid"),
+        r.getSeq[Double](r.fieldIndex("cvec")).toArray, r.getAs[Double]("cnorm")))
+      val qRows = queries.collect().map(r => (r.getAs[Long]("q_id"),
+        r.getSeq[Double](r.fieldIndex("q_vec")).toArray, r.getAs[Double]("q_norm")))
+      def dotA(a: Array[Double], b: Array[Double]) =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      // (cos desc, cid asc) — the kernel's exact ranking
+      def rankedFor(qv: Array[Double], qn: Double) = cRows
+        .map { case (cid, cv, cn) => (cid, cv, cn, dotA(qv, cv) / (qn * cn)) }
+        .sortBy { case (cid, _, _, cos) => (-cos, cid) }
+      val intended = scala.collection.mutable.Map.empty[Long, Int]
+      val qTop8 = qRows.map { case (qid, qv, qn) =>
+        qid -> rankedFor(qv, qn).take(8).map(_._1).toSet }.toMap
+      val twinRows = qRows.flatMap { case (qid, qv, qn) =>
+        val ranked = rankedFor(qv, qn)
+        Seq(9, 12).zipWithIndex.map { case (rank, j) =>
+          val (cid, cv, cn, _) = ranked(rank)
+          val v = cv.indices.map(i => 1.5 * cv(i) / cn + 1.0 * qv(i) / qn).toArray
+          val id = 900000L + qid * 10 + j
+          intended(id) = cid
+          (id, v.toSeq, math.sqrt(dotA(v, v)))
+        }
+      }.toSeq
+      val twins = twinRows.toDF("vec_id", "vec", "norm")
+      VectorOps.ivfAppend(twins, dir, assignReplicas = 1)
+      val (lc, la) = VectorOps.loadIvfIndex(spark, dir)
+
+      // construction check: every twin landed in its intended bucket,
+      // outside its query's fixed-8 probe set
+      val landed = la.filter(col("vec_id") >= 900000L).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cid")).toMap
+      twinRows.foreach { case (id, _, _) =>
+        assert(landed(id) == intended(id),
+          s"twin $id was meant for bucket ${intended(id)}, landed in ${landed(id)}")
+        assert(!qTop8((id - 900000L) / 10)(landed(id)),
+          s"twin $id must sit outside its query's top-8 buckets")
+      }
+
+      val grown = corpus.unionByName(twins)
+      val grownTruth = bruteTop5(grown)
+      twinRows.foreach { case (id, _, _) =>
+        assert(grownTruth(((id - 900000L) / 10, id)),
+          s"twin $id must be in its query's true top-5 after the append")
+      }
+
+      val rStale = recallOf(VectorOps.ivfSearch(queries, grown, lc, la), grownTruth)
+      assert(rStale < rFresh,
+        s"planted twins must sag fixed-probe recall: fresh $rFresh, stale $rStale")
+
+      // budget sized from the index itself: enough members to push every
+      // query past its rank-13 bucket (where the deepest twin sits)
+      val widths = la.groupBy("cid").count().collect()
+        .map(r => r.getAs[Int]("cid") -> r.getAs[Long]("count")).toMap
+      val budget = qRows.map { case (_, qv, qn) =>
+        rankedFor(qv, qn).take(12).map(t => widths.getOrElse(t._1, 0L)).sum
+      }.max.toInt + 1
+      val rAdapt = recallOf(VectorOps.ivfSearchAdaptive(
+        queries, grown, lc, la, minCandidates = budget, maxProbes = 16), grownTruth)
+      assert(rAdapt >= rFresh,
+        s"adaptive probing must recover to the fresh-index figure: fresh $rFresh, adaptive $rAdapt")
+
+      // bounded extra reads: per query, never more than maxProbes buckets,
+      // and dropping the last probed bucket always lands back under budget
+      // (i.e. the expansion stopped at the first budget-crossing bucket)
+      val plan = VectorOps.ivfAdaptiveProbes(queries, lc, la,
+        minCandidates = budget, maxProbes = 16).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("probe_rank"), r.getAs[Long]("bucket_n")))
+      plan.groupBy(_._1).foreach { case (q, rows) =>
+        assert(rows.length <= 16, s"query $q probed ${rows.length} > maxProbes buckets")
+        val total = rows.map(_._3).sum
+        val last = rows.maxBy(_._2)._3
+        assert(total - last < budget,
+          s"query $q read $total candidates with last bucket $last — expansion overshot the $budget budget")
+      }
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+  }
+
   test("blocked near-dup: high recall on planted near-dups at a fraction of the candidates") {
     import spark.implicits._
     // 150 random base vectors + 150 perturbed copies (cos ~ 0.98), one label
