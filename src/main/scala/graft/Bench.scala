@@ -73,18 +73,26 @@ object Bench {
     val passesJson = results.map { case (name, best, samples) =>
       f""""$name":{"min":$best%.3f,"passes":[${samples.map(s => f"$s%.3f").mkString(",")}]}"""
     }.mkString("{\"sf\":\"" + sfDir + "\",\"queries\":{", ",", "}}")
+    val passesPath = sys.env.getOrElse("SPARK_GRAFT_PASSES_FILE",
+      new java.io.File(sys.props.getOrElse("user.dir", "."), "BENCH_PASSES.json").getPath)
     try {
-      val w = new java.io.PrintWriter("/root/repo/BENCH_PASSES.json")
+      val w = new java.io.PrintWriter(passesPath)
       try w.println(passesJson) finally w.close()
-    } catch { case _: Throwable => () } // never let bookkeeping kill the bench
+    } catch { // never let bookkeeping kill the bench, but do say it failed
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"bench: could not write $passesPath: $e")
+    }
     def short(k: String): String = if (k.matches("q\\d+_.*")) k.takeWhile(_ != '_') else k
     val qs = results.map { case (k, best, _) => f""""${short(k)}":$best%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     def line(p: String): String =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$p,"sf":"$sfDir"}"""
-    // Per-pass centiseconds, keyed by bare NN: `"68":[15,77,16]`.
-    def pEntry(k: String, samples: Seq[Double]): String =
-      s""""${short(k).drop(1)}":[${samples.map(s => math.round(s * 100)).mkString(",")}]"""
+    // Per-pass centiseconds, keyed by bare NN (`"68":[15,77,16]`) for
+    // qNN_* names; any other name keeps its full short form untouched.
+    def pEntry(k: String, samples: Seq[Double]): String = {
+      val key = if (k.matches("q\\d+_.*")) short(k).drop(1) else short(k)
+      s""""$key":[${samples.map(s => math.round(s * 100)).mkString(",")}]"""
+    }
     val pAll = results.map { case (k, _, s) => pEntry(k, s) }.mkString(""","p":{""", ",", "}")
     val noisy = results.filter { case (_, best, s) =>
       best > 0 && s.exists(v => v >= 0 && v > best * 1.5)

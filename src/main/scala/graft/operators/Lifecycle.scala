@@ -244,7 +244,42 @@ object Lifecycle {
     scd2Merge(scd2Rebuild(ev.filter(col("ts") < cut)), ev.filter(col("ts") >= cut))
   }
 
+  /** The lakehouse layer as an oracled QUERY: orders land in a
+    * [[graft.sources.ManifestTable]] as two date-split commits (the
+    * manifest records per-commit o_orderdate ranges), then a year-scoped
+    * mart aggregates over a [[graft.sources.ManifestTable.readRange]]
+    * read — which prunes to the one commit whose range can match, with
+    * the row-level filter applied on top. Hash-matching DuckDB over the
+    * raw parquet proves the whole commit→stats→prune→read path returns
+    * exactly the base table's rows: the table format is load-bearing,
+    * not a side artifact. At 100 TB the same shape means a time-scoped
+    * mart refresh reads one day's commits, not the table's history.
+    */
+  def q77ManifestMart(s: SparkSession, d: String): DataFrame = {
+    val table = java.nio.file.Files.createTempDirectory("graft_q77").toString + "/orders_lake"
+    // only 1995 can reach the result: scope the landed commits to it (the
+    // raw-date range pushes down to the source scan), keeping the
+    // two-commit pruning shape while writing 1/7th of the table
+    val o = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1996-01-01"))
+      .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+    val cut = lit("1995-07-01").cast("date")
+    graft.sources.ManifestTable.commit(o.filter(col("o_orderdate") < cut),
+      table, append = false, statsCols = Seq("o_orderdate"))
+    graft.sources.ManifestTable.commit(o.filter(col("o_orderdate") >= cut),
+      table, append = true, statsCols = Seq("o_orderdate"))
+    graft.sources.ManifestTable.readRange(s, table,
+        "o_orderdate", "1995-07-01", "1995-12-31")
+      .filter(col("o_orderdate").between(lit("1995-07-01"), lit("1995-12-31")))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("month"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_manifest_mart" -> q77ManifestMart _,
     "q50_scd2" -> q50Scd2 _,
     "q72_scd2_merge" -> q72Scd2Merge _,
     "q74_cdc_apply" -> q74CdcApply _,
@@ -260,6 +295,16 @@ object Lifecycle {
   )
 
   val oracles: Map[String, String] = Map(
+    // the manifest-table round trip must return exactly the base table's
+    // rows: the oracle knows nothing about commits or pruning
+    "q77_manifest_mart" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE)
+        |  BETWEEN DATE '1995-07-01' AND DATE '1995-12-31'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // diff∘apply is oracled against the NEW SNAPSHOT itself: the delta
     // and its application must round-trip byte-identically
     "q74_cdc_apply" ->

@@ -288,7 +288,13 @@ object Marts {
     * style shuffle on the full row — no join needed.
     */
   def q75SetOps(s: SparkSession, d: String): DataFrame = {
+    // the month tag is a DERIVED column, so filtering on it alone reaches
+    // the scan as a residual over ALL rows; the redundant raw-date range
+    // is the predicate parquet can actually push down and row-group skip —
+    // each of the set-op tree's scans then reads 2 months, not the table
     val o = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1995-03-01"))
       .withColumn("m", date_format(col("o_orderdate").cast("date"), "yyyy-MM"))
     def month(m: String) = o.filter(col("m") === m).select("o_custkey")
     val repeat = month("1995-01").intersect(month("1995-02"))

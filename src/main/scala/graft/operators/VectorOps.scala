@@ -688,6 +688,15 @@ object VectorOps {
     *
     * Returns (q_id, cid, probe_rank, bucket_n) — the probe plan, exposed
     * so callers (and specs) can audit exactly how much each query read.
+    *
+    * Budget units: `minCandidates` counts assignment ROWS, i.e. scan
+    * cost. With replicated assignment (assignReplicas = r, default 2)
+    * each vector appears in r buckets, so a budget of B rows buys
+    * roughly B/r DISTINCT candidates. Scan-cost accounting is exact
+    * (dedup happens after the probe join); when sizing for distinct
+    * candidates, multiply the target by assignReplicas — e.g. TUNING.md's
+    * "8 × sqrt(n)" guidance is a row budget, ≈ 4 × sqrt(n) distinct
+    * vectors at the default r = 2.
     * Cost shape: bucket sizes are one ≤C-row aggregate broadcast to a
     * queries×maxProbes ranked frame; the running sum is a per-query
     * window over ≤maxProbes rows — no corpus-wide work before the probe

@@ -174,7 +174,10 @@ object ManifestTable {
       df.schema.find(_.name == c).map(_.dataType).collect {
         case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
              _: FloatType | _: DoubleType => c -> "num"
-        case _: StringType | _: DateType => c -> "str"
+        // timestamps compare lexically in their cast-to-string form
+        // ("yyyy-MM-dd HH:mm:ss[.f…]"): fixed-width prefix, and decimal
+        // fractions order lexically — safe for [min,max] pruning
+        case _: StringType | _: DateType | _: TimestampType => c -> "str"
       }
     }.toMap
     if (tags.isEmpty) return Map.empty
@@ -229,30 +232,85 @@ object ManifestTable {
     val dirPath = new Path(table, dirName)
     df.write.parquet(dirPath.toString)
     val entry = Entry(dirName, commitStats(spark, dirPath, statsCols))
-    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
     var committed = 0L
     while (committed == 0L) {
       val base = highestManifest(spark, table)
-      if (append && base > 0) {
-        val current = read(spark, table, base).schema
-        if (allowEvolution) {
-          val cur = current.fields.map(f => f.name -> f.dataType).toMap
-          df.schema.fields.foreach(f => cur.get(f.name).foreach(t =>
-            require(t == f.dataType,
-              s"manifest-table: column ${f.name} type drift " +
-                s"(${t.simpleString} -> ${f.dataType.simpleString}) - " +
-                "evolution is additive, not mutating")))
-        } else
-          require(shape(df.schema) == shape(current),
-            s"manifest-table: append schema ${df.schema.simpleString} does not " +
-              s"match the snapshot's ${current.simpleString} " +
-              "(allowEvolution = true for additive evolution)")
-      }
+      if (append && base > 0)
+        checkAppendSchema(spark, table, base, df, allowEvolution)
       val entries = (if (append) manifestEntries(spark, table, base) else Nil) :+ entry
       val content = entries.sortBy(_.dir).map(renderEntry).mkString("\n")
       if (casCreateFile(spark, manifestPath(table, base + 1), content))
         committed = base + 1
       // else: lost the race - loop re-reads the new head and retries
+    }
+    advancePointer(spark, table, committed)
+    committed
+  }
+
+  private def checkAppendSchema(spark: SparkSession, table: String, base: Long,
+      df: DataFrame, allowEvolution: Boolean): Unit = {
+    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+    val current = read(spark, table, base).schema
+    if (allowEvolution) {
+      val cur = current.fields.map(f => f.name -> f.dataType).toMap
+      df.schema.fields.foreach(f => cur.get(f.name).foreach(t =>
+        require(t == f.dataType,
+          s"manifest-table: column ${f.name} type drift " +
+            s"(${t.simpleString} -> ${f.dataType.simpleString}) - " +
+            "evolution is additive, not mutating")))
+    } else
+      require(shape(df.schema) == shape(current),
+        s"manifest-table: append schema ${df.schema.simpleString} does not " +
+          s"match the snapshot's ${current.simpleString} " +
+          "(allowEvolution = true for additive evolution)")
+  }
+
+  /** Idempotent append commit for exactly-once pipelines: `token` names
+    * the logical batch (e.g. a streaming micro-batch id), and the commit
+    * is a no-op if a commit carrying that token is already in the head
+    * snapshot. The token IS the data-dir name, so the check needs no side
+    * ledger — the atomic manifest CAS that publishes the commit is the
+    * same operation that makes the token visible, leaving no window where
+    * a batch is committed but its token unseen (the two-step
+    * commit-then-mark problem this replaces).
+    *
+    * A replay after a crash BEFORE the CAS finds unreferenced data in the
+    * token's dir — invisible garbage by the table contract — and safely
+    * overwrites it. A replay after the CAS sees the token and no-ops.
+    * This is the foreachBatch exactly-once contract: replayed micro-batch
+    * ids never double-append.
+    *
+    * Caveat: tokens live in manifest entries, so they are only consulted
+    * while their commit's dir remains in the snapshot. [[compactCommit]]
+    * rewrites dirs and forgets tokens — schedule compaction from the same
+    * single-writer scheduler as the ingest (or outside its crash-replay
+    * window), the standard table-format arrangement.
+    */
+  def commitIdempotent(df: DataFrame, table: String, token: String,
+      statsCols: Seq[String] = Nil, allowEvolution: Boolean = false): Long = {
+    require(token.nonEmpty && token.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_'),
+      s"manifest-table: token '$token' must be [A-Za-z0-9_-]+")
+    val spark = df.sparkSession
+    val dirName = s"data/t-$token"
+    val dirPath = new Path(table, dirName)
+    def tokenAt(v: Long): Boolean =
+      v > 0 && manifestEntries(spark, table, v).exists(_.dir == dirName)
+    val head0 = highestManifest(spark, table)
+    if (tokenAt(head0)) return head0
+    // any bytes already in the dir are a crashed attempt's invisible
+    // garbage (no manifest references them) - overwrite is safe
+    df.write.mode("overwrite").parquet(dirPath.toString)
+    val entry = Entry(dirName, commitStats(spark, dirPath, statsCols))
+    var committed = 0L
+    while (committed == 0L) {
+      val base = highestManifest(spark, table)
+      if (tokenAt(base)) return base // concurrent committer of this token won
+      if (base > 0) checkAppendSchema(spark, table, base, df, allowEvolution)
+      val entries = manifestEntries(spark, table, base) :+ entry
+      val content = entries.sortBy(_.dir).map(renderEntry).mkString("\n")
+      if (casCreateFile(spark, manifestPath(table, base + 1), content))
+        committed = base + 1
     }
     advancePointer(spark, table, committed)
     committed
@@ -398,6 +456,79 @@ object ManifestTable {
       if (casCreateFile(spark, manifestPath(table, v + 1), renderEntry(entry)))
         committed = v + 1
       else f.delete(dirPath, true) // stale-derived rewrite: recompute
+    }
+    advancePointer(spark, table, committed)
+    committed
+  }
+
+  /** [[compactCommit]] that PRESERVES pruning: the snapshot is rewritten
+    * into `buckets` range-clustered data dirs on `clusterCol` (one
+    * distributed `repartitionByRange` pass — sampled range partitioning,
+    * no global sort bottleneck — then one partitioned write), and each
+    * bucket dir gets its own manifest entry with tight min/max stats.
+    * A plain compaction collapses the table into ONE dir, so every
+    * [[readRange]] after it degenerates to a full scan — exactly when
+    * pruning matters most (compaction is what you run when the table got
+    * big). This is the table-format "sort-ordered rewrite": after it, a
+    * key- or time-scoped read scans ~1/buckets of the data.
+    *
+    * File sizing and clustering compose: the rewrite uses
+    * max(buckets, totalBytes/targetBytes) range partitions and maps them
+    * onto buckets contiguously, so each bucket dir holds ~targetBytes
+    * files covering a disjoint slice of the cluster column. Rows with a
+    * null cluster value sort into the first bucket (null-first range
+    * partitioning); a dir whose column is all-null records no stats and
+    * is simply never pruned. Same concurrency contract as
+    * [[compactCommit]]: base pinned to the manifest head, lost CAS race
+    * discards the stale rewrite and recomputes.
+    */
+  def compactClustered(spark: SparkSession, table: String, clusterCol: String,
+      buckets: Int, targetBytes: Long = 128L * 1024 * 1024,
+      statsCols: Seq[String] = Nil): Long = {
+    require(buckets >= 1, "compactClustered: buckets must be >= 1")
+    val root = new Path(table)
+    val f = fs(spark, root)
+    val recordCols = (clusterCol +: statsCols).distinct
+    var committed = 0L
+    while (committed == 0L) {
+      val v = highestManifest(spark, table)
+      require(v > 0, s"manifest-table: $table has no committed version")
+      val snapshot = read(spark, table, v)
+      require(snapshot.columns.contains(clusterCol),
+        s"manifest-table: cluster column $clusterCol not in snapshot schema")
+      val bytes = dataDirs(spark, table, v)
+        .map(d => f.getContentSummary(new Path(root, d)).getLength).sum
+      val nFiles = math.max(buckets, ParquetSink.targetFileCount(bytes, targetBytes))
+      // range partitions are ordered, so a contiguous pid->bucket map keeps
+      // each bucket's slice of the cluster column disjoint
+      val staging = new Path(root, s"data/.compact-${UUID.randomUUID().toString.take(8)}")
+      snapshot.repartitionByRange(nFiles, col(clusterCol))
+        .withColumn("_graft_bucket",
+          org.apache.spark.sql.functions.expr(
+            s"cast((cast(spark_partition_id() as bigint) * $buckets) div $nFiles as int)"))
+        .write.partitionBy("_graft_bucket").parquet(staging.toString)
+      // each bucket partition dir becomes its own committed data dir
+      // (listed with raw Hadoop listStatus - the leading-underscore
+      // "hidden file" convention only applies to Spark-side reads, which
+      // never touch the staging dir as a whole)
+      val bucketDirs = f.listStatus(staging).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("_graft_bucket="))
+        .sortBy(_.getPath.getName)
+      val entries =
+        if (bucketDirs.nonEmpty) bucketDirs.map { st =>
+          val dirName = s"data/${UUID.randomUUID().toString.replace("-", "").take(16)}"
+          f.rename(st.getPath, new Path(root, dirName))
+          Entry(dirName, commitStats(spark, new Path(root, dirName), recordCols))
+        } else { // empty snapshot: keep the version readable (schema-only dir)
+          val dirName = s"data/${UUID.randomUUID().toString.replace("-", "").take(16)}"
+          snapshot.limit(0).write.parquet(new Path(root, dirName).toString)
+          Seq(Entry(dirName, Map.empty))
+        }
+      f.delete(staging, true) // _SUCCESS and empty shell
+      val content = entries.sortBy(_.dir).map(renderEntry).mkString("\n")
+      if (casCreateFile(spark, manifestPath(table, v + 1), content))
+        committed = v + 1
+      else entries.foreach(e => f.delete(new Path(root, e.dir), true))
     }
     advancePointer(spark, table, committed)
     committed

@@ -237,6 +237,13 @@ object PacedExtractor {
       sources.map(_.filePrefix).distinct.size == sources.size,
       "each source needs a distinct non-empty filePrefix or page files collide")
     val results = new java.util.concurrent.ConcurrentHashMap[String, scala.util.Try[(Int, Boolean)]]()
+    // Pre-populated per source: Try only catches NonFatal, so a thread
+    // killed by OOM/StackOverflow would otherwise leave no entry and
+    // callers indexing results(name) would fail far from the cause.
+    sources.foreach { s =>
+      results.put(s.name, scala.util.Failure(
+        new IllegalStateException(s"source ${s.name}: worker died fatally")))
+    }
     val threads = sources.map { s =>
       new Thread(() => {
         results.put(s.name, scala.util.Try(runPages(spark, s.fetch,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.sources.{BronzeLayer, MetadataStore}
+import graft.sources.{BronzeLayer, ManifestTable, MetadataStore}
 
 /** End-to-end incremental bronze → silver pipeline: the reference's daily
   * Airflow pull + transform (finnoio/jobhouse dags/extract_raw_jobs.py)
@@ -178,4 +178,58 @@ object BronzePipeline {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** [[runOnce]] with silver as a [[ManifestTable]] instead of a plain
+    * parquet dir: each micro-batch is one atomic, token-idempotent commit,
+    * so readers get snapshot isolation (never a half-written drain),
+    * time travel across drains, and `readRange`/`readWhere` pruning on
+    * `extracted_date` — a date-scoped silver query at 100 TB reads only
+    * the drains whose recorded date range can match, without physical
+    * repartitioning by date.
+    *
+    * Exactly-once is layered: the checkpoint makes each micro-batch
+    * process once per run; [[ManifestTable.commitIdempotent]] makes the
+    * crash-replay of a committed-but-unacknowledged micro-batch a no-op
+    * (the commit CAS and the replay-visible token are one operation).
+    * Empty micro-batches commit nothing.
+    */
+  def runOnceToTable(spark: SparkSession, bronzePath: String,
+      silverTable: String, checkpointPath: String): StreamingQuery = {
+    val pid = pipelineId(spark, checkpointPath)
+    silverStream(spark, bronzePath).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          ManifestTable.commitIdempotent(batch.toDF(), silverTable,
+            f"$pid-$id%05d", statsCols = Seq("extracted_date", "source"))
+        ()
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** [[martRunOnce]] with the gold mart as a [[ManifestTable]]: each
+    * drain's finalized hours land as one atomic commit with min/max
+    * stats on (`hour`, `source`), so a dashboard's "last 24 h" read
+    * prunes to the drains that closed those hours instead of scanning
+    * the mart's full history — the manifest standing in for physical
+    * hour-partitioning. Append-mode emission means commits carry
+    * disjoint hour sets (each hour finalizes exactly once), which is
+    * what makes the per-commit hour ranges selective.
+    */
+  def martRunOnceToTable(spark: SparkSession, bronzePath: String,
+      martTable: String, checkpointPath: String): StreamingQuery = {
+    val pid = pipelineId(spark, checkpointPath)
+    goldMartStream(spark, bronzePath).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          ManifestTable.commitIdempotent(batch.toDF(), martTable,
+            f"$pid-$id%05d", statsCols = Seq("hour", "source"))
+        ()
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

@@ -155,4 +155,93 @@ class BronzePipelineSpec extends SparkSpec {
     assert(row.getAs[String]("etag").length == 32)
     assert(row.getAs[Long]("content_chars") == "content-p1".length.toLong)
   }
+
+  test("silver as a manifest table: atomic per-drain commits, pruned date reads") {
+    import graft.sources.ManifestTable
+    val root = Files.createTempDirectory("graft_pipeline_mt").toString
+    val bronze = s"$root/bronze"
+    val silver = s"$root/silver_table"
+    val checkpoint = s"$root/checkpoint"
+    def drain(): Unit =
+      BronzePipeline.runOnceToTable(spark, bronze, silver, checkpoint).awaitTermination()
+
+    writeRawBatch(bronze, "b1", Seq("p1", "p2"))
+    drain()
+    val v1 = ManifestTable.currentVersion(spark, silver)
+    assert(v1 >= 1 && ManifestTable.read(spark, silver).count() == 2)
+
+    // second scheduled drain commits ONLY the new batch, as a new version
+    writeRawBatch(bronze, "b2", Seq("p3"))
+    drain()
+    val v2 = ManifestTable.currentVersion(spark, silver)
+    assert(v2 > v1, "a new drain must be a new commit")
+    assert(ManifestTable.read(spark, silver).count() == 3)
+    // time travel: the pre-drain snapshot is still readable, pinned
+    assert(ManifestTable.read(spark, silver, v1).count() == 2)
+
+    // nothing new: no micro-batch, no empty commit
+    drain()
+    assert(ManifestTable.currentVersion(spark, silver) == v2,
+      "an empty drain must not create a version")
+
+    // silver fields survive the table path
+    val row = ManifestTable.read(spark, silver)
+      .filter(col("posting_id") === "p1").head()
+    assert(row.getAs[String]("etag").length == 32)
+    assert(row.getAs[Long]("content_chars") == "content-p1".length.toLong)
+
+    // the manifest's recorded extracted_date stats prune a date-scoped
+    // read: a range matching the fixture date keeps the commits, a
+    // disjoint range reads nothing without scanning
+    val hit = ManifestTable.readRange(spark, silver,
+      "extracted_date", "2024-09-23", "2024-09-23")
+    assert(hit.count() == 3)
+    val miss = ManifestTable.readRange(spark, silver,
+      "extracted_date", "2030-01-01", "2030-12-31")
+    assert(miss.count() == 0)
+  }
+
+  test("gold mart as a manifest table: finalized hours land as pruned-readable commits") {
+    import graft.sources.ManifestTable
+    val root = Files.createTempDirectory("graft_mart_mt").toString
+    val bronze = s"$root/bronze"
+    val mart = s"$root/mart_table"
+    val checkpoint = s"$root/ckpt"
+    def landAt(batchId: String, ids: Seq[String], hour: Int): Unit = {
+      import spark.implicits._
+      val df = ids.map(id => (id, s"content-$id", "hh", f"2024-09-23 $hour%02d:10:00"))
+        .toDF("posting_id", "raw_content", "source", "extracted_at")
+        .withColumn("extracted_at", to_timestamp(col("extracted_at")))
+      BronzeLayer.writeRaw(df, bronze, batchId)
+    }
+    def drain(): Unit =
+      BronzePipeline.martRunOnceToTable(spark, bronze, mart, checkpoint).awaitTermination()
+
+    landAt("b1", Seq("p1", "p2"), hour = 10)
+    drain()
+    landAt("b2", Seq("p3"), hour = 12)
+    drain() // hour 10 closes here -> first mart commit
+    landAt("b3", Seq("p4"), hour = 14)
+    drain() // hour 12 closes here -> second commit
+
+    val rows = ManifestTable.read(spark, mart).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("hour").toString ->
+        ((r.getAs[Long]("n_postings"), r.getAs[Long]("total_chars"))))
+    val h10 = rows.filter(_._1.startsWith("2024-09-23 10"))
+    assert(h10.length == 1 && h10.head._2 == ((2L, 20L)),
+      s"hour 10 must finalize exactly once, got ${rows.mkString(";")}")
+    assert(!rows.exists(_._1.startsWith("2024-09-23 14")), "open window must not emit")
+
+    // the "recent hours" dashboard read prunes on the commits' hour stats
+    val recent = ManifestTable.readRange(spark, mart,
+      "hour", "2024-09-23 12:00:00", "2024-09-23 13:00:00")
+    assert(recent.count() == 1, "only the hour-12 commit can match")
+    assert(ManifestTable.readRange(spark, mart,
+      "hour", "2024-09-24 00:00:00", "2024-09-25 00:00:00").count() == 0)
+
+    // an empty drain is a scheduled no-op at the table level too
+    val v = ManifestTable.currentVersion(spark, mart)
+    drain()
+    assert(ManifestTable.currentVersion(spark, mart) == v)
+  }
 }

@@ -222,4 +222,79 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, table).count() == 3 + 4,
       "all concurrent appends must be present in the final snapshot")
   }
+
+  test("idempotent token commits: a replayed batch never double-appends") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_manifest_idem").toString + "/t"
+
+    val v1 = ManifestTable.commitIdempotent(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), table, "batch-00000")
+    assert(v1 == 1 && ManifestTable.read(spark, table).count() == 2)
+
+    // the crash-replay case: same token again (even with different bytes -
+    // a replay recomputes the same logical batch) must be a no-op
+    val v1r = ManifestTable.commitIdempotent(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), table, "batch-00000")
+    assert(v1r == 1, s"replay must return the committed version, got $v1r")
+    assert(ManifestTable.currentVersion(spark, table) == 1, "no new version")
+    assert(ManifestTable.read(spark, table).count() == 2, "no duplicate rows")
+
+    // a NEW token appends normally and carries v1 forward
+    val v2 = ManifestTable.commitIdempotent(
+      Seq((3L, "c")).toDF("id", "v"), table, "batch-00001")
+    assert(v2 == 2 && ManifestTable.read(spark, table).count() == 3)
+
+    // crash BEFORE the manifest CAS: the token's data dir exists but no
+    // manifest references it. The replay must overwrite the garbage and
+    // commit exactly once.
+    Seq((99L, "garbage")).toDF("id", "v").write.mode("overwrite")
+      .parquet(s"$table/data/t-batch-00002")
+    val v3 = ManifestTable.commitIdempotent(
+      Seq((4L, "d")).toDF("id", "v"), table, "batch-00002")
+    assert(v3 == 3)
+    val vs = ManifestTable.read(spark, table).collect().map(_.getString(1)).sorted
+    assert(vs.sameElements(Array("a", "b", "c", "d")),
+      s"crashed attempt's bytes must not survive, got ${vs.mkString(",")}")
+
+    // token namespace is validated - separators would corrupt the manifest
+    intercept[IllegalArgumentException] {
+      ManifestTable.commitIdempotent(
+        Seq((5L, "e")).toDF("id", "v"), table, "bad token;x")
+    }
+  }
+
+  test("clustered compaction keeps range pruning selective") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_manifest_cluster").toString + "/t"
+
+    // three commits, EACH spanning the full id range: before compaction
+    // every dir's [min,max] covers everything, so a scoped read prunes
+    // nothing - the worst case a clustered rewrite must fix
+    (0 until 3).foreach { k =>
+      ManifestTable.commit(
+        (1 to 300).filter(_ % 3 == k).map(i => (i.toLong, s"r$i")).toDF("id", "v"),
+        table, append = true, statsCols = Seq("id"))
+    }
+    val before = ManifestTable.prunedDataDirs(spark, table, "id", "1", "50")
+    assert(before.size == 3, "full-range commits must not prune")
+
+    val vc = ManifestTable.compactClustered(spark, table, "id", buckets = 4)
+    assert(vc == 4)
+    val snap = ManifestTable.read(spark, table)
+    assert(snap.count() == 300)
+    assert(snap.select("id").distinct().count() == 300, "rewrite must not drop/dup rows")
+
+    val entries = ManifestTable.manifestEntries(spark, table, vc)
+    assert(entries.size == 4, s"one dir per bucket, got ${entries.size}")
+    // a narrow range now reads a strict subset of the dirs...
+    val pruned = ManifestTable.prunedDataDirs(spark, table, "id", "1", "50")
+    assert(pruned.size < entries.size,
+      s"clustered dirs must prune: ${pruned.size} of ${entries.size}")
+    // ...and the pruned read (I/O pruning + the caller's row filter, per
+    // the readRange contract) is still exactly correct
+    val scoped = ManifestTable.readRange(spark, table, "id", "1", "50")
+    assert(scoped.count() < 300, "the scoped read must scan a subset")
+    assert(scoped.filter($"id".between(1L, 50L)).count() == 50)
+    assert(ManifestTable.readRange(spark, table, "id", "301", "999").count() == 0)
+  }
 }
