@@ -484,25 +484,51 @@ object ManifestTable {
     */
   def compactClustered(spark: SparkSession, table: String, clusterCol: String,
       buckets: Int, targetBytes: Long = 128L * 1024 * 1024,
-      statsCols: Seq[String] = Nil): Long = {
-    require(buckets >= 1, "compactClustered: buckets must be >= 1")
+      statsCols: Seq[String] = Nil): Long =
+    compactRewrite(spark, table, Seq(clusterCol), buckets, targetBytes,
+      statsCols, snapshot => col(clusterCol))
+
+  /** Multi-dimensional [[compactClustered]]: the snapshot is rewritten
+    * into `buckets` dirs range-clustered on the Morton (bit-interleaved)
+    * key of 2–8 NUMERIC columns, and every cluster column's min/max is
+    * recorded per dir. Each bucket then covers a compact hypercube-ish
+    * cell of the key space, so [[readWhere]] prunes on ANY of the
+    * dimensions — a single-column clustering leaves every other
+    * dimension's [min,max] spanning the full range in every dir (no
+    * pruning), exactly the gap Z-ordering exists to close. The manifest-
+    * level analog of [[ParquetSink.writeZOrdered]]'s file-level layout.
+    */
+  def compactZOrdered(spark: SparkSession, table: String,
+      clusterCols: Seq[String], buckets: Int,
+      targetBytes: Long = 128L * 1024 * 1024,
+      statsCols: Seq[String] = Nil): Long =
+    compactRewrite(spark, table, clusterCols, buckets, targetBytes,
+      statsCols, snapshot => ParquetSink.mortonColumn(snapshot, clusterCols))
+
+  private def compactRewrite(spark: SparkSession, table: String,
+      clusterCols: Seq[String], buckets: Int, targetBytes: Long,
+      statsCols: Seq[String], keyOf: DataFrame => org.apache.spark.sql.Column): Long = {
+    require(buckets >= 1, "clustered compaction: buckets must be >= 1")
     val root = new Path(table)
     val f = fs(spark, root)
-    val recordCols = (clusterCol +: statsCols).distinct
+    val recordCols = (clusterCols ++ statsCols).distinct
     var committed = 0L
     while (committed == 0L) {
       val v = highestManifest(spark, table)
       require(v > 0, s"manifest-table: $table has no committed version")
       val snapshot = read(spark, table, v)
-      require(snapshot.columns.contains(clusterCol),
-        s"manifest-table: cluster column $clusterCol not in snapshot schema")
+      clusterCols.foreach(c => require(snapshot.columns.contains(c),
+        s"manifest-table: cluster column $c not in snapshot schema"))
       val bytes = dataDirs(spark, table, v)
         .map(d => f.getContentSummary(new Path(root, d)).getLength).sum
       val nFiles = math.max(buckets, ParquetSink.targetFileCount(bytes, targetBytes))
       // range partitions are ordered, so a contiguous pid->bucket map keeps
-      // each bucket's slice of the cluster column disjoint
+      // each bucket's slice of the cluster key disjoint
       val staging = new Path(root, s"data/.compact-${UUID.randomUUID().toString.take(8)}")
-      snapshot.repartitionByRange(nFiles, col(clusterCol))
+      snapshot.withColumn("_graft_ck", keyOf(snapshot))
+        .repartitionByRange(nFiles, col("_graft_ck"))
+        .sortWithinPartitions("_graft_ck") // file/row-group stats tighten too
+        .drop("_graft_ck")
         .withColumn("_graft_bucket",
           org.apache.spark.sql.functions.expr(
             s"cast((cast(spark_partition_id() as bigint) * $buckets) div $nFiles as int)"))

@@ -75,6 +75,24 @@ object ParquetSink {
   def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
       nFiles: Int, saveMode: SaveMode): Unit = {
     require(nFiles > 0)
+    df.withColumn("__z", mortonColumn(df, cols))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z") // projection after the sort keeps row order
+      .write.mode(saveMode).parquet(path)
+  }
+
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      nFiles: Int, saveMode: SaveMode = SaveMode.Overwrite): Unit =
+    writeZOrdered(df, path, Seq(colA, colB), nFiles, saveMode)
+
+  /** The bit-interleaved (Morton) key of `cols`' rank-normalized values —
+    * the clustering key behind [[writeZOrdered]], exposed so other layout
+    * rewrites ([[ManifestTable.compactZOrdered]]) can range-partition by
+    * it. Computes one min/max bounds pass over `df` at call time; the
+    * returned expression is pure codegen'd shift/mask arithmetic.
+    */
+  private[sources] def mortonColumn(df: DataFrame, cols: Seq[String]): org.apache.spark.sql.Column = {
     require(cols.size >= 2 && cols.size <= 8, "z-order needs 2-8 columns")
     import org.apache.spark.sql.functions._
     val k = cols.size
@@ -105,22 +123,13 @@ object ParquetSink {
       } else lit(0L)
     }
     // bit i of column j lands at interleaved position i*k + j
-    val z = (0 until k).map { j =>
+    (0 until k).map { j =>
       val n = norm(j)
       (0 until bits).map(i =>
         shiftleft(shiftright(n, i).bitwiseAND(lit(1L)), i * k + j))
         .reduce(_ bitwiseOR _)
     }.reduce(_ bitwiseOR _)
-    df.withColumn("__z", z)
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z") // projection after the sort keeps row order
-      .write.mode(saveMode).parquet(path)
   }
-
-  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
-      nFiles: Int, saveMode: SaveMode = SaveMode.Overwrite): Unit =
-    writeZOrdered(df, path, Seq(colA, colB), nFiles, saveMode)
 
   /** Shared file-count sizing for every compaction path. */
   private[sources] def targetFileCount(totalBytes: Long, targetBytes: Long): Int = {

@@ -297,4 +297,39 @@ class ManifestTableSpec extends SparkSpec {
     assert(scoped.filter($"id".between(1L, 50L)).count() == 50)
     assert(ManifestTable.readRange(spark, table, "id", "301", "999").count() == 0)
   }
+
+  test("z-ordered compaction prunes on every cluster dimension") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_manifest_z").toString + "/t"
+
+    // a 32x32 grid, every commit spanning the FULL plane: no dimension
+    // prunes before the rewrite
+    (0 until 3).foreach { k =>
+      ManifestTable.commit(
+        (0 until 1024).filter(_ % 3 == k)
+          .map(i => (i.toLong, (i % 32).toLong, (i / 32).toLong))
+          .toDF("id", "x", "y"),
+        table, append = true, statsCols = Seq("x", "y"))
+    }
+    assert(ManifestTable.prunedDataDirs(spark, table, "x", "0", "7").size == 3)
+    assert(ManifestTable.prunedDataDirs(spark, table, "y", "0", "7").size == 3)
+
+    val vc = ManifestTable.compactZOrdered(spark, table, Seq("x", "y"), buckets = 4)
+    val entries = ManifestTable.manifestEntries(spark, table, vc)
+    assert(entries.size == 4, s"one dir per bucket, got ${entries.size}")
+    assert(ManifestTable.read(spark, table).count() == 1024)
+
+    // BOTH dimensions now prune - the single-column rewrite can only ever
+    // deliver one of these
+    val px = ManifestTable.prunedDataDirs(spark, table, "x", "0", "7")
+    val py = ManifestTable.prunedDataDirs(spark, table, "y", "0", "7")
+    assert(px.size < entries.size, s"x must prune, kept ${px.size}/4")
+    assert(py.size < entries.size, s"y must prune, kept ${py.size}/4")
+
+    // conjunctive corner read: pruned I/O + the caller's row filter
+    val corner = ManifestTable.readWhere(spark, table,
+      Seq(("x", "0", "7"), ("y", "0", "7")))
+    assert(corner.count() < 1024, "corner read must scan a subset")
+    assert(corner.filter($"x" <= 7L && $"y" <= 7L).count() == 64)
+  }
 }
