@@ -425,6 +425,54 @@ object ManifestTable {
     }
   }
 
+  /** Incremental consumption: the rows ADDED to the table after
+    * `fromVersion`, i.e. the union of data dirs present in `toVersion`
+    * (default: current) but not in `fromVersion` — append commits carry
+    * earlier dirs forward, so the set difference is exactly the appended
+    * data. `fromVersion = 0` reads the whole snapshot (a bootstrapping
+    * consumer). This is how a downstream job tails the table without
+    * reprocessing: persist the version it consumed through (e.g. as a
+    * `BatchRunner` ledger entry), pass it back as `fromVersion` next
+    * run, and each commit's rows are processed exactly once.
+    *
+    * Fails loudly on a non-append boundary: if `fromVersion` has dirs
+    * the target no longer carries (an overwrite or compaction happened
+    * in between), "rows since" is not well-defined dir-wise — the
+    * consumer must re-bootstrap from the new snapshot, and silently
+    * returning the rewritten dirs would double-process everything it
+    * had already seen. Schedule compaction at a cadence consumers can
+    * keep up with, or pin consumers to pre-compaction versions until
+    * they drain (the standard table-format CDC contract).
+    */
+  def readAppendedSince(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long = 0L): DataFrame = {
+    val to = if (toVersion > 0) toVersion else currentVersion(spark, table)
+    require(to > 0, s"manifest-table: $table has no committed version")
+    require(fromVersion >= 0 && fromVersion <= to,
+      s"manifest-table: fromVersion $fromVersion out of range (head $to)")
+    val toEntries = manifestEntries(spark, table, to)
+    val fromDirs = if (fromVersion == 0) Set.empty[String]
+      else manifestEntries(spark, table, fromVersion).map(_.dir).toSet
+    val dropped = fromDirs -- toEntries.map(_.dir).toSet
+    require(dropped.isEmpty,
+      s"manifest-table: versions $fromVersion -> $to are not append-only " +
+        s"(${dropped.size} dirs rewritten by an overwrite/compaction) - " +
+        "re-bootstrap the consumer from the current snapshot")
+    val fresh = toEntries.map(_.dir).filterNot(fromDirs)
+    val full = read(spark, table, to)
+    if (fresh.isEmpty) full.limit(0)
+    else {
+      // same evolved-schema contract as readWhere: the slice carries the
+      // full snapshot schema, null-filling columns its dirs predate
+      val pruned = spark.read.option("mergeSchema", "true")
+        .parquet(fresh.sorted.map(d => new Path(table, d).toString): _*)
+      val have = pruned.columns.toSet
+      pruned.select(full.schema.fields.map(f =>
+        if (have(f.name)) col(f.name)
+        else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)): _*)
+    }
+  }
+
   /** Rewrite the current snapshot into ~targetBytes files and commit the
     * result as a new version — compaction with zero reader-visible
     * downtime (old snapshot stays pinned-readable until vacuumed).

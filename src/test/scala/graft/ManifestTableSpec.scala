@@ -298,6 +298,39 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.readRange(spark, table, "id", "301", "999").count() == 0)
   }
 
+  test("incremental consumption reads only appended commits, refuses rewritten boundaries") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_manifest_tail").toString + "/t"
+
+    val v1 = ManifestTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      table, append = false)
+    val v2 = ManifestTable.commit(Seq((3L, "c")).toDF("id", "v"), table, append = true)
+    val v3 = ManifestTable.commit(Seq((4L, "d"), (5L, "e")).toDF("id", "v"),
+      table, append = true)
+
+    // bootstrap (from 0) = whole snapshot; then each consumer step sees
+    // exactly the commits it hasn't processed
+    assert(ManifestTable.readAppendedSince(spark, table, 0L).count() == 5)
+    assert(ManifestTable.readAppendedSince(spark, table, v1)
+      .collect().map(_.getString(1)).sorted.sameElements(Array("c", "d", "e")))
+    assert(ManifestTable.readAppendedSince(spark, table, v2, v3)
+      .collect().map(_.getString(1)).sorted.sameElements(Array("d", "e")))
+    // caught up: empty, schema intact
+    val caught = ManifestTable.readAppendedSince(spark, table, v3)
+    assert(caught.count() == 0 && caught.columns.sameElements(Array("id", "v")))
+
+    // a compaction rewrites the dirs: "since v2" is no longer dir-wise
+    // well-defined and must fail loudly, not double-deliver
+    val vc = ManifestTable.compactCommit(spark, table)
+    intercept[IllegalArgumentException] {
+      ManifestTable.readAppendedSince(spark, table, v2)
+    }
+    // appends after the compaction tail cleanly from it
+    ManifestTable.commit(Seq((6L, "f")).toDF("id", "v"), table, append = true)
+    assert(ManifestTable.readAppendedSince(spark, table, vc)
+      .collect().map(_.getString(1)).sameElements(Array("f")))
+  }
+
   test("z-ordered compaction prunes on every cluster dimension") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft_manifest_z").toString + "/t"
