@@ -99,6 +99,71 @@ object MediaOps {
     f
   }
 
+  /** Real image resize: decode through ImageIO, scale onto a
+    * width×height canvas with bilinear interpolation, re-encode as PNG
+    * (always in the JDK's writer registry). Returns None when no
+    * installed reader claims the bytes — callers keep the original blob
+    * or take [[resizeStub]]. This is the normalize-before-training step
+    * of an image pipeline (fixed input dims for the encoder).
+    */
+  def resizeImage(bytes: Array[Byte], width: Int, height: Int): Option[Array[Byte]] = {
+    val img =
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+    img.map { im =>
+      val out = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(im, 0, 0, width, height, null)
+      } finally g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(out, "png", baos)
+      baos.toByteArray
+    }
+  }
+
+  /** Fallback "resize" for undecodable payloads: deterministic truncate/
+    * cycle-pad to the byte budget a width×height RGB frame would occupy —
+    * the contract (fixed output size per row) survives codec-less
+    * containers, same philosophy as [[decodeStub]].
+    */
+  def resizeStub(bytes: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    val target = width * height * 3
+    val out = new Array[Byte](target)
+    if (bytes.nonEmpty) {
+      var i = 0
+      while (i < target) { out(i) = bytes(i % bytes.length); i += 1 }
+    }
+    out
+  }
+
+  case class ResizedRow(doc_id: Long, blob: Array[Byte], mime: String,
+      width: Int, height: Int, decoded: Boolean)
+
+  /** Batched resize over the media rows: partition-local, no shuffle —
+    * the schema/batching plumbing is identical whether the kernel is
+    * ImageIO here or a JNI codec on a real cluster. `decoded` records
+    * which path each row took, so downstream can route stub rows to a
+    * quarantine instead of training on them silently.
+    */
+  def resizeBlobs(spark: SparkSession, media: DataFrame,
+      width: Int, height: Int): Dataset[ResizedRow] = {
+    import spark.implicits._
+    media.select("doc_id", "blob", "mime", "n_bytes").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          resizeImage(r.blob, width, height) match {
+            case Some(b) => ResizedRow(r.doc_id, b, "image/png", width, height, decoded = true)
+            case None => ResizedRow(r.doc_id, resizeStub(r.blob, width, height),
+              r.mime, width, height, decoded = false)
+          }
+        }
+      }
+  }
+
   /** Batched feature extraction over the media rows. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._

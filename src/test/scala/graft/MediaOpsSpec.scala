@@ -49,6 +49,40 @@ class MediaOpsSpec extends SparkSpec {
     assert(feats(2L).sameElements(MediaOps.decodeStub("not an image at all".getBytes("UTF-8"))))
   }
 
+  test("resize decodes, scales, and re-encodes real images; stub rows are flagged") {
+    import spark.implicits._
+    // 8x4 PNG, left half red / right half blue - downscale to 4x2
+    val img = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0xFF0000 else 0x0000FF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+
+    val media = Seq(
+      (1L, png, "image/png", png.length.toLong),
+      (2L, "definitely not pixels".getBytes("UTF-8"), "video/mp4", 21L),
+    ).toDF("doc_id", "blob", "mime", "n_bytes")
+    val out = MediaOps.resizeBlobs(spark, media, width = 4, height = 2)
+      .collect().map(r => r.doc_id -> r).toMap
+
+    // the real image: round-trips through the decoder at the new dims,
+    // and the scaled pixels keep the halves' colors
+    val real = out(1L)
+    assert(real.decoded && real.mime == "image/png")
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(real.blob))
+    assert(back.getWidth == 4 && back.getHeight == 2)
+    assert((back.getRGB(0, 0) & 0xFF0000) != 0, "left stays red")
+    assert((back.getRGB(3, 1) & 0x0000FF) != 0, "right stays blue")
+
+    // the undecodable row: deterministic fixed-budget stub, flagged
+    val stub = out(2L)
+    assert(!stub.decoded && stub.mime == "video/mp4")
+    assert(stub.blob.length == 4 * 2 * 3)
+    assert(stub.blob.sameElements(
+      MediaOps.resizeStub("definitely not pixels".getBytes("UTF-8"), 4, 2)))
+  }
+
   test("decode stub is deterministic, fixed-dim, and distributed via mapPartitions") {
     val media = MediaOps.attachBlobs(Tables.documents(spark, sfDir))
     val f1 = MediaOps.extractFeatures(spark, media).collect().sortBy(_.doc_id)
