@@ -285,6 +285,12 @@ object ManifestTable {
     * rewrites dirs and forgets tokens — schedule compaction from the same
     * single-writer scheduler as the ingest (or outside its crash-replay
     * window), the standard table-format arrangement.
+    *
+    * Contract: ONE committer per token at a time (concurrent committers
+    * of DIFFERENT tokens are fine — the CAS loop serializes them like
+    * [[commit]]). Two simultaneous writers of the same token would race
+    * on the token's data dir; sequential replay — the streaming
+    * foreachBatch shape this exists for — never does that.
     */
   def commitIdempotent(df: DataFrame, table: String, token: String,
       statsCols: Seq[String] = Nil, allowEvolution: Boolean = false): Long = {
