@@ -201,6 +201,41 @@ class BronzePipelineSpec extends SparkSpec {
     assert(miss.count() == 0)
   }
 
+  test("a downstream consumer tails the silver table exactly once via readAppendedSince") {
+    import graft.sources.ManifestTable
+    val root = Files.createTempDirectory("graft_tail_e2e").toString
+    val bronze = s"$root/bronze"
+    val silver = s"$root/silver_table"
+    val checkpoint = s"$root/ckpt"
+    def drain(): Unit =
+      BronzePipeline.runOnceToTable(spark, bronze, silver, checkpoint).awaitTermination()
+
+    // the consumer's ledger: the last silver version it processed
+    var consumedThrough = 0L
+    var totalProcessed = 0L
+    def consume(): Long = {
+      val head = ManifestTable.currentVersion(spark, silver)
+      val fresh = ManifestTable.readAppendedSince(spark, silver, consumedThrough, head)
+        .count()
+      consumedThrough = head
+      totalProcessed += fresh
+      fresh
+    }
+
+    writeRawBatch(bronze, "b1", Seq("p1", "p2"))
+    drain()
+    assert(consume() == 2, "bootstrap sees the first drain's rows")
+
+    writeRawBatch(bronze, "b2", Seq("p3", "p4", "p5"))
+    drain()
+    assert(consume() == 3, "second run sees ONLY the new drain")
+
+    // nothing new anywhere: both the pipeline and the consumer no-op
+    drain()
+    assert(consume() == 0)
+    assert(totalProcessed == 5, "every silver row processed exactly once")
+  }
+
   test("gold mart as a manifest table: finalized hours land as pruned-readable commits") {
     import graft.sources.ManifestTable
     val root = Files.createTempDirectory("graft_mart_mt").toString
