@@ -107,6 +107,7 @@ object MediaOps {
     * of an image pipeline (fixed input dims for the encoder).
     */
   def resizeImage(bytes: Array[Byte], width: Int, height: Int): Option[Array[Byte]] = {
+    requireDims(width, height)
     val img =
       try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
       catch { case _: Exception => None }
@@ -131,6 +132,7 @@ object MediaOps {
     * containers, same philosophy as [[decodeStub]].
     */
   def resizeStub(bytes: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    requireDims(width, height)
     val target = width * height * 3
     val out = new Array[Byte](target)
     if (bytes.nonEmpty) {
@@ -149,8 +151,17 @@ object MediaOps {
     * which path each row took, so downstream can route stub rows to a
     * quarantine instead of training on them silently.
     */
+  // fail at the API boundary, not as a NegativeArraySizeException (or a
+  // silently wrong-sized stub after Int wrap) inside every executor task
+  private def requireDims(width: Int, height: Int): Unit = {
+    require(width > 0 && height > 0, s"resize dims must be positive: ${width}x$height")
+    require(width.toLong * height * 3L <= Int.MaxValue,
+      s"resize target ${width}x$height overflows the per-row byte budget")
+  }
+
   def resizeBlobs(spark: SparkSession, media: DataFrame,
       width: Int, height: Int): Dataset[ResizedRow] = {
+    requireDims(width, height)
     import spark.implicits._
     media.select("doc_id", "blob", "mime", "n_bytes").as[MediaRow]
       .mapPartitions { rows =>

@@ -7,7 +7,7 @@ import scala.io.Source
 
 import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, max, min}
+import org.apache.spark.sql.functions.{col, max, min, unix_micros}
 import org.apache.spark.sql.types._
 
 /** Minimal manifest-pinned table: atomic commits and snapshot-isolated
@@ -158,43 +158,90 @@ object ManifestTable {
   private def dataDirs(spark: SparkSession, table: String, v: Long): Seq[String] =
     manifestEntries(spark, table, v).map(_.dir)
 
-  /** Min/max stats for the written commit, read back from its own files —
-    * a column-pruned scan of just the new dir, never a recompute of the
-    * input plan. Unsupported column types are skipped (absent stats = the
-    * dir is never pruned — always safe).
+  /** Column → stats tag for the supported types; unsupported columns are
+    * skipped (absent stats = the dir is never pruned — always safe).
     */
-  private def commitStats(spark: SparkSession, dirPath: Path,
-      statsCols: Seq[String]): Map[String, ColStat] = {
-    if (statsCols.isEmpty) return Map.empty
+  private def statTags(schema: StructType, statsCols: Seq[String]): Map[String, String] = {
     // column names are manifest-format separators' namespace
     statsCols.foreach(c => require(!c.exists(":;\t\n".contains(_)),
       s"manifest-table: stats column name '$c' may not contain : ; tab or newline"))
-    val df = spark.read.parquet(dirPath.toString)
-    val tags = statsCols.flatMap { c =>
-      df.schema.find(_.name == c).map(_.dataType).collect {
+    statsCols.flatMap { c =>
+      schema.find(_.name == c).map(_.dataType).collect {
         case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
              _: FloatType | _: DoubleType => c -> "num"
-        // timestamps compare lexically in their cast-to-string form
-        // ("yyyy-MM-dd HH:mm:ss[.f…]"): fixed-width prefix, and decimal
-        // fractions order lexically — safe for [min,max] pruning
-        case _: StringType | _: DateType | _: TimestampType => c -> "str"
+        case _: StringType | _: DateType => c -> "str"
+        // timestamps go through epoch micros, NOT a string cast: the
+        // rendered form depends on spark.sql.session.timeZone, so stats
+        // written by one session and bounds given to another would
+        // silently prune matching dirs. Micros are the tz-independent
+        // instant; [[tsCanon]] renders them canonically in UTC.
+        case _: TimestampType => c -> "ts"
       }
     }.toMap
-    if (tags.isEmpty) return Map.empty
-    val aggs = tags.keys.toSeq.sorted.flatMap(c =>
-      Seq(min(col(c)).cast("string").as(s"mn_$c"), max(col(c)).cast("string").as(s"mx_$c")))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    // numeric bounds must parse as decimals later: NaN/Infinity minima or
-    // maxima (NaN sorts largest in Spark's max) would make every future
-    // prunedDataDirs call throw, so such columns record no stats for this
-    // commit - unprunable, never wrong
+  }
+
+  private def statAggs(tags: Map[String, String]): Seq[org.apache.spark.sql.Column] =
+    tags.toSeq.sortBy(_._1).flatMap { case (c, tag) =>
+      val e = if (tag == "ts") unix_micros(col(c)) else col(c)
+      Seq(min(e).cast("string").as(s"mn_$c"), max(e).cast("string").as(s"mx_$c"))
+    }
+
+  /** Canonical UTC rendering of an epoch-micros instant — fixed width, so
+    * lexical order IS chronological order (years 0001–9999).
+    */
+  private[graft] def tsCanon(micros: Long): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.EPOCH.plus(micros, java.time.temporal.ChronoUnit.MICROS))
+
+  /** A caller's timestamp bound, canonicalized: "yyyy-MM-dd[ HH:mm:ss
+    * [.fraction]]", interpreted as UTC (deliberately NOT the session
+    * timezone — stats must mean the same thing to every session).
+    */
+  private def tsCanonBound(s: String): String = {
+    val t = s.trim
+    val ldt =
+      try {
+        if (t.length == 10) java.time.LocalDate.parse(t).atStartOfDay()
+        else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+      } catch {
+        case e: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"manifest-table: timestamp bound '$s' is not yyyy-MM-dd[ HH:mm:ss[.f]]", e)
+      }
+    tsCanon(ldt.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+      ldt.getNano / 1000L)
+  }
+
+  /** Decode one agg row (as produced by [[statAggs]]) into ColStats,
+    * dropping anything unrecordable — null bounds, non-finite numerics
+    * (NaN/Infinity minima or maxima would make every future
+    * prunedDataDirs call throw). Unrecorded = unprunable, never wrong.
+    */
+  private def rowStats(tags: Map[String, String],
+      row: org.apache.spark.sql.Row): Map[String, ColStat] = {
     def finite(tag: String, s: String) =
       tag != "num" || scala.util.Try(BigDecimal(s)).isSuccess
     tags.flatMap { case (c, tag) =>
       val (mn, mx) = (row.getAs[String](s"mn_$c"), row.getAs[String](s"mx_$c"))
       if (mn == null || mx == null || !finite(tag, mn) || !finite(tag, mx)) None
+      else if (tag == "ts") Some(c -> ColStat(tag, tsCanon(mn.toLong), tsCanon(mx.toLong)))
       else Some(c -> ColStat(tag, mn, mx))
     }
+  }
+
+  /** Min/max stats for the written commit, read back from its own files —
+    * a column-pruned scan of just the new dir, never a recompute of the
+    * input plan.
+    */
+  private def commitStats(spark: SparkSession, dirPath: Path,
+      statsCols: Seq[String]): Map[String, ColStat] = {
+    if (statsCols.isEmpty) return Map.empty
+    val df = spark.read.parquet(dirPath.toString)
+    val tags = statTags(df.schema, statsCols)
+    if (tags.isEmpty) return Map.empty
+    val aggs = statAggs(tags)
+    rowStats(tags, df.agg(aggs.head, aggs.tail: _*).head())
   }
 
   /** Commit `df` as the next version. `append = true` carries the commit
@@ -302,8 +349,12 @@ object ManifestTable {
     val dirPath = new Path(table, dirName)
     def tokenAt(v: Long): Boolean =
       v > 0 && manifestEntries(spark, table, v).exists(_.dir == dirName)
+    // the replay no-op paths still heal the pointer: the replay exists
+    // precisely because a writer may have died between the manifest CAS
+    // and the pointer write, and returning without advancing would leave
+    // the committed batch invisible to pointer-based reads indefinitely
     val head0 = highestManifest(spark, table)
-    if (tokenAt(head0)) return head0
+    if (tokenAt(head0)) { advancePointer(spark, table, head0); return head0 }
     // any bytes already in the dir are a crashed attempt's invisible
     // garbage (no manifest references them) - overwrite is safe
     df.write.mode("overwrite").parquet(dirPath.toString)
@@ -311,7 +362,9 @@ object ManifestTable {
     var committed = 0L
     while (committed == 0L) {
       val base = highestManifest(spark, table)
-      if (tokenAt(base)) return base // concurrent committer of this token won
+      if (tokenAt(base)) { // concurrent committer of this token won
+        advancePointer(spark, table, base); return base
+      }
       if (base > 0) checkAppendSchema(spark, table, base, df, allowEvolution)
       val entries = manifestEntries(spark, table, base) :+ entry
       val content = entries.sortBy(_.dir).map(renderEntry).mkString("\n")
@@ -375,6 +428,9 @@ object ManifestTable {
         case _: NumberFormatException => throw new IllegalArgumentException(
           s"manifest-table: non-numeric bounds [$lo,$hi] for numeric column $column")
       }
+    // ts bounds likewise parse outside the per-entry tolerance - a
+    // malformed timestamp bound is a caller bug, not a full-scan request
+    lazy val tsBounds = (tsCanonBound(lo), tsCanonBound(hi))
     manifestEntries(spark, table, v).filter { e =>
       e.stats.get(column) match {
         case None => true
@@ -384,6 +440,9 @@ object ManifestTable {
           // ever skip what provably cannot match
           scala.util.Try(BigDecimal(mx) >= l && BigDecimal(mn) <= h)
             .getOrElse(true)
+        case Some(ColStat("ts", mn, mx)) =>
+          val (l, h) = tsBounds
+          mx >= l && mn <= h
         case Some(ColStat(_, mn, mx)) => mx >= lo && mn <= hi
       }
     }.map(_.dir)
@@ -420,16 +479,25 @@ object ManifestTable {
     val dirs = ranges.map { case (c, lo, hi) =>
       prunedDataDirs(spark, table, c, lo, hi, v).toSet
     }.reduce(_ intersect _)
+    sliceRead(spark, table, dirs.toSeq.sorted, full)
+  }
+
+  /** Read a subset of a snapshot's data dirs while keeping the FULL
+    * snapshot schema (columns living only in unselected commits
+    * null-fill) — the shared slice contract of [[readWhere]] and
+    * [[readAppendedSince]].
+    */
+  private def sliceRead(spark: SparkSession, table: String,
+      dirs: Seq[String], full: DataFrame): DataFrame =
     if (dirs.isEmpty) full.limit(0)
     else {
       val pruned = spark.read.option("mergeSchema", "true")
-        .parquet(dirs.toSeq.sorted.map(d => new Path(table, d).toString): _*)
+        .parquet(dirs.map(d => new Path(table, d).toString): _*)
       val have = pruned.columns.toSet
       pruned.select(full.schema.fields.map(f =>
-        if (have(f.name)) org.apache.spark.sql.functions.col(f.name)
+        if (have(f.name)) col(f.name)
         else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)): _*)
     }
-  }
 
   /** Incremental consumption: the rows ADDED to the table after
     * `fromVersion`, i.e. the union of data dirs present in `toVersion`
@@ -465,18 +533,7 @@ object ManifestTable {
         s"(${dropped.size} dirs rewritten by an overwrite/compaction) - " +
         "re-bootstrap the consumer from the current snapshot")
     val fresh = toEntries.map(_.dir).filterNot(fromDirs)
-    val full = read(spark, table, to)
-    if (fresh.isEmpty) full.limit(0)
-    else {
-      // same evolved-schema contract as readWhere: the slice carries the
-      // full snapshot schema, null-filling columns its dirs predate
-      val pruned = spark.read.option("mergeSchema", "true")
-        .parquet(fresh.sorted.map(d => new Path(table, d).toString): _*)
-      val have = pruned.columns.toSet
-      pruned.select(full.schema.fields.map(f =>
-        if (have(f.name)) col(f.name)
-        else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)): _*)
-    }
+    sliceRead(spark, table, fresh.sorted, read(spark, table, to))
   }
 
   /** Rewrite the current snapshot into ~targetBytes files and commit the
@@ -559,6 +616,12 @@ object ManifestTable {
     compactRewrite(spark, table, clusterCols, buckets, targetBytes,
       statsCols, snapshot => ParquetSink.mortonColumn(snapshot, clusterCols))
 
+  // the bucket partition column: deliberately NOT underscore-prefixed so
+  // ONE discovery read of the staging dir returns it (Spark's hidden-file
+  // filter skips `_...=` partition dirs); files inside never contain it
+  // (partitionBy stores it in the path), so renamed data dirs read clean
+  private val BucketCol = "graft__bucket"
+
   private def compactRewrite(spark: SparkSession, table: String,
       clusterCols: Seq[String], buckets: Int, targetBytes: Long,
       statsCols: Seq[String], keyOf: DataFrame => org.apache.spark.sql.Column): Long = {
@@ -573,6 +636,8 @@ object ManifestTable {
       val snapshot = read(spark, table, v)
       clusterCols.foreach(c => require(snapshot.columns.contains(c),
         s"manifest-table: cluster column $c not in snapshot schema"))
+      require(!snapshot.columns.contains(BucketCol),
+        s"manifest-table: column name $BucketCol is reserved by compaction")
       val bytes = dataDirs(spark, table, v)
         .map(d => f.getContentSummary(new Path(root, d)).getLength).sum
       val nFiles = math.max(buckets, ParquetSink.targetFileCount(bytes, targetBytes))
@@ -583,22 +648,32 @@ object ManifestTable {
         .repartitionByRange(nFiles, col("_graft_ck"))
         .sortWithinPartitions("_graft_ck") // file/row-group stats tighten too
         .drop("_graft_ck")
-        .withColumn("_graft_bucket",
+        .withColumn(BucketCol,
           org.apache.spark.sql.functions.expr(
             s"cast((cast(spark_partition_id() as bigint) * $buckets) div $nFiles as int)"))
-        .write.partitionBy("_graft_bucket").parquet(staging.toString)
-      // each bucket partition dir becomes its own committed data dir
-      // (listed with raw Hadoop listStatus - the leading-underscore
-      // "hidden file" convention only applies to Spark-side reads, which
-      // never touch the staging dir as a whole)
+        .write.partitionBy(BucketCol).parquet(staging.toString)
+      // ALL buckets' stats in one grouped job over the staged output —
+      // a per-dir agg would serialize `buckets` small driver-planned jobs
+      val tags = statTags(snapshot.schema, recordCols)
+      val bucketStats: Map[Int, Map[String, ColStat]] =
+        if (tags.isEmpty) Map.empty
+        else {
+          val staged = spark.read.parquet(staging.toString)
+          val aggs = statAggs(tags)
+          staged.groupBy(col(BucketCol)).agg(aggs.head, aggs.tail: _*)
+            .collect()
+            .map(r => r.getAs[Number](BucketCol).intValue() -> rowStats(tags, r))
+            .toMap
+        }
       val bucketDirs = f.listStatus(staging).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("_graft_bucket="))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$BucketCol="))
         .sortBy(_.getPath.getName)
       val entries =
         if (bucketDirs.nonEmpty) bucketDirs.map { st =>
+          val bucket = st.getPath.getName.stripPrefix(s"$BucketCol=").toInt
           val dirName = s"data/${UUID.randomUUID().toString.replace("-", "").take(16)}"
           f.rename(st.getPath, new Path(root, dirName))
-          Entry(dirName, commitStats(spark, new Path(root, dirName), recordCols))
+          Entry(dirName, bucketStats.getOrElse(bucket, Map.empty))
         } else { // empty snapshot: keep the version readable (schema-only dir)
           val dirName = s"data/${UUID.randomUUID().toString.replace("-", "").take(16)}"
           snapshot.limit(0).write.parquet(new Path(root, dirName).toString)

@@ -298,6 +298,70 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.readRange(spark, table, "id", "301", "999").count() == 0)
   }
 
+  test("a replayed token commit heals a pointer the crashed writer never advanced") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_manifest_heal").toString + "/t"
+
+    val v1 = ManifestTable.commitIdempotent(
+      Seq((1L, "a")).toDF("id", "v"), table, "batch-00000")
+    assert(v1 == 1 && ManifestTable.currentVersion(spark, table) == 1)
+
+    // simulate a writer that died between the manifest CAS and the
+    // pointer write: the manifest exists, _latest never landed (the
+    // Hadoop-local CRC sidecar goes with it)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(table, "_latest"))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(table, "._latest.crc"))
+    assert(ManifestTable.currentVersion(spark, table) == 0)
+
+    // the crash-recovery replay must make the committed batch VISIBLE,
+    // not just report it committed
+    val vr = ManifestTable.commitIdempotent(
+      Seq((1L, "a")).toDF("id", "v"), table, "batch-00000")
+    assert(vr == 1)
+    assert(ManifestTable.currentVersion(spark, table) == 1,
+      "replay no-op must heal the pointer")
+    assert(ManifestTable.read(spark, table).count() == 1)
+  }
+
+  test("timestamp stats are canonical UTC instants, independent of session timezone") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val table = Files.createTempDirectory("graft_manifest_ts").toString + "/t"
+    val day1 = java.time.Instant.parse("2024-09-23T10:00:00Z").toEpochMilli * 1000L
+    val day2 = java.time.Instant.parse("2024-09-24T10:00:00Z").toEpochMilli * 1000L
+
+    // the WRITER runs in a non-UTC session: a string-cast stat would
+    // render Tokyo wall time and silently shift every bound by 9 hours
+    val saved = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      ManifestTable.commit(
+        Seq(1L).toDF("id").select(col("id"),
+          expr(s"timestamp_micros(${day1}L)").as("ts")),
+        table, append = false, statsCols = Seq("ts"))
+      ManifestTable.commit(
+        Seq(2L).toDF("id").select(col("id"),
+          expr(s"timestamp_micros(${day2}L)").as("ts")),
+        table, append = true, statsCols = Seq("ts"))
+    } finally spark.conf.set("spark.sql.session.timeZone", saved)
+
+    // the READER scopes by UTC instants and must see exactly day 1's
+    // commit - not a timezone-shifted miss
+    val pruned = ManifestTable.prunedDataDirs(spark, table,
+      "ts", "2024-09-23 00:00:00", "2024-09-23 23:59:59")
+    assert(pruned.size == 1, s"UTC day-1 window must keep exactly one dir, got $pruned")
+    assert(ManifestTable.readRange(spark, table,
+      "ts", "2024-09-23 00:00:00", "2024-09-23 23:59:59")
+      .collect().map(_.getLong(0)).sameElements(Array(1L)))
+    // date-only bounds parse; malformed bounds fail loudly (caller bug,
+    // not a silent full scan)
+    assert(ManifestTable.prunedDataDirs(spark, table,
+      "ts", "2024-09-24", "2024-09-25").size == 1)
+    intercept[IllegalArgumentException] {
+      ManifestTable.prunedDataDirs(spark, table, "ts", "not a time", "also not")
+    }
+  }
+
   test("incremental consumption reads only appended commits, refuses rewritten boundaries") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft_manifest_tail").toString + "/t"
