@@ -652,11 +652,17 @@ object ManifestTable {
           org.apache.spark.sql.functions.expr(
             s"cast((cast(spark_partition_id() as bigint) * $buckets) div $nFiles as int)"))
         .write.partitionBy(BucketCol).parquet(staging.toString)
-      // ALL buckets' stats in one grouped job over the staged output —
-      // a per-dir agg would serialize `buckets` small driver-planned jobs
+      val bucketDirs = f.listStatus(staging).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$BucketCol="))
+        .sortBy(_.getPath.getName)
+      // ALL buckets' stats in one grouped job over the staged output — a
+      // per-dir agg would serialize `buckets` small driver-planned jobs.
+      // Guarded on bucketDirs: an empty snapshot stages no partition dirs
+      // and a discovery read of the bare _SUCCESS would fail schema
+      // inference before the empty-table fallback below could run.
       val tags = statTags(snapshot.schema, recordCols)
       val bucketStats: Map[Int, Map[String, ColStat]] =
-        if (tags.isEmpty) Map.empty
+        if (tags.isEmpty || bucketDirs.isEmpty) Map.empty
         else {
           val staged = spark.read.parquet(staging.toString)
           val aggs = statAggs(tags)
@@ -665,9 +671,6 @@ object ManifestTable {
             .map(r => r.getAs[Number](BucketCol).intValue() -> rowStats(tags, r))
             .toMap
         }
-      val bucketDirs = f.listStatus(staging).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$BucketCol="))
-        .sortBy(_.getPath.getName)
       val entries =
         if (bucketDirs.nonEmpty) bucketDirs.map { st =>
           val bucket = st.getPath.getName.stripPrefix(s"$BucketCol=").toInt

@@ -296,6 +296,14 @@ class ManifestTableSpec extends SparkSpec {
     assert(scoped.count() < 300, "the scoped read must scan a subset")
     assert(scoped.filter($"id".between(1L, 50L)).count() == 50)
     assert(ManifestTable.readRange(spark, table, "id", "301", "999").count() == 0)
+
+    // an empty snapshot compacts to a readable schema-only version
+    val empty = Files.createTempDirectory("graft_manifest_cluster0").toString + "/t"
+    ManifestTable.commit(
+      Seq.empty[(Long, String)].toDF("id", "v"), empty, append = false)
+    val ve = ManifestTable.compactClustered(spark, empty, "id", buckets = 4)
+    assert(ve == 2 && ManifestTable.read(spark, empty).count() == 0)
+    assert(ManifestTable.read(spark, empty).columns.sameElements(Array("id", "v")))
   }
 
   test("a replayed token commit heals a pointer the crashed writer never advanced") {
