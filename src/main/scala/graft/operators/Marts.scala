@@ -223,9 +223,14 @@ object Marts {
     */
   def q63ApproxQuantile(s: SparkSession, d: String): DataFrame =
     lineitem(s, d).groupBy("l_returnflag")
-      .agg(
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"),
-        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("approx_p90"))
+      // BOTH percentiles from ONE sketch: the multi-percentage form
+      // builds a single KLL summary per group, where two scalar calls
+      // build (and merge, map-side) two
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.9)), lit(10000)).as("qs"))
+      .select(col("l_returnflag"),
+        col("qs").getItem(0).as("approx_median"),
+        col("qs").getItem(1).as("approx_p90"))
 
   /** Pivot (wide-format mart): status columns from row values. */
   def q47Pivot(s: SparkSession, d: String): DataFrame =
