@@ -216,16 +216,17 @@ object Marts {
     lineitem(s, d).groupBy("l_returnflag")
       .agg(approx_count_distinct("l_partkey", 0.02).as("approx_parts"))
 
-  /** Approximate quantiles via the KLL-style percentile_approx sketch —
-    * bounded mergeable state vs q29's exact sort-based percentile;
-    * sketch outputs are accuracy-parameter-specific → rows-only check +
-    * an error-bound spec against the exact values.
+  /** Approximate quantiles via percentile_approx (Greenwald-Khanna
+    * QuantileSummaries: deterministic rank error ≤ n/accuracy) — bounded
+    * mergeable state vs q29's exact sort-based percentile; sketch
+    * outputs are accuracy-parameter-specific → rows-only check + an
+    * error-bound spec against the exact values.
     */
   def q63ApproxQuantile(s: SparkSession, d: String): DataFrame =
     lineitem(s, d).groupBy("l_returnflag")
       // BOTH percentiles from ONE sketch: the multi-percentage form
-      // builds a single KLL summary per group, where two scalar calls
-      // build (and merge, map-side) two
+      // builds a single summary per group, where two scalar calls build
+      // and map-side-merge two of them
       .agg(percentile_approx(col("l_extendedprice"),
         array(lit(0.5), lit(0.9)), lit(10000)).as("qs"))
       .select(col("l_returnflag"),
