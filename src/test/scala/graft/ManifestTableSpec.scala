@@ -370,6 +370,20 @@ class ManifestTableSpec extends SparkSpec {
     }
   }
 
+  test("tsCanon renders fixed-width and order-preserving across the AD range") {
+    val rnd = new scala.util.Random(42)
+    val lo = -62135596800000000L // 0001-01-01T00:00:00Z
+    val hi = 253402300799999999L // 9999-12-31T23:59:59.999999Z
+    val micros = Seq.fill(2000)(lo + (rnd.nextDouble() * (hi.toDouble - lo)).toLong)
+      .filter(m => m >= lo && m <= hi).sorted
+    val canons = micros.map(ManifestTable.tsCanon)
+    assert(canons.forall(_.length == 26), "fixed width is what makes lexical = chronological")
+    assert(canons == canons.sorted, "lexical order must equal instant order")
+    // spot anchors
+    assert(ManifestTable.tsCanon(0L) == "1970-01-01 00:00:00.000000")
+    assert(ManifestTable.tsCanon(1727085600000000L) == "2024-09-23 10:00:00.000000")
+  }
+
   test("incremental consumption reads only appended commits, refuses rewritten boundaries") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft_manifest_tail").toString + "/t"
