@@ -64,6 +64,40 @@ object BronzePipeline {
       .start()
   }
 
+  /** [[gatedIngest]] with the reference's model validation in front
+    * (finnoio/jobhouse src/common/data.py RawJobPosting): each
+    * micro-batch splits on [[graft.operators.Validate.rawPostingRules]];
+    * valid rows ride the exact-dedup gate to bronze, invalid rows land
+    * in a quarantine dir WITH the rules they broke and their batch id —
+    * visible for repair/replay, never silently landed (a null key
+    * poisons downstream joins) and never silently dropped (an upstream
+    * extractor bug stays invisible). Quarantine appends are at-least-
+    * once on crash-replay; quarantined rows carry their batch id, so
+    * replay duplicates dedupe trivially downstream.
+    */
+  def validatedGatedIngest(spark: SparkSession, stagingPath: String,
+      bronzePath: String, metaPath: String, quarantinePath: String,
+      checkpointPath: String): StreamingQuery = {
+    val pid = pipelineId(spark, checkpointPath)
+    val raw = spark.readStream
+      .schema("posting_id STRING, raw_content STRING, source STRING, extracted_at TIMESTAMP")
+      .json(stagingPath)
+    raw.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val batchId = f"$pid-$id%05d"
+        val (valid, quarantined) =
+          graft.operators.Validate.split(batch.toDF(), graft.operators.Validate.rawPostingRules)
+        if (!quarantined.isEmpty)
+          quarantined.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(quarantinePath)
+        graft.CacheHygiene.release(
+          MetadataStore.ingestWithGate(valid, bronzePath, metaPath, batchId))
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Full content hygiene on the streaming ingest edge: the exact
     * re-delivery gate (persistent etags, [[MetadataStore.ingestWithGate]])
     * composed with NEAR-dup gating against everything previously ingested

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.Validate
+import graft.sources.BronzeLayer
+import graft.streaming.BronzePipeline
+
+class ValidateSpec extends SparkSpec {
+
+  private def postings(rows: Seq[(String, String, String)]) = {
+    import spark.implicits._
+    rows.map { case (id, content, source) =>
+      (id, content, source, "2024-09-23 10:00:00")
+    }.toDF("posting_id", "raw_content", "source", "extracted_at")
+      .withColumn("extracted_at", to_timestamp(col("extracted_at")))
+  }
+
+  test("split routes rule-breakers to quarantine with the rules they broke") {
+    val df = postings(Seq(
+      ("p1", """{"title":"engineer"}""", "hh"),
+      (null, """{"title":"x"}""", "hh"),       // missing key
+      ("p3", "not json at all", "hh"),          // unparseable content
+      ("p4", """["array","not","object"]""", "hh"), // wrong JSON shape
+      ("p5", """{"ok":1}""", " ")))             // blank source
+    val (valid, quarantined) = Validate.split(df, Validate.rawPostingRules)
+
+    assert(valid.collect().map(_.getString(0)).sameElements(Array("p1")))
+    assert(!valid.columns.contains(Validate.ViolationsCol),
+      "valid side keeps the original schema")
+
+    val q = quarantined.collect().map(r =>
+      Option(r.getAs[String]("posting_id")).getOrElse("<null>") ->
+        r.getSeq[String](r.fieldIndex(Validate.ViolationsCol)).toSet).toMap
+    assert(q.keySet == Set("<null>", "p3", "p4", "p5"))
+    assert(q("<null>") == Set("posting_id_missing"))
+    assert(q("p3") == Set("raw_content_not_json_object"))
+    assert(q("p4") == Set("raw_content_not_json_object"))
+    assert(q("p5") == Set("source_missing"))
+  }
+
+  test("null predicate results fail closed; multiple violations all recorded") {
+    import spark.implicits._
+    val df = Seq((null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("posting_id", "raw_content")
+      .withColumn("source", lit(null).cast("string"))
+      .withColumn("extracted_at", lit(null).cast("timestamp"))
+    val (valid, quarantined) = Validate.split(df, Validate.rawPostingRules)
+    assert(valid.isEmpty)
+    val vs = quarantined.head().getSeq[String](
+      quarantined.head().fieldIndex(Validate.ViolationsCol)).toSet
+    assert(vs == Set("posting_id_missing", "source_missing",
+      "extracted_at_missing", "raw_content_not_json_object"))
+  }
+
+  test("validated streaming ingest: valid rows reach bronze, breakers are quarantined") {
+    val root = Files.createTempDirectory("graft_validated").toString
+    val staging = s"$root/staging"
+    val bronze = s"$root/bronze"
+    val meta = s"$root/meta"
+    val quarantine = s"$root/quarantine"
+    val checkpoint = s"$root/ckpt"
+
+    postings(Seq(
+      ("p1", """{"title":"engineer"}""", "hh"),
+      ("p2", "broken payload", "hh"),
+      (null, """{"title":"y"}""", "hh")))
+      .coalesce(1).write.mode("append").json(staging)
+    BronzePipeline.validatedGatedIngest(
+      spark, staging, bronze, meta, quarantine, checkpoint).awaitTermination()
+
+    val landed = BronzeLayer.readRaw(spark, bronze)
+    assert(landed.count() == 1)
+    assert(landed.head().getAs[String]("posting_id") == "p1")
+
+    val q = spark.read.parquet(quarantine)
+    assert(q.count() == 2)
+    assert(q.columns.contains(Validate.ViolationsCol) && q.columns.contains("batch_id"))
+
+    // an idle drain quarantines nothing new and lands nothing new
+    BronzePipeline.validatedGatedIngest(
+      spark, staging, bronze, meta, quarantine, checkpoint).awaitTermination()
+    assert(BronzeLayer.readRaw(spark, bronze).count() == 1)
+    assert(spark.read.parquet(quarantine).count() == 2)
+  }
+}
