@@ -25,9 +25,10 @@ import org.apache.spark.sql.types._
   * can only have one rename land; the loser re-reads the new head and
   * retries on top of it (append commits carry the winner's data forward,
   * so no commit is ever lost). `_latest` is a monotonically-advanced hint
-  * for readers, not the source of truth — a writer that crashes between
-  * manifest and pointer leaves a committed version the next commit or
-  * pointer advance publishes. A crash at any earlier point leaves only
+  * for readers, not the source of truth — a missing, torn, or lagging
+  * hint falls back to the manifest head, so a writer that crashes
+  * between manifest and pointer costs readers one directory listing,
+  * never visibility. A crash at any earlier point leaves only
   * invisible garbage (data without a manifest), never a broken table.
   *
   * Manifests also record per-commit min/max stats for caller-chosen
@@ -58,19 +59,38 @@ object ManifestTable {
     * delete-then-rename pair would open a window where `_latest` does
     * not exist at all: readers would see "no committed version" and a
     * writer crash inside the window would fork the version timeline.
+    *
+    * Returns false when a CONCURRENT publisher wins the rename race
+    * (local-fs OVERWRITE is exists-check + delete + rename, so a racer
+    * re-creating the destination inside that window fails the rename):
+    * the only caller is the pointer protocol, which is self-healing —
+    * its loop re-reads the pointer and re-decides; throwing here would
+    * fail a commit whose manifest already durably landed.
     */
-  private def writeFile(spark: SparkSession, p: Path, content: String): Unit = {
+  private def writeFile(spark: SparkSession, p: Path, content: String): Boolean = {
     val f = fs(spark, p)
     val tmp = new Path(p.getParent, s".${p.getName}.tmp-${UUID.randomUUID()}")
     val out = f.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
     val fc = FileContext.getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, p, Options.Rename.OVERWRITE)
+    try { fc.rename(tmp, p, Options.Rename.OVERWRITE); true }
+    catch {
+      case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
+        f.delete(tmp, false); false
+    }
   }
 
   /** CAS publish: same temp-then-rename shape, but the rename REFUSES an
     * existing destination — exactly one concurrent publisher of a given
     * path wins. Returns whether this writer won.
+    *
+    * The read-back check closes the local filesystem's check-then-rename
+    * window (two renames can both "succeed", the second silently
+    * replacing the first): a publisher only claims the win if ITS bytes
+    * are what landed. Contents are never identical across racers — every
+    * manifest embeds its commit's fresh UUID data dir — so the check
+    * distinguishes winners exactly. On HDFS the rename is atomic and the
+    * read-back is one tiny extra read per commit.
     */
   private def casCreateFile(spark: SparkSession, p: Path, content: String): Boolean = {
     val f = fs(spark, p)
@@ -80,8 +100,11 @@ object ManifestTable {
     val out = f.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
     val fc = FileContext.getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
-    try { fc.rename(tmp, p); true }
-    catch {
+    try {
+      fc.rename(tmp, p)
+      try readFile(spark, p).trim == content.trim
+      catch { case _: java.io.IOException => false } // torn read: treat as lost
+    } catch {
       case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
         f.delete(tmp, false); false
     }
@@ -92,10 +115,35 @@ object ManifestTable {
     try Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
   }
 
-  /** Current committed version, or 0 if the table is empty/uninitialized. */
+  /** Current committed version, or 0 if the table is empty/uninitialized.
+    *
+    * The pointer is a HINT, and on the local filesystem a concurrent
+    * overwrite renames the data file and its .crc sidecar as two
+    * separate ops — a reader can catch a torn pair mid-rename
+    * (ChecksumException) or a transient not-exists window. Neither may
+    * fail a read or surface as "no committed version": retry briefly,
+    * then fall back to the manifest head — the actual source of truth,
+    * just a listing instead of one file read.
+    */
   def currentVersion(spark: SparkSession, table: String): Long = {
+    val h = hintVersion(spark, table)
+    if (h > 0) h
+    else highestManifest(spark, table) // no/ torn hint: head decides (0 if empty)
+  }
+
+  /** The raw pointer-file value, 0 when missing or unreadable (a torn
+    * local-fs rename pair mid-overwrite). The WRITER protocol
+    * ([[advancePointer]]) must loop on this, not on [[currentVersion]]:
+    * the reader fallback would report the head and convince the writer
+    * the hint file it never wrote is already current.
+    */
+  private def hintVersion(spark: SparkSession, table: String): Long = {
     val ptr = new Path(table, "_latest")
-    if (fs(spark, ptr).exists(ptr)) readFile(spark, ptr).toLong else 0L
+    try {
+      if (fs(spark, ptr).exists(ptr)) readFile(spark, ptr).toLong else 0L
+    } catch {
+      case _: java.io.IOException | _: NumberFormatException => 0L
+    }
   }
 
   private def manifestPath(table: String, v: Long) =
@@ -386,13 +434,20 @@ object ManifestTable {
   private def advancePointer(spark: SparkSession, table: String, target: Long): Unit = {
     val ptr = new Path(table, "_latest")
     var guard = 0
-    while (currentVersion(spark, table) < target && guard < 5) {
+    while (hintVersion(spark, table) < target && guard < 5) {
       writeFile(spark, ptr, target.toString)
       guard += 1
     }
+    // heal up to the head with the same bounded persistence as the main
+    // loop: a single attempt can lose an OVERWRITE race to a slower
+    // lower-version writer and leave the hint stale until the NEXT
+    // advance (still correct, just stale longer than necessary)
     val head = highestManifest(spark, table)
-    if (head > target && currentVersion(spark, table) < head)
+    var heal = 0
+    while (head > target && hintVersion(spark, table) < head && heal < 5) {
       writeFile(spark, ptr, head.toString)
+      heal += 1
+    }
   }
 
   /** Read a snapshot: the current one, or a pinned `version` for
@@ -732,20 +787,20 @@ object ManifestTable {
     if (f.exists(dataRoot))
       f.listStatus(dataRoot)
         .filter(st => !live.contains(s"data/${st.getPath.getName}"))
-        .filter(_.getModificationTime < cutoff)
+        .filter(_.getModificationTime <= cutoff)
         .foreach(st => f.delete(st.getPath, true))
     if (f.exists(manifestRoot))
       f.listStatus(manifestRoot).foreach { st =>
         val name = st.getPath.getName
         val superseded = name.startsWith("m-") &&
           name.stripPrefix("m-").stripSuffix(".txt").toLongOption.exists(_ < keepFrom)
-        val staleTmp = name.contains(".tmp-") && st.getModificationTime < cutoff
+        val staleTmp = name.contains(".tmp-") && st.getModificationTime <= cutoff
         if (superseded || staleTmp) f.delete(st.getPath, false)
       }
     // crashed _latest publishes leave temps in the table root
     f.listStatus(root)
       .filter(st => st.getPath.getName.contains(".tmp-") &&
-        st.getModificationTime < cutoff)
+        st.getModificationTime <= cutoff)
       .foreach(st => f.delete(st.getPath, false))
   }
 }

@@ -306,6 +306,33 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, empty).columns.sameElements(Array("id", "v")))
   }
 
+  test("concurrent distinct-token committers all land exactly once") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val table = Files.createTempDirectory("graft_manifest_idem_race").toString + "/t"
+
+    val racers = (0 until 4).map(i => Future {
+      ManifestTable.commitIdempotent(
+        Seq((i.toLong, s"c$i")).toDF("id", "v"), table, f"batch-$i%05d")
+    })
+    val versions = Await.result(Future.sequence(racers), 120.seconds)
+    assert(versions.toSet.size == 4, s"each token gets its own version, got $versions")
+    // the version-4 SNAPSHOT has every racer's rows (the pointer hint may
+    // lag a racing writer per its documented contract; the manifest never
+    // does)
+    assert(ManifestTable.read(spark, table, version = 4L).count() == 4,
+      "every racer's rows must be in the head snapshot")
+    // a replay is a no-op for the data AND heals any stale pointer
+    val v = ManifestTable.commitIdempotent(
+      Seq((0L, "c0")).toDF("id", "v"), table, "batch-00000")
+    assert(v <= 4)
+    assert(ManifestTable.currentVersion(spark, table) == 4,
+      "the next advance must heal the hint to the head")
+    assert(ManifestTable.read(spark, table).count() == 4)
+  }
+
   test("a replayed token commit heals a pointer the crashed writer never advanced") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft_manifest_heal").toString + "/t"
@@ -319,16 +346,17 @@ class ManifestTableSpec extends SparkSpec {
     // Hadoop-local CRC sidecar goes with it)
     java.nio.file.Files.delete(java.nio.file.Paths.get(table, "_latest"))
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(table, "._latest.crc"))
-    assert(ManifestTable.currentVersion(spark, table) == 0)
+    // readers stay live on the manifest-head fallback even with no hint
+    assert(ManifestTable.currentVersion(spark, table) == 1)
+    assert(ManifestTable.read(spark, table).count() == 1)
 
-    // the crash-recovery replay must make the committed batch VISIBLE,
-    // not just report it committed
+    // and the crash-recovery replay re-materializes the hint file itself
     val vr = ManifestTable.commitIdempotent(
       Seq((1L, "a")).toDF("id", "v"), table, "batch-00000")
     assert(vr == 1)
-    assert(ManifestTable.currentVersion(spark, table) == 1,
-      "replay no-op must heal the pointer")
-    assert(ManifestTable.read(spark, table).count() == 1)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(table, "_latest")),
+      "replay no-op must republish the pointer")
+    assert(ManifestTable.currentVersion(spark, table) == 1)
   }
 
   test("timestamp stats are canonical UTC instants, independent of session timezone") {
