@@ -261,7 +261,21 @@ object Lifecycle {
   // harness landed beforehand, not its own setup writes
   private val q77Tables = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // landed tables are per-JVM scratch: reclaim them on exit so repeated
+  // bench/verify invocations don't accumulate orphaned table dirs in /tmp
+  private lazy val q77Cleanup: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      q77Tables.values.forEach { t =>
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(new java.io.File(t).getParentFile)
+      }))
+    ()
+  }
+
   def q77ManifestMart(s: SparkSession, d: String): DataFrame = {
+    q77Cleanup
     val table = q77Tables.computeIfAbsent(d, dir => {
       val t = java.nio.file.Files.createTempDirectory("graft_q77").toString + "/orders_lake"
       buildQ77Table(s, dir, t)

@@ -330,13 +330,22 @@ object ManifestTable {
     var committed = 0L
     while (committed == 0L) {
       val base = highestManifest(spark, table)
-      if (append && base > 0)
-        checkAppendSchema(spark, table, base, df, allowEvolution)
-      val entries = (if (append) manifestEntries(spark, table, base) else Nil) :+ entry
-      val content = entries.sortBy(_.dir).map(renderEntry).mkString("\n")
-      if (casCreateFile(spark, manifestPath(table, base + 1), content))
-        committed = base + 1
-      // else: lost the race - loop re-reads the new head and retries
+      val baseEntries = if (append && base > 0) manifestEntries(spark, table, base) else Nil
+      if (baseEntries.exists(_.dir == entry.dir)) {
+        // a previous iteration's CAS actually landed but its read-back
+        // verification was torn (IOException reported as a loss): the head
+        // already carries this commit's unique data dir, so this IS our
+        // committed version — appending the entry again would list the dir
+        // twice and duplicate its rows in every later snapshot
+        committed = base
+      } else {
+        if (append && base > 0)
+          checkAppendSchema(spark, table, base, df, allowEvolution)
+        val content = (baseEntries :+ entry).sortBy(_.dir).map(renderEntry).mkString("\n")
+        if (casCreateFile(spark, manifestPath(table, base + 1), content))
+          committed = base + 1
+        // else: lost the race - loop re-reads the new head and retries
+      }
     }
     advancePointer(spark, table, committed)
     committed
@@ -530,11 +539,37 @@ object ManifestTable {
     // (typically an empty - silently wrong - result)
     val v = if (version > 0) version else currentVersion(spark, table)
     require(v > 0, s"manifest-table: $table has no committed version")
-    val full = read(spark, table, v)
     val dirs = ranges.map { case (c, lo, hi) =>
       prunedDataDirs(spark, table, c, lo, hi, v).toSet
     }.reduce(_ intersect _)
-    sliceRead(spark, table, dirs.toSeq.sorted, full)
+    sliceRead(spark, table, dirs.toSeq.sorted,
+      snapshotSchema(spark, table, dataDirs(spark, table, v)))
+  }
+
+  /** The snapshot's union schema from ONE parquet footer per data dir —
+    * each dir is a single `df.write`, so all its files share a schema.
+    * This is what a pruned read uses instead of planning the full
+    * snapshot with mergeSchema (a footer read per FILE over ALL dirs,
+    * which made every pruned read pay full-snapshot planning cost at
+    * large file counts — the exact cost manifest-level skipping exists
+    * to avoid).
+    */
+  private def snapshotSchema(spark: SparkSession, table: String,
+      dirs: Seq[String]): StructType = {
+    val f = fs(spark, new Path(table))
+    var seen = Set.empty[String]
+    val fields = Seq.newBuilder[StructField]
+    dirs.foreach { d =>
+      f.listStatus(new Path(table, d))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName).headOption
+        .foreach { st =>
+          spark.read.parquet(st.getPath.toString).schema.fields.foreach { fld =>
+            if (!seen(fld.name)) { seen += fld.name; fields += fld }
+          }
+        }
+    }
+    StructType(fields.result())
   }
 
   /** Read a subset of a snapshot's data dirs while keeping the FULL
@@ -543,13 +578,15 @@ object ManifestTable {
     * [[readAppendedSince]].
     */
   private def sliceRead(spark: SparkSession, table: String,
-      dirs: Seq[String], full: DataFrame): DataFrame =
-    if (dirs.isEmpty) full.limit(0)
+      dirs: Seq[String], fullSchema: StructType): DataFrame =
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fullSchema)
     else {
       val pruned = spark.read.option("mergeSchema", "true")
         .parquet(dirs.map(d => new Path(table, d).toString): _*)
       val have = pruned.columns.toSet
-      pruned.select(full.schema.fields.map(f =>
+      pruned.select(fullSchema.fields.map(f =>
         if (have(f.name)) col(f.name)
         else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)): _*)
     }
@@ -575,7 +612,12 @@ object ManifestTable {
     */
   def readAppendedSince(spark: SparkSession, table: String,
       fromVersion: Long, toVersion: Long = 0L): DataFrame = {
-    val to = if (toVersion > 0) toVersion else currentVersion(spark, table)
+    // resolve the default bound from the manifest HEAD, not the pointer
+    // hint: a consumer that persisted fromVersion from a just-returned
+    // commit can transiently see a stale hint < fromVersion and fail the
+    // range check below even though the table is fine
+    val to = if (toVersion > 0) toVersion
+      else math.max(hintVersion(spark, table), highestManifest(spark, table))
     require(to > 0, s"manifest-table: $table has no committed version")
     require(fromVersion >= 0 && fromVersion <= to,
       s"manifest-table: fromVersion $fromVersion out of range (head $to)")
@@ -588,7 +630,8 @@ object ManifestTable {
         s"(${dropped.size} dirs rewritten by an overwrite/compaction) - " +
         "re-bootstrap the consumer from the current snapshot")
     val fresh = toEntries.map(_.dir).filterNot(fromDirs)
-    sliceRead(spark, table, fresh.sorted, read(spark, table, to))
+    sliceRead(spark, table, fresh.sorted,
+      snapshotSchema(spark, table, toEntries.map(_.dir)))
   }
 
   /** Rewrite the current snapshot into ~targetBytes files and commit the
@@ -730,7 +773,12 @@ object ManifestTable {
         if (bucketDirs.nonEmpty) bucketDirs.map { st =>
           val bucket = st.getPath.getName.stripPrefix(s"$BucketCol=").toInt
           val dirName = s"data/${UUID.randomUUID().toString.replace("-", "").take(16)}"
-          f.rename(st.getPath, new Path(root, dirName))
+          // a silently-failed move would publish a manifest entry pointing
+          // at a missing dir, breaking every read of the new version —
+          // abort the compaction instead (no CAS happened yet, table intact)
+          require(f.rename(st.getPath, new Path(root, dirName)),
+            s"manifest-table: compaction could not move staged bucket " +
+              s"${st.getPath} to $dirName - aborting before publish")
           Entry(dirName, bucketStats.getOrElse(bucket, Map.empty))
         } else { // empty snapshot: keep the version readable (schema-only dir)
           val dirName = s"data/${UUID.randomUUID().toString.replace("-", "").take(16)}"
