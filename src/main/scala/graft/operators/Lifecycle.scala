@@ -84,21 +84,36 @@ object Lifecycle {
         col("change_type") +: valueCols.map(c => col(s"new_$c").as(c)): _*)
   }
 
-  /** Apply a CDC delta to the previous snapshot — MERGE semantics as one
-    * anti-join plus a union: deletes drop, updates replace, inserts add.
-    * The round-trip law `cdcApply(old, cdcDelta(old, new)) == new` is
-    * exactly how q74 is oracled (the oracle IS the new snapshot), so the
-    * diff and the apply verify each other.
+  /** Apply a CDC delta to the previous snapshot — MERGE semantics as ONE
+    * full-outer join: deletes drop, updates replace, inserts add,
+    * untouched snapshot rows pass through. The round-trip law
+    * `cdcApply(old, cdcDelta(old, new)) == new` is exactly how q74 is
+    * oracled (the oracle IS the new snapshot), so the diff and the apply
+    * verify each other.
+    *
+    * The delta plan is consumed exactly ONCE. The previous formulation
+    * (delete-set anti-join + upsert union) referenced the delta in two
+    * subtrees, so a delta that is itself a live plan — q74 pipes
+    * [[cdcDelta]]'s full-outer join straight in, and any diff-then-apply
+    * pipeline does the same — was computed twice end to end. One
+    * consumption halves that without asking callers to cache anything.
+    *
+    * Keys join null-safely with presence flags, mirroring [[cdcDelta]]:
+    * a null-keyed update must still replace its snapshot counterpart.
+    * Contract (as before): `key` is unique per side — MERGE over a keyed
+    * snapshot.
     */
   def cdcApply(snapshot: DataFrame, delta: DataFrame, key: String,
       valueCols: Seq[String]): DataFrame = {
-    val cols = (key +: valueCols).map(col)
-    // null-safe anti-join: a changed null-keyed row must still evict its
-    // snapshot counterpart (=== would keep it and duplicate the upsert)
-    val touched = delta.select(col(key).as("__touched_key"))
-    val kept = snapshot.join(touched, col(key) <=> col("__touched_key"), "left_anti")
-    kept.select(cols: _*).unionByName(
-      delta.filter(col("change_type") =!= "delete").select(cols: _*))
+    val s = snapshot.select((key +: valueCols).map(c => col(c).as(s"__s_$c")): _*)
+    val d = delta.select((key +: valueCols).map(c => col(c).as(s"__d_$c")) :+
+        col("change_type").as("__d_change"): _*)
+      .withColumn("__d_present", lit(true))
+    s.join(d, col(s"__s_$key") <=> col(s"__d_$key"), "full_outer")
+      .filter(col("__d_present").isNull || col("__d_change") =!= "delete")
+      .select((key +: valueCols).map(c =>
+        when(col("__d_present").isNotNull, col(s"__d_$c"))
+          .otherwise(col(s"__s_$c")).as(c)): _*)
   }
 
   def q74CdcApply(s: SparkSession, d: String): DataFrame = {
