@@ -25,9 +25,13 @@ import org.apache.spark.sql.SparkSession
   * no duplicate landings), and the downstream etag gate would drop the
   * re-delivered payloads even if it didn't.
   *
-  * Deliberately driver-side and sequential: a paced extract is
-  * rate-bound, not compute-bound — 7 req/s (the reference API's ceiling)
-  * is no job for a cluster; the cluster's work starts at the staging dir.
+  * Deliberately driver-side: a paced extract is rate-bound, not
+  * compute-bound — 7 req/s (the reference API's ceiling) is no job for a
+  * cluster; the cluster's work starts at the staging dir. Within one
+  * source, `window > 1` keeps up to that many pages in flight under the
+  * same limiter (the reference's page-gather, hh_api.py:135-175) so slow
+  * responses don't leave rate budget unused; across sources,
+  * [[runConcurrent]] fans out whole pullers under one shared limiter.
   */
 object PacedExtractor {
 
@@ -134,9 +138,11 @@ object PacedExtractor {
       tokens: Option[TokenProvider] = None,
       maxAuthRetries: Int = 3,
       maxBackoffs: Int = 60,
-      filePrefix: String = ""): Int =
+      filePrefix: String = "",
+      window: Int = 1): Int =
     runPages(spark, fetch, stagingDir, cursorPath, limiter, maxPages,
-      backoffMs, sleepMs, tokens, maxAuthRetries, maxBackoffs, filePrefix)._1
+      backoffMs, sleepMs, tokens, maxAuthRetries, maxBackoffs, filePrefix,
+      window)._1
 
   /** Core loop; also reports whether the source was EXHAUSTED (the last
     * page said no-more) vs merely budget-capped — the distinction the
@@ -148,8 +154,13 @@ object PacedExtractor {
       stagingDir: String, cursorPath: String, limiter: RateLimiter,
       maxPages: Int, backoffMs: Long, sleepMs: Long => Unit,
       tokens: Option[TokenProvider], maxAuthRetries: Int, maxBackoffs: Int,
-      filePrefix: String): (Int, Boolean) = {
+      filePrefix: String, window: Int = 1): (Int, Boolean) = {
     require(maxPages >= 0)
+    require(window >= 1, "window must be >= 1")
+    if (window > 1)
+      return runPagesWindowed(spark, fetch, stagingDir, cursorPath, limiter,
+        maxPages, backoffMs, sleepMs, tokens, maxAuthRetries, maxBackoffs,
+        filePrefix, window)
     var page = cursor(spark, cursorPath)
     var fetched = 0
     var more = true
@@ -189,6 +200,116 @@ object PacedExtractor {
       }
     }
     (fetched, !more)
+  }
+
+  /** Intra-source page fan-out: up to `window` pages of ONE source in
+    * flight concurrently under the shared limiter — the reference gathers
+    * page windows of a single source under one rate budget
+    * (finnoio/jobhouse src/extract/hh_api.py:135-175, `asyncio.gather`
+    * over `_fetch_single_page`). With a rate-bound API whose responses
+    * are slow, a sequential puller leaves budget unused: it can have at
+    * most one request's latency in flight per limiter slot. The window
+    * keeps the budget saturated.
+    *
+    * The crash contract stays EXACT: pages complete out of order, but the
+    * persisted cursor advances only along the CONTIGUOUS completion
+    * frontier — it always names the lowest page whose landing was never
+    * confirmed. A killed run therefore resumes at the first incomplete
+    * page; any later pages that had already landed are re-fetched and
+    * overwrite their own deterministic file names (idempotent, and the
+    * downstream etag gate would drop the re-delivered payloads anyway).
+    *
+    * Per-page retry semantics match the sequential loop: 429 backs off
+    * and retries the same page (bounded by `maxBackoffs` per page), 401
+    * invalidates the shared token and retries (bounded by
+    * `maxAuthRetries` per page). A page that exhausts its bound fails the
+    * run: other in-flight pages finish, no new pages start, and the first
+    * failure is rethrown — with the cursor pinned at the frontier, so the
+    * next scheduled run retries exactly the incomplete window.
+    */
+  private def runPagesWindowed(spark: SparkSession, fetch: Int => Response,
+      stagingDir: String, cursorPath: String, limiter: RateLimiter,
+      maxPages: Int, backoffMs: Long, sleepMs: Long => Unit,
+      tokens: Option[TokenProvider], maxAuthRetries: Int, maxBackoffs: Int,
+      filePrefix: String, window: Int): (Int, Boolean) = {
+    val start = cursor(spark, cursorPath)
+    val lock = new Object
+    var next = start                      // next page number to dispense
+    var frontier = start                  // lowest page not yet confirmed
+    var lastPage = Option.empty[Int]      // lowest page reporting hasMore=false
+    var fetchedCount = 0
+    var failure = Option.empty[Throwable]
+    val completed = mutable.Set.empty[Int]
+    val budgetEnd: Long = start.toLong + maxPages // Long: maxPages may be MaxValue
+
+    def nextPage(): Option[Int] = lock.synchronized {
+      if (failure.nonEmpty || next >= budgetEnd || lastPage.exists(next > _)) None
+      else { val p = next; next += 1; Some(p) }
+    }
+    // landing happens OUTSIDE the lock (distinct files never conflict);
+    // the frontier/cursor bookkeeping inside it. Order matters: the file
+    // must be durable before the cursor can step past its page.
+    def completePage(p: Int, lines: Seq[String], hasMore: Boolean): Unit = {
+      if (lines.nonEmpty)
+        writeAtomic(spark, new Path(stagingDir, f"${filePrefix}page-$p%06d.jsonl"),
+          lines.mkString("", "\n", "\n"))
+      lock.synchronized {
+        completed += p
+        fetchedCount += 1
+        if (!hasMore) lastPage = Some(lastPage.fold(p)(math.min(p, _)))
+        val before = frontier
+        while (completed(frontier)) { completed -= frontier; frontier += 1 }
+        if (frontier > before) {
+          // overshoot pages dispensed past the source's end also complete
+          // (empty, no-more); persist at most lastPage+1 — the sequential
+          // runner's resting point — so the cursor never names a page past
+          // the first one after the source end
+          val persist = lastPage.fold(frontier)(lp => math.min(frontier, lp + 1))
+          writeAtomic(spark, new Path(cursorPath), persist.toString)
+        }
+      }
+    }
+    def worker(): Unit = {
+      var p = nextPage()
+      while (p.nonEmpty) {
+        val page = p.get
+        var done = false
+        var authRetries = 0
+        var backoffs = 0
+        while (!done) {
+          limiter.acquire()
+          fetch(page) match {
+            case Backoff =>
+              backoffs += 1
+              if (backoffs > maxBackoffs)
+                throw new IllegalStateException(
+                  s"page $page still throttled after $maxBackoffs backoffs")
+              sleepMs(backoffMs)
+            case Unauthorized =>
+              authRetries += 1
+              if (authRetries > maxAuthRetries || tokens.isEmpty)
+                throw new IllegalStateException(
+                  s"page $page still unauthorized after $maxAuthRetries token refreshes")
+              tokens.foreach(_.invalidate())
+            case Fetched(lines, hasMore) =>
+              completePage(page, lines, hasMore)
+              done = true
+          }
+        }
+        p = nextPage()
+      }
+    }
+    val threads = (1 to window).map(i => new Thread(() =>
+      try worker()
+      catch { case t: Throwable => lock.synchronized {
+        if (failure.isEmpty) failure = Some(t)
+      }}, s"graft-paced-window-$i"))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    lock.synchronized {
+      failure.foreach(throw _)
+      (fetchedCount, lastPage.exists(frontier > _))
+    }
   }
 
   /** One member of a concurrent extract fleet: its own fetch function,
@@ -301,7 +422,8 @@ object PacedExtractor {
       tokens: Option[TokenProvider] = None,
       maxAuthRetries: Int = 3,
       maxBackoffs: Int = 60,
-      filePrefix: String = ""): (Int, Boolean) = {
+      filePrefix: String = "",
+      window: Int = 1): (Int, Boolean) = {
     val since = readOpt(spark, new Path(statePath, "watermark"))
     val gen = readOpt(spark, new Path(statePath, "gen")).map(_.toLong).getOrElse(1L)
     // pin the generation's future watermark at OPEN (first tick to touch
@@ -313,7 +435,8 @@ object PacedExtractor {
     }
     val (fetched, exhausted) = runPages(spark, p => fetch(since, p),
       stagingDir, s"$statePath/cursor-$gen", limiter, maxPages, backoffMs,
-      sleepMs, tokens, maxAuthRetries, maxBackoffs, f"${filePrefix}gen-$gen%06d-")
+      sleepMs, tokens, maxAuthRetries, maxBackoffs,
+      f"${filePrefix}gen-$gen%06d-", window)
     if (exhausted) {
       // order matters for the crash window: bump the generation FIRST so
       // a crash between the two writes re-drains a fresh generation under

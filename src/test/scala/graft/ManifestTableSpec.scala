@@ -445,6 +445,164 @@ class ManifestTableSpec extends SparkSpec {
       .collect().map(_.getString(1)).sameElements(Array("f")))
   }
 
+  test("a tailing consumer racing live compactions delivers every row exactly once or refuses loudly") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_manifest_tailrace").toString + "/t"
+    val batches = 12
+    val rowsPerBatch = 20
+
+    @volatile var writerDone = false
+    @volatile var writerErr: Option[Throwable] = None
+    @volatile var consumerErr: Option[Throwable] = None
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var refusals = 0
+
+    val writer = new Thread(() => {
+      try {
+        (0 until batches).foreach { b =>
+          val ids = (b * rowsPerBatch + 1) to ((b + 1) * rowsPerBatch)
+          ManifestTable.commit(ids.map(i => (i.toLong, s"r$i")).toDF("id", "v"),
+            table, append = true, statsCols = Seq("id"))
+          // periodic live compaction: the thing the tail must survive
+          if (b == 3 || b == 7)
+            ManifestTable.compactClustered(spark, table, "id", buckets = 2,
+              statsCols = Seq("id"))
+        }
+      } catch { case t: Throwable => writerErr = Some(t) }
+      finally writerDone = true
+    }, "tailrace-writer")
+
+    val consumer = new Thread(() => {
+      try {
+        var from = 0L
+        var spin = 0
+        def head(): Long = ManifestTable.currentVersion(spark, table)
+        while ((!writerDone || from < head()) && spin < 100000) {
+          spin += 1
+          val to = head()
+          if (to == from) Thread.sleep(5) // idle: writer hasn't committed yet
+          if (to > from) {
+            try {
+              delivered ++= ManifestTable.readAppendedSince(spark, table, from, to)
+                .select("id").collect().map(_.getLong(0))
+              from = to
+            } catch {
+              case e: IllegalArgumentException
+                  if e.getMessage.contains("not append-only") =>
+                // compaction crossed the tail window: the API refused
+                // instead of double-delivering; re-bootstrap from `to`
+                refusals += 1
+                delivered.clear()
+                delivered ++= ManifestTable.read(spark, table, to)
+                  .select("id").collect().map(_.getLong(0))
+                from = to
+            }
+          }
+        }
+      } catch { case t: Throwable => consumerErr = Some(t) }
+    }, "tailrace-consumer")
+
+    writer.start(); consumer.start()
+    writer.join(300000); consumer.join(300000)
+    writerErr.foreach(throw _)
+    consumerErr.foreach(throw _)
+
+    val expected = (1L to (batches * rowsPerBatch).toLong)
+    assert(delivered.sorted == expected.toSeq,
+      s"tail across live compactions must deliver every row exactly once " +
+        s"(got ${delivered.size} rows, ${delivered.distinct.size} distinct, $refusals refusals)")
+
+    // deterministic coda: a tail window that provably crosses a compaction
+    // must refuse (the race above may or may not have hit one)
+    val pinnedFrom = ManifestTable.currentVersion(spark, table)
+    ManifestTable.commit(
+      (241 to 260).map(i => (i.toLong, s"r$i")).toDF("id", "v"),
+      table, append = true, statsCols = Seq("id"))
+    ManifestTable.compactClustered(spark, table, "id", buckets = 2,
+      statsCols = Seq("id"))
+    val refused = intercept[IllegalArgumentException](
+      ManifestTable.readAppendedSince(spark, table, pinnedFrom).count())
+    assert(refused.getMessage.contains("not append-only"))
+    assert(ManifestTable.read(spark, table).count() == 260,
+      "re-bootstrap after the refusal sees the complete snapshot")
+  }
+
+  test("concurrent vacuum reclaims dead dirs but never one a retained pinned snapshot references") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_manifest_vacrace").toString + "/t"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // v1/v2 build history an overwrite then makes dead; v3 overwrite, v4 append
+    ManifestTable.commit((1 to 100).map(i => (i.toLong, "old")).toDF("id", "v"),
+      table, append = false)
+    ManifestTable.commit((101 to 150).map(i => (i.toLong, "old")).toDF("id", "v"),
+      table, append = true)
+    ManifestTable.commit((1 to 10).map(i => (i.toLong, s"r$i")).toDF("id", "v"),
+      table, append = false)
+    val pinned = ManifestTable.commit(
+      (11 to 15).map(i => (i.toLong, s"r$i")).toDF("id", "v"), table, append = true)
+    assert(pinned == 4)
+    val dirsBefore = f.listStatus(new org.apache.hadoop.fs.Path(root, "data")).length
+
+    // age every existing data dir past the grace window, so liveness — not
+    // youth — is the only thing protecting the pinned snapshot's dirs
+    val aged = System.currentTimeMillis() - 120000L
+    f.listStatus(new org.apache.hadoop.fs.Path(root, "data"))
+      .foreach(st => f.setTimes(st.getPath, aged, aged))
+
+    @volatile var writerErr: Option[Throwable] = None
+    @volatile var vacErr: Option[Throwable] = None
+    @volatile var readErr: Option[Throwable] = None
+    @volatile var done = false
+
+    val writer = new Thread(() => {
+      try (5 to 8).foreach { v =>
+        ManifestTable.commit(
+          ((v * 5 + 1) to (v * 5 + 5)).map(i => (i.toLong, s"n$i")).toDF("id", "v"),
+          table, append = true)
+      } catch { case t: Throwable => writerErr = Some(t) }
+      finally done = true
+    }, "vacrace-writer")
+
+    // keepVersions=5 keeps the pinned v4 retained at every head the writer
+    // reaches (head 8 -> keepFrom 4); graceMs=60s protects the writer's
+    // young in-flight dirs, while the aged dead dirs are reclaimable
+    val vac = new Thread(() => {
+      try while (!done) ManifestTable.vacuum(spark, table, keepVersions = 5,
+        graceMs = 60000L)
+      catch { case t: Throwable => vacErr = Some(t) }
+    }, "vacrace-vacuum")
+
+    val reader = new Thread(() => {
+      try while (!done) {
+        val n = ManifestTable.read(spark, table, version = pinned).count()
+        assert(n == 15, s"pinned v4 snapshot corrupted mid-vacuum: $n rows")
+      } catch { case t: Throwable => readErr = Some(t) }
+    }, "vacrace-reader")
+
+    writer.start(); vac.start(); reader.start()
+    writer.join(300000); vac.join(300000); reader.join(300000)
+    writerErr.foreach(throw _)
+    vacErr.foreach(throw _)
+    readErr.foreach(throw _)
+
+    // one more sweep now that the head is settled, then: pinned + head intact
+    ManifestTable.vacuum(spark, table, keepVersions = 5, graceMs = 60000L)
+    assert(ManifestTable.read(spark, table, version = pinned).count() == 15,
+      "retained pinned snapshot must survive every vacuum")
+    assert(ManifestTable.read(spark, table).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == ((1L to 15L) ++ (26L to 45L)),
+      "head snapshot must be complete after concurrent vacuums")
+    // and the sweep actually reclaimed the dead aged dirs (v1/v2's)
+    val dirsAfter = f.listStatus(new org.apache.hadoop.fs.Path(root, "data")).length
+    assert(dirsAfter < dirsBefore + 4,
+      s"dead aged dirs must be reclaimed: $dirsBefore before + 4 young, $dirsAfter after")
+    val gone = intercept[Exception](
+      ManifestTable.read(spark, table, version = 1).count())
+    assert(gone != null, "vacuumed v1 must be unreadable")
+  }
+
   test("z-ordered compaction prunes on every cluster dimension") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft_manifest_z").toString + "/t"

@@ -295,6 +295,112 @@ class PacedExtractorSpec extends SparkSpec {
       "10 distinct payloads across both streams must reach bronze exactly once")
   }
 
+  test("windowed fan-out: shared ceiling holds, out-of-order completions land, cursor pins to the contiguous frontier") {
+    val root = Files.createTempDirectory("graft_paced_window").toString
+    val staging = s"$root/staging"
+    val cursorP = s"$root/cursor"
+    // worker threads race on the virtual clock: own monitor (fleet pattern)
+    object clock {
+      private var now = 0L
+      def nowMs(): Long = synchronized(now)
+      def sleepMs(ms: Long): Unit = synchronized { now += ms }
+    }
+    val limiter = new RateLimiter(2, 1000L, clock.nowMs _, clock.sleepMs _)
+
+    val stamps = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val p1Gate = new java.util.concurrent.CountDownLatch(1)
+    @volatile var served429 = false
+    @volatile var cursorAtP4 = -1
+    def fetch(page: Int): PacedExtractor.Response = {
+      stamps.add(clock.nowMs())
+      if (page == 2 && !served429) { served429 = true; Backoff }
+      else if (page == 1) {
+        // page 1 is the slow response: it completes only after page 4 has
+        // been dispatched, so pages 2-4 land ahead of it
+        assert(p1Gate.await(60, java.util.concurrent.TimeUnit.SECONDS),
+          "page 1's release gate never opened")
+        Fetched(Seq(line("p1", "content 1")), hasMore = true)
+      } else if (page == 4) {
+        // by now pages 0,2,3 completed and 1 is still in flight: the
+        // persisted cursor must pin at the contiguous frontier (page 1)
+        cursorAtP4 = PacedExtractor.cursor(spark, cursorP)
+        p1Gate.countDown()
+        Fetched(Seq(line("p4", "content 4")), hasMore = false)
+      } else Fetched(Seq(line(s"p$page", s"content $page")), hasMore = true)
+    }
+
+    val n = PacedExtractor.run(spark, fetch, staging, cursorP, limiter,
+      sleepMs = clock.sleepMs _, window = 2)
+    assert(n == 5, s"all 5 pages must complete, got $n")
+    assert(cursorAtP4 == 1,
+      s"with page 1 in flight the cursor must pin at 1, got $cursorAtP4")
+    assert(PacedExtractor.cursor(spark, cursorP) == 5,
+      "after the slow page lands the cursor must jump over the out-of-order completions")
+    val files = new java.io.File(staging).listFiles().map(_.getName)
+      .filterNot(_.endsWith(".crc")).sorted
+    assert(files.sameElements((0 to 4).map(i => f"page-$i%06d.jsonl")),
+      s"every page must land exactly once, got ${files.mkString(",")}")
+    // the 429'd page retried in place, still under pacing
+    import scala.jdk.CollectionConverters._
+    val sorted = stamps.asScala.toSeq.sorted
+    assert(sorted.size == 6, s"5 pages + 1 throttled retry, got ${sorted.size}")
+    sorted.sliding(3).foreach(w => assert(w.last - w.head >= 1000L,
+      s"3 acquires inside one 2/1000ms window: $sorted"))
+  }
+
+  test("windowed resume after a failed page re-fetches only the incomplete window") {
+    val root = Files.createTempDirectory("graft_paced_window_kill").toString
+    val staging = s"$root/staging"
+    val cursorP = s"$root/cursor"
+    object clock {
+      private var now = 0L
+      def nowMs(): Long = synchronized(now)
+      def sleepMs(ms: Long): Unit = synchronized { now += ms }
+    }
+    val limiter = new RateLimiter(100, 1000L, clock.nowMs _, clock.sleepMs _)
+
+    // page 2 dies - but only after pages 3 and 4 have been dispatched, so
+    // the run provably lands pages BEYOND the failure before it stops
+    val laterPages = new java.util.concurrent.CountDownLatch(2)
+    def fetch(page: Int): PacedExtractor.Response = {
+      if (page == 3 || page == 4) laterPages.countDown()
+      if (page == 2) {
+        assert(laterPages.await(60, java.util.concurrent.TimeUnit.SECONDS),
+          "pages 3/4 never dispatched")
+        throw new RuntimeException("page 2 died")
+      }
+      if (page > 5) Fetched(Seq.empty, hasMore = false)
+      else Fetched(Seq(line(s"p$page", s"content $page")), hasMore = page < 5)
+    }
+    val died = intercept[RuntimeException](PacedExtractor.run(
+      spark, fetch, staging, cursorP, limiter,
+      sleepMs = clock.sleepMs _, window = 3))
+    assert(died.getMessage == "page 2 died")
+    assert(PacedExtractor.cursor(spark, cursorP) == 2,
+      "the cursor must pin at the failed page even though later pages landed")
+
+    // resume: only the incomplete window (page 2 onward) is re-fetched;
+    // already-landed later pages overwrite their own files idempotently
+    val fetchLog = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    def fetch2(page: Int): PacedExtractor.Response = {
+      fetchLog.add(page)
+      if (page > 5) Fetched(Seq.empty, hasMore = false)
+      else Fetched(Seq(line(s"p$page", s"content $page")), hasMore = page < 5)
+    }
+    val n2 = PacedExtractor.run(spark, fetch2, staging, cursorP, limiter,
+      sleepMs = clock.sleepMs _, window = 3)
+    import scala.jdk.CollectionConverters._
+    val pages2 = fetchLog.asScala.map(_.intValue).toSeq
+    assert(pages2.min == 2 && !pages2.contains(0) && !pages2.contains(1),
+      s"resume must start at the frontier and never re-fetch confirmed pages, got $pages2")
+    assert(n2 >= 4, s"pages 2..5 must complete on resume, got $n2")
+    assert(PacedExtractor.cursor(spark, cursorP) == 6)
+    val files = new java.io.File(staging).listFiles().map(_.getName)
+      .filterNot(_.endsWith(".crc")).sorted
+    assert(files.sameElements((0 to 5).map(i => f"page-$i%06d.jsonl")),
+      s"pages must land exactly once each across kill+resume, got ${files.mkString(",")}")
+  }
+
   test("landed pages flow through the gated ingest: re-delivered payloads never reach bronze") {
     val root = Files.createTempDirectory("graft_paced_gate").toString
     val staging = s"$root/staging"
