@@ -98,6 +98,70 @@ object BronzePipeline {
       .start()
   }
 
+  /** The quarantine's way back in — [[validatedGatedIngest]] lands rule
+    * breakers visibly, and this closes the loop: apply `fix` (a repair
+    * transform — backfill a field, re-encode a payload; identity to just
+    * re-test), REVALIDATE against the same rules, ingest the rows that
+    * now pass through the regular etag gate, and rewrite the quarantine
+    * to hold only the rows that still fail (with their violations
+    * recomputed and their original `batch_id` preserved for lineage).
+    * The reference's CDC edge implies exactly this reprocessing loop:
+    * broken extracts get fixed and re-enter, they don't rot in a corner.
+    *
+    * `readmitBatchId` must be FRESH per invocation (e.g. a timestamped
+    * "readmit-..." id): reusing an id whose commit marker exists would
+    * make the gate treat the whole re-admission as an already-committed
+    * replay and silently drop it — the one way a re-admission could
+    * "trip the gate as a duplicate".
+    *
+    * Crash-safe by convergence, not atomicity: admitted rows reach
+    * bronze BEFORE the quarantine rewrite, so a crash between the two
+    * leaves already-admitted rows in the quarantine — and the next
+    * invocation revalidates them, finds them valid, and the etag gate
+    * drops them as the duplicates they now are, then the rewrite
+    * completes. Nothing is ever admitted twice or lost. Quarantine
+    * replay duplicates (its appends are at-least-once) collapse here
+    * via dropDuplicates before revalidation.
+    *
+    * Returns (rows admitted to bronze, rows still quarantined).
+    */
+  def reAdmitQuarantine(spark: SparkSession, quarantinePath: String,
+      bronzePath: String, metaPath: String,
+      rules: Seq[(String, org.apache.spark.sql.Column)],
+      readmitBatchId: String,
+      fix: DataFrame => DataFrame = identity): (Long, Long) = {
+    val quarRoot = new Path(quarantinePath)
+    val f = quarRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(quarRoot)) return (0L, 0L)
+    val vCol = graft.operators.Validate.ViolationsCol
+    val quar = spark.read.parquet(quarantinePath).dropDuplicates()
+    // the repair sees payload + batch_id (lineage it must carry through),
+    // never the stale violations - those are recomputed from the rules
+    val candidates = fix(quar.drop(vCol))
+    require(candidates.columns.contains("batch_id"),
+      "re-admission: fix must preserve the batch_id lineage column")
+    val annotated = graft.operators.Validate.check(
+      candidates, rules).localCheckpoint()
+    try {
+      val valid = annotated.filter(size(col(vCol)) === 0).drop(vCol, "batch_id")
+      val stillBad = annotated.filter(size(col(vCol)) > 0)
+      val admitted = MetadataStore.ingestWithGate(
+        valid, bronzePath, metaPath, readmitBatchId)
+      val nAdmitted = admitted.count()
+      graft.CacheHygiene.release(admitted)
+      val nBad = stillBad.count()
+      // point of no return passed (bronze has the admitted rows): swap the
+      // quarantine to just the remaining breakers via temp-write + rename
+      val tmp = new Path(quarRoot.getParent,
+        s".${quarRoot.getName}.readmit-${java.util.UUID.randomUUID().toString.take(8)}")
+      if (nBad > 0) stillBad.write.parquet(tmp.toString)
+      f.delete(quarRoot, true)
+      if (nBad > 0) require(f.rename(tmp, quarRoot),
+        s"re-admission: could not move rewritten quarantine into place ($tmp)")
+      (nAdmitted, nBad)
+    } finally annotated.unpersist()
+  }
+
   /** Full content hygiene on the streaming ingest edge: the exact
     * re-delivery gate (persistent etags, [[MetadataStore.ingestWithGate]])
     * composed with NEAR-dup gating against everything previously ingested

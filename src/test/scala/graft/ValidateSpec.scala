@@ -84,4 +84,67 @@ class ValidateSpec extends SparkSpec {
     assert(BronzeLayer.readRaw(spark, bronze).count() == 1)
     assert(spark.read.parquet(quarantine).count() == 2)
   }
+
+  test("re-admission: corrected quarantine rows re-ingest cleanly, uncorrected ones stay quarantined") {
+    val root = Files.createTempDirectory("graft_readmit").toString
+    val staging = s"$root/staging"
+    val bronze = s"$root/bronze"
+    val meta = s"$root/meta"
+    val quarantine = s"$root/quarantine"
+
+    // p1 valid; p2 fixable (missing source); p3 unfixable (broken payload)
+    postings(Seq(
+      ("p1", """{"title":"engineer"}""", "hh"),
+      ("p2", """{"title":"analyst"}""", null),
+      ("p3", "broken payload", "hh")))
+      .coalesce(1).write.mode("append").json(staging)
+    BronzePipeline.validatedGatedIngest(
+      spark, staging, bronze, meta, quarantine, s"$root/ckpt").awaitTermination()
+    assert(BronzeLayer.readRaw(spark, bronze).count() == 1)
+    assert(spark.read.parquet(quarantine).count() == 2)
+    val origBatchId = spark.read.parquet(quarantine)
+      .filter(col("posting_id") === "p3").head().getAs[String]("batch_id")
+
+    // repair: backfill the missing source; nothing can fix p3's payload
+    val backfill = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("source",
+        coalesce(nullif(trim(col("source")), lit("")), lit("hh-backfill")))
+    val (admitted, remaining) = BronzePipeline.reAdmitQuarantine(
+      spark, quarantine, bronze, meta, Validate.rawPostingRules,
+      "readmit-001", backfill)
+    assert((admitted, remaining) == ((1L, 1L)),
+      s"p2 re-enters, p3 stays: got ($admitted, $remaining)")
+
+    val landed = BronzeLayer.readRaw(spark, bronze)
+    assert(landed.count() == 2)
+    assert(landed.filter(col("posting_id") === "p2").head()
+      .getAs[String]("source") == "hh-backfill",
+      "the repaired row must land with its fix applied")
+
+    // the survivor keeps lineage + freshly recomputed violations
+    val stillBad = spark.read.parquet(quarantine).collect()
+    assert(stillBad.length == 1)
+    assert(stillBad.head.getAs[String]("posting_id") == "p3")
+    assert(stillBad.head.getAs[String]("batch_id") == origBatchId,
+      "uncorrected rows must keep their original batch lineage")
+    assert(stillBad.head.getSeq[String](
+      stillBad.head.fieldIndex(Validate.ViolationsCol)) ==
+      Seq("raw_content_not_json_object"))
+
+    // crash-before-rewrite replay: an already-admitted row reappearing in
+    // the quarantine revalidates as valid, and the etag gate drops it
+    spark.read.parquet(quarantine).unionByName(
+      postings(Seq(("p2", """{"title":"analyst"}""", null)))
+        .withColumn(Validate.ViolationsCol, array(lit("source_missing")))
+        .withColumn("batch_id", lit(origBatchId)))
+      .localCheckpoint()
+      .write.mode("overwrite").parquet(quarantine)
+    val (again, left) = BronzePipeline.reAdmitQuarantine(
+      spark, quarantine, bronze, meta, Validate.rawPostingRules,
+      "readmit-002", backfill)
+    assert((again, left) == ((0L, 1L)),
+      s"a replayed already-admitted row must gate out as a duplicate: ($again, $left)")
+    assert(BronzeLayer.readRaw(spark, bronze).count() == 2,
+      "nothing is ever admitted twice")
+  }
 }
