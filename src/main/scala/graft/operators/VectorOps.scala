@@ -597,6 +597,12 @@ object VectorOps {
       .select(col("pos").cast("int").as("cid"),
         col("col.vec").as("cvec"), col("col.norm").as("cnorm"))
     var centroids = seeds.localCheckpoint(true)
+    // fail loudly, not with an index that silently assigns nothing: a
+    // corpus pre-filtered by something correlated with the seed sampler's
+    // id hash (e.g. an unsalted hash router) can empty the sample
+    require(n == 0 || centroids.count() > 0,
+      s"ivf build: seed sample is empty on a $n-row corpus - the corpus " +
+        "filter is correlated with the xxhash64(vec_id) seed sampler")
     var i = 0
     while (i < lloydIters) {
       val prev = centroids
@@ -643,19 +649,24 @@ object VectorOps {
     */
   def ivfSearch(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       assignments: DataFrame, numProbes: Int = DefaultProbes,
-      k: Int = 5): DataFrame = {
-    // probe selection: per-row top-numProbes kernel over the collected
-    // centroid table - the crossJoin+window it replaces exchanged
-    // queries × C rows just to pick each query's probe list. Null query
-    // vectors fail loudly (same contract as assign): the kernel yields
-    // null there and explode() would silently drop the query
+      k: Int = 5): DataFrame =
+    scoreProbes(probeSelection(queries, centroids, numProbes),
+      corpus, assignments, k)
+
+  /** Probe selection: per-row top-numProbes kernel over the collected
+    * centroid table — the crossJoin+window it replaces exchanged
+    * queries × C rows just to pick each query's probe list. Null query
+    * vectors fail loudly (same contract as assign): the kernel yields
+    * null there and explode() would silently drop the query.
+    */
+  private def probeSelection(queries: DataFrame, centroids: DataFrame,
+      numProbes: Int): DataFrame = {
     val qNullOk = assert_true(col("q_vec").isNotNull && col("q_norm").isNotNull,
       lit("ivf search: null q_vec/q_norm - clean the query set"))
-    val probes = queries.filter(qNullOk.isNull)
+    queries.filter(qNullOk.isNull)
       .select(col("q_id"), col("q_vec"), col("q_norm"),
         explode(topCentroidsCol(centroids, col("q_vec"), col("q_norm"), numProbes)).as("tc"))
       .select(col("q_id"), col("q_vec"), col("q_norm"), col("tc.cid").as("cid"))
-    scoreProbes(probes, corpus, assignments, k)
   }
 
   /** Exact-score the probed buckets' members and keep top-k per query —
@@ -663,15 +674,28 @@ object VectorOps {
     * is (q_id, q_vec, q_norm, cid): one row per (query, probed bucket).
     */
   private def scoreProbes(probes: DataFrame, corpus: DataFrame,
-      assignments: DataFrame, k: Int): DataFrame = {
-    val cand = probes.select("q_id", "q_vec", "q_norm", "cid")
-      .join(assignments, "cid")
-      // replicated assignment can surface a vector from several probed
-      // buckets — dedupe before ranking so top-k rows stay distinct
-      .dropDuplicates("q_id", "vec_id")
-      .join(corpus.select(col("vec_id"), col("vec").as("c_vec"), col("norm").as("c_norm")), "vec_id")
+      assignments: DataFrame, k: Int): DataFrame =
+    scoreCandidates(
+      probes.select("q_id", "q_vec", "q_norm", "cid")
+        .join(assignments, "cid")
+        // replicated assignment can surface a vector from several probed
+        // buckets — dedupe before ranking so top-k rows stay distinct
+        .dropDuplicates("q_id", "vec_id"),
+      corpus, k)
+
+  /** Exact-score (query, candidate) pairs against the corpus vectors and
+    * keep top-k per query — the final tail shared by the single-index
+    * searches and the sharded merge (whose candidates come from several
+    * disjoint cid spaces and therefore join their own shard's assignments
+    * BEFORE merging here).
+    */
+  private def scoreCandidates(cand: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame = {
+    val scored = cand.join(
+      corpus.select(col("vec_id"), col("vec").as("c_vec"), col("norm").as("c_norm")),
+      "vec_id")
     val cos = dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))
-    rankTopK(cand.select(col("q_id"), col("vec_id"), cos.as("cos")),
+    rankTopK(scored.select(col("q_id"), col("vec_id"), cos.as("cos")),
         "q_id", "vec_id", "cos", k)
       .select(col("q_id"), col("vec_id").as("c_id"), round(col("cos"), 6).as("cos"), col("rk"))
   }
@@ -754,6 +778,110 @@ object VectorOps {
   def loadIvfIndex(s: SparkSession, path: String): (DataFrame, DataFrame) = (
     s.read.parquet(s"$path/centroids"),
     s.read.parquet(s"$path/assignments").select(col("vec_id"), col("cid")))
+
+  // ---- sharded IVF: the growth path past the single-index envelope ------
+
+  /** Which shard a vector lives in: deterministic id hash, so the routing
+    * is recomputable from the id alone (appends, lookups, rebuilds all
+    * agree without a routing table). SALTED, which is load-bearing:
+    * [[buildCentroids]] samples its seeds with the unsalted
+    * `xxhash64(vec_id) % sampleStep`, and an unsalted router with
+    * `shards` sharing a factor with `sampleStep` would leave most shards
+    * with an EMPTY seed sample (their residue class never hits 0) — the
+    * correlated-hash failure the salt severs.
+    */
+  private def shardOf(shards: Int): Column =
+    pmod(xxhash64(lit("ivf-shard"), col("vec_id")), lit(shards)).cast("int")
+
+  /** The implemented form of TUNING.md's "shard the index" story — the
+    * growth path past the documented single-index envelope (~4096
+    * centroids / 16k-wide buckets / 2 MB centroid kernel): the corpus
+    * splits by hash(vec_id) into `shards` INDEPENDENT sub-indexes, each
+    * re-deriving its own √(n/shards) centroids, each safely inside the
+    * envelope. Build cost is the same corpus scan count as one big build
+    * (each shard's passes touch only its slice); the centroid kernel per
+    * shard stays broadcast-sized no matter how large n grows — pick
+    * `shards ≈ n / (16384 × 4096)` and a trillion vectors is just more
+    * shards, not a wider index.
+    *
+    * Layout: `path/shard=<i>/{centroids,assignments}` + a `_shards`
+    * marker, so search/append route by recomputing the id hash.
+    * Fails loudly (not a log line) if any shard would STILL be outside
+    * the envelope — at sharding time "add more shards" is exactly the
+    * knob in hand, so the r5-requested hard gate lives here.
+    */
+  def ivfShardedIndex(corpusIn: DataFrame, path: String, shards: Int,
+      lloydIters: Int = DefaultLloydIters,
+      assignReplicas: Int = DefaultAssignReplicas): Unit = {
+    require(shards >= 1, "ivfShardedIndex: shards must be >= 1")
+    val spark = corpusIn.sparkSession
+    val corpus = corpusIn.localCheckpoint(true)
+    try {
+      val n = corpus.count()
+      ivfShardEnvelopeCheck(n, shards)
+      (0 until shards).foreach { i =>
+        val slice = corpus.filter(shardOf(shards) === i)
+        val (cent, asg) = ivfIndex(slice, 0, lloydIters, assignReplicas)
+        saveIvfIndex(cent, asg, s"$path/shard=$i")
+        graft.CacheHygiene.release(cent, asg)
+      }
+      val marker = new org.apache.hadoop.fs.Path(path, "_shards")
+      val f = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = f.create(marker, true)
+      try out.write(shards.toString.getBytes("UTF-8")) finally out.close()
+    } finally graft.CacheHygiene.release(corpus)
+  }
+
+  /** The sharding-time hard gate (pure, so the arithmetic is spec-able at
+    * envelope scale without building a 10⁸-row corpus): throws when
+    * `shards` would still leave each sub-index outside the single-index
+    * envelope. At sharding time "add more shards" is exactly the knob in
+    * hand, so this fails loudly where [[ivfWidthWarning]] only logs.
+    */
+  def ivfShardEnvelopeCheck(n: Long, shards: Int): Unit = {
+    val perShard = n / math.max(1, shards)
+    ivfWidthWarning(perShard, ivfNumCentroids(perShard)).foreach(w =>
+      throw new IllegalArgumentException(
+        s"ivfShardedIndex: $shards shards leave ~$perShard vectors per " +
+          s"shard, still outside the single-index envelope - use " +
+          s"~${n / 16777216L + 1} shards. Underlying: $w"))
+  }
+
+  private def shardCount(s: SparkSession, path: String): Int = {
+    val marker = new org.apache.hadoop.fs.Path(path, "_shards")
+    val f = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(f.exists(marker), s"ivfShardedSearch: $path has no _shards marker")
+    val in = f.open(marker)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+    finally in.close()
+  }
+
+  /** Search a sharded index: every query probes EVERY shard (each shard's
+    * probe is a cheap √(n/shards)-bucket read, and the twin of any query
+    * lives in exactly one shard — skipping shards would cap recall), the
+    * per-shard candidates merge, and ONE global exact-scoring pass keeps
+    * the top-k. Candidate generation joins each shard's own assignments
+    * before the merge — shard cid spaces collide by construction (every
+    * shard numbers its centroids 0..C-1), so the probe→bucket join can
+    * never cross shards. Total shuffled assignment rows across shards
+    * equal a single index's; the corpus-side scoring join happens once,
+    * on the merged candidate set, not per shard.
+    */
+  def ivfShardedSearch(queries: DataFrame, corpus: DataFrame, path: String,
+      numProbes: Int = DefaultProbes, k: Int = 5): DataFrame = {
+    val s = queries.sparkSession
+    val shards = shardCount(s, path)
+    val candidates = (0 until shards).map { i =>
+      val (cent, asg) = loadIvfIndex(s, s"$path/shard=$i")
+      probeSelection(queries, cent, numProbes)
+        .join(asg, "cid")
+        .select("q_id", "q_vec", "q_norm", "vec_id")
+    }.reduce(_ unionByName _)
+      // replicated assignment within a shard can list a vector under
+      // several probed buckets (shards themselves are disjoint by id)
+      .dropDuplicates("q_id", "vec_id")
+    scoreCandidates(candidates, corpus, k)
+  }
 
   /** Incremental index growth: assign NEW vectors to the EXISTING
     * centroids (same replicated assignment as the build) and append

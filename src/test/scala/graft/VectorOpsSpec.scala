@@ -397,6 +397,72 @@ class VectorOpsSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
   }
 
+  test("sharded IVF: hash-routed sub-indexes, cross-shard merge finds planted twins, envelope gate") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_shard")
+    val dir = root.toString + "/index"
+    try {
+      val all = graft.sources.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").as("vec"))
+        .withColumn("norm", sqrt(VectorOps.dot(col("vec"), col("vec"))))
+      val queries = all.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("norm").as("q_norm"))
+      // corpus includes exact twins of every query under fresh ids: the
+      // twin lands in exactly ONE shard by hash routing, so finding it at
+      // rank 1 proves every shard is searched and the merge is global
+      val twins = queries.select(
+        (col("q_id") + 100000L).as("vec_id"), col("q_vec").as("vec"),
+        col("q_norm").as("norm"))
+      val corpus = all.filter(col("vec_id") >= 10)
+        .select("vec_id", "vec", "norm").unionByName(twins)
+        .localCheckpoint()
+
+      val shards = 3
+      VectorOps.ivfShardedIndex(corpus, dir, shards)
+
+      // layout: per-shard sub-indexes + the shard-count marker
+      (0 until shards).foreach { i =>
+        assert(new java.io.File(s"$dir/shard=$i/centroids").exists(), s"shard $i centroids")
+        assert(new java.io.File(s"$dir/shard=$i/assignments").exists(), s"shard $i assignments")
+      }
+      assert(new java.io.File(s"$dir/_shards").exists())
+
+      // routing: every assignment row lives in the shard its id hashes to,
+      // and the shards together cover the corpus exactly
+      val perShard = (0 until shards).map { i =>
+        val asg = spark.read.parquet(s"$dir/shard=$i/assignments")
+        assert(asg.filter(
+          pmod(xxhash64(lit("ivf-shard"), col("vec_id")), lit(shards)) =!= i).count() == 0,
+          s"shard $i holds a foreign vector")
+        asg.select("vec_id").distinct()
+      }
+      assert(perShard.reduce(_ union _).distinct().count() == corpus.count(),
+        "the shards' assignments must cover the corpus exactly")
+
+      // cross-shard search: every query's twin surfaces at rank 1, cos 1
+      val top1 = VectorOps.ivfShardedSearch(queries, corpus, dir)
+        .filter(col("rk") === 1)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      queries.select("q_id").collect().map(_.getLong(0)).foreach { q =>
+        assert(top1(q) == ((q + 100000L, 1.0)),
+          s"query $q must find its twin through the sharded search, got ${top1.get(q)}")
+      }
+      // k rows per query, globally ranked, no duplicate candidates
+      val res = VectorOps.ivfShardedSearch(queries, corpus, dir)
+      assert(res.groupBy("q_id").count().filter(col("count") > 5).count() == 0)
+      assert(res.groupBy("q_id", "c_id").count().filter(col("count") > 1).count() == 0)
+
+      // the envelope hard gate at the scales it exists for: 10^9 vectors
+      // under 2 shards is still a linear-probe index (width >> 16k) and
+      // must refuse; 64 shards is back inside the envelope
+      val over = intercept[IllegalArgumentException](
+        VectorOps.ivfShardEnvelopeCheck(1000000000L, 2))
+      assert(over.getMessage.contains("shards"))
+      VectorOps.ivfShardEnvelopeCheck(1000000000L, 64) // must not throw
+      graft.CacheHygiene.release(corpus)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+  }
+
   test("ivfAppend: appended vectors are searchable without a rebuild") {
     val root = java.nio.file.Files.createTempDirectory("graft_ivf_app")
     val dir = root.toString + "/index"
