@@ -1,0 +1,133 @@
+package graft.tools
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The sf1.0 scale probe (r5 verdict item 6, carried to r8): run the heavy
+  * similarity/CDC family at 10× the bench scale and check that wall-times
+  * scale ~linearly and plan shapes hold. The sf1.0 inputs are derived
+  * deterministically from the driver's sf0.1 tables (TESTDATA.md forbids
+  * regenerating /root/testdata, so the 10× tables land in the repo-local
+  * scratch dir, gitignored):
+  *
+  *   - orders: 10 copies, o_orderkey remapped per copy.
+  *   - documents: 10 copies, doc_id remapped; every 3rd token of each
+  *     non-zero copy carries a copy tag, so EVERY 3-gram shingle differs
+  *     across copies — near-dup structure within a copy is preserved
+  *     (both members of a pair get the same transformation) and no
+  *     artificial cross-copy near-dups appear: the near-dup workload
+  *     scales exactly linearly, like an organic 10× corpus.
+  *   - embeddings: 10 copies, vec_id remapped; each copy's vectors are
+  *     rotated by the copy index (norm-preserving, cross-copy cosine ~
+  *     uncorrelated for these near-random embeddings), so ANN structure
+  *     also scales linearly. Query ids (vec_id < 10) exist only in copy
+  *     0, keeping the probe's query set identical to the bench's.
+  *
+  * For each probe query: two timed runs at sf1.0 (min reported), one
+  * reference run at sf0.1, and a physical-plan shape fingerprint at both
+  * scales — a shape mismatch (e.g. a broadcast silently becoming a
+  * shuffle join at 10×) is exactly the regression this probe exists to
+  * catch. Output: one JSON line per query + a summary line; paste into
+  * BASELINE.md's sf1.0 section.
+  */
+object ScaleProbe {
+  private val Copies = 10
+  private val IdSpan = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = "/root/testdata/sf0.1"
+    val out = if (args.nonEmpty) args(0) else "scratch/sf1.0"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildIfMissing(spark, src, out)
+
+    val probes = Seq("q23_cdc_changes", "q74_cdc_apply", "q35_ngram_jaccard",
+      "q36_minhash_lsh", "q57_ivf_topk", "q58_neardup_blocked",
+      "q65_decontaminate")
+    def clear(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    def timeOnce(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      clear()
+      t
+    }
+    def shape(name: String, dir: String): String = {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val s = df.queryExecution.executedPlan.collect {
+        case p => p.nodeName
+      }.mkString(">")
+      clear()
+      s
+    }
+    val rows = probes.map { name =>
+      val s01 = timeOnce(name, src)
+      val s10 = math.min(timeOnce(name, out), timeOnce(name, out))
+      val sh01 = shape(name, src)
+      val sh10 = shape(name, out)
+      val ratio = s10 / math.max(s01, 1e-9)
+      println(f"""{"q":"$name","sf01_sec":$s01%.2f,"sf10_sec":$s10%.2f,"ratio":$ratio%.2f,"shape_match":${sh01 == sh10}}""")
+      if (sh01 != sh10) {
+        println(s"  sf0.1 plan: $sh01")
+        println(s"  sf1.0 plan: $sh10")
+      }
+      (name, s01, s10, ratio, sh01 == sh10)
+    }
+    val worst = rows.maxBy(_._4)
+    println(f"""{"probe":"sf1.0","queries":${rows.size},"worst_ratio":${worst._4}%.2f,"worst_q":"${worst._1}","all_shapes_match":${rows.forall(_._5)}}""")
+    spark.stop()
+  }
+
+  private def buildIfMissing(spark: SparkSession, src: String, out: String): Unit = {
+    val f = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(new Path(s"$out/orders.parquet")) &&
+        f.exists(new Path(s"$out/documents.parquet")) &&
+        f.exists(new Path(s"$out/embeddings.parquet"))) return
+    val copies = (0 until Copies).map(lit(_))
+    def fan(df: DataFrame): DataFrame =
+      df.withColumn("cp", explode(array(copies: _*)))
+
+    fan(spark.read.parquet(s"$src/orders.parquet"))
+      .withColumn("o_orderkey", col("o_orderkey") + col("cp") * IdSpan)
+      .drop("cp")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    fan(spark.read.parquet(s"$src/documents.parquet"))
+      .withColumn("doc_id", col("doc_id") + col("cp") * IdSpan)
+      .withColumn("text",
+        when(col("cp") === 0, col("text")).otherwise(
+          array_join(
+            zip_with(split(col("text"), " "),
+              sequence(lit(0), size(split(col("text"), " ")) - 1),
+              (t, i) => when(i % 3 === 2, concat(t, lit("§c"), col("cp")))
+                .otherwise(t)),
+            " ")))
+      .withColumn("n_chars", length(col("text")))
+      .drop("cp")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    fan(spark.read.parquet(s"$src/embeddings.parquet"))
+      .withColumn("vec_id", col("vec_id") + col("cp") * IdSpan)
+      // rotate by cp: norm-preserving, decorrelates copies
+      .withColumn("embedding",
+        when(col("cp") === 0, col("embedding")).otherwise(
+          concat(slice(col("embedding"), col("cp") + 1,
+              size(col("embedding")) - col("cp")),
+            slice(col("embedding"), lit(1), col("cp")))))
+      .drop("cp")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"built $out from $src (${Copies}x)")
+  }
+}
