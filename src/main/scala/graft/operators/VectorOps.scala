@@ -439,12 +439,80 @@ object VectorOps {
   /** Blocked near-dup on the embeddings table. θ=0.4 with 8×2-bit bands is
     * tuned to this corpus's near-random vectors (recall 1.0 at sf≤0.01,
     * verified against the exact within-label scan — which is why it can
-    * carry an exact-SQL oracle); production near-dup at θ≥0.8 uses the
-    * wider-band defaults of [[embedNeardupBlocked]].
+    * carry an exact-SQL oracle); production near-dup at θ≥0.8 uses
+    * [[embedNeardupBlockedAuto]], whose blocking scales with the corpus.
+    *
+    * Scale note (sf1.0 probe, BASELINE.md): at θ=0.4 the RESULT itself is
+    * quadratic in n on constant-pair-density corpora (measured 84 →
+    * 9030 rows at 10×, density ~2e-7 at both scales) — no algorithm
+    * returns a quadratic output in linear time, and the probe's 14×
+    * wall at 107× output means cost tracks the output, not n².
     */
   def q58NeardupBlocked(s: SparkSession, d: String): DataFrame =
     embedNeardupBlocked(withVec(embeddings(s, d)),
       threshold = 0.4, numPlanes = 16, bandBits = 2, seed = 7L)
+
+  /** The production-θ, corpus-scaled instantiation of the blocked
+    * near-dup (what the sf1.0 scale probe measures): recall is
+    * probabilistic by design at θ=0.8, so unlike [[q58NeardupBlocked]]
+    * it carries no SQL oracle — the spec pins planted-twin recall and
+    * the blocking-plan arithmetic instead.
+    */
+  def q58NeardupBlockedAuto(s: SparkSession, d: String): DataFrame =
+    embedNeardupBlockedAuto(withVec(embeddings(s, d)), threshold = 0.8)
+
+  /** Corpus-scaled blocking plan for [[embedNeardupBlockedAuto]] — pure,
+    * so the arithmetic is spec-able at 10⁹-row scale. `bandBits` pins the
+    * expected (label, band, sig) bucket width at ~`targetWidth` (within-
+    * bucket candidate pairs then grow LINEARLY with n: buckets × width²
+    * with width constant — a fixed bit count lets them grow as n²), and
+    * the band count comes from the standard LSH recall estimate at θ
+    * (per-plane agreement p = 1 − acos θ/π, per-band match p^bits,
+    * 1−(1−p^bits)^bands ≥ recallTarget), clamped to `maxBands` — at a
+    * clamp the achieved recall is lower; callers trading recall for cost
+    * see the actual figure in the returned tuple.
+    *
+    * Returns (bandBits, bands, achievedRecall).
+    */
+  def neardupBlockingPlan(widestLabel: Long, threshold: Double,
+      targetWidth: Long = 256L, recallTarget: Double = 0.95,
+      maxBands: Int = 32): (Int, Int, Double) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      "auto blocking needs 0 < threshold < 1 (sign-LSH agreement is undefined outside)")
+    require(targetWidth >= 1 && recallTarget > 0.0 && recallTarget < 1.0 && maxBands >= 1)
+    val bits = math.max(2, math.min(16, math.ceil(
+      math.log(math.max(1.0, widestLabel.toDouble / targetWidth)) / math.log(2.0)).toInt))
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val perBand = math.pow(p, bits)
+    val bands = math.max(1, math.min(maxBands,
+      math.ceil(math.log1p(-recallTarget) / math.log1p(-perBand)).toInt))
+    (bits, bands, 1.0 - math.pow(1.0 - perBand, bands))
+  }
+
+  /** [[embedNeardupBlocked]] with corpus-SCALED blocking — the production
+    * form for θ ≥ ~0.7. A fixed bandBits keeps bucket COUNT constant, so
+    * within-bucket candidate pairs grow as n² no matter the threshold;
+    * this derives the bit width from the widest label block (one counting
+    * pass) so bucket width — and with it candidates per vector — stays
+    * pinned as the corpus grows, and compensates the per-band recall loss
+    * with more bands per [[neardupBlockingPlan]]. Candidate volume is then
+    * ~bands × n × targetWidth/2 instead of n²/2^bits.
+    */
+  def embedNeardupBlockedAuto(vecs: DataFrame, threshold: Double = 0.8,
+      targetWidth: Long = 256L, recallTarget: Double = 0.95,
+      maxBands: Int = 32, seed: Long = 7L): DataFrame = {
+    val widest = vecs.groupBy("label").count()
+      .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
+    val (bits, bands, achieved) =
+      neardupBlockingPlan(math.max(1L, widest), threshold, targetWidth,
+        recallTarget, maxBands)
+    if (achieved < recallTarget)
+      log.warn(f"neardup auto blocking: recall $achieved%.3f < target " +
+        f"$recallTarget%.3f at $bands bands x $bits bits (maxBands clamp) - " +
+        "raise maxBands or targetWidth")
+    embedNeardupBlocked(vecs, threshold, numPlanes = bands * bits,
+      bandBits = bits, seed = seed)
+  }
 
   /** The SQL face of the native vector kernels: the same engine a
     * reference user reaches with `spark.sql` once

@@ -35,9 +35,27 @@ object ScaleProbe {
   private val Copies = 10
   private val IdSpan = 10000000L
 
+  private def probeQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq("q23_cdc_changes", "q74_cdc_apply", "q35_ngram_jaccard",
+      "q36_minhash_lsh", "q57_ivf_topk", "q58_neardup_blocked",
+      "q65_decontaminate").map(n => n -> graft.SparkEntry.queries(n)) :+
+      // the production-θ corpus-scaled near-dup: q58's gate tuning has a
+      // quadratic RESULT at θ=0.4 (pair density is scale-constant), so
+      // the linear-scaling claim belongs to the auto-blocked form
+      ("q58_auto_theta08" ->
+        ((s: SparkSession, dir: String) =>
+          graft.operators.VectorOps.q58NeardupBlockedAuto(s, dir)))
+
+  /** No args: build the sf1.0 tables and print the probe matrix to run.
+    * With args `<queryName> <dir>`: time that ONE query (min-of-2) in
+    * THIS JVM and print one JSON line. One (query, scale) per JVM is the
+    * point — a shared session carries JIT/heap state between heavy
+    * queries and produced 6 s/9 s/102 s for the same (query, data) across
+    * three otherwise-identical runs; isolated JVMs are reproducible.
+    */
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
-    val out = if (args.nonEmpty) args(0) else "scratch/sf1.0"
+    val out = "scratch/sf1.0"
     val spark = SparkSession.builder()
       .master("local[32]")
       .withExtensions(new graft.GraftExtensions)
@@ -46,45 +64,31 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     buildIfMissing(spark, src, out)
+    if (args.length >= 2) { runOne(spark, args(0), args(1)); spark.stop(); return }
+    println(probeQueries.map(_._1).mkString(" "))
+    spark.stop()
+  }
 
-    val probes = Seq("q23_cdc_changes", "q74_cdc_apply", "q35_ngram_jaccard",
-      "q36_minhash_lsh", "q57_ivf_topk", "q58_neardup_blocked",
-      "q65_decontaminate")
+  private def runOne(spark: SparkSession, name: String, dir: String): Unit = {
+    val fn = probeQueries.toMap.apply(name)
     def clear(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
     }
-    def timeOnce(name: String, dir: String): Double = {
+    def timeOnce(): Double = {
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, dir).count()
+      fn(spark, dir).count()
       val t = (System.nanoTime() - t0) / 1e9
       clear()
       t
     }
-    def shape(name: String, dir: String): String = {
-      val df = graft.SparkEntry.queries(name)(spark, dir)
-      val s = df.queryExecution.executedPlan.collect {
-        case p => p.nodeName
-      }.mkString(">")
-      clear()
-      s
-    }
-    val rows = probes.map { name =>
-      val s01 = timeOnce(name, src)
-      val s10 = math.min(timeOnce(name, out), timeOnce(name, out))
-      val sh01 = shape(name, src)
-      val sh10 = shape(name, out)
-      val ratio = s10 / math.max(s01, 1e-9)
-      println(f"""{"q":"$name","sf01_sec":$s01%.2f,"sf10_sec":$s10%.2f,"ratio":$ratio%.2f,"shape_match":${sh01 == sh10}}""")
-      if (sh01 != sh10) {
-        println(s"  sf0.1 plan: $sh01")
-        println(s"  sf1.0 plan: $sh10")
-      }
-      (name, s01, s10, ratio, sh01 == sh10)
-    }
-    val worst = rows.maxBy(_._4)
-    println(f"""{"probe":"sf1.0","queries":${rows.size},"worst_ratio":${worst._4}%.2f,"worst_q":"${worst._1}","all_shapes_match":${rows.forall(_._5)}}""")
-    spark.stop()
+    val sec = math.min(timeOnce(), timeOnce())
+    val shape = fn(spark, dir).queryExecution.executedPlan.collect {
+      case p => p.nodeName
+    }.mkString(">")
+    clear()
+    println(f"""PROBE {"q":"$name","dir":"$dir","sec":$sec%.2f,"shape":"$shape"}""")
   }
 
   private def buildIfMissing(spark: SparkSession, src: String, out: String): Unit = {

@@ -397,6 +397,49 @@ class VectorOpsSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
   }
 
+  test("corpus-scaled near-dup blocking: width-pinned plan arithmetic, planted twins recalled") {
+    // plan arithmetic at the scales it exists for (pure function):
+    // bit width pins the expected bucket width, so candidate pairs stay
+    // ~linear in n instead of n²/2^bits with fixed bits
+    val (b1, n1, r1) = VectorOps.neardupBlockingPlan(100000L, 0.8)
+    assert(b1 == 9, s"100k-wide label at width 256 needs 9 bits, got $b1")
+    assert(100000L / (1L << b1) <= 256, "expected bucket width must be pinned")
+    assert(r1 >= 0.95, f"recall target met at 100k: $r1%.3f with $n1 bands")
+    val (b2, _, _) = VectorOps.neardupBlockingPlan(100000000L, 0.8)
+    assert(b2 > b1, "bits must grow with the corpus")
+    // at the 16-bit/32-band clamps the plan reports the honest recall
+    val (b3, n3, r3) = VectorOps.neardupBlockingPlan(1000000000L, 0.8)
+    assert(b3 == 16 && n3 == 32 && r3 < 0.95,
+      s"clamped plan must report its reduced recall, got ($b3, $n3, $r3)")
+    // tiny corpora degrade to the gate-scale tuning (2 bits)
+    assert(VectorOps.neardupBlockingPlan(200L, 0.8)._1 == 2)
+    // an out-of-domain threshold fails loudly, not as NaN bands
+    intercept[IllegalArgumentException](VectorOps.neardupBlockingPlan(1000L, 0.0))
+
+    // planted near-twins (cos ~0.99, same label) surface through the
+    // auto-blocked join; unrelated pairs stay excluded by the threshold
+    import spark.implicits._
+    val base = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding").as("vec"))
+      .withColumn("norm", sqrt(VectorOps.dot(col("vec"), col("vec"))))
+    val twins = base.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + 500000L)
+      // nudge one coordinate: cosine stays ~0.99+, identity does not
+      .withColumn("vec", concat(
+        slice(col("vec"), 1, 63),
+        array(element_at(col("vec"), 64) * lit(1.05f))))
+      .withColumn("norm", sqrt(VectorOps.dot(col("vec"), col("vec"))))
+    val corpus = base.unionByName(twins).localCheckpoint()
+    val pairs = VectorOps.embedNeardupBlockedAuto(corpus, threshold = 0.9)
+      .filter((col("a_id") < 20 && col("b_id") >= 500000L) ||
+        (col("b_id") < 20 && col("a_id") >= 500000L))
+      .filter(abs(coalesce(col("a_id"), lit(0L)) - coalesce(col("b_id"), lit(0L))) === 500000L)
+      .count()
+    assert(pairs >= 16,
+      s"at least 16/20 planted cos~0.99 twins must surface (p^bits per band, multiple bands): $pairs")
+    graft.CacheHygiene.release(corpus)
+  }
+
   test("sharded IVF: hash-routed sub-indexes, cross-shard merge finds planted twins, envelope gate") {
     val root = java.nio.file.Files.createTempDirectory("graft_ivf_shard")
     val dir = root.toString + "/index"
