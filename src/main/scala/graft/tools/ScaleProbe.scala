@@ -76,19 +76,28 @@ object ScaleProbe {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
     }
+    var rows = 0L
     def timeOnce(): Double = {
       val t0 = System.nanoTime()
-      fn(spark, dir).count()
+      rows = fn(spark, dir).count()
       val t = (System.nanoTime() - t0) / 1e9
       clear()
       t
     }
-    val sec = math.min(timeOnce(), timeOnce())
-    val shape = fn(spark, dir).queryExecution.executedPlan.collect {
-      case p => p.nodeName
-    }.mkString(">")
+    val samples = Seq(timeOnce(), timeOnce(), timeOnce())
+    // fingerprint the PHYSICAL plan from its explain text (the adaptive
+    // root hides its inner plan from collect()): operator names in tree
+    // order, ids and arguments stripped — a lost broadcast or a changed
+    // join strategy at 10× shows up as a different sequence
+    val df = fn(spark, dir)
+    val shape = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+      .linesIterator
+      .map(_.replaceAll("^[\\s:+*\\-]+", "").takeWhile(c => c != ' ' && c != '('))
+      .filter(n => n.nonEmpty && n.head.isLetter)
+      .mkString(">")
     clear()
-    println(f"""PROBE {"q":"$name","dir":"$dir","sec":$sec%.2f,"shape":"$shape"}""")
+    println(f"""PROBE {"q":"$name","dir":"$dir","sec":${samples.min}%.2f,"samples":[${samples.map(s => f"$s%.2f").mkString(",")}],"rows":$rows,"shape":"$shape"}""")
   }
 
   private def buildIfMissing(spark: SparkSession, src: String, out: String): Unit = {
