@@ -115,10 +115,13 @@ object Bench {
     val passesJson = results.map { case (name, best, ss) =>
       f""""$name":{"min":$best%.3f,"passes":[${ss.map(s => f"$s%.3f").mkString(",")}]}"""
     }.mkString(
-      "{\"sf\":\"" + sfDir + s"""","cpus":$cpus,"load1":$loadsJson,"extra":$extraJson,"queries":{""",
+      "{\"sf\":\"" + sfDir + s"""","cpus":"$cpus","load1":$loadsJson,"extra":$extraJson,"queries":{""",
       ",", "}}")
+    // a SPARK_GRAFT_BENCH_ONLY subset run must not clobber the durable
+    // full-suite record with a 2-query file
+    val defaultPasses = if (only.isEmpty) "BENCH_PASSES.json" else "BENCH_PASSES_PARTIAL.json"
     val passesPath = sys.env.getOrElse("SPARK_GRAFT_PASSES_FILE",
-      new java.io.File(sys.props.getOrElse("user.dir", "."), "BENCH_PASSES.json").getPath)
+      new java.io.File(sys.props.getOrElse("user.dir", "."), defaultPasses).getPath)
     try {
       val w = new java.io.PrintWriter(passesPath)
       try w.println(passesJson) finally w.close()

@@ -105,14 +105,18 @@ object Lifecycle {
     */
   def cdcApply(snapshot: DataFrame, delta: DataFrame, key: String,
       valueCols: Seq[String]): DataFrame = {
+    // flag/meta columns live OUTSIDE the __d_<col>/__s_<col> renaming
+    // namespace: with flags named __d_present/__d_change, a user value
+    // column literally named "present" or "change" would rename onto the
+    // flag and corrupt it (the old anti-join form had no such collision)
     val s = snapshot.select((key +: valueCols).map(c => col(c).as(s"__s_$c")): _*)
     val d = delta.select((key +: valueCols).map(c => col(c).as(s"__d_$c")) :+
-        col("change_type").as("__d_change"): _*)
-      .withColumn("__d_present", lit(true))
+        col("change_type").as("__cdc_change__"): _*)
+      .withColumn("__cdc_present__", lit(true))
     s.join(d, col(s"__s_$key") <=> col(s"__d_$key"), "full_outer")
-      .filter(col("__d_present").isNull || col("__d_change") =!= "delete")
+      .filter(col("__cdc_present__").isNull || col("__cdc_change__") =!= "delete")
       .select((key +: valueCols).map(c =>
-        when(col("__d_present").isNotNull, col(s"__d_$c"))
+        when(col("__cdc_present__").isNotNull, col(s"__d_$c"))
           .otherwise(col(s"__s_$c")).as(c)): _*)
   }
 

@@ -883,21 +883,32 @@ object VectorOps {
       assignReplicas: Int = DefaultAssignReplicas): Unit = {
     require(shards >= 1, "ivfShardedIndex: shards must be >= 1")
     val spark = corpusIn.sparkSession
-    val corpus = corpusIn.localCheckpoint(true)
+    val marker = new org.apache.hadoop.fs.Path(path, "_shards")
+    val f = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // retract the marker FIRST: an in-place rebuild (possibly with a new
+    // shard count) that crashes mid-way must fail shardCount's require
+    // loudly, not leave a stale marker routing searches across a torn
+    // mix of old and new shard dirs (silently missing vectors)
+    f.delete(marker, false)
+    // stage the corpus ONCE, partitioned by shard, so the K sub-builds
+    // read only their own slice — filtering a checkpointed corpus per
+    // shard would make total build I/O ~K × one build's scan count,
+    // exactly wrong at the scales sharding exists for
+    val staging = new org.apache.hadoop.fs.Path(path, ".corpus-staged")
+    corpusIn.withColumn("__shard", shardOf(shards))
+      .write.partitionBy("__shard").mode("overwrite").parquet(staging.toString)
     try {
-      val n = corpus.count()
-      ivfShardEnvelopeCheck(n, shards)
+      val staged = spark.read.parquet(staging.toString)
+      ivfShardEnvelopeCheck(staged.count(), shards)
       (0 until shards).foreach { i =>
-        val slice = corpus.filter(shardOf(shards) === i)
+        val slice = staged.filter(col("__shard") === i).drop("__shard")
         val (cent, asg) = ivfIndex(slice, 0, lloydIters, assignReplicas)
         saveIvfIndex(cent, asg, s"$path/shard=$i")
         graft.CacheHygiene.release(cent, asg)
       }
-      val marker = new org.apache.hadoop.fs.Path(path, "_shards")
-      val f = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val out = f.create(marker, true)
       try out.write(shards.toString.getBytes("UTF-8")) finally out.close()
-    } finally graft.CacheHygiene.release(corpus)
+    } finally f.delete(staging, true)
   }
 
   /** The sharding-time hard gate (pure, so the arithmetic is spec-able at
@@ -939,12 +950,23 @@ object VectorOps {
       numProbes: Int = DefaultProbes, k: Int = 5): DataFrame = {
     val s = queries.sparkSession
     val shards = shardCount(s, path)
-    val candidates = (0 until shards).map { i =>
-      val (cent, asg) = loadIvfIndex(s, s"$path/shard=$i")
-      probeSelection(queries, cent, numProbes)
-        .join(asg, "cid")
-        .select("q_id", "q_vec", "q_norm", "vec_id")
-    }.reduce(_ unionByName _)
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val candidates = (0 until shards).flatMap { i =>
+      // an empty shard (tiny corpus, unlucky hash) indexed nothing and
+      // wrote no centroid files - it has no candidates to contribute
+      val centDir = new org.apache.hadoop.fs.Path(s"$path/shard=$i/centroids")
+      val hasData = f.exists(centDir) && f.listStatus(centDir)
+        .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      if (!hasData) None else Some {
+        val (cent, asg) = loadIvfIndex(s, s"$path/shard=$i")
+        probeSelection(queries, cent, numProbes)
+          .join(asg, "cid")
+          .select("q_id", "q_vec", "q_norm", "vec_id")
+      }
+    }.reduceOption(_ unionByName _)
+      .getOrElse(throw new IllegalStateException(
+        s"ivfShardedSearch: no shard under $path holds any data"))
       // replicated assignment within a shard can list a vector under
       // several probed buckets (shards themselves are disjoint by id)
       .dropDuplicates("q_id", "vec_id")

@@ -119,9 +119,13 @@ object BronzePipeline {
     * leaves already-admitted rows in the quarantine — and the next
     * invocation revalidates them, finds them valid, and the etag gate
     * drops them as the duplicates they now are, then the rewrite
-    * completes. Nothing is ever admitted twice or lost. Quarantine
-    * replay duplicates (its appends are at-least-once) collapse here
-    * via dropDuplicates before revalidation.
+    * completes. The rewrite itself swaps via a fully-written sibling
+    * (write aside → move old away → move new in → drop old), and a
+    * crash inside the swap heals at the next invocation's entry: a
+    * complete rewrite sibling with no live quarantine IS the
+    * quarantine, so still-failing rows are never lost either.
+    * Quarantine replay duplicates (its appends are at-least-once)
+    * collapse here via dropDuplicates before revalidation.
     *
     * Returns (rows admitted to bronze, rows still quarantined).
     */
@@ -132,6 +136,14 @@ object BronzePipeline {
       fix: DataFrame => DataFrame = identity): (Long, Long) = {
     val quarRoot = new Path(quarantinePath)
     val f = quarRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a reused id whose commit marker exists would make the gate treat
+    // the whole re-admission as an already-committed replay: rows would
+    // count as admitted without landing, then vanish in the rewrite -
+    // enforce the documented freshness precondition instead of trusting it
+    require(!f.exists(new Path(metaPath, s"_commit_$readmitBatchId")),
+      s"re-admission: batch id '$readmitBatchId' was already used - " +
+        "each invocation needs a fresh id")
+    healQuarantineSwap(f, quarRoot)
     if (!f.exists(quarRoot)) return (0L, 0L)
     val vCol = graft.operators.Validate.ViolationsCol
     val quar = spark.read.parquet(quarantinePath).dropDuplicates()
@@ -151,15 +163,47 @@ object BronzePipeline {
       graft.CacheHygiene.release(admitted)
       val nBad = stillBad.count()
       // point of no return passed (bronze has the admitted rows): swap the
-      // quarantine to just the remaining breakers via temp-write + rename
-      val tmp = new Path(quarRoot.getParent,
-        s".${quarRoot.getName}.readmit-${java.util.UUID.randomUUID().toString.take(8)}")
-      if (nBad > 0) stillBad.write.parquet(tmp.toString)
-      f.delete(quarRoot, true)
-      if (nBad > 0) require(f.rename(tmp, quarRoot),
-        s"re-admission: could not move rewritten quarantine into place ($tmp)")
+      // quarantine to just the remaining breakers. The sibling is fully
+      // written (with a _SUCCESS marker) BEFORE the old dir moves away,
+      // so every crash point leaves either the old quarantine live or a
+      // complete rewrite that healQuarantineSwap adopts on the next run -
+      // still-failing rows are never silently lost
+      if (nBad > 0) {
+        val tmp = new Path(quarRoot.getParent, s"$SwapPrefix${quarRoot.getName}")
+        f.delete(tmp, true) // a previous crash's stale sibling
+        stillBad.write.parquet(tmp.toString)
+        val old = new Path(quarRoot.getParent,
+          s".${quarRoot.getName}.old-${java.util.UUID.randomUUID().toString.take(8)}")
+        require(f.rename(quarRoot, old),
+          s"re-admission: could not move the old quarantine aside ($quarRoot)")
+        require(f.rename(tmp, quarRoot),
+          s"re-admission: could not move rewritten quarantine into place ($tmp)")
+        f.delete(old, true)
+      } else f.delete(quarRoot, true)
       (nAdmitted, nBad)
     } finally annotated.unpersist()
+  }
+
+  private val SwapPrefix = ".readmit-next."
+
+  /** Adopt a completed-but-unswapped quarantine rewrite: if the live dir
+    * is missing and a finished (`_SUCCESS`-marked) rewrite sibling
+    * exists, the sibling IS the quarantine — the writer crashed between
+    * moving the old dir away and moving the rewrite in.
+    */
+  private def healQuarantineSwap(f: org.apache.hadoop.fs.FileSystem,
+      quarRoot: Path): Unit = {
+    val tmp = new Path(quarRoot.getParent, s"$SwapPrefix${quarRoot.getName}")
+    if (!f.exists(quarRoot) && f.exists(new Path(tmp, "_SUCCESS")))
+      require(f.rename(tmp, quarRoot),
+        s"re-admission: could not adopt the crashed rewrite $tmp")
+    // moved-aside dirs a crash kept from their delete: their rows are
+    // either live in quarRoot (crash pre-swap never moves the old dir)
+    // or superseded by the adopted rewrite - safe to drop either way
+    if (f.exists(quarRoot) && f.exists(quarRoot.getParent))
+      f.listStatus(quarRoot.getParent)
+        .filter(_.getPath.getName.startsWith(s".${quarRoot.getName}.old-"))
+        .foreach(st => f.delete(st.getPath, true))
   }
 
   /** Full content hygiene on the streaming ingest edge: the exact

@@ -313,7 +313,11 @@ class PacedExtractorSpec extends SparkSpec {
     @volatile var cursorAtP4 = -1
     def fetch(page: Int): PacedExtractor.Response = {
       stamps.add(clock.nowMs())
-      if (page == 2 && !served429) { served429 = true; Backoff }
+      // page 5 CAN be dispensed: the other worker may grab it between
+      // page 4's fetch returning and its completion registering
+      // hasMore=false - a benign overshoot that must stay empty
+      if (page > 4) Fetched(Seq.empty, hasMore = false)
+      else if (page == 2 && !served429) { served429 = true; Backoff }
       else if (page == 1) {
         // page 1 is the slow response: it completes only after page 4 has
         // been dispatched, so pages 2-4 land ahead of it
@@ -331,7 +335,7 @@ class PacedExtractorSpec extends SparkSpec {
 
     val n = PacedExtractor.run(spark, fetch, staging, cursorP, limiter,
       sleepMs = clock.sleepMs _, window = 2)
-    assert(n == 5, s"all 5 pages must complete, got $n")
+    assert(n == 5 || n == 6, s"5 pages (+ possible empty overshoot) must complete, got $n")
     assert(cursorAtP4 == 1,
       s"with page 1 in flight the cursor must pin at 1, got $cursorAtP4")
     assert(PacedExtractor.cursor(spark, cursorP) == 5,
@@ -343,7 +347,8 @@ class PacedExtractorSpec extends SparkSpec {
     // the 429'd page retried in place, still under pacing
     import scala.jdk.CollectionConverters._
     val sorted = stamps.asScala.toSeq.sorted
-    assert(sorted.size == 6, s"5 pages + 1 throttled retry, got ${sorted.size}")
+    assert(sorted.size == 6 || sorted.size == 7,
+      s"5 pages + 1 throttled retry (+ possible overshoot), got ${sorted.size}")
     sorted.sliding(3).foreach(w => assert(w.last - w.head >= 1000L,
       s"3 acquires inside one 2/1000ms window: $sorted"))
   }
