@@ -146,5 +146,28 @@ class ValidateSpec extends SparkSpec {
       s"a replayed already-admitted row must gate out as a duplicate: ($again, $left)")
     assert(BronzeLayer.readRaw(spark, bronze).count() == 2,
       "nothing is ever admitted twice")
+
+    // a reused batch id must refuse loudly - the gate would report rows
+    // admitted without landing them, then the rewrite would drop them
+    val reused = intercept[IllegalArgumentException](
+      BronzePipeline.reAdmitQuarantine(spark, quarantine, bronze, meta,
+        Validate.rawPostingRules, "readmit-002", backfill))
+    assert(reused.getMessage.contains("already used"))
+
+    // crash between the swap's two renames: live dir gone, a complete
+    // _SUCCESS-marked rewrite sibling left behind - the next invocation
+    // adopts the sibling instead of reporting an empty quarantine
+    val qDir = new java.io.File(quarantine)
+    val sibling = new java.io.File(qDir.getParentFile, ".readmit-next." + qDir.getName)
+    org.apache.commons.io.FileUtils.deleteQuietly(sibling)
+    org.apache.commons.io.FileUtils.moveDirectory(qDir, sibling)
+    assert(!qDir.exists() && new java.io.File(sibling, "_SUCCESS").exists())
+    val (healed, stillLeft) = BronzePipeline.reAdmitQuarantine(
+      spark, quarantine, bronze, meta, Validate.rawPostingRules,
+      "readmit-003", backfill)
+    assert((healed, stillLeft) == ((0L, 1L)),
+      s"the crashed swap's rewrite must be adopted, not lost: ($healed, $stillLeft)")
+    assert(spark.read.parquet(quarantine).count() == 1,
+      "the adopted quarantine still holds the unfixable row")
   }
 }
