@@ -98,6 +98,111 @@ object PacedExtractor {
     def invalidate(): Unit = synchronized { token = None }
   }
 
+  /** What one credential exchange returned: the short-lived access token
+    * (with its ttl) and the long-lived refresh token that outlives it.
+    */
+  final case class Grant(access: String, refresh: String, ttlMs: Long)
+
+  /** The one-time interactive consent bootstrap (the reference's
+    * authorization-code flow: finnoio/jobhouse src/oauth_server.py:7
+    * receives the `code`/`state` redirect; src/refresh_token_oauth.py:18-34
+    * builds the consent URL and exchanges the code) — the part of the
+    * OAuth lifecycle that runs ONCE per deployment, before
+    * [[TokenProvider]]'s refresh loop takes over. As everywhere in this
+    * module, HTTP stays outside the engine: `exchangeCode` and
+    * `refreshGrant` are the two token-endpoint POSTs, injected.
+    *
+    * Lifecycle: [[consentUrl]] → operator authorizes in a browser →
+    * [[redeem]] the pasted redirect (state-checked against this consent —
+    * the CSRF defense the state parameter exists for; a bare pasted code
+    * is also accepted, matching the reference's manual flow) → the grant's
+    * refresh token persists atomically → the returned provider serves the
+    * initial access token until expiry, then lives on the refresh grant,
+    * persisting each ROTATED refresh token (providers that rotate would
+    * otherwise strand every restart on a dead credential). After a
+    * restart, [[resume]] rebuilds the provider from the persisted token
+    * with no user interaction — consent runs once, not per run.
+    */
+  final class AuthCodeFlow(spark: SparkSession, refreshTokenPath: String,
+      authorizeUrl: String, clientId: String, redirectUri: String,
+      exchangeCode: String => Grant,
+      refreshGrant: String => Grant,
+      nowMs: () => Long = () => System.currentTimeMillis(),
+      newState: () => String =
+        () => java.util.UUID.randomUUID().toString.replace("-", "")) {
+
+    private var pendingState: Option[String] = None
+
+    /** The URL to send the operator to — and the start of a consent:
+      * the embedded `state` is remembered for [[redeem]]'s check.
+      */
+    def consentUrl(): String = {
+      val st = newState()
+      synchronized { pendingState = Some(st) }
+      val enc = java.net.URLEncoder.encode(redirectUri, "UTF-8")
+      s"$authorizeUrl?response_type=code&client_id=$clientId&state=$st&redirect_uri=$enc"
+    }
+
+    /** Redeem the redirect the operator pasted back: either the full
+      * redirect URL (its `state` must match this consent's — a mismatch
+      * is someone else's consent, refused loudly) or the bare `code`
+      * (the reference's manual-paste flow, which carries no state to
+      * check). Exchanges the code, persists the refresh token, returns
+      * the live provider.
+      */
+    def redeem(pasted: String): TokenProvider = {
+      val expected = synchronized(pendingState).getOrElse(
+        throw new IllegalStateException(
+          "no consent in flight - call consentUrl() first"))
+      val t = pasted.trim
+      val code =
+        if (t.contains("=")) {
+          // full redirect URL or its raw query string
+          val query = if (t.contains('?')) t.substring(t.indexOf('?') + 1) else t
+          val params = query.split('&').iterator.map(_.split("=", 2))
+            .collect { case Array(k, v) =>
+              k -> java.net.URLDecoder.decode(v, "UTF-8") }
+            .toMap
+          require(params.get("state").contains(expected),
+            "authorization state mismatch: the redirect does not belong " +
+              "to this consent (possible CSRF) - restart from consentUrl()")
+          params.getOrElse("code",
+            throw new IllegalArgumentException(s"no code in redirect: $pasted"))
+        } else t // bare code paste: no state to verify, as in the reference
+      synchronized { pendingState = None }
+      val g = exchangeCode(code)
+      writeAtomic(spark, new Path(refreshTokenPath), g.refresh)
+      providerFrom(Some(g))
+    }
+
+    /** Rebuild the provider from the persisted refresh token — the
+      * every-restart path once consent has run. None when no token is
+      * persisted yet (run the consent flow).
+      */
+    def resume(): Option[TokenProvider] =
+      readOpt(spark, new Path(refreshTokenPath)).map(_ => providerFrom(None))
+
+    private def providerFrom(initial: Option[Grant]): TokenProvider = {
+      var seed = initial
+      new TokenProvider(() => {
+        seed match {
+          case Some(g) => seed = None; (g.access, g.ttlMs)
+          case None =>
+            val rt = readOpt(spark, new Path(refreshTokenPath)).getOrElse(
+              throw new IllegalStateException(
+                s"refresh token store $refreshTokenPath is empty - " +
+                  "re-run the consent flow"))
+            val g = refreshGrant(rt)
+            // persist the rotation BEFORE handing out the access token: a
+            // crash after use-but-before-persist would strand the next
+            // restart on the consumed token
+            writeAtomic(spark, new Path(refreshTokenPath), g.refresh)
+            (g.access, g.ttlMs)
+        }
+      }, nowMs)
+    }
+  }
+
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 

@@ -295,6 +295,77 @@ class PacedExtractorSpec extends SparkSpec {
       "10 distinct payloads across both streams must reach bronze exactly once")
   }
 
+  test("auth-code bootstrap: consent URL, state check, rotated refresh persists, restart resumes without consent") {
+    val root = Files.createTempDirectory("graft_authcode").toString
+    val tokenStore = s"$root/refresh_token"
+    val clock = new FakeClock
+    var exchanges = List.empty[String]
+    var refreshes = List.empty[String]
+    def exchangeCode(code: String) = {
+      exchanges ::= code
+      PacedExtractor.Grant(s"access-for-$code", s"refresh-1", 60000L)
+    }
+    def refreshGrant(rt: String) = {
+      refreshes ::= rt
+      val n = rt.stripPrefix("refresh-").toInt + 1 // provider rotates
+      PacedExtractor.Grant(s"access-$n", s"refresh-$n", 60000L)
+    }
+    def flow() = new PacedExtractor.AuthCodeFlow(spark, tokenStore,
+      "https://example.test/oauth/authorize", "cid-1",
+      "http://localhost:8000/auth", exchangeCode, refreshGrant,
+      clock.nowMs _, () => "state-abc")
+
+    // fresh deployment: nothing persisted, resume() says run the consent
+    val f1 = flow()
+    assert(f1.resume().isEmpty, "no persisted token means no silent resume")
+
+    val url = f1.consentUrl()
+    assert(url.startsWith("https://example.test/oauth/authorize?"))
+    assert(url.contains("response_type=code") && url.contains("client_id=cid-1"))
+    assert(url.contains("state=state-abc"))
+    assert(url.contains("redirect_uri=http%3A%2F%2Flocalhost%3A8000%2Fauth"),
+      s"redirect must be URL-encoded: $url")
+
+    // a redirect carrying someone else's state is refused loudly
+    val csrf = intercept[IllegalArgumentException](f1.redeem(
+      "http://localhost:8000/auth?code=evil&state=state-OTHER"))
+    assert(csrf.getMessage.contains("state mismatch"))
+    assert(exchanges.isEmpty, "a refused redirect must never be exchanged")
+
+    // the matching redirect redeems: code exchanged once, refresh persisted
+    val provider = f1.redeem(
+      "http://localhost:8000/auth?code=the-code&state=state-abc")
+    assert(exchanges == List("the-code"))
+    assert(provider.current() == "access-for-the-code",
+      "the initial grant's access token serves without a refresh call")
+    assert(refreshes.isEmpty)
+
+    // expiry: the refresh grant runs and the ROTATED token persists
+    clock.now += 59500L
+    assert(provider.current() == "access-2")
+    assert(refreshes == List("refresh-1"))
+
+    // restart: a NEW flow resumes from the persisted (rotated) token -
+    // no consent, no code exchange, straight to the refresh grant
+    val f2 = flow()
+    val resumed = f2.resume().getOrElse(fail("persisted token must resume"))
+    assert(resumed.current() == "access-3",
+      "resume must use the rotated refresh token, not the original")
+    assert(refreshes.head == "refresh-2",
+      s"the rotation must have persisted across the restart: $refreshes")
+    assert(exchanges == List("the-code"), "consent ran exactly once")
+
+    // the reference's manual flow: a bare pasted code (no state to check)
+    val f3 = flow()
+    f3.consentUrl()
+    val p3 = f3.redeem("  bare-code-123  ")
+    assert(exchanges.head == "bare-code-123")
+    assert(p3.current() == "access-for-bare-code-123")
+
+    // redeem without a consent in flight fails loudly
+    intercept[IllegalStateException](flow().redeem("code=x&state=state-abc"))
+  }
+
   test("windowed fan-out: shared ceiling holds, out-of-order completions land, cursor pins to the contiguous frontier") {
     val root = Files.createTempDirectory("graft_paced_window").toString
     val staging = s"$root/staging"
