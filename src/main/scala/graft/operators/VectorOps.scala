@@ -926,6 +926,37 @@ object VectorOps {
           s"~${n / 16777216L + 1} shards. Underlying: $w"))
   }
 
+  /** Append new vectors to a SHARDED index: route each vector by the
+    * same salted id hash as the build, then [[ivfAppend]] each slice
+    * into its shard's sub-index — so every shard keeps its own
+    * append/rebuild cadence (the drift probe, partial rebuild, and
+    * width split all operate per shard on `path/shard=<i>`). Appends
+    * are incremental batches, so the per-present-shard filter over the
+    * (small, checkpointed) batch is cheap — unlike the build, there is
+    * no full-corpus scan to amortize. Appending into a shard that
+    * indexed nothing at build time fails loudly: it has no centroids
+    * to assign against — rebuild with [[ivfShardedIndex]].
+    */
+  def ivfShardedAppend(newVecs: DataFrame, path: String,
+      assignReplicas: Int = DefaultAssignReplicas): Unit = {
+    val s = newVecs.sparkSession
+    val shards = shardCount(s, path)
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val routed = newVecs.withColumn("__shard", shardOf(shards)).localCheckpoint(true)
+    try {
+      val present = routed.select("__shard").distinct()
+        .collect().map(_.getInt(0)).sorted
+      present.foreach { i =>
+        require(f.exists(new org.apache.hadoop.fs.Path(s"$path/shard=$i/centroids")),
+          s"ivfShardedAppend: shard $i holds appended vectors but indexed " +
+            "nothing at build time (no centroids) - rebuild with ivfShardedIndex")
+        ivfAppend(routed.filter(col("__shard") === i).drop("__shard"),
+          s"$path/shard=$i", assignReplicas)
+      }
+    } finally graft.CacheHygiene.release(routed)
+  }
+
   private def shardCount(s: SparkSession, path: String): Int = {
     val marker = new org.apache.hadoop.fs.Path(path, "_shards")
     val f = marker.getFileSystem(s.sparkContext.hadoopConfiguration)

