@@ -438,7 +438,44 @@ object TextOps {
         greatest(col("n_shards"), lit(1))))
   }
 
+  /** Corpus TF-IDF keyword extraction: top-3 terms per document by
+    * tf·idf — the classic feature-extraction signal over a training
+    * corpus (keyword tagging, topical clustering, boilerplate spotting:
+    * a ubiquitous term's idf → 0). tf = term count / doc length,
+    * idf = ln(N/df) with N = docs carrying at least one token.
+    *
+    * Scores round to 6 BEFORE ranking so the (score desc, term asc)
+    * order is identical in every engine — a small shared vocabulary
+    * ties constantly and the break must be deterministic. Scale shape:
+    * every shuffle keys on (doc_id, term), term, or doc_id — all
+    * high-cardinality at corpus scale; the scalar corpus count rides a
+    * 1-row broadcast (q16's pattern), and the final top-3 window
+    * partitions by doc_id, never globally.
+    */
+  def q78Tfidf(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    // everything derives from the ONE (doc_id, term) aggregate: doc
+    // length is the sum of its term counts and the corpus size is the
+    // doc-length frame's row count — no second pass over the exploded
+    // tokens (the raw explode is the expensive frame here)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
+    val dl = tf.groupBy("doc_id").agg(sum("n").as("len"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nd = dl.agg(count(lit(1)).as("nd"))
+    val scored = tf.join(dl, "doc_id").join(dfc, "term")
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("term"),
+        round((col("n").cast("double") / col("len")) *
+          log(col("nd").cast("double") / col("df")), 6).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_tfidf" -> q78Tfidf _,
     "q69_quality_gate" -> q69QualityGate _,
     "q70_pack" -> q70Pack _,
     "q65_decontaminate" -> q65Decontaminate _,
@@ -460,6 +497,24 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q78_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), toks2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+        |tf AS (SELECT doc_id, term, count(*) AS n FROM toks2 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS len FROM toks2 GROUP BY 1),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM toks2),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round((tf.n * 1.0 / dl.len) * ln(nd.nd * 1.0 / dfc.df), 6) AS score
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfc USING (term) CROSS JOIN nd
+        |), ranked AS (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        |  FROM scored
+        |)
+        |SELECT doc_id, term, score, rk FROM ranked WHERE rk <= 3""".stripMargin,
     "q69_quality_gate" ->
       """WITH m AS (
         |  SELECT doc_id,
