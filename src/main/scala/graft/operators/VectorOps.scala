@@ -948,7 +948,10 @@ object VectorOps {
       val present = routed.select("__shard").distinct()
         .collect().map(_.getInt(0)).sorted
       present.foreach { i =>
-        require(f.exists(new org.apache.hadoop.fs.Path(s"$path/shard=$i/centroids")),
+        // dir existence is not enough: saveIvfIndex creates the dir (with
+        // _SUCCESS) even for a shard that indexed zero vectors - the
+        // guard must check for actual centroid FILES, like search does
+        require(shardHasData(f, path, i),
           s"ivfShardedAppend: shard $i holds appended vectors but indexed " +
             "nothing at build time (no centroids) - rebuild with ivfShardedIndex")
         ivfAppend(routed.filter(col("__shard") === i).drop("__shard"),
@@ -957,10 +960,21 @@ object VectorOps {
     } finally graft.CacheHygiene.release(routed)
   }
 
+  /** Whether a shard's sub-index holds any centroids (a shard that saw
+    * zero vectors at build time has the dir and _SUCCESS but no files).
+    */
+  private def shardHasData(f: org.apache.hadoop.fs.FileSystem,
+      path: String, i: Int): Boolean = {
+    val centDir = new org.apache.hadoop.fs.Path(s"$path/shard=$i/centroids")
+    f.exists(centDir) && f.listStatus(centDir)
+      .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+  }
+
   private def shardCount(s: SparkSession, path: String): Int = {
     val marker = new org.apache.hadoop.fs.Path(path, "_shards")
     val f = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    require(f.exists(marker), s"ivfShardedSearch: $path has no _shards marker")
+    require(f.exists(marker), s"sharded ivf: $path has no _shards marker " +
+      "(never built, or a rebuild is in flight)")
     val in = f.open(marker)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
     finally in.close()
@@ -986,10 +1000,7 @@ object VectorOps {
     val candidates = (0 until shards).flatMap { i =>
       // an empty shard (tiny corpus, unlucky hash) indexed nothing and
       // wrote no centroid files - it has no candidates to contribute
-      val centDir = new org.apache.hadoop.fs.Path(s"$path/shard=$i/centroids")
-      val hasData = f.exists(centDir) && f.listStatus(centDir)
-        .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      if (!hasData) None else Some {
+      if (!shardHasData(f, path, i)) None else Some {
         val (cent, asg) = loadIvfIndex(s, s"$path/shard=$i")
         probeSelection(queries, cent, numProbes)
           .join(asg, "cid")

@@ -546,20 +546,22 @@ object ManifestTable {
       snapshotSchemaCached(spark, table, v, dataDirs(spark, table, v)))
   }
 
-  // (table, version) -> union schema. A version's schema is immutable (a
-  // manifest is never rewritten, and its dirs' contents never change), so
-  // repeated pruned reads of the same snapshot — a mart job probing many
-  // ranges, the bench's independent passes — pay the per-dir footer walk
-  // once per JVM, not per read. Bounded by wholesale clear: the cache is
-  // tiny (one StructType per distinct snapshot touched) and correctness
-  // never depends on it.
+  // (table, version, dir list) -> union schema. A snapshot's dirs carry
+  // fresh UUIDs per commit and their contents never change, so the key
+  // identifies the snapshot CONTENT — including across a table deleted
+  // and re-created at the same path in one JVM, whose same-numbered
+  // versions get different dir UUIDs (keying on (table, version) alone
+  // would serve the dead table's schema there). Repeated pruned reads of
+  // one snapshot — a mart job probing many ranges, the bench's passes —
+  // pay the per-dir footer walk once per JVM, not per read. Bounded by
+  // wholesale clear: the cache is tiny and only ever an I/O saving.
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), StructType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Seq[String]), StructType]()
 
   private def snapshotSchemaCached(spark: SparkSession, table: String,
-      v: Long, dirs: => Seq[String]): StructType = {
+      v: Long, dirs: Seq[String]): StructType = {
     if (schemaCache.size > 1024) schemaCache.clear()
-    schemaCache.computeIfAbsent((table, v),
+    schemaCache.computeIfAbsent((table, v, dirs.sorted),
       _ => snapshotSchema(spark, table, dirs))
   }
 

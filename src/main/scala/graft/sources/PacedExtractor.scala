@@ -139,8 +139,11 @@ object PacedExtractor {
     def consentUrl(): String = {
       val st = newState()
       synchronized { pendingState = Some(st) }
-      val enc = java.net.URLEncoder.encode(redirectUri, "UTF-8")
-      s"$authorizeUrl?response_type=code&client_id=$clientId&state=$st&redirect_uri=$enc"
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      // an authorize endpoint may already carry a query (tenant ids etc.)
+      val sep = if (authorizeUrl.contains('?')) "&" else "?"
+      s"$authorizeUrl${sep}response_type=code&client_id=${enc(clientId)}" +
+        s"&state=${enc(st)}&redirect_uri=${enc(redirectUri)}"
     }
 
     /** Redeem the redirect the operator pasted back: either the full
@@ -155,9 +158,13 @@ object PacedExtractor {
         throw new IllegalStateException(
           "no consent in flight - call consentUrl() first"))
       val t = pasted.trim
+      // redirect-vs-bare-code detection must not trip on '=' INSIDE a
+      // bare code (RFC 6749 codes may carry base64 padding): only a '?'
+      // or an actual code=/state= parameter marks a redirect paste
+      val looksLikeRedirect = t.contains('?') ||
+        t.split('&').exists(p => p.startsWith("code=") || p.startsWith("state="))
       val code =
-        if (t.contains("=")) {
-          // full redirect URL or its raw query string
+        if (looksLikeRedirect) {
           val query = if (t.contains('?')) t.substring(t.indexOf('?') + 1) else t
           val params = query.split('&').iterator.map(_.split("=", 2))
             .collect { case Array(k, v) =>
@@ -169,8 +176,11 @@ object PacedExtractor {
           params.getOrElse("code",
             throw new IllegalArgumentException(s"no code in redirect: $pasted"))
         } else t // bare code paste: no state to verify, as in the reference
-      synchronized { pendingState = None }
       val g = exchangeCode(code)
+      // consume the consent only once the exchange SUCCEEDED: a token-
+      // endpoint blip must leave the same paste retryable, not force a
+      // fresh browser consent
+      synchronized { pendingState = None }
       writeAtomic(spark, new Path(refreshTokenPath), g.refresh)
       providerFrom(Some(g))
     }

@@ -356,11 +356,38 @@ class PacedExtractorSpec extends SparkSpec {
     assert(exchanges == List("the-code"), "consent ran exactly once")
 
     // the reference's manual flow: a bare pasted code (no state to check)
+    // - including one with base64 padding, which must not be mistaken
+    // for a redirect query string
     val f3 = flow()
     f3.consentUrl()
     val p3 = f3.redeem("  bare-code-123  ")
     assert(exchanges.head == "bare-code-123")
     assert(p3.current() == "access-for-bare-code-123")
+    val f3b = flow()
+    f3b.consentUrl()
+    f3b.redeem("SplxlOBeZQQYbYS6WxSbIA==")
+    assert(exchanges.head == "SplxlOBeZQQYbYS6WxSbIA==",
+      "a padded bare code must redeem, not be parsed as a query string")
+
+    // a token-endpoint blip must leave the same paste retryable - the
+    // consent is consumed only by a SUCCESSFUL exchange
+    var blip = true
+    val f4 = new PacedExtractor.AuthCodeFlow(spark, tokenStore,
+      "https://example.test/oauth/authorize?tenant=acme", "cid 1",
+      "http://localhost:8000/auth",
+      c => if (blip) { blip = false; throw new RuntimeException("endpoint timeout") }
+        else exchangeCode(c),
+      refreshGrant, clock.nowMs _, () => "state-f4")
+    // and: an authorize URL already carrying a query appends with '&',
+    // reserved characters in the client id are encoded
+    val url4 = f4.consentUrl()
+    assert(url4.startsWith("https://example.test/oauth/authorize?tenant=acme&response_type=code"),
+      s"existing query must extend with '&': $url4")
+    assert(url4.contains("client_id=cid+1"), s"client id must be encoded: $url4")
+    intercept[RuntimeException](f4.redeem("code=c4&state=state-f4"))
+    val p4 = f4.redeem("code=c4&state=state-f4") // same paste, retried
+    assert(p4.current() == "access-for-c4",
+      "a failed exchange must not consume the consent")
 
     // redeem without a consent in flight fails loudly
     intercept[IllegalStateException](flow().redeem("code=x&state=state-abc"))
