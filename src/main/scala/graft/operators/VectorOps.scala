@@ -885,21 +885,26 @@ object VectorOps {
     val spark = corpusIn.sparkSession
     val marker = new org.apache.hadoop.fs.Path(path, "_shards")
     val f = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // retract the marker FIRST: an in-place rebuild (possibly with a new
-    // shard count) that crashes mid-way must fail shardCount's require
-    // loudly, not leave a stale marker routing searches across a torn
-    // mix of old and new shard dirs (silently missing vectors)
-    f.delete(marker, false)
     // stage the corpus ONCE, partitioned by shard, so the K sub-builds
     // read only their own slice — filtering a checkpointed corpus per
     // shard would make total build I/O ~K × one build's scan count,
-    // exactly wrong at the scales sharding exists for
+    // exactly wrong at the scales sharding exists for. Staging (and the
+    // envelope gate below) run BEFORE the marker retraction: both are
+    // non-destructive to the live shard dirs, so a rebuild the gate
+    // rejects (or whose staging write fails) leaves a previously working
+    // index fully intact instead of bricked behind a missing marker
     val staging = new org.apache.hadoop.fs.Path(path, ".corpus-staged")
-    corpusIn.withColumn("__shard", shardOf(shards))
-      .write.partitionBy("__shard").mode("overwrite").parquet(staging.toString)
     try {
+      corpusIn.withColumn("__shard", shardOf(shards))
+        .write.partitionBy("__shard").mode("overwrite").parquet(staging.toString)
       val staged = spark.read.parquet(staging.toString)
       ivfShardEnvelopeCheck(staged.count(), shards)
+      // retract the marker only now, at the edge of the destructive
+      // per-shard overwrites: a rebuild (possibly with a new shard count)
+      // that crashes mid-way must fail shardCount's require loudly, not
+      // leave a stale marker routing searches across a torn mix of old
+      // and new shard dirs (silently missing vectors)
+      f.delete(marker, false)
       (0 until shards).foreach { i =>
         val slice = staged.filter(col("__shard") === i).drop("__shard")
         val (cent, asg) = ivfIndex(slice, 0, lloydIters, assignReplicas)

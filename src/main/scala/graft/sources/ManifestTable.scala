@@ -328,20 +328,26 @@ object ManifestTable {
     df.write.parquet(dirPath.toString)
     val entry = Entry(dirName, commitStats(spark, dirPath, statsCols))
     var committed = 0L
+    var attempted = 0L // version the previous iteration's CAS targeted
     while (committed == 0L) {
       val base = highestManifest(spark, table)
-      val baseEntries = if (append && base > 0) manifestEntries(spark, table, base) else Nil
-      if (baseEntries.exists(_.dir == entry.dir)) {
-        // a previous iteration's CAS actually landed but its read-back
-        // verification was torn (IOException reported as a loss): the head
-        // already carries this commit's unique data dir, so this IS our
-        // committed version — appending the entry again would list the dir
-        // twice and duplicate its rows in every later snapshot
-        committed = base
+      // torn-CAS recovery: a CAS whose read-back verification was torn
+      // (IOException reported as a loss) may actually have landed. Its
+      // manifest, if it exists, is EXACTLY version `attempted` — manifests
+      // are immutable once CAS-created — so check that version directly
+      // rather than the current head: a concurrent overwrite/compaction
+      // may have rewritten dirs since, and a head-only check would miss
+      // the landed commit and append the entry a second time (duplicating
+      // its rows, or resurrecting them past the overwrite)
+      if (attempted > 0 && attempted <= base &&
+          manifestEntries(spark, table, attempted).exists(_.dir == entry.dir)) {
+        committed = attempted
       } else {
+        val baseEntries = if (append && base > 0) manifestEntries(spark, table, base) else Nil
         if (append && base > 0)
           checkAppendSchema(spark, table, base, df, allowEvolution)
         val content = (baseEntries :+ entry).sortBy(_.dir).map(renderEntry).mkString("\n")
+        attempted = base + 1
         if (casCreateFile(spark, manifestPath(table, base + 1), content))
           committed = base + 1
         // else: lost the race - loop re-reads the new head and retries
@@ -417,16 +423,24 @@ object ManifestTable {
     df.write.mode("overwrite").parquet(dirPath.toString)
     val entry = Entry(dirName, commitStats(spark, dirPath, statsCols))
     var committed = 0L
+    var attempted = 0L // version the previous iteration's CAS targeted
     while (committed == 0L) {
       val base = highestManifest(spark, table)
-      if (tokenAt(base)) { // concurrent committer of this token won
+      // same torn-CAS recovery as commit(): our CAS, if it landed despite
+      // a torn read-back, landed at exactly `attempted` — check there, not
+      // just the head, in case later commits rewrote dirs since
+      if (attempted > 0 && attempted <= base && tokenAt(attempted)) {
+        committed = attempted
+      } else if (tokenAt(base)) { // concurrent committer of this token won
         advancePointer(spark, table, base); return base
+      } else {
+        if (base > 0) checkAppendSchema(spark, table, base, df, allowEvolution)
+        val entries = manifestEntries(spark, table, base) :+ entry
+        val content = entries.sortBy(_.dir).map(renderEntry).mkString("\n")
+        attempted = base + 1
+        if (casCreateFile(spark, manifestPath(table, base + 1), content))
+          committed = base + 1
       }
-      if (base > 0) checkAppendSchema(spark, table, base, df, allowEvolution)
-      val entries = manifestEntries(spark, table, base) :+ entry
-      val content = entries.sortBy(_.dir).map(renderEntry).mkString("\n")
-      if (casCreateFile(spark, manifestPath(table, base + 1), content))
-        committed = base + 1
     }
     advancePointer(spark, table, committed)
     committed

@@ -423,7 +423,13 @@ object PacedExtractor {
     threads.foreach(_.join())
     lock.synchronized {
       failure.foreach(throw _)
-      (fetchedCount, lastPage.exists(frontier > _))
+      // parity with the sequential loop's return contract: overshoot
+      // pages dispensed past the source's last page completed (empty,
+      // no-more) but were never "fetched" in run()'s sense — the
+      // sequential loop stops AT lastPage, so cap the count there
+      val n = lastPage.fold(fetchedCount)(lp =>
+        math.min(fetchedCount, lp - start + 1))
+      (n, lastPage.exists(frontier > _))
     }
   }
 

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   *     also scales linearly. Query ids (vec_id < 10) exist only in copy
   *     0, keeping the probe's query set identical to the bench's.
   *
-  * For each probe query: two timed runs at sf1.0 (min reported), one
+  * For each probe query: three timed runs at sf1.0 (min reported), one
   * reference run at sf0.1, and a physical-plan shape fingerprint at both
   * scales — a shape mismatch (e.g. a broadcast silently becoming a
   * shuffle join at 10×) is exactly the regression this probe exists to

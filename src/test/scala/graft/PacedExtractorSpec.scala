@@ -433,7 +433,9 @@ class PacedExtractorSpec extends SparkSpec {
 
     val n = PacedExtractor.run(spark, fetch, staging, cursorP, limiter,
       sleepMs = clock.sleepMs _, window = 2)
-    assert(n == 5 || n == 6, s"5 pages (+ possible empty overshoot) must complete, got $n")
+    // exact sequential parity: a dispensed-but-empty overshoot page past
+    // the source end must NOT inflate the count
+    assert(n == 5, s"exactly 5 pages fetched (overshoots uncounted), got $n")
     assert(cursorAtP4 == 1,
       s"with page 1 in flight the cursor must pin at 1, got $cursorAtP4")
     assert(PacedExtractor.cursor(spark, cursorP) == 5,
