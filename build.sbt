@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through BARE instead of via sbt's logger:
+// the bench/verify mains print machine-parsed JSON summary lines, and the
+// logger's "[info] " prefix breaks line-oriented JSON parsing downstream.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
