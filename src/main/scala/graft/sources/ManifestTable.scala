@@ -572,6 +572,20 @@ object ManifestTable {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Seq[String]), StructType]()
 
+  /** A snapshot's full union schema — the [[GraftDataSource]] (DSv2 SQL
+    * surface) entry point into the cached footer-walk.
+    */
+  private[graft] def snapshotSchemaOf(spark: SparkSession, table: String,
+      version: Long): StructType =
+    snapshotSchemaCached(spark, table, version, dataDirs(spark, table, version))
+
+  /** Dir-subset snapshot read with the full-schema null-fill contract —
+    * the [[GraftDataSource]] scan's entry point into [[sliceRead]].
+    */
+  private[graft] def sliceReadAs(spark: SparkSession, table: String,
+      dirs: Seq[String], fullSchema: StructType): DataFrame =
+    sliceRead(spark, table, dirs, fullSchema)
+
   private def snapshotSchemaCached(spark: SparkSession, table: String,
       v: Long, dirs: Seq[String]): StructType = {
     if (schemaCache.size > 1024) schemaCache.clear()

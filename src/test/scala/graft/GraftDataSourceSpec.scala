@@ -1,0 +1,184 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{GraftDataSource, ManifestTable}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+
+/** The DSv2 SQL surface over [[ManifestTable]]: snapshot reads, version
+  * time-travel, CREATE VIEW … USING graft, and — the point — dir-level
+  * stats pruning driven by pushed filters, proven end-to-end by
+  * corrupting the prunable dir's files and watching the pruned query
+  * succeed where the unpruned one cannot.
+  */
+class GraftDataSourceSpec extends SparkSpec {
+
+  test("format(graft): snapshot read, SQL view, time travel, evolution") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_dsv2").toString + "/t"
+
+    ManifestTable.commit(
+      (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "v"),
+      table, append = false, statsCols = Seq("id"))
+    ManifestTable.commit(
+      (101 to 150).map(i => (i.toLong, s"r$i")).toDF("id", "v"),
+      table, append = true, statsCols = Seq("id"))
+
+    // snapshot read equals the library surface
+    val ds = spark.read.format("graft").load(table)
+    assert(ds.count() == 150)
+    assert(ds.columns.toSeq == Seq("id", "v"))
+    assert(ds.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) ==
+      (1L to 150L).sum)
+
+    // time travel to v1
+    val v1 = spark.read.format("graft").option("version", "1").load(table)
+    assert(v1.count() == 100, "version option must pin the old snapshot")
+
+    // pure-SQL surface: temp view USING graft + aggregation
+    spark.sql(
+      s"CREATE OR REPLACE TEMPORARY VIEW graft_mt USING graft " +
+        s"OPTIONS (path '$table')")
+    assert(spark.sql("SELECT count(*) AS n FROM graft_mt").head.getLong(0) == 150)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft_mt WHERE id BETWEEN 40 AND 60")
+      .head.getLong(0) == 21)
+
+    // direct `FROM graft.`path`` SQL is a FileFormat-only Spark feature
+    // (UNSUPPORTED_DATASOURCE_FOR_DIRECT_QUERY for DSv2 providers) — the
+    // temp view above is the pure-SQL surface
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT sum(id) FROM graft.`$table`").head
+    }
+
+    // additive evolution: the new column null-fills across old commits
+    ManifestTable.commit(
+      Seq((151L, "r151", "fresh")).toDF("id", "v", "note"),
+      table, append = true, statsCols = Seq("id"), allowEvolution = true)
+    val evolved = spark.read.format("graft").load(table)
+    assert(evolved.columns.toSeq == Seq("id", "v", "note"))
+    assert(evolved.filter(col("note").isNull).count() == 150)
+    assert(evolved.filter(col("note") === "fresh").count() == 1)
+
+    // a versionless read pins at planning: the frame above keeps seeing
+    // 151 rows even after another commit lands
+    ManifestTable.commit(Seq((999L, "x", "late")).toDF("id", "v", "note"),
+      table, append = true, statsCols = Seq("id"), allowEvolution = true)
+    assert(evolved.count() == 151,
+      "an already-planned frame must keep its pinned snapshot")
+    assert(spark.read.format("graft").load(table).count() == 152)
+  }
+
+  test("pushed range predicates provably skip non-matching data dirs") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_dsv2_prune").toString + "/t"
+
+    ManifestTable.commit(
+      (0 to 99).map(i => (i.toLong, s"a$i")).toDF("id", "v"),
+      table, append = false, statsCols = Seq("id"))
+    ManifestTable.commit(
+      (1000 to 1099).map(i => (i.toLong, s"b$i")).toDF("id", "v"),
+      table, append = true, statsCols = Seq("id"))
+
+    // warm the snapshot-schema cache (one footer per dir) so planning a
+    // PRUNED read afterwards needs no I/O under the high-id dir at all
+    assert(spark.read.format("graft").load(table).count() == 200)
+
+    // corrupt every parquet file of the high-id commit's dir: any scan
+    // (or footer read) that touches it now throws — so a pruned query
+    // succeeding IS the proof the dir was skipped
+    val highDir = ManifestTable.manifestEntries(spark, table, 2)
+      .filter(_.stats.get("id").exists(_.min == "1000")) match {
+        case Seq(e) => e.dir
+        case other => fail(s"expected exactly one high-id dir, got $other")
+      }
+    val dirPath = java.nio.file.Paths.get(table, highDir)
+    val corrupted = Files.list(dirPath).iterator()
+    var n = 0
+    corrupted.forEachRemaining { p =>
+      if (p.getFileName.toString.endsWith(".parquet")) {
+        Files.write(p, "not parquet anymore".getBytes); n += 1
+      }
+    }
+    assert(n > 0, "expected parquet files to corrupt")
+
+    val pruned = spark.read.format("graft").load(table).filter(col("id") < 500)
+    assert(pruned.count() == 100,
+      "range under the corrupted dir's min must scan only the intact dir")
+    assert(pruned.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) ==
+      (0L to 99L).sum)
+
+    // the same filters show in the scan's pushed-filter report
+    val leafStr = pruned.queryExecution.executedPlan.toString
+    assert(leafStr.contains("PushedFilters") || leafStr.contains("LessThan"),
+      s"expected a pushed-filter report in the physical plan, got:\n$leafStr")
+
+    // control: without the pruning predicate the corrupted dir must be
+    // read — and therefore throw
+    intercept[Exception] {
+      spark.read.format("graft").load(table).filter(col("v").startsWith("a"))
+        .count()
+    }
+
+    // column pruning reaches the bridge: a single-column projection scans
+    // a single-attribute relation
+    val slim = spark.read.format("graft").load(table)
+      .filter(col("id") < 500).select("id")
+    val leaves = slim.queryExecution.executedPlan.collectLeaves()
+    assert(leaves.exists(_.output.map(_.name) == Seq("id")),
+      s"scan leaf should carry only `id`, got ${leaves.map(_.output)}")
+    assert(slim.count() == 100)
+
+    // count(*) over the pruned view: empty projection path
+    spark.sql(
+      s"CREATE OR REPLACE TEMPORARY VIEW graft_prune USING graft " +
+        s"OPTIONS (path '$table')")
+    assert(spark.sql("SELECT count(*) AS n FROM graft_prune WHERE id < 500")
+      .head.getLong(0) == 100)
+  }
+
+  test("pruneEntries: conservative dir-level filter semantics") {
+    import ManifestTable.{ColStat, Entry}
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType)))
+    val lo = Entry("data/lo", Map("id" -> ColStat("num", "0", "99"),
+      "name" -> ColStat("str", "apple", "mango")))
+    val hi = Entry("data/hi", Map("id" -> ColStat("num", "1000", "1099"),
+      "name" -> ColStat("str", "nectarine", "zucchini")))
+    val bare = Entry("data/bare", Map.empty) // no stats: never pruned
+    val all = Seq(lo, hi, bare)
+    def dirs(filters: Filter*): Seq[String] =
+      GraftDataSource.pruneEntries(schema, all, filters).map(_.dir)
+
+    assert(dirs(EqualTo("id", 50L)) == Seq("data/lo", "data/bare"))
+    assert(dirs(EqualTo("id", 500L)) == Seq("data/bare"),
+      "a value between the dirs' ranges keeps only the stat-less dir")
+    assert(dirs(GreaterThan("id", 99L)) == Seq("data/lo", "data/hi", "data/bare"),
+      "strict bounds collapse to inclusive: the boundary dir must survive")
+    assert(dirs(GreaterThan("id", 100L)) == Seq("data/hi", "data/bare"))
+    assert(dirs(LessThanOrEqual("id", 99L)) == Seq("data/lo", "data/bare"))
+    assert(dirs(In("id", Array(5L, 1050L))) == Seq("data/lo", "data/hi", "data/bare"))
+    assert(dirs(In("id", Array(500L))) == Seq("data/bare"))
+    assert(dirs(And(GreaterThan("id", 10L), LessThan("id", 90L))) ==
+      Seq("data/lo", "data/bare"))
+    assert(dirs(Or(LessThan("id", 10L), GreaterThan("id", 2000L))) ==
+      Seq("data/lo", "data/bare"),
+      "an Or prunes only dirs neither side can match")
+    assert(dirs(EqualTo("name", "banana")) == Seq("data/lo", "data/bare"))
+    assert(dirs(EqualTo("score", 1.5)) == Seq("data/lo", "data/hi", "data/bare"),
+      "a column with no recorded stats never prunes")
+    assert(dirs(IsNull("id")) == Seq("data/lo", "data/hi", "data/bare"),
+      "null-ness is not recorded in stats - no dir-level claim")
+    assert(dirs(Not(EqualTo("id", 50L))) == Seq("data/lo", "data/hi", "data/bare"),
+      "negations make no dir-level claim")
+    // conjunction of ranges on MIXED columns intersects
+    assert(dirs(And(GreaterThan("id", 100L), EqualTo("name", "apple"))) ==
+      Seq("data/bare"))
+  }
+}
