@@ -880,8 +880,10 @@ object VectorOps {
     */
   def ivfShardedIndex(corpusIn: DataFrame, path: String, shards: Int,
       lloydIters: Int = DefaultLloydIters,
-      assignReplicas: Int = DefaultAssignReplicas): Unit = {
+      assignReplicas: Int = DefaultAssignReplicas,
+      buildThreads: Int = DefaultShardBuildThreads): Unit = {
     require(shards >= 1, "ivfShardedIndex: shards must be >= 1")
+    require(buildThreads >= 1, "ivfShardedIndex: buildThreads must be >= 1")
     val spark = corpusIn.sparkSession
     val marker = new org.apache.hadoop.fs.Path(path, "_shards")
     val f = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -905,16 +907,44 @@ object VectorOps {
       // leave a stale marker routing searches across a torn mix of old
       // and new shard dirs (silently missing vectors)
       f.delete(marker, false)
-      (0 until shards).foreach { i =>
-        val slice = staged.filter(col("__shard") === i).drop("__shard")
-        val (cent, asg) = ivfIndex(slice, 0, lloydIters, assignReplicas)
-        saveIvfIndex(cent, asg, s"$path/shard=$i")
-        graft.CacheHygiene.release(cent, asg)
-      }
+      // sub-builds run on a bounded driver thread pool: each shard's
+      // Lloyd passes are independent Spark JOBS (own slice, own save
+      // dir), and a serial loop would make build latency K × (iters
+      // jobs) serialized through one driver thread — at the envelope's
+      // own sizing (hundreds of shards) the DRIVER loop, not the
+      // cluster, becomes the bottleneck. Spark schedules concurrent
+      // jobs from multiple threads natively (FIFO across job stages);
+      // each sub-build is deterministic (hash-sampled seeds + Lloyd),
+      // so concurrency cannot change the index — spec-verified
+      // thread-count invariance. A failed sub-build propagates after
+      // in-flight shards settle; the marker is absent throughout, so a
+      // partial build reads as "rebuild in flight", never as an index.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(buildThreads, shards))
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val builds = (0 until shards).map { i =>
+          scala.concurrent.Future {
+            val slice = staged.filter(col("__shard") === i).drop("__shard")
+            val (cent, asg) = ivfIndex(slice, 0, lloydIters, assignReplicas)
+            saveIvfIndex(cent, asg, s"$path/shard=$i")
+            graft.CacheHygiene.release(cent, asg)
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(builds),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
       val out = f.create(marker, true)
       try out.write(shards.toString.getBytes("UTF-8")) finally out.close()
     } finally f.delete(staging, true)
   }
+
+  /** Default sub-build concurrency for [[ivfShardedIndex]] — enough to
+    * overlap the per-shard job gaps without flooding the scheduler.
+    */
+  val DefaultShardBuildThreads: Int = 4
 
   /** The sharding-time hard gate (pure, so the arithmetic is spec-able at
     * envelope scale without building a 10⁸-row corpus): throws when
@@ -989,12 +1019,20 @@ object VectorOps {
     * probe is a cheap √(n/shards)-bucket read, and the twin of any query
     * lives in exactly one shard — skipping shards would cap recall), the
     * per-shard candidates merge, and ONE global exact-scoring pass keeps
-    * the top-k. Candidate generation joins each shard's own assignments
-    * before the merge — shard cid spaces collide by construction (every
-    * shard numbers its centroids 0..C-1), so the probe→bucket join can
-    * never cross shards. Total shuffled assignment rows across shards
-    * equal a single index's; the corpus-side scoring join happens once,
-    * on the merged candidate set, not per shard.
+    * the top-k.
+    *
+    * The PLAN is O(1) in the shard count (the r8-flagged growth path: the
+    * previous form unioned K per-shard probe sub-plans — hundreds of scan
+    * nodes at the envelope's own sizing): all shards' centroids load as
+    * ONE multi-path parquet read (shard recovered from the file path) into
+    * ONE [[graft.plans.ShardedTopCentroids]] kernel that emits each
+    * query's per-shard probe set in a single projection, all shards'
+    * assignments load as one read the same way, and candidates come from
+    * ONE (shard, cid) join — shard cid spaces collide by construction
+    * (every shard numbers its centroids 0..C-1), so the join key carries
+    * the shard to never cross them. Total probe compute and shuffled
+    * assignment rows are unchanged from the per-shard form; only the plan
+    * shape collapsed.
     */
   def ivfShardedSearch(queries: DataFrame, corpus: DataFrame, path: String,
       numProbes: Int = DefaultProbes, k: Int = 5): DataFrame = {
@@ -1002,22 +1040,84 @@ object VectorOps {
     val shards = shardCount(s, path)
     val f = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val candidates = (0 until shards).flatMap { i =>
-      // an empty shard (tiny corpus, unlucky hash) indexed nothing and
-      // wrote no centroid files - it has no candidates to contribute
-      if (!shardHasData(f, path, i)) None else Some {
-        val (cent, asg) = loadIvfIndex(s, s"$path/shard=$i")
-        probeSelection(queries, cent, numProbes)
-          .join(asg, "cid")
-          .select("q_id", "q_vec", "q_norm", "vec_id")
-      }
-    }.reduceOption(_ unionByName _)
-      .getOrElse(throw new IllegalStateException(
-        s"ivfShardedSearch: no shard under $path holds any data"))
-      // replicated assignment within a shard can list a vector under
-      // several probed buckets (shards themselves are disjoint by id)
-      .dropDuplicates("q_id", "vec_id")
+    // an empty shard (tiny corpus, unlucky hash) indexed nothing and
+    // wrote no centroid files - it has no candidates to contribute. The
+    // per-shard existence probe is driver METADATA work (K cheap listings,
+    // same as before); the scan plan below stays one node regardless of K
+    val present = (0 until shards).filter(shardHasData(f, path, _))
+    if (present.isEmpty) throw new IllegalStateException(
+      s"ivfShardedSearch: no shard under $path holds any data")
+    val cent = readShardArtifact(s, path, present, "centroids")
+    val asg = readShardArtifact(s, path, present, "assignments")
+    val candidates =
+      shardedProbeSelection(queries, cent, numProbes)
+        .join(asg.select("shard", "cid", "vec_id"), Seq("shard", "cid"))
+        .select("q_id", "q_vec", "q_norm", "vec_id")
+        // replicated assignment within a shard can list a vector under
+        // several probed buckets (shards themselves are disjoint by id)
+        .dropDuplicates("q_id", "vec_id")
     scoreCandidates(candidates, corpus, k)
+  }
+
+  /** One parquet read across the given shards' `centroids`/`assignments`
+    * dirs, with the owning shard (and, for assignments, the `cid`
+    * partition value) recovered from each row's file path — the
+    * multi-path scan is ONE plan node however many shards exist (the
+    * path list is scan metadata, not plan structure). Partition
+    * DISCOVERY is disabled (`recursiveFileLookup`): per-root inference
+    * over K roots rejects the mixed `shard=i/assignments/cid=j` layout
+    * as conflicting, and the dir layout here is [[saveIvfIndex]]'s own
+    * documented contract, so parsing it from `_metadata.file_path` is
+    * reading our own format, not guessing at one.
+    */
+  private def readShardArtifact(s: SparkSession, path: String,
+      present: Seq[Int], artifact: String): DataFrame = {
+    val raw = s.read.option("recursiveFileLookup", "true")
+      .parquet(present.map(i => s"$path/shard=$i/$artifact"): _*)
+      .withColumn("shard", regexp_extract(
+        col("_metadata.file_path"), s"/shard=(\\d+)/$artifact/", 1).cast("int"))
+    if (artifact == "assignments")
+      raw.withColumn("cid", regexp_extract(
+        col("_metadata.file_path"), "/cid=(\\d+)/", 1).cast("int"))
+    else raw
+  }
+
+  /** The sharded twin of [[probeSelection]]: ONE kernel holding every
+    * shard's centroid table (grouped by shard), emitting each query's
+    * top-`numProbes` buckets PER SHARD from a single projection. The
+    * collected payload is the sum of all shards' centroid tables — gated
+    * like [[topCentroidsCol]], with the cap sized for the sharding
+    * envelope itself (√(n/K) centroids per shard keeps the sum ≈
+    * K × 4096 × dim × 8 B; ~10⁹–10¹⁰ vectors fits comfortably). Past the
+    * cap, split the corpus into multiple INDEXES behind a routing tier —
+    * at that scale no single search should fan over every shard anyway.
+    */
+  private def shardedProbeSelection(queries: DataFrame, centTagged: DataFrame,
+      numProbes: Int): DataFrame = {
+    val rows = centTagged.select("shard", "cid", "cvec", "cnorm").collect()
+      .sortBy(r => (r.getInt(0), r.getInt(1)))
+    val shardArr = rows.map(_.getInt(0))
+    val cids = rows.map(_.getInt(1))
+    val cvecs = rows.map(_.getSeq[Any](2).iterator.map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toArray)
+    val cnorms = rows.map(_.getDouble(3))
+    val payload = cvecs.length.toLong * cvecs.headOption.map(_.length).getOrElse(0) * 8
+    require(payload <= (256L << 20),
+      s"sharded probe kernel payload ${payload >> 20} MB exceeds the 256 MB " +
+        "hard cap - split the corpus into multiple indexes behind a " +
+        "routing tier (docs/TUNING.md 'ANN at a billion vectors')")
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    val qNullOk = assert_true(col("q_vec").isNotNull && col("q_norm").isNotNull,
+      lit("ivf search: null q_vec/q_norm - clean the query set"))
+    queries.filter(qNullOk.isNull)
+      .select(col("q_id"), col("q_vec"), col("q_norm"),
+        explode(toCol(graft.plans.ShardedTopCentroids(
+          toExpr(col("q_vec")), toExpr(col("q_norm")),
+          shardArr, cids, cvecs, cnorms, numProbes))).as("tc"))
+      .select(col("q_id"), col("q_vec"), col("q_norm"),
+        col("tc.shard").as("shard"), col("tc.cid").as("cid"))
   }
 
   /** Incremental index growth: assign NEW vectors to the EXISTING

@@ -531,6 +531,95 @@ class VectorOpsSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
   }
 
+  test("sharded IVF: concurrent sub-builds, flat search plan, per-shard probe equivalence, rebuild safety") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_shard2")
+    try {
+      val corpus = graft.sources.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").as("vec"))
+        .withColumn("norm", sqrt(VectorOps.dot(col("vec"), col("vec"))))
+        .filter(col("vec_id") >= 10)
+        .localCheckpoint()
+      val queries = graft.sources.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").as("vec"))
+        .withColumn("norm", sqrt(VectorOps.dot(col("vec"), col("vec"))))
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+          col("norm").as("q_norm"))
+
+      // concurrency invariance: a serial build and a 3-thread build of
+      // the same corpus produce byte-identical sub-indexes (each shard's
+      // build is deterministic, so scheduling cannot leak into the index)
+      val serialDir = root.toString + "/serial"
+      val parallelDir = root.toString + "/parallel"
+      VectorOps.ivfShardedIndex(corpus, serialDir, 3, buildThreads = 1)
+      VectorOps.ivfShardedIndex(corpus, parallelDir, 3, buildThreads = 3)
+      (0 until 3).foreach { i =>
+        def slurp(base: String, art: String) =
+          spark.read.option("recursiveFileLookup", "true")
+            .parquet(s"$base/shard=$i/$art")
+            .collect().map(_.toString).sorted.toSeq
+        assert(slurp(serialDir, "centroids") == slurp(parallelDir, "centroids"),
+          s"shard $i centroids must not depend on build concurrency")
+        val sAsg = spark.read.parquet(s"$serialDir/shard=$i/assignments")
+          .select("vec_id", "cid").collect().map(_.toString).sorted.toSeq
+        val pAsg = spark.read.parquet(s"$parallelDir/shard=$i/assignments")
+          .select("vec_id", "cid").collect().map(_.toString).sorted.toSeq
+        assert(sAsg == pAsg,
+          s"shard $i assignments must not depend on build concurrency")
+      }
+
+      // plan flatness: the search plan has the SAME node count at K=2 and
+      // K=6 — one centroid scan, one kernel projection, one assignments
+      // scan, one join, regardless of shard count (the r8 form unioned K
+      // probe sub-plans and grew linearly)
+      val k2Dir = root.toString + "/k2"
+      VectorOps.ivfShardedIndex(corpus, k2Dir, 2, buildThreads = 2)
+      val k6Dir = root.toString + "/k6"
+      VectorOps.ivfShardedIndex(corpus, k6Dir, 6, buildThreads = 3)
+      def planNodes(dir: String): Int = {
+        val df = VectorOps.ivfShardedSearch(queries, corpus, dir)
+        df.queryExecution.executedPlan.collect { case p => p }.size
+      }
+      val (n2, n6) = (planNodes(k2Dir), planNodes(k6Dir))
+      assert(n2 == n6,
+        s"sharded search plan must be shard-count-invariant, got K=2:$n2 K=6:$n6")
+
+      // result equivalence with the per-shard formulation: globally
+      // re-ranking the union of each shard's own ivfSearch top-k equals
+      // the merged-candidate search (global top-k is a subset of the
+      // per-shard top-k union; ties break on id both ways)
+      val perShard = (0 until 3).map { i =>
+        val (cent, asg) = VectorOps.loadIvfIndex(spark, s"$serialDir/shard=$i")
+        VectorOps.ivfSearch(queries, corpus, cent, asg)
+      }.reduce(_ unionByName _)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
+      val expected = perShard
+        .withColumn("rk2", row_number().over(w)).filter(col("rk2") <= 5)
+        .select(col("q_id"), col("c_id"), col("cos"), col("rk2").as("rk"))
+        .collect().map(_.toString).sorted.toSeq
+      val got = VectorOps.ivfShardedSearch(queries, corpus, serialDir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == expected,
+        "merged-kernel sharded search must equal the per-shard formulation")
+
+      // rebuild safety (r9 reorder): a rebuild whose corpus write fails
+      // leaves the previous index fully searchable — the marker retracts
+      // only at the edge of the destructive per-shard overwrites
+      val boom = corpus.withColumn("vec",
+        when(expr("raise_error('staging boom')").isNull, col("vec")))
+      intercept[Exception] {
+        VectorOps.ivfShardedIndex(boom, serialDir, 3, buildThreads = 2)
+      }
+      assert(new java.io.File(s"$serialDir/_shards").exists(),
+        "a failed restage must not retract the live index's marker")
+      assert(VectorOps.ivfShardedSearch(queries, corpus, serialDir)
+        .count() > 0, "the live index must survive a failed rebuild")
+      graft.CacheHygiene.release(corpus)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+  }
+
   test("ivfAppend: appended vectors are searchable without a rebuild") {
     val root = java.nio.file.Files.createTempDirectory("graft_ivf_app")
     val dir = root.toString + "/index"
