@@ -66,6 +66,7 @@ object Lifecycle {
     */
   def cdcDelta(oldDf: DataFrame, newDf: DataFrame, key: String,
       valueCols: Seq[String]): DataFrame = {
+    requireCdcNames(key, valueCols)
     val o = oldDf.select((key +: valueCols).map(c => col(c).as(s"old_$c")): _*)
       .withColumn("__old_present", lit(true))
     val n = newDf.select((key +: valueCols).map(c => col(c).as(s"new_$c")): _*)
@@ -103,8 +104,20 @@ object Lifecycle {
     * Contract (as before): `key` is unique per side — MERGE over a keyed
     * snapshot.
     */
+  /** `change_type` is the delta format's OWN marker column: a payload
+    * column of that name is unrepresentable in the delta schema (the
+    * output would carry two `change_type`s and every downstream reference
+    * turns ambiguous), so both the diff and the apply refuse it loudly
+    * instead of emitting a poisoned frame.
+    */
+  private def requireCdcNames(key: String, valueCols: Seq[String]): Unit =
+    require(key != "change_type" && !valueCols.contains("change_type"),
+      "cdc: change_type is the delta's marker column - rename the data " +
+        "column before diffing/applying")
+
   def cdcApply(snapshot: DataFrame, delta: DataFrame, key: String,
       valueCols: Seq[String]): DataFrame = {
+    requireCdcNames(key, valueCols)
     // flag/meta columns live OUTSIDE the __d_<col>/__s_<col> renaming
     // namespace: with flags named __d_present/__d_change, a user value
     // column literally named "present" or "change" would rename onto the

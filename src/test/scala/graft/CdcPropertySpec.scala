@@ -77,4 +77,49 @@ class CdcPropertySpec extends SparkSpec {
       .collect().map(r => Option(r.get(0)) -> r.getString(1)).toSet
     assert(applied == Set(None -> "changed", Some(1L) -> "a"), applied.toString)
   }
+
+  test("adversarial column names round-trip through the merge's flag namespaces") {
+    import spark.implicits._
+    // every name family a user column could collide with: the merge's own
+    // __cdc_/__s_/__d_ namespaces, the diff's old_/new_ renames and
+    // __old_present/__new_present flags, and the bare words the r7
+    // anti-join form would have tripped on
+    val adversarialPairs = Seq(
+      ("present", "change"),
+      ("__cdc_present__", "__cdc_change__"),
+      ("__s_present", "__d_change"),
+      ("__old_present", "__new_present"),
+      ("old_id", "new_id"),
+      ("old_old_x", "new_new_x"))
+    adversarialPairs.zipWithIndex.foreach { case ((a, b), i) =>
+      (1 to 3).foreach { seed =>
+        val oldM = sample(100L + i * 10 + seed)
+        val newM = sample(200L + i * 10 + seed)
+        val oldDf = oldM.toSeq.map { case (k, (s, p)) => (k, s, p) }.toDF("id", a, b)
+        val newDf = newM.toSeq.map { case (k, (s, p)) => (k, s, p) }.toDF("id", a, b)
+        val applied = Lifecycle.cdcApply(oldDf,
+            Lifecycle.cdcDelta(oldDf, newDf, "id", Seq(a, b)), "id", Seq(a, b))
+        assert(applied.columns.toSeq == Seq("id", a, b),
+          s"($a,$b): output columns must keep the user's names")
+        val appliedM = applied.collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+        assert(appliedM == newM,
+          s"($a,$b) seed $seed: round-trip corrupted by column-name collision")
+      }
+    }
+
+    // change_type is the delta format's own marker: structurally
+    // unrepresentable as a payload column, refused loudly at both ends
+    val df = Seq((1L, "x")).toDF("id", "change_type")
+    val e1 = intercept[IllegalArgumentException](
+      Lifecycle.cdcDelta(df, df, "id", Seq("change_type")))
+    assert(e1.getMessage.contains("change_type"))
+    val e2 = intercept[IllegalArgumentException](
+      Lifecycle.cdcApply(df, df, "id", Seq("change_type")))
+    assert(e2.getMessage.contains("change_type"))
+    val keyed = Seq(("x", 1L)).toDF("change_type", "v")
+    val e3 = intercept[IllegalArgumentException](
+      Lifecycle.cdcDelta(keyed, keyed, "change_type", Seq("v")))
+    assert(e3.getMessage.contains("change_type"))
+  }
 }
