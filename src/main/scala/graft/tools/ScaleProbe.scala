@@ -44,7 +44,41 @@ object ScaleProbe {
       // the linear-scaling claim belongs to the auto-blocked form
       ("q58_auto_theta08" ->
         ((s: SparkSession, dir: String) =>
-          graft.operators.VectorOps.q58NeardupBlockedAuto(s, dir)))
+          graft.operators.VectorOps.q58NeardupBlockedAuto(s, dir))) :+
+      // the sharded-index search path (r8 verdict item 6: no timed query
+      // exercised it): K=4 sub-indexes over the same corpus q57's single
+      // index covers, so the probe row reads directly against q57's —
+      // same scale, same queries, sharded vs single plan shape and wall.
+      // The index builds once per (dir, K) into scratch/ (the FIRST
+      // sample of a fresh run pays it and prints a SHARDBUILD line; the
+      // min-of-3 therefore reports steady-state search cost)
+      ("q57_sharded_k4" ->
+        ((s: SparkSession, dir: String) => shardedSearch(s, dir, 4)))
+
+  /** Build-if-missing a K-shard index over `dir`'s embeddings corpus in
+    * scratch/, then return the sharded search frame (same query set as
+    * q57: vec_id < 10).
+    */
+  private def shardedSearch(s: SparkSession, dir: String, shards: Int): DataFrame = {
+    import graft.operators.VectorOps
+    val all = graft.sources.Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("vec"))
+      .withColumn("norm", sqrt(VectorOps.dot(col("vec"), col("vec"))))
+    val queries = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+        col("norm").as("q_norm"))
+    val corpus = all.filter(col("vec_id") >= 10)
+    val idx = s"scratch/ivfshard-k$shards-" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val marker = new Path(idx, "_shards")
+    val f = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(marker)) {
+      val t0 = System.nanoTime()
+      VectorOps.ivfShardedIndex(corpus, idx, shards)
+      println(f"""SHARDBUILD {"dir":"$dir","shards":$shards,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+    }
+    VectorOps.ivfShardedSearch(queries, corpus, idx)
+  }
 
   /** No args: build the sf1.0 tables and print the probe matrix to run.
     * With args `<queryName> <dir>`: time that ONE query (min-of-2) in
