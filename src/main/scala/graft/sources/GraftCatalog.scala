@@ -1,0 +1,144 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A Spark catalog over a directory of [[ManifestTable]]s, completing the
+  * pure-SQL lakehouse surface the `graft` data source opened: tables get
+  * NAMES (no paths in queries), `SHOW TABLES` lists them, and Spark's own
+  * time-travel syntax works —
+  *
+  * {{{
+  *   spark.sql.catalog.jobs      = graft.sources.GraftCatalog
+  *   spark.sql.catalog.jobs.root = /warehouse/graft
+  *
+  *   SELECT * FROM jobs.postings                       -- current snapshot
+  *   SELECT * FROM jobs.postings VERSION AS OF 3       -- time travel
+  *   SHOW TABLES IN jobs
+  * }}}
+  *
+  * A table is any direct child directory of `root` holding a
+  * `_manifests` dir (i.e. anything [[ManifestTable.commit]] has ever
+  * published). The namespace is flat by design — the reference's
+  * warehouse is one schema of a handful of tables, and nesting would
+  * only add path-mangling surface.
+  *
+  * READ-ONLY by contract: every mutating entry point throws. Writes go
+  * through [[ManifestTable.commit]]/[[ManifestTable.commitIdempotent]],
+  * where the append/overwrite/idempotence semantics are explicit — a SQL
+  * `DROP TABLE` that rm -rf'd a manifest table would bypass the CAS
+  * discipline (and the vacuum grace) that makes concurrent readers safe.
+  * Loaded tables are [[GraftDataSource.GraftTable]]s, so scans get the
+  * same stats pruning and V1-bridge execution as `format("graft")`.
+  */
+final class GraftCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).map(_.trim).filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft catalog '$name': set spark.sql.catalog.$name.root to the " +
+          "directory holding the manifest tables"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def tablePath(ident: Identifier): String = {
+    // flat namespace: permit both `jobs.t` (namespace []) and the
+    // session-default-database form `jobs.default.t` some tools emit
+    val ns = ident.namespace()
+    require(ns.isEmpty || ns.sameElements(Array("default")),
+      s"graft catalog: flat namespace, got ${ns.mkString(".")}")
+    new Path(root, ident.name()).toString
+  }
+
+  private def isManifestTable(path: String): Boolean = {
+    val p = new Path(path, "_manifests")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.exists(p)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!(namespace.isEmpty || namespace.sameElements(Array("default"))))
+      throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+    val rootPath = new Path(root)
+    val f = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(rootPath)) return Array.empty
+    f.listStatus(rootPath)
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => isManifestTable(new Path(root, n).toString))
+      .sorted
+      .map(n => Identifier.of(Array.empty, n))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    try isManifestTable(tablePath(ident))
+    catch { case _: IllegalArgumentException => false }
+
+  override def loadTable(ident: Identifier): Table =
+    loadVersion(ident, 0L)
+
+  /** `VERSION AS OF <v>` — Spark routes the SQL time-travel clause here.
+    * The version string must be a committed manifest version number.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = try version.trim.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft catalog: VERSION AS OF '$version' is not a manifest version number")
+    }
+    require(v > 0, s"graft catalog: VERSION AS OF $v - versions start at 1")
+    loadVersion(ident, v)
+  }
+
+  /** `TIMESTAMP AS OF` is unsupported: manifests record CAS order, not
+    * wall-clock commit times, and inventing times from file mtimes would
+    * time-travel to whatever the filesystem last touched. Versions are
+    * the honest axis; fail loudly rather than guess.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: TIMESTAMP AS OF is not supported - manifest tables " +
+        "version by CAS order; use VERSION AS OF <n>")
+
+  private def loadVersion(ident: Identifier, version: Long): Table = {
+    val path = tablePath(ident)
+    if (!isManifestTable(path)) throw new NoSuchTableException(ident)
+    val pinned =
+      if (version > 0) version else ManifestTable.currentVersion(spark, path)
+    if (pinned <= 0) throw new NoSuchTableException(ident)
+    // time-travel to a vacuumed/never-committed version must surface as
+    // a load error, not an empty scan downstream
+    if (version > 0 && !ManifestTable.versionExists(spark, path, version))
+      throw new IllegalArgumentException(
+        s"graft catalog: ${ident.name()} has no version $version " +
+          "(never committed, or vacuumed)")
+    GraftDataSource.GraftTable(path, pinned)
+  }
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft catalog is read-only: $op goes through ManifestTable " +
+        "(commit/compactCommit/vacuum), where append/overwrite/CAS " +
+        "semantics are explicit")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table =
+    readOnly("CREATE TABLE")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    readOnly("ALTER TABLE")
+  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    readOnly("RENAME TABLE")
+}

@@ -572,6 +572,14 @@ object ManifestTable {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Seq[String]), StructType]()
 
+  /** Whether `version`'s manifest is still present (committed and not
+    * vacuumed) — the [[GraftCatalog]] time-travel existence probe.
+    */
+  private[graft] def versionExists(spark: SparkSession, table: String,
+      version: Long): Boolean =
+    version > 0 && fs(spark, manifestPath(table, version))
+      .exists(manifestPath(table, version))
+
   /** A snapshot's full union schema — the [[GraftDataSource]] (DSv2 SQL
     * surface) entry point into the cached footer-walk.
     */
