@@ -97,7 +97,19 @@ private[graft] object GraftDataSource {
       .getOrElse(0L)
     val pinned = if (version > 0) version else ManifestTable.currentVersion(spark, path)
     require(pinned > 0, s"graft datasource: $path has no committed version")
-    GraftTable(path, pinned)
+    val since = Option(options.get("sinceVersion")).map(_.trim).filter(_.nonEmpty)
+      .map(v => scala.util.Try(v.toLong).getOrElse(throw new IllegalArgumentException(
+        s"graft datasource: sinceVersion '$v' is not a number")))
+      .getOrElse(0L)
+    if (since > 0) {
+      require(since <= pinned, s"graft datasource: sinceVersion $since is " +
+        s"past the ${if (version > 0) "pinned version" else "head"} $pinned")
+      // fail the append-only boundary at RESOLUTION (planning) time, not
+      // first scan - versions are immutable, so a boundary that holds
+      // here holds at every scan of this table object
+      ManifestTable.appendedEntries(spark, path, since, pinned)
+    }
+    GraftTable(path, pinned, since)
   }
 
   /** Stats tag for a column type — MUST mirror [[ManifestTable.statTags]]
@@ -241,10 +253,18 @@ private[graft] object GraftDataSource {
     case _ => None
   }
 
-  /** One pinned manifest snapshot as a DSv2 table. */
-  private[graft] final case class GraftTable(path: String, snapshotVersion: Long)
+  /** One pinned manifest snapshot as a DSv2 table — or, with
+    * `sinceVersion > 0`, the incremental slice appended after that
+    * version (the [[ManifestTable.readAppendedSince]] contract: refuses
+    * non-append boundaries, carries the full snapshot schema so evolved
+    * columns null-fill).
+    */
+  private[graft] final case class GraftTable(path: String,
+      snapshotVersion: Long, sinceVersion: Long = 0L)
       extends Table with SupportsRead {
-    override def name(): String = s"graft.`$path`@v$snapshotVersion"
+    override def name(): String =
+      s"graft.`$path`@v$snapshotVersion" +
+        (if (sinceVersion > 0) s" since v$sinceVersion" else "")
     override lazy val schema: StructType = {
       val spark = SparkSession.active
       ManifestTable.snapshotSchemaOf(spark, path, snapshotVersion)
@@ -252,11 +272,11 @@ private[graft] object GraftDataSource {
     override def capabilities(): java.util.Set[TableCapability] =
       java.util.EnumSet.of(TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      new GraftScanBuilder(path, snapshotVersion, schema)
+      new GraftScanBuilder(path, snapshotVersion, sinceVersion, schema)
   }
 
   private final class GraftScanBuilder(path: String, version: Long,
-      fullSchema: StructType)
+      since: Long, fullSchema: StructType)
       extends ScanBuilder with SupportsPushDownFilters
       with SupportsPushDownRequiredColumns {
     private var required: StructType = fullSchema
@@ -270,28 +290,29 @@ private[graft] object GraftDataSource {
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
     override def build(): Scan =
-      new GraftScan(path, version, fullSchema, required, pushed)
+      new GraftScan(path, version, since, fullSchema, required, pushed)
   }
 
-  private final class GraftScan(path: String, version: Long,
+  private final class GraftScan(path: String, version: Long, since: Long,
       fullSchema: StructType, required: StructType, pushed: Array[Filter])
       extends V1Scan {
     override def readSchema(): StructType = required
     override def description(): String =
-      s"graft manifest $path@v$version, pruning on " +
+      s"graft manifest $path@v$version" +
+        (if (since > 0) s" since v$since" else "") + ", pruning on " +
         (if (pushed.isEmpty) "<none>" else pushed.mkString(", "))
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T =
-      new GraftV1Relation(context, path, version, fullSchema, required, pushed)
-        .asInstanceOf[T]
+      new GraftV1Relation(context, path, version, since, fullSchema,
+        required, pushed).asInstanceOf[T]
   }
 
   /** The V1 bridge relation: builds the pruned snapshot read as a normal
     * DataFrame plan and hands over its InternalRow RDD.
     */
   private final class GraftV1Relation(context: SQLContext, path: String,
-      version: Long, fullSchema: StructType, required: StructType,
-      pushed: Array[Filter])
+      version: Long, since: Long, fullSchema: StructType,
+      required: StructType, pushed: Array[Filter])
       extends BaseRelation with TableScan {
     override def sqlContext: SQLContext = context
     override def schema: StructType = required
@@ -301,7 +322,9 @@ private[graft] object GraftDataSource {
 
     override def buildScan(): RDD[Row] = {
       val spark = context.sparkSession
-      val entries = ManifestTable.manifestEntries(spark, path, version)
+      val entries =
+        if (since > 0) ManifestTable.appendedEntries(spark, path, since, version)
+        else ManifestTable.manifestEntries(spark, path, version)
       val survivors = pruneEntries(fullSchema, entries, pushed.toSeq)
       var df = ManifestTable.sliceReadAs(spark, path,
         survivors.map(_.dir).sorted, fullSchema)

@@ -673,6 +673,18 @@ object ManifestTable {
     // range check below even though the table is fine
     val to = if (toVersion > 0) toVersion
       else math.max(hintVersion(spark, table), highestManifest(spark, table))
+    val fresh = appendedEntries(spark, table, fromVersion, to)
+    sliceRead(spark, table, fresh.map(_.dir).sorted,
+      snapshotSchemaCached(spark, table, to, dataDirs(spark, table, to)))
+  }
+
+  /** The entries ADDED between `fromVersion` and `to` — the dir-set
+    * difference with [[readAppendedSince]]'s non-append-boundary refusal
+    * (shared with the `sinceVersion` SQL-surface option, which prunes the
+    * returned entries' stats like any other scan).
+    */
+  private[graft] def appendedEntries(spark: SparkSession, table: String,
+      fromVersion: Long, to: Long): Seq[Entry] = {
     require(to > 0, s"manifest-table: $table has no committed version")
     require(fromVersion >= 0 && fromVersion <= to,
       s"manifest-table: fromVersion $fromVersion out of range (head $to)")
@@ -684,9 +696,7 @@ object ManifestTable {
       s"manifest-table: versions $fromVersion -> $to are not append-only " +
         s"(${dropped.size} dirs rewritten by an overwrite/compaction) - " +
         "re-bootstrap the consumer from the current snapshot")
-    val fresh = toEntries.map(_.dir).filterNot(fromDirs)
-    sliceRead(spark, table, fresh.sorted,
-      snapshotSchemaCached(spark, table, to, toEntries.map(_.dir)))
+    toEntries.filterNot(e => fromDirs(e.dir))
   }
 
   /** Rewrite the current snapshot into ~targetBytes files and commit the

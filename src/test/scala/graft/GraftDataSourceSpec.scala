@@ -70,6 +70,43 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(spark.read.format("graft").load(table).count() == 152)
   }
 
+  test("sinceVersion: incremental consumption through the SQL surface") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_dsv2_since").toString + "/t"
+
+    ManifestTable.commit((1 to 10).map(i => (i.toLong, s"a$i")).toDF("id", "v"),
+      table, append = false, statsCols = Seq("id"))
+    ManifestTable.commit((11 to 20).map(i => (i.toLong, s"b$i")).toDF("id", "v"),
+      table, append = true, statsCols = Seq("id"))
+    ManifestTable.commit((21 to 30).map(i => (i.toLong, s"c$i")).toDF("id", "v"),
+      table, append = true, statsCols = Seq("id"))
+
+    // rows appended after v1 = commits 2 and 3 exactly
+    val since1 = spark.read.format("graft")
+      .option("sinceVersion", "1").load(table)
+    assert(since1.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (11L to 30L), "sinceVersion 1 must return exactly commits 2+3")
+    // bounded upper end: (since 1, version 2] = commit 2 only
+    val slice = spark.read.format("graft")
+      .option("sinceVersion", "1").option("version", "2").load(table)
+    assert(slice.count() == 10)
+    // matches the library surface exactly
+    assert(since1.select("id", "v").collect().map(_.toString).sorted.toSeq ==
+      ManifestTable.readAppendedSince(spark, table, 1)
+        .select("id", "v").collect().map(_.toString).sorted.toSeq)
+    // pure SQL
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_since USING graft " +
+      s"OPTIONS (path '$table', sinceVersion '2')")
+    assert(spark.sql("SELECT count(*) AS n FROM graft_since").head.getLong(0) == 10)
+
+    // a non-append boundary (overwrite) refuses at RESOLUTION, with the
+    // re-bootstrap message - never silently double-delivers
+    ManifestTable.commit(Seq((99L, "z")).toDF("id", "v"), table, append = false)
+    val e = intercept[IllegalArgumentException](
+      spark.read.format("graft").option("sinceVersion", "2").load(table))
+    assert(e.getMessage.contains("re-bootstrap"), e.getMessage)
+  }
+
   test("pushed range predicates provably skip non-matching data dirs") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft_dsv2_prune").toString + "/t"
