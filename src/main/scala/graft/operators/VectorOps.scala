@@ -916,9 +916,13 @@ object VectorOps {
       // jobs from multiple threads natively (FIFO across job stages);
       // each sub-build is deterministic (hash-sampled seeds + Lloyd),
       // so concurrency cannot change the index — spec-verified
-      // thread-count invariance. A failed sub-build propagates after
-      // in-flight shards settle; the marker is absent throughout, so a
-      // partial build reads as "rebuild in flight", never as an index.
+      // thread-count invariance. A failed sub-build propagates only
+      // AFTER every in-flight shard settles (each future is lifted to
+      // its Try before the await, so there is no fail-fast): rethrowing
+      // early would delete the staging dir under still-running builds
+      // and leave zombie writers racing a caller's retry into the same
+      // shard dirs. The marker is absent throughout, so a partial build
+      // reads as "rebuild in flight", never as an index.
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(buildThreads, shards))
       try {
@@ -932,9 +936,11 @@ object VectorOps {
             graft.CacheHygiene.release(cent, asg)
           }
         }
-        scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(builds),
+        val settled = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            builds.map(_.transform(scala.util.Success(_)))),
           scala.concurrent.duration.Duration.Inf)
+        settled.collectFirst { case scala.util.Failure(t) => throw t }
       } finally pool.shutdown()
       val out = f.create(marker, true)
       try out.write(shards.toString.getBytes("UTF-8")) finally out.close()

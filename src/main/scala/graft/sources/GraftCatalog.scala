@@ -60,7 +60,15 @@ final class GraftCatalog extends TableCatalog {
     val ns = ident.namespace()
     require(ns.isEmpty || ns.sameElements(Array("default")),
       s"graft catalog: flat namespace, got ${ns.mkString(".")}")
-    new Path(root, ident.name()).toString
+    // containment: a table IS a direct child dir of root — a backticked
+    // name like `../elsewhere/t` or `a/b` would escape the catalog root
+    // (reading tables SHOW TABLES never lists and the operator never
+    // granted); path-shaped names fail here, loudly
+    val n = ident.name()
+    require(n.nonEmpty && !n.contains('/') && !n.contains('\\') &&
+      n != "." && n != "..",
+      s"graft catalog: table name '$n' must be a plain directory name")
+    new Path(root, n).toString
   }
 
   private def isManifestTable(path: String): Boolean = {

@@ -91,16 +91,21 @@ private[graft] object GraftDataSource {
     require(!path.contains(","), // DataFrameReader.load(paths: _*) joins them
       "graft datasource: exactly one path (multi-path loads are not manifest snapshots)")
     val spark = SparkSession.active
-    val version = Option(options.get("version")).map(_.trim).filter(_.nonEmpty)
-      .map(v => scala.util.Try(v.toLong).getOrElse(throw new IllegalArgumentException(
-        s"graft datasource: version '$v' is not a number")))
-      .getOrElse(0L)
+    // an explicit option must parse to a LEGAL value — a templated view
+    // interpolating version '0' or '-1' must fail loudly, not silently
+    // read the live head as if no pin had been asked for. (sinceVersion
+    // '0' stays legal: "appended since before v1" IS the full snapshot,
+    // the documented bootstrap semantics of readAppendedSince.)
+    def versionOpt(key: String, minLegal: Long): Long =
+      Option(options.get(key)).map(_.trim).filter(_.nonEmpty)
+        .map(v => scala.util.Try(v.toLong).filter(_ >= minLegal).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft datasource: $key '$v' is not a version >= $minLegal")))
+        .getOrElse(0L)
+    val version = versionOpt("version", 1L)
     val pinned = if (version > 0) version else ManifestTable.currentVersion(spark, path)
     require(pinned > 0, s"graft datasource: $path has no committed version")
-    val since = Option(options.get("sinceVersion")).map(_.trim).filter(_.nonEmpty)
-      .map(v => scala.util.Try(v.toLong).getOrElse(throw new IllegalArgumentException(
-        s"graft datasource: sinceVersion '$v' is not a number")))
-      .getOrElse(0L)
+    val since = versionOpt("sinceVersion", 0L)
     if (since > 0) {
       require(since <= pinned, s"graft datasource: sinceVersion $since is " +
         s"past the ${if (version > 0) "pinned version" else "head"} $pinned")
@@ -167,8 +172,13 @@ private[graft] object GraftDataSource {
           lo.forall(l => BigDecimal(mx) >= BigDecimal(l)) &&
             hi.forall(h => BigDecimal(mn) <= BigDecimal(h))
         }.getOrElse(true)
-      case ColStat(_, mn, mx) => // ts + str: canonical forms sort lexically
-        lo.forall(l => mx >= l) && hi.forall(h => mn <= h)
+      case ColStat(_, mn, mx) =>
+        // ts + str: canonical string forms, compared in UTF-8 BINARY
+        // order — the order Spark's min/max recorded them in. UTF-16
+        // code-unit compare disagrees on BMP-≥U+E000 vs emoji and would
+        // prune dirs that hold matching rows (see ManifestTable.utf8Leq)
+        lo.forall(l => ManifestTable.utf8Leq(l, mx)) &&
+          hi.forall(h => ManifestTable.utf8Leq(mn, h))
     }
 
   /** Dir-level answer to "can this commit hold rows matching `f`?" —
@@ -229,9 +239,17 @@ private[graft] object GraftDataSource {
   /** Filter → Column for re-application inside the V1 scan, so parquet
     * row-group pushdown happens in the inner (native) plan. Partial
     * translation is fine — Spark evaluates every filter again above the
-    * scan regardless (all filters are returned as residuals).
+    * scan regardless (all filters are returned as residuals) — EXCEPT
+    * under a Not: dropping a conjunct WEAKENS a predicate, and negating
+    * a weakened predicate STRENGTHENS it, which would drop rows the
+    * original filter keeps; inside any Not the translation must be
+    * exact or absent (`strict`).
     */
-  private def filterColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+  private def filterColumn(f: Filter): Option[org.apache.spark.sql.Column] =
+    translateFilter(f, strict = false)
+
+  private def translateFilter(f: Filter,
+      strict: Boolean): Option[org.apache.spark.sql.Column] = f match {
     case EqualTo(c, v) => Some(col(c) === lit(v))
     case EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
     case GreaterThan(c, v) => Some(col(c) > lit(v))
@@ -244,12 +262,17 @@ private[graft] object GraftDataSource {
     case StringStartsWith(c, p) => Some(col(c).startsWith(p))
     case StringEndsWith(c, p) => Some(col(c).endsWith(p))
     case StringContains(c, p) => Some(col(c).contains(p))
-    case And(l, r) => (filterColumn(l), filterColumn(r)) match {
-      case (Some(a), Some(b)) => Some(a && b)
-      case (a, b) => a.orElse(b) // half a conjunction still narrows
-    }
-    case Or(l, r) => for { a <- filterColumn(l); b <- filterColumn(r) } yield a || b
-    case Not(inner) => filterColumn(inner).map(!_)
+    case And(l, r) =>
+      (translateFilter(l, strict), translateFilter(r, strict)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case _ if strict => None // a dropped conjunct is not exact
+        case (a, b) => a.orElse(b) // half a conjunction still narrows
+      }
+    case Or(l, r) => for {
+      a <- translateFilter(l, strict)
+      b <- translateFilter(r, strict)
+    } yield a || b
+    case Not(inner) => translateFilter(inner, strict = true).map(!_)
     case _ => None
   }
 
@@ -323,7 +346,8 @@ private[graft] object GraftDataSource {
     override def buildScan(): RDD[Row] = {
       val spark = context.sparkSession
       val entries =
-        if (since > 0) ManifestTable.appendedEntries(spark, path, since, version)
+        if (since > 0)
+          ManifestTable.appendedEntries(spark, path, since, version)._2
         else ManifestTable.manifestEntries(spark, path, version)
       val survivors = pruneEntries(fullSchema, entries, pushed.toSeq)
       var df = ManifestTable.sliceReadAs(spark, path,

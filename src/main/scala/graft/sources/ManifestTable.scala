@@ -521,10 +521,26 @@ object ManifestTable {
         case Some(ColStat("ts", mn, mx)) =>
           val (l, h) = tsBounds
           mx >= l && mn <= h
-        case Some(ColStat(_, mn, mx)) => mx >= lo && mn <= hi
+        case Some(ColStat(_, mn, mx)) =>
+          utf8Leq(lo, mx) && utf8Leq(mn, hi)
       }
     }.map(_.dir)
   }
+
+  /** UTF-8 binary `a <= b` — the ORDER THE RECORDED STATS USE. Spark's
+    * string min/max compare UTF8String bytes unsigned (code-point order);
+    * Scala's `<=` compares UTF-16 code units, and the two DISAGREE
+    * exactly on strings mixing BMP chars ≥ U+E000 with supplementary
+    * chars (surrogates 0xD800-0xDFFF sort below 0xE000 in UTF-16 but
+    * encode as higher UTF-8 bytes) — e.g. real text with emoji. Pruning
+    * string bounds with the wrong order silently DROPS matching dirs, so
+    * every string-stat comparison goes through here. (ts stats are
+    * fixed-width ASCII and date strings are ASCII — either order agrees —
+    * but they could route through here too without harm.)
+    */
+  private[graft] def utf8Leq(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8)) <= 0
 
   /** Range-scoped snapshot read: scans only the commits whose recorded
     * stats can contain `column ∈ [lo, hi]`. The caller still applies its
@@ -673,18 +689,20 @@ object ManifestTable {
     // range check below even though the table is fine
     val to = if (toVersion > 0) toVersion
       else math.max(hintVersion(spark, table), highestManifest(spark, table))
-    val fresh = appendedEntries(spark, table, fromVersion, to)
+    val (toEntries, fresh) = appendedEntries(spark, table, fromVersion, to)
     sliceRead(spark, table, fresh.map(_.dir).sorted,
-      snapshotSchemaCached(spark, table, to, dataDirs(spark, table, to)))
+      snapshotSchemaCached(spark, table, to, toEntries.map(_.dir)))
   }
 
-  /** The entries ADDED between `fromVersion` and `to` — the dir-set
-    * difference with [[readAppendedSince]]'s non-append-boundary refusal
-    * (shared with the `sinceVersion` SQL-surface option, which prunes the
-    * returned entries' stats like any other scan).
+  /** The `to` snapshot's full entry list PLUS the entries ADDED after
+    * `fromVersion` — the dir-set difference with [[readAppendedSince]]'s
+    * non-append-boundary refusal (shared with the `sinceVersion`
+    * SQL-surface option, which prunes the fresh entries' stats like any
+    * other scan). Returns both so callers that also need the snapshot's
+    * dirs (the schema-cache key) don't re-read the manifest.
     */
   private[graft] def appendedEntries(spark: SparkSession, table: String,
-      fromVersion: Long, to: Long): Seq[Entry] = {
+      fromVersion: Long, to: Long): (Seq[Entry], Seq[Entry]) = {
     require(to > 0, s"manifest-table: $table has no committed version")
     require(fromVersion >= 0 && fromVersion <= to,
       s"manifest-table: fromVersion $fromVersion out of range (head $to)")
@@ -696,7 +714,7 @@ object ManifestTable {
       s"manifest-table: versions $fromVersion -> $to are not append-only " +
         s"(${dropped.size} dirs rewritten by an overwrite/compaction) - " +
         "re-bootstrap the consumer from the current snapshot")
-    toEntries.filterNot(e => fromDirs(e.dir))
+    (toEntries, toEntries.filterNot(e => fromDirs(e.dir)))
   }
 
   /** Rewrite the current snapshot into ~targetBytes files and commit the

@@ -81,7 +81,7 @@ object ScaleProbe {
   }
 
   /** No args: build the sf1.0 tables and print the probe matrix to run.
-    * With args `<queryName> <dir>`: time that ONE query (min-of-2) in
+    * With args `<queryName> <dir>`: time that ONE query (min-of-3) in
     * THIS JVM and print one JSON line. One (query, scale) per JVM is the
     * point — a shared session carries JIT/heap state between heavy
     * queries and produced 6 s/9 s/102 s for the same (query, data) across

@@ -58,6 +58,11 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("SELECT * FROM graftcat.not_a_table").head)
     assert(nope.getMessage.toLowerCase.contains("table"), nope.getMessage)
 
+    // containment: path-shaped names must not escape the catalog root
+    val escape = intercept[Exception](
+      spark.sql("SELECT * FROM graftcat.`../postings`").head)
+    assert(escape.getMessage.contains("plain directory name"), escape.getMessage)
+
     // read-only: mutations route to ManifestTable, loudly
     val drop = intercept[Exception](spark.sql("DROP TABLE graftcat.dims"))
     assert(drop.getMessage.contains("read-only"), drop.getMessage)

@@ -175,6 +175,43 @@ class GraftDataSourceSpec extends SparkSpec {
       .head.getLong(0) == 100)
   }
 
+  test("string stats compare in UTF-8 binary order (emoji vs BMP >= U+E000)") {
+    import spark.implicits._
+    import ManifestTable.{ColStat, Entry}
+    // Spark records string min/max in UTF8String (code-point) order: the
+    // emoji U+1F600 sorts ABOVE U+E000 there, but its UTF-16 surrogates
+    // (0xD83D...) sort BELOW — a UTF-16 compare would prune the dir that
+    // holds the matching row and silently drop it
+    val privateUse = "x"
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(privateUse > emoji && // UTF-16 order says privateUse is bigger...
+      ManifestTable.utf8Leq(privateUse, emoji), // ...UTF-8 disagrees
+      "precondition: this pair must expose the ordering divergence")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType)))
+    val e = Entry("data/d", Map("name" -> ColStat("str", privateUse, emoji)))
+    assert(GraftDataSource.pruneEntries(schema, Seq(e),
+      Seq(EqualTo("name", privateUse))).nonEmpty,
+      "the recorded range [U+E000x, emoji] contains U+E000x - must not prune")
+    assert(GraftDataSource.pruneEntries(schema, Seq(e),
+      Seq(GreaterThanOrEqual("name", emoji))).nonEmpty)
+    assert(GraftDataSource.pruneEntries(schema, Seq(e),
+      Seq(GreaterThan("name", emoji + "z"))).isEmpty,
+      "above the recorded max must still prune")
+
+    // end-to-end through the library pruning path (readRange shares the
+    // comparison): the matching row must come back
+    val table = java.nio.file.Files.createTempDirectory("graft_utf8")
+      .toString + "/t"
+    ManifestTable.commit(Seq((1L, privateUse), (2L, emoji)).toDF("id", "name"),
+      table, append = false, statsCols = Seq("name"))
+    assert(ManifestTable.readRange(spark, table, "name", privateUse, privateUse)
+      .count() == 2, "the commit's range provably contains the value")
+    assert(spark.read.format("graft").load(table)
+      .filter(col("name") === privateUse).count() == 1)
+  }
+
   test("pruneEntries: conservative dir-level filter semantics") {
     import ManifestTable.{ColStat, Entry}
     val schema = org.apache.spark.sql.types.StructType(Seq(
