@@ -4,7 +4,7 @@ import java.util.{Map => JMap}
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
@@ -30,11 +30,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * warehouse is one schema of a handful of tables, and nesting would
   * only add path-mangling surface.
   *
-  * READ-ONLY by contract: every mutating entry point throws. Writes go
-  * through [[ManifestTable.commit]]/[[ManifestTable.commitIdempotent]],
-  * where the append/overwrite/idempotence semantics are explicit — a SQL
-  * `DROP TABLE` that rm -rf'd a manifest table would bypass the CAS
-  * discipline (and the vacuum grace) that makes concurrent readers safe.
+  * DML writes work — `INSERT INTO` / `INSERT OVERWRITE` route through
+  * the loaded table's write builder onto [[ManifestTable.commit]] (CAS
+  * append / atomic overwrite), and `CREATE TABLE` (incl. CTAS) bootstraps
+  * a table as an empty first commit — because each maps 1:1 onto a
+  * commit form. The DESTRUCTIVE DDL does not and stays refused:
+  * a SQL `DROP TABLE` that rm -rf'd a manifest table would bypass the
+  * CAS discipline (and the vacuum grace) that makes concurrent readers
+  * safe, `ALTER` would mutate immutable manifests, and `RENAME` would
+  * yank the path out from under pinned readers. Those go through
+  * [[ManifestTable]] entry points, where their semantics are explicit.
   * Loaded tables are [[GraftDataSource.GraftTable]]s, so scans get the
   * same stats pruning and V1-bridge execution as `format("graft")`.
   */
@@ -132,18 +137,42 @@ final class GraftCatalog extends TableCatalog {
       throw new IllegalArgumentException(
         s"graft catalog: ${ident.name()} has no version $version " +
           "(never committed, or vacuumed)")
-    GraftDataSource.GraftTable(path, pinned)
+    // VERSION AS OF freezes the scan at that snapshot (explicitPin);
+    // a plain load tracks the CAS head per query like any lakehouse table
+    GraftDataSource.GraftTable(path, pinned, explicitPin = version > 0)
   }
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"graft catalog is read-only: $op goes through ManifestTable " +
-        "(commit/compactCommit/vacuum), where append/overwrite/CAS " +
-        "semantics are explicit")
+      s"graft catalog refuses destructive DDL: $op goes through " +
+        "ManifestTable (compactCommit/vacuum), where the CAS and " +
+        "reader-grace semantics are explicit")
 
+  /** `CREATE TABLE` (and the create half of CTAS): the table is born as
+    * an EMPTY version-1 commit carrying the DDL schema, so `INSERT INTO`
+    * has a snapshot schema to align against and concurrent creators
+    * serialize through the same CAS as every other commit (two racing
+    * CREATEs both land empty snapshots — last wins, nothing lost). A
+    * failed CTAS cannot roll back by dropping (drop stays refused), so
+    * it leaves the empty/partial table behind — the non-atomic-CTAS
+    * contract, stated rather than pretended away.
+    */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: JMap[String, String]): Table =
-    readOnly("CREATE TABLE")
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft catalog: PARTITIONED BY is not supported - manifest tables " +
+        "organize by commit; cluster at compaction (compactClustered/ZOrdered)")
+    require(schema.nonEmpty, "graft catalog: CREATE TABLE needs columns")
+    val path = tablePath(ident)
+    if (isManifestTable(path)) throw new TableAlreadyExistsException(ident)
+    // one empty partition, so the parquet writer emits a real footer the
+    // snapshot schema resolves from
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      .repartition(1)
+    val v = ManifestTable.commit(empty, path, append = false)
+    GraftDataSource.GraftTable(path, v)
+  }
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     readOnly("ALTER TABLE")
   override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")

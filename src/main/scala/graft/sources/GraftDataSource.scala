@@ -3,7 +3,7 @@ package graft.sources
 import java.util.{Map => JMap}
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.{Row, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
@@ -53,12 +53,27 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * The table binds its snapshot version when the read is planned (or to
   * the explicit `version` option): a long-running query reads ONE
   * consistent snapshot regardless of concurrent commits, and two reads
-  * without `version` may legitimately see different heads. Writes stay
-  * library-side ([[ManifestTable.commit]] — the CAS manifest publish IS
-  * the transaction; a `df.write.format("graft")` path would hide exactly
-  * the append/overwrite/idempotence contract that makes it safe).
+  * without `version` may legitimately see different heads.
+  *
+  * **Writes** ride the same surface — `INSERT INTO` / `INSERT OVERWRITE`
+  * on a `USING graft` view or a [[GraftCatalog]] table, and
+  * `df.write.format("graft").mode(...)` on an existing table — through
+  * [[TableCapability.V1_BATCH_WRITE]] (the Kafka-connector bridge): the
+  * plan's append/truncate intent maps 1:1 onto [[ManifestTable.commit]]
+  * (`INSERT INTO` → `append = true`, `INSERT OVERWRITE` → the atomic
+  * whole-snapshot overwrite), so the CAS contract is surfaced in SQL
+  * vocabulary, not hidden behind it. Anything WITHOUT a 1:1 mapping is
+  * refused: writes to a `version`-pinned or `sinceVersion` table throw
+  * (a time-travel view is not a write target — commits only ever land on
+  * the CAS head), and schema evolution stays library-side
+  * ([[ManifestTable.commit]]'s `allowEvolution`) because INSERT semantics
+  * align the query to the table schema before the write ever sees it.
+  * New commits record min/max stats on the head's stats columns (SQL has
+  * nowhere to name them — inheritance keeps pruning alive), overridable
+  * with a `stats 'c1,c2'` option on the view/save.
   */
-final class GraftDataSource extends TableProvider with DataSourceRegister {
+final class GraftDataSource extends TableProvider with DataSourceRegister
+    with CreatableRelationProvider {
   override def shortName(): String = "graft"
 
   // user-specified schemas are rejected (supportsExternalMetadata stays
@@ -70,6 +85,53 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     GraftDataSource.resolveTable(new CaseInsensitiveStringMap(properties))
+
+  /** `df.write.format("graft").mode(...).save(path)` — Spark routes
+    * path-based saves of a non-catalog source through the V1 write
+    * planner, so the four SaveModes land here and map 1:1 onto commit
+    * forms: Append = CAS append (bootstrapping a fresh table as its v1),
+    * Overwrite = atomic whole-snapshot replace, ErrorIfExists (the
+    * default) / Ignore = create-only. The existence CHECK for the
+    * create-only modes is advisory (two racing creators both pass it and
+    * their commits serialize in CAS order — the same already-exists race
+    * every path-based Spark source has); the COMMIT itself is never racy.
+    */
+  override def createRelation(ctx: SQLContext, mode: SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft datasource: df.write needs .save(path)"))
+    require(!path.contains(","), "graft datasource: exactly one path")
+    require(!parameters.contains("version") && !parameters.contains("sinceversion") &&
+      !parameters.contains("sinceVersion"),
+      "graft datasource: version/sinceVersion are read options - writes " +
+        "always target the CAS head")
+    val spark = ctx.sparkSession
+    val stats = parameters.get("stats")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(ManifestTable.headStatsCols(spark, path))
+    val exists = ManifestTable.currentVersion(spark, path) > 0
+    mode match {
+      case SaveMode.Append =>
+        ManifestTable.commit(data, path, append = true, statsCols = stats)
+      case SaveMode.Overwrite =>
+        ManifestTable.commit(data, path, append = false, statsCols = stats)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"graft datasource: $path already has committed versions " +
+            "(mode append/overwrite, or ManifestTable entry points)")
+        ManifestTable.commit(data, path, append = false, statsCols = stats)
+      case SaveMode.Ignore =>
+        if (!exists)
+          ManifestTable.commit(data, path, append = false, statsCols = stats)
+    }
+    // the post-write head as a relation (the JDBC-provider convention;
+    // path saves discard it, but a caller holding it reads what it wrote)
+    val head = ManifestTable.currentVersion(spark, path)
+    val schema = ManifestTable.snapshotSchemaOf(spark, path, head)
+    new GraftDataSource.GraftV1Relation(ctx, path, head, 0L, schema, schema,
+      Array.empty)
+  }
 }
 
 private[graft] object GraftDataSource {
@@ -103,9 +165,26 @@ private[graft] object GraftDataSource {
             s"graft datasource: $key '$v' is not a version >= $minLegal")))
         .getOrElse(0L)
     val version = versionOpt("version", 1L)
+    // an explicit pin must NAME a real snapshot — resolve it to the
+    // catalog's own error, not a raw manifest-file-not-found downstream
+    if (version > 0)
+      require(ManifestTable.versionExists(spark, path, version),
+        s"graft datasource: $path has no committed version $version " +
+          "(never committed, or vacuumed)")
     val pinned = if (version > 0) version else ManifestTable.currentVersion(spark, path)
-    require(pinned > 0, s"graft datasource: $path has no committed version")
     val since = versionOpt("sinceVersion", 0L)
+    if (pinned <= 0) {
+      // an UNBORN table: DataFrameWriter's create-mode probe resolves the
+      // table before the V1 write fallback can bootstrap it, so a missing
+      // table must resolve — to a table every SCAN of which refuses
+      // loudly (a typo'd path must never read as an empty table) and only
+      // a whole-table write can bring to life. Scoped reads of nothing
+      // stay resolution-time errors.
+      require(version == 0 && since == 0,
+        s"graft datasource: $path has no committed version to pin or tail")
+      return GraftTable(path, 0L, 0L, explicitPin = false,
+        statsOpt = statsOption(options))
+    }
     if (since > 0) {
       require(since <= pinned, s"graft datasource: sinceVersion $since is " +
         s"past the ${if (version > 0) "pinned version" else "head"} $pinned")
@@ -114,8 +193,16 @@ private[graft] object GraftDataSource {
       // here holds at every scan of this table object
       ManifestTable.appendedEntries(spark, path, since, pinned)
     }
-    GraftTable(path, pinned, since)
+    GraftTable(path, pinned, since,
+      explicitPin = version > 0, statsOpt = statsOption(options))
   }
+
+  /** The `stats 'c1,c2'` option: which columns a write through this table
+    * records min/max on. None = inherit the head commit's stats columns.
+    */
+  private def statsOption(options: CaseInsensitiveStringMap): Option[Seq[String]] =
+    Option(options.get("stats")).map(_.split(',').toSeq
+      .map(_.trim).filter(_.nonEmpty))
 
   /** Stats tag for a column type — MUST mirror [[ManifestTable.statTags]]
     * (the write side): a read-side tag the write side never records is
@@ -281,10 +368,17 @@ private[graft] object GraftDataSource {
     * version (the [[ManifestTable.readAppendedSince]] contract: refuses
     * non-append boundaries, carries the full snapshot schema so evolved
     * columns null-fill).
+    *
+    * Writable (V1_BATCH_WRITE) unless the READ was explicitly scoped —
+    * `version`-pinned or incremental — in which case the write target
+    * would be ambiguous (commits land on the CAS head, not the pinned
+    * snapshot) and [[newWriteBuilder]] refuses.
     */
   private[graft] final case class GraftTable(path: String,
-      snapshotVersion: Long, sinceVersion: Long = 0L)
-      extends Table with SupportsRead {
+      snapshotVersion: Long, sinceVersion: Long = 0L,
+      explicitPin: Boolean = false, statsOpt: Option[Seq[String]] = None)
+      extends Table with SupportsRead
+      with org.apache.spark.sql.connector.catalog.SupportsWrite {
     override def name(): String =
       s"graft.`$path`@v$snapshotVersion" +
         (if (sinceVersion > 0) s" since v$sinceVersion" else "")
@@ -293,9 +387,81 @@ private[graft] object GraftDataSource {
       ManifestTable.snapshotSchemaOf(spark, path, snapshotVersion)
     }
     override def capabilities(): java.util.Set[TableCapability] =
-      java.util.EnumSet.of(TableCapability.BATCH_READ)
-    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      new GraftScanBuilder(path, snapshotVersion, sinceVersion, schema)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+      // an unpinned table tracks the CAS head: the snapshot re-resolves
+      // per scan build (= per query), so INSERT-then-SELECT through the
+      // same long-lived view sees the insert — the Delta/Iceberg
+      // convention; ONE query still reads ONE snapshot. max() so a
+      // lagging pointer hint never travels BACKWARD from the version
+      // resolution already saw. An explicit `version` pin stays frozen,
+      // and the view's schema stays its resolution-time schema (SQL view
+      // semantics; later-evolved columns are dropped, removed ones
+      // null-fill via the slice-read contract).
+      // an unborn table (resolved before any commit existed) never
+      // becomes readable through this stale binding — its schema was
+      // fixed empty at resolution; re-resolve after the table is born
+      require(snapshotVersion > 0,
+        s"graft datasource: $path has no committed version " +
+          "(re-read/re-create the view if the table was created since)")
+      val v = if (explicitPin) snapshotVersion
+        else math.max(snapshotVersion,
+          ManifestTable.currentVersion(SparkSession.active, path))
+      new GraftScanBuilder(path, v, sinceVersion, schema)
+    }
+    override def newWriteBuilder(
+        info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+        : org.apache.spark.sql.connector.write.WriteBuilder = {
+      require(!explicitPin,
+        s"graft datasource: cannot write to the time-travel view of $path " +
+          s"(version $snapshotVersion) - commits land on the CAS head; " +
+          "read-only by construction")
+      require(sinceVersion == 0,
+        s"graft datasource: cannot write to the incremental (sinceVersion) " +
+          s"slice of $path - it is a change feed, not a table")
+      new GraftWriteBuilder(path, statsOpt, info)
+    }
+  }
+
+  /** The write half of the SQL surface: `build()` hands Spark a
+    * [[V1Write]] whose [[InsertableRelation]] IS [[ManifestTable.commit]]
+    * — append for `INSERT INTO` / `SaveMode.Append`, whole-snapshot
+    * overwrite for `INSERT OVERWRITE` / `SaveMode.Overwrite` (Spark
+    * routes both through [[SupportsTruncate.truncate]] when the overwrite
+    * condition is the whole table; partial `OVERWRITE WHERE` never
+    * reaches a V1 write — Spark requires OVERWRITE_BY_FILTER for that,
+    * which manifest commits deliberately do not claim). Concurrency is
+    * commit's own CAS loop: concurrent INSERTs serialize in CAS order,
+    * INSERT OVERWRITE is last-writer-wins, exactly the library contract.
+    */
+  private final class GraftWriteBuilder(path: String,
+      tableStats: Option[Seq[String]],
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      extends org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+    private var overwrite = false
+    override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+      overwrite = true; this
+    }
+    override def build(): org.apache.spark.sql.connector.write.Write = {
+      val doOverwrite = overwrite
+      // write-time options (df.write.option(...)) override table-level
+      val stats = statsOption(info.options).orElse(tableStats)
+      new org.apache.spark.sql.connector.write.V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                overwriteParam: Boolean): Unit = {
+              val statsCols = stats.getOrElse(
+                ManifestTable.headStatsCols(data.sparkSession, path))
+              ManifestTable.commit(data, path,
+                append = !(doOverwrite || overwriteParam),
+                statsCols = statsCols)
+            }
+          }
+      }
+    }
   }
 
   private final class GraftScanBuilder(path: String, version: Long,

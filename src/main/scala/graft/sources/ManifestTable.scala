@@ -206,6 +206,19 @@ object ManifestTable {
   private def dataDirs(spark: SparkSession, table: String, v: Long): Seq[String] =
     manifestEntries(spark, table, v).map(_.dir)
 
+  /** The columns the current head's commits record stats on — what a SQL
+    * write inherits as its own `statsCols`, so pruning survives INSERTs
+    * that have no way to name them. Self-sustaining: once any commit in
+    * the snapshot carries stats on a column, every inheriting append
+    * keeps recording it (columns absent from the written schema are
+    * skipped by [[statTags]], never wrong).
+    */
+  private[graft] def headStatsCols(spark: SparkSession, table: String): Seq[String] = {
+    val head = highestManifest(spark, table)
+    if (head <= 0) Nil
+    else manifestEntries(spark, table, head).flatMap(_.stats.keys).distinct.sorted
+  }
+
   /** Column → stats tag for the supported types; unsupported columns are
     * skipped (absent stats = the dir is never pruned — always safe).
     */

@@ -63,11 +63,56 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("SELECT * FROM graftcat.`../postings`").head)
     assert(escape.getMessage.contains("plain directory name"), escape.getMessage)
 
-    // read-only: mutations route to ManifestTable, loudly
+    // destructive DDL: refused, routed to ManifestTable loudly
     val drop = intercept[Exception](spark.sql("DROP TABLE graftcat.dims"))
-    assert(drop.getMessage.contains("read-only"), drop.getMessage)
-    val create = intercept[Exception](
-      spark.sql("CREATE TABLE graftcat.fresh (id BIGINT) USING graft"))
-    assert(create.getMessage.contains("read-only"), create.getMessage)
+    assert(drop.getMessage.contains("destructive DDL"), drop.getMessage)
+    val alter = intercept[Exception](
+      spark.sql("ALTER TABLE graftcat.dims ADD COLUMN extra BIGINT"))
+    assert(alter.getMessage.contains("destructive DDL"), alter.getMessage)
+  }
+
+  test("SQL DML: CREATE TABLE, INSERT INTO/OVERWRITE, CTAS land as CAS commits") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_catalog_dml").toString
+    spark.conf.set("spark.sql.catalog.dml", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dml.root", root)
+
+    // CREATE TABLE births an empty v1 commit with the DDL schema
+    spark.sql("CREATE TABLE dml.jobs (id BIGINT, title STRING)")
+    assert(ManifestTable.currentVersion(spark, s"$root/jobs") == 1L)
+    assert(spark.sql("SELECT count(*) AS n FROM dml.jobs").head.getLong(0) == 0)
+    val dup = intercept[Exception](spark.sql("CREATE TABLE dml.jobs (id BIGINT)"))
+    assert(dup.getMessage.toUpperCase.contains("ALREADY EXISTS"), dup.getMessage)
+
+    // INSERT INTO = CAS append: version advances, rows accumulate
+    spark.sql("INSERT INTO dml.jobs VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO dml.jobs VALUES (3, 'c')")
+    assert(spark.sql("SELECT count(*) AS n FROM dml.jobs").head.getLong(0) == 3)
+    assert(ManifestTable.currentVersion(spark, s"$root/jobs") == 3L)
+    // time travel sees the pre-insert snapshots intact
+    assert(spark.sql("SELECT count(*) AS n FROM dml.jobs VERSION AS OF 2")
+      .head.getLong(0) == 2)
+
+    // INSERT OVERWRITE = atomic whole-snapshot replace
+    spark.sql("INSERT OVERWRITE dml.jobs VALUES (9, 'z')")
+    assert(spark.sql("SELECT id FROM dml.jobs").collect().map(_.getLong(0)).toSeq
+      == Seq(9L))
+    assert(spark.sql("SELECT count(*) AS n FROM dml.jobs VERSION AS OF 3")
+      .head.getLong(0) == 3) // overwrite rewrote the head, not history
+
+    // CTAS: create + append in one statement
+    spark.sql("CREATE TABLE dml.titles AS SELECT title FROM dml.jobs")
+    assert(spark.sql("SELECT title FROM dml.titles").head.getString(0) == "z")
+
+    // a time-travel view is not a write target
+    val pinned = intercept[Exception](
+      spark.sql("INSERT INTO dml.jobs VERSION AS OF 2 VALUES (7, 'x')"))
+    assert(pinned.getMessage.contains("time-travel") ||
+      pinned.getMessage.toLowerCase.contains("syntax"), pinned.getMessage)
+
+    // INSERT aligns to the table schema: a shape mismatch fails loudly
+    val drift = intercept[Exception](
+      spark.sql("INSERT INTO dml.jobs VALUES (1, 'a', 99)"))
+    assert(drift.getMessage.toLowerCase.contains("column"), drift.getMessage)
   }
 }

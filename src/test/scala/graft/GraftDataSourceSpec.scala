@@ -61,13 +61,113 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(evolved.filter(col("note").isNull).count() == 150)
     assert(evolved.filter(col("note") === "fresh").count() == 1)
 
-    // a versionless read pins at planning: the frame above keeps seeing
-    // 151 rows even after another commit lands
+    // a versionless table tracks the CAS head per query (the lakehouse
+    // convention): the same frame re-counted after a commit sees it, and
+    // pinning is what the explicit version option is FOR
     ManifestTable.commit(Seq((999L, "x", "late")).toDF("id", "v", "note"),
       table, append = true, statsCols = Seq("id"), allowEvolution = true)
-    assert(evolved.count() == 151,
-      "an already-planned frame must keep its pinned snapshot")
-    assert(spark.read.format("graft").load(table).count() == 152)
+    assert(evolved.count() == 152,
+      "an unpinned frame must track the head across queries")
+    assert(spark.read.format("graft").option("version", "3").load(table)
+      .count() == 151, "the explicit pin stays frozen")
+  }
+
+  test("write path: save modes, INSERT on a view, stats inheritance, refusals") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_dsv2_write").toString + "/t"
+
+    ManifestTable.commit(
+      (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "v"),
+      table, append = false, statsCols = Seq("id"))
+
+    // DataFrameWriter append = CAS append commit
+    (101 to 120).map(i => (i.toLong, s"w$i")).toDF("id", "v")
+      .write.format("graft").mode("append").save(table)
+    assert(ManifestTable.currentVersion(spark, table) == 2L)
+    assert(spark.read.format("graft").load(table).count() == 120)
+
+    // the SQL write inherits the head's stats columns: the new commit
+    // records min/max on id without anyone naming it
+    val entries = ManifestTable.manifestEntries(spark, table, 2L)
+    assert(entries.size == 2 && entries.forall(_.stats.contains("id")),
+      entries.toString)
+    // and pruning still works across the inherited commit: the range
+    // [101,105] can only live in the SQL-written commit, so readRange
+    // (dir-level pruning, row filter stays with the caller) returns
+    // exactly that commit's 20 rows, not all 120
+    assert(ManifestTable.readRange(spark, table, "id", "101", "105").count() == 20)
+
+    // INSERT INTO through a USING graft view, stats option override
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW wv USING graft " +
+      s"OPTIONS (path '$table', stats 'id,v')")
+    spark.sql("INSERT INTO wv VALUES (121, 'z121')")
+    assert(spark.sql("SELECT count(*) AS n FROM wv").head.getLong(0) == 121)
+    val e3 = ManifestTable.manifestEntries(spark, table, 3L)
+      .filterNot(e => ManifestTable.manifestEntries(spark, table, 2L)
+        .map(_.dir).contains(e.dir))
+    assert(e3.size == 1 && e3.head.stats.keySet == Set("id", "v"),
+      s"stats option must name the recorded columns: $e3")
+
+    // append schema drift fails at the write (commit's own check), with
+    // Spark's insert-resolution catching it even earlier
+    val drift = intercept[Exception] {
+      Seq((1L, 2L)).toDF("id", "n").write.format("graft").mode("append").save(table)
+    }
+    assert(drift.getMessage.toLowerCase.contains("column") ||
+      drift.getMessage.contains("schema"), drift.getMessage)
+
+    // overwrite = atomic whole-snapshot replace; history intact
+    Seq((7L, "only")).toDF("id", "v")
+      .write.format("graft").mode("overwrite").save(table)
+    assert(spark.read.format("graft").load(table).count() == 1)
+    assert(spark.read.format("graft").option("version", "3").load(table)
+      .count() == 121)
+
+    // a pinned or incremental view is not a write target
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW wv_pin USING graft " +
+      s"OPTIONS (path '$table', version '3')")
+    val pin = intercept[Exception](spark.sql("INSERT INTO wv_pin VALUES (1, 'x')"))
+    assert(pin.getMessage.contains("time-travel"), pin.getMessage)
+    // sinceVersion '4' (the overwrite IS the new baseline): legal
+    // boundary, and still not a write target
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW wv_since USING graft " +
+      s"OPTIONS (path '$table', sinceVersion '4')")
+    val snc = intercept[Exception](spark.sql("INSERT INTO wv_since VALUES (1, 'x')"))
+    assert(snc.getMessage.contains("change feed"), snc.getMessage)
+
+    // fresh-path save: default mode (ErrorIfExists) creates the table...
+    val fresh = Files.createTempDirectory("graft_dsv2_fresh").toString + "/f"
+    // ...but READING the unborn path stays a loud refusal, never an
+    // empty frame (a typo'd path must not read as an empty table)
+    val unborn = intercept[Exception](
+      spark.read.format("graft").load(fresh).count())
+    assert(unborn.getMessage.contains("no committed version"), unborn.getMessage)
+    val unbornPin = intercept[Exception](
+      spark.read.format("graft").option("version", "1").load(fresh).count())
+    assert(unbornPin.getMessage.contains("no committed version"),
+      unbornPin.getMessage)
+    Seq((1L, "a")).toDF("id", "v").write.format("graft")
+      .option("stats", "id").save(fresh)
+    assert(spark.read.format("graft").load(fresh).count() == 1)
+    // ...and refuses a second create over committed versions
+    val second = intercept[Exception] {
+      Seq((2L, "b")).toDF("id", "v").write.format("graft").save(fresh)
+    }
+    assert(second.getMessage.contains("already has committed versions"),
+      second.getMessage)
+    // mode ignore: silent no-op on an existing table
+    Seq((3L, "c")).toDF("id", "v").write.format("graft").mode("ignore").save(fresh)
+    assert(spark.read.format("graft").load(fresh).count() == 1)
+    // append bootstrapped-table continuity: stats from the create carry
+    Seq((4L, "d")).toDF("id", "v").write.format("graft").mode("append").save(fresh)
+    assert(ManifestTable.manifestEntries(spark, fresh, 2L)
+      .forall(_.stats.contains("id")))
+    // a write may not carry read pins
+    val pinW = intercept[Exception] {
+      Seq((5L, "e")).toDF("id", "v").write.format("graft")
+        .option("version", "1").mode("append").save(fresh)
+    }
+    assert(pinW.getMessage.contains("read options"), pinW.getMessage)
   }
 
   test("sinceVersion: incremental consumption through the SQL surface") {
