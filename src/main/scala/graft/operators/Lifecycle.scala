@@ -389,7 +389,64 @@ object Lifecycle {
     """)
   }
 
+  private val q80Tables = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private lazy val q80Cleanup: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      q80Tables.values.forEach { t =>
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(new java.io.File(t))
+      }))
+    ()
+  }
+
+  /** The table LIFECYCLE driven entirely by SQL DML — the write half of
+    * the r9 surface, oracle-gated: CTAS births the table (empty v1 +
+    * the selected half as v2), `INSERT INTO` appends the rest (v3 = the
+    * full base table), `INSERT OVERWRITE` atomically replaces the
+    * snapshot with the even-keyed half (v4), and the final query
+    * aggregates the post-overwrite head AND the pre-overwrite `VERSION
+    * AS OF 3` in one UNION. DuckDB reconstructs both from the raw
+    * parquet, so what the oracle hash-checks is that every DML landed as
+    * exactly the commit it claims — append accumulation, overwrite
+    * replacement, and history surviving the overwrite.
+    */
+  def q80SqlDml(s: SparkSession, d: String): DataFrame = {
+    q80Cleanup
+    // catalog name is dir-scoped: catalog instances cache their root on
+    // first use, so two scale dirs in one session need two names
+    val cat = s"graftq80_${Integer.toHexString(d.hashCode & 0x7fffffff)}"
+    q80Tables.computeIfAbsent(d, dir => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q80").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      supplier(s, dir).createOrReplaceTempView("q80_src")
+      val mid = supplier(s, dir)
+        .agg(ceil(max(col("s_suppkey")) / 2.0).cast("long")).head.getLong(0)
+      s.sql(s"CREATE TABLE $cat.supplier_lake AS " +
+        s"SELECT * FROM q80_src WHERE s_suppkey <= $mid")
+      s.sql(s"INSERT INTO $cat.supplier_lake " +
+        s"SELECT * FROM q80_src WHERE s_suppkey > $mid")
+      s.sql(s"INSERT OVERWRITE $cat.supplier_lake " +
+        s"SELECT * FROM $cat.supplier_lake WHERE s_suppkey % 2 = 0")
+      root
+    })
+    s.sql(s"""
+      SELECT 'head' AS snap, s_nationkey,
+             count(*) AS n_supp, round(sum(s_acctbal), 2) AS bal
+      FROM $cat.supplier_lake GROUP BY s_nationkey
+      UNION ALL
+      SELECT 'v3' AS snap, s_nationkey,
+             count(*) AS n_supp, round(sum(s_acctbal), 2) AS bal
+      FROM $cat.supplier_lake VERSION AS OF 3 GROUP BY s_nationkey
+    """)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_sql_dml" -> q80SqlDml _,
     "q79_lake_sql" -> q79LakeSql _,
     "q77_manifest_mart" -> q77ManifestMart _,
     "q50_scd2" -> q50Scd2 _,
@@ -407,6 +464,17 @@ object Lifecycle {
   )
 
   val oracles: Map[String, String] = Map(
+    // SQL DML round-trip: the head must be exactly the overwrite's
+    // selection, the pre-overwrite version exactly the full base table -
+    // the oracle knows nothing about commits, only what each DML claimed
+    "q80_sql_dml" ->
+      """SELECT 'head' AS snap, s_nationkey,
+        |       count(*) AS n_supp, round(sum(s_acctbal), 2) AS bal
+        |FROM supplier WHERE s_suppkey % 2 = 0 GROUP BY s_nationkey
+        |UNION ALL
+        |SELECT 'v3' AS snap, s_nationkey,
+        |       count(*) AS n_supp, round(sum(s_acctbal), 2) AS bal
+        |FROM supplier GROUP BY s_nationkey""".stripMargin,
     // the SQL-surface lake: the head view must return the whole base
     // table and the version-1 view exactly the first commit (the same
     // midpoint cut recomputed) - snapshot isolation is what's oracled

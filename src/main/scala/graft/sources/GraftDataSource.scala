@@ -73,8 +73,28 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * with a `stats 'c1,c2'` option on the view/save.
   */
 final class GraftDataSource extends TableProvider with DataSourceRegister
-    with CreatableRelationProvider {
+    with CreatableRelationProvider with StreamSourceProvider {
   override def shortName(): String = "graft"
+
+  /** `spark.readStream.format("graft")` — the table's change feed as a
+    * V1 streaming source ([[GraftStreamSource]]: version offsets, each
+    * micro-batch a native pruned read of exactly the appended commits).
+    */
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "graft stream: the manifest schema is authoritative - drop .schema(...)")
+    (shortName(), GraftDataSource.streamSetup(ctx.sparkSession, parameters)._2)
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val (path, tableSchema, since, maxV) =
+      GraftDataSource.streamSetup(ctx.sparkSession, parameters)
+    new GraftStreamSource(ctx.sparkSession, path, tableSchema, since, maxV)
+  }
 
   // user-specified schemas are rejected (supportsExternalMetadata stays
   // false): the manifest's union schema is authoritative, and a stale
@@ -203,6 +223,38 @@ private[graft] object GraftDataSource {
   private def statsOption(options: CaseInsensitiveStringMap): Option[Seq[String]] =
     Option(options.get("stats")).map(_.split(',').toSeq
       .map(_.trim).filter(_.nonEmpty))
+
+  /** Stream-source option resolution: (path, schema, sinceVersion,
+    * maxVersionsPerBatch). The table must exist — a stream needs a real
+    * schema to bind, and tailing an unborn path is a typo until proven
+    * otherwise. The schema is the head snapshot's, fixed for the
+    * stream's lifetime.
+    */
+  private def streamSetup(spark: SparkSession,
+      parameters: Map[String, String])
+      : (String, StructType, Long, Option[Long]) = {
+    val opts = new CaseInsensitiveStringMap(
+      scala.jdk.CollectionConverters.MapHasAsJava(parameters).asJava)
+    val path = Option(opts.get("path")).map(_.trim).filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        "graft stream: a single `path` option is required"))
+    require(!path.contains(","), "graft stream: exactly one path")
+    require(!opts.containsKey("version"),
+      "graft stream: version pins are a batch read option - a stream " +
+        "tails the head; use sinceVersion to choose where the tail starts")
+    val head = ManifestTable.currentVersion(spark, path)
+    require(head > 0, s"graft stream: $path has no committed version")
+    val since = Option(opts.get("sinceVersion")).map(_.trim).filter(_.nonEmpty)
+      .map(v => scala.util.Try(v.toLong).filter(_ >= 0L).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft stream: sinceVersion '$v' is not a version >= 0")))
+      .getOrElse(0L)
+    val maxV = Option(opts.get("maxVersionsPerBatch")).map(_.trim)
+      .filter(_.nonEmpty).map(v => scala.util.Try(v.toLong).filter(_ > 0L)
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft stream: maxVersionsPerBatch '$v' is not a version count > 0")))
+    (path, ManifestTable.snapshotSchemaOf(spark, path, head), since, maxV)
+  }
 
   /** Stats tag for a column type — MUST mirror [[ManifestTable.statTags]]
     * (the write side): a read-side tag the write side never records is

@@ -27,3 +27,39 @@ object ColumnBridge {
   def analyzed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
 }
+
+/** The V1 streaming-source internals a custom [[org.apache.spark.sql
+  * .execution.streaming.Source]] needs (the Delta-connector pattern:
+  * `getBatch` plans a native batch read, then re-tags it streaming):
+  * version-number offsets and the `isStreaming = true` wrap
+  * MicroBatchExecution asserts on. Both are `private[sql]`, hence this
+  * package-side exposure.
+  */
+object StreamBridge {
+  import org.apache.spark.sql.execution.streaming.{Offset => LegacyOffset}
+  import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+
+  def longOffset(v: Long): LegacyOffset = LongOffset(v)
+
+  /** A legacy offset's version number — checkpoint recovery hands back
+    * [[SerializedOffset]] JSON, a live run hands [[LongOffset]].
+    */
+  def offsetValue(o: LegacyOffset): Long = o match {
+    case LongOffset(v) => v
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => throw new IllegalStateException(
+      s"graft stream: unexpected offset type ${other.getClass.getName}")
+  }
+
+  /** `df`'s physical plan as a STREAMING DataFrame — the exact rows of
+    * the batch plan (whole-stage codegen, vectorized parquet and all),
+    * wrapped the way `getBatch`'s contract requires.
+    */
+  def streamingDataFrame(spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.ManifestTable
+import org.apache.spark.sql.streaming.OutputMode
+
+/** The manifest change feed as a Structured Streaming source: snapshot
+  * bootstrap + per-commit tail, exactly-once across restart (version
+  * offsets in the checkpoint), admission capping, and the loud
+  * non-append-boundary failure.
+  */
+class GraftStreamSpec extends SparkSpec {
+
+  test("readStream tails commits exactly-once, incl. across restart") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_stream").toString + "/t"
+    val cp = Files.createTempDirectory("graft_stream_cp").toString
+    // a RECOVERABLE sink (file sink), so the restart half actually
+    // exercises the checkpointed version offset (memory sink refuses
+    // checkpoint recovery)
+    val out = Files.createTempDirectory("graft_stream_out").toString + "/out"
+
+    ManifestTable.commit((1 to 50).map(i => (i.toLong, s"a$i")).toDF("id", "v"),
+      table, append = false, statsCols = Seq("id"))
+
+    def startQuery() = spark.readStream.format("graft").load(table)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).outputMode(OutputMode.Append).start()
+
+    val q = startQuery()
+    try {
+      q.processAllAvailable() // batch 0 = the bootstrap snapshot
+      assert(spark.read.parquet(out).count() == 50)
+
+      // two appends land while the stream runs: delivered once each
+      ManifestTable.commit((51 to 60).map(i => (i.toLong, s"b$i")).toDF("id", "v"),
+        table, append = true, statsCols = Seq("id"))
+      q.processAllAvailable()
+      ManifestTable.commit((61 to 65).map(i => (i.toLong, s"c$i")).toDF("id", "v"),
+        table, append = true, statsCols = Seq("id"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 65)
+      assert(spark.read.parquet(out).select("id").distinct().count() == 65,
+        "no commit may deliver twice")
+    } finally q.stop()
+
+    // a commit lands while the stream is DOWN; restart resumes from the
+    // checkpointed version offset - the delivered commits do not replay
+    ManifestTable.commit(Seq((66L, "d66")).toDF("id", "v"),
+      table, append = true, statsCols = Seq("id"))
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 66)
+      assert(spark.read.parquet(out).select("id").distinct().count() == 66,
+        "restart must deliver exactly the missed commit")
+    } finally q2.stop()
+  }
+
+  test("sinceVersion tail, maxVersionsPerBatch admission, boundary failure") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_stream2").toString + "/t"
+
+    ManifestTable.commit((1 to 10).map(i => (i.toLong, "a")).toDF("id", "v"),
+      table, append = false)
+    (2 to 5).foreach(k => ManifestTable.commit(
+      Seq((k * 100L, "b")).toDF("id", "v"), table, append = true))
+    // head is now v5: 10 + 4 rows
+
+    // sinceVersion 1 = tail AFTER the bootstrap snapshot; one version
+    // per micro-batch = 4 batches of exactly one commit each
+    val cp = Files.createTempDirectory("graft_stream2_cp").toString
+    val q = spark.readStream.format("graft")
+      .option("sinceVersion", "1").option("maxVersionsPerBatch", "1")
+      .load(table)
+      .writeStream.format("memory").queryName("tail2")
+      .option("checkpointLocation", cp).outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM tail2").head.getLong(0) == 4)
+      assert(spark.sql("SELECT min(id) FROM tail2").head.getLong(0) == 200L)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 4,
+        s"admission cap must split the backlog into per-commit batches: " +
+          batches.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+
+    // a compaction rewrites dirs mid-stream: the next batch must fail
+    // with the re-bootstrap contract, not double-deliver
+    val cp3 = Files.createTempDirectory("graft_stream3_cp").toString
+    val q3 = spark.readStream.format("graft").load(table)
+      .writeStream.format("memory").queryName("tail3")
+      .option("checkpointLocation", cp3).outputMode(OutputMode.Append).start()
+    try {
+      q3.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM tail3").head.getLong(0) == 14)
+      ManifestTable.compactCommit(spark, table, targetBytes = 1L << 20)
+      ManifestTable.commit(Seq((999L, "z")).toDF("id", "v"), table, append = true)
+      val boundary = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+        q3.awaitTermination(30000)
+      }
+      assert(boundary.getMessage.contains("re-bootstrap") ||
+        Option(boundary.getCause).exists(_.getMessage.contains("re-bootstrap")),
+        boundary.getMessage)
+    } finally q3.stop()
+
+    // stream options are validated: version pins and unborn tables refuse
+    val pin = intercept[Exception](spark.readStream.format("graft")
+      .option("version", "2").load(table))
+    assert(pin.getMessage.contains("batch read option"), pin.getMessage)
+    val unborn = intercept[Exception](spark.readStream.format("graft")
+      .load(table + "_nope"))
+    assert(unborn.getMessage.contains("no committed version"), unborn.getMessage)
+  }
+}
