@@ -73,7 +73,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * with a `stats 'c1,c2'` option on the view/save.
   */
 final class GraftDataSource extends TableProvider with DataSourceRegister
-    with CreatableRelationProvider with StreamSourceProvider {
+    with CreatableRelationProvider with StreamSourceProvider
+    with StreamSinkProvider {
   override def shortName(): String = "graft"
 
   /** `spark.readStream.format("graft")` — the table's change feed as a
@@ -94,6 +95,36 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
     val (path, tableSchema, since, maxV) =
       GraftDataSource.streamSetup(ctx.sparkSession, parameters)
     new GraftStreamSource(ctx.sparkSession, path, tableSchema, since, maxV)
+  }
+
+  /** `stream.writeStream.format("graft")` — micro-batches land as
+    * idempotent CAS commits ([[GraftStreamSink]]: append = token-gated
+    * exactly-once appends, complete = whole-snapshot overwrite).
+    */
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    import org.apache.spark.sql.streaming.OutputMode
+    require(partitionColumns.isEmpty,
+      "graft sink: partitionBy is not supported - manifest tables " +
+        "organize by commit; cluster at compaction (compactClustered/ZOrdered)")
+    require(outputMode == OutputMode.Append() || outputMode == OutputMode.Complete(),
+      s"graft sink: output mode $outputMode has no commit form - use " +
+        "append (idempotent commits) or complete (whole-snapshot overwrite); " +
+        "row-level upserts are cdcApply's job, not a sink's")
+    val opts = new CaseInsensitiveStringMap(
+      scala.jdk.CollectionConverters.MapHasAsJava(parameters).asJava)
+    val path = Option(opts.get("path")).map(_.trim).filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        "graft sink: a single `path` option is required"))
+    require(!path.contains(","), "graft sink: exactly one path")
+    require(!opts.containsKey("version") && !opts.containsKey("sinceVersion"),
+      "graft sink: version/sinceVersion are read options - commits land " +
+        "on the CAS head")
+    val stats = Option(opts.get("stats")).map(_.split(',').toSeq
+      .map(_.trim).filter(_.nonEmpty))
+    new GraftStreamSink(ctx.sparkSession, path, outputMode, stats)
   }
 
   // user-specified schemas are rejected (supportsExternalMetadata stays

@@ -62,4 +62,26 @@ object StreamBridge {
       df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
         .queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse wrap for a SINK: the micro-batch DataFrame a V1
+    * `Sink.addBatch` receives is streaming-tagged (its plan is the
+    * incremental execution), so `df.write` refuses it; this re-wraps the
+    * SAME physical rows as a batch frame (no collect, no recompute — the
+    * plan executes when the batch write consumes the RDD, once).
+    */
+  def batchDataFrame(spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
+  /** The stable streaming query id (constant across restarts from one
+    * checkpoint — unlike the per-run runId), set as a local property
+    * while a micro-batch executes. None outside a streaming query.
+    */
+  def activeQueryId(spark: org.apache.spark.sql.SparkSession): Option[String] =
+    Option(spark.sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY))
 }

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import graft.sources.ManifestTable
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 /** The manifest change feed as a Structured Streaming source: snapshot
@@ -56,6 +57,93 @@ class GraftStreamSpec extends SparkSpec {
       assert(spark.read.parquet(out).select("id").distinct().count() == 66,
         "restart must deliver exactly the missed commit")
     } finally q2.stop()
+  }
+
+  test("writeStream sink: the full lakehouse loop, exactly-once across restart") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_loop").toString + "/src"
+    val dst = Files.createTempDirectory("graft_loop").toString + "/dst"
+    val cp = Files.createTempDirectory("graft_loop_cp").toString
+
+    ManifestTable.commit((1 to 50).map(i => (i.toLong, s"a$i")).toDF("id", "v"),
+      src, append = false, statsCols = Seq("id"))
+
+    // graft -> transform -> graft: the change feed of one manifest table
+    // lands (transformed) as idempotent commits of another
+    def startLoop() = spark.readStream.format("graft").load(src)
+      .withColumn("id2", org.apache.spark.sql.functions.col("id") * 2)
+      .writeStream.format("graft")
+      .option("path", dst).option("checkpointLocation", cp)
+      .option("stats", "id").outputMode(OutputMode.Append).start()
+
+    val q = startLoop()
+    try {
+      q.processAllAvailable() // bootstrap: sink table born from batch 0
+      assert(spark.read.format("graft").load(dst).count() == 50)
+      ManifestTable.commit((51 to 60).map(i => (i.toLong, s"b$i")).toDF("id", "v"),
+        src, append = true, statsCols = Seq("id"))
+      q.processAllAvailable()
+      assert(spark.read.format("graft").load(dst).count() == 60)
+    } finally q.stop()
+
+    // commits land while the loop is DOWN; restart drains them once
+    ManifestTable.commit((61 to 65).map(i => (i.toLong, s"c$i")).toDF("id", "v"),
+      src, append = true, statsCols = Seq("id"))
+    val q2 = startLoop()
+    try {
+      q2.processAllAvailable()
+      val out = spark.read.format("graft").load(dst)
+      assert(out.count() == 65)
+      assert(out.select("id").distinct().count() == 65,
+        "sink idempotence + source offsets: no commit delivers twice")
+      assert(out.filter(col("id2") =!= col("id") * 2).count() == 0)
+      // the sink's commits recorded the stats option's column
+      val head = ManifestTable.currentVersion(spark, dst)
+      assert(ManifestTable.manifestEntries(spark, dst, head)
+        .forall(_.stats.contains("id")))
+    } finally q2.stop()
+  }
+
+  test("writeStream sink: complete mode overwrites, update mode refused") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_agg").toString + "/src"
+    val dst = Files.createTempDirectory("graft_agg").toString + "/dst"
+    val cp = Files.createTempDirectory("graft_agg_cp").toString
+
+    ManifestTable.commit((1 to 20).map(i => (i.toLong, s"k${i % 3}")).toDF("id", "v"),
+      src, append = false)
+
+    // complete-mode aggregate: the sink table IS the current state
+    val q = spark.readStream.format("graft").load(src)
+      .groupBy("v").count()
+      .writeStream.format("graft")
+      .option("path", dst).option("checkpointLocation", cp)
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.format("graft").load(dst)
+        .agg(org.apache.spark.sql.functions.sum("count")).head.getLong(0) == 20)
+      val vAfterFirst = ManifestTable.currentVersion(spark, dst)
+      ManifestTable.commit(Seq((21L, "k0")).toDF("id", "v"), src, append = true)
+      q.processAllAvailable()
+      val out = spark.read.format("graft").load(dst)
+      assert(out.agg(org.apache.spark.sql.functions.sum("count")).head.getLong(0) == 21,
+        "complete mode must replace the snapshot with the new aggregate state")
+      assert(out.count() == 3, "one row per group, not accumulated batches")
+      assert(ManifestTable.currentVersion(spark, dst) > vAfterFirst,
+        "each batch is a new overwrite commit; history time-travels")
+    } finally q.stop()
+
+    // update mode has no commit form
+    val upd = intercept[Exception] {
+      spark.readStream.format("graft").load(src)
+        .groupBy("v").count()
+        .writeStream.format("graft")
+        .option("path", dst + "2")
+        .option("checkpointLocation", cp + "2")
+        .outputMode(OutputMode.Update).start()
+    }
+    assert(upd.getMessage.contains("no commit form"), upd.getMessage)
   }
 
   test("sinceVersion tail, maxVersionsPerBatch admission, boundary failure") {
