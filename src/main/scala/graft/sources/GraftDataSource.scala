@@ -94,7 +94,8 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
       : org.apache.spark.sql.execution.streaming.Source = {
     val (path, tableSchema, since, maxV) =
       GraftDataSource.streamSetup(ctx.sparkSession, parameters)
-    new GraftStreamSource(ctx.sparkSession, path, tableSchema, since, maxV)
+    new GraftStreamSource(ctx.sparkSession, path, tableSchema, since, maxV,
+      metadataPath)
   }
 
   /** `stream.writeStream.format("graft")` — micro-batches land as

@@ -51,12 +51,53 @@ import org.apache.spark.sql.types.StructType
   */
 private[graft] final class GraftStreamSource(spark: SparkSession,
     path: String, override val schema: StructType, sinceVersion: Long,
-    maxVersionsPerBatch: Option[Long]) extends Source {
+    maxVersionsPerBatch: Option[Long], metadataPath: String) extends Source {
 
-  // the newest version this source has ever OFFERED as an offset — the
-  // admission cap advances from here, and recovery (getBatch with a
-  // checkpointed end we have not seen) fast-forwards it
-  private var offered: Long = sinceVersion
+  // The newest version this source has ever OFFERED as an offset — the
+  // admission cap advances from here. It must SURVIVE RESTARTS: a fresh
+  // instance that reset to sinceVersion would, under maxVersionsPerBatch,
+  // offer an offset BELOW the checkpointed one (offered+cap < committed
+  // end), and Spark treats any available != committed as a new batch —
+  // getBatch(committed, lower) — which can only fail. V1 sources are
+  // DENIED AcceptsLatestSeenOffset (asserted at query start), so the
+  // sanctioned pattern is source-private state under metadataPath, which
+  // lives inside the checkpoint and travels with it (the V1
+  // Kafka/File-source arrangement). getBatch still fast-forwards for the
+  // uncommitted-replay path.
+  private val offeredFile = new org.apache.hadoop.fs.Path(
+    metadataPath, "graft-offered")
+  private def hfs = offeredFile.getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def persistOffered(v: Long): Unit = {
+    // tmp + rename so the published file is never torn; the window where
+    // the target is absent (crash between delete and rename) degrades to
+    // the constructor re-seeding sinceVersion — see readOffered
+    val tmp = new org.apache.hadoop.fs.Path(metadataPath, "graft-offered.tmp")
+    val out = hfs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    if (hfs.exists(offeredFile)) hfs.delete(offeredFile, false)
+    require(hfs.rename(tmp, offeredFile),
+      s"graft stream: cannot persist offset state to $offeredFile")
+  }
+
+  private def readOffered(): Option[Long] =
+    try {
+      if (!hfs.exists(offeredFile)) None
+      else {
+        val in = hfs.open(offeredFile)
+        try Some(new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8").trim.toLong)
+        catch { case _: NumberFormatException => None }
+        finally in.close()
+      }
+    } catch { case _: java.io.IOException => None }
+
+  private var offered: Long = readOffered() match {
+    case Some(v) => math.max(sinceVersion, v)
+    case None => persistOffered(sinceVersion); sinceVersion
+  }
 
   override def getOffset: Option[Offset] = synchronized {
     val head = math.max(offered, ManifestTable.currentVersion(spark, path))
@@ -64,14 +105,20 @@ private[graft] final class GraftStreamSource(spark: SparkSession,
       case Some(m) => math.min(head, offered + m)
       case None => head
     }
-    if (admitted > offered) offered = admitted
+    if (admitted > offered) { persistOffered(admitted); offered = admitted }
     if (offered > sinceVersion) Some(StreamBridge.longOffset(offered)) else None
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(StreamBridge.offsetValue).getOrElse(sinceVersion)
     val to = StreamBridge.offsetValue(end)
-    synchronized { if (to > offered) offered = to } // checkpoint recovery
+    require(from <= to,
+      s"graft stream: offsets went backward ($from -> $to) - the source's " +
+        s"offset state under $metadataPath was lost; restart from a fresh " +
+        "checkpoint")
+    synchronized { // uncommitted-batch replay on restart
+      if (to > offered) { persistOffered(to); offered = to }
+    }
     // the appended slice, planned as a batch read (pruned dirs, full
     // native scan), re-tagged streaming for MicroBatchExecution
     val entries = ManifestTable.appendedEntries(spark, path, from, to)._2

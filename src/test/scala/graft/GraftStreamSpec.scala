@@ -59,6 +59,46 @@ class GraftStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("maxVersionsPerBatch survives restart: offered floor restores from checkpoint") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_stream_cap").toString + "/t"
+    val cp = Files.createTempDirectory("graft_stream_cap_cp").toString
+    val out = Files.createTempDirectory("graft_stream_cap_out").toString + "/o"
+
+    ManifestTable.commit((1 to 10).map(i => (i.toLong, "a")).toDF("id", "v"),
+      table, append = false)
+    (2 to 5).foreach(k => ManifestTable.commit(
+      Seq((k * 100L, "b")).toDF("id", "v"), table, append = true))
+
+    def startCapped() = spark.readStream.format("graft")
+      .option("maxVersionsPerBatch", "1").load(table)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).outputMode(OutputMode.Append).start()
+
+    val q = startCapped()
+    try {
+      q.processAllAvailable() // drains v1..v5 in capped per-version batches
+      assert(spark.read.parquet(out).count() == 14)
+    } finally q.stop()
+
+    // committed offset (5) is far past sinceVersion+cap (0+1): a restarted
+    // source that reset its cap floor would offer an offset BELOW the
+    // checkpoint and fail the query - the persisted floor must restore
+    (6 to 8).foreach(k => ManifestTable.commit(
+      Seq((k * 100L, "c")).toDF("id", "v"), table, append = true))
+    val q2 = startCapped()
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 17)
+      assert(spark.read.parquet(out).select("id").distinct().count() == 17,
+        "restart under an admission cap must not replay or skip")
+      val batches = q2.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 3 && batches.forall(_.numInputRows == 1),
+        s"the cap must keep splitting after restart: " +
+          batches.map(_.numInputRows).mkString(","))
+    } finally q2.stop()
+  }
+
   test("writeStream sink: the full lakehouse loop, exactly-once across restart") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_loop").toString + "/src"
