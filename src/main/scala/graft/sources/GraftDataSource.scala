@@ -338,12 +338,12 @@ private[graft] object GraftDataSource {
     */
   private def statCanMatch(s: ColStat, lo: Option[String], hi: Option[String]): Boolean =
     s match {
-      case ColStat("num", mn, mx) =>
+      case ColStat("num", mn, mx, _) =>
         scala.util.Try {
           lo.forall(l => BigDecimal(mx) >= BigDecimal(l)) &&
             hi.forall(h => BigDecimal(mn) <= BigDecimal(h))
         }.getOrElse(true)
-      case ColStat(_, mn, mx) =>
+      case ColStat(_, mn, mx, _) =>
         // ts + str: canonical string forms, compared in UTF-8 BINARY
         // order — the order Spark's min/max recorded them in. UTF-16
         // code-unit compare disagrees on BMP-≥U+E000 vs emoji and would
@@ -369,6 +369,9 @@ private[graft] object GraftDataSource {
         lo.flatMap(canon(tag, _)), hi.flatMap(canon(tag, _))))
         .getOrElse(true) // no stats / untagged type: never prune
     f match {
+      case AlwaysTrue() => true
+      case AlwaysFalse() => false // no row can match FALSE: prunable, and
+        // on the delete path "provably no match" correctly KEEPS the dir
       case EqualTo(c, v) => bounded(c, Some(v), Some(v))
       case EqualNullSafe(c, v) if v != null => bounded(c, Some(v), Some(v))
       case GreaterThan(c, v) => bounded(c, Some(v), None)
@@ -389,6 +392,81 @@ private[graft] object GraftDataSource {
   private[graft] def pruneEntries(schema: StructType, entries: Seq[Entry],
       filters: Seq[Filter]): Seq[Entry] =
     entries.filter(e => filters.forall(f => entryCanMatch(schema, e, f)))
+
+  /** The DUAL proof: do the stats prove EVERY row of the commit matches
+    * `f`? This is what metadata-only DELETE stands on — a dir may be
+    * dropped from the snapshot only when no row in it can survive the
+    * predicate. Strictly conservative the other way around from
+    * [[entryCanMatch]]: false unless proven, and strict vs non-strict
+    * inequalities genuinely differ here (all rows > v needs min > v, not
+    * min >= v). Any proof about a column additionally needs ZERO null
+    * rows in it ([[ManifestTable.ColStat.nulls]]): min/max ignore nulls,
+    * a predicate evaluates NULL on them, and a null-predicate row is NOT
+    * deleted — dropping its dir would over-delete. Entries written before
+    * the null count existed never prove all-match, which fails toward
+    * refusing the delete, never toward losing rows.
+    */
+  private[graft] def entryAllMatch(schema: StructType, e: Entry, f: Filter): Boolean = {
+    def noNulls(c: String) = e.stats.get(c).exists(_.nulls.contains(0L))
+    def within(c: String, lo: Option[Any], loStrict: Boolean,
+        hi: Option[Any], hiStrict: Boolean): Boolean =
+      noNulls(c) && (for {
+        tag <- tagOf(schema, c)
+        stat <- e.stats.get(c)
+        loC <- sequenceOpt(lo.map(canon(tag, _)))
+        hiC <- sequenceOpt(hi.map(canon(tag, _)))
+      } yield statAllIn(tag, stat, loC, loStrict, hiC, hiStrict))
+        .getOrElse(false)
+    f match {
+      case AlwaysTrue() => true
+      case EqualTo(c, v) if v != null =>
+        within(c, Some(v), loStrict = false, Some(v), hiStrict = false)
+      case EqualNullSafe(c, v) if v != null =>
+        within(c, Some(v), loStrict = false, Some(v), hiStrict = false)
+      case GreaterThan(c, v) => within(c, Some(v), loStrict = true, None, hiStrict = false)
+      case GreaterThanOrEqual(c, v) => within(c, Some(v), loStrict = false, None, hiStrict = false)
+      case LessThan(c, v) => within(c, None, loStrict = false, Some(v), hiStrict = true)
+      case LessThanOrEqual(c, v) => within(c, None, loStrict = false, Some(v), hiStrict = false)
+      case In(c, vs) => // provable exactly when the dir is single-valued
+        vs.exists(v => v != null &&
+          within(c, Some(v), loStrict = false, Some(v), hiStrict = false))
+      case IsNotNull(c) => noNulls(c)
+      case And(l, r) => entryAllMatch(schema, e, l) && entryAllMatch(schema, e, r)
+      case Or(l, r) => entryAllMatch(schema, e, l) || entryAllMatch(schema, e, r)
+      case Not(inner) =>
+        // every row satisfies ¬p iff NO row satisfies p AND no row
+        // evaluates p to NULL (¬NULL is NULL, which does not delete)
+        inner.references.forall(noNulls) && !entryCanMatch(schema, e, inner)
+      case _ => false // IsNull (needs all-null proof), string matchers, ...
+    }
+  }
+
+  /** Recorded [mn,mx] ⊆ the bound interval, honoring strictness. False
+    * on any parse surprise — an unproven delete must refuse, never drop.
+    */
+  private def statAllIn(tag: String, s: ColStat, lo: Option[String],
+      loStrict: Boolean, hi: Option[String], hiStrict: Boolean): Boolean =
+    tag match {
+      case "num" => scala.util.Try {
+        lo.forall(l => if (loStrict) BigDecimal(s.min) > BigDecimal(l)
+          else BigDecimal(s.min) >= BigDecimal(l)) &&
+        hi.forall(h => if (hiStrict) BigDecimal(s.max) < BigDecimal(h)
+          else BigDecimal(s.max) <= BigDecimal(h))
+      }.getOrElse(false)
+      case _ => // ts + str canonical forms: UTF-8 binary order
+        lo.forall(l => { val c = ManifestTable.utf8Cmp(s.min, l)
+          if (loStrict) c > 0 else c >= 0 }) &&
+        hi.forall(h => { val c = ManifestTable.utf8Cmp(s.max, h)
+          if (hiStrict) c < 0 else c <= 0 })
+    }
+
+  /** Some(None→None lifted): Some(x) iff the inner canon succeeded. */
+  private def sequenceOpt(o: Option[Option[String]]): Option[Option[String]] =
+    o match {
+      case None => Some(None) // unbounded side: fine
+      case Some(Some(v)) => Some(Some(v))
+      case Some(None) => None // bound present but uncanonicalizable: no proof
+    }
 
   /** True when pushing `f` can contribute to dir pruning — the subset
     * reported back as "pushed" so `explain` shows exactly the filters
@@ -462,7 +540,68 @@ private[graft] object GraftDataSource {
       snapshotVersion: Long, sinceVersion: Long = 0L,
       explicitPin: Boolean = false, statsOpt: Option[Seq[String]] = None)
       extends Table with SupportsRead
-      with org.apache.spark.sql.connector.catalog.SupportsWrite {
+      with org.apache.spark.sql.connector.catalog.SupportsWrite
+      with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+    /** `DELETE FROM … WHERE p` — METADATA-ONLY, or refused: a commit dir
+      * is dropped from the snapshot when its stats prove every row
+      * matches `p` ([[entryAllMatch]]) and kept when they prove none can
+      * ([[entryCanMatch]]); any dir the stats cannot decide refuses the
+      * whole DELETE (Spark surfaces [[canDeleteWhere]] = false as an
+      * analysis error) rather than silently rewriting data — the Iceberg
+      * metadata-delete posture. This is the 100 TB retention primitive:
+      * `DELETE WHERE event_date < X` against date-clustered commits drops
+      * manifest entries, moves zero bytes, and pinned readers keep their
+      * snapshots until vacuum. For a straddling predicate, compact on the
+      * delete column first (`compactClustered`) or rewrite via INSERT
+      * OVERWRITE.
+      */
+    override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+      if (explicitPin || sinceVersion > 0) return false
+      val spark = SparkSession.active
+      val head = math.max(snapshotVersion,
+        ManifestTable.currentVersion(spark, path))
+      ManifestTable.manifestEntries(spark, path, head)
+        .forall(e => decidable(e, filters))
+    }
+
+    private def decidable(e: Entry, filters: Array[Filter]): Boolean =
+      filters.forall(f => entryAllMatch(schema, e, f)) ||
+        filters.exists(f => !entryCanMatch(schema, e, f))
+
+    override def deleteWhere(filters: Array[Filter]): Unit = {
+      require(!explicitPin && sinceVersion == 0,
+        s"graft datasource: cannot DELETE through a time-travel or " +
+          s"incremental view of $path")
+      val spark = SparkSession.active
+      ManifestTable.rewriteEntriesPinned(spark, path) { entries =>
+        entries.filter { e =>
+          // conjunction: drop iff all rows match EVERY conjunct; keep iff
+          // provably no row matches SOME conjunct; else refuse loudly
+          // (re-proven here under the CAS pin - the snapshot may have
+          // moved since canDeleteWhere)
+          if (filters.forall(f => entryAllMatch(schema, e, f))) false
+          else if (filters.exists(f => !entryCanMatch(schema, e, f))) true
+          else throw new IllegalStateException(
+            s"graft datasource: DELETE needs a metadata-only proof for " +
+              s"every commit, but ${e.dir} straddles the predicate " +
+              s"(${filters.mkString(" AND ")}) - compact on the delete " +
+              "column or rewrite via INSERT OVERWRITE")
+        }
+      }
+      ()
+    }
+
+    /** `TRUNCATE TABLE` — an overwrite with the empty snapshot, schema
+      * kept (the default SupportsDeleteV2 route through
+      * `deleteWhere(TRUE)` lands in [[ManifestTable.rewriteEntriesPinned]]'s
+      * empty-snapshot anchor, which preserves the schema too; this
+      * override just states the semantics directly).
+      */
+    override def truncateTable(): Boolean = {
+      deleteWhere(Array[Filter](AlwaysTrue()))
+      true
+    }
     override def name(): String =
       s"graft.`$path`@v$snapshotVersion" +
         (if (sinceVersion > 0) s" since v$sinceVersion" else "")

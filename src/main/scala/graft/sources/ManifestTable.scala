@@ -7,7 +7,7 @@ import scala.io.Source
 
 import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, max, min, unix_micros}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, unix_micros}
 import org.apache.spark.sql.types._
 
 /** Minimal manifest-pinned table: atomic commits and snapshot-isolated
@@ -166,12 +166,18 @@ object ManifestTable {
   }
 
   // ---- manifest entry format ---------------------------------------------
-  // one line per data dir:  <dir>[\t<col>:<tag>:<minB64>:<maxB64>;...]
+  // one line per data dir:  <dir>[\t<col>:<tag>:<minB64>:<maxB64>[:<nulls>];...]
   // stats values are base64 so arbitrary string minima can't collide with
   // the separators; tag is `num` (compare as decimal) or `str` (compare
-  // lexically — correct for strings and ISO dates).
+  // lexically — correct for strings and ISO dates). `nulls` (the column's
+  // null-row count in the dir) is an optional FIFTH field: min/max prove
+  // what a dir CANNOT contain, but an ALL-rows-match proof (metadata-only
+  // DELETE) additionally needs "no rows where the predicate evaluates
+  // NULL" — entries written before the field carry None and simply never
+  // prove all-match, which is conservative in the right direction.
 
-  private[graft] case class ColStat(tag: String, min: String, max: String)
+  private[graft] case class ColStat(tag: String, min: String, max: String,
+      nulls: Option[Long] = None)
   private[graft] case class Entry(dir: String, stats: Map[String, ColStat])
 
   private def b64(s: String) =
@@ -182,7 +188,8 @@ object ManifestTable {
   private def renderEntry(e: Entry): String =
     if (e.stats.isEmpty) e.dir
     else e.dir + "\t" + e.stats.toSeq.sortBy(_._1).map { case (c, s) =>
-      s"$c:${s.tag}:${b64(s.min)}:${b64(s.max)}"
+      s"$c:${s.tag}:${b64(s.min)}:${b64(s.max)}" +
+        s.nulls.map(n => s":$n").getOrElse("")
     }.mkString(";")
 
   private def parseEntry(line: String): Entry = line.split("\t", -1) match {
@@ -191,8 +198,15 @@ object ManifestTable {
     // so an empty-string min/max (b64("") == "") would destructure into
     // 2-3 fields and MatchError every subsequent read of the table
     case Array(dir, stats) => Entry(dir, stats.split(';').map { part =>
-      val Array(c, tag, mn, mx) = part.split(":", -1)
-      c -> ColStat(tag, unb64(mn), unb64(mx))
+      part.split(":", -1) match {
+        case Array(c, tag, mn, mx) =>
+          c -> ColStat(tag, unb64(mn), unb64(mx))
+        case Array(c, tag, mn, mx, n) =>
+          c -> ColStat(tag, unb64(mn), unb64(mx), n.toLongOption)
+        case other => throw new IllegalStateException(
+          s"manifest-table: unreadable stats field '$part' " +
+            s"(${other.length} segments)")
+      }
     }.toMap)
     case other => Entry(other.head, Map.empty)
   }
@@ -244,7 +258,9 @@ object ManifestTable {
   private def statAggs(tags: Map[String, String]): Seq[org.apache.spark.sql.Column] =
     tags.toSeq.sortBy(_._1).flatMap { case (c, tag) =>
       val e = if (tag == "ts") unix_micros(col(c)) else col(c)
-      Seq(min(e).cast("string").as(s"mn_$c"), max(e).cast("string").as(s"mx_$c"))
+      Seq(min(e).cast("string").as(s"mn_$c"), max(e).cast("string").as(s"mx_$c"),
+        // null count rides the same single agg pass: count(*) - count(c)
+        (count(lit(1)) - count(col(c))).as(s"nc_$c"))
     }
 
   /** Canonical UTC rendering of an epoch-micros instant — fixed width, so
@@ -285,9 +301,10 @@ object ManifestTable {
       tag != "num" || scala.util.Try(BigDecimal(s)).isSuccess
     tags.flatMap { case (c, tag) =>
       val (mn, mx) = (row.getAs[String](s"mn_$c"), row.getAs[String](s"mx_$c"))
+      val nulls = Option(row.getAs[Long](s"nc_$c"))
       if (mn == null || mx == null || !finite(tag, mn) || !finite(tag, mx)) None
-      else if (tag == "ts") Some(c -> ColStat(tag, tsCanon(mn.toLong), tsCanon(mx.toLong)))
-      else Some(c -> ColStat(tag, mn, mx))
+      else if (tag == "ts") Some(c -> ColStat(tag, tsCanon(mn.toLong), tsCanon(mx.toLong), nulls))
+      else Some(c -> ColStat(tag, mn, mx, nulls))
     }
   }
 
@@ -525,16 +542,16 @@ object ManifestTable {
     manifestEntries(spark, table, v).filter { e =>
       e.stats.get(column) match {
         case None => true
-        case Some(ColStat("num", mn, mx)) =>
+        case Some(ColStat("num", mn, mx, _)) =>
           val (l, h) = callerBounds
           // unparseable RECORDED bounds keep the dir - pruning must only
           // ever skip what provably cannot match
           scala.util.Try(BigDecimal(mx) >= l && BigDecimal(mn) <= h)
             .getOrElse(true)
-        case Some(ColStat("ts", mn, mx)) =>
+        case Some(ColStat("ts", mn, mx, _)) =>
           val (l, h) = tsBounds
           mx >= l && mn <= h
-        case Some(ColStat(_, mn, mx)) =>
+        case Some(ColStat(_, mn, mx, _)) =>
           utf8Leq(lo, mx) && utf8Leq(mn, hi)
       }
     }.map(_.dir)
@@ -551,9 +568,14 @@ object ManifestTable {
     * fixed-width ASCII and date strings are ASCII — either order agrees —
     * but they could route through here too without harm.)
     */
-  private[graft] def utf8Leq(a: String, b: String): Boolean =
+  private[graft] def utf8Leq(a: String, b: String): Boolean = utf8Cmp(a, b) <= 0
+
+  /** Three-way UTF-8 binary compare — for the strict-inequality side of
+    * all-rows-match proofs, where `<=` and `<` genuinely differ.
+    */
+  private[graft] def utf8Cmp(a: String, b: String): Int =
     java.util.Arrays.compareUnsigned(
-      a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8)) <= 0
+      a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
 
   /** Range-scoped snapshot read: scans only the commits whose recorded
     * stats can contain `column ∈ [lo, hi]`. The caller still applies its
@@ -728,6 +750,52 @@ object ManifestTable {
         s"(${dropped.size} dirs rewritten by an overwrite/compaction) - " +
         "re-bootstrap the consumer from the current snapshot")
     (toEntries, toEntries.filterNot(e => fromDirs(e.dir)))
+  }
+
+  /** Metadata-only snapshot rewrite: commit a new version whose entry
+    * list is `rewrite(head entries)` — the primitive under metadata-only
+    * DELETE. No data moves or is destroyed: dropped dirs stay on disk for
+    * pinned readers until [[vacuum]], exactly like an overwrite's
+    * replaced commits. Concurrency is [[compactCommit]]'s contract — the
+    * new content DERIVES from the snapshot it read, so the CAS is pinned
+    * to that base and a lost race recomputes from the new head rather
+    * than publishing a stale derivation (`rewrite` re-runs per attempt
+    * and may throw if the new head no longer supports the rewrite).
+    *
+    * A rewrite that empties the snapshot commits ONE fresh empty data dir
+    * instead: the snapshot schema lives in parquet footers, so a
+    * zero-dir manifest would erase the schema and strand every
+    * follow-up INSERT. The anchor dir is written once and reused across
+    * CAS retries.
+    */
+  private[graft] def rewriteEntriesPinned(spark: SparkSession, table: String)(
+      rewrite: Seq[Entry] => Seq[Entry]): Long = {
+    var committed = 0L
+    var anchor: Option[Entry] = None
+    while (committed == 0L) {
+      val v = highestManifest(spark, table)
+      require(v > 0, s"manifest-table: $table has no committed version")
+      val entries = manifestEntries(spark, table, v)
+      val kept = rewrite(entries) match {
+        case empty if empty.isEmpty =>
+          if (anchor.isEmpty) {
+            val schema = snapshotSchemaCached(spark, table, v, entries.map(_.dir))
+            val dirName =
+              s"data/${UUID.randomUUID().toString.replace("-", "").take(16)}"
+            spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+              .repartition(1).write.parquet(new Path(table, dirName).toString)
+            anchor = Some(Entry(dirName, Map.empty))
+          }
+          anchor.toSeq
+        case kept => kept
+      }
+      val content = kept.sortBy(_.dir).map(renderEntry).mkString("\n")
+      if (casCreateFile(spark, manifestPath(table, v + 1), content))
+        committed = v + 1
+    }
+    advancePointer(spark, table, committed)
+    committed
   }
 
   /** Rewrite the current snapshot into ~targetBytes files and commit the

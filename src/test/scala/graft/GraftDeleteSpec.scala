@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{GraftCatalog, GraftDataSource, ManifestTable}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Metadata-only DELETE: drop whole commits when stats prove every row
+  * matches, refuse loudly when they cannot — never rewrite data rows.
+  */
+class GraftDeleteSpec extends SparkSpec {
+  import ManifestTable.{ColStat, Entry}
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  test("entryAllMatch: strictness, null gates, Not duality, In") {
+    def stat(mn: Long, mx: Long, nulls: Option[Long]) =
+      Entry("data/d", Map("id" -> ColStat("num", mn.toString, mx.toString, nulls)))
+    val clean = stat(10, 20, Some(0L))
+
+    // range proofs honor strictness exactly at the boundary
+    assert(GraftDataSource.entryAllMatch(schema, clean, GreaterThanOrEqual("id", 10L)))
+    assert(!GraftDataSource.entryAllMatch(schema, clean, GreaterThan("id", 10L)),
+      "min == strict bound: some row may equal it")
+    assert(GraftDataSource.entryAllMatch(schema, clean, GreaterThan("id", 9L)))
+    assert(GraftDataSource.entryAllMatch(schema, clean, LessThanOrEqual("id", 20L)))
+    assert(!GraftDataSource.entryAllMatch(schema, clean, LessThan("id", 20L)))
+
+    // any null row breaks every proof (a NULL predicate row is not
+    // deleted, so dropping its dir would over-delete)
+    val withNulls = stat(10, 20, Some(3L))
+    assert(!GraftDataSource.entryAllMatch(schema, withNulls,
+      GreaterThanOrEqual("id", 0L)))
+    assert(GraftDataSource.entryAllMatch(schema, clean, IsNotNull("id")))
+    assert(!GraftDataSource.entryAllMatch(schema, withNulls, IsNotNull("id")))
+
+    // legacy entries (no null count) never prove
+    val legacy = stat(10, 20, None)
+    assert(!GraftDataSource.entryAllMatch(schema, legacy,
+      GreaterThanOrEqual("id", 0L)))
+
+    // Not: all rows match ¬p iff no row CAN match p and p never
+    // evaluates NULL
+    assert(GraftDataSource.entryAllMatch(schema, clean,
+      Not(GreaterThan("id", 100L))))
+    assert(!GraftDataSource.entryAllMatch(schema, withNulls,
+      Not(GreaterThan("id", 100L))))
+    assert(!GraftDataSource.entryAllMatch(schema, clean,
+      Not(GreaterThan("id", 15L))), "some rows could match the inner pred")
+
+    // In: provable exactly for single-valued dirs
+    val single = stat(7, 7, Some(0L))
+    assert(GraftDataSource.entryAllMatch(schema, single, In("id", Array(7L, 9L))))
+    assert(!GraftDataSource.entryAllMatch(schema, clean, In("id", Array(10L, 20L))))
+
+    // conjunction/disjunction compose
+    assert(GraftDataSource.entryAllMatch(schema, clean,
+      And(GreaterThanOrEqual("id", 10L), LessThanOrEqual("id", 20L))))
+    assert(GraftDataSource.entryAllMatch(schema, clean,
+      Or(GreaterThan("id", 50L), LessThanOrEqual("id", 20L))))
+  }
+
+  test("DELETE FROM: metadata-only retention, refusals, truncate, rebirth") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_delete").toString
+    spark.conf.set("spark.sql.catalog.delcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.delcat.root", root)
+    val table = s"$root/t"
+
+    // two key-split commits with id stats (null counts recorded)
+    ManifestTable.commit((1 to 100).map(i => (i.toLong, s"a$i")).toDF("id", "v"),
+      table, append = false, statsCols = Seq("id"))
+    ManifestTable.commit((101 to 150).map(i => (i.toLong, s"b$i")).toDF("id", "v"),
+      table, append = true, statsCols = Seq("id"))
+    val dirsBefore = ManifestTable.manifestEntries(spark, table, 2L).map(_.dir)
+
+    // retention: the predicate covers commit 1 exactly -> dropped from
+    // the snapshot, zero bytes moved
+    spark.sql("DELETE FROM delcat.t WHERE id <= 100")
+    assert(spark.sql("SELECT count(*) FROM delcat.t").head.getLong(0) == 50)
+    assert(ManifestTable.currentVersion(spark, table) == 3L)
+    // history intact: the pre-delete snapshot still reads in full
+    assert(spark.sql("SELECT count(*) FROM delcat.t VERSION AS OF 2")
+      .head.getLong(0) == 150)
+    // metadata-only: the dropped dir's files are untouched on disk
+    val dropped = dirsBefore.diff(
+      ManifestTable.manifestEntries(spark, table, 3L).map(_.dir))
+    assert(dropped.size == 1)
+    assert(new java.io.File(s"$table/${dropped.head}").listFiles()
+      .exists(_.getName.endsWith(".parquet")),
+      "metadata delete must not destroy data (vacuum reclaims it)")
+
+    // a straddling predicate must refuse, not rewrite
+    val straddle = intercept[Exception](
+      spark.sql("DELETE FROM delcat.t WHERE id <= 120"))
+    assert(straddle.getMessage.toLowerCase.contains("delete"), straddle.getMessage)
+    assert(spark.sql("SELECT count(*) FROM delcat.t").head.getLong(0) == 50,
+      "a refused delete must change nothing")
+
+    // a predicate on a column with null rows must refuse even when
+    // min/max would prove it
+    val t2 = s"$root/t2"
+    ManifestTable.commit(
+      Seq((Some(1L), "a"), (Some(2L), "b"), (Option.empty[Long], "n"))
+        .toDF("id", "v"),
+      t2, append = false, statsCols = Seq("id"))
+    val nullRefuse = intercept[Exception](
+      spark.sql("DELETE FROM delcat.t2 WHERE id <= 100"))
+    assert(nullRefuse.getMessage.toLowerCase.contains("delete"),
+      nullRefuse.getMessage)
+
+    // delete-all empties the snapshot but keeps the schema: the table
+    // stays INSERTable (rebirth)
+    spark.sql("DELETE FROM delcat.t")
+    assert(spark.sql("SELECT count(*) FROM delcat.t").head.getLong(0) == 0)
+    spark.sql("INSERT INTO delcat.t VALUES (9, 'z')")
+    assert(spark.sql("SELECT v FROM delcat.t").head.getString(0) == "z")
+
+    // TRUNCATE TABLE: same contract through Spark's own statement
+    spark.sql("TRUNCATE TABLE delcat.t")
+    assert(spark.sql("SELECT count(*) FROM delcat.t").head.getLong(0) == 0)
+
+    // legacy manifest entries (pre-null-count format) refuse proofs e2e:
+    // strip the nulls field from the live manifest and try the delete
+    val t3 = s"$root/t3"
+    ManifestTable.commit((1 to 10).map(i => (i.toLong, "x")).toDF("id", "v"),
+      t3, append = false, statsCols = Seq("id"))
+    val mPath = java.nio.file.Paths.get(s"$t3/_manifests/m-000001.txt")
+    val legacyLine = new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8")
+      .split("\t").toList match {
+        case dir :: stats :: Nil =>
+          dir + "\t" + stats.split(';').map(p =>
+            p.split(":", -1).take(4).mkString(":")).mkString(";")
+        case other => fail(s"unexpected manifest shape: $other")
+      }
+    java.nio.file.Files.write(mPath, legacyLine.getBytes("UTF-8"))
+    // the raw rewrite invalidates the local-fs checksum sidecar
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$t3/_manifests/.m-000001.txt.crc"))
+    val legacyRefuse = intercept[Exception](
+      spark.sql("DELETE FROM delcat.t3 WHERE id <= 100"))
+    assert(legacyRefuse.getMessage.toLowerCase.contains("delete"),
+      legacyRefuse.getMessage)
+    // but the legacy entry still READS and prunes fine
+    assert(spark.sql("SELECT count(*) FROM delcat.t3").head.getLong(0) == 10)
+  }
+}
