@@ -798,6 +798,117 @@ object ManifestTable {
     committed
   }
 
+  /** Stats-pruned copy-on-write UPSERT — the merge that scales: rewrite
+    * ONLY the commits whose recorded key ranges can contain an update
+    * key, keep every provably-disjoint commit untouched. [[graft
+    * .operators.Lifecycle.cdcApply]] answers "apply this delta" by
+    * producing a full new snapshot; at 100 TB the right question is
+    * "which of the table's thousands of commits can this delta even
+    * touch" — against key- or time-clustered commits (ingest order, or
+    * [[compactClustered]]) a small hot-key delta rewrites a handful of
+    * dirs and the manifest carries the rest forward by reference.
+    *
+    * Semantics: rows of `updates` REPLACE target rows with equal
+    * `keyCols` (matched exactly by anti-join inside the affected dirs —
+    * range overlap only decides which dirs to read); unmatched update
+    * rows insert. `updates` must be key-unique with non-null keys (the
+    * SQL MERGE multiple-match rule, enforced), and match the snapshot
+    * schema. Target rows with null keys never match and survive. An
+    * empty `updates` is a no-op returning the current version.
+    *
+    * Concurrency is [[compactCommit]]'s pinned-CAS contract (the rewrite
+    * derives from the snapshot it read; a lost race discards and
+    * recomputes). New-dir stats record on `statsCols`, defaulting to the
+    * head's recorded stats columns so pruning — including the NEXT
+    * merge's — survives by inheritance.
+    *
+    * `updates` is consumed several times (key-hygiene check, range agg,
+    * anti-join, write): it is eagerly checkpointed here and released
+    * before returning, so an expensive upstream plan computes once.
+    */
+  def mergeCommit(spark: SparkSession, table: String, updates: DataFrame,
+      keyCols: Seq[String], statsCols: Seq[String] = Nil): Long = {
+    require(keyCols.nonEmpty, "manifest-table: merge needs key columns")
+    keyCols.foreach(c => require(updates.columns.contains(c),
+      s"manifest-table: key column $c missing from updates"))
+    val keyTags = statTags(updates.schema, keyCols)
+    keyCols.foreach(c => require(keyTags.contains(c),
+      s"manifest-table: key column $c has no comparable stats type " +
+        "(num/str/date/ts) - range pruning cannot bound the rewrite"))
+    if (updates.isEmpty) {
+      val v = currentVersion(spark, table)
+      require(v > 0, s"manifest-table: $table has no committed version")
+      return v
+    }
+    val u = updates.localCheckpoint(true)
+    try {
+      val dupes = u.groupBy(keyCols.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dupes == 0,
+        s"manifest-table: updates are not key-unique on ${keyCols.mkString(",")} " +
+          "(the SQL MERGE multiple-match rule)")
+      // the updates' key envelope, in the SAME canonical forms the
+      // manifest stats use - so overlap compares apples to apples
+      val aggs = statAggs(keyTags)
+      val kstats = rowStats(keyTags, u.agg(aggs.head, aggs.tail: _*).head())
+      keyCols.foreach(c => require(kstats.get(c).exists(_.nulls.contains(0L)),
+        s"manifest-table: null keys in updates column $c"))
+
+      def affectedBy(e: Entry): Boolean = keyCols.forall { c =>
+        (e.stats.get(c), kstats.get(c)) match {
+          case (Some(s), Some(k)) if s.tag == k.tag =>
+            statOverlap(s.tag, s, k.min, k.max)
+          case _ => true // no/mismatched stats: cannot prove disjoint
+        }
+      }
+
+      val root = new Path(table)
+      val f = fs(spark, root)
+      var committed = 0L
+      while (committed == 0L) {
+        val v = highestManifest(spark, table)
+        if (v == 0) { // merge into nothing = create
+          committed = commit(u, table, append = false,
+            statsCols = if (statsCols.nonEmpty) statsCols else keyCols)
+        } else {
+          checkAppendSchema(spark, table, v, u, allowEvolution = false)
+          val entries = manifestEntries(spark, table, v)
+          val (affected, untouched) = entries.partition(affectedBy)
+          val dirName =
+            s"data/${UUID.randomUUID().toString.replace("-", "").take(16)}"
+          val dirPath = new Path(table, dirName)
+          val schema = snapshotSchemaCached(spark, table, v, entries.map(_.dir))
+          val survivors = sliceRead(spark, table, affected.map(_.dir).sorted, schema)
+            .join(u.select(keyCols.map(col): _*), keyCols, "left_anti")
+          survivors.unionByName(u).write.parquet(dirPath.toString)
+          val effStats = if (statsCols.nonEmpty) statsCols
+            else entries.flatMap(_.stats.keys).distinct.sorted
+          val entry = Entry(dirName, commitStats(spark, dirPath, effStats))
+          val content = (untouched :+ entry).sortBy(_.dir)
+            .map(renderEntry).mkString("\n")
+          if (casCreateFile(spark, manifestPath(table, v + 1), content))
+            committed = v + 1
+          else f.delete(dirPath, true) // stale-derived rewrite: recompute
+        }
+      }
+      advancePointer(spark, table, committed)
+      committed
+    } finally graft.CacheHygiene.release(u)
+  }
+
+  /** Can a commit's recorded range for one column intersect the
+    * canonical [lo, hi]? Shared by [[mergeCommit]]'s affected-dir
+    * decision; unparseable recorded bounds keep the dir (never-prove-
+    * disjoint is the safe direction).
+    */
+  private def statOverlap(tag: String, s: ColStat, lo: String, hi: String): Boolean =
+    tag match {
+      case "num" => scala.util.Try(
+        BigDecimal(s.max) >= BigDecimal(lo) && BigDecimal(s.min) <= BigDecimal(hi))
+        .getOrElse(true)
+      case _ => utf8Leq(lo, s.max) && utf8Leq(s.min, hi)
+    }
+
   /** Rewrite the current snapshot into ~targetBytes files and commit the
     * result as a new version — compaction with zero reader-visible
     * downtime (old snapshot stays pinned-readable until vacuumed).
