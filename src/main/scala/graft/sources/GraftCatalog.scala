@@ -163,6 +163,12 @@ final class GraftCatalog extends TableCatalog {
       "graft catalog: PARTITIONED BY is not supported - manifest tables " +
         "organize by commit; cluster at compaction (compactClustered/ZOrdered)")
     require(schema.nonEmpty, "graft catalog: CREATE TABLE needs columns")
+    // a `USING parquet` (or any other format) in THIS catalog would still
+    // create a manifest table - refuse rather than silently reinterpret
+    Option(properties.get("provider")).filter(_.nonEmpty).foreach(p =>
+      require(p.equalsIgnoreCase("graft"),
+        s"graft catalog: tables are manifest tables; USING $p is not " +
+          "supported (omit USING, or say USING graft)"))
     val path = tablePath(ident)
     if (isManifestTable(path)) throw new TableAlreadyExistsException(ident)
     // one empty partition, so the parquet writer emits a real footer the

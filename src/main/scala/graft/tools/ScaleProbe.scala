@@ -53,7 +53,58 @@ object ScaleProbe {
       // sample of a fresh run pays it and prints a SHARDBUILD line; the
       // min-of-3 therefore reports steady-state search cost)
       ("q57_sharded_k4" ->
-        ((s: SparkSession, dir: String) => shardedSearch(s, dir, 4)))
+        ((s: SparkSession, dir: String) => shardedSearch(s, dir, 4))) :+
+      // the stats-pruned copy-on-write merge (r9): orders land as
+      // ~fixed-SIZE key-clustered commits (more commits at larger scale,
+      // the shape a real ingest/compaction produces), and each sample
+      // merges a 1000-row delta confined to one commit's key range. The
+      // scale claim this evidences: merge wall tracks the TOUCHED commit
+      // (~constant rows), not the table - flat across 10x data, vs the
+      // full-snapshot rewrite growing 10x
+      ("merge_pruned" ->
+        ((s: SparkSession, dir: String) => mergeProbe(s, dir)))
+
+  /** Build-if-missing a key-clustered manifest table + a one-commit
+    * delta, then run (and thereby time) one pruned merge; returns a
+    * 1-row frame recording how much of the table carried forward by
+    * reference.
+    */
+  private def mergeProbe(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestTable
+    val base = "scratch/mergeprobe-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val table = s"$base/orders_lake"
+    val deltaPath = s"$base/delta.parquet"
+    val f = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(new Path(deltaPath))) {
+      val t0 = System.nanoTime()
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val n = o.count()
+      val buckets = math.max(2, math.ceil(n / 100000.0).toInt)
+      val qs = o.stat.approxQuantile("o_orderkey",
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+      val bounds = (Double.NegativeInfinity +: qs.toSeq) :+ Double.PositiveInfinity
+      bounds.sliding(2).zipWithIndex.foreach { case (pair, i) =>
+        val (lo, hi) = (pair.head, pair.last)
+        ManifestTable.commit(
+          o.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi),
+          table, append = i > 0, statsCols = Seq("o_orderkey"))
+      }
+      // the delta: 1000 smallest keys - confined to the first commit's
+      // range by construction; same schema, one value column touched
+      o.orderBy("o_orderkey").limit(1000)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        .write.mode("overwrite").parquet(deltaPath)
+      println(f"""MERGEBUILD {"dir":"$dir","commits":$buckets,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+    }
+    val before = ManifestTable.currentVersion(s, table)
+    val beforeDirs = ManifestTable.manifestEntries(s, table, before).map(_.dir)
+    val v = ManifestTable.mergeCommit(s, table,
+      s.read.parquet(deltaPath), Seq("o_orderkey"))
+    val afterDirs = ManifestTable.manifestEntries(s, table, v).map(_.dir)
+    val carried = beforeDirs.intersect(afterDirs).size
+    import s.implicits._
+    Seq((v, beforeDirs.size, carried)).toDF("version", "dirs", "carried")
+  }
 
   /** Build-if-missing a K-shard index over `dir`'s embeddings corpus in
     * scratch/, then return the sharded search frame (same query set as

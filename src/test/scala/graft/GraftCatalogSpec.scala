@@ -114,5 +114,11 @@ class GraftCatalogSpec extends SparkSpec {
     val drift = intercept[Exception](
       spark.sql("INSERT INTO dml.jobs VALUES (1, 'a', 99)"))
     assert(drift.getMessage.toLowerCase.contains("column"), drift.getMessage)
+
+    // a foreign USING format is refused, not silently reinterpreted
+    val foreign = intercept[Exception](
+      spark.sql("CREATE TABLE dml.alien (id BIGINT) USING parquet"))
+    assert(foreign.getMessage.contains("USING parquet is not"),
+      foreign.getMessage)
   }
 }
