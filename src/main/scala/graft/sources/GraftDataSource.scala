@@ -77,6 +77,16 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
     with StreamSinkProvider {
   override def shortName(): String = "graft"
 
+  // sourceSchema and createSource run on the SAME provider instance (the
+  // streaming DataSource holds one): sourceSchema caches its resolution
+  // and createSource CONSUMES it, so the source binds exactly the schema
+  // the plan resolved — re-resolving in createSource would race an
+  // evolution append landing between plan resolution and query start
+  // into a schema one column wider than the bound plan (first batch
+  // fails on attribute mismatch). A consumed/absent entry re-resolves.
+  private val streamResolutions = new java.util.concurrent.ConcurrentHashMap[
+    Map[String, String], (String, StructType, Long, Option[Long])]()
+
   /** `spark.readStream.format("graft")` — the table's change feed as a
     * V1 streaming source ([[GraftStreamSource]]: version offsets, each
     * micro-batch a native pruned read of exactly the appended commits).
@@ -85,7 +95,8 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty,
       "graft stream: the manifest schema is authoritative - drop .schema(...)")
-    (shortName(), GraftDataSource.streamSetup(ctx.sparkSession, parameters)._2)
+    (shortName(), streamResolutions.computeIfAbsent(parameters,
+      p => GraftDataSource.streamSetup(ctx.sparkSession, p))._2)
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
@@ -93,7 +104,8 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
     val (path, tableSchema, since, maxV) =
-      GraftDataSource.streamSetup(ctx.sparkSession, parameters)
+      Option(streamResolutions.remove(parameters))
+        .getOrElse(GraftDataSource.streamSetup(ctx.sparkSession, parameters))
     new GraftStreamSource(ctx.sparkSession, path, tableSchema, since, maxV,
       metadataPath)
   }
@@ -123,9 +135,8 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
     require(!opts.containsKey("version") && !opts.containsKey("sinceVersion"),
       "graft sink: version/sinceVersion are read options - commits land " +
         "on the CAS head")
-    val stats = Option(opts.get("stats")).map(_.split(',').toSeq
-      .map(_.trim).filter(_.nonEmpty))
-    new GraftStreamSink(ctx.sparkSession, path, outputMode, stats)
+    new GraftStreamSink(ctx.sparkSession, path, outputMode,
+      GraftDataSource.statsOption(opts))
   }
 
   // user-specified schemas are rejected (supportsExternalMetadata stays
@@ -281,6 +292,11 @@ private[graft] object GraftDataSource {
         throw new IllegalArgumentException(
           s"graft stream: sinceVersion '$v' is not a version >= 0")))
       .getOrElse(0L)
+    // the batch surface refuses a sinceVersion past the head; a STREAM
+    // doing so would not fail - it would silently deliver nothing
+    // forever (and skip the gap once the head catches up), the worse bug
+    require(since <= head, s"graft stream: sinceVersion $since is past " +
+      s"the head $head")
     val maxV = Option(opts.get("maxVersionsPerBatch")).map(_.trim)
       .filter(_.nonEmpty).map(v => scala.util.Try(v.toLong).filter(_ > 0L)
         .getOrElse(throw new IllegalArgumentException(
@@ -329,28 +345,17 @@ private[graft] object GraftDataSource {
 
   /** Can a commit's recorded [min,max] for one column intersect
     * [lo, hi] (None = that side unbounded)? Bounds arrive already in the
-    * tag's canonical form. Same comparison semantics as
-    * [[ManifestTable.prunedDataDirs]] with one deliberate difference in
-    * error posture: THERE an unparseable caller bound is a caller bug
-    * and throws; HERE bounds come from typed Catalyst literals, so any
-    * parse surprise (recorded or given) degrades to "keep the dir" —
-    * a planner-path filter must never throw, only decline to prune.
+    * tag's canonical form. ONE comparator serves this, the merge path,
+    * and their parse-tolerance posture: [[ManifestTable.statOverlap]]
+    * (decimal for num; UTF-8 BINARY order for str/ts canonical forms —
+    * the order Spark's min/max recorded them in; any parse surprise
+    * keeps the dir). [[ManifestTable.prunedDataDirs]] stays separate on
+    * purpose: there an unparseable CALLER bound is a caller bug and
+    * throws, while a planner-path filter must never throw, only decline
+    * to prune.
     */
   private def statCanMatch(s: ColStat, lo: Option[String], hi: Option[String]): Boolean =
-    s match {
-      case ColStat("num", mn, mx, _) =>
-        scala.util.Try {
-          lo.forall(l => BigDecimal(mx) >= BigDecimal(l)) &&
-            hi.forall(h => BigDecimal(mn) <= BigDecimal(h))
-        }.getOrElse(true)
-      case ColStat(_, mn, mx, _) =>
-        // ts + str: canonical string forms, compared in UTF-8 BINARY
-        // order — the order Spark's min/max recorded them in. UTF-16
-        // code-unit compare disagrees on BMP-≥U+E000 vs emoji and would
-        // prune dirs that hold matching rows (see ManifestTable.utf8Leq)
-        lo.forall(l => ManifestTable.utf8Leq(l, mx)) &&
-          hi.forall(h => ManifestTable.utf8Leq(mn, h))
-    }
+    ManifestTable.statOverlap(s.tag, s, lo, hi)
 
   /** Dir-level answer to "can this commit hold rows matching `f`?" —
     * strictly conservative: true unless the stats PROVE no row can

@@ -857,7 +857,7 @@ object ManifestTable {
       def affectedBy(e: Entry): Boolean = keyCols.forall { c =>
         (e.stats.get(c), kstats.get(c)) match {
           case (Some(s), Some(k)) if s.tag == k.tag =>
-            statOverlap(s.tag, s, k.min, k.max)
+            statOverlap(s.tag, s, Some(k.min), Some(k.max))
           case _ => true // no/mismatched stats: cannot prove disjoint
         }
       }
@@ -896,17 +896,25 @@ object ManifestTable {
     } finally graft.CacheHygiene.release(u)
   }
 
-  /** Can a commit's recorded range for one column intersect the
-    * canonical [lo, hi]? Shared by [[mergeCommit]]'s affected-dir
-    * decision; unparseable recorded bounds keep the dir (never-prove-
-    * disjoint is the safe direction).
+  /** THE interval-intersection predicate over recorded stats: can a
+    * commit's [min,max] for one column intersect the canonical [lo, hi]
+    * (None = unbounded side)? Shared by [[mergeCommit]]'s affected-dir
+    * decision and the SQL scan's dir pruning
+    * ([[GraftDataSource]].statCanMatch delegates here) so the comparison
+    * semantics — decimal for num, UTF-8 binary for str/ts canonical
+    * forms — cannot drift between the merge path and the read path. Any
+    * parse surprise keeps the dir: never-prove-disjoint is the safe
+    * direction on both paths.
     */
-  private def statOverlap(tag: String, s: ColStat, lo: String, hi: String): Boolean =
+  private[graft] def statOverlap(tag: String, s: ColStat,
+      lo: Option[String], hi: Option[String]): Boolean =
     tag match {
-      case "num" => scala.util.Try(
-        BigDecimal(s.max) >= BigDecimal(lo) && BigDecimal(s.min) <= BigDecimal(hi))
-        .getOrElse(true)
-      case _ => utf8Leq(lo, s.max) && utf8Leq(s.min, hi)
+      case "num" => scala.util.Try {
+        lo.forall(l => BigDecimal(s.max) >= BigDecimal(l)) &&
+          hi.forall(h => BigDecimal(s.min) <= BigDecimal(h))
+      }.getOrElse(true)
+      case _ =>
+        lo.forall(l => utf8Leq(l, s.max)) && hi.forall(h => utf8Leq(s.min, h))
     }
 
   /** Rewrite the current snapshot into ~targetBytes files and commit the

@@ -168,6 +168,15 @@ class GraftDataSourceSpec extends SparkSpec {
         .option("version", "1").mode("append").save(fresh)
     }
     assert(pinW.getMessage.contains("read options"), pinW.getMessage)
+
+    // append-on-unborn bootstraps v1: with only V1_BATCH_WRITE declared,
+    // Spark's append path falls back to the V1 createRelation, which
+    // commits against version 0
+    val fresh2 = Files.createTempDirectory("graft_dsv2_fresh2").toString + "/f"
+    Seq((1L, "a")).toDF("id", "v").write.format("graft")
+      .mode("append").save(fresh2)
+    assert(spark.read.format("graft").load(fresh2).count() == 1)
+    assert(ManifestTable.currentVersion(spark, fresh2) == 1L)
   }
 
   test("sinceVersion: incremental consumption through the SQL surface") {

@@ -238,6 +238,11 @@ class GraftStreamSpec extends SparkSpec {
     val pin = intercept[Exception](spark.readStream.format("graft")
       .option("version", "2").load(table))
     assert(pin.getMessage.contains("batch read option"), pin.getMessage)
+    // a sinceVersion past the head would not fail a stream - it would
+    // silently deliver nothing forever; refuse like the batch surface
+    val past = intercept[Exception](spark.readStream.format("graft")
+      .option("sinceVersion", "99").load(table))
+    assert(past.getMessage.contains("past the head"), past.getMessage)
     val unborn = intercept[Exception](spark.readStream.format("graft")
       .load(table + "_nope"))
     assert(unborn.getMessage.contains("no committed version"), unborn.getMessage)
