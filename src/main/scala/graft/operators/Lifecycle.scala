@@ -433,7 +433,78 @@ object Lifecycle {
     """)
   }
 
+  private val q81Cache = new ScratchCache("graft_q81")
+
+  /** The stats-pruned copy-on-write merge, ORACLE-GATED: orders land as
+    * two key-split commits, [[graft.sources.ManifestTable.mergeCommit]]
+    * applies a deterministic delta (every 97th key's price doubles;
+    * every 101st key re-inserts under a shifted key), and the query
+    * returns the post-merge snapshot. DuckDB reconstructs the upsert
+    * from the raw parquet with a CASE expression — the hash-match proves
+    * replacement, insertion, and carry-forward all landed exactly.
+    */
+  def q81MergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val table = q81Cache.get(d) { root =>
+      val t = s"$root/orders_lake"
+      val o = orders(s, d).select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val cut = o.agg(ceil(max(col("o_orderkey")) / 2.0).cast("long"))
+        .head.getLong(0)
+      graft.sources.ManifestTable.commit(o.filter(col("o_orderkey") <= cut),
+        t, append = false, statsCols = Seq("o_orderkey"))
+      graft.sources.ManifestTable.commit(o.filter(col("o_orderkey") > cut),
+        t, append = true, statsCols = Seq("o_orderkey"))
+      val updates = o.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val inserts = o.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+      graft.sources.ManifestTable.mergeCommit(s, t,
+        updates.unionByName(inserts), Seq("o_orderkey"))
+      t
+    }
+    graft.sources.ManifestTable.read(s, table)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("o_orderstatus"))
+  }
+
+  private val q82Cache = new ScratchCache("graft_q82")
+
+  /** Metadata-only retention DELETE, ORACLE-GATED: orders land as two
+    * date-split commits (o_orderdate stats with null counts), a SQL
+    * `DELETE FROM … WHERE o_orderdate <= cut` drops the early commit
+    * purely from the manifest (all-rows-match proof), and the query
+    * aggregates the survivors monthly. DuckDB computes the survivor set
+    * from the raw parquet — the hash-match proves the delete removed
+    * exactly the claimed rows and nothing else. (`<=` on the last kept
+    * value, not `<` on the boundary: can-match collapses strict bounds,
+    * so a boundary-exact commit is undecidable by design.)
+    */
+  def q82RetentionDelete(s: SparkSession, d: String): DataFrame = {
+    val cat = s"graftq82_${Integer.toHexString(d.hashCode & 0x7fffffff)}"
+    q82Cache.get(d) { root =>
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val t = s"$root/orders_lake"
+      val o = orders(s, d).select("o_orderkey", "o_orderdate", "o_totalprice")
+      graft.sources.ManifestTable.commit(
+        o.filter(col("o_orderdate") <= lit("1997-12-31")),
+        t, append = false, statsCols = Seq("o_orderdate"))
+      graft.sources.ManifestTable.commit(
+        o.filter(col("o_orderdate") > lit("1997-12-31")),
+        t, append = true, statsCols = Seq("o_orderdate"))
+      s.sql(s"DELETE FROM $cat.orders_lake WHERE o_orderdate <= '1997-12-31'")
+      root
+    }
+    s.sql(s"""
+      SELECT substring(o_orderdate, 1, 7) AS month,
+             count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      FROM $cat.orders_lake GROUP BY 1
+    """)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_retention_delete" -> q82RetentionDelete _,
+    "q81_merge_upsert" -> q81MergeUpsert _,
     "q80_sql_dml" -> q80SqlDml _,
     "q79_lake_sql" -> q79LakeSql _,
     "q77_manifest_mart" -> q77ManifestMart _,
@@ -452,6 +523,27 @@ object Lifecycle {
   )
 
   val oracles: Map[String, String] = Map(
+    // the upsert reconstructed without any table format: replacements by
+    // CASE, inserts by a shifted-key union - byte-identical or the merge
+    // misapplied something
+    "q81_merge_upsert" ->
+      """SELECT o_orderkey,
+        |       round(CASE WHEN o_orderkey % 97 = 0
+        |                  THEN o_totalprice * 2 ELSE o_totalprice END, 2)
+        |         AS o_totalprice,
+        |       o_orderstatus
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 1000000000 AS o_orderkey,
+        |       round(o_totalprice, 2) AS o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey % 101 = 0""".stripMargin,
+    // the survivor set reconstructed by predicate - the delete must have
+    // removed exactly the claimed rows
+    "q82_retention_delete" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders WHERE o_orderdate > TIMESTAMP '1997-12-31 00:00:00'
+        |GROUP BY 1""".stripMargin,
     // SQL DML round-trip: the head must be exactly the overwrite's
     // selection, the pre-overwrite version exactly the full base table -
     // the oracle knows nothing about commits, only what each DML claimed

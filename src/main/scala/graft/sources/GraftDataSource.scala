@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{ByteType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** SQL/catalog surface for [[ManifestTable]] — the lakehouse layer as a
@@ -315,6 +315,7 @@ private[graft] object GraftDataSource {
            FloatType | DoubleType => "num"
       case StringType | DateType => "str"
       case TimestampType => "ts"
+      case TimestampNTZType => "tsn"
     }
 
   /** A filter value rendered in the stat tag's canonical string form, or
@@ -332,6 +333,23 @@ private[graft] object GraftDataSource {
         case i: java.time.Instant =>
           Some(ManifestTable.tsCanon(
             i.getEpochSecond * 1000000L + i.getNano / 1000L))
+        case l: java.lang.Long =>
+          // a bare long against a TimestampType column (the tag came
+          // from the schema) is Catalyst's INTERNAL micros form - the
+          // DELETE path's V2-predicate-to-V1-filter shim hands literals
+          // through unconverted, unlike the classic scan translation
+          Some(ManifestTable.tsCanon(l))
+        case _ => None
+      }
+      case "tsn" => v match { // NTZ: pure wall time, fixed-width render
+        case ldt: java.time.LocalDateTime =>
+          Some(java.time.format.DateTimeFormatter
+            .ofPattern(ManifestTable.TsPattern).format(ldt))
+        case t: java.sql.Timestamp =>
+          Some(java.time.format.DateTimeFormatter
+            .ofPattern(ManifestTable.TsPattern).format(t.toLocalDateTime))
+        case l: java.lang.Long => // internal micros = wall-time-as-UTC
+          Some(ManifestTable.tsCanon(l))
         case _ => None
       }
       case _ => v match { // "str": strings raw; dates as yyyy-MM-dd

@@ -7,7 +7,7 @@ import scala.io.Source
 
 import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, max, min, unix_micros}
+import org.apache.spark.sql.functions.{col, count, date_format, lit, max, min, unix_micros}
 import org.apache.spark.sql.types._
 
 /** Minimal manifest-pinned table: atomic commits and snapshot-isolated
@@ -251,23 +251,37 @@ object ManifestTable {
         // silently prune matching dirs. Micros are the tz-independent
         // instant; [[tsCanon]] renders them canonically in UTC.
         case _: TimestampType => c -> "ts"
+        // NTZ timestamps (what parquet timestamp columns with
+        // isAdjustedToUTC=false load as — e.g. every testdata ts) are
+        // pure WALL TIME: date_format renders them session-independently,
+        // and the fixed-width layout (same as tsCanon's) sorts lexically
+        // = chronologically. Going through micros here would be the bug
+        // the ts comment warns about — NTZ→LTZ casts interpret the wall
+        // time in the SESSION zone.
+        case _: TimestampNTZType => c -> "tsn"
       }
     }.toMap
   }
 
   private def statAggs(tags: Map[String, String]): Seq[org.apache.spark.sql.Column] =
     tags.toSeq.sortBy(_._1).flatMap { case (c, tag) =>
-      val e = if (tag == "ts") unix_micros(col(c)) else col(c)
+      val e = tag match {
+        case "ts" => unix_micros(col(c))
+        case "tsn" => date_format(col(c), TsPattern) // already canonical
+        case _ => col(c)
+      }
       Seq(min(e).cast("string").as(s"mn_$c"), max(e).cast("string").as(s"mx_$c"),
         // null count rides the same single agg pass: count(*) - count(c)
         (count(lit(1)) - count(col(c))).as(s"nc_$c"))
     }
 
+  private[graft] val TsPattern = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
   /** Canonical UTC rendering of an epoch-micros instant — fixed width, so
     * lexical order IS chronological order (years 0001–9999).
     */
   private[graft] def tsCanon(micros: Long): String =
-    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    java.time.format.DateTimeFormatter.ofPattern(TsPattern)
       .withZone(java.time.ZoneOffset.UTC)
       .format(java.time.Instant.EPOCH.plus(micros, java.time.temporal.ChronoUnit.MICROS))
 
@@ -549,6 +563,10 @@ object ManifestTable {
           scala.util.Try(BigDecimal(mx) >= l && BigDecimal(mn) <= h)
             .getOrElse(true)
         case Some(ColStat("ts", mn, mx, _)) =>
+          val (l, h) = tsBounds
+          mx >= l && mn <= h
+        case Some(ColStat("tsn", mn, mx, _)) =>
+          // NTZ: same canonical layout, bounds interpreted as wall time
           val (l, h) = tsBounds
           mx >= l && mn <= h
         case Some(ColStat(_, mn, mx, _)) =>

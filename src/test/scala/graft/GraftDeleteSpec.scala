@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import graft.sources.{GraftCatalog, GraftDataSource, ManifestTable}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
@@ -121,6 +122,26 @@ class GraftDeleteSpec extends SparkSpec {
     // TRUNCATE TABLE: same contract through Spark's own statement
     spark.sql("TRUNCATE TABLE delcat.t")
     assert(spark.sql("SELECT count(*) FROM delcat.t").head.getLong(0) == 0)
+
+    // NTZ timestamps (what parquet timestamp columns load as) carry
+    // their own stats tag: wall-time canonical strings, recorded
+    // session-independently - the event-time retention case
+    val t4 = s"$root/t4"
+    val ev = (1 to 10).map(i => (i.toLong, f"200${i / 6}-01-0${i % 5 + 1} 10:30:00"))
+      .toDF("id", "ts_raw")
+      .withColumn("ts", col("ts_raw").cast("timestamp_ntz")).drop("ts_raw")
+    ManifestTable.commit(ev.filter(col("ts") < lit("2001-01-01")),
+      t4, append = false, statsCols = Seq("ts"))
+    ManifestTable.commit(ev.filter(col("ts") >= lit("2001-01-01")),
+      t4, append = true, statsCols = Seq("ts"))
+    assert(ManifestTable.manifestEntries(spark, t4, 2L)
+      .forall(e => e.stats.get("ts").exists(_.tag == "tsn")),
+      "NTZ columns must record tsn stats")
+    spark.sql("DELETE FROM delcat.t4 WHERE ts <= '2000-12-31 23:59:59'")
+    assert(spark.sql("SELECT count(*) FROM delcat.t4").head.getLong(0) == 5)
+    // and the pruned range read shares the comparison
+    assert(ManifestTable.readRange(spark, t4, "ts",
+      "2001-01-01", "2002-01-01").count() == 5)
 
     // legacy manifest entries (pre-null-count format) refuse proofs e2e:
     // strip the nulls field from the live manifest and try the delete
