@@ -22,6 +22,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   spark.read.format("graft").option("version", 3).load(path) // time travel
   *   CREATE TEMPORARY VIEW jobs USING graft OPTIONS (path '...', version '3')
   *   SELECT * FROM jobs WHERE posted_at >= '2024-09-01'         -- pure SQL
+  *   INSERT INTO jobs VALUES ...                 -- CAS append commit
+  *   DELETE FROM cat.jobs WHERE d <= '...'       -- metadata-only retention
+  *   spark.readStream.format("graft").load(path) -- the change feed
+  *   df.writeStream.format("graft").option("path", p)... -- exactly-once sink
   * }}}
   *
   * (Direct `FROM graft.&#96;/path&#96;` SQL is a FileFormat-only Spark
