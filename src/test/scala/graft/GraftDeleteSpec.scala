@@ -123,6 +123,17 @@ class GraftDeleteSpec extends SparkSpec {
     spark.sql("TRUNCATE TABLE delcat.t")
     assert(spark.sql("SELECT count(*) FROM delcat.t").head.getLong(0) == 0)
 
+    // the full retention story: the delete dropped the commit from the
+    // snapshot, vacuum reclaims its BYTES once no retained version
+    // references it (grace 0 here; production keeps the reader grace)
+    val t1dropped = s"$table/${dropped.head}"
+    assert(new java.io.File(t1dropped).exists())
+    ManifestTable.vacuum(spark, table, keepVersions = 1, graceMs = 0L)
+    assert(!new java.io.File(t1dropped).exists(),
+      "vacuum must reclaim the delete-dropped dir")
+    assert(spark.sql("SELECT count(*) FROM delcat.t").head.getLong(0) == 0,
+      "the post-delete head stays readable after vacuum")
+
     // NTZ timestamps (what parquet timestamp columns load as) carry
     // their own stats tag: wall-time canonical strings, recorded
     // session-independently - the event-time retention case
