@@ -387,7 +387,7 @@ private[graft] object GraftDataSource {
     * what provably cannot match, and the residual filter drops the
     * boundary rows.
     */
-  private def entryCanMatch(schema: StructType, e: Entry, f: Filter): Boolean = {
+  private[graft] def entryCanMatch(schema: StructType, e: Entry, f: Filter): Boolean = {
     def bounded(c: String, lo: Option[Any], hi: Option[Any]): Boolean =
       (for {
         tag <- tagOf(schema, c)
