@@ -100,8 +100,18 @@ final class GraftCatalog extends TableCatalog {
     try isManifestTable(tablePath(ident))
     catch { case _: IllegalArgumentException => false }
 
-  override def loadTable(ident: Identifier): Table =
+  override def loadTable(ident: Identifier): Table = {
+    // `SELECT * FROM cat.t.history` (the Iceberg metadata-table idiom)
+    // arrives as Identifier(namespace = [t], name = "history"): the
+    // version ledger that makes VERSION AS OF discoverable from SQL
+    val ns = ident.namespace()
+    if (ns.length == 1 && ident.name() == "history") {
+      val parent = Identifier.of(Array.empty, ns(0))
+      if (tableExists(parent))
+        return GraftDataSource.GraftHistoryTable(tablePath(parent))
+    }
     loadVersion(ident, 0L)
+  }
 
   /** `VERSION AS OF <v>` — Spark routes the SQL time-travel clause here.
     * The version string must be a committed manifest version number.

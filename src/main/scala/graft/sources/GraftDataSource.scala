@@ -212,7 +212,7 @@ private[graft] object GraftDataSource {
     * another (the second resolution re-pins, and the TABLE's own schema
     * is what the plan uses).
     */
-  private def resolveTable(options: CaseInsensitiveStringMap): GraftTable = {
+  private def resolveTable(options: CaseInsensitiveStringMap): Table = {
     val path = Option(options.get("path")).map(_.trim).filter(_.nonEmpty)
       .getOrElse(throw new IllegalArgumentException(
         "graft datasource: a single `path` option is required " +
@@ -220,6 +220,13 @@ private[graft] object GraftDataSource {
     require(!path.contains(","), // DataFrameReader.load(paths: _*) joins them
       "graft datasource: exactly one path (multi-path loads are not manifest snapshots)")
     val spark = SparkSession.active
+    if (Option(options.get("history")).exists(_.trim.equalsIgnoreCase("true"))) {
+      // the version ledger as a table - what makes VERSION AS OF
+      // discoverable from SQL
+      require(ManifestTable.currentVersion(spark, path) > 0,
+        s"graft datasource: $path has no committed version")
+      return GraftHistoryTable(path)
+    }
     // an explicit option must parse to a LEGAL value — a templated view
     // interpolating version '0' or '-1' must fail loudly, not silently
     // read the live head as if no pin had been asked for. (sinceVersion
@@ -672,6 +679,47 @@ private[graft] object GraftDataSource {
           s"slice of $path - it is a change feed, not a table")
       new GraftWriteBuilder(path, statsOpt, info)
     }
+  }
+
+  private[graft] val HistorySchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("version", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("committed_at", TimestampType),
+    org.apache.spark.sql.types.StructField("n_dirs", IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("added_dirs", IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("removed_dirs", IntegerType, nullable = false)))
+
+  /** The version ledger as a read-only table (`history 'true'` option,
+    * or `SELECT * FROM cat.t.history` — the Iceberg metadata-table
+    * idiom): one row per retained manifest with the commit's wall-clock
+    * landing time (informational mtime — exactly why `TIMESTAMP AS OF`
+    * stays refused while history happily REPORTS it), snapshot dir
+    * count, and dirs added/removed vs the previous retained version.
+    * Rows are one per version — driver-side by construction.
+    */
+  private[graft] final case class GraftHistoryTable(path: String)
+      extends Table with SupportsRead {
+    override def name(): String = s"graft.`$path`.history"
+    override def schema: StructType = HistorySchema
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      () => new V1Scan {
+        override def readSchema(): StructType = HistorySchema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = HistorySchema
+            override def buildScan(): RDD[Row] = {
+              val spark = context.sparkSession
+              val rows = ManifestTable.historyRows(spark, path)
+                .map { case (v, micros, n, added, removed) =>
+                  Row(v, new java.sql.Timestamp(micros / 1000L), n, added, removed)
+                }
+              spark.sparkContext.parallelize(rows, 1)
+            }
+          }.asInstanceOf[T]
+      }
   }
 
   /** The write half of the SQL surface: `build()` hands Spark a

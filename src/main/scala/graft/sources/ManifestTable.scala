@@ -770,6 +770,38 @@ object ManifestTable {
     (toEntries, toEntries.filterNot(e => fromDirs(e.dir)))
   }
 
+  /** The table's version history, oldest first — what makes `VERSION AS
+    * OF` discoverable: one row per RETAINED manifest (vacuumed versions
+    * simply don't appear), with the commit's wall-clock landing time
+    * (the manifest file's mtime — INFORMATIONAL, which is exactly why
+    * `TIMESTAMP AS OF` stays refused while history happily reports it),
+    * the snapshot's dir count, and the dirs added/removed vs the
+    * previous retained version (an append adds 1/removes 0; an
+    * overwrite or compaction removes many).
+    */
+  private[graft] def historyRows(spark: SparkSession, table: String)
+      : Seq[(Long, Long, Int, Int, Int)] = {
+    val root = new Path(table, "_manifests")
+    val f = fs(spark, root)
+    if (!f.exists(root)) return Nil
+    val manifests = f.listStatus(root).toSeq
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("m-") && n.endsWith(".txt"))
+          n.stripPrefix("m-").stripSuffix(".txt").toLongOption
+            .map(v => v -> st.getModificationTime)
+        else None
+      }.sortBy(_._1)
+    var prev = Set.empty[String]
+    manifests.map { case (v, mtimeMs) =>
+      val dirs = dataDirs(spark, table, v).toSet
+      val row = (v, mtimeMs * 1000L, dirs.size,
+        dirs.diff(prev).size, prev.diff(dirs).size)
+      prev = dirs
+      row
+    }
+  }
+
   /** Metadata-only snapshot rewrite: commit a new version whose entry
     * list is `rewrite(head entries)` — the primitive under metadata-only
     * DELETE. No data moves or is destroyed: dropped dirs stay on disk for

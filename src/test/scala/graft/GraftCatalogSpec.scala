@@ -120,5 +120,22 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("CREATE TABLE dml.alien (id BIGINT) USING parquet"))
     assert(foreign.getMessage.contains("USING parquet is not"),
       foreign.getMessage)
+
+    // the version ledger: VERSION AS OF made discoverable from SQL
+    // (jobs went CREATE -> INSERT -> INSERT -> OVERWRITE = v1..v4)
+    val hist = spark.sql(
+      "SELECT version, n_dirs, added_dirs, removed_dirs " +
+        "FROM dml.jobs.history ORDER BY version").collect()
+    assert(hist.map(_.getLong(0)).toSeq == (1L to 4L), hist.mkString(","))
+    assert(hist.map(_.getInt(1)).toSeq == Seq(1, 2, 3, 1), "snapshot dir counts")
+    val overwrite = hist.last
+    assert(overwrite.getInt(2) == 1 && overwrite.getInt(3) == 3,
+      s"the overwrite must read as +1/-3 dirs: $overwrite")
+    assert(spark.sql("SELECT committed_at FROM dml.jobs.history")
+      .collect().forall(!_.isNullAt(0)), "landing times reported")
+    // same ledger through the path-based option form
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW jobs_hist USING graft " +
+      s"OPTIONS (path '$root/jobs', history 'true')")
+    assert(spark.sql("SELECT count(*) FROM jobs_hist").head.getLong(0) == 4)
   }
 }
