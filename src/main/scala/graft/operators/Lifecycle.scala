@@ -407,10 +407,16 @@ object Lifecycle {
     // catalog name is dir-scoped: catalog instances cache their root on
     // first use, so two scale dirs in one session need two names
     val cat = s"graftq80_${Integer.toHexString(d.hashCode & 0x7fffffff)}"
-    q80Cache.get(d) { root =>
+    // register on EVERY call: the cache is JVM-scoped but the catalog
+    // conf is session-scoped - a cache hit from a different SparkSession
+    // in the same JVM must still find the catalog
+    def register(root: String): Unit = {
       s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    }
+    val tableRoot = q80Cache.get(d) { root =>
+      register(root)
       supplier(s, d).createOrReplaceTempView("q80_src")
       val mid = supplier(s, d)
         .agg(ceil(max(col("s_suppkey")) / 2.0).cast("long")).head.getLong(0)
@@ -422,6 +428,7 @@ object Lifecycle {
         s"SELECT * FROM $cat.supplier_lake WHERE s_suppkey % 2 = 0")
       root
     }
+    register(tableRoot)
     s.sql(s"""
       SELECT 'head' AS snap, s_nationkey,
              count(*) AS n_supp, round(sum(s_acctbal), 2) AS bal
@@ -480,10 +487,15 @@ object Lifecycle {
     */
   def q82RetentionDelete(s: SparkSession, d: String): DataFrame = {
     val cat = s"graftq82_${Integer.toHexString(d.hashCode & 0x7fffffff)}"
-    q82Cache.get(d) { root =>
+    // register per call, not per cache build: conf is session-scoped,
+    // the cache JVM-scoped (see q80)
+    def register(root: String): Unit = {
       s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    }
+    val tableRoot = q82Cache.get(d) { root =>
+      register(root)
       val t = s"$root/orders_lake"
       val o = orders(s, d).select("o_orderkey", "o_orderdate", "o_totalprice")
       graft.sources.ManifestTable.commit(
@@ -495,6 +507,7 @@ object Lifecycle {
       s.sql(s"DELETE FROM $cat.orders_lake WHERE o_orderdate <= '1997-12-31'")
       root
     }
+    register(tableRoot)
     s.sql(s"""
       SELECT substring(o_orderdate, 1, 7) AS month,
              count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue

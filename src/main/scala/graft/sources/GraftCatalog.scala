@@ -103,12 +103,19 @@ final class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table = {
     // `SELECT * FROM cat.t.history` (the Iceberg metadata-table idiom)
     // arrives as Identifier(namespace = [t], name = "history"): the
-    // version ledger that makes VERSION AS OF discoverable from SQL
+    // version ledger that makes VERSION AS OF discoverable from SQL.
+    // Precedence: the documented default-database form (`cat.default.h`
+    // = TABLE h) wins when a real table named "history" exists — the
+    // metadata idiom must not shadow actual data
     val ns = ident.namespace()
     if (ns.length == 1 && ident.name() == "history") {
-      val parent = Identifier.of(Array.empty, ns(0))
-      if (tableExists(parent))
-        return GraftDataSource.GraftHistoryTable(tablePath(parent))
+      val defaultDbForm = ns(0) == "default" &&
+        isManifestTable(new Path(root, "history").toString)
+      if (!defaultDbForm) {
+        val parent = Identifier.of(Array.empty, ns(0))
+        if (tableExists(parent))
+          return GraftDataSource.GraftHistoryTable(tablePath(parent))
+      }
     }
     loadVersion(ident, 0L)
   }

@@ -81,16 +81,6 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
     with StreamSinkProvider {
   override def shortName(): String = "graft"
 
-  // sourceSchema and createSource run on the SAME provider instance (the
-  // streaming DataSource holds one): sourceSchema caches its resolution
-  // and createSource CONSUMES it, so the source binds exactly the schema
-  // the plan resolved — re-resolving in createSource would race an
-  // evolution append landing between plan resolution and query start
-  // into a schema one column wider than the bound plan (first batch
-  // fails on attribute mismatch). A consumed/absent entry re-resolves.
-  private val streamResolutions = new java.util.concurrent.ConcurrentHashMap[
-    Map[String, String], (String, StructType, Long, Option[Long])]()
-
   /** `spark.readStream.format("graft")` — the table's change feed as a
     * V1 streaming source ([[GraftStreamSource]]: version offsets, each
     * micro-batch a native pruned read of exactly the appended commits).
@@ -99,8 +89,7 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty,
       "graft stream: the manifest schema is authoritative - drop .schema(...)")
-    (shortName(), streamResolutions.computeIfAbsent(parameters,
-      p => GraftDataSource.streamSetup(ctx.sparkSession, p))._2)
+    (shortName(), GraftDataSource.cacheStreamSetup(ctx.sparkSession, parameters)._2)
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
@@ -108,8 +97,7 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
     val (path, tableSchema, since, maxV) =
-      Option(streamResolutions.remove(parameters))
-        .getOrElse(GraftDataSource.streamSetup(ctx.sparkSession, parameters))
+      GraftDataSource.consumeStreamSetup(ctx.sparkSession, parameters)
     new GraftStreamSource(ctx.sparkSession, path, tableSchema, since, maxV,
       metadataPath)
   }
@@ -220,9 +208,21 @@ private[graft] object GraftDataSource {
     require(!path.contains(","), // DataFrameReader.load(paths: _*) joins them
       "graft datasource: exactly one path (multi-path loads are not manifest snapshots)")
     val spark = SparkSession.active
-    if (Option(options.get("history")).exists(_.trim.equalsIgnoreCase("true"))) {
+    val history = Option(options.get("history")).map(_.trim).filter(_.nonEmpty)
+      .map {
+        case t if t.equalsIgnoreCase("true") => true
+        case f if f.equalsIgnoreCase("false") => false
+        case other => throw new IllegalArgumentException(
+          s"graft datasource: history '$other' is not true/false")
+      }.getOrElse(false)
+    if (history) {
       // the version ledger as a table - what makes VERSION AS OF
-      // discoverable from SQL
+      // discoverable from SQL. Scoping options have no meaning against
+      // the ledger (it lists ALL retained versions): silently dropping a
+      // pin would violate the loud-option contract below
+      require(!options.containsKey("version") && !options.containsKey("sinceVersion"),
+        "graft datasource: history is the full version ledger - " +
+          "version/sinceVersion do not apply")
       require(ManifestTable.currentVersion(spark, path) > 0,
         s"graft datasource: $path has no committed version")
       return GraftHistoryTable(path)
@@ -277,6 +277,34 @@ private[graft] object GraftDataSource {
   private def statsOption(options: CaseInsensitiveStringMap): Option[Seq[String]] =
     Option(options.get("stats")).map(_.split(',').toSeq
       .map(_.trim).filter(_.nonEmpty))
+
+  // sourceSchema (plan resolution) and createSource (query start) run on
+  // DIFFERENT provider instances — Spark's DataSource.providingInstance()
+  // is a def constructing a fresh provider per call — so the handoff that
+  // makes the source bind exactly the schema the PLAN resolved must be
+  // OBJECT-level: sourceSchema caches its resolution keyed by the full
+  // parameter map, createSource consumes it. Without this, an evolution
+  // append landing between resolution and start re-resolves one column
+  // wider than the bound plan and the first batch fails on attribute
+  // mismatch. A consumed/absent entry re-resolves (two concurrent starts
+  // of identical parameter maps: the second re-resolves — same rare race,
+  // strictly no worse). Size-capped: an entry leaks only when a resolved
+  // relation is never started.
+  private val streamResolutions = new java.util.concurrent.ConcurrentHashMap[
+    Map[String, String], (String, StructType, Long, Option[Long])]()
+
+  private def cacheStreamSetup(spark: SparkSession,
+      parameters: Map[String, String])
+      : (String, StructType, Long, Option[Long]) = {
+    if (streamResolutions.size > 64) streamResolutions.clear()
+    streamResolutions.computeIfAbsent(parameters, p => streamSetup(spark, p))
+  }
+
+  private def consumeStreamSetup(spark: SparkSession,
+      parameters: Map[String, String])
+      : (String, StructType, Long, Option[Long]) =
+    Option(streamResolutions.remove(parameters))
+      .getOrElse(streamSetup(spark, parameters))
 
   /** Stream-source option resolution: (path, schema, sinceVersion,
     * maxVersionsPerBatch). The table must exist — a stream needs a real
@@ -345,10 +373,12 @@ private[graft] object GraftDataSource {
           Some(ManifestTable.tsCanon(
             i.getEpochSecond * 1000000L + i.getNano / 1000L))
         case l: java.lang.Long =>
-          // a bare long against a TimestampType column (the tag came
-          // from the schema) is Catalyst's INTERNAL micros form - the
-          // DELETE path's V2-predicate-to-V1-filter shim hands literals
-          // through unconverted, unlike the classic scan translation
+          // defensive: a bare long against a TimestampType column (the
+          // tag came from the schema) can only sanely mean Catalyst's
+          // internal epoch micros. Spark's own filter translation
+          // (incl. the DELETE path's V2→V1 shim, which DOES run
+          // convertToScala on literals - verified in 4.1.2) never
+          // delivers this; a library caller building raw Filters might
           Some(ManifestTable.tsCanon(l))
         case _ => None
       }
@@ -356,11 +386,13 @@ private[graft] object GraftDataSource {
         case ldt: java.time.LocalDateTime =>
           Some(java.time.format.DateTimeFormatter
             .ofPattern(ManifestTable.TsPattern).format(ldt))
-        case t: java.sql.Timestamp =>
-          Some(java.time.format.DateTimeFormatter
-            .ofPattern(ManifestTable.TsPattern).format(t.toLocalDateTime))
         case l: java.lang.Long => // internal micros = wall-time-as-UTC
           Some(ManifestTable.tsCanon(l))
+        // NO java.sql.Timestamp branch: a Timestamp is an INSTANT, and
+        // rendering it as NTZ wall time needs a zone nobody specified -
+        // toLocalDateTime would use the JVM default, making the proof
+        // bound zone-dependent (over-deletion risk). No canon = no
+        // proof = conservative.
         case _ => None
       }
       case _ => v match { // "str": strings raw; dates as yyyy-MM-dd
@@ -713,8 +745,8 @@ private[graft] object GraftDataSource {
             override def buildScan(): RDD[Row] = {
               val spark = context.sparkSession
               val rows = ManifestTable.historyRows(spark, path)
-                .map { case (v, micros, n, added, removed) =>
-                  Row(v, new java.sql.Timestamp(micros / 1000L), n, added, removed)
+                .map { case (v, millis, n, added, removed) =>
+                  Row(v, new java.sql.Timestamp(millis), n, added, removed)
                 }
               spark.sparkContext.parallelize(rows, 1)
             }

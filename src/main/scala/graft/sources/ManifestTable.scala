@@ -795,7 +795,8 @@ object ManifestTable {
     var prev = Set.empty[String]
     manifests.map { case (v, mtimeMs) =>
       val dirs = dataDirs(spark, table, v).toSet
-      val row = (v, mtimeMs * 1000L, dirs.size,
+      // epoch MILLIS (mtime precision) - the consumer builds a Timestamp
+      val row = (v, mtimeMs, dirs.size,
         dirs.diff(prev).size, prev.diff(dirs).size)
       prev = dirs
       row
