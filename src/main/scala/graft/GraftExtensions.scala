@@ -1,11 +1,14 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.plans.{GraftFunctions, TopKPerKeyStrategy}
+import graft.plans.{GraftCallStrategy, GraftFunctions, GraftSqlParser, TopKPerKeyStrategy}
 
 /** Session-extension packaging for the whole engine: one injector
   * registers every native SQL function (vec_dot / vec_norm / vec_cosine /
-  * simhash64 / topk_freq) and the TopKPerKey planner strategy.
+  * simhash64 / topk_freq), the TopKPerKey planner strategy, and the
+  * `CALL graft_*` maintenance-procedure parser (compact / clustered
+  * compact / vacuum from pure SQL — prefix-gated, every other statement
+  * delegates to Spark's parser verbatim).
   *
   * Wire it the standard way —
   *
@@ -22,6 +25,8 @@ import graft.plans.{GraftFunctions, TopKPerKeyStrategy}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    ext.injectPlannerStrategy(_ => GraftCallStrategy)
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     GraftFunctions.sqlFunctions.foreach { case (name, usage, builder) =>
       ext.injectFunction((GraftFunctions.identifier(name),
         GraftFunctions.expressionInfo(name, usage), builder))

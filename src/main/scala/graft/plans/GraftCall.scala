@@ -1,0 +1,137 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, LeafNode, LogicalPlan}
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Maintenance procedures from pure SQL — the Iceberg `CALL` idiom via a
+  * parser extension, closing the last Scala-only gap in the SQL surface
+  * (reads, DML, DELETE, streaming all have SQL/API forms; compaction and
+  * vacuum did not):
+  *
+  * {{{
+  *   CALL graft_compact('/path/to/table')                     -- ~128MB files
+  *   CALL graft_compact('/path/to/table', 268435456)          -- target bytes
+  *   CALL graft_compact_clustered('/path', 'o_orderdate', 16) -- keeps pruning
+  *   CALL graft_vacuum('/path')                               -- defaults
+  *   CALL graft_vacuum('/path', 3, 3600000)                   -- keep, graceMs
+  * }}}
+  *
+  * Shape: [[GraftSqlParser]] intercepts statements matching
+  * `CALL graft_*(...)` (everything else delegates verbatim to Spark's
+  * parser, so the extension cannot perturb normal SQL), producing a
+  * [[GraftCall]] `Command` node — Spark executes Commands EAGERLY at
+  * `sql()` time, which is the semantics a maintenance statement needs —
+  * planned by [[GraftCallStrategy]] into an exec whose result row
+  * reports the procedure and the version it committed (or space it
+  * reclaimed). The procedures are thin: each maps 1:1 onto the
+  * `ManifestTable` entry point that owns the real semantics.
+  */
+object GraftProcedures {
+  /** name → (session, args) → one result row (version / message). */
+  val registry: Map[String, (SparkSession, Seq[String]) => (Long, String)] = Map(
+    "graft_compact" -> { (s, a) =>
+      require(a.nonEmpty && a.size <= 2,
+        "graft_compact(path [, targetBytes])")
+      val v = graft.sources.ManifestTable.compactCommit(s, a.head,
+        targetBytes = a.lift(1).map(_.toLong).getOrElse(128L * 1024 * 1024))
+      (v, s"compacted to version $v")
+    },
+    "graft_compact_clustered" -> { (s, a) =>
+      require(a.size == 3 || a.size == 4,
+        "graft_compact_clustered(path, clusterCol, buckets [, targetBytes])")
+      val v = graft.sources.ManifestTable.compactClustered(s, a.head, a(1),
+        a(2).toInt,
+        targetBytes = a.lift(3).map(_.toLong).getOrElse(128L * 1024 * 1024),
+        statsCols = Seq(a(1)))
+      (v, s"clustered on ${a(1)} into version $v")
+    },
+    "graft_vacuum" -> { (s, a) =>
+      require(a.nonEmpty && a.size <= 3,
+        "graft_vacuum(path [, keepVersions [, graceMs]])")
+      graft.sources.ManifestTable.vacuum(s, a.head,
+        keepVersions = a.lift(1).map(_.toInt).getOrElse(1),
+        graceMs = a.lift(2).map(_.toLong).getOrElse(60L * 60 * 1000))
+      val v = graft.sources.ManifestTable.currentVersion(s, a.head)
+      (v, s"vacuumed; head is version $v")
+    })
+}
+
+/** The eagerly-executed CALL statement. `Command` makes `spark.sql(...)`
+  * run it at submission, like every other DDL/DML statement.
+  */
+case class GraftCall(proc: String, args: Seq[String])
+    extends LeafNode with Command {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("procedure", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("result", StringType, nullable = false)())
+}
+
+case class GraftCallExec(call: GraftCall) extends LeafExecNode {
+  override def output: Seq[Attribute] = call.output
+  override def executeCollect(): Array[InternalRow] = {
+    val fn = GraftProcedures.registry.getOrElse(call.proc,
+      throw new IllegalArgumentException(
+        s"graft: unknown procedure ${call.proc} " +
+          s"(known: ${GraftProcedures.registry.keys.toSeq.sorted.mkString(", ")})"))
+    val (version, msg) = fn(session, call.args)
+    Array(InternalRow(UTF8String.fromString(call.proc), version,
+      UTF8String.fromString(msg)))
+  }
+  override protected def doExecute(): org.apache.spark.rdd.RDD[InternalRow] =
+    sparkContext.parallelize(executeCollect().toIndexedSeq, 1)
+}
+
+object GraftCallStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case c: GraftCall => GraftCallExec(c) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Prefix-gated parser delegate: ONLY statements shaped
+  * `CALL graft_<proc>(<literals>)` are intercepted; every other string —
+  * including other CALLs — goes to Spark's parser untouched. Arguments
+  * are single-quoted strings ('' escapes a quote) or bare
+  * numeric/identifier tokens; anything fancier is a parse error here,
+  * not a silent delegate (the statement already committed to being a
+  * graft CALL).
+  */
+final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  private val CallShape =
+    """(?is)\s*CALL\s+(graft_[a-z0-9_]+)\s*\((.*)\)\s*;?\s*""".r
+  private val Arg = """'((?:[^']|'')*)'|([^,\s][^,]*)""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case CallShape(proc, rawArgs) =>
+      val args = Arg.findAllMatchIn(rawArgs).map { m =>
+        Option(m.group(1)).map(_.replace("''", "'"))
+          .getOrElse(m.group(2).trim)
+      }.toSeq.filter(_.nonEmpty)
+      GraftCall(proc.toLowerCase(java.util.Locale.ROOT), args)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}

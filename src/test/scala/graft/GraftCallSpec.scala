@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.ManifestTable
+import org.apache.spark.sql.functions.col
+
+/** `CALL graft_*` maintenance procedures: compaction, clustered
+  * compaction, and vacuum from pure SQL, with everything else delegating
+  * to Spark's parser untouched.
+  */
+class GraftCallSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CALL compact/vacuum round-trip; clustered compact keeps pruning") {
+    val table = Files.createTempDirectory("graft_call").toString + "/t"
+    (0 until 4).foreach(k => ManifestTable.commit(
+      ((k * 100 + 1) to (k * 100 + 100)).map(i => (i.toLong, s"r$i"))
+        .toDF("id", "v"),
+      table, append = k > 0, statsCols = Seq("id")))
+    assert(ManifestTable.manifestEntries(spark, table, 4L).size == 4)
+
+    // plain compact: one statement, eagerly executed, result row reports
+    // the committed version
+    val res = spark.sql(s"CALL graft_compact('$table')").collect()
+    assert(res.length == 1 && res.head.getString(0) == "graft_compact" &&
+      res.head.getLong(1) == 5L, res.mkString(","))
+    assert(ManifestTable.manifestEntries(spark, table, 5L).size == 1)
+    assert(ManifestTable.read(spark, table).count() == 400)
+
+    // clustered compact: pruning restored (the plain compact above
+    // collapsed the table to ONE dir, so readRange degenerated)
+    spark.sql(s"CALL graft_compact_clustered('$table', 'id', 4)")
+    val pruned = ManifestTable.readRange(spark, table, "id", "1", "50")
+    assert(pruned.count() < 400 && pruned.filter(col("id") <= 50).count() == 50,
+      "range-clustered commits must prune again")
+
+    // vacuum: superseded versions' bytes reclaimed, head intact
+    spark.sql(s"CALL graft_vacuum('$table', 1, 0)")
+    assert(ManifestTable.read(spark, table).count() == 400)
+    val dataDirs = new java.io.File(s"$table/data").listFiles().length
+    assert(dataDirs == 4, s"only the clustered head's 4 dirs survive: $dataDirs")
+
+    // unknown procedure and bad arity fail loudly
+    val unknown = intercept[Exception](spark.sql(s"CALL graft_nope('$table')"))
+    assert(unknown.getMessage.contains("unknown procedure"), unknown.getMessage)
+    val arity = intercept[Exception](spark.sql("CALL graft_compact()"))
+    assert(arity.getMessage.contains("graft_compact(path"), arity.getMessage)
+
+    // everything else still parses through Spark verbatim
+    assert(spark.sql("SELECT 1 + 1").head.getInt(0) == 2)
+    intercept[Exception](spark.sql("CALL not_a_graft_proc(1)")) // Spark's error
+  }
+}
