@@ -33,30 +33,51 @@ import org.apache.spark.unsafe.types.UTF8String
   * `ManifestTable` entry point that owns the real semantics.
   */
 object GraftProcedures {
+  /** Numeric args parse under the procedure's usage string: a bare
+    * NumberFormatException from `CALL graft_compact('/p', 'big')` tells
+    * the user nothing about which argument or what shape was expected.
+    */
+  private def num[T](usage: String)(parse: => T): T =
+    try parse catch {
+      case e: NumberFormatException => throw new IllegalArgumentException(
+        s"$usage — ${e.getMessage}", e)
+    }
+
+  /** The path argument must be non-empty: parser-level quoted-empty
+    * ('' ) is a legal literal, so arity checks alone let it through to a
+    * confusing filesystem error.
+    */
+  private def path(a: Seq[String], usage: String): String = {
+    require(a.head.trim.nonEmpty, s"$usage — path must be non-empty")
+    a.head
+  }
+
   /** name → (session, args) → one result row (version / message). */
   val registry: Map[String, (SparkSession, Seq[String]) => (Long, String)] = Map(
     "graft_compact" -> { (s, a) =>
-      require(a.nonEmpty && a.size <= 2,
-        "graft_compact(path [, targetBytes])")
-      val v = graft.sources.ManifestTable.compactCommit(s, a.head,
-        targetBytes = a.lift(1).map(_.toLong).getOrElse(128L * 1024 * 1024))
+      val usage = "graft_compact(path [, targetBytes])"
+      require(a.nonEmpty && a.size <= 2, usage)
+      val v = graft.sources.ManifestTable.compactCommit(s, path(a, usage),
+        targetBytes = num(usage)(
+          a.lift(1).map(_.toLong).getOrElse(128L * 1024 * 1024)))
       (v, s"compacted to version $v")
     },
     "graft_compact_clustered" -> { (s, a) =>
-      require(a.size == 3 || a.size == 4,
-        "graft_compact_clustered(path, clusterCol, buckets [, targetBytes])")
-      val v = graft.sources.ManifestTable.compactClustered(s, a.head, a(1),
-        a(2).toInt,
-        targetBytes = a.lift(3).map(_.toLong).getOrElse(128L * 1024 * 1024),
+      val usage = "graft_compact_clustered(path, clusterCol, buckets [, targetBytes])"
+      require(a.size == 3 || a.size == 4, usage)
+      val v = graft.sources.ManifestTable.compactClustered(s, path(a, usage),
+        a(1), num(usage)(a(2).toInt),
+        targetBytes = num(usage)(
+          a.lift(3).map(_.toLong).getOrElse(128L * 1024 * 1024)),
         statsCols = Seq(a(1)))
       (v, s"clustered on ${a(1)} into version $v")
     },
     "graft_vacuum" -> { (s, a) =>
-      require(a.nonEmpty && a.size <= 3,
-        "graft_vacuum(path [, keepVersions [, graceMs]])")
-      graft.sources.ManifestTable.vacuum(s, a.head,
-        keepVersions = a.lift(1).map(_.toInt).getOrElse(1),
-        graceMs = a.lift(2).map(_.toLong).getOrElse(60L * 60 * 1000))
+      val usage = "graft_vacuum(path [, keepVersions [, graceMs]])"
+      require(a.nonEmpty && a.size <= 3, usage)
+      graft.sources.ManifestTable.vacuum(s, path(a, usage),
+        keepVersions = num(usage)(a.lift(1).map(_.toInt).getOrElse(1)),
+        graceMs = num(usage)(a.lift(2).map(_.toLong).getOrElse(60L * 60 * 1000)))
       val v = graft.sources.ManifestTable.currentVersion(s, a.head)
       (v, s"vacuumed; head is version $v")
     })
@@ -107,16 +128,46 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val CallShape =
     """(?is)\s*CALL\s+(graft_[a-z0-9_]+)\s*\((.*)\)\s*;?\s*""".r
   private val Arg = """'((?:[^']|'')*)'|([^,\s][^,]*)""".r
+  private val GraftCallPrefix = """(?is)\s*CALL\s+graft_.*""".r.pattern
 
-  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case CallShape(proc, rawArgs) =>
-      val args = Arg.findAllMatchIn(rawArgs).map { m =>
-        Option(m.group(1)).map(_.replace("''", "'"))
-          .getOrElse(m.group(2).trim)
-      }.toSeq.filter(_.nonEmpty)
-      GraftCall(proc.toLowerCase(java.util.Locale.ROOT), args)
-    case _ => delegate.parsePlan(sqlText)
+  /** Strip trailing `-- …` line comments before shape-matching, so
+    * `CALL graft_compact('/p')  -- nightly` routes like the bare form.
+    * A `--` is only a trailing comment when it sits on the final line
+    * and the text before it has balanced single quotes ('' escapes keep
+    * parity) — a path literal containing `--` is never truncated.
+    */
+  @annotation.tailrec
+  private def stripTrailingComments(sql: String): String = {
+    val t = sql.replaceFirst("""(?s)[\s;]+\z""", "")
+    val i = t.lastIndexOf("--")
+    if (i >= 0 && !t.substring(i).contains('\n') &&
+        t.substring(0, i).count(_ == '\'') % 2 == 0)
+      stripTrailingComments(t.substring(0, i))
+    else t
   }
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    stripTrailingComments(sqlText) match {
+      case CallShape(proc, rawArgs) =>
+        // quoted-empty ('') is KEPT as an empty-string arg — the
+        // procedure validates it with its usage message; silently
+        // dropping it turned a bad path into a misleading arity error
+        val args = Arg.findAllMatchIn(rawArgs).map { m =>
+          Option(m.group(1)).map(_.replace("''", "'"))
+            .getOrElse(m.group(2).trim)
+        }.toSeq
+        GraftCall(proc.toLowerCase(java.util.Locale.ROOT), args)
+      case cleaned if GraftCallPrefix.matcher(cleaned).matches() =>
+        // the statement committed to being a graft CALL but does not fit
+        // the shape: delegating would surface Spark's unknown-procedure
+        // error, pointing the user away from the actual problem
+        throw new IllegalArgumentException(
+          s"graft: cannot parse CALL statement '${sqlText.trim}'. Expected " +
+            "CALL graft_<procedure>('arg', ...) with single-quoted string " +
+            "or bare numeric arguments. Known procedures: " +
+            GraftProcedures.registry.keys.toSeq.sorted.mkString(", "))
+      case _ => delegate.parsePlan(sqlText)
+    }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

@@ -57,6 +57,28 @@ case class ShardedTopCentroids(vec: Expression, norm: Expression,
     StructField("cid", IntegerType, nullable = false),
     StructField("ccos", DoubleType, nullable = false))), containsNull = false)
 
+  // Case-class equality over Array fields is reference equality, under
+  // which two semantically identical expressions never compare equal —
+  // defeating subexpression elimination and plan-fragment caching.
+  // Compare payload CONTENTS instead (cheap relative to planning: the
+  // envelope caps the payload at ~4096 centroids).
+  override def equals(other: Any): Boolean = other match {
+    case that: ShardedTopCentroids =>
+      vec == that.vec && norm == that.norm && k == that.k &&
+        java.util.Arrays.equals(shards, that.shards) &&
+        java.util.Arrays.equals(cids, that.cids) &&
+        java.util.Arrays.equals(cnorms, that.cnorms) &&
+        cvecs.length == that.cvecs.length &&
+        cvecs.indices.forall(i => java.util.Arrays.equals(cvecs(i), that.cvecs(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(vec, norm, Int.box(k),
+      Int.box(java.util.Arrays.hashCode(shards)),
+      Int.box(java.util.Arrays.hashCode(cids)),
+      Int.box(java.util.Arrays.hashCode(cnorms)),
+      Int.box(cvecs.foldLeft(1)((h, v) => 31 * h + java.util.Arrays.hashCode(v))))
+
   @transient private lazy val kernel = new ShardedTopCentroids.Kernel(
     shards, cids, cvecs, cnorms, k,
     vec.dataType match { case ArrayType(FloatType, _) => true; case _ => false })

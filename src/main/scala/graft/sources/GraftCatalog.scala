@@ -143,7 +143,18 @@ final class GraftCatalog extends TableCatalog {
         "version by CAS order; use VERSION AS OF <n>")
 
   private def loadVersion(ident: Identifier, version: Long): Table = {
-    val path = tablePath(ident)
+    // identifier-probing tools (and Spark's own resolution fallbacks)
+    // expect TABLE_OR_VIEW_NOT_FOUND for a name this catalog cannot hold:
+    // a NESTED namespace (cat.a.b.t) is by construction not a table here,
+    // so refusing it IS "no such table" (tableExists already maps it that
+    // way; loadTable must agree). Path-SHAPED names (`../x`, `a/b`) stay
+    // loud — they signal an escape attempt, not a probe.
+    val path = try tablePath(ident) catch {
+      case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains("flat namespace") =>
+        throw new NoSuchTableException(
+          (catalogName +: ident.namespace().toSeq) :+ ident.name())
+    }
     if (!isManifestTable(path)) throw new NoSuchTableException(ident)
     val pinned =
       if (version > 0) version else ManifestTable.currentVersion(spark, path)

@@ -70,15 +70,21 @@ private[graft] final class GraftStreamSource(spark: SparkSession,
     spark.sparkContext.hadoopConfiguration)
 
   private def persistOffered(v: Long): Unit = {
-    // tmp + rename so the published file is never torn; the window where
-    // the target is absent (crash between delete and rename) degrades to
-    // the constructor re-seeding sinceVersion — see readOffered
-    val tmp = new org.apache.hadoop.fs.Path(metadataPath, "graft-offered.tmp")
+    // tmp + ONE overwriting rename (FileContext OVERWRITE — atomic on
+    // HDFS and local), so the published file is never torn AND never
+    // absent. The delete-then-rename pair this replaces left a crash
+    // window with no state file at all; under maxVersionsPerBatch a
+    // restart inside that window re-seeds sinceVersion and the next
+    // offered offset lands BELOW the checkpointed end — 'offsets went
+    // backward', a dead checkpoint. Single-writer file (this source owns
+    // it), so the rename cannot race another publisher.
+    val tmp = new org.apache.hadoop.fs.Path(metadataPath,
+      s"graft-offered.tmp-${java.util.UUID.randomUUID()}")
     val out = hfs.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    if (hfs.exists(offeredFile)) hfs.delete(offeredFile, false)
-    require(hfs.rename(tmp, offeredFile),
-      s"graft stream: cannot persist offset state to $offeredFile")
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(offeredFile.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, offeredFile, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def readOffered(): Option[Long] =

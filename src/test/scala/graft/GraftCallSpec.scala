@@ -51,4 +51,37 @@ class GraftCallSpec extends SparkSpec {
     assert(spark.sql("SELECT 1 + 1").head.getInt(0) == 2)
     intercept[Exception](spark.sql("CALL not_a_graft_proc(1)")) // Spark's error
   }
+
+  test("CALL arg/comment edge cases fail with the right message") {
+    val table = Files.createTempDirectory("graft_call_edge").toString + "/t"
+    ManifestTable.commit(Seq((1L, "a")).toDF("id", "v"), table, append = false)
+
+    // trailing line comments (and a trailing semicolon) still route to the
+    // procedure instead of delegating to Spark's unknown-procedure error
+    val res = spark.sql(s"CALL graft_compact('$table'); -- nightly job")
+      .collect()
+    assert(res.head.getLong(1) == 2L, res.mkString(","))
+
+    // quoted-empty path: kept as an arg, refused by the procedure with its
+    // usage string (NOT a misleading arity error)
+    val empty = intercept[Exception](spark.sql("CALL graft_compact('')"))
+    assert(empty.getMessage.contains("path must be non-empty"), empty.getMessage)
+
+    // numeric arg that does not parse: usage string, not a bare
+    // NumberFormatException
+    val badNum = intercept[Exception](
+      spark.sql(s"CALL graft_compact('$table', 'big')"))
+    assert(badNum.getMessage.contains("graft_compact(path"), badNum.getMessage)
+
+    // a statement that commits to CALL graft_ but cannot parse fails
+    // loudly here, naming the expected shape
+    val malformed = intercept[Exception](spark.sql("CALL graft_compact 'x'"))
+    assert(malformed.getMessage.contains("cannot parse CALL statement"),
+      malformed.getMessage)
+
+    // a quoted path CONTAINING double-dash is not truncated as a comment
+    val dashed = intercept[Exception](
+      spark.sql("CALL graft_compact('/no/such--path')"))
+    assert(!dashed.getMessage.contains("cannot parse"), dashed.getMessage)
+  }
 }

@@ -63,6 +63,14 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("SELECT * FROM graftcat.`../postings`").head)
     assert(escape.getMessage.contains("plain directory name"), escape.getMessage)
 
+    // a NESTED namespace is TABLE_OR_VIEW_NOT_FOUND (what identifier-
+    // probing tools expect), not a bare require failure
+    val nested = intercept[Exception](
+      spark.sql("SELECT * FROM graftcat.a.b.postings").head)
+    assert(nested.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      nested.getMessage.toLowerCase.contains("cannot be found"),
+      nested.getMessage)
+
     // destructive DDL: refused, routed to ManifestTable loudly
     val drop = intercept[Exception](spark.sql("DROP TABLE graftcat.dims"))
     assert(drop.getMessage.contains("destructive DDL"), drop.getMessage)
