@@ -76,11 +76,10 @@ final class GraftCatalog extends TableCatalog {
     new Path(root, n).toString
   }
 
-  private def isManifestTable(path: String): Boolean = {
-    val p = new Path(path, "_manifests")
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    f.exists(p)
-  }
+  private def isManifestTable(path: String): Boolean =
+    // routed through the commit store, so discovery agrees with whatever
+    // store published the manifests (object-store mode included)
+    ManifestTable.isTable(spark, path)
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (!(namespace.isEmpty || namespace.sameElements(Array("default"))))

@@ -3,9 +3,7 @@ package graft.sources
 import java.nio.charset.StandardCharsets
 import java.util.{Base64, UUID}
 
-import scala.io.Source
-
-import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, Options, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, count, date_format, lit, max, min, unix_micros}
 import org.apache.spark.sql.types._
@@ -44,76 +42,41 @@ import org.apache.spark.sql.types._
   * reader-retry window: [[compactCommit]] rewrites the current snapshot
   * and swaps the pointer with zero reader-visible downtime.
   *
-  * Concurrency: the manifest CAS is atomic on HDFS and any store with
-  * atomic no-overwrite rename; on the local filesystem the
-  * exists-check-then-rename window is microscopic but nonzero (the same
-  * caveat every Hadoop-on-local deployment carries).
+  * Concurrency: manifest publication routes through a pluggable
+  * [[CommitStore]] — rename-CAS by default (atomic on HDFS; the local-fs
+  * check-then-rename window is closed by a read-back), conditional-put
+  * ([[ObjectStoreCommitStore]]) for object stores where rename is
+  * copy+delete and nothing about it is atomic. Select per session with
+  * `spark.graft.commit.store`; the protocol above is store-agnostic.
   */
 object ManifestTable {
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Atomic publish: write a temp sibling, then ONE overwriting rename
-    * (FileContext.rename(OVERWRITE) — atomic on HDFS and local). A
-    * delete-then-rename pair would open a window where `_latest` does
-    * not exist at all: readers would see "no committed version" and a
-    * writer crash inside the window would fork the version timeline.
-    *
-    * Returns false when a CONCURRENT publisher wins the rename race
-    * (local-fs OVERWRITE is exists-check + delete + rename, so a racer
-    * re-creating the destination inside that window fails the rename):
-    * the only caller is the pointer protocol, which is self-healing —
-    * its loop re-reads the pointer and re-decides; throwing here would
-    * fail a commit whose manifest already durably landed.
-    */
-  private def writeFile(spark: SparkSession, p: Path, content: String): Boolean = {
-    val f = fs(spark, p)
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp-${UUID.randomUUID()}")
-    val out = f.create(tmp, true)
-    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val fc = FileContext.getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
-    try { fc.rename(tmp, p, Options.Rename.OVERWRITE); true }
-    catch {
-      case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
-        f.delete(tmp, false); false
-    }
-  }
+  private def store(spark: SparkSession): CommitStore =
+    CommitStore.forSession(spark)
 
-  /** CAS publish: same temp-then-rename shape, but the rename REFUSES an
-    * existing destination — exactly one concurrent publisher of a given
-    * path wins. Returns whether this writer won.
-    *
-    * The read-back check closes the local filesystem's check-then-rename
-    * window (two renames can both "succeed", the second silently
-    * replacing the first): a publisher only claims the win if ITS bytes
-    * are what landed. Contents are never identical across racers — every
-    * manifest embeds its commit's fresh UUID data dir — so the check
-    * distinguishes winners exactly. On HDFS the rename is atomic and the
-    * read-back is one tiny extra read per commit.
+  /** Atomic overwrite publish of a protocol file (the `_latest` hint).
+    * False when a concurrent publisher won: the only caller is the
+    * pointer protocol, which is self-healing — its loop re-reads the
+    * pointer and re-decides; throwing would fail a commit whose manifest
+    * already durably landed.
     */
-  private def casCreateFile(spark: SparkSession, p: Path, content: String): Boolean = {
-    val f = fs(spark, p)
-    if (f.exists(p)) return false
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp-${UUID.randomUUID()}")
-    f.mkdirs(p.getParent)
-    val out = f.create(tmp, true)
-    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val fc = FileContext.getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
-    try {
-      fc.rename(tmp, p)
-      try readFile(spark, p).trim == content.trim
-      catch { case _: java.io.IOException => false } // torn read: treat as lost
-    } catch {
-      case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
-        f.delete(tmp, false); false
-    }
-  }
+  private def writeFile(spark: SparkSession, p: Path, content: String): Boolean =
+    store(spark).putOverwrite(p, content)
 
-  private def readFile(spark: SparkSession, p: Path): String = {
-    val in = fs(spark, p).open(p)
-    try Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
-  }
+  /** CAS publish — exactly one concurrent publisher of a given path
+    * wins; see [[CommitStore.putIfAbsent]] for the per-store mechanics
+    * (rename + read-back vs native conditional put). May report a loss
+    * for a publish that actually landed (torn read-back); the commit
+    * loops recover by re-checking the exact version they attempted.
+    */
+  private def casCreateFile(spark: SparkSession, p: Path, content: String): Boolean =
+    store(spark).putIfAbsent(p, content)
+
+  private def readFile(spark: SparkSession, p: Path): String =
+    store(spark).read(p)
 
   /** Current committed version, or 0 if the table is empty/uninitialized.
     *
@@ -140,7 +103,7 @@ object ManifestTable {
   private def hintVersion(spark: SparkSession, table: String): Long = {
     val ptr = new Path(table, "_latest")
     try {
-      if (fs(spark, ptr).exists(ptr)) readFile(spark, ptr).toLong else 0L
+      if (store(spark).exists(ptr)) readFile(spark, ptr).toLong else 0L
     } catch {
       case _: java.io.IOException | _: NumberFormatException => 0L
     }
@@ -153,17 +116,22 @@ object ManifestTable {
     * can run ahead of the `_latest` hint (writer crashed mid-publish, or
     * a concurrent writer between manifest and pointer).
     */
-  private def highestManifest(spark: SparkSession, table: String): Long = {
-    val root = new Path(table, "_manifests")
-    val f = fs(spark, root)
-    if (!f.exists(root)) 0L
-    else f.listStatus(root).foldLeft(0L) { (acc, st) =>
-      val n = st.getPath.getName
-      if (n.startsWith("m-") && n.endsWith(".txt"))
-        n.stripPrefix("m-").stripSuffix(".txt").toLongOption.fold(acc)(math.max(acc, _))
-      else acc
-    }
-  }
+  private def highestManifest(spark: SparkSession, table: String): Long =
+    store(spark).listFiles(new Path(table, "_manifests"))
+      .foldLeft(0L) { case (acc, (n, _)) =>
+        if (n.startsWith("m-") && n.endsWith(".txt"))
+          n.stripPrefix("m-").stripSuffix(".txt").toLongOption.fold(acc)(math.max(acc, _))
+        else acc
+      }
+
+  /** Whether `path` is a manifest table (has ≥1 published manifest) —
+    * the [[GraftCatalog]] discovery probe, routed through the commit
+    * store so table discovery agrees with whatever store published the
+    * manifests.
+    */
+  private[graft] def isTable(spark: SparkSession, path: String): Boolean =
+    store(spark).listFiles(new Path(path, "_manifests"))
+      .exists { case (n, _) => n.startsWith("m-") && n.endsWith(".txt") }
 
   // ---- manifest entry format ---------------------------------------------
   // one line per data dir:  <dir>[\t<col>:<tag>:<minB64>:<maxB64>[:<nulls>];...]
@@ -646,8 +614,7 @@ object ManifestTable {
     */
   private[graft] def versionExists(spark: SparkSession, table: String,
       version: Long): Boolean =
-    version > 0 && fs(spark, manifestPath(table, version))
-      .exists(manifestPath(table, version))
+    version > 0 && store(spark).exists(manifestPath(table, version))
 
   /** A snapshot's full union schema — the [[GraftDataSource]] (DSv2 SQL
     * surface) entry point into the cached footer-walk.
@@ -781,15 +748,11 @@ object ManifestTable {
     */
   private[graft] def historyRows(spark: SparkSession, table: String)
       : Seq[(Long, Long, Int, Int, Int)] = {
-    val root = new Path(table, "_manifests")
-    val f = fs(spark, root)
-    if (!f.exists(root)) return Nil
-    val manifests = f.listStatus(root).toSeq
-      .flatMap { st =>
-        val n = st.getPath.getName
+    val manifests = store(spark).listFiles(new Path(table, "_manifests"))
+      .flatMap { case (n, mtime) =>
         if (n.startsWith("m-") && n.endsWith(".txt"))
           n.stripPrefix("m-").stripSuffix(".txt").toLongOption
-            .map(v => v -> st.getModificationTime)
+            .map(v => v -> mtime)
         else None
       }.sortBy(_._1)
     var prev = Set.empty[String]
@@ -1152,15 +1115,16 @@ object ManifestTable {
     val keepFrom = math.max(1L, v - keepVersions + 1)
     val root = new Path(table)
     val f = fs(spark, root)
+    val st = store(spark)
     val cutoff = System.currentTimeMillis() - graceMs
     val manifestRoot = new Path(root, "_manifests")
-    val manifestVers: Seq[Long] =
-      if (f.exists(manifestRoot))
-        f.listStatus(manifestRoot).toSeq.flatMap(st =>
-          Option(st.getPath.getName)
-            .filter(n => n.startsWith("m-") && n.endsWith(".txt"))
-            .flatMap(_.stripPrefix("m-").stripSuffix(".txt").toLongOption))
-      else Nil
+    // protocol files (manifests, temps) live in the commit store; data
+    // dirs are plain parquet on the filesystem — same split as commit
+    val manifestFiles = st.listFiles(manifestRoot)
+    val manifestVers: Seq[Long] = manifestFiles.flatMap { case (n, _) =>
+      Option(n).filter(x => x.startsWith("m-") && x.endsWith(".txt"))
+        .flatMap(_.stripPrefix("m-").stripSuffix(".txt").toLongOption)
+    }
     // live = everything the retained versions reference PLUS anything an
     // in-flight (not-yet-pointed) manifest references
     val live = manifestVers.filter(_ >= keepFrom)
@@ -1168,21 +1132,18 @@ object ManifestTable {
     val dataRoot = new Path(root, "data")
     if (f.exists(dataRoot))
       f.listStatus(dataRoot)
-        .filter(st => !live.contains(s"data/${st.getPath.getName}"))
+        .filter(s => !live.contains(s"data/${s.getPath.getName}"))
         .filter(_.getModificationTime <= cutoff)
-        .foreach(st => f.delete(st.getPath, true))
-    if (f.exists(manifestRoot))
-      f.listStatus(manifestRoot).foreach { st =>
-        val name = st.getPath.getName
-        val superseded = name.startsWith("m-") &&
-          name.stripPrefix("m-").stripSuffix(".txt").toLongOption.exists(_ < keepFrom)
-        val staleTmp = name.contains(".tmp-") && st.getModificationTime <= cutoff
-        if (superseded || staleTmp) f.delete(st.getPath, false)
-      }
+        .foreach(s => f.delete(s.getPath, true))
+    manifestFiles.foreach { case (name, mtime) =>
+      val superseded = name.startsWith("m-") &&
+        name.stripPrefix("m-").stripSuffix(".txt").toLongOption.exists(_ < keepFrom)
+      val staleTmp = name.contains(".tmp-") && mtime <= cutoff
+      if (superseded || staleTmp) st.delete(new Path(manifestRoot, name))
+    }
     // crashed _latest publishes leave temps in the table root
-    f.listStatus(root)
-      .filter(st => st.getPath.getName.contains(".tmp-") &&
-        st.getModificationTime <= cutoff)
-      .foreach(st => f.delete(st.getPath, false))
+    st.listFiles(root)
+      .filter { case (name, mtime) => name.contains(".tmp-") && mtime <= cutoff }
+      .foreach { case (name, _) => st.delete(new Path(root, name)) }
   }
 }
