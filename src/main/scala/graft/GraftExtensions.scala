@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.plans.{GraftCallStrategy, GraftFunctions, GraftSqlParser, TopKPerKeyStrategy}
+import graft.plans.{GraftCallStrategy, GraftDmlStrategy, GraftFunctions, GraftSqlParser, TopKPerKeyStrategy}
 
 /** Session-extension packaging for the whole engine: one injector
   * registers every native SQL function (vec_dot / vec_norm / vec_cosine /
@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     ext.injectPlannerStrategy(_ => GraftCallStrategy)
+    ext.injectPlannerStrategy(_ => GraftDmlStrategy)
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     GraftFunctions.sqlFunctions.foreach { case (name, usage, builder) =>
       ext.injectFunction((GraftFunctions.identifier(name),

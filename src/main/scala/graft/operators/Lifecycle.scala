@@ -515,7 +515,94 @@ object Lifecycle {
     """)
   }
 
+  private val q83Cache = new ScratchCache("graft_q83")
+
+  /** q81's upsert issued as ONE SQL `MERGE INTO` statement, ORACLE-GATED:
+    * the same deterministic delta (every 97th key's price doubles; every
+    * 101st key re-inserts under a shifted key) routes through
+    * [[graft.plans.GraftDml]]'s parser intercept onto
+    * [[graft.sources.ManifestTable.mergeCommit]] — the star-upsert fast
+    * path, which never reads the target. The post-merge snapshot must
+    * hash-match the same DuckDB reconstruction as q81: the SQL surface
+    * and the library surface are the same merge or one of them is wrong.
+    */
+  def q83SqlMerge(s: SparkSession, d: String): DataFrame = {
+    val cat = s"graftq83_${Integer.toHexString(d.hashCode & 0x7fffffff)}"
+    def register(root: String): Unit = {
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    }
+    val tableRoot = q83Cache.get(d) { root =>
+      register(root)
+      val t = s"$root/orders_lake"
+      val o = orders(s, d).select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val cut = o.agg(ceil(max(col("o_orderkey")) / 2.0).cast("long"))
+        .head.getLong(0)
+      graft.sources.ManifestTable.commit(o.filter(col("o_orderkey") <= cut),
+        t, append = false, statsCols = Seq("o_orderkey"))
+      graft.sources.ManifestTable.commit(o.filter(col("o_orderkey") > cut),
+        t, append = true, statsCols = Seq("o_orderkey"))
+      val updates = o.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val inserts = o.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+      updates.unionByName(inserts).createOrReplaceTempView(s"${cat}_delta")
+      s.sql(s"""
+        MERGE INTO $cat.orders_lake AS t USING ${cat}_delta AS src
+        ON t.o_orderkey = src.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+      """)
+      root
+    }
+    register(tableRoot)
+    s.sql(s"SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, " +
+      s"o_orderstatus FROM $cat.orders_lake")
+  }
+
+  private val q84Cache = new ScratchCache("graft_q84")
+
+  /** Copy-on-write point DELETE, ORACLE-GATED: orders land as two
+    * key-split commits, then one SQL `DELETE … WHERE o_orderkey <= cut
+    * AND o_totalprice < 100000` — the high commit PROVES no-match on the
+    * first conjunct and travels by reference, the low commit is
+    * undecidable (no o_totalprice stats) and rewrites minus its matching
+    * rows through [[graft.sources.ManifestTable.cowRewriteCommit]].
+    * Before round 10 this exact statement was refused. DuckDB
+    * reconstructs the survivor set row-by-row — the hash-match proves
+    * the rewrite removed exactly the TRUE-predicate rows and nothing
+    * else.
+    */
+  def q84CowDelete(s: SparkSession, d: String): DataFrame = {
+    val cat = s"graftq84_${Integer.toHexString(d.hashCode & 0x7fffffff)}"
+    def register(root: String): Unit = {
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    }
+    val tableRoot = q84Cache.get(d) { root =>
+      register(root)
+      val t = s"$root/orders_lake"
+      val o = orders(s, d).select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val cut = o.agg(ceil(max(col("o_orderkey")) / 2.0).cast("long"))
+        .head.getLong(0)
+      graft.sources.ManifestTable.commit(o.filter(col("o_orderkey") <= cut),
+        t, append = false, statsCols = Seq("o_orderkey"))
+      graft.sources.ManifestTable.commit(o.filter(col("o_orderkey") > cut),
+        t, append = true, statsCols = Seq("o_orderkey"))
+      s.sql(s"DELETE FROM $cat.orders_lake " +
+        s"WHERE o_orderkey <= $cut AND o_totalprice < 100000.0")
+      root
+    }
+    register(tableRoot)
+    s.sql(s"SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, " +
+      s"o_orderstatus FROM $cat.orders_lake")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_cow_delete" -> q84CowDelete _,
+    "q83_sql_merge" -> q83SqlMerge _,
     "q82_retention_delete" -> q82RetentionDelete _,
     "q81_merge_upsert" -> q81MergeUpsert _,
     "q80_sql_dml" -> q80SqlDml _,
@@ -536,6 +623,28 @@ object Lifecycle {
   )
 
   val oracles: Map[String, String] = Map(
+    // SAME reconstruction as q81: the SQL MERGE must land the identical
+    // upsert the library call does
+    "q83_sql_merge" ->
+      """SELECT o_orderkey,
+        |       round(CASE WHEN o_orderkey % 97 = 0
+        |                  THEN o_totalprice * 2 ELSE o_totalprice END, 2)
+        |         AS o_totalprice,
+        |       o_orderstatus
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 1000000000 AS o_orderkey,
+        |       round(o_totalprice, 2) AS o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey % 101 = 0""".stripMargin,
+    // the survivor set reconstructed row-by-row: the copy-on-write
+    // rewrite must drop exactly the TRUE-predicate rows
+    "q84_cow_delete" ->
+      """WITH cut AS (
+        |  SELECT CAST(ceil(max(o_orderkey) / 2.0) AS BIGINT) AS k FROM orders)
+        |SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        |       o_orderstatus
+        |FROM orders, cut
+        |WHERE NOT (o_orderkey <= cut.k AND o_totalprice < 100000.0)""".stripMargin,
     // the upsert reconstructed without any table format: replacements by
     // CASE, inserts by a shifted-key union - byte-identical or the merge
     // misapplied something

@@ -166,7 +166,11 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             "CALL graft_<procedure>('arg', ...) with single-quoted string " +
             "or bare numeric arguments. Known procedures: " +
             GraftProcedures.registry.keys.toSeq.sorted.mkString(", "))
-      case _ => delegate.parsePlan(sqlText)
+      case _ =>
+        // post-parse DML hook: MERGE/UPDATE statements whose target is a
+        // graft-catalog table become eager commands (GraftDml); every
+        // other plan passes through byte-identical
+        GraftDml.intercept(delegate.parsePlan(sqlText))
     }
 
   override def parseExpression(sqlText: String): Expression =

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{Row, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit, not}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{ByteType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -609,21 +609,25 @@ private[graft] object GraftDataSource {
       with org.apache.spark.sql.connector.catalog.SupportsWrite
       with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
-    /** `DELETE FROM … WHERE p` — METADATA-ONLY, or refused: a commit dir
-      * is dropped from the snapshot when its stats prove every row
-      * matches `p` ([[entryAllMatch]]) and kept when they prove none can
-      * ([[entryCanMatch]]); any dir the stats cannot decide refuses the
-      * whole DELETE (Spark surfaces [[canDeleteWhere]] = false as an
-      * analysis error) rather than silently rewriting data — the Iceberg
-      * metadata-delete posture. This is the 100 TB retention primitive:
-      * `DELETE WHERE event_date < X` against date-clustered commits drops
-      * manifest entries, moves zero bytes, and pinned readers keep their
-      * snapshots until vacuum. For a straddling predicate, compact on the
-      * delete column first (`compactClustered`) or rewrite via INSERT
-      * OVERWRITE.
+    /** `DELETE FROM … WHERE p` — metadata-first with a copy-on-write
+      * fallback: a commit dir is dropped from the snapshot when its
+      * stats prove every row matches `p` ([[entryAllMatch]]), kept when
+      * they prove none can ([[entryCanMatch]]), and — when every
+      * conjunct translates EXACTLY to a row predicate — a straddling dir
+      * is rewritten minus its matching rows through
+      * [[ManifestTable.cowRewriteCommit]]'s pinned CAS. Decidable dirs
+      * NEVER rewrite: the 100 TB retention path (`DELETE WHERE
+      * event_date < X` against date-clustered commits) still moves zero
+      * bytes, and a point-delete (`WHERE k = 42`) rewrites only the
+      * commits whose key range contains 42. Only a predicate with an
+      * untranslatable conjunct AND an undecidable dir still refuses
+      * (via [[canDeleteWhere]] = false → analysis error): a non-exact
+      * row filter could over- or under-delete, and guessing is worse
+      * than refusing.
       */
     override def canDeleteWhere(filters: Array[Filter]): Boolean = {
       if (explicitPin || sinceVersion > 0) return false
+      if (rowPredicate(filters).isDefined) return true
       val spark = SparkSession.active
       val head = math.max(snapshotVersion,
         ManifestTable.currentVersion(spark, path))
@@ -635,26 +639,43 @@ private[graft] object GraftDataSource {
       filters.forall(f => entryAllMatch(schema, e, f)) ||
         filters.exists(f => !entryCanMatch(schema, e, f))
 
+    /** The delete predicate as ONE exact row-level Column — `Some` only
+      * when every conjunct translates strictly (a dropped conjunct
+      * weakens the predicate, which on the delete path would over-delete).
+      */
+    private def rowPredicate(filters: Array[Filter])
+        : Option[org.apache.spark.sql.Column] = {
+      val cols = filters.map(f => translateFilter(f, strict = true))
+      if (cols.exists(_.isEmpty)) None
+      else cols.flatten.reduceOption(_ && _).orElse(Some(lit(true)))
+    }
+
     override def deleteWhere(filters: Array[Filter]): Unit = {
       require(!explicitPin && sinceVersion == 0,
         s"graft datasource: cannot DELETE through a time-travel or " +
           s"incremental view of $path")
       val spark = SparkSession.active
-      ManifestTable.rewriteEntriesPinned(spark, path) { entries =>
-        entries.filter { e =>
-          // conjunction: drop iff all rows match EVERY conjunct; keep iff
-          // provably no row matches SOME conjunct; else refuse loudly
-          // (re-proven here under the CAS pin - the snapshot may have
-          // moved since canDeleteWhere)
-          if (filters.forall(f => entryAllMatch(schema, e, f))) false
-          else if (filters.exists(f => !entryCanMatch(schema, e, f))) true
+      val pred = rowPredicate(filters)
+      ManifestTable.cowRewriteCommit(spark, path,
+        classify = (snapSchema, e) => {
+          // re-proven per CAS attempt - the snapshot may have moved since
+          // canDeleteWhere; the proofs run against the PINNED schema
+          if (filters.forall(f => entryAllMatch(snapSchema, e, f)))
+            ManifestTable.CowDrop
+          else if (filters.exists(f => !entryCanMatch(snapSchema, e, f)))
+            ManifestTable.CowKeep
+          else if (pred.isDefined) ManifestTable.CowRewrite
           else throw new IllegalStateException(
-            s"graft datasource: DELETE needs a metadata-only proof for " +
-              s"every commit, but ${e.dir} straddles the predicate " +
-              s"(${filters.mkString(" AND ")}) - compact on the delete " +
-              "column or rewrite via INSERT OVERWRITE")
-        }
-      }
+            s"graft datasource: DELETE needs a metadata-only proof or an " +
+              s"exactly-translatable predicate, but ${e.dir} straddles " +
+              s"(${filters.mkString(" AND ")}) and a conjunct does not " +
+              "translate - compact on the delete column or rewrite via " +
+              "INSERT OVERWRITE")
+        },
+        // SQL DELETE semantics: rows where p is TRUE go; FALSE and NULL
+        // survive - hence coalesce(p, false) under the negation
+        rewrite = df => df.filter(not(coalesce(pred.getOrElse(lit(true)),
+          lit(false)))))
       ()
     }
 

@@ -812,6 +812,93 @@ object ManifestTable {
     committed
   }
 
+  /** Per-commit decision for [[cowRewriteCommit]]: carry the entry
+    * forward untouched, drop it from the snapshot (metadata-only — its
+    * stats prove no row survives), or fold it into the copy-on-write
+    * slice whose rows the caller's transform rewrites.
+    */
+  private[graft] sealed trait CowAction
+  private[graft] case object CowKeep extends CowAction
+  private[graft] case object CowDrop extends CowAction
+  private[graft] case object CowRewrite extends CowAction
+
+  /** Stats-pruned partial COPY-ON-WRITE commit — the shared primitive
+    * under row-level `DELETE` fallback and SQL `UPDATE`: each head
+    * commit is classified keep / drop / rewrite against the snapshot
+    * schema, the rewrite slice is read once (full-snapshot-schema
+    * slice read), transformed by `rewrite`, and written as ONE new
+    * commit dir; kept entries travel by reference and dropped entries
+    * vanish metadata-only. At 100 TB this is the difference between a
+    * point-UPDATE rewriting a handful of key-clustered commits and
+    * rewriting the table: the classification runs over manifest stats,
+    * so provably-untouched dirs cost zero bytes of IO.
+    *
+    * Concurrency is [[compactCommit]]'s pinned-CAS contract: the new
+    * content derives from the snapshot it read, so classification and
+    * rewrite re-run per attempt against the new head, and a lost race
+    * deletes the stale attempt's dir. A rewrite that empties the whole
+    * snapshot anchors one empty schema-carrying dir, exactly like
+    * [[rewriteEntriesPinned]]. A classification with nothing to drop or
+    * rewrite is a no-op returning the current version (no empty commit
+    * spam). New-dir stats default to the head's recorded stats columns
+    * so pruning survives by inheritance (the [[mergeCommit]] rule).
+    */
+  private[graft] def cowRewriteCommit(spark: SparkSession, table: String,
+      classify: (StructType, Entry) => CowAction,
+      rewrite: DataFrame => DataFrame,
+      statsCols: Seq[String] = Nil): Long = {
+    val root = new Path(table)
+    val f = fs(spark, root)
+    var committed = 0L
+    var anchor: Option[Entry] = None
+    while (committed == 0L) {
+      val v = highestManifest(spark, table)
+      require(v > 0, s"manifest-table: $table has no committed version")
+      val entries = manifestEntries(spark, table, v)
+      val schema = snapshotSchemaCached(spark, table, v, entries.map(_.dir))
+      val decided = entries.map(e => e -> classify(schema, e))
+      val kept = decided.collect { case (e, CowKeep) => e }
+      val toRewrite = decided.collect { case (e, CowRewrite) => e }
+      if (toRewrite.isEmpty && kept.size == entries.size) return v // no-op
+      if (toRewrite.isEmpty) {
+        // pure metadata drop: rewriteEntriesPinned's shape, inlined so
+        // the anchor dir is shared across retry attempts
+        val content0 = kept match {
+          case empty if empty.isEmpty =>
+            if (anchor.isEmpty) {
+              val dirName =
+                s"data/${UUID.randomUUID().toString.replace("-", "").take(16)}"
+              spark.createDataFrame(
+                java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+                .repartition(1).write.parquet(new Path(table, dirName).toString)
+              anchor = Some(Entry(dirName, Map.empty))
+            }
+            anchor.toSeq
+          case k => k
+        }
+        if (casCreateFile(spark, manifestPath(table, v + 1),
+            content0.sortBy(_.dir).map(renderEntry).mkString("\n")))
+          committed = v + 1
+      } else {
+        val dirName =
+          s"data/${UUID.randomUUID().toString.replace("-", "").take(16)}"
+        val dirPath = new Path(table, dirName)
+        rewrite(sliceRead(spark, table, toRewrite.map(_.dir).sorted, schema))
+          .write.parquet(dirPath.toString)
+        val effStats = if (statsCols.nonEmpty) statsCols
+          else entries.flatMap(_.stats.keys).distinct.sorted
+        val entry = Entry(dirName, commitStats(spark, dirPath, effStats))
+        val content = (kept :+ entry).sortBy(_.dir)
+          .map(renderEntry).mkString("\n")
+        if (casCreateFile(spark, manifestPath(table, v + 1), content))
+          committed = v + 1
+        else f.delete(dirPath, true) // stale-derived rewrite: recompute
+      }
+    }
+    advancePointer(spark, table, committed)
+    committed
+  }
+
   /** Stats-pruned copy-on-write UPSERT — the merge that scales: rewrite
     * ONLY the commits whose recorded key ranges can contain an update
     * key, keep every provably-disjoint commit untouched. [[graft

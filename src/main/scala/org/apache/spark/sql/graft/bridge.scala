@@ -26,6 +26,22 @@ object ColumnBridge {
   /** The analyzed logical plan behind a DataFrame. */
   def analyzed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+
+  /** The optimized logical plan — where literal casts are folded, so
+    * predicate shapes match what [[translateFilter]] recognizes.
+    */
+  def optimized(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.optimizedPlan
+
+  /** Catalyst predicate → data-source [[org.apache.spark.sql.sources
+    * .Filter]], Spark's own translation (`protected[sql]`, hence exposed
+    * here) — so commit-level stats pruning classifies on exactly the
+    * filter shapes the scan path pushes.
+    */
+  def translateFilter(e: Expression, nestedPushdown: Boolean)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, nestedPushdown)
 }
 
 /** The V1 streaming-source internals a custom [[org.apache.spark.sql

@@ -7,8 +7,11 @@ import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
-/** Metadata-only DELETE: drop whole commits when stats prove every row
-  * matches, refuse loudly when they cannot — never rewrite data rows.
+/** DELETE FROM: metadata-FIRST — drop whole commits when stats prove
+  * every row matches, carry provably-disjoint commits by reference —
+  * with a copy-on-write fallback for straddling commits when the
+  * predicate translates exactly to a row filter (round 10; the spec
+  * that decidable dirs NEVER rewrite lives in GraftDmlSpec).
   */
 class GraftDeleteSpec extends SparkSpec {
   import ManifestTable.{ColStat, Entry}
@@ -93,24 +96,23 @@ class GraftDeleteSpec extends SparkSpec {
       .exists(_.getName.endsWith(".parquet")),
       "metadata delete must not destroy data (vacuum reclaims it)")
 
-    // a straddling predicate must refuse, not rewrite
-    val straddle = intercept[Exception](
-      spark.sql("DELETE FROM delcat.t WHERE id <= 120"))
-    assert(straddle.getMessage.toLowerCase.contains("delete"), straddle.getMessage)
-    assert(spark.sql("SELECT count(*) FROM delcat.t").head.getLong(0) == 50,
-      "a refused delete must change nothing")
+    // a straddling predicate copy-on-write rewrites the undecidable
+    // commit minus its matching rows (pre-r10 this refused)
+    spark.sql("DELETE FROM delcat.t WHERE id <= 120")
+    assert(spark.sql("SELECT count(*) FROM delcat.t").head.getLong(0) == 30)
+    assert(spark.sql("SELECT min(id) FROM delcat.t").head.getLong(0) == 121)
 
-    // a predicate on a column with null rows must refuse even when
-    // min/max would prove it
+    // null rows survive row-level deletes: min/max-based proofs ignore
+    // them, and the rewrite's gate only removes TRUE-predicate rows
     val t2 = s"$root/t2"
     ManifestTable.commit(
       Seq((Some(1L), "a"), (Some(2L), "b"), (Option.empty[Long], "n"))
         .toDF("id", "v"),
       t2, append = false, statsCols = Seq("id"))
-    val nullRefuse = intercept[Exception](
-      spark.sql("DELETE FROM delcat.t2 WHERE id <= 100"))
-    assert(nullRefuse.getMessage.toLowerCase.contains("delete"),
-      nullRefuse.getMessage)
+    spark.sql("DELETE FROM delcat.t2 WHERE id <= 100")
+    val t2rows = spark.sql("SELECT v FROM delcat.t2").collect().map(_.getString(0))
+    assert(t2rows.toSeq == Seq("n"),
+      s"only the null-id row survives: ${t2rows.toSeq}")
 
     // delete-all empties the snapshot but keeps the schema: the table
     // stays INSERTable (rebirth)
@@ -154,7 +156,8 @@ class GraftDeleteSpec extends SparkSpec {
     assert(ManifestTable.readRange(spark, t4, "ts",
       "2001-01-01", "2002-01-01").count() == 5)
 
-    // legacy manifest entries (pre-null-count format) refuse proofs e2e:
+    // legacy manifest entries (pre-null-count format) never PROVE — the
+    // delete must take the copy-on-write path, not the metadata drop:
     // strip the nulls field from the live manifest and try the delete
     val t3 = s"$root/t3"
     ManifestTable.commit((1 to 10).map(i => (i.toLong, "x")).toDF("id", "v"),
@@ -171,11 +174,12 @@ class GraftDeleteSpec extends SparkSpec {
     // the raw rewrite invalidates the local-fs checksum sidecar
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$t3/_manifests/.m-000001.txt.crc"))
-    val legacyRefuse = intercept[Exception](
-      spark.sql("DELETE FROM delcat.t3 WHERE id <= 100"))
-    assert(legacyRefuse.getMessage.toLowerCase.contains("delete"),
-      legacyRefuse.getMessage)
-    // but the legacy entry still READS and prunes fine
-    assert(spark.sql("SELECT count(*) FROM delcat.t3").head.getLong(0) == 10)
+    val legacyDirs = ManifestTable.manifestEntries(spark, t3, 1L).map(_.dir)
+    spark.sql("DELETE FROM delcat.t3 WHERE id <= 5")
+    assert(spark.sql("SELECT count(*) FROM delcat.t3").head.getLong(0) == 5)
+    assert(!ManifestTable.manifestEntries(spark, t3,
+      ManifestTable.currentVersion(spark, t3)).map(_.dir)
+      .exists(legacyDirs.contains),
+      "a legacy entry cannot prove, so it must rewrite, never drop blind")
   }
 }
