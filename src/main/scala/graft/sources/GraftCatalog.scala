@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A Spark catalog over a directory of [[ManifestTable]]s, completing the
@@ -131,15 +131,22 @@ final class GraftCatalog extends TableCatalog {
     loadVersion(ident, v)
   }
 
-  /** `TIMESTAMP AS OF` is unsupported: manifests record CAS order, not
-    * wall-clock commit times, and inventing times from file mtimes would
-    * time-travel to whatever the filesystem last touched. Versions are
-    * the honest axis; fail loudly rather than guess.
+  /** `TIMESTAMP AS OF` — resolves on the commit time stamped INSIDE each
+    * manifest at CAS time (monotone per table, so the axis is honest —
+    * never file mtimes, which report whatever the filesystem last
+    * touched). The snapshot returned is the one that was current at that
+    * instant, Delta-style. Pre-stamp legacy manifests refuse loudly when
+    * — and only when — resolution would need them; `VERSION AS OF`
+    * always works.
     */
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: TIMESTAMP AS OF is not supported - manifest tables " +
-        "version by CAS order; use VERSION AS OF <n>")
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    // Spark hands the clause value in MICROseconds since epoch
+    val path = tablePath(ident)
+    if (!isManifestTable(path)) throw new NoSuchTableException(ident)
+    val v = ManifestTable.versionAtTime(spark, path,
+      Math.floorDiv(timestamp, 1000L))
+    loadVersion(ident, v)
+  }
 
   private def loadVersion(ident: Identifier, version: Long): Table = {
     // identifier-probing tools (and Spark's own resolution fallbacks)
@@ -206,8 +213,33 @@ final class GraftCatalog extends TableCatalog {
     val v = ManifestTable.commit(empty, path, append = false)
     GraftDataSource.GraftTable(path, v)
   }
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly("ALTER TABLE")
+  /** `ALTER TABLE ADD COLUMNS` is the ONE accepted alter: additive
+    * column-add has a safe commit form ([[ManifestTable.addColumnsCommit]]
+    * — an empty append carrying the extended schema; history null-fills).
+    * Everything else — drop, rename, type change, comment/property
+    * updates, positioned adds — would mutate what immutable commits
+    * already recorded, and stays refused.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = tablePath(ident)
+    if (!isManifestTable(path)) throw new NoSuchTableException(ident)
+    val fields = changes.map {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "graft catalog: ALTER TABLE ADD COLUMNS supports top-level " +
+            s"columns only, got ${add.fieldNames.mkString(".")}")
+        require(add.position() == null,
+          "graft catalog: ADD COLUMNS appends at the end - FIRST/AFTER " +
+            "would reorder what existing commits recorded")
+        require(add.isNullable,
+          s"graft catalog: ADD COLUMNS ${add.fieldNames.head} must be " +
+            "nullable - existing rows null-fill it")
+        StructField(add.fieldNames.head, add.dataType(), nullable = true)
+      case other => readOnly(s"ALTER TABLE (${other.getClass.getSimpleName})")
+    }
+    val v = ManifestTable.addColumnsCommit(spark, path, fields)
+    GraftDataSource.GraftTable(path, v)
+  }
   override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("RENAME TABLE")

@@ -183,7 +183,66 @@ object ManifestTable {
       v: Long): Seq[Entry] =
     if (v == 0) Nil
     else readFile(spark, manifestPath(table, v)).linesIterator
-      .map(_.trim).filter(_.nonEmpty).map(parseEntry).toSeq
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(parseEntry).toSeq
+
+  /** The wall-clock commit time stamped INSIDE a manifest at CAS time
+    * (`#ts:<epochMillis>` header, r10+) — the honest axis `TIMESTAMP AS
+    * OF` resolves on, unlike file mtimes which report whatever the
+    * filesystem last touched. None for pre-stamp legacy manifests.
+    */
+  private[graft] def commitTimeMs(spark: SparkSession, table: String,
+      v: Long): Option[Long] =
+    readFile(spark, manifestPath(table, v)).linesIterator
+      .find(_.nonEmpty)
+      .filter(_.startsWith("#ts:"))
+      .flatMap(_.stripPrefix("#ts:").trim.toLongOption)
+
+  /** Render a manifest for publication as version `base + 1`: entries
+    * sorted by dir under a commit-time header. The stamp is MONOTONE per
+    * table — max(now, predecessor's stamp + 1) — so `TIMESTAMP AS OF`
+    * resolves unambiguously even across committer clock skew (the Delta
+    * in-commit-timestamp rule). Legacy headerless predecessors
+    * contribute no floor.
+    */
+  private def renderManifest(spark: SparkSession, table: String, base: Long,
+      entries: Seq[Entry]): String = {
+    val floor = if (base > 0)
+      commitTimeMs(spark, table, base).getOrElse(0L) else 0L
+    val ts = math.max(System.currentTimeMillis(), floor + 1)
+    s"#ts:$ts\n" + entries.sortBy(_.dir).map(renderEntry).mkString("\n")
+  }
+
+  /** The latest version whose stamped commit time is <= `targetMs` —
+    * Spark's `TIMESTAMP AS OF` contract (Delta semantics: the snapshot
+    * that was current at that instant). Walks retained versions from the
+    * head down, so vacuumed history simply isn't addressable and a
+    * legacy unstamped manifest refuses ONLY when resolution actually
+    * needs it (every stamped version is still after the target).
+    */
+  private[graft] def versionAtTime(spark: SparkSession, table: String,
+      targetMs: Long): Long = {
+    val versions = store(spark).listFiles(new Path(table, "_manifests"))
+      .map(_._1).filter(n => n.startsWith("m-") && n.endsWith(".txt"))
+      .flatMap(_.stripPrefix("m-").stripSuffix(".txt").toLongOption)
+      .sorted(Ordering[Long].reverse)
+    require(versions.nonEmpty, s"manifest-table: $table has no committed version")
+    var earliest = Long.MaxValue
+    versions.foreach { v =>
+      commitTimeMs(spark, table, v) match {
+        case None => throw new UnsupportedOperationException(
+          s"manifest-table: version $v of $table predates commit-time " +
+            "stamps - TIMESTAMP AS OF cannot resolve at or below it; " +
+            "use VERSION AS OF")
+        case Some(ts) if ts <= targetMs => return v
+        case Some(ts) => earliest = ts
+      }
+    }
+    throw new IllegalArgumentException(
+      s"manifest-table: TIMESTAMP AS OF $targetMs ms is before the " +
+        s"earliest retained commit of $table " +
+        s"(${java.time.Instant.ofEpochMilli(earliest)})")
+  }
 
   private def dataDirs(spark: SparkSession, table: String, v: Long): Seq[String] =
     manifestEntries(spark, table, v).map(_.dir)
@@ -358,7 +417,7 @@ object ManifestTable {
         val baseEntries = if (append && base > 0) manifestEntries(spark, table, base) else Nil
         if (append && base > 0)
           checkAppendSchema(spark, table, base, df, allowEvolution)
-        val content = (baseEntries :+ entry).sortBy(_.dir).map(renderEntry).mkString("\n")
+        val content = renderManifest(spark, table, base, baseEntries :+ entry)
         attempted = base + 1
         if (casCreateFile(spark, manifestPath(table, base + 1), content))
           committed = base + 1
@@ -367,6 +426,38 @@ object ManifestTable {
     }
     advancePointer(spark, table, committed)
     committed
+  }
+
+  /** `ALTER TABLE ADD COLUMNS` — the ONE safe DDL mutation, expressed as
+    * the commit form it maps onto: an empty APPEND whose parquet footer
+    * carries the extended schema. Union-schema snapshot resolution then
+    * reports the new columns table-wide, existing commits null-fill them
+    * on read (the additive-evolution contract [[commit]] already
+    * enforces for data appends), and the next INSERT aligns against the
+    * extended snapshot schema. Columns must be nullable (a non-null
+    * column over null-filled history would be a lie) and new
+    * (case-insensitively). Destructive alters — drop / rename / type
+    * change — have no safe commit form and stay refused at the catalog.
+    */
+  def addColumnsCommit(spark: SparkSession, table: String,
+      newFields: Seq[StructField]): Long = {
+    require(newFields.nonEmpty, "manifest-table: ADD COLUMNS needs columns")
+    val head = currentVersion(spark, table)
+    require(head > 0, s"manifest-table: $table has no committed version")
+    val schema = snapshotSchemaOf(spark, table, head)
+    newFields.foreach { f =>
+      require(f.nullable,
+        s"manifest-table: ADD COLUMNS ${f.name} must be nullable - " +
+          "existing commits null-fill it on read")
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+        s"manifest-table: column ${f.name} already exists")
+    }
+    val extended = StructType(schema.fields ++ newFields)
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), extended)
+      .repartition(1)
+    commit(empty, table, append = true,
+      statsCols = headStatsCols(spark, table), allowEvolution = true)
   }
 
   private def checkAppendSchema(spark: SparkSession, table: String, base: Long,
@@ -448,7 +539,7 @@ object ManifestTable {
       } else {
         if (base > 0) checkAppendSchema(spark, table, base, df, allowEvolution)
         val entries = manifestEntries(spark, table, base) :+ entry
-        val content = entries.sortBy(_.dir).map(renderEntry).mkString("\n")
+        val content = renderManifest(spark, table, base, entries)
         attempted = base + 1
         if (casCreateFile(spark, manifestPath(table, base + 1), content))
           committed = base + 1
@@ -758,8 +849,11 @@ object ManifestTable {
     var prev = Set.empty[String]
     manifests.map { case (v, mtimeMs) =>
       val dirs = dataDirs(spark, table, v).toSet
-      // epoch MILLIS (mtime precision) - the consumer builds a Timestamp
-      val row = (v, mtimeMs, dirs.size,
+      // epoch MILLIS: the stamped in-manifest commit time when present
+      // (r10+, what TIMESTAMP AS OF resolves on), file mtime for legacy
+      // manifests (informational only)
+      val ts = commitTimeMs(spark, table, v).getOrElse(mtimeMs)
+      val row = (v, ts, dirs.size,
         dirs.diff(prev).size, prev.diff(dirs).size)
       prev = dirs
       row
@@ -804,7 +898,7 @@ object ManifestTable {
           anchor.toSeq
         case kept => kept
       }
-      val content = kept.sortBy(_.dir).map(renderEntry).mkString("\n")
+      val content = renderManifest(spark, table, v, kept)
       if (casCreateFile(spark, manifestPath(table, v + 1), content))
         committed = v + 1
     }
@@ -877,7 +971,7 @@ object ManifestTable {
           case k => k
         }
         if (casCreateFile(spark, manifestPath(table, v + 1),
-            content0.sortBy(_.dir).map(renderEntry).mkString("\n")))
+            renderManifest(spark, table, v, content0)))
           committed = v + 1
       } else {
         val dirName =
@@ -888,8 +982,7 @@ object ManifestTable {
         val effStats = if (statsCols.nonEmpty) statsCols
           else entries.flatMap(_.stats.keys).distinct.sorted
         val entry = Entry(dirName, commitStats(spark, dirPath, effStats))
-        val content = (kept :+ entry).sortBy(_.dir)
-          .map(renderEntry).mkString("\n")
+        val content = renderManifest(spark, table, v, kept :+ entry)
         if (casCreateFile(spark, manifestPath(table, v + 1), content))
           committed = v + 1
         else f.delete(dirPath, true) // stale-derived rewrite: recompute
@@ -985,8 +1078,7 @@ object ManifestTable {
           val effStats = if (statsCols.nonEmpty) statsCols
             else entries.flatMap(_.stats.keys).distinct.sorted
           val entry = Entry(dirName, commitStats(spark, dirPath, effStats))
-          val content = (untouched :+ entry).sortBy(_.dir)
-            .map(renderEntry).mkString("\n")
+          val content = renderManifest(spark, table, v, untouched :+ entry)
           if (casCreateFile(spark, manifestPath(table, v + 1), content))
             committed = v + 1
           else f.delete(dirPath, true) // stale-derived rewrite: recompute
@@ -1170,7 +1262,7 @@ object ManifestTable {
           Seq(Entry(dirName, Map.empty))
         }
       f.delete(staging, true) // _SUCCESS and empty shell
-      val content = entries.sortBy(_.dir).map(renderEntry).mkString("\n")
+      val content = renderManifest(spark, table, v, entries)
       if (casCreateFile(spark, manifestPath(table, v + 1), content))
         committed = v + 1
       else entries.foreach(e => f.delete(new Path(root, e.dir), true))

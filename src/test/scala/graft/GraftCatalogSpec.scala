@@ -43,10 +43,18 @@ class GraftCatalogSpec extends SparkSpec {
     val missing = intercept[Exception](
       spark.sql("SELECT * FROM graftcat.postings VERSION AS OF 99").head)
     assert(missing.getMessage.contains("no version 99"), missing.getMessage)
+    // TIMESTAMP AS OF resolves on stamped commit times (r10): a target
+    // before the table existed fails loudly, the head's stamp resolves
+    // to the head (full travel matrix in GraftAlterTimeTravelSpec)
     val ts = intercept[Exception](
       spark.sql(
         "SELECT * FROM graftcat.postings TIMESTAMP AS OF '2024-01-01'").head)
-    assert(ts.getMessage.contains("VERSION AS OF"), ts.getMessage)
+    assert(ts.getMessage.contains("before the earliest"), ts.getMessage)
+    val headMs = graft.sources.ManifestTable.commitTimeMs(spark,
+      s"$root/postings",
+      graft.sources.ManifestTable.currentVersion(spark, s"$root/postings")).get
+    assert(spark.sql("SELECT count(*) FROM graftcat.postings " +
+      s"TIMESTAMP AS OF timestamp_millis($headMs)").head.getLong(0) == 100)
 
     // catalog listing: manifest tables only, sorted
     val listed = spark.sql("SHOW TABLES IN graftcat")
