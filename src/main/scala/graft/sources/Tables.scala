@@ -20,6 +20,38 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Normalize an event-time column to Spark-native TimestampType
+    * regardless of how the parquet writer encoded it. Three encodings have
+    * shipped in the driver testdata across rounds:
+    *
+    *   - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+    *     outright unless `spark.sql.legacy.parquet.nanosAsLong` is set, in
+    *     which case the column surfaces as a nanos `LongType` — truncate to
+    *     micros (the same truncation DuckDB applies on
+    *     `CAST(ts_ns AS TIMESTAMP)`, so oracles agree);
+    *   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+    *     `TimestampNTZType` — cast to TimestampType (sessions here pin
+    *     `spark.sql.session.timeZone=UTC`, so the wall-clock values are
+    *     preserved and DuckDB's naive reading of the same file agrees);
+    *   - parquet TIMESTAMP(MICROS, adjusted): already `TimestampType` —
+    *     pass through untouched.
+    *
+    * Dispatching on the *loaded* dataType (not a config guess) means a
+    * driver-side regeneration of the testdata with any of the encodings
+    * keeps every consumer green.
+    */
+  def normalizeEpochNanos(df: DataFrame, colName: String): DataFrame =
+    df.schema(colName).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        import org.apache.spark.sql.functions.{expr, timestamp_micros}
+        df.withColumn(colName, timestamp_micros(expr(s"`$colName` div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        import org.apache.spark.sql.functions.col
+        df.withColumn(colName,
+          col(colName).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
@@ -27,16 +59,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as a nanos long and truncate to Spark's
-    * native micros precision (same truncation DuckDB applies on
-    * CAST(ts_ns AS TIMESTAMP), so oracles agree).
+  /** `events.ts` arrives as either parquet TIMESTAMP(NANOS) or
+    * TIMESTAMP(MICROS) depending on the generator; `normalizeEpochNanos`
+    * dispatches on the loaded type so both read identically. The
+    * `nanosAsLong` flag is a no-op on non-NANOS columns, so it is safe to
+    * set unconditionally.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEpochNanos(load(s, d, "events"), "ts")
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

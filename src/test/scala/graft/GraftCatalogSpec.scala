@@ -54,7 +54,7 @@ class GraftCatalogSpec extends SparkSpec {
       s"$root/postings",
       graft.sources.ManifestTable.currentVersion(spark, s"$root/postings")).get
     assert(spark.sql("SELECT count(*) FROM graftcat.postings " +
-      s"TIMESTAMP AS OF timestamp_millis($headMs)").head.getLong(0) == 100)
+      s"TIMESTAMP AS OF timestamp_millis($headMs)").head.getLong(0) == 150)
 
     // catalog listing: manifest tables only, sorted
     val listed = spark.sql("SHOW TABLES IN graftcat")
@@ -82,9 +82,15 @@ class GraftCatalogSpec extends SparkSpec {
     // destructive DDL: refused, routed to ManifestTable loudly
     val drop = intercept[Exception](spark.sql("DROP TABLE graftcat.dims"))
     assert(drop.getMessage.contains("destructive DDL"), drop.getMessage)
-    val alter = intercept[Exception](
-      spark.sql("ALTER TABLE graftcat.dims ADD COLUMN extra BIGINT"))
-    assert(alter.getMessage.contains("destructive DDL"), alter.getMessage)
+    // ALTER ADD COLUMNS is the ONE accepted alter (r10 — additive, safe
+    // commit form; full matrix in GraftAlterTimeTravelSpec). Destructive
+    // alters still refuse.
+    spark.sql("ALTER TABLE graftcat.dims ADD COLUMN extra BIGINT")
+    assert(spark.table("graftcat.dims").columns.contains("extra"))
+    val alterDrop = intercept[Exception](
+      spark.sql("ALTER TABLE graftcat.dims DROP COLUMN w"))
+    assert(alterDrop.getMessage.contains("destructive DDL"),
+      alterDrop.getMessage)
   }
 
   test("SQL DML: CREATE TABLE, INSERT INTO/OVERWRITE, CTAS land as CAS commits") {

@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+import graft.sources.Tables
+
+/** Loader robustness: the driver regenerates the testdata between rounds
+  * and has shipped `events.ts` as both parquet TIMESTAMP(NANOS) (surfacing
+  * as a nanos long under `nanosAsLong`) and native TIMESTAMP(MICROS).
+  * `normalizeEpochNanos` must read both to identical TimestampType values.
+  */
+class TablesSpec extends SparkSpec {
+
+  test("normalizeEpochNanos: nanos-long and native-micros encodings agree") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_tables").toString
+
+    // 2024-09-23 10:00:00.123456 UTC, plus an epoch and a negative stamp
+    val micros = Seq(1727086800123456L, 0L, -1727086800000001L)
+
+    // encoding 1: epoch-nanos long (what nanosAsLong yields from NANOS)
+    micros.map(us => us * 1000L).toDF("ts")
+      .write.parquet(s"$dir/as_nanos.parquet")
+    // encoding 2: native TimestampType (parquet TIMESTAMP(MICROS, adjusted))
+    micros.toDF("us")
+      .selectExpr("timestamp_micros(us) AS ts")
+      .write.parquet(s"$dir/as_micros.parquet")
+    // encoding 3: TIMESTAMP(MICROS, isAdjustedToUTC=false) → TimestampNTZ,
+    // the encoding the driver testdata ships as of r11 (session tz is UTC,
+    // so the NTZ wall-clock equals the instant)
+    micros.toDF("us")
+      .selectExpr("cast(timestamp_micros(us) AS timestamp_ntz) AS ts")
+      .write.parquet(s"$dir/as_ntz.parquet")
+
+    def norm(name: String) =
+      Tables.normalizeEpochNanos(Tables.load(spark, dir, name), "ts")
+    def vals(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.selectExpr("unix_micros(ts) AS us").as[Long].collect().sorted.toSeq
+
+    for (enc <- Seq("as_nanos", "as_micros", "as_ntz")) {
+      val df = norm(enc)
+      assert(df.schema("ts").dataType == TimestampType, enc)
+      assert(vals(df) == micros.sorted, enc)
+    }
+  }
+
+  test("Tables.events loads the current driver testdata with a timestamp ts") {
+    val events = Tables.events(spark, sfDir)
+    assert(events.schema("ts").dataType == TimestampType)
+    assert(events.limit(1).count() == 1)
+  }
+}
