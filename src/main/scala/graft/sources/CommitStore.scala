@@ -100,13 +100,21 @@ object CommitStore {
     }
 }
 
+object RenameCommitStore {
+  /** Torn-read retry bound: with the exponential backoff in [[RenameCommitStore.read]]
+    * this spans ~200ms — far past any rename pair's in-flight window,
+    * short enough that real corruption still fails promptly.
+    */
+  private[graft] val MaxReadAttempts = 6
+}
+
 /** Rename-based commit store — correct wherever the filesystem gives an
   * atomic no-overwrite rename (HDFS, local fs, most HDFS-compatible
   * stores). This is the code that lived inside [[ManifestTable]] through
   * round 9, verbatim; see the method docs for the local-fs caveats each
   * step closes.
   */
-final class RenameCommitStore(conf: Configuration) extends CommitStore {
+class RenameCommitStore(conf: Configuration) extends CommitStore {
 
   private def fs(p: Path) = p.getFileSystem(conf)
 
@@ -156,9 +164,37 @@ final class RenameCommitStore(conf: Configuration) extends CommitStore {
     }
   }
 
-  override def read(p: Path): String = {
+  /** One raw read attempt; overridable so the retry loop is testable. */
+  protected def readOnce(p: Path): String = {
     val in = fs(p).open(p)
     try Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+  }
+
+  /** Read with a bounded retry on torn-read signatures. On the local
+    * (checksummed) filesystem, renaming a file renames the data file and
+    * its `.crc` sidecar as TWO separate ops — a reader racing the
+    * rename-CAS publish can observe a pair that disagrees
+    * (ChecksumException) or a file that looks truncated (EOFException).
+    * Protocol files are immutable once committed, so a re-read converges
+    * as soon as both halves of the pair land; persistent corruption
+    * still surfaces after the attempts are exhausted. On HDFS and the
+    * conditional-PUT object-store mode this window does not exist and
+    * the first attempt always wins.
+    */
+  override def read(p: Path): String = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < RenameCommitStore.MaxReadAttempts) {
+      try return readOnce(p)
+      catch {
+        case e @ (_: org.apache.hadoop.fs.ChecksumException | _: java.io.EOFException) =>
+          last = e
+          attempt += 1
+          if (attempt < RenameCommitStore.MaxReadAttempts)
+            Thread.sleep(math.min(40L, 4L << attempt))
+      }
+    }
+    throw last
   }
 
   override def exists(p: Path): Boolean = fs(p).exists(p)

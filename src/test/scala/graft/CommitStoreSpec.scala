@@ -134,6 +134,41 @@ class CommitStoreSpec extends SparkSpec {
     }
   }
 
+  test("torn local-fs reads converge: ChecksumException/EOFException retry until the rename pair lands") {
+    // A reader racing a rename-CAS publish on the local (checksummed)
+    // filesystem can catch the data file and its .crc sidecar mid-rename.
+    // Deterministic stand-in for that window: the first readOnce attempts
+    // throw the torn-read signatures, then the file reads clean — read()
+    // must absorb the window and return the committed content.
+    import graft.sources.RenameCommitStore
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft_tornread")
+    val p = new Path(dir.toString, "m-000001.txt")
+    val conf = spark.sparkContext.hadoopConfiguration
+    new RenameCommitStore(conf).putIfAbsent(p, "committed-content")
+
+    val tornCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val torn = new RenameCommitStore(conf) {
+      override protected def readOnce(q: Path): String = {
+        val n = tornCount.incrementAndGet()
+        if (n == 1) throw new org.apache.hadoop.fs.ChecksumException("torn pair", 0L)
+        if (n == 2) throw new java.io.EOFException("appears truncated")
+        super.readOnce(q)
+      }
+    }
+    assert(torn.read(p) == "committed-content",
+      "read must retry through the torn window and return committed bytes")
+    assert(tornCount.get() == 3, "exactly the two torn attempts absorbed")
+
+    // persistent corruption is NOT absorbed: after the bounded attempts
+    // the original failure surfaces
+    val alwaysTorn = new RenameCommitStore(conf) {
+      override protected def readOnce(q: Path): String =
+        throw new org.apache.hadoop.fs.ChecksumException("real corruption", 0L)
+    }
+    intercept[org.apache.hadoop.fs.ChecksumException](alwaysTorn.read(p))
+  }
+
   test("negative proof: check-then-rename over object semantics loses a commit; conditional put does not") {
     InMemoryObjectApi.clear()
     val api = new InMemoryObjectApi
