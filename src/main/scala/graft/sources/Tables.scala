@@ -44,7 +44,21 @@ object Tables {
     df.schema(colName).dataType match {
       case org.apache.spark.sql.types.LongType =>
         import org.apache.spark.sql.functions.{expr, timestamp_micros}
-        df.withColumn(colName, timestamp_micros(expr(s"`$colName` div 1000")))
+        // Magnitude guard (r12 advice): a LongType here is trusted to be
+        // epoch-NANOS (the `nanosAsLong` surface) — but a raw unannotated
+        // INT64 column of epoch-micros/millis would ALSO load as LongType,
+        // and dividing it by 1000 would be silently wrong by 1000x. Any
+        // plausible instant is >= 1e16 in nanos (~1970-04) while micros
+        // stay < 1e16 until year 2286 and millis far longer, so a non-null
+        // non-zero value below 1e16 fails loudly instead of shifting.
+        // 0 passes as the epoch sentinel the encoding spec exercises.
+        df.withColumn(colName, timestamp_micros(expr(
+          s"CASE WHEN `$colName` IS NULL OR `$colName` = 0 " +
+            s"OR abs(`$colName`) >= 10000000000000000 THEN `$colName` div 1000 " +
+            s"ELSE raise_error(concat('normalizeEpochNanos($colName): value ', " +
+            s"cast(`$colName` AS string), ' is below epoch-nanos magnitude (1e16); " +
+            s"the column likely encodes epoch-micros/millis as plain INT64 and " +
+            s"dividing by 1000 would shift instants 1000x')) END")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         import org.apache.spark.sql.functions.col
         df.withColumn(colName,

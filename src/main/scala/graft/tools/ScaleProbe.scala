@@ -62,16 +62,32 @@ object ScaleProbe {
       // (~constant rows), not the table - flat across 10x data, vs the
       // full-snapshot rewrite growing 10x
       ("merge_pruned" ->
-        ((s: SparkSession, dir: String) => mergeProbe(s, dir)))
+        ((s: SparkSession, dir: String) => mergeProbe(s, dir))) :+
+      // the SQL DML path (r12 verdict item 6): the same pruned merge
+      // driven as `MERGE INTO` through the parser intercept
+      // (parser → GraftDml → mergeCommit), so the statement path has its
+      // own scale row — a parser/alignment regression that re-read the
+      // whole table would show here and not in merge_pruned
+      ("merge_sql" ->
+        ((s: SparkSession, dir: String) => sqlMergeProbe(s, dir))) :+
+      // q84-shaped copy-on-write DELETE: two key-split commits, a
+      // conjunctive predicate the high commit PROVES no-match on while
+      // the low commit (no stats on o_totalprice) must rewrite minus its
+      // matching rows. Each sample consumes a FRESH pre-built table from
+      // a pool (a second DELETE on the same table would be metadata-only
+      // - different work); the pool build prints COWBUILD and is paid
+      // before the first timed sample
+      ("delete_cow" ->
+        ((s: SparkSession, dir: String) => cowDeleteProbe(s, dir)))
 
-  /** Build-if-missing a key-clustered manifest table + a one-commit
-    * delta, then run (and thereby time) one pruned merge; returns a
-    * 1-row frame recording how much of the table carried forward by
-    * reference.
+  /** Build-if-missing under `base`: orders as ~100k-row key-clustered
+    * commits + a 1000-smallest-keys one-commit delta (o_totalprice
+    * touched). Returns (table, deltaPath). Shared by the API-form and
+    * SQL-form merge probes so both time the same table shape.
     */
-  private def mergeProbe(s: SparkSession, dir: String): DataFrame = {
+  private def ensureClusteredOrders(s: SparkSession, dir: String,
+      base: String): (String, String) = {
     import graft.sources.ManifestTable
-    val base = "scratch/mergeprobe-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
     val table = s"$base/orders_lake"
     val deltaPath = s"$base/delta.parquet"
     val f = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -96,10 +112,122 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(deltaPath)
       println(f"""MERGEBUILD {"dir":"$dir","commits":$buckets,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
     }
+    (table, deltaPath)
+  }
+
+  /** Build-if-missing a key-clustered manifest table + a one-commit
+    * delta, then run (and thereby time) one pruned merge; returns a
+    * 1-row frame recording how much of the table carried forward by
+    * reference.
+    */
+  private def mergeProbe(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestTable
+    val base = "scratch/mergeprobe-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val (table, deltaPath) = ensureClusteredOrders(s, dir, base)
     val before = ManifestTable.currentVersion(s, table)
     val beforeDirs = ManifestTable.manifestEntries(s, table, before).map(_.dir)
     val v = ManifestTable.mergeCommit(s, table,
       s.read.parquet(deltaPath), Seq("o_orderkey"))
+    val afterDirs = ManifestTable.manifestEntries(s, table, v).map(_.dir)
+    val carried = beforeDirs.intersect(afterDirs).size
+    import s.implicits._
+    Seq((v, beforeDirs.size, carried)).toDF("version", "dirs", "carried")
+  }
+
+  /** Register a GraftCatalog named per (tag, dir) over `root`; returns
+    * the catalog name. Re-setting the same confs is a no-op.
+    */
+  private def catalogFor(s: SparkSession, tag: String, dir: String,
+      root: String): String = {
+    val cat = s"scaleprobe_${tag}_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    cat
+  }
+
+  /** merge_pruned's statement twin: the SAME clustered table shape and
+    * delta, merged via SQL `MERGE INTO` through the parser intercept.
+    * Re-merging the identical delta each sample rewrites the same
+    * touched commit — stable per-sample work, like mergeProbe.
+    */
+  private def sqlMergeProbe(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestTable
+    val base = "scratch/sqlmergeprobe-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val (table, deltaPath) = ensureClusteredOrders(s, dir, base)
+    val cat = catalogFor(s, "m", dir, base)
+    s.read.parquet(deltaPath).createOrReplaceTempView("scaleprobe_merge_delta")
+    val before = ManifestTable.currentVersion(s, table)
+    val beforeDirs = ManifestTable.manifestEntries(s, table, before).map(_.dir)
+    s.sql(s"""
+      MERGE INTO $cat.orders_lake AS t USING scaleprobe_merge_delta AS d
+      ON t.o_orderkey = d.o_orderkey
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    val v = ManifestTable.currentVersion(s, table)
+    val afterDirs = ManifestTable.manifestEntries(s, table, v).map(_.dir)
+    val carried = beforeDirs.intersect(afterDirs).size
+    import s.implicits._
+    Seq((v, beforeDirs.size, carried)).toDF("version", "dirs", "carried")
+  }
+
+  private val cowPool = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val CowPoolSize = 6 // runOne consumes 4 (3 timed + 1 shape)
+
+  /** q84-shaped copy-on-write DELETE over a FRESH table per sample: two
+    * key-split commits (stats on o_orderkey only), then `DELETE WHERE
+    * o_orderkey <= cut AND o_totalprice < threshold` — the high commit
+    * proves no-match on the first conjunct and carries by reference;
+    * the low commit is stats-undecidable on o_totalprice and rewrites
+    * minus its TRUE-predicate rows. The whole pool builds before the
+    * first timed sample (COWBUILD line), so min-of-3 reports the pure
+    * statement cost.
+    */
+  private def cowDeleteProbe(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ManifestTable
+    val base = "scratch/cowdelprobe-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val f = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (cowPool.get() == 0) {
+      // first call in this JVM: (re)build every pool table that is not
+      // pristine at version 2 — a previous probe run's DELETEs left
+      // their tables consumed, and a second DELETE on a consumed table
+      // would be metadata-only (different work than the COW rewrite
+      // this probe times)
+      val t0 = System.nanoTime()
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val cut = o.agg(ceil(max(col("o_orderkey")) / 2.0).cast("long"))
+        .head.getLong(0)
+      var rebuilt = 0
+      (0 until CowPoolSize).foreach { i =>
+        val t = s"$base/t$i"
+        val pristine = try ManifestTable.currentVersion(s, t) == 2L
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (!pristine) {
+          f.delete(new Path(t), true)
+          ManifestTable.commit(o.filter(col("o_orderkey") <= cut),
+            t, append = false, statsCols = Seq("o_orderkey"))
+          ManifestTable.commit(o.filter(col("o_orderkey") > cut),
+            t, append = true, statsCols = Seq("o_orderkey"))
+          rebuilt += 1
+        }
+      }
+      if (rebuilt > 0)
+        println(f"""COWBUILD {"dir":"$dir","tables":$rebuilt,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+    }
+    val i = cowPool.getAndIncrement()
+    require(i < CowPoolSize, s"cow-delete pool exhausted ($i)")
+    val table = s"$base/t$i"
+    val o = s.read.parquet(s"$dir/orders.parquet")
+    val cut = o.agg(ceil(max(col("o_orderkey")) / 2.0).cast("long"))
+      .head.getLong(0)
+    val cat = catalogFor(s, "d", dir, base)
+    val beforeDirs = ManifestTable.manifestEntries(s, table,
+      ManifestTable.currentVersion(s, table)).map(_.dir)
+    s.sql(s"DELETE FROM $cat.t$i " +
+      s"WHERE o_orderkey <= $cut AND o_totalprice < 100000.0")
+    val v = ManifestTable.currentVersion(s, table)
     val afterDirs = ManifestTable.manifestEntries(s, table, v).map(_.dir)
     val carried = beforeDirs.intersect(afterDirs).size
     import s.implicits._
@@ -145,6 +273,7 @@ object ScaleProbe {
       .master("local[32]")
       .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -135,6 +135,60 @@ class GraftDmlSpec extends SparkSpec {
     """))
   }
 
+  test("MERGE refusal matrix: every unsupported WHEN-clause form fails with its own message") {
+    val (_, table) = freshTable("dmlw")
+    seedSplit(table)
+    Seq((1L, "x", 0.0)).toDF("id", "v", "amt").createOrReplaceTempView("dml_w1")
+
+    // WHEN MATCHED AND <condition>
+    val mCond = intercept[Exception](spark.sql("""
+      MERGE INTO dmlw.t AS t USING dml_w1 AS s ON t.id = s.id
+      WHEN MATCHED AND s.amt > 0 THEN UPDATE SET *
+    """))
+    assert(mCond.getMessage.contains(
+      "WHEN MATCHED AND <condition> is not supported"), mCond.getMessage)
+
+    // WHEN NOT MATCHED AND <condition>
+    val nmCond = intercept[Exception](spark.sql("""
+      MERGE INTO dmlw.t AS t USING dml_w1 AS s ON t.id = s.id
+      WHEN NOT MATCHED AND s.amt > 0 THEN INSERT *
+    """))
+    assert(nmCond.getMessage.contains(
+      "WHEN NOT MATCHED AND <condition> is not supported"), nmCond.getMessage)
+
+    // multiple WHEN MATCHED clauses (Spark parses them; the engine refuses
+    // because without per-clause conditions only the first could ever fire)
+    val multi = intercept[Exception](spark.sql("""
+      MERGE INTO dmlw.t AS t USING dml_w1 AS s ON t.id = s.id
+      WHEN MATCHED AND s.amt > 0 THEN UPDATE SET v = s.v
+      WHEN MATCHED THEN UPDATE SET amt = s.amt
+    """))
+    assert(multi.getMessage.contains("at most one WHEN MATCHED clause") ||
+      multi.getMessage.contains("WHEN MATCHED AND <condition>"), multi.getMessage)
+
+    // WHEN NOT MATCHED BY SOURCE (both action forms)
+    val bySrc = intercept[Exception](spark.sql("""
+      MERGE INTO dmlw.t AS t USING dml_w1 AS s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED BY SOURCE THEN DELETE
+    """))
+    assert(bySrc.getMessage.contains(
+      "WHEN NOT MATCHED BY SOURCE is not supported"), bySrc.getMessage)
+
+    // MERGE WITH SCHEMA EVOLUTION
+    val evo = intercept[Exception](spark.sql("""
+      MERGE WITH SCHEMA EVOLUTION INTO dmlw.t AS t USING dml_w1 AS s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+    """))
+    assert(evo.getMessage.contains(
+      "MERGE WITH SCHEMA EVOLUTION is not supported"), evo.getMessage)
+
+    // the matrix refused everything: the table itself never changed
+    assert(spark.sql("SELECT count(*) FROM dmlw.t").head.getLong(0) == 200)
+    assert(ManifestTable.currentVersion(spark, table) == 2L,
+      "no refused statement may have committed a version")
+  }
+
   test("UPDATE: stats-pruned rewrite, pre-update RHS, null gate") {
     val (_, table) = freshTable("dmlu")
     seedSplit(table)

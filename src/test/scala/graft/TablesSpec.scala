@@ -20,7 +20,12 @@ class TablesSpec extends SparkSpec {
     // 2024-09-23 10:00:00.123456 UTC, plus an epoch and a negative stamp
     val micros = Seq(1727086800123456L, 0L, -1727086800000001L)
 
-    // encoding 1: epoch-nanos long (what nanosAsLong yields from NANOS)
+    // encoding 1: epoch-nanos long (what nanosAsLong yields from NANOS).
+    // Note: this writes a plain INT64 column, not genuine parquet
+    // TIMESTAMP(NANOS) — parquet-mr offers no writer toggle for NANOS, so
+    // the real vectorized-reader + nanosAsLong surface is locked in by the
+    // "current driver testdata" test below whenever the generator ships
+    // that encoding (it did through r10), not by this file.
     micros.map(us => us * 1000L).toDF("ts")
       .write.parquet(s"$dir/as_nanos.parquet")
     // encoding 2: native TimestampType (parquet TIMESTAMP(MICROS, adjusted))
@@ -44,6 +49,21 @@ class TablesSpec extends SparkSpec {
       assert(df.schema("ts").dataType == TimestampType, enc)
       assert(vals(df) == micros.sorted, enc)
     }
+  }
+
+  test("normalizeEpochNanos: micros-magnitude INT64 fails loudly instead of shifting 1000x") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_tables_guard").toString
+    // a regeneration that ships ts as RAW epoch-micros INT64 (no parquet
+    // timestamp annotation) also surfaces as LongType — the nanos division
+    // must refuse it, not silently land every instant in January 1970
+    Seq(1727086800123456L).toDF("ts").write.parquet(s"$dir/raw_micros.parquet")
+    val df = Tables.normalizeEpochNanos(Tables.load(spark, dir, "raw_micros"), "ts")
+    val e = intercept[Exception](df.collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("below epoch-nanos magnitude")),
+      s"expected the magnitude guard, got: $e")
   }
 
   test("Tables.events loads the current driver testdata with a timestamp ts") {
