@@ -45,6 +45,15 @@ object ScaleProbe {
       ("q58_auto_theta08" ->
         ((s: SparkSession, dir: String) =>
           graft.operators.VectorOps.q58NeardupBlockedAuto(s, dir))) :+
+      // the PRODUCTION q35 configuration (r13): DF-capped + hashed
+      // shingles. At sf0.1 the cap's counting pass is pure overhead
+      // (bench shows ~1.5x the exact form); this row measures whether
+      // the hashed-key shuffle diet closes the gap as data grows
+      ("q35_prod" ->
+        ((s: SparkSession, dir: String) =>
+          graft.operators.TextOps.ngramJaccard(
+            graft.sources.Tables.documents(s, dir),
+            maxShingleDF = 64, hashShingles = true))) :+
       // the sharded-index search path (r8 verdict item 6: no timed query
       // exercised it): K=4 sub-indexes over the same corpus q57's single
       // index covers, so the probe row reads directly against q57's —
