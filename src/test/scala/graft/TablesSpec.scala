@@ -21,11 +21,10 @@ class TablesSpec extends SparkSpec {
     val micros = Seq(1727086800123456L, 0L, -1727086800000001L)
 
     // encoding 1: epoch-nanos long (what nanosAsLong yields from NANOS).
-    // Note: this writes a plain INT64 column, not genuine parquet
-    // TIMESTAMP(NANOS) — parquet-mr offers no writer toggle for NANOS, so
-    // the real vectorized-reader + nanosAsLong surface is locked in by the
-    // "current driver testdata" test below whenever the generator ships
-    // that encoding (it did through r10), not by this file.
+    // This writes a plain INT64 column as a stand-in; the GENUINE
+    // TIMESTAMP(NANOS) annotation (Spark's writer can't emit it) is
+    // exercised by the dedicated test below via parquet-mr's low-level
+    // writer.
     micros.map(us => us * 1000L).toDF("ts")
       .write.parquet(s"$dir/as_nanos.parquet")
     // encoding 2: native TimestampType (parquet TIMESTAMP(MICROS, adjusted))
@@ -49,6 +48,59 @@ class TablesSpec extends SparkSpec {
       assert(df.schema("ts").dataType == TimestampType, enc)
       assert(vals(df) == micros.sorted, enc)
     }
+  }
+
+  test("genuine parquet TIMESTAMP(NANOS): the real nanosAsLong surface reads correctly") {
+    // Spark's DataFrame writer cannot produce TIMESTAMP(NANOS), so the
+    // encoding-agreement test above stands in with a plain INT64 column.
+    // This test writes the REAL annotation through parquet-mr's low-level
+    // example writer (on the classpath via Spark's own parquet-hadoop),
+    // locking in the vectorized-reader + legacy-flag surface the driver
+    // testdata shipped through r10 — independent of what the current
+    // generator happens to emit.
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.hadoop.fs.Path
+
+    val dir = Files.createTempDirectory("graft_tables_nanos").toString
+    val micros = Seq(1727086800123456L, 0L, -1727086800000001L)
+
+    val schema = Types.buildMessage()
+      .required(PrimitiveTypeName.INT64)
+      .as(LogicalTypeAnnotation.timestampType(true,
+        LogicalTypeAnnotation.TimeUnit.NANOS))
+      .named("ts")
+      .named("spark_schema")
+    val file = new Path(s"$dir/true_nanos.parquet/part-0.parquet")
+    val w = ExampleParquetWriter.builder(file).withType(schema)
+      .withConf(spark.sparkContext.hadoopConfiguration).build()
+    try {
+      val gf = new SimpleGroupFactory(schema)
+      micros.foreach { us =>
+        val g = gf.newGroup(); g.add("ts", us * 1000L); w.write(g)
+      }
+    } finally w.close()
+
+    // without the legacy flag Spark refuses TIMESTAMP(NANOS) outright —
+    // the gotcha Tables.events exists to absorb
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    intercept[Exception](
+      spark.read.parquet(s"$dir/true_nanos.parquet").collect())
+
+    // through the events-loader path: nanosAsLong surfaces LongType,
+    // normalizeEpochNanos truncates to micros as TimestampType
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
+      val df = Tables.normalizeEpochNanos(
+        Tables.load(spark, dir, "true_nanos"), "ts")
+      assert(df.schema("ts").dataType == TimestampType)
+      import spark.implicits._
+      val got = df.selectExpr("unix_micros(ts) AS us").as[Long]
+        .collect().sorted.toSeq
+      assert(got == micros.sorted, got.toString)
+    } finally spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
   }
 
   test("normalizeEpochNanos: micros-magnitude INT64 fails loudly instead of shifting 1000x") {
