@@ -79,9 +79,7 @@ object Bench {
     // it distinct from q35 itself.
     val benchOnly: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
       "q35prod" -> ((s: SparkSession, dir: String) =>
-        graft.operators.TextOps.ngramJaccard(
-          graft.sources.Tables.documents(s, dir),
-          maxShingleDF = 64, hashShingles = true)))
+        graft.operators.TextOps.q35Prod(s, dir)))
     val names = (SparkEntry.queries.toSeq ++ benchOnly).sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(p => n.startsWith(p))) }
     // One pass over `qs`: GC first (settle heap debt from the previous

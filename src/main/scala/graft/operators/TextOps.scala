@@ -98,6 +98,18 @@ object TextOps {
   def q35NgramJaccard(s: SparkSession, d: String): DataFrame =
     ngramJaccard(documents(s, d), maxShingleDF = Int.MaxValue)
 
+  /** The PRODUCTION q35 shingle-DF cap (TUNING.md: "keep maxShingleDF
+    * capped and hashShingles=true in production"). ONE definition so the
+    * bench variant and the scale probe always time the same workload. */
+  val ProdMaxShingleDF = 64
+
+  /** The production q35 configuration — DF-capped + hashed shingles
+    * (bench-only: the ORACLE stays on the exact string form, see
+    * [[ngramJaccard]]). */
+  def q35Prod(s: SparkSession, d: String): DataFrame =
+    ngramJaccard(documents(s, d), maxShingleDF = ProdMaxShingleDF,
+      hashShingles = true)
+
   /** N-gram Jaccard with a shingle document-frequency cap — the 100 TB
     * guard for q35's inverted index. A shingle appearing in c docs
     * contributes c² candidate rows; boilerplate shingles ("all rights

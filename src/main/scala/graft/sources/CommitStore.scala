@@ -101,9 +101,11 @@ object CommitStore {
 }
 
 object RenameCommitStore {
-  /** Torn-read retry bound: with the exponential backoff in [[RenameCommitStore.read]]
-    * this spans ~200ms — far past any rename pair's in-flight window,
-    * short enough that real corruption still fails promptly.
+  /** Torn-read retry bound: with the exponential backoff in
+    * [[RenameCommitStore.read]] (min(40, 4<<n) ms after attempt n) the
+    * total sleep spans ~136ms — orders of magnitude past a rename
+    * pair's in-flight window (two metadata ops), short enough that
+    * real corruption still fails promptly.
     */
   private[graft] val MaxReadAttempts = 6
 }

@@ -52,6 +52,10 @@ object Tables {
         // stay < 1e16 until year 2286 and millis far longer, so a non-null
         // non-zero value below 1e16 fails loudly instead of shifting.
         // 0 passes as the epoch sentinel the encoding spec exercises.
+        // Trade-off, on purpose: a GENUINE nanos instant within ~115
+        // days of 1970 also trips the guard — a loud false positive on
+        // pathological data beats a silent 1000x shift of every instant
+        // (no magnitude can distinguish near-epoch nanos from micros).
         df.withColumn(colName, timestamp_micros(expr(
           s"CASE WHEN `$colName` IS NULL OR `$colName` = 0 " +
             s"OR abs(`$colName`) >= 10000000000000000 THEN `$colName` div 1000 " +

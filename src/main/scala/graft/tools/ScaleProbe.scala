@@ -51,9 +51,7 @@ object ScaleProbe {
       // the hashed-key shuffle diet closes the gap as data grows
       ("q35_prod" ->
         ((s: SparkSession, dir: String) =>
-          graft.operators.TextOps.ngramJaccard(
-            graft.sources.Tables.documents(s, dir),
-            maxShingleDF = 64, hashShingles = true))) :+
+          graft.operators.TextOps.q35Prod(s, dir))) :+
       // the sharded-index search path (r8 verdict item 6: no timed query
       // exercised it): K=4 sub-indexes over the same corpus q57's single
       // index covers, so the probe row reads directly against q57's —
@@ -84,8 +82,8 @@ object ScaleProbe {
       // the low commit (no stats on o_totalprice) must rewrite minus its
       // matching rows. Each sample consumes a FRESH pre-built table from
       // a pool (a second DELETE on the same table would be metadata-only
-      // - different work); the pool build prints COWBUILD and is paid
-      // before the first timed sample
+      // - different work); the pool build runs inside sample 1's window
+      // (COWBUILD line reports its cost), so min-of-3 is pure statement
       ("delete_cow" ->
         ((s: SparkSession, dir: String) => cowDeleteProbe(s, dir)))
 
@@ -162,7 +160,11 @@ object ScaleProbe {
     */
   private def sqlMergeProbe(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.ManifestTable
-    val base = "scratch/sqlmergeprobe-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    // SHARES mergeProbe's base: both probes merge the identical delta,
+    // which rewrites the same touched commit and leaves the table shape
+    // unchanged — one clustered build serves both, and the comparison is
+    // exact (same table, same delta, API form vs statement form)
+    val base = "scratch/mergeprobe-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
     val (table, deltaPath) = ensureClusteredOrders(s, dir, base)
     val cat = catalogFor(s, "m", dir, base)
     s.read.parquet(deltaPath).createOrReplaceTempView("scaleprobe_merge_delta")
@@ -181,7 +183,10 @@ object ScaleProbe {
     Seq((v, beforeDirs.size, carried)).toDF("version", "dirs", "carried")
   }
 
-  private val cowPool = new java.util.concurrent.atomic.AtomicInteger(0)
+  // pool consumption counters are PER BASE DIR (a JVM-global counter
+  // would skip the build for a second dir probed in the same JVM)
+  private val cowPools = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicInteger]()
   private val CowPoolSize = 6 // runOne consumes 4 (3 timed + 1 shape)
 
   /** q84-shaped copy-on-write DELETE over a FRESH table per sample: two
@@ -189,15 +194,20 @@ object ScaleProbe {
     * o_orderkey <= cut AND o_totalprice < threshold` — the high commit
     * proves no-match on the first conjunct and carries by reference;
     * the low commit is stats-undecidable on o_totalprice and rewrites
-    * minus its TRUE-predicate rows. The whole pool builds before the
-    * first timed sample (COWBUILD line), so min-of-3 reports the pure
-    * statement cost.
+    * minus its TRUE-predicate rows. The pool build runs INSIDE the
+    * first sample's timed window (its cost is reported separately on
+    * the COWBUILD line and inflates sample 1 only) — min-of-3 reports
+    * the pure statement cost. The key cut is computed once at build and
+    * persisted, so timed samples never re-scan the source table.
     */
   private def cowDeleteProbe(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.ManifestTable
     val base = "scratch/cowdelprobe-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
     val f = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (cowPool.get() == 0) {
+    val ctr = cowPools.computeIfAbsent(base,
+      _ => new java.util.concurrent.atomic.AtomicInteger(0))
+    val cutFile = new Path(base, "_cut")
+    if (ctr.get() == 0) {
       // first call in this JVM: (re)build every pool table that is not
       // pristine at version 2 — a previous probe run's DELETEs left
       // their tables consumed, and a second DELETE on a consumed table
@@ -222,15 +232,19 @@ object ScaleProbe {
           rebuilt += 1
         }
       }
+      val out = f.create(cutFile, true)
+      try out.write(cut.toString.getBytes("UTF-8")) finally out.close()
       if (rebuilt > 0)
         println(f"""COWBUILD {"dir":"$dir","tables":$rebuilt,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
     }
-    val i = cowPool.getAndIncrement()
+    val i = ctr.getAndIncrement()
     require(i < CowPoolSize, s"cow-delete pool exhausted ($i)")
     val table = s"$base/t$i"
-    val o = s.read.parquet(s"$dir/orders.parquet")
-    val cut = o.agg(ceil(max(col("o_orderkey")) / 2.0).cast("long"))
-      .head.getLong(0)
+    val cut = {
+      val in = f.open(cutFile)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
     val cat = catalogFor(s, "d", dir, base)
     val beforeDirs = ManifestTable.manifestEntries(s, table,
       ManifestTable.currentVersion(s, table)).map(_.dir)
