@@ -486,7 +486,57 @@ object TextOps {
       .filter(col("rk") <= 3)
   }
 
+  /** Deterministic corpus shuffle with a SCALABLE global rank. Training
+    * pipelines shuffle the corpus before sharding/packing so adjacent
+    * source documents (same crawl host, same dump file) don't land in
+    * the same training batch; the engine-portable, partitioning-
+    * independent order is a salted content-hash. The naive form —
+    * `row_number() OVER (ORDER BY hash)` — funnels the ENTIRE corpus
+    * through one task (a global-order window is a single partition);
+    * here the rank assembles distributively, the classic zipWithIndex
+    * shape: range-partition on the hash (parallel sampled-boundary
+    * sort), count each partition (driver state = one long per
+    * partition), then offset each partition's local row_number by the
+    * rows before it. The local window partitions by the physical
+    * partition id, so every task ranks only its own slice; the global
+    * rank is exact because range partitioning preserves the total
+    * (hash, key) order across partition boundaries.
+    *
+    * `key` must be unique (it tie-breaks hash collisions); rank is
+    * 1-based in hash order.
+    */
+  def shuffleRank(docs: DataFrame, key: Column, salt: String): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sorted = docs
+      .withColumn("__sk", md5(concat(lit(salt), key.cast("string"))))
+      .repartitionByRange(col("__sk"), key)
+      .sortWithinPartitions(col("__sk"), key)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = sorted.groupBy("__pid").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (p, n) => val o = (p, acc); acc += n; o }
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val w = Window.partitionBy("__pid").orderBy(col("__sk"), key)
+    sorted.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("shuffle_rank",
+        (col("__off") + row_number().over(w)).cast("long"))
+      .drop("__pid", "__off", "__sk")
+  }
+
+  /** q85: the corpus shuffle over `documents`, oracled — the DuckDB
+    * oracle computes the SAME order with a naive global window, so the
+    * hash-match proves the distributed rank assembly reproduces the
+    * single-task order exactly, rank by rank.
+    */
+  def q85CorpusShuffle(s: SparkSession, d: String): DataFrame =
+    shuffleRank(documents(s, d).select(col("doc_id")), col("doc_id"), "r13:")
+      .select(col("doc_id"), col("shuffle_rank"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_corpus_shuffle" -> q85CorpusShuffle _,
     "q78_tfidf" -> q78Tfidf _,
     "q69_quality_gate" -> q69QualityGate _,
     "q70_pack" -> q70Pack _,
@@ -509,6 +559,12 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q85_corpus_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('r13:' || CAST(doc_id AS VARCHAR)), doc_id
+        |  ) AS BIGINT) AS shuffle_rank
+        |FROM documents""".stripMargin,
     "q78_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

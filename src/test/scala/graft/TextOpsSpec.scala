@@ -157,6 +157,35 @@ class TextOpsSpec extends SparkSpec {
       s"low-cardinality source key must heap-plan, not window-sort:\n$plan")
   }
 
+  test("shuffleRank: distributed rank equals the single-task window order, stable under repartitioning") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id")
+
+    val dist = TextOps.shuffleRank(docs, $"doc_id", "spec:")
+      .select($"doc_id", $"shuffle_rank")
+    // the naive single-partition form the operator exists to avoid —
+    // correct, so it serves as the reference at spec scale
+    val naive = docs.withColumn("k", md5(concat(lit("spec:"), $"doc_id".cast("string"))))
+      .withColumn("shuffle_rank",
+        row_number().over(Window.orderBy($"k", $"doc_id")).cast("long"))
+      .select($"doc_id", $"shuffle_rank")
+    assert(dist.except(naive).isEmpty && naive.except(dist).isEmpty,
+      "distributed rank must reproduce the global-order window exactly")
+
+    // partitioning-independent: a different input layout, same ranks
+    val re = TextOps.shuffleRank(docs.repartition(7), $"doc_id", "spec:")
+      .select($"doc_id", $"shuffle_rank")
+    assert(re.except(dist).isEmpty && dist.except(re).isEmpty,
+      "rank must not depend on the input partitioning")
+
+    // the scale claim in the plan: no single-partition global sort —
+    // the sort is range-partitioned and the window partitions by pid
+    val plan = dist.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"shuffleRank must never funnel through one partition:\n$plan")
+  }
+
   test("hashBucket is uniform-ish and rerun/partitioning stable") {
     val docs = Tables.documents(spark, sfDir)
     val b = TextOps.hashBucket(col("text"))
