@@ -38,7 +38,8 @@ object ScaleProbe {
   private def probeQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("q23_cdc_changes", "q74_cdc_apply", "q35_ngram_jaccard",
       "q36_minhash_lsh", "q57_ivf_topk", "q58_neardup_blocked",
-      "q65_decontaminate").map(n => n -> graft.SparkEntry.queries(n)) :+
+      "q65_decontaminate", "q85_corpus_shuffle")
+      .map(n => n -> graft.SparkEntry.queries(n)) :+
       // the production-θ corpus-scaled near-dup: q58's gate tuning has a
       // quadratic RESULT at θ=0.4 (pair density is scale-constant), so
       // the linear-scaling claim belongs to the auto-blocked form
