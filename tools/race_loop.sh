@@ -18,7 +18,10 @@ STRESS="${2:-16}"
 SUITES="graft.ManifestTableSpec graft.CommitStoreSpec graft.GraftStreamSpec"
 OUT="tools/race_loop_results.txt"
 
-echo "race_loop: $ITER iterations of [$SUITES] with $STRESS stressor cores" | tee "$OUT"
+# append (never truncate): the results file is the round's cumulative
+# evidence record, and a later confirmation run must not erase the
+# earlier long run
+echo "race_loop: $ITER iterations of [$SUITES] with $STRESS stressor cores" | tee -a "$OUT"
 
 # background stressor: pure busy loops, one per core, no disk I/O (the
 # point is scheduler contention, which is what widens the rename-pair
