@@ -80,8 +80,12 @@ object Bench {
     val benchOnly: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
       "q35prod" -> ((s: SparkSession, dir: String) =>
         graft.operators.TextOps.q35Prod(s, dir)))
+    // A selector matches a query only exactly, or as a prefix that ends at
+    // an underscore boundary ("q35" selects q35_ngram_jaccard but NOT the
+    // bench-only "q35prod") — a bare startsWith would silently widen what a
+    // targeted subset run measures versus earlier rounds.
     val names = (SparkEntry.queries.toSeq ++ benchOnly).sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.exists(p => n.startsWith(p))) }
+      .filter { case (n, _) => only.forall(_.exists(p => n == p || n.startsWith(p + "_"))) }
     // One pass over `qs`: GC first (settle heap debt from the previous
     // pass), sample system load, then time each query once with cache/RDD
     // state cleared between queries (localCheckpoint blocks live at the RDD

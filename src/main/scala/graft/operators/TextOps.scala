@@ -516,6 +516,15 @@ object TextOps {
       .localCheckpoint(true)
     val counts = sorted.groupBy("__pid").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // The local row_number() below is a 32-bit int; a range partition
+    // holding more than Int.MaxValue rows would overflow it silently
+    // before the cast to long. Fail loudly instead — at that width the
+    // fix is more partitions, not a bigger int.
+    counts.find(_._2 > Int.MaxValue).foreach { case (p, n) =>
+      throw new IllegalStateException(
+        s"shuffleRank: partition $p holds $n rows > Int.MaxValue; " +
+          "raise spark.sql.shuffle.partitions so per-partition row counts fit a 32-bit row_number")
+    }
     var acc = 0L
     val offsets = counts.map { case (p, n) => val o = (p, acc); acc += n; o }
     val offDf = offsets.toSeq.toDF("__pid", "__off")

@@ -43,7 +43,7 @@ object Tables {
   def normalizeEpochNanos(df: DataFrame, colName: String): DataFrame =
     df.schema(colName).dataType match {
       case org.apache.spark.sql.types.LongType =>
-        import org.apache.spark.sql.functions.{expr, timestamp_micros}
+        import org.apache.spark.sql.functions.{abs, concat, lit, raise_error, timestamp_micros, when}
         // Magnitude guard (r12 advice): a LongType here is trusted to be
         // epoch-NANOS (the `nanosAsLong` surface) — but a raw unannotated
         // INT64 column of epoch-micros/millis would ALSO load as LongType,
@@ -56,13 +56,27 @@ object Tables {
         // days of 1970 also trips the guard — a loud false positive on
         // pathological data beats a silent 1000x shift of every instant
         // (no magnitude can distinguish near-epoch nanos from micros).
-        df.withColumn(colName, timestamp_micros(expr(
-          s"CASE WHEN `$colName` IS NULL OR `$colName` = 0 " +
-            s"OR abs(`$colName`) >= 10000000000000000 THEN `$colName` div 1000 " +
-            s"ELSE raise_error(concat('normalizeEpochNanos($colName): value ', " +
-            s"cast(`$colName` AS string), ' is below epoch-nanos magnitude (1e16); " +
-            s"the column likely encodes epoch-micros/millis as plain INT64 and " +
-            s"dividing by 1000 would shift instants 1000x')) END")))
+        //
+        // Built with the Column API (r13 advice) — no SQL text, so a column
+        // name containing quotes or backticks can't break parsing; colName
+        // appears only as data (in the error literal) or as a resolved
+        // reference. SQL `div 1000` (truncate toward zero) is expressed as
+        // long → decimal(38,0) → /1000 → cast long: the quotient's ≤17
+        // integer digits + 3 fractional digits fit the result decimal
+        // exactly, and decimal→long casts truncate toward zero. A double
+        // division instead would lose precision past 2^53 ≈ 9.0e15 — below
+        // the 1e16 guard floor, i.e. for every value the guard admits.
+        val c = df.col(colName)
+        val micros =
+          (c.cast(org.apache.spark.sql.types.DecimalType(38, 0)) / lit(1000)).cast("long")
+        df.withColumn(colName, timestamp_micros(
+          when(c.isNull || c === 0L || abs(c) >= 10000000000000000L, micros)
+            .otherwise(raise_error(concat(
+              lit("normalizeEpochNanos(" + colName + "): value "),
+              c.cast("string"),
+              lit(" is below epoch-nanos magnitude (1e16); the column likely " +
+                "encodes epoch-micros/millis as plain INT64 and dividing by " +
+                "1000 would shift instants 1000x"))))))
       case org.apache.spark.sql.types.TimestampNTZType =>
         import org.apache.spark.sql.functions.col
         df.withColumn(colName,

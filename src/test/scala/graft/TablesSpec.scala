@@ -83,16 +83,20 @@ class TablesSpec extends SparkSpec {
       }
     } finally w.close()
 
-    // without the legacy flag Spark refuses TIMESTAMP(NANOS) outright —
-    // the gotcha Tables.events exists to absorb
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
-    intercept[Exception](
-      spark.read.parquet(s"$dir/true_nanos.parquet").collect())
-
-    // through the events-loader path: nanosAsLong surfaces LongType,
-    // normalizeEpochNanos truncates to micros as TimestampType
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Restore the session's PRIOR flag value afterwards (not a hardcoded
+    // "false") so this test doesn't leak config state into later tests
+    // sharing the session (r13 advice).
+    val prior = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     try {
+      // without the legacy flag Spark refuses TIMESTAMP(NANOS) outright —
+      // the gotcha Tables.events exists to absorb
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+      intercept[Exception](
+        spark.read.parquet(s"$dir/true_nanos.parquet").collect())
+
+      // through the events-loader path: nanosAsLong surfaces LongType,
+      // normalizeEpochNanos truncates to micros as TimestampType
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = Tables.normalizeEpochNanos(
         Tables.load(spark, dir, "true_nanos"), "ts")
       assert(df.schema("ts").dataType == TimestampType)
@@ -100,7 +104,10 @@ class TablesSpec extends SparkSpec {
       val got = df.selectExpr("unix_micros(ts) AS us").as[Long]
         .collect().sorted.toSeq
       assert(got == micros.sorted, got.toString)
-    } finally spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
   }
 
   test("normalizeEpochNanos: micros-magnitude INT64 fails loudly instead of shifting 1000x") {
