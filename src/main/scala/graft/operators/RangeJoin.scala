@@ -114,16 +114,30 @@ object RangeJoin {
   /** Shipments-per-order-week: for each March-1995 order, the lineitems
     * (any order's) shipped within [o_orderdate, o_orderdate + 7 days) —
     * a genuine cross-entity range join, binned at interval width.
+    *
+    * Aggregate pushdown below the join (r14, after the Q62Probe
+    * decomposition): the requested aggregates are distributive
+    * (count/sum), and the point value `p` is a DAY — ~38 distinct values
+    * in the window regardless of row count — so the points collapse to
+    * one pre-aggregated row per day BEFORE the range join. Joined-row
+    * volume then scales with |distinct days| × matching intervals, not
+    * |lineitem| × matching intervals (~240× fewer joined rows at sf0.1,
+    * and the gap widens linearly with SF: at 100 TB the per-day
+    * multiplicity is millions). Exact, not approximate: count = Σ
+    * per-day counts, sum = Σ per-day sums. Probe: 0.370 s vs 0.483 s
+    * for the join-then-aggregate form on the same rig (Q62Probe.scala).
     */
   def q62RangeJoin(s: SparkSession, d: String): DataFrame = {
     val intervals = marchOrderWeeks(s, d, "o_orderkey", "lo", "hi")
     val points = Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= "1995-03-01" && col("l_shipdate") < "1995-04-08")
       .select(unix_timestamp(col("l_shipdate")).as("p"), col("l_quantity"))
+      .groupBy("p")
+      .agg(count(lit(1)).as("__day_n"), sum("l_quantity").as("__day_qty"))
     pointInInterval(points, "p", intervals, "lo", "hi", binWidth = Week)
       .groupBy("o_orderkey")
-      .agg(count(lit(1)).as("n_shipped_in_week"),
-        round(sum("l_quantity"), 2).as("total_qty"))
+      .agg(sum("__day_n").as("n_shipped_in_week"),
+        round(sum("__day_qty"), 2).as("total_qty"))
   }
 
   /** Upper-triangle overlap pairs of March-1995 order weeks, aggregated
