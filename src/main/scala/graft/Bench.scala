@@ -27,6 +27,12 @@ import org.apache.spark.sql.SparkSession
   *     cannot leave a query's floor inflated.
   *   - SPARK_GRAFT_BENCH_ONLY=prefix[,prefix...] restricts the suite (for
   *     quick targeted re-measurement); the full suite remains the default.
+  *   - Rig canary (r14): a fixed scan+agg+shuffle workload over the pinned
+  *     sf0.1 lineitem runs once per pass; the summary emits its min and
+  *     `rig_factor` = canary_min / CanaryBase (the quiet-rig constant
+  *     recorded in BASELINE.md's canary note), so per-query ratios against
+  *     BASELINE.md normalize mechanically — (sec / rig_factor) / base —
+  *     without per-round prose adjudication of rig class.
   *
   * Output: one progress line per (pass, query) as it finishes; full per-pass
   * data additionally lands in BENCH_PASSES.json next to this repo (the
@@ -66,6 +72,31 @@ object Bench {
     // doesn't absorb session startup cost.
     SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
+    // Rig canary (r14): a FIXED scan+agg+shuffle workload over the pinned
+    // sf0.1 lineitem — never changes across rounds, so its time measures
+    // the rig, not the code. One sample per pass, min reported; the
+    // summary emits rig_factor = canary_min / CanaryBase so per-query
+    // ratios vs BASELINE.md are computable mechanically as
+    // (sec / rig_factor) / base without prose rig adjudication. CanaryBase
+    // is the quiet-rig figure recorded in BASELINE.md's canary note —
+    // update BOTH together or neither.
+    val canaryDir = sys.env.getOrElse("SPARK_GRAFT_CANARY_DIR", "/root/testdata/sf0.1")
+    val CanaryBase = 0.280
+    def canaryOnce(): Double = {
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      val t0 = System.nanoTime()
+      try {
+        spark.read.parquet(s"$canaryDir/lineitem.parquet")
+          .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+          .groupBy("l_partkey")
+          .agg(sum("l_quantity").as("q"), sum("l_extendedprice").as("e"))
+          .agg(count(lit(1)).as("n"), sum("q").as("sq"), sum("e").as("se"))
+          .collect()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case scala.util.control.NonFatal(_) => -1.0 }
+    }
+    // warm the canary's own codegen once so pass-1's sample isn't JIT
+    canaryOnce()
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -90,9 +121,10 @@ object Bench {
     // pass), sample system load, then time each query once with cache/RDD
     // state cleared between queries (localCheckpoint blocks live at the RDD
     // layer, not the SQL cache manager, so both must be cleared).
-    def runPass(pass: Int, qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): (Double, Map[String, Double]) = {
+    def runPass(pass: Int, qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): (Double, Double, Map[String, Double]) = {
       if (pass > 1) System.gc()
       val ld = load1()
+      val cy = canaryOnce()
       val res = qs.map { case (name, fn) =>
         val t = timeOnce(fn)
         println(f"""{"pass":$pass,"q":"$name","sec":$t%.3f}""")
@@ -100,11 +132,11 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         name -> t
       }.toMap
-      (ld, res)
+      (ld, cy, res)
     }
     val base = (1 to passes).map(p => runPass(p, names))
     val samples0: Map[String, Seq[Double]] =
-      names.map { case (n, _) => n -> base.map(_._2(n)) }.toMap
+      names.map { case (n, _) => n -> base.map(_._3(n)) }.toMap
     // Spread-triggered extra pass: queries whose own successful samples
     // spread >3× get one more measurement, so one noise burst can't leave
     // a floor inflated. Recorded in the artifact under "extra".
@@ -113,11 +145,14 @@ object Bench {
       ok.size > 1 && ok.min > 0 && ok.max > ok.min * 3.0
     }
     val extraNames = names.filter { case (n, _) => spreadNoisy(samples0(n)) }
-    val extra: Option[(Double, Map[String, Double])] =
+    val extra: Option[(Double, Double, Map[String, Double])] =
       if (extraNames.isEmpty) None else Some(runPass(passes + 1, extraNames))
     val loads: Seq[Double] = base.map(_._1) ++ extra.map(_._1).toSeq
+    val canaries: Seq[Double] = (base.map(_._2) ++ extra.map(_._2).toSeq).filter(_ >= 0)
+    val canaryMin = if (canaries.isEmpty) -1.0 else canaries.min
+    val rigFactor = if (canaryMin > 0) canaryMin / CanaryBase else -1.0
     val samples: Map[String, Seq[Double]] = samples0.map { case (n, ss) =>
-      n -> (ss ++ extra.flatMap(_._2.get(n)).toSeq)
+      n -> (ss ++ extra.flatMap(_._3.get(n)).toSeq)
     }
     val results: Seq[(String, Double, Seq[Double])] = names.map { case (name, _) =>
       val ss = samples(name)
@@ -132,7 +167,9 @@ object Bench {
     val passesJson = results.map { case (name, best, ss) =>
       f""""$name":{"min":$best%.3f,"passes":[${ss.map(s => f"$s%.3f").mkString(",")}]}"""
     }.mkString(
-      "{\"sf\":\"" + sfDir + s"""","cpus":"$cpus","load1":$loadsJson,"extra":$extraJson,"queries":{""",
+      "{\"sf\":\"" + sfDir + s"""","cpus":"$cpus","load1":$loadsJson,""" +
+        f""""canary":[${(base.map(_._2) ++ extra.map(_._2).toSeq).map(c => f"$c%.3f").mkString(",")}],""" +
+        f""""rig_factor":$rigFactor%.3f,"extra":$extraJson,"queries":{""",
       ",", "}}")
     // a SPARK_GRAFT_BENCH_ONLY subset run must not clobber the durable
     // full-suite record with a 2-query file
@@ -150,7 +187,7 @@ object Bench {
     val qs = results.map { case (k, best, _) => f""""${short(k)}":$best%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     def line(p: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$p,"load1":$loadsJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$p,"load1":$loadsJson,"canary":$canaryMin%.3f,"rig_factor":$rigFactor%.3f,"sf":"$sfDir"}"""
     // Per-pass centiseconds, keyed by bare NN (`"68":[15,77,16]`) for
     // qNN_* names; any other name keeps its full short form untouched.
     def pEntry(k: String, ss: Seq[Double]): String = {
