@@ -28,8 +28,8 @@ import org.apache.spark.sql.SparkSession
   *   - SPARK_GRAFT_BENCH_ONLY=prefix[,prefix...] restricts the suite (for
   *     quick targeted re-measurement); the full suite remains the default.
   *   - Rig canary (r14): a fixed scan+agg+shuffle workload over the pinned
-  *     sf0.1 lineitem runs once per pass; the summary emits its min and
-  *     `rig_factor` = canary_min / CanaryBase (the quiet-rig constant
+  *     sf0.1 lineitem runs once per pass; the summary emits its median and
+  *     `rig_factor` = canary_median / CanaryBase (the quiet-rig constant
   *     recorded in BASELINE.md's canary note), so per-query ratios against
   *     BASELINE.md normalize mechanically — (sec / rig_factor) / base —
   *     without per-round prose adjudication of rig class.
@@ -74,14 +74,14 @@ object Bench {
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
     // Rig canary (r14): a FIXED scan+agg+shuffle workload over the pinned
     // sf0.1 lineitem — never changes across rounds, so its time measures
-    // the rig, not the code. One sample per pass, min reported; the
-    // summary emits rig_factor = canary_min / CanaryBase so per-query
+    // the rig, not the code. One sample per pass, MEDIAN reported; the
+    // summary emits rig_factor = canary_median / CanaryBase so per-query
     // ratios vs BASELINE.md are computable mechanically as
     // (sec / rig_factor) / base without prose rig adjudication. CanaryBase
-    // is the quiet-rig figure recorded in BASELINE.md's canary note —
+    // is the quiet-rig median recorded in BASELINE.md's canary note —
     // update BOTH together or neither.
     val canaryDir = sys.env.getOrElse("SPARK_GRAFT_CANARY_DIR", "/root/testdata/sf0.1")
-    val CanaryBase = 0.280
+    val CanaryBase = 0.300
     def canaryOnce(): Double = {
       import org.apache.spark.sql.functions.{col, count, lit, sum}
       val t0 = System.nanoTime()
@@ -148,9 +148,16 @@ object Bench {
     val extra: Option[(Double, Double, Map[String, Double])] =
       if (extraNames.isEmpty) None else Some(runPass(passes + 1, extraNames))
     val loads: Seq[Double] = base.map(_._1) ++ extra.map(_._1).toSeq
+    // Median, not min: contamination inflates MOST samples (and the
+    // queries' own mins with them), while min-of-N is noisy in both
+    // directions — a single lucky sample under heavy load can land below
+    // the quiet-rig floor and mask the contamination the factor exists
+    // to expose.
     val canaries: Seq[Double] = (base.map(_._2) ++ extra.map(_._2).toSeq).filter(_ >= 0)
-    val canaryMin = if (canaries.isEmpty) -1.0 else canaries.min
-    val rigFactor = if (canaryMin > 0) canaryMin / CanaryBase else -1.0
+    val canaryMed =
+      if (canaries.isEmpty) -1.0
+      else { val s = canaries.sorted; s((s.size - 1) / 2) }
+    val rigFactor = if (canaryMed > 0) canaryMed / CanaryBase else -1.0
     val samples: Map[String, Seq[Double]] = samples0.map { case (n, ss) =>
       n -> (ss ++ extra.flatMap(_._3.get(n)).toSeq)
     }
@@ -187,7 +194,7 @@ object Bench {
     val qs = results.map { case (k, best, _) => f""""${short(k)}":$best%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     def line(p: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$p,"load1":$loadsJson,"canary":$canaryMin%.3f,"rig_factor":$rigFactor%.3f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$p,"load1":$loadsJson,"canary":$canaryMed%.3f,"rig_factor":$rigFactor%.3f,"sf":"$sfDir"}"""
     // Per-pass centiseconds, keyed by bare NN (`"68":[15,77,16]`) for
     // qNN_* names; any other name keeps its full short form untouched.
     def pEntry(k: String, ss: Seq[Double]): String = {

@@ -210,11 +210,23 @@ object Marts {
 
   /** HLL-sketch approximate distinct — the 100 TB path where exact
     * distinct (q09) shuffles too much. Sketch values are implementation-
-    * specific → rows-only check + spec.
+    * specific (Spark HLL++ vs DuckDB HLL never hash-match), so the
+    * tolerance check rides INSIDE the query (r14, closing the r13
+    * verdict's item 3): each group emits the exact distinct count
+    * (cross-engine hash-matched against DuckDB) plus a boolean asserting
+    * the sketch landed within 3×rsd of it — the oracle states that
+    * boolean as literal TRUE, so a sketch drifting out of its documented
+    * bound breaks the hash gate loudly. rsd = 0.02, bound = 0.06 (HLL
+    * error ≈ Gaussian with σ = rsd; deterministic per dataset — no
+    * randomness in the sketch — so the gate is stable, not flaky).
     */
   def q44ApproxDistinct(s: SparkSession, d: String): DataFrame =
     lineitem(s, d).groupBy("l_returnflag")
-      .agg(approx_count_distinct("l_partkey", 0.02).as("approx_parts"))
+      .agg(approx_count_distinct("l_partkey", 0.02).as("__approx"),
+        countDistinct("l_partkey").as("n_parts_exact"))
+      .select(col("l_returnflag"), col("n_parts_exact"),
+        (abs(col("__approx") - col("n_parts_exact")) <=
+          col("n_parts_exact") * 0.06).as("within_3rsd"))
 
   /** Approximate quantiles via percentile_approx (Greenwald-Khanna
     * QuantileSummaries: deterministic rank error ≤ n/accuracy) — bounded
@@ -226,12 +238,25 @@ object Marts {
     lineitem(s, d).groupBy("l_returnflag")
       // BOTH percentiles from ONE sketch: the multi-percentage form
       // builds a single summary per group, where two scalar calls build
-      // and map-side-merge two of them
+      // and map-side-merge two of them. r14 (the r13 verdict's item 3):
+      // the oracle gate moved from rows-only to checked tolerance — the
+      // exact percentiles hash-match DuckDB's quantile_cont (the q29
+      // pattern, 4-dp rounded), and the GK outputs are asserted within a
+      // 1% relative band of them in-query, stated as literal TRUE on the
+      // oracle side. GK's guarantee is rank error ≤ n/accuracy = 1e-4·n
+      // (~2 rows per group at sf0.01); on this dense price distribution
+      // that is far inside 1% of value, and the sketch is deterministic,
+      // so the gate is stable.
       .agg(percentile_approx(col("l_extendedprice"),
-        array(lit(0.5), lit(0.9)), lit(10000)).as("qs"))
+        array(lit(0.5), lit(0.9)), lit(10000)).as("qs"),
+        expr("percentile(l_extendedprice, array(0.5, 0.9))").as("ex"))
       .select(col("l_returnflag"),
-        col("qs").getItem(0).as("approx_median"),
-        col("qs").getItem(1).as("approx_p90"))
+        round(col("ex").getItem(0), 4).as("median_exact"),
+        round(col("ex").getItem(1), 4).as("p90_exact"),
+        (abs(col("qs").getItem(0) - col("ex").getItem(0)) <=
+          col("ex").getItem(0) * 0.01).as("median_ok"),
+        (abs(col("qs").getItem(1) - col("ex").getItem(1)) <=
+          col("ex").getItem(1) * 0.01).as("p90_ok"))
 
   /** Pivot (wide-format mart): status columns from row values. */
   def q47Pivot(s: SparkSession, d: String): DataFrame =
@@ -392,6 +417,18 @@ object Marts {
       """SELECT l_returnflag,
         | round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
         | round(covar_samp(l_quantity, l_discount), 4) AS qty_disc_covar
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q44_approx_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts_exact,
+        | TRUE AS within_3rsd
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q63_approx_quantile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS median_exact,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_exact,
+        | TRUE AS median_ok,
+        | TRUE AS p90_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q29_percentile" ->
       """SELECT l_returnflag,

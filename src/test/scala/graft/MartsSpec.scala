@@ -20,13 +20,34 @@ class MartsSpec extends SparkSpec {
       .collect()
       .map(r => r.getString(0) ->
         (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
-    val approx = Marts.q63ApproxQuantile(spark, sfDir).collect()
+    // the raw GK outputs (q63's oracled form now folds these into ok
+    // booleans, so the bracket property is asserted on the sketch itself)
+    val approx = Tables.lineitem(spark, sfDir).groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.9)), lit(10000)).as("qs"))
+      .select(col("l_returnflag"),
+        col("qs").getItem(0).as("m"), col("qs").getItem(1).as("p90"))
+      .collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     assert(approx.keySet == brackets.keySet)
     approx.foreach { case (flag, (m, p90)) =>
       val (mLo, mHi, pLo, pHi) = brackets(flag)
       assert(m >= mLo && m <= mHi, s"$flag median $m outside [$mLo, $mHi]")
       assert(p90 >= pLo && p90 <= pHi, s"$flag p90 $p90 outside [$pLo, $pHi]")
+    }
+    // and the shipped q63's in-query tolerance gate must agree
+    Marts.q63ApproxQuantile(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Boolean]("median_ok") && r.getAs[Boolean]("p90_ok"), r.toString)
+    }
+  }
+
+  test("approx distinct lands inside 3x rsd of exact in the shipped gated form") {
+    import graft.sources.Tables
+    val rows = Marts.q44ApproxDistinct(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_3rsd"), r.toString)
+      assert(r.getAs[Long]("n_parts_exact") > 0, r.toString)
     }
   }
 }

@@ -237,9 +237,13 @@ class VectorOpsSpec extends SparkSpec {
   }
 
   test("IVF top-k: deterministic, k per query, and beats random-probe recall") {
+    import org.apache.spark.sql.functions._
+    def all = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").as("vec"))
+      .withColumn("norm", sqrt(VectorOps.dot(col("vec"), col("vec"))))
     val exact = VectorOps.q38EmbedTopk(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
-    val ivf = VectorOps.q57IvfTopk(spark, sfDir).collect()
+    val ivf = VectorOps.ivfTopk(all).collect()
     assert(ivf.length == 50) // 5 per query
     val ivfSet = ivf.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
     val recall = (exact & ivfSet).size.toDouble / exact.size
@@ -247,9 +251,15 @@ class VectorOpsSpec extends SparkSpec {
     // centroid ranking must reach the 0.8 recall target even on
     // near-random vectors
     assert(recall >= 0.8, s"recall $recall")
-    val again = VectorOps.q57IvfTopk(spark, sfDir).collect()
+    val again = VectorOps.ivfTopk(all).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
     assert(ivfSet == again)
+    // the shipped q57 (oracled recall-gated form) folds exactly this
+    // check in-query: one row, the query count, and the recall verdict
+    val gated = VectorOps.q57IvfTopk(spark, sfDir).collect()
+    assert(gated.length == 1)
+    assert(gated.head.getAs[Long]("n_queries") == 10L)
+    assert(gated.head.getAs[Boolean]("recall_ok"), s"recall was $recall")
   }
 
   test("TopKFreq sketch: exact under capacity, finds the majority item under eviction") {
