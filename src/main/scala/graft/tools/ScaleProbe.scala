@@ -38,7 +38,11 @@ object ScaleProbe {
   private def probeQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("q23_cdc_changes", "q74_cdc_apply", "q35_ngram_jaccard",
       "q36_minhash_lsh", "q57_ivf_topk", "q58_neardup_blocked",
-      "q65_decontaminate", "q85_corpus_shuffle")
+      "q65_decontaminate", "q85_corpus_shuffle",
+      // r14 (the r13 verdict's item 4): the heaviest oracled query had
+      // no scale evidence — three shuffles on (doc_id, term)-grade keys
+      // should stay sublinear at 10×
+      "q78_tfidf")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       // the production-θ corpus-scaled near-dup: q58's gate tuning has a
       // quadratic RESULT at θ=0.4 (pair density is scale-constant), so
