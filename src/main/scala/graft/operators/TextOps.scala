@@ -504,16 +504,43 @@ object TextOps {
     *
     * `key` must be unique (it tie-breaks hash collisions); rank is
     * 1-based in hash order.
+    *
+    * The rank's two passes (per-partition count, then offset join) must
+    * see FROZEN partition contents — recomputing the sorted frame
+    * between passes could legally re-draw the range sampler's
+    * boundaries and shift every rank — so the frame is materialized
+    * once. Two materialization modes (r14, the r13 verdict's item 5;
+    * see TUNING.md "shuffleRank materialization"):
+    *
+    *   - `reliable = false` (default): `localCheckpoint` — blocks live
+    *     in executor block storage, zero extra infrastructure, right
+    *     for local/bench use. Trade-off at cluster scale: the whole
+    *     sorted corpus occupies storage memory/disk, and lineage is
+    *     TRUNCATED — losing an executor loses its blocks and fails the
+    *     job (restart, not partition recompute).
+    *   - `reliable = true`: `checkpoint()` to the session's checkpoint
+    *     dir (HDFS/object store on a cluster) — executor loss re-reads
+    *     the lost partition from the checkpoint file instead of failing
+    *     the job. Costs a write of the sorted corpus to the reliable
+    *     store. Fails fast with a clear message if no checkpoint dir is
+    *     configured. Both modes produce identical ranks (spec-asserted).
     */
-  def shuffleRank(docs: DataFrame, key: Column, salt: String): DataFrame = {
+  def shuffleRank(docs: DataFrame, key: Column, salt: String,
+      reliable: Boolean = false): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val sorted = docs
+    if (reliable)
+      require(s.sparkContext.getCheckpointDir.nonEmpty,
+        "shuffleRank(reliable = true) needs a checkpoint dir: call " +
+          "spark.sparkContext.setCheckpointDir(<HDFS/object-store path>) first")
+    val arranged = docs
       .withColumn("__sk", md5(concat(lit(salt), key.cast("string"))))
       .repartitionByRange(col("__sk"), key)
       .sortWithinPartitions(col("__sk"), key)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+    val sorted =
+      if (reliable) arranged.checkpoint(eager = true)
+      else arranged.localCheckpoint(true)
     val counts = sorted.groupBy("__pid").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     // The local row_number() below is a 32-bit int; a range partition

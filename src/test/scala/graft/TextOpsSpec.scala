@@ -186,6 +186,32 @@ class TextOpsSpec extends SparkSpec {
       s"shuffleRank must never funnel through one partition:\n$plan")
   }
 
+  test("shuffleRank reliable mode: identical ranks via reliable checkpoint; refuses without a dir") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id")
+    val dist = TextOps.shuffleRank(docs, $"doc_id", "spec:")
+      .select($"doc_id", $"shuffle_rank")
+    // no checkpoint dir configured -> loud refusal, not a deep Spark error
+    val prior = spark.sparkContext.getCheckpointDir
+    assert(prior.isEmpty || prior.exists(_.nonEmpty)) // snapshot for restore
+    if (prior.isEmpty) {
+      val e = intercept[IllegalArgumentException](
+        TextOps.shuffleRank(docs, $"doc_id", "spec:", reliable = true))
+      assert(e.getMessage.contains("checkpoint dir"), e.getMessage)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val rel = TextOps.shuffleRank(docs, $"doc_id", "spec:", reliable = true)
+        .select($"doc_id", $"shuffle_rank")
+      assert(rel.except(dist).isEmpty && dist.except(rel).isEmpty,
+        "reliable and local checkpoint modes must produce identical ranks")
+    } finally prior match {
+      case Some(p) => spark.sparkContext.setCheckpointDir(p)
+      case None    => // no public unset; later suites don't depend on it
+    }
+  }
+
   test("hashBucket is uniform-ish and rerun/partitioning stable") {
     val docs = Tables.documents(spark, sfDir)
     val b = TextOps.hashBucket(col("text"))
