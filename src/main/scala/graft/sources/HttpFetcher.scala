@@ -1,0 +1,107 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** The concrete HTTP page fetcher for [[PacedExtractor]] — the runnable
+  * analog of the reference's aiohttp client (finnoio/jobhouse
+  * src/extract/hh_api.py:74-127: session with `Authorization: Bearer`,
+  * paged GET with `page`/`per_page` params, 429 → back off and retry the
+  * same page, `items` + `pages` response contract) on `java.net.http`,
+  * which ships with the JDK — no new dependency.
+  *
+  * Division of labor is unchanged from the injected-function seam this
+  * class plugs into: pacing, backoff bounds, 401-refresh retries, page
+  * cursoring and atomic landing all live in [[PacedExtractor.run]] /
+  * [[PacedExtractor.runIncremental]]; this class ONLY translates one
+  * page number into one HTTP round-trip and maps the status line onto
+  * the [[PacedExtractor.Response]] ADT:
+  *
+  *   - 200 → [[PacedExtractor.Fetched]]: each element of the body's
+  *     `items` array becomes one staging JSONL line in the bronze
+  *     contract (`posting_id`, `raw_content` = the item re-serialized
+  *     verbatim, `source`, `extracted_at`) — the reference's
+  *     RawJobPosting mapping (hh_api.py:161-171); `hasMore` =
+  *     `page + 1 < pages` (hh_api.py:141-148 fans out `range(pages)`).
+  *   - 429 → [[PacedExtractor.Backoff]] (hh_api.py:113-116).
+  *   - 401 → [[PacedExtractor.Unauthorized]] — run() invalidates the
+  *     [[PacedExtractor.TokenProvider]] and retries; the NEXT call here
+  *     picks up the refreshed credential via `tokens.current()`.
+  *   - anything else → loud failure with the body head (hh_api.py:131
+  *     raises on unexpected errors rather than skipping a page).
+  *
+  * The timestamp source is injectable so specs land deterministic
+  * `extracted_at` values; production uses the real clock.
+  */
+final class HttpFetcher(
+    baseUrl: String,
+    source: String,
+    params: Map[String, String] = Map.empty,
+    perPage: Int = 100,
+    idField: String = "id",
+    tokens: Option[PacedExtractor.TokenProvider] = None,
+    requestTimeout: Duration = Duration.ofSeconds(30),
+    nowIso: () => String = () => java.time.Instant.now().toString,
+    client: HttpClient =
+      HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()) {
+
+  private val mapper = new ObjectMapper()
+
+  private def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
+
+  private def url(page: Int, extra: Map[String, String]): String = {
+    val all = params ++ extra ++
+      Map("page" -> page.toString, "per_page" -> perPage.toString)
+    val qs = all.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+    val sep = if (baseUrl.contains("?")) "&" else "?"
+    s"$baseUrl$sep$qs"
+  }
+
+  /** The `fetch` argument for [[PacedExtractor.run]]. */
+  def fetch(page: Int): PacedExtractor.Response = fetchPage(page, Map.empty)
+
+  /** The `fetch` argument for [[PacedExtractor.runIncremental]]: the
+    * watermark rides as the API's `date_from` param (the incremental
+    * bound the reference's daily pull re-queries from).
+    */
+  def fetchIncremental(since: Option[String], page: Int): PacedExtractor.Response =
+    fetchPage(page, since.map("date_from" -> _).toMap)
+
+  private def fetchPage(page: Int, extra: Map[String, String]): PacedExtractor.Response = {
+    val b = HttpRequest.newBuilder(URI.create(url(page, extra)))
+      .timeout(requestTimeout).GET()
+    tokens.foreach(t => b.header("Authorization", s"Bearer ${t.current()}"))
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    resp.statusCode() match {
+      case 429 => PacedExtractor.Backoff
+      case 401 => PacedExtractor.Unauthorized
+      case 200 =>
+        val root = mapper.readTree(resp.body())
+        val itemsNode = root.get("items")
+        val items =
+          if (itemsNode != null && itemsNode.isArray)
+            (0 until itemsNode.size()).map(itemsNode.get)
+          else Seq.empty
+        val pages =
+          if (root.hasNonNull("pages")) root.get("pages").asInt() else page + 1
+        val at = nowIso()
+        val lines = items.map { item =>
+          val o = mapper.createObjectNode()
+          val id = Option(item.get(idField)).map(_.asText()).getOrElse("")
+          o.put("posting_id", id)
+          o.put("raw_content", mapper.writeValueAsString(item))
+          o.put("source", source)
+          o.put("extracted_at", at)
+          mapper.writeValueAsString(o)
+        }
+        PacedExtractor.Fetched(lines, hasMore = page + 1 < pages)
+      case other =>
+        throw new IllegalStateException(
+          s"HTTP $other from $baseUrl page $page: ${resp.body().take(500)}")
+    }
+  }
+}

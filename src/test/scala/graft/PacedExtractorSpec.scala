@@ -529,4 +529,92 @@ class PacedExtractorSpec extends SparkSpec {
       .startsWith("same payload")).count() == 1,
       "re-delivered payloads must be gated to a single landing")
   }
+
+  test("HttpFetcher against a live in-process server: 429, 401-refresh, pages land in bronze") {
+    import java.util.concurrent.atomic.AtomicInteger
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import graft.sources.HttpFetcher
+    import graft.sources.PacedExtractor.TokenProvider
+
+    val root = Files.createTempDirectory("graft_http").toString
+    val issued = new AtomicInteger(0) // serial of the latest granted token
+    val served429 = new AtomicInteger(0)
+    val served401 = new AtomicInteger(0)
+    val queries = scala.collection.mutable.ArrayBuffer.empty[String]
+    @volatile var throttleOnce = true // page 1's first request gets a 429
+    @volatile var revokeOnce = false  // armed after page 0: next request 401s
+
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/vacancies", new HttpHandler {
+      private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+        if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+      override def handle(ex: HttpExchange): Unit = {
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        queries.synchronized { queries += q }
+        val page = q.split("&").collectFirst {
+          case kv if kv.startsWith("page=") => kv.drop(5).toInt
+        }.getOrElse(-1)
+        val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        if (revokeOnce) { // server-side revocation mid-extract
+          revokeOnce = false
+          served401.incrementAndGet()
+          respond(ex, 401, """{"error":"revoked"}""")
+        } else if (!auth.contains(s"Bearer tok-${issued.get}")) {
+          served401.incrementAndGet()
+          respond(ex, 401, """{"error":"bad token"}""")
+        } else if (page == 1 && throttleOnce) {
+          throttleOnce = false
+          served429.incrementAndGet()
+          ex.getResponseHeaders.add("Retry-After", "1")
+          respond(ex, 429, "")
+        } else {
+          if (page == 0) revokeOnce = true // arm the revocation for page 1
+          val items = Seq("a", "b").map(sfx =>
+            s"""{"id":"p$page-$sfx","name":"vacancy $page$sfx"}""").mkString(",")
+          respond(ex, 200, s"""{"items":[$items],"pages":3,"page":$page}""")
+        }
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val tp = new TokenProvider(
+        () => { issued.incrementAndGet(); (s"tok-${issued.get}", 60000L) })
+      val fetcher = new HttpFetcher(
+        baseUrl = s"http://127.0.0.1:$port/vacancies",
+        source = "hh",
+        params = Map("text" -> "scala"),
+        perPage = 2,
+        tokens = Some(tp),
+        nowIso = () => "2026-08-12T10:00:00.000Z")
+      val limiter = new RateLimiter(100, 1000L)
+      val n = PacedExtractor.run(spark, fetcher.fetch, s"$root/staging",
+        s"$root/cursor", limiter, backoffMs = 1L, tokens = Some(tp))
+      assert(n == 3, s"3 pages expected, got $n")
+      assert(served429.get == 1 && served401.get >= 1,
+        s"the spec must exercise both retry paths (429=${served429.get}, 401=${served401.get})")
+      assert(issued.get >= 2, "the 401 must have forced a token refresh")
+      assert(queries.forall(q => q.contains("text=scala") && q.contains("per_page=2")),
+        s"query params must ride every request: $queries")
+
+      // ... and through the full gated path into bronze
+      graft.streaming.BronzePipeline.gatedIngest(spark, s"$root/staging",
+        s"$root/bronze", s"$root/meta", s"$root/ckpt").awaitTermination()
+      val bronze = graft.sources.BronzeLayer.readRaw(spark, s"$root/bronze")
+      import org.apache.spark.sql.functions.col
+      val rows = bronze.select("posting_id", "raw_content", "source").collect()
+      assert(rows.length == 6, s"2 items x 3 pages, got ${rows.length}")
+      assert(rows.map(_.getString(0)).sorted.sameElements(
+        Seq("p0-a", "p0-b", "p1-a", "p1-b", "p2-a", "p2-b")))
+      assert(rows.forall(_.getString(2) == "hh"))
+      assert(rows.forall(r => r.getString(1).contains("\"id\":\"p")),
+        "raw_content must carry the item JSON verbatim")
+      assert(bronze.filter(col("extracted_at").isNull).count() == 0,
+        "extracted_at must parse as a timestamp through the staging schema")
+    } finally server.stop(0)
+  }
 }
