@@ -11,12 +11,14 @@ import graft.sources.Tables
 /** Multimodal column plumbing (SURVEY.md §2.3): media payloads as opaque
   * `binary` columns with a typed metadata struct, processed in partition-
   * local batches. Image payloads decode for REAL through the JDK's
-  * ImageIO registry (png/bmp/gif/jpeg need no native codec); payloads no
-  * installed reader claims — audio/video in this container — fall back to
-  * a deterministic byte-statistics stub, so the Spark-side contract
-  * (schema, batch shape, partitioning, fixed-width feature output) is
-  * exercised end-to-end either way. Swap/extend the kernel table for
-  * JNI codecs on a cluster that has them.
+  * ImageIO registry (png/bmp/gif/jpeg need no native codec); audio
+  * payloads decode for REAL through `javax.sound.sampled` (WAV/PCM needs
+  * no native codec — r14); payloads no installed reader claims — mp3/ogg
+  * and video containers in this JVM — fall back to a deterministic
+  * byte-statistics stub, so the Spark-side contract (schema, batch
+  * shape, partitioning, fixed-width feature output) is exercised
+  * end-to-end either way. Swap/extend the kernel table for JNI codecs
+  * on a cluster that has them.
   */
 object MediaOps {
 
@@ -79,6 +81,63 @@ object MediaOps {
       Array(w.toFloat, h.toFloat, r.toFloat / n, g.toFloat / n, b.toFloat / n,
         w.toFloat / h, 0f, 0f)
     }
+  }
+
+  /** Real audio decode (r14 — closes the last flagged stub): WAV (and
+    * any format the JVM's `javax.sound.sampled` registry claims) decodes
+    * to [sampleRate, channels, durationSec, rms, peak, zeroCrossRate,
+    * 0, 0] — rms/peak normalized to [0,1] over full-scale PCM, the
+    * zero-cross rate per sample (coarse pitch/noisiness). Non-PCM
+    * encodings convert through the JVM's codec chain to signed 16-bit
+    * first. Sample reads are bounded (first ~1M samples) so a
+    * pathological blob costs the same as a clip, mirroring the image
+    * kernel's subsampled grid. Returns None when no installed reader
+    * claims the bytes — audio/video codecs this JVM lacks (mp3, ogg,
+    * video containers) fall back to [[decodeStub]], flagged by mime
+    * routing in [[extractFeatures]], not silently.
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[Array[Float]] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val raw = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val f0 = raw.getFormat
+        val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          f0.getSampleRate, 16, f0.getChannels,
+          f0.getChannels * 2, f0.getSampleRate, false)
+        val in =
+          if (f0.matches(fmt)) raw else AudioSystem.getAudioInputStream(fmt, raw)
+        val nFrames = raw.getFrameLength
+        val durationSec =
+          if (nFrames >= 0) nFrames.toFloat / f0.getFrameRate else 0f
+        val MaxSamples = 1 << 20
+        val buf = new Array[Byte](8192)
+        var (sumSq, n, crossings) = (0.0, 0L, 0L)
+        var peak = 0.0
+        var prevNeg = false
+        var read = in.read(buf)
+        while (read > 0 && n < MaxSamples) {
+          var i = 0
+          while (i + 1 < read && n < MaxSamples) {
+            // little-endian signed 16-bit, averaged over nothing — every
+            // channel's samples weigh equally in rms/peak/zcr
+            val s = ((buf(i + 1) << 8) | (buf(i) & 0xFF)).toShort / 32768.0
+            sumSq += s * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            val neg = s < 0
+            if (n > 0 && neg != prevNeg) crossings += 1
+            prevNeg = neg
+            n += 1
+            i += 2
+          }
+          read = in.read(buf)
+        }
+        val rms = if (n > 0) math.sqrt(sumSq / n) else 0.0
+        val zcr = if (n > 1) crossings.toDouble / (n - 1) else 0.0
+        Some(Array(f0.getSampleRate, f0.getChannels.toFloat, durationSec,
+          rms.toFloat, peak.toFloat, zcr.toFloat, 0f, 0f))
+      } finally raw.close()
+    } catch { case _: Exception => None }
   }
 
   /** Fallback kernel: deterministic per-blob byte statistics for payloads
@@ -185,6 +244,7 @@ object MediaOps {
           val nFrames = math.ceil(r.n_bytes.toDouble / FrameBytes).toInt
           val feats =
             if (r.mime.startsWith("image/")) decodeImage(r.blob).getOrElse(decodeStub(r.blob))
+            else if (r.mime.startsWith("audio/")) decodeAudio(r.blob).getOrElse(decodeStub(r.blob))
             else decodeStub(r.blob)
           MediaFeatures(r.doc_id, nFrames, feats)
         }

@@ -83,6 +83,46 @@ class MediaOpsSpec extends SparkSpec {
       MediaOps.resizeStub("definitely not pixels".getBytes("UTF-8"), 4, 2)))
   }
 
+  test("audio payloads decode for real through javax.sound.sampled; unclaimed bytes fall back") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import spark.implicits._
+    // planted WAV: 0.5 s of a full-scale 440 Hz sine at 8 kHz mono 16-bit
+    val rate = 8000f
+    val nSamples = 4000
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * 32767).toInt.toShort
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16, 1, 2, rate, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong),
+      AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+
+    val media = Seq(
+      (1L, wav, "audio/wav", wav.length.toLong),
+      (2L, "definitely not audio".getBytes("UTF-8"), "audio/wav", 20L),
+    ).toDF("doc_id", "blob", "mime", "n_bytes")
+    val feats = MediaOps.extractFeatures(spark, media).collect()
+      .map(f => f.doc_id -> f.features).toMap
+
+    val real = feats(1L)
+    assert(real(0) == 8000f && real(1) == 1f, s"rate/channels: ${real.mkString(",")}")
+    assert(math.abs(real(2) - 0.5f) < 1e-3, s"duration: ${real(2)}")
+    // a full-scale sine has rms 1/sqrt(2) and peak ~1.0; 440 Hz at 8 kHz
+    // crosses zero ~2*440 times/s = rate/9.09 -> zcr ~0.11
+    assert(math.abs(real(3) - 0.7071f) < 0.01, s"rms: ${real(3)}")
+    assert(real(4) > 0.99f && real(4) <= 1.0f, s"peak: ${real(4)}")
+    assert(math.abs(real(5) - 0.11f) < 0.01, s"zero-cross rate: ${real(5)}")
+    // bytes no audio reader claims take the stub path, bit-for-bit
+    assert(feats(2L).sameElements(MediaOps.decodeStub("definitely not audio".getBytes("UTF-8"))))
+  }
+
   test("decode stub is deterministic, fixed-dim, and distributed via mapPartitions") {
     val media = MediaOps.attachBlobs(Tables.documents(spark, sfDir))
     val f1 = MediaOps.extractFeatures(spark, media).collect().sortBy(_.doc_id)
