@@ -42,7 +42,11 @@ object ScaleProbe {
       // r14 (the r13 verdict's item 4): the heaviest oracled query had
       // no scale evidence — three shuffles on (doc_id, term)-grade keys
       // should stay sublinear at 10×
-      "q78_tfidf")
+      "q78_tfidf",
+      // r14: the aggregate-pushdown range join — joined volume scales
+      // with distinct DAYS (scale-invariant), so wall should be nearly
+      // flat at 10× (only the scans and the pre-aggregation grow)
+      "q62_range_join")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       // the production-θ corpus-scaled near-dup: q58's gate tuning has a
       // quadratic RESULT at θ=0.4 (pair density is scale-constant), so
@@ -344,12 +348,25 @@ object ScaleProbe {
 
   private def buildIfMissing(spark: SparkSession, src: String, out: String): Unit = {
     val f = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (f.exists(new Path(s"$out/orders.parquet")) &&
-        f.exists(new Path(s"$out/documents.parquet")) &&
-        f.exists(new Path(s"$out/embeddings.parquet"))) return
     val copies = (0 until Copies).map(lit(_))
     def fan(df: DataFrame): DataFrame =
       df.withColumn("cp", explode(array(copies: _*)))
+
+    // lineitem (r14, for the q62 range-join probe): keys remapped per
+    // copy, dates preserved — per-day multiplicity grows 10×, exactly
+    // the dimension the aggregate-pushdown plan collapses. Checked
+    // separately from the r8 trio so pre-r14 scratch dirs upgrade in
+    // place instead of rebuilding everything.
+    if (!f.exists(new Path(s"$out/lineitem.parquet")))
+      fan(spark.read.parquet(s"$src/lineitem.parquet"))
+        .withColumn("l_orderkey", col("l_orderkey") + col("cp") * IdSpan)
+        .drop("cp")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    if (f.exists(new Path(s"$out/orders.parquet")) &&
+        f.exists(new Path(s"$out/documents.parquet")) &&
+        f.exists(new Path(s"$out/embeddings.parquet"))) return
 
     fan(spark.read.parquet(s"$src/orders.parquet"))
       .withColumn("o_orderkey", col("o_orderkey") + col("cp") * IdSpan)
