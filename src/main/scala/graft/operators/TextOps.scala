@@ -526,17 +526,33 @@ object TextOps {
     *     configured. Both modes produce identical ranks (spec-asserted).
     */
   def shuffleRank(docs: DataFrame, key: Column, salt: String,
-      reliable: Boolean = false): DataFrame = {
-    val s = docs.sparkSession
+      reliable: Boolean = false): DataFrame =
+    globalRankCore(
+      docs.withColumn("__sk", md5(concat(lit(salt), key.cast("string")))),
+      Seq(col("__sk"), key), reliable, "shuffle_rank")._1.drop("__sk")
+
+  /** Distributed global rank over an ARBITRARY total order — the
+    * [[shuffleRank]] machinery generalized from hash order to any unique
+    * `sortCols` tuple (e.g. a score for curriculum ordering). Returns the
+    * ranked frame (1-based `global_rank` column appended) and the total
+    * row count (already on the driver from the offset pass — callers
+    * binning rank into quantiles need it without a second scan).
+    */
+  def globalRankBy(df: DataFrame, sortCols: Seq[Column],
+      reliable: Boolean = false): (DataFrame, Long) =
+    globalRankCore(df, sortCols, reliable, "global_rank")
+
+  private def globalRankCore(df: DataFrame, sortCols: Seq[Column],
+      reliable: Boolean, outCol: String): (DataFrame, Long) = {
+    val s = df.sparkSession
     import s.implicits._
     if (reliable)
       require(s.sparkContext.getCheckpointDir.nonEmpty,
-        "shuffleRank(reliable = true) needs a checkpoint dir: call " +
+        "globalRank(reliable = true) needs a checkpoint dir: call " +
           "spark.sparkContext.setCheckpointDir(<HDFS/object-store path>) first")
-    val arranged = docs
-      .withColumn("__sk", md5(concat(lit(salt), key.cast("string"))))
-      .repartitionByRange(col("__sk"), key)
-      .sortWithinPartitions(col("__sk"), key)
+    val arranged = df
+      .repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
     val sorted =
       if (reliable) arranged.checkpoint(eager = true)
@@ -549,17 +565,18 @@ object TextOps {
     // fix is more partitions, not a bigger int.
     counts.find(_._2 > Int.MaxValue).foreach { case (p, n) =>
       throw new IllegalStateException(
-        s"shuffleRank: partition $p holds $n rows > Int.MaxValue; " +
+        s"globalRank: partition $p holds $n rows > Int.MaxValue; " +
           "raise spark.sql.shuffle.partitions so per-partition row counts fit a 32-bit row_number")
     }
     var acc = 0L
     val offsets = counts.map { case (p, n) => val o = (p, acc); acc += n; o }
     val offDf = offsets.toSeq.toDF("__pid", "__off")
-    val w = Window.partitionBy("__pid").orderBy(col("__sk"), key)
-    sorted.join(broadcast(offDf), Seq("__pid"))
-      .withColumn("shuffle_rank",
+    val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
+    val ranked = sorted.join(broadcast(offDf), Seq("__pid"))
+      .withColumn(outCol,
         (col("__off") + row_number().over(w)).cast("long"))
-      .drop("__pid", "__off", "__sk")
+      .drop("__pid", "__off")
+    (ranked, acc)
   }
 
   /** q85: the corpus shuffle over `documents`, oracled — the DuckDB
@@ -571,7 +588,108 @@ object TextOps {
     shuffleRank(documents(s, d).select(col("doc_id")), col("doc_id"), "r13:")
       .select(col("doc_id"), col("shuffle_rank"))
 
+  /** Bloom-prefiltered EXACT incremental dedup admit — the cross-batch
+    * ingest gate at the scale where "join every batch against the whole
+    * corpus" stops being a plan. One corpus pass builds a Bloom filter
+    * over normalized fingerprints (distributed, via Spark's sketch
+    * aggregate); batch rows the filter rules out are admitted with NO
+    * join at all (a Bloom negative is definite), and only the suspects —
+    * true duplicates plus an fpp-sized sliver of false positives — are
+    * exact-verified. The verify step BROADCASTS the suspect fingerprints
+    * and semi-joins the corpus against them, so the corpus is scanned,
+    * never shuffled: at 100 TB the only wide operation in the whole gate
+    * is the final suspects-minus-hits anti-join between two small sets.
+    * Result is exactly "batch rows whose fingerprint is absent from the
+    * corpus" — the Bloom filter is invisible in the answer (spec-forced
+    * with a saturated filter), it only prices the verification.
+    *
+    * Sizing: a 10⁹-item corpus at fpp=0.01 is a ≈1.2 GB filter —
+    * per-executor broadcast weight (see [[graft.plans.BloomMightContain]]);
+    * shard the gate by source past that. `expectedItems` skips the
+    * sizing count() when the caller already knows the corpus cardinality
+    * (e.g. from manifest stats).
+    */
+  def bloomGate(corpus: DataFrame, batch: DataFrame, textCol: String = "text",
+      fpp: Double = 0.01, expectedItems: Option[Long] = None): DataFrame = {
+    val s = corpus.sparkSession
+    val corpusFp = corpus.select(fingerprint(col(textCol)).as("fp"))
+    val n = math.max(expectedItems.getOrElse(corpusFp.count()), 1L)
+    val bc = s.sparkContext.broadcast(corpusFp.stat.bloomFilter("fp", n, fpp))
+    val batchFp = batch.select(col("doc_id"), fingerprint(col(textCol)).as("fp"))
+    val maybe = graft.plans.BloomMightContain.might(col("fp"), bc)
+    // null fingerprint: never equal to anything -> admitted (matches the
+    // NOT EXISTS oracle semantics), routed through the no-join branch
+    val fresh = batchFp.filter(coalesce(!maybe, lit(true)))
+    val suspects = batchFp.filter(coalesce(maybe, lit(false)))
+    val hits = corpusFp
+      .join(broadcast(suspects.select("fp").distinct()), Seq("fp"), "left_semi")
+      .distinct()
+    fresh.unionByName(
+      suspects.join(broadcast(hits), Seq("fp"), "left_anti"))
+  }
+
+  /** q86: the Bloom gate over `documents` — every third doc plays the
+    * incoming batch, the rest the standing corpus.
+    */
+  def q86BloomGate(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    bloomGate(docs.filter(col("doc_id") % 3 =!= 0),
+      docs.filter(col("doc_id") % 3 === 0))
+      .select(col("doc_id"), col("fp"))
+  }
+
+  /** q87: unigram Shannon entropy per document — the information-density
+    * quality signal (template/boilerplate pages score low even when the
+    * q66 adjacent-repetition score misses them). Entropy over token
+    * frequencies computed as ln T − (Σ n·ln n)/T, so the whole operator
+    * is two keyed aggregations — (doc_id, token) then doc_id — both
+    * high-cardinality, map-side-combinable shuffle keys at any scale.
+    */
+  def q87WordEntropy(s: SparkSession, d: String): DataFrame =
+    wordEntropy(documents(s, d))
+
+  def wordEntropy(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("total"),
+        sum(col("n").cast("double") * log(col("n").cast("double"))).as("s"))
+      .select(col("doc_id"), col("total").cast("long").as("n_tokens"),
+        round(log(col("total").cast("double")) - col("s") / col("total"), 4)
+          .as("entropy"))
+
+  /** Curriculum binning: rank the corpus by a score and cut the rank into
+    * k equal quantile bins (easy→hard ordering for curriculum training
+    * schedules). The global order comes from [[globalRankBy]] — the
+    * distributed rank, NOT a single-partition window — and the bin is
+    * pure arithmetic on (rank, total), both already in hand, so binning
+    * adds zero passes. Bin b = ⌊(rank−1)·k / total⌋ + 1: contiguous in
+    * score order, sizes within 1 of each other, engine-portable integer
+    * arithmetic (spec + oracle share the formula exactly).
+    */
+  def curriculumBins(scored: DataFrame, score: Column, id: Column,
+      k: Int, reliable: Boolean = false): DataFrame = {
+    require(k > 0, s"curriculumBins: k must be positive, got $k")
+    val (ranked, total) = globalRankBy(scored, Seq(score, id), reliable)
+    ranked
+      .withColumn("curriculum_rank", col("global_rank"))
+      .withColumn("bin",
+        expr(s"((curriculum_rank - 1) * ${k.toLong}) div ${math.max(total, 1L)}")
+          .cast("long") + 1L)
+      .drop("global_rank")
+  }
+
+  /** q88: decile curriculum over the q33 quality score. */
+  def q88CurriculumDecile(s: SparkSession, d: String): DataFrame =
+    curriculumBins(q33QualityScore(s, d), col("quality"), col("doc_id"), 10)
+      .select(col("doc_id"), col("quality"), col("curriculum_rank"),
+        col("bin").as("decile"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_bloom_gate" -> q86BloomGate _,
+    "q87_word_entropy" -> q87WordEntropy _,
+    "q88_curriculum_decile" -> q88CurriculumDecile _,
     "q85_corpus_shuffle" -> q85CorpusShuffle _,
     "q78_tfidf" -> q78Tfidf _,
     "q69_quality_gate" -> q69QualityGate _,
@@ -595,6 +713,42 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q86_bloom_gate" ->
+      """WITH fps AS (
+        |  SELECT doc_id,
+        |   md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents)
+        |SELECT b.doc_id, b.fp
+        |FROM fps b
+        |WHERE b.doc_id % 3 = 0
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM fps c WHERE c.doc_id % 3 <> 0 AND c.fp = b.fp)""".stripMargin,
+    "q87_word_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        | t2 AS (SELECT doc_id, w FROM toks WHERE length(w) > 0),
+        | c AS (SELECT doc_id, w, count(*) AS n FROM t2 GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        | round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 4) AS entropy
+        |FROM c GROUP BY doc_id""".stripMargin,
+    "q88_curriculum_decile" ->
+      """WITH m AS (
+        |  SELECT doc_id, round(
+        |   least(CAST(len(regexp_split_to_array(trim(text),'\s+')) AS DOUBLE)/100.0, 1.0)*0.5
+        |   + (CAST(len(regexp_extract_all(' '||lower(text)||' ', ' (the|a|of|and|to|in|is) ')) AS DOUBLE)
+        |      / CAST(len(regexp_split_to_array(trim(text),'\s+')) AS DOUBLE))*0.3
+        |   + (1.0 - CAST(len(regexp_extract_all(text,'[.,!?;:]')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE))*0.2, 4) AS quality
+        |  FROM documents),
+        | r AS (
+        |  SELECT doc_id, quality,
+        |   CAST(row_number() OVER (ORDER BY quality, doc_id) AS BIGINT) AS curriculum_rank,
+        |   count(*) OVER () AS total
+        |  FROM m)
+        |SELECT doc_id, quality, curriculum_rank,
+        | CAST(((curriculum_rank - 1) * 10) // total + 1 AS BIGINT) AS decile
+        |FROM r""".stripMargin,
     "q85_corpus_shuffle" ->
       """SELECT doc_id,
         |  CAST(row_number() OVER (

@@ -212,6 +212,106 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("bloomGate: exact anti-join semantics, bloom invisible in the answer") {
+    import spark.implicits._
+    val corpus = (1L to 200L).map(i => (i, s"corpus body number $i with shared words"))
+      .toDF("doc_id", "text")
+    // batch: 50 true dups of corpus texts (different ids), 50 genuinely new
+    val dups = (1L to 50L).map(i => (1000L + i, s"corpus body number $i with shared words"))
+    val news = (1L to 50L).map(i => (2000L + i, s"fresh unseen document $i"))
+    val batch = (dups ++ news).toDF("doc_id", "text")
+
+    val admitted = TextOps.bloomGate(corpus, batch)
+    val expected = batch.select($"doc_id", TextOps.fingerprint($"text").as("fp"))
+      .join(corpus.select(TextOps.fingerprint($"text").as("fp")), Seq("fp"), "left_anti")
+    assert(admitted.select("doc_id").except(expected.select("doc_id")).isEmpty &&
+      expected.select("doc_id").except(admitted.select("doc_id")).isEmpty,
+      "gate must admit exactly the batch rows absent from the corpus")
+    assert(admitted.count() == 50)
+
+    // a deliberately saturated filter (sized for 1 item, fed 200) sends
+    // everything down the verify path - the answer must not change
+    val saturated = TextOps.bloomGate(corpus, batch, expectedItems = Some(1L))
+    assert(saturated.select("doc_id").except(expected.select("doc_id")).isEmpty &&
+      expected.select("doc_id").except(saturated.select("doc_id")).isEmpty,
+      "false positives are a cost, never an answer change")
+
+    // scale shape, asserted on a FILE-backed input (a LocalRelation gets
+    // constant-folded, hiding the predicate): the bloom filter runs as a
+    // native plan filter, and the corpus is verified via BROADCAST joins
+    // - scanned, never shuffled
+    val plan = TextOps.q86BloomGate(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("bloommightcontain"),
+      s"bloom predicate must be in the plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the verify path must broadcast the suspect sliver, not shuffle the corpus:\n$plan")
+  }
+
+  test("BloomMightContain: no false negatives; interpreted == codegen") {
+    import spark.implicits._
+    val members = (1 to 500).map(i => s"member-$i")
+    val df = members.toDF("fp")
+    val bf = df.stat.bloomFilter("fp", 500L, 0.01)
+    val bc = spark.sparkContext.broadcast(bf)
+    val pred = graft.plans.BloomMightContain.might(col("fp"), bc)
+    // every inserted value MUST test true - the guarantee the gate trusts
+    assert(df.filter(!pred).count() == 0, "a bloom filter has no false negatives")
+    // non-members: fpp=0.01 so the deterministic FP count stays tiny
+    val nonMembers = (1 to 500).map(i => s"absent-$i").toDF("fp")
+    val fps = nonMembers.filter(pred).count()
+    assert(fps < 50, s"false-positive rate implausibly high: $fps/500")
+    // interpreted path agrees with codegen row for row
+    val viaEval = members.count(m => bf.mightContainBinary(m.getBytes("UTF-8")))
+    assert(viaEval == 500)
+    // null input -> null predicate -> row filtered either way
+    val withNull = (Seq("member-1") :+ null.asInstanceOf[String]).toDF("fp")
+    assert(withNull.filter(pred).count() == 1)
+    assert(withNull.filter(!pred).count() == 0)
+  }
+
+  test("wordEntropy: hand-computed values, empties filtered") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b b"),        // T=4, two tokens x2: ln4 - (4 ln2)/4 = ln2
+      (2L, "same same same"), // zero entropy
+      (3L, "  x  "),          // whitespace-padded single token
+      (4L, "a b c d")         // uniform: ln 4
+    ).toDF("doc_id", "text")
+    val out = TextOps.wordEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((4L, BigDecimal(math.log(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out(2L) == ((3L, 0.0)))
+    assert(out(3L) == ((1L, 0.0)))
+    assert(out(4L)._1 == 4L && math.abs(out(4L)._2 - math.log(4)) < 5e-5)
+  }
+
+  test("curriculumBins: formula bins, sizes within one, partitioning-independent, no single partition") {
+    import spark.implicits._
+    val n = 97
+    val scored = (1 to n).map(i => (i.toLong, (i * 37 % n).toDouble / n))
+      .toDF("doc_id", "score")
+    val bins = TextOps.curriculumBins(scored, col("score"), col("doc_id"), 10)
+    val rows = bins.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("curriculum_rank"), r.getAs[Long]("bin")))
+    assert(rows.length == n)
+    // bin = floor((rank-1)*k/total)+1 exactly
+    assert(rows.forall { case (_, rk, b) => b == (rk - 1) * 10 / n + 1 })
+    // contiguous in rank order and sizes within 1 of each other
+    val sizes = rows.groupBy(_._3).view.mapValues(_.size).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"bin sizes must be near-equal: $sizes")
+    // same bins regardless of input layout
+    val re = TextOps.curriculumBins(scored.repartition(7), col("score"), col("doc_id"), 10)
+      .select("doc_id", "bin")
+    assert(re.except(bins.select("doc_id", "bin")).isEmpty &&
+      bins.select("doc_id", "bin").except(re).isEmpty)
+    val plan = bins.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"curriculum rank must never funnel through one partition:\n$plan")
+    intercept[IllegalArgumentException](
+      TextOps.curriculumBins(scored, col("score"), col("doc_id"), 0))
+  }
+
   test("hashBucket is uniform-ish and rerun/partitioning stable") {
     val docs = Tables.documents(spark, sfDir)
     val b = TextOps.hashBucket(col("text"))
