@@ -614,7 +614,8 @@ object TextOps {
     val s = corpus.sparkSession
     val corpusFp = corpus.select(fingerprint(col(textCol)).as("fp"))
     val n = math.max(expectedItems.getOrElse(corpusFp.count()), 1L)
-    val bc = s.sparkContext.broadcast(corpusFp.stat.bloomFilter("fp", n, fpp))
+    val bc = s.sparkContext.broadcast(
+      BloomDedupGate.buildFilter(corpusFp, n, fpp)) // empty-corpus safe
     val batchFp = batch.select(col("doc_id"), fingerprint(col(textCol)).as("fp"))
     val maybe = graft.plans.BloomMightContain.might(col("fp"), bc)
     // null fingerprint: never equal to anything -> admitted (matches the

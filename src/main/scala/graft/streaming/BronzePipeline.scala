@@ -257,6 +257,44 @@ object BronzePipeline {
       .start()
   }
 
+  /** Streaming ingest through the EXACT-content gate (r14): re-delivered
+    * content arriving under a new id — same body, new posting_id — is
+    * dropped before it lands, priced by [[graft.operators.BloomDedupGate]]
+    * (Bloom negatives admit with no join; only the suspect sliver
+    * exact-verifies against the fingerprint store). The third gate tier:
+    * `MetadataStore` catches exact re-DELIVERY (same id),
+    * [[nearDupGatedIngest]] catches REWORDED copies; this one catches
+    * identical content in new envelopes, and is the cheapest of the
+    * three. Same crash discipline as the near-dup gate: fingerprints are
+    * recorded from the rows that actually COMMITTED, after the commit, so
+    * a replayed batch heals a crash between commit and record.
+    */
+  def contentGatedIngest(spark: SparkSession, stagingPath: String,
+      bronzePath: String, metaPath: String, fpStorePath: String,
+      checkpointPath: String): StreamingQuery = {
+    val pid = pipelineId(spark, checkpointPath)
+    // one gate per drain: construction rebuilds the filter from the
+    // store, which IS the restart-recovery path
+    val gate = new graft.operators.BloomDedupGate(spark, fpStorePath)
+    val raw = spark.readStream
+      .schema("posting_id STRING, raw_content STRING, source STRING, extracted_at TIMESTAMP")
+      .json(stagingPath)
+    raw.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val batchId = f"$pid-$id%05d"
+        val survivors = gate.gate(batch.toDF(), textCol = "raw_content")
+        graft.CacheHygiene.release(
+          MetadataStore.ingestWithGate(survivors, bronzePath, metaPath, batchId))
+        val committed = BronzeLayer.readRaw(spark, bronzePath)
+          .filter(col("batch_id") === batchId)
+        gate.record(committed, textCol = "raw_content")
+        ()
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming gold mart over the silver tail: per-source hourly posting
     * counts and payload volume. Watermarked, so aggregation state stays
     * bounded no matter how long the pipeline runs; append mode emits each

@@ -46,7 +46,13 @@ object ScaleProbe {
       // r14: the aggregate-pushdown range join — joined volume scales
       // with distinct DAYS (scale-invariant), so wall should be nearly
       // flat at 10× (only the scans and the pre-aggregation grow)
-      "q62_range_join")
+      "q62_range_join",
+      // r14 late additions: the Bloom dedup gate (corpus scan + filter
+      // build should scale linearly, the verify joins with the true-dup
+      // count), word entropy (two keyed aggs — the q78 shape minus the
+      // idf join), and the curriculum decile (the q85 rank machinery
+      // under a score order plus a quality scan)
+      "q86_bloom_gate", "q87_word_entropy", "q88_curriculum_decile")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       // the production-θ corpus-scaled near-dup: q58's gate tuning has a
       // quadratic RESULT at θ=0.4 (pair density is scale-constant), so

@@ -64,6 +64,46 @@ class BronzePipelineSpec extends SparkSpec {
     assert(rows.filter(col("posting_id") === "p3").count() == 1)
   }
 
+  test("content-gated ingest drops identical bodies under new ids, keeps reworded ones") {
+    val root = Files.createTempDirectory("graft_content_ingest").toString
+    val staging = s"$root/staging"
+    val bronze = s"$root/bronze"
+    val meta = s"$root/meta"
+    val fps = s"$root/fps"
+    val checkpoint = s"$root/ckpt"
+    def drop(rows: Seq[(String, String)]): Unit =
+      rawPostings(rows).coalesce(1).write.mode("append").json(staging)
+    def drain(): Unit = BronzePipeline.contentGatedIngest(
+      spark, staging, bronze, meta, fps, checkpoint).awaitTermination()
+
+    drop(Seq("c1" -> "identical body of recycled content here"))
+    drain()
+    assert(BronzeLayer.readRaw(spark, bronze).count() == 1)
+
+    // c2: SAME content, NEW id -> a new etag, so the metadata gate alone
+    // would admit it; the content gate must not. c3: same tokens but
+    // reworded (extra word) -> different fingerprint, lands (that copy is
+    // the NEAR-dup gate's job). c4: whitespace/case variant of c1 ->
+    // normalized fingerprint catches it.
+    drop(Seq(
+      "c2" -> "identical body of recycled content here",
+      "c3" -> "identical body of recycled content here again",
+      "c4" -> "  Identical   BODY of recycled content here "))
+    drain()
+    val rows = BronzeLayer.readRaw(spark, bronze)
+    assert(rows.count() == 2, "exact-content copies must be gated out")
+    assert(rows.filter(col("posting_id") === "c2").count() == 0)
+    assert(rows.filter(col("posting_id") === "c4").count() == 0)
+    assert(rows.filter(col("posting_id") === "c3").count() == 1)
+
+    // a FRESH drain (new gate instance = restart) still remembers: the
+    // filter rebuilt from the persisted store, not from driver state
+    drop(Seq("c5" -> "identical body of recycled content here"))
+    drain()
+    assert(BronzeLayer.readRaw(spark, bronze).count() == 2,
+      "the store survives restarts; the filter is never the record")
+  }
+
   test("streaming gold mart finalizes each hour exactly once across drains") {
     val root = Files.createTempDirectory("graft_mart").toString
     val bronze = s"$root/bronze"
