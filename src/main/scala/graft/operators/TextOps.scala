@@ -687,7 +687,49 @@ object TextOps {
       .select(col("doc_id"), col("quality"), col("curriculum_rank"),
         col("bin").as("decile"))
 
+  /** Temperature-balanced source mixing — the multilingual-pretraining
+    * rebalance (the α=0.5 "square-root smoothing" of XLM/mBERT sampling):
+    * a source's keep-probability is proportional to √n_s / n_s, so
+    * over-represented sources downsample hard while rare sources keep
+    * (nearly) everything, flattening the mix toward — but not all the
+    * way to — uniform. Unlike q60's FIXED per-language rates, the rates
+    * here are computed IN-PLAN from the observed counts: one tiny
+    * keyed count (low-cardinality, map-side combined), a 1-row total,
+    * a broadcast rate join, then a pure codegen'd scan filter — the
+    * whole operator adds zero wide shuffles over the corpus. The keep
+    * decision is the house salted-hash contract (deterministic,
+    * partitioning-independent, engine-portable).
+    *
+    * rate_s = min(1, targetFrac · N · √n_s / (Σ√n · n_s)), rounded to
+    * 6 decimals so the threshold is the same literal double in every
+    * engine; Σ over groups uses sqrt (correctly rounded IEEE — this is
+    * why the smoothing exponent is fixed at 0.5 rather than a free α:
+    * pow() is not bit-portable across engines, sqrt is).
+    */
+  def sqrtTemperatureSample(docs: DataFrame, grp: String,
+      targetFrac: Double): DataFrame = {
+    require(targetFrac > 0 && targetFrac <= 1,
+      s"targetFrac must be in (0,1]: $targetFrac")
+    val counts = docs.groupBy(col(grp)).agg(count(lit(1)).as("n"))
+    val tots = counts.agg(sum("n").cast("double").as("total"),
+      sum(sqrt(col("n").cast("double"))).as("wsum"))
+    val rates = counts.crossJoin(broadcast(tots))
+      .select(col(grp),
+        round(least(lit(1.0),
+          lit(targetFrac) * col("total") * sqrt(col("n").cast("double")) /
+            (col("wsum") * col("n").cast("double"))), 6).as("keep_rate"))
+    docs.join(broadcast(rates), grp)
+      .filter(hashKey(concat(lit("temp:"), col("text"))) % 1000000L <
+        col("keep_rate") * 1000000L)
+      .select(col("doc_id"), col(grp), col("keep_rate"))
+  }
+
+  /** q89: √-temperature mix over `documents` sources at half the corpus. */
+  def q89TempMixture(s: SparkSession, d: String): DataFrame =
+    sqrtTemperatureSample(documents(s, d), "source", 0.5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_temp_mixture" -> q89TempMixture _,
     "q86_bloom_gate" -> q86BloomGate _,
     "q87_word_entropy" -> q87WordEntropy _,
     "q88_curriculum_decile" -> q88CurriculumDecile _,
@@ -714,6 +756,18 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q89_temp_mixture" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        | t AS (SELECT CAST(sum(n) AS DOUBLE) AS total,
+        |        sum(sqrt(CAST(n AS DOUBLE))) AS wsum FROM c),
+        | r AS (SELECT c.source,
+        |        round(least(1.0, 0.5 * t.total * sqrt(CAST(c.n AS DOUBLE))
+        |          / (t.wsum * CAST(c.n AS DOUBLE))), 6) AS keep_rate
+        |       FROM c CROSS JOIN t)
+        |SELECT d.doc_id, d.source, r.keep_rate
+        |FROM documents d JOIN r USING (source)
+        |WHERE ('0x' || substr(md5('temp:' || d.text), 1, 8))::BIGINT % 1000000
+        |      < r.keep_rate * 1000000""".stripMargin,
     "q86_bloom_gate" ->
       """WITH fps AS (
         |  SELECT doc_id,

@@ -312,6 +312,31 @@ class TextOpsSpec extends SparkSpec {
       TextOps.curriculumBins(scored, col("score"), col("doc_id"), 0))
   }
 
+  test("sqrtTemperatureSample: rare sources keep everything, dominant ones flatten") {
+    import spark.implicits._
+    // 900 docs from "big", 100 from "small": sqrt smoothing at
+    // targetFrac=0.5 gives rate_big = 0.5*1000*30/(40*900) = 0.416667,
+    // rate_small = 0.5*1000*10/(40*100) = 1.25 -> capped to 1.0
+    val docs = ((1 to 900).map(i => (i.toLong, s"big source body $i", "big")) ++
+      (1 to 100).map(i => (10000L + i, s"small source body $i", "small")))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.sqrtTemperatureSample(docs, "source", 0.5)
+    val rates = out.select("source", "keep_rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("small") == 1.0, s"rare source must cap at 1.0: $rates")
+    assert(rates("big") == 0.416667, s"dominant source must flatten: $rates")
+    // rate 1.0 means EVERY small doc passes the hash threshold
+    assert(out.filter($"source" === "small").count() == 100)
+    val bigKept = out.filter($"source" === "big").count()
+    assert(bigKept > 300 && bigKept < 530,
+      s"big at ~0.417 rate should keep ~375: $bigKept")
+    // deterministic and partitioning-independent
+    val re = TextOps.sqrtTemperatureSample(docs.repartition(7), "source", 0.5)
+    assert(re.except(out).isEmpty && out.except(re).isEmpty)
+    intercept[IllegalArgumentException](
+      TextOps.sqrtTemperatureSample(docs, "source", 0.0))
+  }
+
   test("hashBucket is uniform-ish and rerun/partitioning stable") {
     val docs = Tables.documents(spark, sfDir)
     val b = TextOps.hashBucket(col("text"))
