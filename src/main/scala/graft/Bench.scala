@@ -108,15 +108,31 @@ object Bench {
     // beside the exact form so the baseline carries both figures. The name
     // deliberately has no underscore so the summary's qNN shortener keeps
     // it distinct from q35 itself.
+    // r14: the tolerance-oracled q44/q63/q57 are gate INSTRUMENTS (they
+    // run the exact reference beside the sketch/index to state the bound);
+    // production deploys the sketch-only forms, so those are timed here
+    // beside them — q44prod/q63prod/q57prod carry the pre-r14 baselines
+    // (identical workloads), while the instrument forms get fresh r14
+    // baselines of their own.
     val benchOnly: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
       "q35prod" -> ((s: SparkSession, dir: String) =>
-        graft.operators.TextOps.q35Prod(s, dir)))
+        graft.operators.TextOps.q35Prod(s, dir)),
+      "q44prod" -> ((s: SparkSession, dir: String) =>
+        graft.operators.Marts.q44Prod(s, dir)),
+      "q63prod" -> ((s: SparkSession, dir: String) =>
+        graft.operators.Marts.q63Prod(s, dir)),
+      "q57prod" -> ((s: SparkSession, dir: String) =>
+        graft.operators.VectorOps.q57Prod(s, dir)))
     // A selector matches a query only exactly, or as a prefix that ends at
     // an underscore boundary ("q35" selects q35_ngram_jaccard but NOT the
     // bench-only "q35prod") — a bare startsWith would silently widen what a
     // targeted subset run measures versus earlier rounds.
     val names = (SparkEntry.queries.toSeq ++ benchOnly).sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(p => n == p || n.startsWith(p + "_"))) }
+    // a selector that matches nothing must fail loudly, not print a
+    // zero-total summary that reads like a (vacuously fast) measurement
+    require(only.isEmpty || names.nonEmpty,
+      s"SPARK_GRAFT_BENCH_ONLY matched no queries: ${only.get.mkString(",")}")
     // One pass over `qs`: GC first (settle heap debt from the previous
     // pass), sample system load, then time each query once with cache/RDD
     // state cleared between queries (localCheckpoint blocks live at the RDD

@@ -111,29 +111,41 @@ object MediaOps {
         val durationSec =
           if (nFrames >= 0) nFrames.toFloat / f0.getFrameRate else 0f
         val MaxSamples = 1 << 20
+        val ch = math.max(f0.getChannels, 1)
         val buf = new Array[Byte](8192)
         var (sumSq, n, crossings) = (0.0, 0L, 0L)
         var peak = 0.0
-        var prevNeg = false
+        // zero-cross state is PER CHANNEL: samples interleave L,R,L,R…,
+        // so comparing consecutive interleaved samples would count sign
+        // differences BETWEEN channels as crossings (out-of-phase stereo
+        // → zcr ≈ 1.0 regardless of pitch). Track each channel's previous
+        // sign and count only its own sign flips; rms/peak are
+        // order-independent, so interleaving never affected those.
+        val prevNeg = new Array[Boolean](ch)
+        val seen = new Array[Boolean](ch)
         var read = in.read(buf)
         while (read > 0 && n < MaxSamples) {
           var i = 0
           while (i + 1 < read && n < MaxSamples) {
-            // little-endian signed 16-bit, averaged over nothing — every
-            // channel's samples weigh equally in rms/peak/zcr
+            // little-endian signed 16-bit
             val s = ((buf(i + 1) << 8) | (buf(i) & 0xFF)).toShort / 32768.0
             sumSq += s * s
             if (math.abs(s) > peak) peak = math.abs(s)
+            val c = (n % ch).toInt
             val neg = s < 0
-            if (n > 0 && neg != prevNeg) crossings += 1
-            prevNeg = neg
+            if (seen(c) && neg != prevNeg(c)) crossings += 1
+            prevNeg(c) = neg
+            seen(c) = true
             n += 1
             i += 2
           }
           read = in.read(buf)
         }
         val rms = if (n > 0) math.sqrt(sumSq / n) else 0.0
-        val zcr = if (n > 1) crossings.toDouble / (n - 1) else 0.0
+        // comparisons made = total samples minus the first sample of each
+        // observed channel
+        val nSeen = seen.count(identity)
+        val zcr = if (n > nSeen) crossings.toDouble / (n - nSeen) else 0.0
         Some(Array(f0.getSampleRate, f0.getChannels.toFloat, durationSec,
           rms.toFloat, peak.toFloat, zcr.toFloat, 0f, 0f))
       } finally raw.close()

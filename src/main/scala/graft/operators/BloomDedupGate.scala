@@ -7,12 +7,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.sketch.BloomFilter
 
-/** Cross-batch EXACT-content dedup gate for streaming ingest — the
-  * persistent form of [[TextOps.bloomGate]], and the third gate tier
-  * beside `MetadataStore` (exact delivery identity) and
-  * [[IncrementalDedup]] (near-dup similarity): it drops re-delivered
-  * content that arrives under a NEW id and is not merely similar but
-  * byte-identical after normalization.
+/** Cross-batch NORMALIZED-content dedup gate for streaming ingest — the
+  * persistent form of [[TextOps.bloomGate]]. Placement among the gates:
+  * `MetadataStore`'s etag (md5 of the raw payload) already catches
+  * byte-identical content whatever id it arrives under, and
+  * [[IncrementalDedup]] catches reworded near-dups; what THIS gate adds
+  * is (a) the normalized fingerprint — whitespace/case/reformatting
+  * variants the byte-exact etag misses but that are not "near" dups
+  * either — and (b) the admission PRICE: Bloom negatives skip every
+  * downstream join, so at corpus scale the expensive gates see a
+  * pre-shrunk batch instead of re-verifying mostly-fresh rows.
   *
   * State is two-layered, and only one layer is the truth:
   *
@@ -82,25 +86,18 @@ class BloomDedupGate(spark: SparkSession, storePath: String,
   /** Admit exactly the batch rows whose normalized fingerprint is absent
     * from the store. All input columns ride through. Dedup WITHIN the
     * batch is q30's job — two copies arriving together both pass here.
+    *
+    * The fresh/suspect branches and the empty-suspect probe each
+    * re-execute the batch's plan — materialize expensive inputs first
+    * (`localCheckpoint`, as [[graft.streaming.BronzePipeline.contentGatedIngest]]
+    * does with its staging read) so the re-executions hit memory, not
+    * the source.
     */
   def gate(batch: DataFrame, textCol: String = "text"): DataFrame = {
     if (inserted > capacity) rebuildFromStore() // saturated: resize first
     val batchFp = batch.withColumn("__fp", TextOps.fingerprint(col(textCol)))
-    val maybe = graft.plans.BloomMightContain.might(col("__fp"), bc)
-    // null fingerprint equals nothing -> always fresh, no-join branch
-    val fresh = batchFp.filter(coalesce(!maybe, lit(true)))
-    val suspects = batchFp.filter(coalesce(maybe, lit(false)))
-    val suspectFps = suspects.select(col("__fp").as("fp")).distinct()
-    val admitted =
-      if (suspectFps.isEmpty) fresh // common case: no store scan at all
-      else {
-        val hits = storeFps()
-          .join(broadcast(suspectFps), Seq("fp"), "left_semi").distinct()
-        fresh.unionByName(
-          suspects.join(broadcast(hits.withColumnRenamed("fp", "__fp")),
-            Seq("__fp"), "left_anti"))
-      }
-    admitted.drop("__fp")
+    BloomDedupGate.admit(batchFp, "__fp", bc, storeFps(), probeEmpty = true)
+      .drop("__fp")
   }
 
   /** Land `docs`' fingerprints in the store and fold them into the
@@ -127,6 +124,33 @@ class BloomDedupGate(spark: SparkSession, storePath: String,
 
 object BloomDedupGate {
   val schema: StructType = StructType.fromDDL("fp STRING")
+
+  /** THE bloom-admit shape, shared by [[TextOps.bloomGate]] (one-shot)
+    * and [[BloomDedupGate.gate]] (persistent): rows whose `fpCol` the
+    * filter rules out admit with NO join (null fp = equal to nothing =
+    * always fresh); suspects exact-verify by BROADCASTING their
+    * fingerprints and semi-joining `corpusFps` (one column, `fp`)
+    * against them — the corpus is scanned, never shuffled. With
+    * `probeEmpty`, a no-suspect batch skips the corpus scan entirely
+    * (one cheap early-out job; leave it off for one-shot uses where the
+    * corpus is scanned anyway to build the filter).
+    */
+  private[operators] def admit(batchFp: DataFrame, fpCol: String,
+      bloomBc: Broadcast[BloomFilter], corpusFps: => DataFrame,
+      probeEmpty: Boolean): DataFrame = {
+    val maybe = graft.plans.BloomMightContain.might(col(fpCol), bloomBc)
+    val fresh = batchFp.filter(coalesce(!maybe, lit(true)))
+    val suspects = batchFp.filter(coalesce(maybe, lit(false)))
+    val suspectFps = suspects.select(col(fpCol).as("fp")).distinct()
+    if (probeEmpty && suspectFps.isEmpty) fresh
+    else {
+      val hits = corpusFps
+        .join(broadcast(suspectFps), Seq("fp"), "left_semi").distinct()
+      fresh.unionByName(
+        suspects.join(broadcast(hits.withColumnRenamed("fp", fpCol)),
+          Seq(fpCol), "left_anti"))
+    }
+  }
 
   /** `stat.bloomFilter` NPEs on a zero-row frame (the aggregate yields
     * null bytes); an empty corpus gets an empty filter built with the

@@ -228,6 +228,15 @@ object Marts {
         (abs(col("__approx") - col("n_parts_exact")) <=
           col("n_parts_exact") * 0.06).as("within_3rsd"))
 
+  /** The PRODUCTION q44: sketch only. The oracled [[q44ApproxDistinct]]
+    * is a GATE INSTRUMENT — it runs the exact distinct beside the sketch
+    * to state the tolerance, which is precisely the shuffle the sketch
+    * exists to avoid; deploy and bench THIS form (`q44prod`).
+    */
+  def q44Prod(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_partkey", 0.02).as("n_parts_approx"))
+
   /** Approximate quantiles via percentile_approx (Greenwald-Khanna
     * QuantileSummaries: deterministic rank error ≤ n/accuracy) — bounded
     * mergeable state vs q29's exact sort-based percentile; sketch
@@ -257,6 +266,20 @@ object Marts {
           col("ex").getItem(0) * 0.01).as("median_ok"),
         (abs(col("qs").getItem(1) - col("ex").getItem(1)) <=
           col("ex").getItem(1) * 0.01).as("p90_ok"))
+
+  /** The PRODUCTION q63: one GK sketch per group, nothing exact. The
+    * oracled [[q63ApproxQuantile]] is a GATE INSTRUMENT — it buffers
+    * every group value for the exact percentile it compares against,
+    * which is the unbounded state the sketch exists to avoid; deploy and
+    * bench THIS form (`q63prod`).
+    */
+  def q63Prod(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.9)), lit(10000)).as("qs"))
+      .select(col("l_returnflag"),
+        col("qs").getItem(0).as("median_approx"),
+        col("qs").getItem(1).as("p90_approx"))
 
   /** Pivot (wide-format mart): status columns from row values. */
   def q47Pivot(s: SparkSession, d: String): DataFrame =

@@ -617,16 +617,11 @@ object TextOps {
     val bc = s.sparkContext.broadcast(
       BloomDedupGate.buildFilter(corpusFp, n, fpp)) // empty-corpus safe
     val batchFp = batch.select(col("doc_id"), fingerprint(col(textCol)).as("fp"))
-    val maybe = graft.plans.BloomMightContain.might(col("fp"), bc)
-    // null fingerprint: never equal to anything -> admitted (matches the
-    // NOT EXISTS oracle semantics), routed through the no-join branch
-    val fresh = batchFp.filter(coalesce(!maybe, lit(true)))
-    val suspects = batchFp.filter(coalesce(maybe, lit(false)))
-    val hits = corpusFp
-      .join(broadcast(suspects.select("fp").distinct()), Seq("fp"), "left_semi")
-      .distinct()
-    fresh.unionByName(
-      suspects.join(broadcast(hits), Seq("fp"), "left_anti"))
+    // shared admit core (BloomDedupGate.admit): bloom negatives join
+    // nothing, suspects broadcast-verify against the corpus. No
+    // empty-suspect probe here — the one-shot form scans the corpus for
+    // the filter build anyway, so the early-out buys nothing.
+    BloomDedupGate.admit(batchFp, "fp", bc, corpusFp, probeEmpty = false)
   }
 
   /** q86: the Bloom gate over `documents` — every third doc plays the
@@ -707,7 +702,8 @@ object TextOps {
     * pow() is not bit-portable across engines, sqrt is).
     */
   def sqrtTemperatureSample(docs: DataFrame, grp: String,
-      targetFrac: Double): DataFrame = {
+      targetFrac: Double, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
     require(targetFrac > 0 && targetFrac <= 1,
       s"targetFrac must be in (0,1]: $targetFrac")
     val counts = docs.groupBy(col(grp)).agg(count(lit(1)).as("n"))
@@ -719,9 +715,9 @@ object TextOps {
           lit(targetFrac) * col("total") * sqrt(col("n").cast("double")) /
             (col("wsum") * col("n").cast("double"))), 6).as("keep_rate"))
     docs.join(broadcast(rates), grp)
-      .filter(hashKey(concat(lit("temp:"), col("text"))) % 1000000L <
+      .filter(hashKey(concat(lit("temp:"), col(textCol))) % 1000000L <
         col("keep_rate") * 1000000L)
-      .select(col("doc_id"), col(grp), col("keep_rate"))
+      .select(col(idCol), col(grp), col("keep_rate"))
   }
 
   /** q89: √-temperature mix over `documents` sources at half the corpus. */

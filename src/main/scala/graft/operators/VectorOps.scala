@@ -1411,6 +1411,16 @@ object VectorOps {
       (col("__hits") >= col("__n") * 0.8).as("recall_ok"))
   }
 
+  /** The PRODUCTION q57: the IVF search alone. The oracled [[q57IvfTopk]]
+    * is a GATE INSTRUMENT — it runs the brute-force q38 ranking beside
+    * the index to state recall, which is the O(|queries|×|corpus|) scan
+    * the index exists to avoid; deploy and bench THIS form (`q57prod` —
+    * it is also what the sf1.0 scale-probe row labeled q57_ivf_topk has
+    * always measured).
+    */
+  def q57Prod(s: SparkSession, d: String): DataFrame =
+    ivfTopk(withVec(embeddings(s, d)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_ivf_topk" -> q57IvfTopk _,
     "q36_minhash_lsh" -> q36MinhashLsh _,

@@ -91,7 +91,14 @@ final class HttpFetcher(
         val at = nowIso()
         val lines = items.map { item =>
           val o = mapper.createObjectNode()
-          val id = Option(item.get(idField)).map(_.asText()).getOrElse("")
+          // a missing id is a response-shape surprise: raise like any
+          // other (the class contract, mirroring hh_api.py:131's strict
+          // parse) - a silently-empty posting_id would corrupt bronze
+          // partition identity downstream
+          val id = Option(item.get(idField)).filterNot(_.isNull).map(_.asText())
+            .getOrElse(throw new IllegalStateException(
+              s"item missing id field '$idField' on $baseUrl page $page: " +
+                mapper.writeValueAsString(item).take(200)))
           o.put("posting_id", id)
           o.put("raw_content", mapper.writeValueAsString(item))
           o.put("source", source)

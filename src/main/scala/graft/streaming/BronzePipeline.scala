@@ -257,17 +257,16 @@ object BronzePipeline {
       .start()
   }
 
-  /** Streaming ingest through the EXACT-content gate (r14): re-delivered
-    * content arriving under a new id — same body, new posting_id — is
-    * dropped before it lands, priced by [[graft.operators.BloomDedupGate]]
-    * (Bloom negatives admit with no join; only the suspect sliver
-    * exact-verifies against the fingerprint store). The third gate tier:
-    * `MetadataStore` catches exact re-DELIVERY (same id),
-    * [[nearDupGatedIngest]] catches REWORDED copies; this one catches
-    * identical content in new envelopes, and is the cheapest of the
-    * three. Same crash discipline as the near-dup gate: fingerprints are
-    * recorded from the rows that actually COMMITTED, after the commit, so
-    * a replayed batch heals a crash between commit and record.
+  /** Streaming ingest through the NORMALIZED-content gate (r14), priced
+    * by [[graft.operators.BloomDedupGate]]: whitespace/case/reformatting
+    * copies — which the metadata gate's byte-exact etag misses and the
+    * near-dup gate would only catch past its similarity threshold — are
+    * dropped before they land, and because the gate runs FIRST, Bloom
+    * negatives (the bulk of a mostly-fresh batch) reach the metadata
+    * join pre-shrunk. Same crash discipline as the near-dup gate:
+    * fingerprints are recorded from the rows that actually COMMITTED,
+    * after the commit, so a replayed batch heals a crash between commit
+    * and record.
     */
   def contentGatedIngest(spark: SparkSession, stagingPath: String,
       bronzePath: String, metaPath: String, fpStorePath: String,
@@ -282,12 +281,18 @@ object BronzePipeline {
     raw.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val batchId = f"$pid-$id%05d"
-        val survivors = gate.gate(batch.toDF(), textCol = "raw_content")
-        graft.CacheHygiene.release(
-          MetadataStore.ingestWithGate(survivors, bronzePath, metaPath, batchId))
-        val committed = BronzeLayer.readRaw(spark, bronzePath)
-          .filter(col("batch_id") === batchId)
-        gate.record(committed, textCol = "raw_content")
+        // materialize the staging read ONCE: the gate's fresh/suspect
+        // branches re-execute their input plan, and without this the
+        // staging JSON would be re-read and re-hashed per branch
+        val once = batch.toDF().localCheckpoint(true)
+        try {
+          val survivors = gate.gate(once, textCol = "raw_content")
+          graft.CacheHygiene.release(
+            MetadataStore.ingestWithGate(survivors, bronzePath, metaPath, batchId))
+          val committed = BronzeLayer.readRaw(spark, bronzePath)
+            .filter(col("batch_id") === batchId)
+          gate.record(committed, textCol = "raw_content")
+        } finally graft.CacheHygiene.release(once)
         ()
       }
       .option("checkpointLocation", checkpointPath)

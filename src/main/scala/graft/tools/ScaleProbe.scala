@@ -37,7 +37,7 @@ object ScaleProbe {
 
   private def probeQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("q23_cdc_changes", "q74_cdc_apply", "q35_ngram_jaccard",
-      "q36_minhash_lsh", "q57_ivf_topk", "q58_neardup_blocked",
+      "q36_minhash_lsh", "q58_neardup_blocked",
       "q65_decontaminate", "q85_corpus_shuffle",
       // r14 (the r13 verdict's item 4): the heaviest oracled query had
       // no scale evidence — three shuffles on (doc_id, term)-grade keys
@@ -54,6 +54,13 @@ object ScaleProbe {
       // under a score order plus a quality scan)
       "q86_bloom_gate", "q87_word_entropy", "q88_curriculum_decile")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
+      // the q57 probe row keeps its historical label and workload: pure
+      // IVF search (r14 made the REGISTERED q57 a recall-gate instrument
+      // that also runs the brute-force reference; the scale row would
+      // silently change meaning if it followed)
+      ("q57_ivf_topk" ->
+        ((s: SparkSession, dir: String) =>
+          graft.operators.VectorOps.q57Prod(s, dir))) :+
       // the production-θ corpus-scaled near-dup: q58's gate tuning has a
       // quadratic RESULT at θ=0.4 (pair density is scale-constant), so
       // the linear-scaling claim belongs to the auto-blocked form

@@ -80,11 +80,14 @@ class BronzePipelineSpec extends SparkSpec {
     drain()
     assert(BronzeLayer.readRaw(spark, bronze).count() == 1)
 
-    // c2: SAME content, NEW id -> a new etag, so the metadata gate alone
-    // would admit it; the content gate must not. c3: same tokens but
-    // reworded (extra word) -> different fingerprint, lands (that copy is
-    // the NEAR-dup gate's job). c4: whitespace/case variant of c1 ->
-    // normalized fingerprint catches it.
+    // c2: byte-identical body, new id -> the metadata gate's
+    // content-etag would ALSO catch this downstream; here it gates out
+    // earlier and cheaper (bloom + broadcast verify, before the meta
+    // join). c3: same tokens but reworded (extra word) -> different
+    // fingerprint, lands (that copy is the NEAR-dup gate's job).
+    // c4: whitespace/case variant of c1 -> caught by the NORMALIZED
+    // fingerprint, which the byte-exact etag cannot do - the behavior
+    // only this gate provides.
     drop(Seq(
       "c2" -> "identical body of recycled content here",
       "c3" -> "identical body of recycled content here again",

@@ -123,6 +123,33 @@ class MediaOpsSpec extends SparkSpec {
     assert(feats(2L).sameElements(MediaOps.decodeStub("definitely not audio".getBytes("UTF-8"))))
   }
 
+  test("stereo zcr counts per-channel sign flips, not interleaved channel differences") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // OUT-OF-PHASE stereo: R = -L at every frame. Interleaved adjacent
+    // samples then flip sign on nearly every comparison (zcr -> 1.0);
+    // the true per-channel zcr is the mono sine's ~0.11.
+    val rate = 8000f
+    val nFrames = 4000
+    val pcm = new Array[Byte](nFrames * 4)
+    var i = 0
+    while (i < nFrames) {
+      val l = (math.sin(2 * math.Pi * 440 * i / rate) * 30000).toInt.toShort
+      val r = (-l).toShort
+      pcm(4 * i) = (l & 0xFF).toByte; pcm(4 * i + 1) = ((l >> 8) & 0xFF).toByte
+      pcm(4 * i + 2) = (r & 0xFF).toByte; pcm(4 * i + 3) = ((r >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16, 2, 4, rate, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      AudioFileFormat.Type.WAVE, baos)
+    val feats = MediaOps.decodeAudio(baos.toByteArray).get
+    assert(feats(1) == 2f, s"channels: ${feats(1)}")
+    assert(math.abs(feats(5) - 0.11f) < 0.01,
+      s"stereo zcr must match the underlying tone, got ${feats(5)}")
+  }
+
   test("decode stub is deterministic, fixed-dim, and distributed via mapPartitions") {
     val media = MediaOps.attachBlobs(Tables.documents(spark, sfDir))
     val f1 = MediaOps.extractFeatures(spark, media).collect().sortBy(_.doc_id)
