@@ -42,11 +42,24 @@ object IncrementalDedup {
     * two fresh near-dups arriving in one batch both pass this gate.
     */
   def gate(docs: DataFrame, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
     val seen = readSignatures(docs.sparkSession, path).select("band", "sig")
-    val hit = VectorOps.bandedSignatures(docs)
-      .join(seen, Seq("band", "sig"), "left_semi")
+    // Join SHAPE for a corpus-scale store: the batch's signatures are
+    // micro-batch-sized (bands × |batch| rows; admission-capped upstream),
+    // so they BROADCAST and the store is only SCANNED - a semi-join
+    // probing each store row against the broadcast batch. The naive
+    // direction (batch left_semi store) hash-builds on the store side:
+    // past the broadcast threshold that plan SHUFFLES the whole
+    // signature store every batch. Spec-pinned with auto-broadcast
+    // disabled: no shuffle reaches the store at any size estimate.
+    val batchSigs = VectorOps.bandedSignatures(docs)
+    val hitSigs = seen
+      .join(broadcast(batchSigs.select("band", "sig").distinct()),
+        Seq("band", "sig"), "left_semi")
+      .distinct()
+    val hit = batchSigs.join(broadcast(hitSigs), Seq("band", "sig"), "left_semi")
       .select("doc_id").distinct()
-    docs.join(hit, Seq("doc_id"), "left_anti")
+    docs.join(broadcast(hit), Seq("doc_id"), "left_anti")
   }
 
   /** Gate, land the survivors' signatures, return the survivors. The

@@ -157,12 +157,22 @@ object Lifecycle {
       round(coalesce(col("c_acctbal"), lit(0.0)), 2).as("acctbal"))
 
   /** Dedup-check ingestion gate (mermaid: Meta -..-> Dedup Check): only
-    * keys never seen before pass bronze. Anti-join against the seen-keys
-    * table — at scale the seen set is bucketed by key so this is a
-    * shuffle-free join against the bucketed metadata store.
+    * keys never seen before pass bronze. Join SHAPE for a corpus-scale
+    * seen-store: the incoming batch's keys broadcast and the store is
+    * only SCANNED (semi-probe against the broadcast), then the tiny hit
+    * set broadcasts back for the anti-join — the store never shuffles,
+    * whatever its size estimate says. The naive `incoming ANTI seen`
+    * hash-builds on the store side and silently degrades to shuffling
+    * the whole store per batch once it outgrows the broadcast
+    * threshold. Spec-pinned with auto-broadcast disabled. Null incoming
+    * keys match nothing and pass, as before.
     */
-  def dedupGate(incoming: DataFrame, seen: DataFrame, key: String): DataFrame =
-    incoming.join(seen.select(key).distinct(), Seq(key), "left_anti")
+  def dedupGate(incoming: DataFrame, seen: DataFrame, key: String): DataFrame = {
+    val hits = seen.select(key)
+      .join(broadcast(incoming.select(key).distinct()), Seq(key), "left_semi")
+      .distinct()
+    incoming.join(broadcast(hits), Seq(key), "left_anti")
+  }
 
   def q25DedupIngestGate(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)

@@ -38,4 +38,27 @@ class IncrementalDedupSpec extends SparkSpec {
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(storedDocs == Set(1L, 2L, 11L))
   }
+
+  test("gate join shape: the signature store never shuffles, even with auto-broadcast off") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_sigshape").toString + "/sigs"
+    IncrementalDedup.appendSignatures(
+      (1L to 50L).map(i => (i, s"stored corpus document number $i with plenty of tokens"))
+        .toDF("doc_id", "text"), store)
+    val batch = Seq((100L, "a fresh incoming body of text with many new words")).toDF("doc_id", "text")
+    // disabling size-based broadcast is the load-bearing part: the naive
+    // batch-ANTI-store direction degrades to a SortMergeJoin here (the
+    // store is the hash-build side), which at corpus scale shuffles the
+    // whole store per micro-batch; the scan-shape gate must keep every
+    // join broadcast by construction
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val gated = IncrementalDedup.gate(batch, store)
+      val plan = gated.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"store-side join must stay a broadcast probe:\n$plan")
+      assert(gated.count() == 1)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
 }

@@ -34,6 +34,22 @@ class LifecycleSpec extends SparkSpec {
     assert(got.sameElements(Array(1L, 3L)))
   }
 
+  test("dedupGate join shape: the seen-store never shuffles, even with auto-broadcast off") {
+    // file-backed gate (q25) so size estimates are real; the naive
+    // incoming-ANTI-seen direction hash-builds on the store and falls to
+    // SortMergeJoin once broadcast is ruled out - the scan-shape gate
+    // must keep the store on a broadcast-probe plan by construction
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val gated = Lifecycle.q25DedupIngestGate(spark, sfDir)
+      val plan = gated.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"store-side join must stay a broadcast probe:\n$plan")
+      assert(gated.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("fingerprint collapses whitespace/case variants, separates content") {
     import spark.implicits._
     val df = Seq(
