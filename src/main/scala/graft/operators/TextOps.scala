@@ -54,21 +54,25 @@ object TextOps {
   def q32Fingerprint(s: SparkSession, d: String): DataFrame =
     documents(s, d).select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
-  /** Quality scoring: length saturation + stopword ratio + punctuation
-    * density, one codegen'd pass.
+  /** THE quality score (length saturation + stopword ratio + punctuation
+    * density, rounded to 4 decimals) — one codegen'd expression shared by
+    * q33/q88 and the drift/budget operators so every consumer ranks by
+    * the same number.
     */
-  def q33QualityScore(s: SparkSession, d: String): DataFrame = {
-    val words = size(split(trim(col("text")), ws)).cast("double")
-    val chars = length(col("text")).cast("double")
-    val punct = regexp_count(col("text"), lit("[.,!?;:]")).cast("double")
-    val stops = regexp_count(concat(lit(" "), lower(col("text")), lit(" ")),
+  def qualityExpr(text: Column): Column = {
+    val words = size(split(trim(text), ws)).cast("double")
+    val chars = length(text).cast("double")
+    val punct = regexp_count(text, lit("[.,!?;:]")).cast("double")
+    val stops = regexp_count(concat(lit(" "), lower(text), lit(" ")),
       lit(" (the|a|of|and|to|in|is) ")).cast("double")
-    documents(s, d).select(
-      col("doc_id"),
-      round(least(words / 100.0, lit(1.0)) * 0.5 +
-        (stops / words) * 0.3 +
-        (lit(1.0) - punct / chars) * 0.2, 4).as("quality"))
+    round(least(words / 100.0, lit(1.0)) * 0.5 +
+      (stops / words) * 0.3 +
+      (lit(1.0) - punct / chars) * 0.2, 4)
   }
+
+  /** Quality scoring: one codegen'd pass of [[qualityExpr]]. */
+  def q33QualityScore(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), qualityExpr(col("text")).as("quality"))
 
   /** Language ID: stopword-vote n-gram heuristic with a fixed tie-break
     * order. (Votes, not a model — deterministic and shuffle-free.)
@@ -724,7 +728,174 @@ object TextOps {
   def q89TempMixture(s: SparkSession, d: String): DataFrame =
     sqrtTemperatureSample(documents(s, d), "source", 0.5)
 
+  /** Duplicated-span fraction — the exact-substring dedup *signal* of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (2022): for each document, the fraction of its distinct
+    * n-word spans that also occur in at least one OTHER document. Docs
+    * with a high fraction are near-copies or heavy quoters even when no
+    * single fingerprint matches; the score drives removal thresholds
+    * without ever comparing documents pairwise.
+    *
+    * Shape: per-row codegen'd [[graft.plans.Shingles]] span construction
+    * (no shuffle), one span-keyed count to find spans living in ≥2 docs
+    * (map-side combinable — the span string is the shuffle key), then a
+    * LEFT join of the doc→span index against ONLY the duplicated spans —
+    * the small side, since boilerplate is the minority of distinct spans
+    * — and a final doc_id-keyed aggregate. Candidate volume is linear in
+    * corpus spans, never n² in documents. `hashSpans` swaps the span
+    * string for its xxhash64 as join/shuffle key (8-byte keys at 100 TB;
+    * a collision can only nudge a fraction by 1/n_spans — off for the
+    * oracle, on in production).
+    */
+  def spanDupFraction(docs: DataFrame, n: Int = 5,
+      hashSpans: Boolean = false): DataFrame = {
+    val raw = docs.select(col("doc_id"), explode(array_distinct(
+      graft.plans.GraftFunctions.shingles(tokens(col("text")), n))).as("g"))
+    val grams = if (hashSpans) raw.select(col("doc_id"), xxhash64(col("g")).as("g"))
+      else raw
+    val dup = grams.groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("g"), lit(1.0).as("isdup"))
+    grams.join(dup, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        round(avg(coalesce(col("isdup"), lit(0.0))), 4).as("dup_frac"))
+      .select(col("doc_id"), col("n_spans").cast("long").as("n_spans"),
+        col("dup_frac"))
+  }
+
+  /** q90: 5-word duplicated-span fraction over `documents` (docs shorter
+    * than 5 tokens have no spans and no row — both engines agree). */
+  def q90SpanDupfrac(s: SparkSession, d: String): DataFrame =
+    spanDupFraction(documents(s, d))
+
+  /** Corpus unigram language-model score — the CCNet-style perplexity
+    * proxy: train a unigram LM on the corpus itself (p(w) = n_w / N) and
+    * score each document by its mean token negative log-likelihood in
+    * nats. Low-NLL docs are made of common words (fluent or boilerplate);
+    * high-NLL docs are rare-token soup (OCR noise, code dumps, lists) —
+    * the standard cut for training-data curation when no external LM is
+    * available.
+    *
+    * Shape: token counts are two high-cardinality keyed aggregations
+    * ((doc_id, w) and w — both map-side combinable); the corpus total is
+    * a 1-row broadcast; the vocab→doc join is an equi-join on the token
+    * (at 100 TB the vocabulary side is millions of rows — broadcast when
+    * it fits, shuffle-hash otherwise; the plan is AQE's choice). No
+    * pairwise anything.
+    */
+  def unigramNll(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("nw"))
+    val total = vocab.agg(sum("nw").cast("double").as("N"))
+    val probs = vocab.crossJoin(broadcast(total))
+      .select(col("w"), (log(col("nw").cast("double")) - log(col("N"))).as("lnp"))
+    toks.groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+      .join(probs, "w")
+      .groupBy("doc_id")
+      .agg(sum("n").cast("long").as("n_tokens"),
+        round(-sum(col("n").cast("double") * col("lnp")) / sum("n"), 4).as("nll"))
+  }
+
+  /** q91: unigram-LM mean NLL per document over `documents`. */
+  def q91UnigramLm(s: SparkSession, d: String): DataFrame =
+    unigramNll(documents(s, d))
+
+  /** Population Stability Index of the quality-score distribution, per
+    * group — THE production drift monitor for a curation pipeline: when
+    * a source's quality distribution shifts between a reference window
+    * and the current window (scraper broke, boilerplate flood, language
+    * mix moved), PSI spikes long before any single gate trips. Industry
+    * reading: <0.1 stable, 0.1–0.25 drifting, >0.25 investigate.
+    *
+    * PSI = Σ_bins (p_cur − p_ref)·ln(p_cur / p_ref) over `bins` fixed
+    * equal-width bins of [0,1], ε-smoothed (1e-6) so empty bins stay
+    * finite. Everything after the per-(group, split, bin) count — a
+    * low-cardinality, map-side-combined keyed agg, the ONLY pass over
+    * the corpus — operates on ≤ groups×2×bins rows.
+    */
+  def qualityPsi(docs: DataFrame, grp: String, refSide: Column,
+      bins: Int = 10): DataFrame = {
+    val eps = 1e-6
+    val b = docs
+      .select(col(grp), qualityExpr(col("text")).as("quality"), refSide.as("isRef"))
+      .withColumn("bin",
+        least(floor(col("quality") * bins).cast("int"), lit(bins - 1)))
+      .withColumn("split", when(col("isRef"), "ref").otherwise("cur"))
+      .groupBy(grp, "split", "bin")
+      .agg(count(lit(1)).as("n"))
+    val tot = b.groupBy(grp, "split").agg(sum("n").as("tot"))
+    val p = b.join(tot, Seq(grp, "split"))
+      .select(col(grp), col("split"), col("bin"),
+        (col("n").cast("double") / col("tot")).as("p"))
+    val ref = p.filter(col("split") === "ref")
+      .select(col(grp), col("bin"), col("p").as("pr"))
+    val cur = p.filter(col("split") === "cur")
+      .select(col(grp).as("gc"), col("bin").as("bc"), col("p").as("pc"))
+    val joined = ref.join(cur,
+        ref(grp) === cur("gc") && ref("bin") === cur("bc"), "full_outer")
+      .select(coalesce(col(grp), col("gc")).as(grp),
+        greatest(coalesce(col("pr"), lit(eps)), lit(eps)).as("pr"),
+        greatest(coalesce(col("pc"), lit(eps)), lit(eps)).as("pc"))
+    val psi = joined.groupBy(grp)
+      .agg(round(sum((col("pc") - col("pr")) * log(col("pc") / col("pr"))), 4)
+        .as("psi"))
+    val ns = b.groupBy(grp).agg(
+      sum(when(col("split") === "ref", col("n")).otherwise(0L)).cast("long").as("n_ref"),
+      sum(when(col("split") === "cur", col("n")).otherwise(0L)).cast("long").as("n_cur"))
+    ns.join(psi, grp)
+  }
+
+  /** q92: per-source quality PSI between the deterministic hash-split
+    * halves of `documents` (the oracle-able stand-in for "last week vs
+    * this week"). */
+  def q92QualityPsi(s: SparkSession, d: String): DataFrame =
+    qualityPsi(documents(s, d), "source",
+      hashBucket(concat(lit("psi:"), col("text")), 1000) < 500)
+
+  /** Token-budget data selection — "give me the best B tokens per
+    * source": admit documents from the top of the quality distribution
+    * down until the source's token budget is spent. The naive plan is a
+    * per-source global sort + running sum — a single task per source at
+    * 100 TB. This is the histogram form that scales: ONE corpus pass
+    * builds per-(source, quality-bin) token sums (low-cardinality keyed
+    * agg), the cutoff bin is found on the tiny ≤ groups×bins aggregate
+    * (cumulative sum from the top bin down, stop before exceeding B),
+    * and a broadcast of the cutoffs filters the corpus in a second
+    * codegen'd pass. Budget precision is one bin of quality width —
+    * raise `bins` for a tighter landing, the aggregate stays tiny.
+    * A source whose top bin alone exceeds B admits nothing (no row in
+    * the cutoff table), loudly visible in the output.
+    */
+  def tokenBudgetSelect(docs: DataFrame, grp: String, budget: Long,
+      bins: Int = 1000): DataFrame = {
+    require(budget > 0, s"tokenBudgetSelect: budget must be positive: $budget")
+    val m = docs.select(col("doc_id"), col(grp),
+      qualityExpr(col("text")).as("quality"),
+      size(split(trim(col("text")), ws)).cast("long").as("n_tokens"))
+    val binned = m.withColumn("bin",
+      least(floor(col("quality") * bins).cast("int"), lit(bins - 1)))
+    val perBin = binned.groupBy(grp, "bin").agg(sum("n_tokens").as("btok"))
+    // The window below runs over the AGGREGATED table (≤ groups×bins
+    // rows), not the corpus — that is the point of the design.
+    val w = Window.partitionBy(grp).orderBy(col("bin").desc)
+    val cut = perBin.withColumn("cumtok", sum("btok").over(w))
+      .filter(col("cumtok") <= budget)
+      .groupBy(grp).agg(min("bin").as("cutoff"))
+    binned.join(broadcast(cut), grp)
+      .filter(col("bin") >= col("cutoff"))
+      .select("doc_id", grp, "quality", "n_tokens")
+  }
+
+  /** q93: best-800-tokens-per-source selection over `documents`. */
+  def q93TokenBudget(s: SparkSession, d: String): DataFrame =
+    tokenBudgetSelect(documents(s, d), "source", 800L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_span_dupfrac" -> q90SpanDupfrac _,
+    "q91_unigram_lm" -> q91UnigramLm _,
+    "q92_quality_psi" -> q92QualityPsi _,
+    "q93_token_budget" -> q93TokenBudget _,
     "q89_temp_mixture" -> q89TempMixture _,
     "q86_bloom_gate" -> q86BloomGate _,
     "q87_word_entropy" -> q87WordEntropy _,
@@ -752,6 +923,77 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q90_span_dupfrac" ->
+      """WITH t AS (SELECT doc_id,
+        |   regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+        | g0 AS (SELECT doc_id, unnest(list_transform(
+        |   range(0, greatest(len(ws)-4, 0)),
+        |   i -> array_to_string(ws[i+1:i+5], ' '))) AS g FROM t),
+        | g AS (SELECT DISTINCT doc_id, g FROM g0),
+        | c AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        | round(avg(CASE WHEN c.g IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS dup_frac
+        |FROM g LEFT JOIN c USING (g) GROUP BY g.doc_id""".stripMargin,
+    "q91_unigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        | t2 AS (SELECT doc_id, w FROM toks WHERE length(w) > 0),
+        | v AS (SELECT w, count(*) AS nw FROM t2 GROUP BY 1),
+        | n AS (SELECT CAST(sum(nw) AS DOUBLE) AS total FROM v),
+        | p AS (SELECT v.w, ln(CAST(v.nw AS DOUBLE)) - ln(n.total) AS lnp
+        |       FROM v CROSS JOIN n),
+        | dc AS (SELECT doc_id, w, count(*) AS n FROM t2 GROUP BY 1, 2)
+        |SELECT dc.doc_id, CAST(sum(dc.n) AS BIGINT) AS n_tokens,
+        | round(-sum(dc.n * p.lnp) / sum(dc.n), 4) AS nll
+        |FROM dc JOIN p USING (w) GROUP BY dc.doc_id""".stripMargin,
+    "q92_quality_psi" ->
+      """WITH m AS (
+        |  SELECT source,
+        |   round(least(CAST(len(regexp_split_to_array(trim(text),'\s+')) AS DOUBLE)/100.0, 1.0)*0.5
+        |   + (CAST(len(regexp_extract_all(' '||lower(text)||' ', ' (the|a|of|and|to|in|is) ')) AS DOUBLE)
+        |      / CAST(len(regexp_split_to_array(trim(text),'\s+')) AS DOUBLE))*0.3
+        |   + (1.0 - CAST(len(regexp_extract_all(text,'[.,!?;:]')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE))*0.2, 4) AS quality,
+        |   CASE WHEN ('0x' || substr(md5('psi:' || text), 1, 8))::BIGINT % 1000 < 500
+        |        THEN 'ref' ELSE 'cur' END AS split
+        |  FROM documents),
+        | b AS (SELECT source, split, least(CAST(floor(quality*10) AS INT), 9) AS bin,
+        |        count(*) AS n FROM m GROUP BY 1, 2, 3),
+        | t AS (SELECT source, split, sum(n) AS tot FROM b GROUP BY 1, 2),
+        | p AS (SELECT b.source, b.split, b.bin, CAST(b.n AS DOUBLE)/t.tot AS p
+        |       FROM b JOIN t USING (source, split)),
+        | r AS (SELECT source, bin, p AS pr FROM p WHERE split='ref'),
+        | c AS (SELECT source, bin, p AS pc FROM p WHERE split='cur'),
+        | j AS (SELECT coalesce(r.source, c.source) AS source,
+        |        greatest(coalesce(pr, 1e-6), 1e-6) AS pr,
+        |        greatest(coalesce(pc, 1e-6), 1e-6) AS pc
+        |       FROM r FULL JOIN c ON r.source = c.source AND r.bin = c.bin),
+        | s AS (SELECT source, round(sum((pc - pr) * ln(pc / pr)), 4) AS psi
+        |       FROM j GROUP BY 1),
+        | ns AS (SELECT source,
+        |        CAST(sum(CASE WHEN split='ref' THEN n ELSE 0 END) AS BIGINT) AS n_ref,
+        |        CAST(sum(CASE WHEN split='cur' THEN n ELSE 0 END) AS BIGINT) AS n_cur
+        |       FROM b GROUP BY 1)
+        |SELECT ns.source, ns.n_ref, ns.n_cur, s.psi FROM ns JOIN s USING (source)""".stripMargin,
+    "q93_token_budget" ->
+      """WITH m AS (
+        |  SELECT doc_id, source,
+        |   round(least(CAST(len(regexp_split_to_array(trim(text),'\s+')) AS DOUBLE)/100.0, 1.0)*0.5
+        |   + (CAST(len(regexp_extract_all(' '||lower(text)||' ', ' (the|a|of|and|to|in|is) ')) AS DOUBLE)
+        |      / CAST(len(regexp_split_to_array(trim(text),'\s+')) AS DOUBLE))*0.3
+        |   + (1.0 - CAST(len(regexp_extract_all(text,'[.,!?;:]')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE))*0.2, 4) AS quality,
+        |   CAST(len(regexp_split_to_array(trim(text),'\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | bd AS (SELECT doc_id, source, quality, n_tokens,
+        |         least(CAST(floor(quality*1000) AS INT), 999) AS bin FROM m),
+        | b AS (SELECT source, bin, sum(n_tokens) AS btok FROM bd GROUP BY 1, 2),
+        | cum AS (SELECT source, bin,
+        |          sum(btok) OVER (PARTITION BY source ORDER BY bin DESC) AS cumtok FROM b),
+        | cut AS (SELECT source, min(bin) AS cutoff FROM cum WHERE cumtok <= 800 GROUP BY 1)
+        |SELECT bd.doc_id, bd.source, bd.quality, bd.n_tokens
+        |FROM bd JOIN cut USING (source) WHERE bd.bin >= cut.cutoff""".stripMargin,
     "q89_temp_mixture" ->
       """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
         | t AS (SELECT CAST(sum(n) AS DOUBLE) AS total,

@@ -337,6 +337,91 @@ class TextOpsSpec extends SparkSpec {
       TextOps.sqrtTemperatureSample(docs, "source", 0.0))
   }
 
+  test("spanDupFraction: cross-doc spans flag, within-doc repeats don't, hashed key agrees") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),       // spans: "a b c d e" (shared w/ doc2), "b c d e f"
+      (2L, "a b c d e x"),       // spans: "a b c d e" (shared), "b c d e x"
+      (3L, "q r s t u v w"),     // 3 spans, all unique
+      (4L, "too short"),         // <5 tokens: no spans, no row
+      (5L, "m n o p q m n o p q")// "m n o p q" repeats WITHIN the doc only
+    ).toDF("doc_id", "text")
+    val out = TextOps.spanDupFraction(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((2L, 0.5)), s"one of doc1's two spans is shared: $out")
+    assert(out(2L) == ((2L, 0.5)))
+    assert(out(3L) == ((3L, 0.0)))
+    assert(!out.contains(4L), "a doc shorter than the span width has no row")
+    // within-doc repetition is distinct'd away — it is not cross-doc dup
+    assert(out(5L)._2 == 0.0, s"within-doc repeats must not flag: $out")
+    // the production 64-bit hashed span key answers identically here
+    val hashed = TextOps.spanDupFraction(docs, hashSpans = true).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(hashed == out, "hashSpans is a shuffle diet, not a semantics change")
+  }
+
+  test("unigramNll: hand-computed corpus LM scores; common words score lower") {
+    import spark.implicits._
+    // corpus counts: a=3 b=1 c=1, N=5
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextOps.unigramNll(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lnA = math.log(3.0) - math.log(5.0)
+    val lnRare = math.log(1.0) - math.log(5.0)
+    assert(out(1L) == ((3L, r4(-(2 * lnA + lnRare) / 3))))
+    assert(out(2L) == ((2L, r4(-(lnA + lnRare) / 2))))
+    // the all-common-words doc is more "fluent" under the corpus LM
+    assert(out(1L)._2 < out(2L)._2)
+  }
+
+  test("qualityPsi: identical halves score exactly 0, disjoint halves spike") {
+    import spark.implicits._
+    // word-soup quality = 0.5*min(w/100,1) + 0.2 (no stops, no punct):
+    // w=20 -> 0.3 (bin 3), w=100 -> 0.7 (bin 7)
+    def soup(w: Int) = (1 to w).map(i => s"tok$i").mkString(" ")
+    val docs = (
+      (1 to 10).map(i => (i.toLong, soup(20), "stable", true)) ++
+      (1 to 10).map(i => (100L + i, soup(20), "stable", false)) ++
+      (1 to 10).map(i => (200L + i, soup(20), "drift", true)) ++
+      (1 to 10).map(i => (300L + i, soup(100), "drift", false))
+    ).toDF("doc_id", "text", "source", "is_ref")
+    val out = TextOps.qualityPsi(docs, "source", col("is_ref")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out("stable") == ((10L, 10L, 0.0)),
+      s"identical distributions have PSI exactly 0 after rounding: $out")
+    val (nr, nc, psi) = out("drift")
+    assert(nr == 10L && nc == 10L)
+    // fully disjoint single bins: psi = 2 * (1-eps) * ln(1/eps) ~ 27.63
+    assert(psi > 25.0 && psi < 30.0, s"disjoint halves must spike: $psi")
+  }
+
+  test("tokenBudgetSelect: greedy-from-top within budget, over-budget top bin admits nothing") {
+    import spark.implicits._
+    def soup(w: Int) = (1 to w).map(i => s"tok$i").mkString(" ")
+    // qualities 0.6/0.5/0.4/0.3 with token counts = word counts
+    val docs = Seq(
+      (1L, soup(80), "s"), (2L, soup(60), "s"),
+      (3L, soup(40), "s"), (4L, soup(20), "s"),
+      // source t: its TOP doc alone exceeds the budget
+      (5L, soup(200), "t"), (6L, soup(30), "t")
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.tokenBudgetSelect(docs, "source", 150L)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // s: 80 <= 150, 80+60=140 <= 150, +40 would blow it -> docs 1,2
+    // t: top bin cum 200 > 150 -> no cutoff row -> nothing admitted
+    assert(ids == Set(1L, 2L), s"expected greedy-from-top {1,2}: $ids")
+    val toks = out.agg(sum("n_tokens")).collect()(0).getLong(0)
+    assert(toks == 140L)
+    // partitioning-independent
+    val re = TextOps.tokenBudgetSelect(docs.repartition(5), "source", 150L)
+    assert(re.except(out).isEmpty && out.except(re).isEmpty)
+    intercept[IllegalArgumentException](
+      TextOps.tokenBudgetSelect(docs, "source", 0L))
+  }
+
   test("hashBucket is uniform-ish and rerun/partitioning stable") {
     val docs = Tables.documents(spark, sfDir)
     val b = TextOps.hashBucket(col("text"))
