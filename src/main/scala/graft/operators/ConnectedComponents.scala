@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components via alternating large-star /
+  * small-star rounds (Kiveris et al., "Connected Components in MapReduce
+  * and Beyond", SoCC 2014) — the dedup-clustering closure that scales:
+  * near-dup pair lists (q35/q36/q58) become component labels in
+  * O(log n) rounds regardless of component DIAMETER, where one-hop
+  * min-label propagation ([[VectorOps.dedupClustersConverged]]'s shape)
+  * needs O(diameter) rounds and a long chain of borderline pairs can
+  * make diameter ~n.
+  *
+  * Each round is two keyed aggregations and two joins over the edge
+  * list — neighborhoods are never collected into arrays (a hub node's
+  * adjacency stays distributed across rows; hubs are exactly what the
+  * algorithm converges toward). Every round's edge set is
+  * locally checkpointed to truncate lineage, and the previous round's
+  * blocks are released (the [[graft.CacheHygiene]] contract).
+  *
+  * - large-star: every node u attaches its LARGER neighbors to
+  *   m(u) = min(Γ(u) ∪ {u}).
+  * - small-star: every node u (edges directed larger→smaller) attaches
+  *   its smaller neighbors and itself to m(u).
+  *
+  * At the joint fixpoint the graph is a disjoint union of stars centered
+  * at each component's minimum id — the label IS the star center.
+  * Deterministic: min-based, partitioning-independent.
+  */
+object ConnectedComponents {
+
+  /** Component labels for every id appearing in `edges` (cols src, dst;
+    * self-loops and duplicate edges tolerated): (id, component) with
+    * component = min id reachable. Throws if `maxIter` rounds don't
+    * converge — silent partial connectivity would dedup wrongly.
+    */
+  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // ONE execution of the caller's edge plan (for q94 that plan is the
+    // whole near-dup pair mining) — nodes and the working edge set both
+    // derive from this checkpoint. It backs the returned plan via
+    // `nodes`, so it is never released here.
+    val base = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = base.select(col("u").as("id"))
+      .union(base.select(col("v").as("id"))).distinct()
+    var cur = base.filter(col("u") =!= col("v")).localCheckpoint(true)
+
+    // (count, hash-sum) fingerprint: one cheap agg decides convergence.
+    // The sum runs in decimal(38,0) — a long sum of 64-bit hashes
+    // overflows almost immediately under ANSI mode.
+    def fingerprint(e: DataFrame): (Long, BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).collect()(0)
+      (r.getLong(0), BigDecimal(r.getDecimal(1)))
+    }
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u").as("a"), col("v").as("b"))
+        .union(e.select(col("v").as("a"), col("u").as("b")))
+      val m = sym.groupBy("a").agg(min(col("b")).as("mb"))
+        .select(col("a"), least(col("mb"), col("a")).as("m"))
+      // edge (m(a), b) for every neighbor b > a; m(a) <= a < b keeps the
+      // pair canonical without re-ordering
+      sym.join(m, "a").filter(col("b") > col("a"))
+        .select(col("m").as("u"), col("b").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // edges already canonical (u < v): v is the larger endpoint, so
+      // Γ⁻(v) = its u's
+      val m = e.groupBy("v").agg(min(col("u")).as("m"))
+      val withM = e.join(m, "v")
+      withM.select(col("m").as("u"), col("u").as("v"))
+        .union(withM.select(col("m").as("u"), col("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var fp = fingerprint(cur)
+    var iter = 0
+    var converged = cur.isEmpty
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nfp = fingerprint(next)
+      graft.CacheHygiene.release(cur)
+      converged = nfp == fp
+      cur = next
+      fp = nfp
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no convergence after $maxIter rounds " +
+          s"(${fp._1} edges) — raise maxIter; a partial closure would " +
+          "mislabel components silently")
+    lastRounds = iter
+
+    // fixpoint edges are stars (center = component min): members label to
+    // the center, centers and isolated nodes label to themselves. The
+    // final checkpoint (and `nodes`) back the returned plan, so they are
+    // NOT released here — callers that materialize the result can release
+    // it via CacheHygiene like every other checkpoint-backed frame.
+    nodes.join(cur.select(col("v").as("id"), col("u").as("component")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** [[run]] plus the round count — spec hook for the O(log n) claim. */
+  private[graft] var lastRounds: Int = -1
+}

@@ -816,34 +816,74 @@ object TextOps {
     */
   def qualityPsi(docs: DataFrame, grp: String, refSide: Column,
       bins: Int = 10): DataFrame = {
-    val eps = 1e-6
-    val b = docs
+    // ONE corpus pass: the split is pivoted into (nr, nc) columns inside
+    // a single aggregation tree — filter-splitting a shared aggregate
+    // into ref/cur branches would re-scan the corpus per branch (the
+    // sf1.0 probe caught exactly that plan).
+    val wide = docs
       .select(col(grp), qualityExpr(col("text")).as("quality"), refSide.as("isRef"))
       .withColumn("bin",
         least(floor(col("quality") * bins).cast("int"), lit(bins - 1)))
-      .withColumn("split", when(col("isRef"), "ref").otherwise("cur"))
-      .groupBy(grp, "split", "bin")
-      .agg(count(lit(1)).as("n"))
-    val tot = b.groupBy(grp, "split").agg(sum("n").as("tot"))
-    val p = b.join(tot, Seq(grp, "split"))
-      .select(col(grp), col("split"), col("bin"),
-        (col("n").cast("double") / col("tot")).as("p"))
-    val ref = p.filter(col("split") === "ref")
-      .select(col(grp), col("bin"), col("p").as("pr"))
-    val cur = p.filter(col("split") === "cur")
-      .select(col(grp).as("gc"), col("bin").as("bc"), col("p").as("pc"))
-    val joined = ref.join(cur,
-        ref(grp) === cur("gc") && ref("bin") === cur("bc"), "full_outer")
+      .groupBy(grp, "bin")
+      .agg(sum(when(col("isRef"), 1L).otherwise(0L)).as("nr"),
+        sum(when(col("isRef"), 0L).otherwise(1L)).as("nc"))
+    psiFromWide(wide, grp)
+  }
+
+  /** Per-(group, bin) quality-score histogram — the persistable half of
+    * the PSI monitor: ONE corpus pass, output is ≤ groups×bins rows.
+    * [[graft.streaming.DriftMonitor]] writes this once for the reference
+    * window and compares every ingest batch against it. */
+  def qualityHistogram(docs: DataFrame, grp: String, textCol: String,
+      bins: Int = 10): DataFrame =
+    docs.select(col(grp), qualityExpr(col(textCol)).as("quality"))
+      .withColumn("bin",
+        least(floor(col("quality") * bins).cast("int"), lit(bins - 1)))
+      .groupBy(grp, "bin").agg(count(lit(1)).as("n"))
+
+  /** The PSI tail over two (grp, bin, n) histograms — tiny inputs (e.g.
+    * DriftMonitor's persisted reference vs a batch histogram), so the
+    * full-outer bin alignment here is arithmetic on aggregates, never a
+    * corpus pass. Groups present on only one side still score (the other
+    * side is all-ε bins): a brand-new source spikes instead of hiding. */
+  def psiFromHistograms(refHist: DataFrame, curHist: DataFrame,
+      grp: String): DataFrame = {
+    val r = refHist.select(col(grp), col("bin"), col("n").as("nr"))
+    val c = curHist.select(col(grp).as("gc"), col("bin").as("bc"),
+      col("n").as("nc"))
+    val wide = r.join(c, r(grp) === c("gc") && r("bin") === c("bc"),
+        "full_outer")
       .select(coalesce(col(grp), col("gc")).as(grp),
-        greatest(coalesce(col("pr"), lit(eps)), lit(eps)).as("pr"),
-        greatest(coalesce(col("pc"), lit(eps)), lit(eps)).as("pc"))
-    val psi = joined.groupBy(grp)
-      .agg(round(sum((col("pc") - col("pr")) * log(col("pc") / col("pr"))), 4)
-        .as("psi"))
-    val ns = b.groupBy(grp).agg(
-      sum(when(col("split") === "ref", col("n")).otherwise(0L)).cast("long").as("n_ref"),
-      sum(when(col("split") === "cur", col("n")).otherwise(0L)).cast("long").as("n_cur"))
-    ns.join(psi, grp)
+        coalesce(col("nr"), lit(0L)).as("nr"),
+        coalesce(col("nc"), lit(0L)).as("nc"))
+    psiFromWide(wide, grp)
+  }
+
+  /** PSI over the pivoted (grp, bin, nr, nc) bin counts. An all-zero side
+    * (group absent from ref or cur) prices as all-ε bins. */
+  private def psiFromWide(wide: DataFrame, grp: String): DataFrame = {
+    val eps = 1e-6
+    // group totals via a window over the aggregate, NOT a self-join: a
+    // join against wide.groupBy(...) re-executes wide's whole subplan —
+    // a second corpus scan when wide is the q92 histogram pass. The
+    // window partitions carry ≤ bins rows each, so no funnel at any
+    // group count.
+    val w = Window.partitionBy(grp)
+    wide
+      .withColumn("tr", sum("nr").over(w))
+      .withColumn("tc", sum("nc").over(w))
+      .select(col(grp), col("nr"), col("nc"),
+        when(col("tr") > 0,
+          greatest(col("nr").cast("double") / col("tr"), lit(eps)))
+          .otherwise(lit(eps)).as("pr"),
+        when(col("tc") > 0,
+          greatest(col("nc").cast("double") / col("tc"), lit(eps)))
+          .otherwise(lit(eps)).as("pc"))
+      .groupBy(grp).agg(
+        sum("nr").cast("long").as("n_ref"),
+        sum("nc").cast("long").as("n_cur"),
+        round(sum((col("pc") - col("pr")) * log(col("pc") / col("pr"))), 4)
+          .as("psi"))
   }
 
   /** q92: per-source quality PSI between the deterministic hash-split
@@ -891,7 +931,29 @@ object TextOps {
   def q93TokenBudget(s: SparkSession, d: String): DataFrame =
     tokenBudgetSelect(documents(s, d), "source", 800L)
 
+  /** q94: CONVERGED dedup cluster assignment, oracled — near-dup pairs
+    * (the q35 ≥0.8 Jaccard edges) closed into connected components by
+    * [[ConnectedComponents]] (large-star/small-star, O(log n) rounds
+    * regardless of chain length), every doc labeled with its component's
+    * minimum id, singletons with themselves. This is the exact closure
+    * the q51 family approximates in one pass — and unlike q51/q36 it
+    * hash-matches a DuckDB recursive-CTE oracle, so transitive
+    * chains (A~B~C with A≁C) are verified to land in ONE cluster.
+    */
+  def q94DedupComponents(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val labels = ConnectedComponents.run(
+      ngramJaccard(docs, maxShingleDF = Int.MaxValue)
+        .select(col("a_id").as("src"), col("b_id").as("dst")))
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_rep"))
+      .withColumn("is_keeper", col("cluster_rep") === col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_dedup_components" -> q94DedupComponents _,
     "q90_span_dupfrac" -> q90SpanDupfrac _,
     "q91_unigram_lm" -> q91UnigramLm _,
     "q92_quality_psi" -> q92QualityPsi _,
@@ -923,6 +985,33 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q94_dedup_components" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang,
+        |   regexp_split_to_array(lower(trim(text)), '\s+') AS wl FROM documents),
+        | sh AS (
+        |  SELECT doc_id, lang, list_distinct(list_transform(range(1, len(wl)-1),
+        |    i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])) AS shl FROM t),
+        | sz AS (SELECT doc_id, len(shl) AS sz FROM sh),
+        | ex AS (SELECT doc_id, lang, unnest(shl) AS s FROM sh),
+        | inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.s=b.s AND a.lang=b.lang AND a.doc_id<b.doc_id
+        |  GROUP BY 1, 2),
+        | pairs AS (
+        |  SELECT a_id, b_id FROM inter
+        |  JOIN sz sa ON sa.doc_id=a_id JOIN sz sb ON sb.doc_id=b_id
+        |  WHERE CAST(inter AS DOUBLE)/(sa.sz+sb.sz-inter) >= 0.8),
+        | edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+        |           UNION SELECT b_id, a_id FROM pairs),
+        | reach AS (
+        |  SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u),
+        | comp AS (SELECT u AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY u)
+        |SELECT d.doc_id, coalesce(c.cluster_rep, d.doc_id) AS cluster_rep,
+        | (coalesce(c.cluster_rep, d.doc_id) = d.doc_id) AS is_keeper
+        |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
     "q90_span_dupfrac" ->
       """WITH t AS (SELECT doc_id,
         |   regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.TextOps
+import graft.sources.{MetadataStore, ParquetSink}
+
+/** Streaming quality-drift monitor — the continuous form of q92: the
+  * reference quality histogram is computed once from a known-good window
+  * and persisted; every ingest micro-batch then scores its own
+  * distribution against it (PSI per source) and appends a row to a drift
+  * table, flagged when PSI crosses the alert threshold. The monitor
+  * OBSERVES, it does not gate: a drifted batch still lands in bronze
+  * (dropping data on a distribution signal is a human decision), but the
+  * drift table makes the break visible the batch it happens — a scraper
+  * regression or boilerplate flood shows as a PSI spike per batch, per
+  * source, long before any per-row gate trips.
+  *
+  * Scale: the reference histogram is ≤ groups×bins rows however large the
+  * reference window was; per batch the only corpus-sized work is ONE
+  * histogram pass over the batch itself ([[TextOps.qualityHistogram]]).
+  * The PSI arithmetic ([[TextOps.psiFromHistograms]]) runs on aggregates.
+  * Industry reading of the score: <0.1 stable, 0.1–0.25 drifting, >0.25
+  * investigate (the default alert threshold).
+  *
+  * Crash-safety: drift rows are written with dynamic partition overwrite
+  * keyed by batch_id, so a foreachBatch replay after a crash REPLACES the
+  * batch's rows instead of duplicating them — the drift table stays
+  * exactly-once per (batch, source) like the ingest itself.
+  */
+object DriftMonitor {
+
+  /** Build and persist the reference histogram (overwrite — re-baselining
+    * is an explicit operator action). One pass over the reference window;
+    * the artifact is ≤ groups×bins rows. */
+  def writeReference(docs: DataFrame, grp: String, textCol: String,
+      refHistPath: String, bins: Int = 10): Unit =
+    TextOps.qualityHistogram(docs, grp, textCol, bins)
+      .coalesce(1).write.mode("overwrite").parquet(refHistPath)
+
+  /** PSI of `batch` against the persisted reference, per group:
+    * (grp, n_ref, n_cur, psi). */
+  def psiAgainst(spark: SparkSession, refHistPath: String, batch: DataFrame,
+      grp: String, textCol: String, bins: Int = 10): DataFrame =
+    TextOps.psiFromHistograms(
+      spark.read.parquet(refHistPath),
+      TextOps.qualityHistogram(batch, grp, textCol, bins), grp)
+
+  /** [[BronzePipeline.gatedIngest]] with the drift monitor riding each
+    * micro-batch: rows land through the exact-dedup metadata gate as
+    * usual, then the batch's quality distribution is scored against the
+    * reference and one drift row per source is (over)written under the
+    * batch's partition of `driftPath`.
+    */
+  def monitoredIngest(spark: SparkSession, stagingPath: String,
+      bronzePath: String, metaPath: String, refHistPath: String,
+      driftPath: String, checkpointPath: String,
+      threshold: Double = 0.25, bins: Int = 10): StreamingQuery = {
+    val pid = BronzePipeline.pipelineId(spark, checkpointPath)
+    val raw = spark.readStream
+      .schema("posting_id STRING, raw_content STRING, source STRING, extracted_at TIMESTAMP")
+      .json(stagingPath)
+    raw.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val batchId = f"$pid-$id%05d"
+        // one materialization: the gate consumes the batch and the
+        // histogram pass would otherwise re-read the staging JSON
+        val once = batch.toDF().localCheckpoint(true)
+        try {
+          graft.CacheHygiene.release(
+            MetadataStore.ingestWithGate(once, bronzePath, metaPath, batchId))
+          val drift = psiAgainst(spark, refHistPath, once,
+              "source", "raw_content", bins)
+            .withColumn("alert", col("psi") > threshold)
+            .withColumn("batch_id", lit(batchId))
+          ParquetSink.overwritePartitions(drift, driftPath, Seq("batch_id"))
+        } finally graft.CacheHygiene.release(once)
+        ()
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

@@ -52,7 +52,16 @@ object ScaleProbe {
       // count), word entropy (two keyed aggs — the q78 shape minus the
       // idf join), and the curriculum decile (the q85 rank machinery
       // under a score order plus a quality scan)
-      "q86_bloom_gate", "q87_word_entropy", "q88_curriculum_decile")
+      "q86_bloom_gate", "q87_word_entropy", "q88_curriculum_decile",
+      // r14 second batch: span-dup fraction (span-keyed count + dup-only
+      // left join — the copy tag makes every 5-gram differ across copies,
+      // so dup volume scales linearly like an organic corpus), unigram LM
+      // (q78's agg shapes minus idf, plus the vocab join), PSI drift
+      // (ONE corpus pass, then groups×bins rows), and token-budget
+      // selection (histogram pass + broadcast cutoff filter — the probe
+      // watches that the window stays on the tiny aggregate at 10×)
+      "q90_span_dupfrac", "q91_unigram_lm", "q92_quality_psi",
+      "q93_token_budget")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       // the q57 probe row keeps its historical label and workload: pure
       // IVF search (r14 made the REGISTERED q57 a recall-gate instrument

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{ConnectedComponents, TextOps}
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def labelsOf(edges: Seq[(Long, Long)], maxIter: Int = 50) = {
+    import spark.implicits._
+    ConnectedComponents.run(edges.toDF("src", "dst"), maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain, star, and disjoint components all label to the component min") {
+    // a 64-node chain (diameter 63): one-hop label propagation would need
+    // ~63 rounds; the star algorithm must close it in O(log n)
+    val chain = (1L until 64L).map(i => (i, i + 1))
+    val out = labelsOf(chain)
+    assert(out.size == 64 && out.values.forall(_ == 1L),
+      s"chain must collapse to min=1: ${out.toSeq.sortBy(_._1).take(8)}")
+    assert(ConnectedComponents.lastRounds <= 10,
+      s"64-chain must converge in O(log n) rounds, took ${ConnectedComponents.lastRounds}")
+
+    // star + separate triangle + self-loops + duplicate edges
+    val mixed = Seq((10L, 2L), (10L, 3L), (10L, 4L), (4L, 10L), (7L, 7L),
+      (20L, 21L), (21L, 22L), (22L, 20L), (20L, 21L))
+    val out2 = labelsOf(mixed)
+    assert(out2(10L) == 2L && out2(3L) == 2L && out2(4L) == 2L)
+    assert(out2(20L) == 20L && out2(21L) == 20L && out2(22L) == 20L)
+    assert(out2(7L) == 7L, "a self-loop-only node is its own component")
+  }
+
+  test("deterministic under repartitioning; empty edges; non-convergence is loud") {
+    import spark.implicits._
+    val edges = (1 to 200).map(i => ((i % 50).toLong, (i % 37).toLong + 50L))
+    val a = labelsOf(edges)
+    val b = ConnectedComponents.run(edges.toDF("src", "dst").repartition(13))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "labels must not depend on input partitioning")
+
+    assert(ConnectedComponents.run(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
+
+    intercept[IllegalStateException](labelsOf((1L until 64L).map(i => (i, i + 1)), maxIter = 1))
+  }
+
+  test("q94: components equal brute-force transitive closure of the q35 pairs") {
+    val d = "/root/testdata/sf0.01"
+    val docs = graft.sources.Tables.documents(spark, d)
+    val pairs = TextOps.ngramJaccard(docs, Int.MaxValue)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side union-find as the independent reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    val got = TextOps.q94DedupComponents(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    expected.foreach { case (id, rep) =>
+      assert(got(id) == rep, s"doc $id: got ${got(id)}, union-find says $rep")
+    }
+    // everyone else is a singleton keeper
+    assert(got.count { case (id, rep) => id == rep } ==
+      got.size - expected.count { case (id, rep) => id != rep })
+  }
+}
