@@ -529,6 +529,42 @@ object VectorOps {
     """)
   }
 
+  /** q95: two-stage retrieval — the retrieve→rerank shape every RAG /
+    * training-data-selection stack runs: stage 1 is q38's exact
+    * broadcast-queries cosine top-k widened to 20 candidates per query
+    * (bounded-heap TopKPerKey, never a window over the scored volume);
+    * stage 2 joins the ≤ queries×20 candidate set — broadcast, it is
+    * tiny by construction — against the aligned `documents` quality
+    * score and reranks by hybrid = 0.7·cos + 0.3·quality to top-5.
+    * The rerank window's input is the already-reduced candidate set.
+    * Round-before-rank (q78's convention) keeps tie order
+    * engine-deterministic.
+    */
+  def q95HybridRerank(s: SparkSession, d: String): DataFrame = {
+    val all = withVec(embeddings(s, d))
+    val queries = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+        col("norm").as("q_norm"))
+    val corpus = all.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("vec").as("c_vec"),
+        col("norm").as("c_norm"))
+    val cos = dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))
+    val stage1 = rankTopK(
+      corpus.crossJoin(broadcast(queries))
+        .select(col("q_id"), col("c_id"), cos.as("cos")),
+      "q_id", "c_id", "cos", k = 20).drop("rk")
+    val quality = Tables.documents(s, d)
+      .select(col("doc_id").as("c_id"),
+        TextOps.qualityExpr(col("text")).as("quality"))
+    val blended = quality.join(broadcast(stage1), "c_id")
+      .withColumn("hybrid",
+        round(lit(0.7) * col("cos") + lit(0.3) * col("quality"), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("hybrid").desc, col("c_id"))
+    blended.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("c_id"), col("hybrid"), col("rk"))
+  }
+
   // ---- IVF (inverted-file) ANN ------------------------------------------
 
   val DefaultProbes         = 8
@@ -1427,6 +1463,7 @@ object VectorOps {
     "q51_dedup_clusters" -> q51DedupClusters _,
     "q37_simhash" -> q37Simhash _,
     "q38_embed_topk" -> q38EmbedTopk _,
+    "q95_hybrid_rerank" -> q95HybridRerank _,
     "q39_embed_lsh" -> q39EmbedLsh _,
     "q40_embed_neardup" -> q40EmbedNeardup _,
     "q58_neardup_blocked" -> q58NeardupBlocked _,
@@ -1461,6 +1498,34 @@ object VectorOps {
         |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
         |       FROM s)
         |SELECT q_id, c_id, round(cos, 6) AS cos, rk FROM r WHERE rk <= 5""".stripMargin,
+    "q95_hybrid_rerank" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        | n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM v),
+        | q AS (SELECT vec_id AS q_id, vec AS q_vec, norm AS q_norm FROM n WHERE vec_id < 10),
+        | c AS (SELECT vec_id AS c_id, vec AS c_vec, norm AS c_norm FROM n WHERE vec_id >= 10),
+        | s AS (SELECT q_id, c_id,
+        |        list_dot_product(q_vec, c_vec) / (q_norm * c_norm) AS cos
+        |       FROM q CROSS JOIN c),
+        | r AS (SELECT q_id, c_id, cos,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+        |       FROM s),
+        | s1 AS (SELECT q_id, c_id, cos FROM r WHERE rk <= 20),
+        | m AS (SELECT doc_id AS c_id,
+        |   round(least(CAST(len(regexp_split_to_array(trim(text),'\s+')) AS DOUBLE)/100.0, 1.0)*0.5
+        |   + (CAST(len(regexp_extract_all(' '||lower(text)||' ', ' (the|a|of|and|to|in|is) ')) AS DOUBLE)
+        |      / CAST(len(regexp_split_to_array(trim(text),'\s+')) AS DOUBLE))*0.3
+        |   + (1.0 - CAST(len(regexp_extract_all(text,'[.,!?;:]')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE))*0.2, 4) AS quality
+        |  FROM documents),
+        | b AS (SELECT s1.q_id, s1.c_id,
+        |        round(0.7 * s1.cos + 0.3 * m.quality, 6) AS hybrid
+        |       FROM s1 JOIN m USING (c_id)),
+        | rr AS (SELECT q_id, c_id, hybrid,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY hybrid DESC, c_id) AS rk
+        |       FROM b)
+        |SELECT q_id, c_id, hybrid, rk FROM rr WHERE rk <= 5""".stripMargin,
     "q40_embed_neardup" ->
       """WITH v AS (
         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec

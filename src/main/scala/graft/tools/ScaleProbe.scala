@@ -61,7 +61,13 @@ object ScaleProbe {
       // selection (histogram pass + broadcast cutoff filter — the probe
       // watches that the window stays on the tiny aggregate at 10×)
       "q90_span_dupfrac", "q91_unigram_lm", "q92_quality_psi",
-      "q93_token_budget")
+      "q93_token_budget",
+      // r14 third batch: the CC closure (iterative — rounds grow with
+      // log of the largest component, edge volume with pair count) and
+      // the two-stage rerank (stage 1 is a broadcast-queries corpus
+      // scan, stage 2 touches queries×20 rows — wall should track the
+      // scan)
+      "q94_dedup_components", "q95_hybrid_rerank")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       // the q57 probe row keeps its historical label and workload: pure
       // IVF search (r14 made the REGISTERED q57 a recall-gate instrument

@@ -36,6 +36,24 @@ class VectorOpsSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("q95 hybrid rerank: 5 per query from the cos-top-20, quality can reorder, deterministic") {
+    val res = VectorOps.q95HybridRerank(spark, sfDir).collect()
+    val byQ = res.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 10)
+    byQ.values.foreach { g =>
+      assert(g.length == 5)
+      val sorted = g.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).sameElements(1L to 5L))
+      val h = sorted.map(_.getAs[Double]("hybrid"))
+      assert(h.zip(h.tail).forall { case (a, b) => a >= b },
+        s"hybrid must be non-increasing in rank: ${h.toSeq}")
+    }
+    // stage-1 membership (survivors ⊆ exact cos-top-20) is proven by the
+    // DuckDB oracle, which recomputes both stages; here assert determinism
+    val again = VectorOps.q95HybridRerank(spark, sfDir).collect()
+    assert(res.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("minhash LSH: exact duplicate docs always collide in every band") {
     import spark.implicits._
     val docs = Seq(
