@@ -940,8 +940,10 @@ object TextOps {
     * hash-matches a DuckDB recursive-CTE oracle, so transitive
     * chains (A~B~C with A≁C) are verified to land in ONE cluster.
     */
-  def q94DedupComponents(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+  def q94DedupComponents(s: SparkSession, d: String): DataFrame =
+    dedupComponentsOn(documents(s, d))
+
+  def dedupComponentsOn(docs: DataFrame): DataFrame = {
     val labels = ConnectedComponents.run(
       ngramJaccard(docs, maxShingleDF = Int.MaxValue)
         .select(col("a_id").as("src"), col("b_id").as("dst")))
@@ -952,7 +954,29 @@ object TextOps {
       .withColumn("is_keeper", col("cluster_rep") === col("doc_id"))
   }
 
+  /** q96: quality-aware dedup survivor selection — the step after q94's
+    * closure: each near-dup cluster keeps its highest-QUALITY member
+    * (tie → smallest id), not the smallest id blindly: when a page and
+    * its mangled re-crawl near-dup, the cleaner copy survives. One keyed
+    * aggregation over the labeled corpus (max of a (quality, −id)
+    * struct — no per-cluster window, no second pass).
+    */
+  def q96KeepBest(s: SparkSession, d: String): DataFrame =
+    keepBestOn(documents(s, d))
+
+  def keepBestOn(docs: DataFrame): DataFrame =
+    dedupComponentsOn(docs).select("doc_id", "cluster_rep")
+      .join(docs.select(col("doc_id"), qualityExpr(col("text")).as("quality")),
+        "doc_id")
+      .groupBy("cluster_rep")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality"), (-col("doc_id")).as("neg"))).as("best"))
+      .select(col("cluster_rep"), col("n_members"),
+        col("best.quality").as("keep_quality"),
+        (-col("best.neg")).as("keep_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_keep_best" -> q96KeepBest _,
     "q94_dedup_components" -> q94DedupComponents _,
     "q90_span_dupfrac" -> q90SpanDupfrac _,
     "q91_unigram_lm" -> q91UnigramLm _,
@@ -985,6 +1009,48 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q96_keep_best" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang,
+        |   regexp_split_to_array(lower(trim(text)), '\s+') AS wl FROM documents),
+        | sh AS (
+        |  SELECT doc_id, lang, list_distinct(list_transform(range(1, len(wl)-1),
+        |    i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])) AS shl FROM t),
+        | sz AS (SELECT doc_id, len(shl) AS sz FROM sh),
+        | ex AS (SELECT doc_id, lang, unnest(shl) AS s FROM sh),
+        | inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.s=b.s AND a.lang=b.lang AND a.doc_id<b.doc_id
+        |  GROUP BY 1, 2),
+        | pairs AS (
+        |  SELECT a_id, b_id FROM inter
+        |  JOIN sz sa ON sa.doc_id=a_id JOIN sz sb ON sb.doc_id=b_id
+        |  WHERE CAST(inter AS DOUBLE)/(sa.sz+sb.sz-inter) >= 0.8),
+        | edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+        |           UNION SELECT b_id, a_id FROM pairs),
+        | reach AS (
+        |  SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u),
+        | comp AS (SELECT u AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY u),
+        | lab AS (SELECT d.doc_id, coalesce(c.cluster_rep, d.doc_id) AS cluster_rep
+        |         FROM documents d LEFT JOIN comp c USING (doc_id)),
+        | m AS (SELECT doc_id,
+        |   round(least(CAST(len(regexp_split_to_array(trim(text),'\s+')) AS DOUBLE)/100.0, 1.0)*0.5
+        |   + (CAST(len(regexp_extract_all(' '||lower(text)||' ', ' (the|a|of|and|to|in|is) ')) AS DOUBLE)
+        |      / CAST(len(regexp_split_to_array(trim(text),'\s+')) AS DOUBLE))*0.3
+        |   + (1.0 - CAST(len(regexp_extract_all(text,'[.,!?;:]')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE))*0.2, 4) AS quality
+        |  FROM documents),
+        | j AS (SELECT lab.cluster_rep, lab.doc_id, m.quality
+        |       FROM lab JOIN m USING (doc_id)),
+        | r AS (SELECT cluster_rep, doc_id, quality,
+        |        row_number() OVER (PARTITION BY cluster_rep
+        |                           ORDER BY quality DESC, doc_id) AS rk,
+        |        count(*) OVER (PARTITION BY cluster_rep) AS nm FROM j)
+        |SELECT cluster_rep, CAST(nm AS BIGINT) AS n_members,
+        | quality AS keep_quality, doc_id AS keep_id
+        |FROM r WHERE rk = 1""".stripMargin,
     "q94_dedup_components" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, lang,

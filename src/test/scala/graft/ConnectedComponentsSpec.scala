@@ -44,6 +44,29 @@ class ConnectedComponentsSpec extends SparkSpec {
     intercept[IllegalStateException](labelsOf((1L until 64L).map(i => (i, i + 1)), maxIter = 1))
   }
 
+  test("q96 keep-best: the higher-QUALITY member survives, not the smaller id; ties break to min id") {
+    import spark.implicits._
+    // A and B are 3-shingle near-dups (one token differs in 30 -> jaccard
+    // ~0.81); B's differing token is a stopword, so B scores higher
+    // quality. A min-id rule would keep 1 - the quality rule must keep 2.
+    val base = (1 to 30).map(i => s"w$i")
+    val a = base.mkString(" ")
+    val b = base.updated(14, "the").mkString(" ")
+    val docs = Seq(
+      (1L, a, "en"), (2L, b, "en"),
+      (3L, "totally unrelated singleton body of words here", "en"),
+      // identical twins: equal quality, tie must keep the smaller id
+      (10L, base.map(w => s"t$w").mkString(" "), "en"),
+      (11L, base.map(w => s"t$w").mkString(" "), "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextOps.keepBestOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(out(1L) == ((2L, 2L)),
+      s"cluster {1,2}: 2 members, keeper must be the higher-quality doc 2: $out")
+    assert(out(3L) == ((1L, 3L)), "singletons keep themselves")
+    assert(out(10L) == ((2L, 10L)), s"equal quality ties to the smaller id: $out")
+  }
+
   test("q94: components equal brute-force transitive closure of the q35 pairs") {
     val d = "/root/testdata/sf0.01"
     val docs = graft.sources.Tables.documents(spark, d)
