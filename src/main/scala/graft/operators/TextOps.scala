@@ -975,7 +975,31 @@ object TextOps {
         col("best.quality").as("keep_quality"),
         (-col("best.neg")).as("keep_id"))
 
+  /** q97: the per-source corpus "data card" — the one-pass summary mart
+    * every training run wants next to its manifest: volume (docs,
+    * tokens), length shape (median/p90 tokens), quality center, language
+    * spread, and exact-dup pressure (distinct fingerprints vs docs). All
+    * columns are aggregates of ONE source-keyed pass; the percentiles are
+    * Spark's exact `percentile` (the q29 convention — DuckDB's
+    * quantile_cont computes the same linear interpolation).
+    */
+  def q97CorpusCard(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"), col("lang"),
+        size(split(trim(col("text")), ws)).cast("long").as("n_tokens"),
+        qualityExpr(col("text")).as("quality"),
+        fingerprint(col("text")).as("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        round(expr("percentile(n_tokens, 0.5)"), 4).as("median_tokens"),
+        round(expr("percentile(n_tokens, 0.9)"), 4).as("p90_tokens"),
+        round(expr("percentile(quality, 0.5)"), 4).as("median_quality"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("fp").as("n_unique_fp"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_corpus_card" -> q97CorpusCard _,
     "q96_keep_best" -> q96KeepBest _,
     "q94_dedup_components" -> q94DedupComponents _,
     "q90_span_dupfrac" -> q90SpanDupfrac _,
@@ -1009,6 +1033,25 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q97_corpus_card" ->
+      """WITH m AS (
+        |  SELECT source, lang,
+        |   CAST(len(regexp_split_to_array(trim(text),'\s+')) AS BIGINT) AS n_tokens,
+        |   round(least(CAST(len(regexp_split_to_array(trim(text),'\s+')) AS DOUBLE)/100.0, 1.0)*0.5
+        |   + (CAST(len(regexp_extract_all(' '||lower(text)||' ', ' (the|a|of|and|to|in|is) ')) AS DOUBLE)
+        |      / CAST(len(regexp_split_to_array(trim(text),'\s+')) AS DOUBLE))*0.3
+        |   + (1.0 - CAST(len(regexp_extract_all(text,'[.,!?;:]')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE))*0.2, 4) AS quality,
+        |   md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        | round(quantile_cont(n_tokens, 0.5), 4) AS median_tokens,
+        | round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens,
+        | round(quantile_cont(quality, 0.5), 4) AS median_quality,
+        | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        | CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_fp
+        |FROM m GROUP BY source""".stripMargin,
     "q96_keep_best" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, lang,
