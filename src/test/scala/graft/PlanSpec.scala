@@ -126,4 +126,28 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!plan.contains("cartesianproduct"),
       s"probe selection must not cartesian-join:\n$plan")
   }
+
+  test("q92: the PSI histogram is ONE corpus scan (pivoted split, window totals)") {
+    val plan = TextOps.q92QualityPsi(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    val scans = plan.linesIterator.count(_.contains("FileScan"))
+    assert(scans == 1,
+      s"the filter-split formulation scanned documents per branch; pivoted must scan once, got $scans:\n$plan")
+  }
+
+  test("q93: the budget-cutoff window runs over the bin aggregate, never the corpus") {
+    val plan = TextOps.q93TokenBudget(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    // every Window node in the plan must have a HashAggregate strictly
+    // below it before any scan — i.e. its input is the ≤ groups×bins
+    // aggregate, not document rows
+    val lines = plan.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    assert(winIdx >= 0, s"expected a window in:\n$plan")
+    val below = lines.drop(winIdx)
+    val aggIdx = below.indexWhere(_.contains("HashAggregate"))
+    val scanIdx = below.indexWhere(_.contains("FileScan"))
+    assert(aggIdx >= 0 && scanIdx > aggIdx,
+      s"window must sit above the bin aggregate (agg@$aggIdx scan@$scanIdx):\n$plan")
+  }
 }
