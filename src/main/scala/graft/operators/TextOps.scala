@@ -707,22 +707,34 @@ object TextOps {
     */
   def sqrtTemperatureSample(docs: DataFrame, grp: String,
       targetFrac: Double, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    docs.join(broadcast(sqrtTemperatureRates(docs, grp, targetFrac)), grp)
+      .filter(mixtureKeep(col(textCol), col("keep_rate")))
+      .select(col(idCol), col(grp), col("keep_rate"))
+
+  /** The (group, keep_rate) table of [[sqrtTemperatureSample]] alone —
+    * the persistable half: [[graft.streaming.MixtureGate]] computes it
+    * once from a reference window and applies it per ingest batch. */
+  def sqrtTemperatureRates(docs: DataFrame, grp: String,
+      targetFrac: Double): DataFrame = {
     require(targetFrac > 0 && targetFrac <= 1,
       s"targetFrac must be in (0,1]: $targetFrac")
     val counts = docs.groupBy(col(grp)).agg(count(lit(1)).as("n"))
     val tots = counts.agg(sum("n").cast("double").as("total"),
       sum(sqrt(col("n").cast("double"))).as("wsum"))
-    val rates = counts.crossJoin(broadcast(tots))
+    counts.crossJoin(broadcast(tots))
       .select(col(grp),
         round(least(lit(1.0),
           lit(targetFrac) * col("total") * sqrt(col("n").cast("double")) /
             (col("wsum") * col("n").cast("double"))), 6).as("keep_rate"))
-    docs.join(broadcast(rates), grp)
-      .filter(hashKey(concat(lit("temp:"), col(textCol))) % 1000000L <
-        col("keep_rate") * 1000000L)
-      .select(col(idCol), col(grp), col("keep_rate"))
   }
+
+  /** THE mixture admit decision — salted content hash under a rate
+    * threshold: deterministic, partitioning- and batch-composition-
+    * independent, so batch and streaming application of the same rates
+    * admit the same documents. */
+  def mixtureKeep(text: Column, rate: Column): Column =
+    hashKey(concat(lit("temp:"), text)) % 1000000L < rate * 1000000L
 
   /** q89: √-temperature mix over `documents` sources at half the corpus. */
   def q89TempMixture(s: SparkSession, d: String): DataFrame =

@@ -72,6 +72,12 @@ object GraftFunctions {
         .toAggregateExpression()),
     ("vec_avg", "vec_avg(v) - element-wise mean of array<double> vectors",
       es => VectorAvg(es(0)).toAggregateExpression()),
+    // composed from built-ins, not a native kernel — registered so SQL
+    // users rank by the SAME number as q33/q88/q92/q93/q96 (the lambda
+    // resolves TextOps at call time; no object-init cycle with operators)
+    ("doc_quality", "doc_quality(text) - graft's composed document quality score in [0,1] (length saturation + stopword ratio + punctuation density, 4 decimals)",
+      es => org.apache.spark.sql.graft.ColumnBridge.materialize(
+        toExpr(graft.operators.TextOps.qualityExpr(toCol(es(0)))))),
   )
 
   /** Register the SQL-callable names as temp functions on an existing

@@ -15,6 +15,18 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Unwrap leftover [[org.apache.spark.sql.classic.ColumnNodeExpression]]
+    * leaves. The Column→Expression converter wraps an embedded catalyst
+    * expression (a `column(e)` round-trip) in an Unevaluable node that the
+    * DataFrame analyzer converts — but the FUNCTION-REGISTRY path never
+    * runs that conversion, so a registry builder composing `functions._`
+    * Columns over its argument expressions dies at codegen with
+    * "Cannot generate code for expression: columnnodeexpression(...)".
+    * Transforming the wrappers out yields a plain executable tree.
+    */
+  def materialize(e: Expression): Expression =
+    org.apache.spark.sql.classic.GraftColumnMaterialize.materialize(e)
+
   /** DataFrame from a custom LogicalPlan (classic Dataset.ofRows is
     * private[sql]).
     */

@@ -422,6 +422,16 @@ class TextOpsSpec extends SparkSpec {
       TextOps.tokenBudgetSelect(docs, "source", 0L))
   }
 
+  test("doc_quality SQL function returns exactly qualityExpr's number") {
+    val docs = Tables.documents(spark, sfDir)
+    docs.createOrReplaceTempView("docs_dq")
+    val viaSql = spark.sql("SELECT doc_id, doc_quality(text) AS q FROM docs_dq")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaCol = docs.select(col("doc_id"), TextOps.qualityExpr(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql == viaCol, "SQL and Column paths must rank by the same number")
+  }
+
   test("hashBucket is uniform-ish and rerun/partitioning stable") {
     val docs = Tables.documents(spark, sfDir)
     val b = TextOps.hashBucket(col("text"))
