@@ -195,6 +195,23 @@ object Marts {
       .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
       .agg(round(sum("o_totalprice"), 2).as("monthly_rev"), count(lit(1)).as("num_orders"))
 
+  /** q98: the planned-skew salted join, ORACLED — lineitem (the skewed
+    * fact) salted across 8 sub-keys against the replicated orders side,
+    * then priority revenue. The salt must be invisible in the answer;
+    * hash-matching the plain-join DuckDB oracle proves it row-for-row —
+    * upgrading [[SkewJoin]] from spec-only to oracle-verified.
+    */
+  def q98SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val large = lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+      col("l_extendedprice"), col("l_discount"))
+    val small = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+    graft.operators.SkewJoin.saltedJoin(large, small, "o_orderkey", salt = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+  }
+
   /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     * quantile_cont). The approximate twin is q44.
     */
@@ -365,6 +382,7 @@ object Marts {
     "q47_pivot" -> q47Pivot _,
     "q48_argmax" -> q48Argmax _,
     "q49_corr" -> q49Corr _,
+    "q98_salted_join" -> q98SaltedJoin _,
     "q29_percentile" -> q29Percentile _,
     "q63_approx_quantile" -> q63ApproxQuantile _,
     "q43_cube" -> q43Cube _,
@@ -453,6 +471,11 @@ object Marts {
         | TRUE AS median_ok,
         | TRUE AS p90_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q98_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q29_percentile" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,

@@ -300,6 +300,67 @@ object BronzePipeline {
       .start()
   }
 
+  /** THE composed streaming curation path — the streaming mirror of the
+    * batch chain PipelineEndToEndSpec proves: per micro-batch,
+    *
+    *   1. drift row FIRST, on the raw arrivals (upstream drift must show
+    *      before the mixture reshapes the distribution),
+    *   2. √-temperature downsample by persisted reference rates
+    *      ([[MixtureGate.applyRates]] — dominant sources flatten at the
+    *      door, unknown sources admit whole),
+    *   3. normalized-content Bloom gate (joinless negatives, suspects
+    *      broadcast-verified against the fingerprint store),
+    *   4. exact-etag metadata gate → bronze commit,
+    *   5. committed rows' fingerprints recorded (crash between commit
+    *      and record heals by replay — the store is rebuilt from truth).
+    *
+    * Every stage is the already-spec'd component; this method is the
+    * wiring plus the one materialization the branches share.
+    */
+  def curatedIngest(spark: SparkSession, stagingPath: String,
+      bronzePath: String, metaPath: String, fpStorePath: String,
+      ratesPath: String, refHistPath: String, driftPath: String,
+      checkpointPath: String, driftThreshold: Double = 0.25): StreamingQuery = {
+    val pid = pipelineId(spark, checkpointPath)
+    val gate = new graft.operators.BloomDedupGate(spark, fpStorePath)
+    val raw = spark.readStream
+      .schema("posting_id STRING, raw_content STRING, source STRING, extracted_at TIMESTAMP")
+      .json(stagingPath)
+    raw.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val batchId = f"$pid-$id%05d"
+        val once = batch.toDF().localCheckpoint(true)
+        try {
+          DriftMonitor.recordDrift(spark, refHistPath, once, driftPath,
+            batchId, driftThreshold, bins = 10)
+          val sampled = MixtureGate.applyRates(spark, ratesPath, once,
+            "source", "raw_content")
+          // the Bloom gate is CROSS-batch by contract (it verifies against
+          // the store); two normalized copies arriving in the SAME batch
+          // need this intra-batch keep-min-id dedup — a dropDuplicates
+          // would pick a nondeterministic survivor
+          val fp = graft.operators.TextOps.fingerprint(col("raw_content"))
+          val withFp = sampled.withColumn("__fp", fp)
+          val batchDeduped = withFp
+            .join(withFp.groupBy("__fp")
+              .agg(org.apache.spark.sql.functions.min(col("posting_id"))
+                .as("posting_id")),
+              Seq("__fp", "posting_id"))
+            .drop("__fp")
+          val survivors = gate.gate(batchDeduped, textCol = "raw_content")
+          graft.CacheHygiene.release(
+            MetadataStore.ingestWithGate(survivors, bronzePath, metaPath, batchId))
+          val committed = BronzeLayer.readRaw(spark, bronzePath)
+            .filter(col("batch_id") === batchId)
+          gate.record(committed, textCol = "raw_content")
+        } finally graft.CacheHygiene.release(once)
+        ()
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming gold mart over the silver tail: per-source hourly posting
     * counts and payload volume. Watermarked, so aggregation state stays
     * bounded no matter how long the pipeline runs; append mode emits each

@@ -47,6 +47,19 @@ object DriftMonitor {
       spark.read.parquet(refHistPath),
       TextOps.qualityHistogram(batch, grp, textCol, bins), grp)
 
+  /** One drift row per source for `batch`, (over)written under the
+    * batch's `driftPath` partition — the shared tail of
+    * [[monitoredIngest]] and [[BronzePipeline.curatedIngest]]. */
+  private[streaming] def recordDrift(spark: SparkSession, refHistPath: String,
+      batch: DataFrame, driftPath: String, batchId: String,
+      threshold: Double, bins: Int): Unit = {
+    val drift = psiAgainst(spark, refHistPath, batch,
+        "source", "raw_content", bins)
+      .withColumn("alert", col("psi") > threshold)
+      .withColumn("batch_id", lit(batchId))
+    ParquetSink.overwritePartitions(drift, driftPath, Seq("batch_id"))
+  }
+
   /** [[BronzePipeline.gatedIngest]] with the drift monitor riding each
     * micro-batch: rows land through the exact-dedup metadata gate as
     * usual, then the batch's quality distribution is scored against the
@@ -70,11 +83,8 @@ object DriftMonitor {
         try {
           graft.CacheHygiene.release(
             MetadataStore.ingestWithGate(once, bronzePath, metaPath, batchId))
-          val drift = psiAgainst(spark, refHistPath, once,
-              "source", "raw_content", bins)
-            .withColumn("alert", col("psi") > threshold)
-            .withColumn("batch_id", lit(batchId))
-          ParquetSink.overwritePartitions(drift, driftPath, Seq("batch_id"))
+          recordDrift(spark, refHistPath, once, driftPath, batchId,
+            threshold, bins)
         } finally graft.CacheHygiene.release(once)
         ()
       }

@@ -60,4 +60,72 @@ class MixtureGateSpec extends SparkSpec {
     assert(got == expected,
       "the admit decision must not depend on what else was in the batch")
   }
+
+  test("curatedIngest: drift on raw arrivals, mixture + content + etag gates stack, replay-safe") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_curated").toString
+    val staging = s"$root/staging"
+    val bronze = s"$root/bronze"
+    val meta = s"$root/meta"
+    val fps = s"$root/fps"
+    val rates = s"$root/rates"
+    val refHist = s"$root/ref_hist"
+    val drift = s"$root/drift"
+    val checkpoint = s"$root/ckpt"
+
+    // reference: heavy "big" source of 20-word docs -> big flattens to
+    // rate 0.416667; quality reference all in the 20-word bin
+    def soup(w: Int, salt: String) = (1 to w).map(i => s"$salt$i").mkString(" ")
+    val reference = ((1 to 900).map(i => (i.toLong, soup(20, s"b$i"), "big")) ++
+      (1 to 100).map(i => (10000L + i, soup(20, s"s$i"), "small")))
+      .toDF("doc_id", "text", "source")
+    graft.streaming.MixtureGate.writeRates(reference, "source", 0.5, rates)
+    graft.streaming.DriftMonitor.writeReference(
+      reference.select(col("doc_id").cast("string").as("posting_id"),
+        col("text").as("raw_content"), col("source"),
+        lit("2024-09-23 10:00:00").cast("timestamp").as("extracted_at")),
+      "source", "raw_content", refHist)
+
+    def drain(): Unit = graft.streaming.BronzePipeline.curatedIngest(spark,
+      staging, bronze, meta, fps, rates, refHist, drift, checkpoint)
+      .awaitTermination()
+    def post(rows: Seq[(String, String)], src: String) =
+      rawPostings(rows).withColumn("source", lit(src))
+
+    // batch 0: small-source docs incl. a whitespace near-copy pair — the
+    // content gate must keep only one of the pair
+    val body = soup(20, "x")
+    post(Seq("p1" -> body, "p2" -> body.replace(" x10", "  x10"),
+      "p3" -> soup(20, "y")), "small")
+      .coalesce(1).write.mode("append").json(staging)
+    drain()
+    val landed0 = graft.sources.BronzeLayer.readRaw(spark, bronze)
+    assert(landed0.count() == 2,
+      s"normalized near-copy must gate: ${landed0.select("posting_id").collect().toSeq}")
+
+    // batch 1: a big-source flood of 100-word docs (drifted) + a replay
+    // of p3's body under a new id (etag/content-gated)
+    post((1 to 100).map(i => s"f$i" -> soup(100, s"f$i")) :+ ("p4" -> soup(20, "y")), "big")
+      .coalesce(1).write.mode("append").json(staging)
+    drain()
+    val landed1 = graft.sources.BronzeLayer.readRaw(spark, bronze)
+    val bigLanded = landed1.filter(col("source") === "big").count()
+    assert(bigLanded > 20 && bigLanded < 70,
+      s"big floods flatten at ~0.417 of 100: $bigLanded")
+    assert(landed1.filter(col("posting_id") === "p4").count() == 0,
+      "re-worded-by-id replay of known content must gate out")
+
+    // drift table: batch 0 stable for small; batch 1's big flood alerts
+    val d = spark.read.parquet(drift).collect()
+      .map(r => (r.getAs[String]("batch_id"), r.getAs[String]("source"),
+        r.getAs[Boolean]("alert"))).toSet
+    assert(d.exists { case (_, src, alert) => src == "big" && alert },
+      s"the drifted flood must alert: $d")
+    assert(d.exists { case (_, src, alert) => src == "small" && !alert },
+      s"the stable batch must not alert: $d")
+
+    // nothing new: no-op drain, no duplicate drift partitions
+    drain()
+    assert(graft.sources.BronzeLayer.readRaw(spark, bronze).count() == landed1.count())
+  }
 }
