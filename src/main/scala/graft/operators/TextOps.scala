@@ -1010,7 +1010,41 @@ object TextOps {
         countDistinct("lang").as("n_langs"),
         countDistinct("fp").as("n_unique_fp"))
 
+  /** q99: cross-source span-overlap matrix — the provenance signal
+    * "which crawls duplicate each other": for every source pair, the
+    * count of distinct 5-word spans they share and the containment of
+    * the smaller side (shared / min(grams)). Two mirrors of the same
+    * dump show containment near 1 long before any per-doc signal
+    * aggregates to a verdict.
+    *
+    * Scale shape: the index is (source, span)-DISTINCT — far smaller
+    * than the doc-level q90 index — and the span self-join's per-span
+    * candidate volume is bounded by sources² with `sources` a small
+    * cardinality, so the join cannot go quadratic in the corpus no
+    * matter how hot a span is. Same inverted-index family as q35/q65.
+    */
+  def q99SourceOverlap(s: SparkSession, d: String): DataFrame =
+    sourceOverlapOn(documents(s, d))
+
+  def sourceOverlapOn(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("source"),
+      explode(graft.plans.GraftFunctions.shingles(tokens(col("text")), 5)).as("g"))
+      .distinct()
+    val sizes = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    grams.as("a").join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.as("na")), col("source_a") === col("na.source"))
+      .join(broadcast(sizes.as("nb")), col("source_b") === col("nb.source"))
+      .select(col("source_a"), col("source_b"),
+        col("n_shared").cast("long").as("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("na.n_grams"), col("nb.n_grams")), 4).as("containment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_source_overlap" -> q99SourceOverlap _,
     "q97_corpus_card" -> q97CorpusCard _,
     "q96_keep_best" -> q96KeepBest _,
     "q94_dedup_components" -> q94DedupComponents _,
@@ -1045,6 +1079,20 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q99_source_overlap" ->
+      """WITH t AS (SELECT source, lower(trim(text)) AS tx FROM documents),
+        | g0 AS (SELECT source, unnest(list_transform(
+        |   range(0, greatest(len(regexp_split_to_array(tx, '\s+'))-4, 0)),
+        |   i -> array_to_string((regexp_split_to_array(tx, '\s+'))[i+1:i+5], ' '))) AS g
+        |  FROM t),
+        | g AS (SELECT DISTINCT source, g FROM g0),
+        | n AS (SELECT source, count(*) AS n_grams FROM g GROUP BY 1),
+        | p AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+        |       FROM g a JOIN g b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2)
+        |SELECT p.source_a, p.source_b, CAST(p.shared AS BIGINT) AS n_shared,
+        | round(CAST(p.shared AS DOUBLE) / least(na.n_grams, nb.n_grams), 4) AS containment
+        |FROM p JOIN n na ON na.source = p.source_a
+        |JOIN n nb ON nb.source = p.source_b""".stripMargin,
     "q97_corpus_card" ->
       """WITH m AS (
         |  SELECT source, lang,

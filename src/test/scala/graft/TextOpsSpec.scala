@@ -422,6 +422,24 @@ class TextOpsSpec extends SparkSpec {
       TextOps.tokenBudgetSelect(docs, "source", 0L))
   }
 
+  test("sourceOverlap: mirrored dumps show near-1 containment, disjoint sources no pair") {
+    import spark.implicits._
+    val body = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, body, "crawl-a"),
+      (2L, body + " extra tail words here", "crawl-b"), // mirror + a bit more
+      (3L, (1 to 30).map(i => s"z$i").mkString(" "), "crawl-c")
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.sourceOverlapOn(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // a's 26 spans all appear in b (b has 30); containment = 26/26 = 1.0
+    assert(out.keySet == Set(("crawl-a", "crawl-b")),
+      s"only the mirrored pair may appear: ${out.keySet}")
+    assert(out(("crawl-a", "crawl-b")) == ((26L, 1.0)),
+      s"the mirror must show full containment of the smaller side: $out")
+  }
+
   test("doc_quality SQL function returns exactly qualityExpr's number") {
     val docs = Tables.documents(spark, sfDir)
     docs.createOrReplaceTempView("docs_dq")
