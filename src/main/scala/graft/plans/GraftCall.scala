@@ -72,6 +72,19 @@ object GraftProcedures {
         statsCols = Seq(a(1)))
       (v, s"clustered on ${a(1)} into version $v")
     },
+    "graft_diff" -> { (s, a) =>
+      val usage = "graft_diff(path, keyCol, fromVersion [, toVersion])"
+      require(a.size == 3 || a.size == 4, usage)
+      val from = num(usage)(a(2).toLong)
+      val to = num(usage)(a.lift(3).map(_.toLong).getOrElse(0L))
+      val counts = graft.sources.ManifestTable
+        .snapshotDiff(s, path(a, usage), Seq(a(1)), from, to)
+        .groupBy("change").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      (from, s"added=${counts.getOrElse("added", 0L)} " +
+        s"removed=${counts.getOrElse("removed", 0L)} " +
+        s"changed=${counts.getOrElse("changed", 0L)}")
+    },
     "graft_vacuum" -> { (s, a) =>
       val usage = "graft_vacuum(path [, keepVersions [, graceMs]])"
       require(a.nonEmpty && a.size <= 3, usage)

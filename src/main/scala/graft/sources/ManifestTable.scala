@@ -5,7 +5,7 @@ import java.util.{Base64, UUID}
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, date_format, lit, max, min, unix_micros}
+import org.apache.spark.sql.functions.{col, count, date_format, lit, max, min, struct, to_json, unix_micros, when}
 import org.apache.spark.sql.types._
 
 /** Minimal manifest-pinned table: atomic commits and snapshot-isolated
@@ -826,6 +826,60 @@ object ManifestTable {
         s"(${dropped.size} dirs rewritten by an overwrite/compaction) - " +
         "re-bootstrap the consumer from the current snapshot")
     (toEntries, toEntries.filterNot(e => fromDirs(e.dir)))
+  }
+
+  /** The dir-level footprint of a version diff: (from-only, to-only,
+    * shared). Spec hook for the pruning claim below. */
+  private[graft] def diffDirs(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long): (Seq[String], Seq[String], Seq[String]) = {
+    val fromDirs = manifestEntries(spark, table, fromVersion).map(_.dir)
+    val toDirs = manifestEntries(spark, table, toVersion).map(_.dir)
+    val shared = fromDirs.toSet intersect toDirs.toSet
+    (fromDirs.filterNot(shared).sorted, toDirs.filterNot(shared).sorted,
+      shared.toSeq.sorted)
+  }
+
+  /** Snapshot diff — "what changed between Tuesday's corpus and
+    * Wednesday's": every key classified added / removed / changed between
+    * two retained versions, with both sides' non-key values as JSON.
+    *
+    * The scan is COMMIT-PRUNED: under the unique-key-per-snapshot
+    * contract (the same contract [[mergeCommit]]'s carry-by-reference
+    * rests on), a commit retained by BOTH versions contributes identical
+    * rows to both sides and cannot produce a difference — so only the
+    * dirs the versions do NOT share are read. A merge that rewrote one
+    * commit diffs by scanning that commit's before/after, never the
+    * table; a compaction that rewrote rows byte-identically classifies
+    * as no change (equal values cancel in the final filter).
+    */
+  def snapshotDiff(spark: SparkSession, table: String, keyCols: Seq[String],
+      fromVersion: Long, toVersion: Long = 0L): DataFrame = {
+    require(keyCols.nonEmpty, "manifest-table: diff needs at least one key column")
+    val to = if (toVersion > 0) toVersion
+      else math.max(hintVersion(spark, table), highestManifest(spark, table))
+    require(fromVersion > 0 && fromVersion <= to,
+      s"manifest-table: diff range $fromVersion -> $to invalid")
+    val (fromOnly, toOnly, _) = diffDirs(spark, table, fromVersion, to)
+    val fromAll = manifestEntries(spark, table, fromVersion).map(_.dir)
+    val toAll = manifestEntries(spark, table, to).map(_.dir)
+    def side(dirs: Seq[String], v: Long, all: Seq[String], as: String) = {
+      val schema = snapshotSchemaCached(spark, table, v, all)
+      val df = if (dirs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else sliceReadAs(spark, table, dirs, schema)
+      keyCols.foreach(k => require(df.columns.contains(k),
+        s"manifest-table: diff key $k absent from version $v's schema"))
+      val nonKey = df.columns.filterNot(keyCols.contains).sorted
+      df.select(keyCols.map(col) :+
+        to_json(struct(nonKey.map(col): _*)).as(as): _*)
+    }
+    side(fromOnly, fromVersion, fromAll, "from_values")
+      .join(side(toOnly, to, toAll, "to_values"), keyCols, "full_outer")
+      .withColumn("change",
+        when(col("from_values").isNull, "added")
+          .when(col("to_values").isNull, "removed")
+          .when(col("from_values") =!= col("to_values"), "changed"))
+      .filter(col("change").isNotNull)
   }
 
   /** The table's version history, oldest first — what makes `VERSION AS

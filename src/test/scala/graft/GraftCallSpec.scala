@@ -84,4 +84,20 @@ class GraftCallSpec extends SparkSpec {
       spark.sql("CALL graft_compact('/no/such--path')"))
     assert(!dashed.getMessage.contains("cannot parse"), dashed.getMessage)
   }
+
+  test("CALL graft_diff summarizes a version diff from pure SQL") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft_calldiff").toString + "/t"
+    val v1 = graft.sources.ManifestTable.commit(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), table, append = false,
+      statsCols = Seq("id"))
+    graft.sources.ManifestTable.mergeCommit(spark, table,
+      Seq((2L, "b2"), (3L, "c")).toDF("id", "v"), keyCols = Seq("id"),
+      statsCols = Seq("id"))
+    val row = spark.sql(s"CALL graft_diff('$table', 'id', $v1)").collect()(0)
+    assert(row.getString(2) == "added=1 removed=0 changed=1",
+      s"summary must count the merge's touched keys: $row")
+    val arity = intercept[Exception](spark.sql(s"CALL graft_diff('$table')"))
+    assert(arity.getMessage.contains("graft_diff(path, keyCol, fromVersion"))
+  }
 }

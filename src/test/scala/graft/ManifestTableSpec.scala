@@ -637,4 +637,52 @@ class ManifestTableSpec extends SparkSpec {
     assert(corner.count() < 1024, "corner read must scan a subset")
     assert(corner.filter($"x" <= 7L && $"y" <= 7L).count() == 64)
   }
+
+  test("snapshotDiff: added/removed/changed classified, shared commits never scanned") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_diff").toString + "/t"
+
+    // v1 = commit A (keys 1-3); v2 appends commit B (keys 4-6)
+    ManifestTable.commit(
+      Seq((1L, "a1", 10), (2L, "a2", 10), (3L, "a3", 10)).toDF("id", "v", "band"),
+      table, append = false, statsCols = Seq("id"))
+    val v2 = ManifestTable.commit(
+      Seq((4L, "b4", 20), (5L, "b5", 20), (6L, "b6", 20)).toDF("id", "v", "band"),
+      table, append = true, statsCols = Seq("id"))
+
+    // v3: a stats-pruned merge touching only commit B's key range —
+    // update key 5, insert key 7
+    val v3 = ManifestTable.mergeCommit(spark,
+      table, Seq((5L, "b5-upd", 20), (7L, "b7", 20)).toDF("id", "v", "band"),
+      keyCols = Seq("id"), statsCols = Seq("id"))
+
+    val d23 = ManifestTable.snapshotDiff(spark, table, Seq("id"), v2, v3)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("change")).toMap
+    assert(d23 == Map(5L -> "changed", 7L -> "added"),
+      s"merge diff must be exactly the touched keys: $d23")
+
+    // the untouched commit A is SHARED between v2 and v3 and must be
+    // outside the diff's scan footprint entirely
+    val (fromOnly, toOnly, shared) = ManifestTable.diffDirs(spark, table, v2, v3)
+    assert(shared.nonEmpty, "commit A must be carried by reference")
+    assert(fromOnly.size == 1 && toOnly.size == 1,
+      s"only commit B's before/after may be read: $fromOnly / $toOnly")
+
+    // v4: overwrite to a subset -> removals classify too
+    val v4 = ManifestTable.commit(
+      Seq((1L, "a1", 10), (5L, "b5-upd", 20)).toDF("id", "v", "band"),
+      table, append = false, statsCols = Seq("id"))
+    val d34 = ManifestTable.snapshotDiff(spark, table, Seq("id"), v3, v4)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("change")).toMap
+    assert(d34 == Map(2L -> "removed", 3L -> "removed", 4L -> "removed",
+      6L -> "removed", 7L -> "removed"),
+      s"overwrite diff must show the dropped keys and nothing else: $d34")
+
+    // identical versions diff to empty; bad ranges refuse loudly
+    assert(ManifestTable.snapshotDiff(spark, table, Seq("id"), v4, v4).isEmpty)
+    intercept[IllegalArgumentException](
+      ManifestTable.snapshotDiff(spark, table, Seq.empty, v3, v4))
+    intercept[IllegalArgumentException](
+      ManifestTable.snapshotDiff(spark, table, Seq("id"), v4, v3))
+  }
 }
