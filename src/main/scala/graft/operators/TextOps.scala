@@ -1027,9 +1027,15 @@ object TextOps {
     sourceOverlapOn(documents(s, d))
 
   def sourceOverlapOn(docs: DataFrame): DataFrame = {
+    // the (source, span) index feeds three consumers (both self-join
+    // sides + the sizes agg) — without this checkpoint each one re-runs
+    // the shingle explode over the corpus (the probe's shape fingerprint
+    // showed FOUR FileScans); materialized once, the corpus is scanned
+    // once and the index blocks serve the rest
     val grams = docs.select(col("source"),
       explode(graft.plans.GraftFunctions.shingles(tokens(col("text")), 5)).as("g"))
       .distinct()
+      .localCheckpoint(true)
     val sizes = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
     grams.as("a").join(grams.as("b"),
         col("a.g") === col("b.g") && col("a.source") < col("b.source"))

@@ -67,7 +67,11 @@ object ScaleProbe {
       // the two-stage rerank (stage 1 is a broadcast-queries corpus
       // scan, stage 2 touches queries×20 rows — wall should track the
       // scan)
-      "q94_dedup_components", "q95_hybrid_rerank")
+      "q94_dedup_components", "q95_hybrid_rerank",
+      // r14 final: the source-overlap matrix — the copy-tagged probe
+      // corpus kills cross-copy span sharing, so the index grows 10× but
+      // pair volume stays bounded by sources² per span
+      "q99_source_overlap")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       // the q57 probe row keeps its historical label and workload: pure
       // IVF search (r14 made the REGISTERED q57 a recall-gate instrument
