@@ -1049,7 +1049,58 @@ object TextOps {
           least(col("na.n_grams"), col("nb.n_grams")), 4).as("containment"))
   }
 
+  /** q100: PMI collocation extraction — the classic corpus-analysis
+    * operator (multi-word expressions, entity phrases): token pairs
+    * co-occurring within a `window` of 5, scored by pointwise mutual
+    * information ln(p(a,b)/(p(a)p(b))), count-floored, global top-k by
+    * (rounded) PMI.
+    *
+    * Shape: pairs at every distance 1..window−1 come from ONE corpus
+    * scan — the d+1-gram arrays of the per-row Shingles kernel are
+    * concatenated and exploded once, and a gram's first/last words ARE
+    * the co-occurrence (no positional self-join). Unigram and pair
+    * count tables are checkpointed aggregates (each feeds multiple
+    * consumers — totals and join sides — and would otherwise re-run its
+    * corpus pass per consumer). The top-k is TakeOrdered on the scored
+    * pair vocabulary, round-before-rank for engine-stable ties.
+    */
+  def q100Collocations(s: SparkSession, d: String): DataFrame =
+    collocations(documents(s, d))
+
+  def collocations(docs: DataFrame, window: Int = 5, minCount: Long = 5,
+      k: Int = 50): DataFrame = {
+    require(window >= 2 && minCount > 0 && k > 0,
+      s"collocations: window>=2, minCount>0, k>0 required")
+    val uni = docs.select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+      .localCheckpoint(true)
+    val nTok = uni.agg(sum("cw").cast("double").as("n_tok"))
+    val gramArrays = (2 to window).map(n =>
+      graft.plans.GraftFunctions.shingles(tokens(col("text")), n))
+    val pcAll = docs.select(explode(concat(gramArrays: _*)).as("g"))
+      .select(substring_index(col("g"), " ", 1).as("x"),
+        substring_index(col("g"), " ", -1).as("y"))
+      .filter(length(col("x")) > 0 && length(col("y")) > 0)
+      .select(least(col("x"), col("y")).as("wa"),
+        greatest(col("x"), col("y")).as("wb"))
+      .groupBy("wa", "wb").agg(count(lit(1)).as("cab"))
+      .localCheckpoint(true)
+    val nPair = pcAll.agg(sum("cab").cast("double").as("n_pair"))
+    pcAll.filter(col("cab") >= minCount)
+      .join(uni.select(col("w").as("wa"), col("cw").as("ca")), "wa")
+      .join(uni.select(col("w").as("wb"), col("cw").as("cb")), "wb")
+      .crossJoin(broadcast(nPair)).crossJoin(broadcast(nTok))
+      .select(col("wa"), col("wb"), col("cab").cast("long").as("cab"),
+        round(log((col("cab") / col("n_pair")) /
+          ((col("ca") / col("n_tok")) * (col("cb") / col("n_tok")))), 4)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("wa"), col("wb"))
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_collocations" -> q100Collocations _,
     "q99_source_overlap" -> q99SourceOverlap _,
     "q97_corpus_card" -> q97CorpusCard _,
     "q96_keep_best" -> q96KeepBest _,
@@ -1085,6 +1136,26 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q100_collocations" ->
+      """WITH t AS (SELECT doc_id,
+        |   regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+        | tok AS (SELECT doc_id, unnest(ws) AS w,
+        |          unnest(range(1, len(ws)+1)) AS i FROM t),
+        | tk AS (SELECT doc_id, w, i FROM tok WHERE length(w) > 0),
+        | nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_tok FROM tk),
+        | u AS (SELECT w, count(*) AS cw FROM tk GROUP BY 1),
+        | p0 AS (SELECT least(a.w, b.w) AS wa, greatest(a.w, b.w) AS wb
+        |        FROM tk a JOIN tk b
+        |        ON a.doc_id = b.doc_id AND b.i BETWEEN a.i+1 AND a.i+4),
+        | pc AS (SELECT wa, wb, count(*) AS cab FROM p0 GROUP BY 1, 2),
+        | np AS (SELECT CAST(sum(cab) AS DOUBLE) AS n_pair FROM pc),
+        | s AS (SELECT pc.wa, pc.wb, CAST(pc.cab AS BIGINT) AS cab,
+        |        round(ln((pc.cab / np.n_pair) /
+        |          ((ua.cw / nt.n_tok) * (ub.cw / nt.n_tok))), 4) AS pmi
+        |       FROM pc JOIN u ua ON ua.w = pc.wa JOIN u ub ON ub.w = pc.wb
+        |       CROSS JOIN np CROSS JOIN nt
+        |       WHERE pc.cab >= 5)
+        |SELECT wa, wb, cab, pmi FROM s ORDER BY pmi DESC, wa, wb LIMIT 50""".stripMargin,
     "q99_source_overlap" ->
       """WITH t AS (SELECT source, lower(trim(text)) AS tx FROM documents),
         | g0 AS (SELECT source, unnest(list_transform(

@@ -440,6 +440,32 @@ class TextOpsSpec extends SparkSpec {
       s"the mirror must show full containment of the smaller side: $out")
   }
 
+  test("collocations: a planted bigram tops the PMI ranking; floors and ties deterministic") {
+    import spark.implicits._
+    // "zig zag" always adjacent; filler words re-combine freely, so the
+    // planted pair's joint probability dwarfs its unigram product
+    val rnd = new scala.util.Random(7)
+    val fill = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docs = (1 to 40).map { i =>
+      val words = (1 to 30).map(_ => fill(rnd.nextInt(fill.size))) ++ Seq("zig", "zag")
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = TextOps.collocations(docs, window = 5, minCount = 5, k = 10).collect()
+    assert(out.nonEmpty)
+    val top = out.head
+    assert(top.getString(0) == "zag" && top.getString(1) == "zig",
+      s"the planted collocation must rank first: ${out.take(3).toSeq}")
+    assert(top.getAs[Long]("cab") >= 40L)
+    // floor enforced and ranking non-increasing
+    assert(out.forall(_.getAs[Long]("cab") >= 5L))
+    val pmis = out.map(_.getAs[Double]("pmi"))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
+    // deterministic under repartitioning
+    val re = TextOps.collocations(docs.repartition(7), 5, 5, 10).collect()
+    assert(re.map(_.toString).sameElements(out.map(_.toString)))
+    intercept[IllegalArgumentException](TextOps.collocations(docs, window = 1))
+  }
+
   test("doc_quality SQL function returns exactly qualityExpr's number") {
     val docs = Tables.documents(spark, sfDir)
     docs.createOrReplaceTempView("docs_dq")
