@@ -71,7 +71,9 @@ object ScaleProbe {
       // r14 final: the source-overlap matrix — the copy-tagged probe
       // corpus kills cross-copy span sharing, so the index grows 10× but
       // pair volume stays bounded by sources² per span
-      "q99_source_overlap")
+      "q99_source_overlap",
+      // r14 last: PMI pairs — one gram-concat scan, pair-vocab aggregates
+      "q100_collocations")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       // the q57 probe row keeps its historical label and workload: pure
       // IVF search (r14 made the REGISTERED q57 a recall-gate instrument
