@@ -32,6 +32,26 @@ object CacheHygiene {
     unwrap(ColumnBridge.analyzed(df)).foreach(_.rdd.unpersist(blocking = false))
   }
 
+  /** Unpersist EVERY checkpoint-backed leaf anywhere under the frames'
+    * plans — joins, unions, aggregates included. The deliberate opposite
+    * of [[release]]'s near-root discipline, for the one situation the
+    * near-root walk cannot serve: a returned frame (e.g.
+    * [[graft.operators.ConnectedComponents.run]]'s labels, a join of two
+    * checkpoints minted inside the call) whose backing checkpoints the
+    * caller owns EXCLUSIVELY and has fully consumed. Calling this on a
+    * frame that shares a checkpoint with any still-live frame kills that
+    * frame too (lineage is truncated — the next read fails loudly), so:
+    * only after the final consumer, only on exclusively-owned plans.
+    * Bench/Verify invoke it after materializing each query so long
+    * sessions don't accumulate immortal checkpoint blocks.
+    */
+  def releaseTree(dfs: DataFrame*): Unit = dfs.foreach { df =>
+    ColumnBridge.analyzed(df).foreach {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
+
   @annotation.tailrec
   private def unwrap(plan: LogicalPlan): Option[LogicalRDD] = plan match {
     case lr: LogicalRDD => Some(lr)

@@ -17,9 +17,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // the dump IS the final consumer of this query's plan — release
+        // every checkpoint block the query minted (q94/q96/q99/q100 return
+        // joins OVER their checkpoints, unreachable from near-root
+        // release) so 99 queries in one session don't accumulate them
+        CacheHygiene.releaseTree(df)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

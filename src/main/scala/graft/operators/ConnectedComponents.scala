@@ -89,8 +89,17 @@ object ConnectedComponents {
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(cur)).localCheckpoint(true)
       val nfp = fingerprint(next)
+      // Fingerprint equality is the cheap convergence signal; a hash-sum
+      // collision between DIFFERENT edge sets (~2^-64 odds) would end the
+      // loop early and mislabel silently — the exact failure mode the
+      // maxIter exception exists to make loud. So the round where
+      // fingerprints FIRST match pays one exact set comparison: both
+      // sides are distinct sets and the fingerprint already proved equal
+      // counts, so one-directional exceptAll-is-empty proves equality.
+      // Converging rounds are the only ones that pay it (both frames are
+      // checkpointed, so the check re-reads blocks, not lineage).
+      converged = nfp == fp && next.exceptAll(cur).isEmpty
       graft.CacheHygiene.release(cur)
-      converged = nfp == fp
       cur = next
       fp = nfp
       iter += 1
@@ -104,9 +113,13 @@ object ConnectedComponents {
 
     // fixpoint edges are stars (center = component min): members label to
     // the center, centers and isolated nodes label to themselves. The
-    // final checkpoint (and `nodes`) back the returned plan, so they are
-    // NOT released here — callers that materialize the result can release
-    // it via CacheHygiene like every other checkpoint-backed frame.
+    // final checkpoint (and `base`, via `nodes`) back the returned plan,
+    // so they are NOT released here. They sit UNDER a join, where
+    // near-root CacheHygiene.release cannot reach them by design —
+    // callers that have materialized the result and own it exclusively
+    // release them with [[graft.CacheHygiene.releaseTree]] (Bench/Verify
+    // do exactly that per query, so repeated q94/q96/q99/q100 runs in one
+    // session don't accumulate immortal checkpoint blocks).
     nodes.join(cur.select(col("v").as("id"), col("u").as("component")),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))

@@ -976,8 +976,22 @@ object TextOps {
   def q96KeepBest(s: SparkSession, d: String): DataFrame =
     keepBestOn(documents(s, d))
 
+  /** Convenience form: mines the closure itself. A caller that ALSO
+    * wants the cluster labels (every real curation chain does — q94's
+    * labels and q96's survivors are two views of one closure) must NOT
+    * call this next to [[dedupComponentsOn]]: the closure — the most
+    * expensive job in the suite — would run twice. Materialize the
+    * labels once and feed the two-arg overload (r14 verdict item 1;
+    * PipelineEndToEndSpec pins the single-mining shape).
+    */
   def keepBestOn(docs: DataFrame): DataFrame =
-    dedupComponentsOn(docs).select("doc_id", "cluster_rep")
+    keepBestOn(dedupComponentsOn(docs), docs)
+
+  /** Survivor selection over PRECOMPUTED cluster labels (`labels` needs
+    * doc_id + cluster_rep, i.e. [[dedupComponentsOn]]'s output — pass it
+    * materialized): one keyed aggregation, zero pair mining. */
+  def keepBestOn(labels: DataFrame, docs: DataFrame): DataFrame =
+    labels.select("doc_id", "cluster_rep")
       .join(docs.select(col("doc_id"), qualityExpr(col("text")).as("quality")),
         "doc_id")
       .groupBy("cluster_rep")
@@ -1022,18 +1036,29 @@ object TextOps {
     * candidate volume is bounded by sources² with `sources` a small
     * cardinality, so the join cannot go quadratic in the corpus no
     * matter how hot a span is. Same inverted-index family as q35/q65.
+    *
+    * The index key is xxhash64 of the span by default — the q90
+    * `hashSpans` discipline (r14 verdict item 2): the distinct, the
+    * checkpoint blocks, and the self-join all move a fixed 8-byte key
+    * instead of a multi-word string, several-fold fewer shuffled bytes
+    * at 100 TB. Spans never reach the output (only source pairs and
+    * counts do), so the oracle sees identical answers; a 2⁻⁶⁴ hash
+    * collision is the only semantic delta (same trade q90/q32 price).
     */
   def q99SourceOverlap(s: SparkSession, d: String): DataFrame =
     sourceOverlapOn(documents(s, d))
 
-  def sourceOverlapOn(docs: DataFrame): DataFrame = {
+  def sourceOverlapOn(docs: DataFrame, hashSpans: Boolean = true): DataFrame = {
     // the (source, span) index feeds three consumers (both self-join
     // sides + the sizes agg) — without this checkpoint each one re-runs
     // the shingle explode over the corpus (the probe's shape fingerprint
     // showed FOUR FileScans); materialized once, the corpus is scanned
-    // once and the index blocks serve the rest
-    val grams = docs.select(col("source"),
+    // once and the index blocks serve the rest. Hashing happens BEFORE
+    // the distinct so even the index build shuffles 8-byte keys.
+    val raw = docs.select(col("source"),
       explode(graft.plans.GraftFunctions.shingles(tokens(col("text")), 5)).as("g"))
+    val grams = (if (hashSpans) raw.select(col("source"), xxhash64(col("g")).as("g"))
+      else raw)
       .distinct()
       .localCheckpoint(true)
     val sizes = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))

@@ -332,21 +332,24 @@ object BronzePipeline {
         val once = batch.toDF().localCheckpoint(true)
         try {
           DriftMonitor.recordDrift(spark, refHistPath, once, driftPath,
-            batchId, driftThreshold, bins = 10)
+            batchId, driftThreshold)
           val sampled = MixtureGate.applyRates(spark, ratesPath, once,
             "source", "raw_content")
           // the Bloom gate is CROSS-batch by contract (it verifies against
           // the store); two normalized copies arriving in the SAME batch
-          // need this intra-batch keep-min-id dedup — a dropDuplicates
-          // would pick a nondeterministic survivor
+          // need this intra-batch keep-min dedup. Keyed by __fp ALONE —
+          // an equi-join on (__fp, posting_id) would let two same-id
+          // same-fingerprint rows with different raw bytes BOTH survive
+          // (r14 advice) — and the survivor is min of the full row struct
+          // (posting_id first), so ties are deterministic where a
+          // dropDuplicates or min_by would pick arbitrarily.
           val fp = graft.operators.TextOps.fingerprint(col("raw_content"))
-          val withFp = sampled.withColumn("__fp", fp)
-          val batchDeduped = withFp
-            .join(withFp.groupBy("__fp")
-              .agg(org.apache.spark.sql.functions.min(col("posting_id"))
-                .as("posting_id")),
-              Seq("__fp", "posting_id"))
-            .drop("__fp")
+          val dataCols = sampled.columns.toSeq
+          val ordered = ("posting_id" +: dataCols.filterNot(_ == "posting_id")).map(col)
+          val batchDeduped = sampled.withColumn("__fp", fp)
+            .groupBy("__fp")
+            .agg(org.apache.spark.sql.functions.min(struct(ordered: _*)).as("__r"))
+            .select(dataCols.map(c => col(s"__r.$c")): _*)
           val survivors = gate.gate(batchDeduped, textCol = "raw_content")
           graft.CacheHygiene.release(
             MetadataStore.ingestWithGate(survivors, bronzePath, metaPath, batchId))

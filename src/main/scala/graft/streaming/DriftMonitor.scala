@@ -33,28 +33,50 @@ object DriftMonitor {
 
   /** Build and persist the reference histogram (overwrite — re-baselining
     * is an explicit operator action). One pass over the reference window;
-    * the artifact is ≤ groups×bins rows. */
+    * the artifact is ≤ groups×bins rows. The bin COUNT is persisted as a
+    * constant column of the artifact: bin indices only mean anything
+    * relative to their width, so the artifact must carry its own binning
+    * contract — a reader supplying its own count would silently misalign
+    * indices from different widths and compute a wrong PSI (r14 advice).
+    */
   def writeReference(docs: DataFrame, grp: String, textCol: String,
       refHistPath: String, bins: Int = 10): Unit =
     TextOps.qualityHistogram(docs, grp, textCol, bins)
+      .withColumn("bins", lit(bins))
       .coalesce(1).write.mode("overwrite").parquet(refHistPath)
 
   /** PSI of `batch` against the persisted reference, per group:
-    * (grp, n_ref, n_cur, psi). */
+    * (grp, n_ref, n_cur, psi). The batch histogram is binned with the
+    * count DERIVED from the reference artifact — never caller-supplied,
+    * so the two histograms cannot misalign. Fails loudly on a pre-bins
+    * artifact (rebuild it with [[writeReference]]) rather than guessing.
+    */
   def psiAgainst(spark: SparkSession, refHistPath: String, batch: DataFrame,
-      grp: String, textCol: String, bins: Int = 10): DataFrame =
+      grp: String, textCol: String): DataFrame = {
+    val ref = spark.read.parquet(refHistPath)
+    require(ref.columns.contains("bins"),
+      s"reference histogram at $refHistPath carries no `bins` column; " +
+        "rebuild it with DriftMonitor.writeReference — comparing against " +
+        "a guessed bin count would silently misalign bin indices")
+    // the artifact is ≤ groups×bins rows, so this collect is bounded
+    val counts = ref.select(col("bins")).distinct().collect().map(_.getInt(0))
+    require(counts.length == 1,
+      s"reference histogram at $refHistPath has inconsistent bin counts " +
+        s"${counts.toSeq.sorted.mkString(",")} — it was written by mixed " +
+        "writeReference runs; rebuild it")
     TextOps.psiFromHistograms(
-      spark.read.parquet(refHistPath),
-      TextOps.qualityHistogram(batch, grp, textCol, bins), grp)
+      ref.drop("bins"),
+      TextOps.qualityHistogram(batch, grp, textCol, counts(0)), grp)
+  }
 
   /** One drift row per source for `batch`, (over)written under the
     * batch's `driftPath` partition — the shared tail of
     * [[monitoredIngest]] and [[BronzePipeline.curatedIngest]]. */
   private[streaming] def recordDrift(spark: SparkSession, refHistPath: String,
       batch: DataFrame, driftPath: String, batchId: String,
-      threshold: Double, bins: Int): Unit = {
+      threshold: Double): Unit = {
     val drift = psiAgainst(spark, refHistPath, batch,
-        "source", "raw_content", bins)
+        "source", "raw_content")
       .withColumn("alert", col("psi") > threshold)
       .withColumn("batch_id", lit(batchId))
     ParquetSink.overwritePartitions(drift, driftPath, Seq("batch_id"))
@@ -69,7 +91,7 @@ object DriftMonitor {
   def monitoredIngest(spark: SparkSession, stagingPath: String,
       bronzePath: String, metaPath: String, refHistPath: String,
       driftPath: String, checkpointPath: String,
-      threshold: Double = 0.25, bins: Int = 10): StreamingQuery = {
+      threshold: Double = 0.25): StreamingQuery = {
     val pid = BronzePipeline.pipelineId(spark, checkpointPath)
     val raw = spark.readStream
       .schema("posting_id STRING, raw_content STRING, source STRING, extracted_at TIMESTAMP")
@@ -84,7 +106,7 @@ object DriftMonitor {
           graft.CacheHygiene.release(
             MetadataStore.ingestWithGate(once, bronzePath, metaPath, batchId))
           recordDrift(spark, refHistPath, once, driftPath, batchId,
-            threshold, bins)
+            threshold)
         } finally graft.CacheHygiene.release(once)
         ()
       }

@@ -93,4 +93,23 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.count { case (id, rep) => id == rep } ==
       got.size - expected.count { case (id, rep) => id != rep })
   }
+
+  test("releaseTree frees the checkpoints behind the returned labels join; near-root release cannot") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val labels = ConnectedComponents.run(
+      (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst"))
+    assert(labels.count() == 40L) // fully consume the frame first
+    val minted = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(minted.nonEmpty, "run must leave its backing checkpoints alive")
+    // the labels are a JOIN over the checkpoints, so the near-root
+    // release is (by design) a no-op here — this is the r14-advice leak
+    graft.CacheHygiene.release(labels)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before) == minted,
+      "near-root release must not reach under a join")
+    // the whole-tree release reaches every LogicalRDD leaf
+    graft.CacheHygiene.releaseTree(labels)
+    assert((spark.sparkContext.getPersistentRDDs.keySet & minted).isEmpty,
+      "releaseTree must unpersist every checkpoint under the returned plan")
+  }
 }

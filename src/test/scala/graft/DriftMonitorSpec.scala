@@ -81,4 +81,26 @@ class DriftMonitorSpec extends SparkSpec {
     // the reference-only source also surfaces (mass vanished)
     assert(bySrc("hh")._2 == 0L && bySrc("hh")._3 > 10.0, s"$bySrc")
   }
+
+  test("psiAgainst derives the bin count from the artifact; a pre-bins artifact fails loudly") {
+    val root = Files.createTempDirectory("graft_drift_bins").toString
+    val refHist = s"$root/ref_hist"
+    // NON-default bin count: quality 0.3 lands in bin 1 of 4 (it would be
+    // bin 3 of 10) — a reader trusting the old default instead of the
+    // artifact's persisted contract would misalign indices and spike
+    DriftMonitor.writeReference(
+      rawPostings((1 to 10).map(i => s"r$i" -> soup(20, s"r$i"))),
+      "source", "raw_content", refHist, bins = 4)
+    val batch = rawPostings((1 to 5).map(i => s"c$i" -> soup(20, s"c$i")))
+    val out = DriftMonitor.psiAgainst(spark, refHist, batch,
+      "source", "raw_content").collect()
+    assert(out.length == 1 && out(0).getAs[Double]("psi") == 0.0,
+      s"same-shape batch must score 0 under the DERIVED bin count: ${out.toSeq}")
+    // an artifact without the binning contract must fail loudly, not guess
+    val legacy = s"$root/legacy"
+    spark.read.parquet(refHist).drop("bins").write.parquet(legacy)
+    val e = intercept[IllegalArgumentException](
+      DriftMonitor.psiAgainst(spark, legacy, batch, "source", "raw_content"))
+    assert(e.getMessage.contains("bins"), e.getMessage)
+  }
 }

@@ -93,15 +93,23 @@ class MixtureGateSpec extends SparkSpec {
       rawPostings(rows).withColumn("source", lit(src))
 
     // batch 0: small-source docs incl. a whitespace near-copy pair — the
-    // content gate must keep only one of the pair
+    // content gate must keep only one of the pair — plus the r14-advice
+    // edge: a second "p3" row with the SAME posting_id and the same
+    // normalized fingerprint but different raw bytes (trailing space).
+    // The old (__fp, posting_id)-keyed join let both p3 rows land with
+    // distinct etags; keyed by __fp alone exactly one survives, and the
+    // struct-min survivor rule makes it the lexicographically-least bytes.
     val body = soup(20, "x")
     post(Seq("p1" -> body, "p2" -> body.replace(" x10", "  x10"),
-      "p3" -> soup(20, "y")), "small")
+      "p3" -> soup(20, "y"), "p3" -> (soup(20, "y") + " ")), "small")
       .coalesce(1).write.mode("append").json(staging)
     drain()
     val landed0 = graft.sources.BronzeLayer.readRaw(spark, bronze)
     assert(landed0.count() == 2,
       s"normalized near-copy must gate: ${landed0.select("posting_id").collect().toSeq}")
+    assert(landed0.filter(col("posting_id") === "p3")
+      .select("raw_content").collect().map(_.getString(0)).toSeq == Seq(soup(20, "y")),
+      "same-id same-fp different-bytes pair: exactly one deterministic survivor")
 
     // batch 1: a big-source flood of 100-word docs (drifted) + a replay
     // of p3's body under a new id (etag/content-gated)

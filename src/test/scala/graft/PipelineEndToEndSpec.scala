@@ -16,14 +16,19 @@ import graft.sources.Tables
   */
 class PipelineEndToEndSpec extends SparkSpec {
 
-  private def runChain(docs: DataFrame): (Seq[Long], Seq[Long], Seq[Long], DataFrame) = {
+  private def runChain(docs: DataFrame): (Seq[Long], Seq[Long], Seq[Long], DataFrame, Long) = {
     // 1. exact dedup: one survivor per fingerprint (min id)
     val exact = docs.groupBy(TextOps.fingerprint(col("text")).as("fp"))
       .agg(min("doc_id").as("doc_id"))
     val d1 = docs.join(exact.select("doc_id"), "doc_id")
 
-    // 2. near-dup closure, quality-aware survivor per cluster
-    val keepers = TextOps.keepBestOn(d1).select(col("keep_id").as("doc_id"))
+    // 2. near-dup closure mined ONCE (labels materialized), then both
+    //    views of it — the survivor selection AND the non-keeper count —
+    //    read the labels, never re-mine (r15: the r14 verdict's item 1;
+    //    the one-arg keepBestOn here would re-run the whole q94 closure)
+    val labels = TextOps.dedupComponentsOn(d1).localCheckpoint(true)
+    val nonKeepers = labels.filter(!col("is_keeper")).count()
+    val keepers = TextOps.keepBestOn(labels, d1).select(col("keep_id").as("doc_id"))
     val d2 = d1.join(keepers, "doc_id")
 
     // 3. √-temperature source rebalance at 0.9
@@ -41,7 +46,7 @@ class PipelineEndToEndSpec extends SparkSpec {
     val ranked = TextOps.shuffleRank(
       binned.select("doc_id", "bin"), col("doc_id"), "e2e:")
 
-    (ids(d2), ids(d3), ids(d4), ranked)
+    (ids(d2), ids(d3), ids(d4), ranked, nonKeepers)
   }
 
   private def ids(df: DataFrame): Seq[Long] =
@@ -50,7 +55,7 @@ class PipelineEndToEndSpec extends SparkSpec {
   test("full curation chain: monotone survivors, permutation rank, balanced bins, deterministic") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val n0 = docs.count()
-    val (d2, d3, d4, ranked) = runChain(docs)
+    val (d2, d3, d4, ranked, nonKeepers) = runChain(docs)
 
     // monotone, nonempty, with real attrition by the budget stage
     assert(d2.size <= n0 && d3.size <= d2.size && d4.size <= d3.size)
@@ -58,9 +63,8 @@ class PipelineEndToEndSpec extends SparkSpec {
     assert(d4.size < n0, "the budget stage must actually select")
     assert(d3.toSet.subsetOf(d2.toSet) && d4.toSet.subsetOf(d3.toSet))
 
-    // near-dup stage dropped the non-keepers the closure found
-    val nonKeepers = TextOps.q94DedupComponents(spark, "/root/testdata/sf0.01")
-      .filter(!col("is_keeper")).count()
+    // near-dup stage dropped the non-keepers the closure found — counted
+    // from the chain's OWN materialized labels, not a second closure run
     assert(n0 - d2.size == nonKeepers,
       s"exact stage is lossless on this corpus; near-dup drops $nonKeepers")
 
@@ -74,11 +78,34 @@ class PipelineEndToEndSpec extends SparkSpec {
     assert(sizes.max - sizes.min <= 1, s"bin sizes: ${sizes.toSeq.sorted}")
 
     // the WHOLE chain is partitioning-independent
-    val (e2, e3, e4, ranked2) = runChain(docs.repartition(7))
+    val (e2, e3, e4, ranked2, _) = runChain(docs.repartition(7))
     assert(e2 == d2 && e3 == d3 && e4 == d4)
     val r1 = rows.map(r => (r.getLong(0), r.getAs[Long]("shuffle_rank"))).sorted
     val r2 = ranked2.collect()
       .map(r => (r.getLong(0), r.getAs[Long]("shuffle_rank"))).sorted
     assert(r1.sameElements(r2), "shuffle order must not depend on layout")
+  }
+
+  test("keepBestOn over precomputed labels: zero pair mining, identical survivors") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val labels = TextOps.dedupComponentsOn(docs).localCheckpoint(true)
+    val viaLabels = TextOps.keepBestOn(labels, docs)
+    // the labels-consuming plan touches the corpus exactly ONCE — the
+    // quality scan; the closure's shingle mining and CC rounds are all
+    // behind the materialized labels (a second FileScan here would mean
+    // the chain pays the most expensive job in the suite twice)
+    val plan = viaLabels.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    val scans = plan.linesIterator.count(_.contains("FileScan"))
+    assert(scans == 1,
+      s"labels-consuming keepBestOn must scan documents once, got $scans:\n$plan")
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val a = rows(viaLabels)
+    assert(a == rows(TextOps.keepBestOn(docs)),
+      "the two overloads must agree exactly")
+    assert(a.nonEmpty && a.exists(_._2 > 1L), "corpus must exercise real clusters")
+    graft.CacheHygiene.release(labels)
   }
 }

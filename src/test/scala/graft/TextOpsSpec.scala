@@ -438,6 +438,12 @@ class TextOpsSpec extends SparkSpec {
       s"only the mirrored pair may appear: ${out.keySet}")
     assert(out(("crawl-a", "crawl-b")) == ((26L, 1.0)),
       s"the mirror must show full containment of the smaller side: $out")
+    // the string-keyed index (hashSpans=false) answers identically — the
+    // default 64-bit key is a shuffle diet, not a semantics change
+    val strKeyed = TextOps.sourceOverlapOn(docs, hashSpans = false).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(strKeyed == out, "hashed and string span keys must agree exactly")
   }
 
   test("collocations: a planted bigram tops the PMI ranking; floors and ties deterministic") {
