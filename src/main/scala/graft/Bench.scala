@@ -37,7 +37,11 @@ import org.apache.spark.sql.SparkSession
   * Output: one progress line per (pass, query) as it finishes; full per-pass
   * data additionally lands in BENCH_PASSES.json next to this repo (the
   * driver's stdout capture keeps only the final ~2000 characters, so the
-  * file is the durable record). The final summary line keeps the driver
+  * file is the durable record). A full-suite run whose canary reads
+  * rig_factor ≤ 1.15 also mirrors the record to BENCH_QUIET.json, so a
+  * later contended run (e.g. the driver's per-round bench) can overwrite
+  * BENCH_PASSES.json without displacing the quiet-conditions record
+  * (r15, r14 verdict item 8). The final summary line keeps the driver
   * contract (`queries` = per-query min, `qNN` keys, 3 decimals) and adds a
   * compact `p` object with per-pass centisecond arrays so the artifact
   * itself distinguishes noise from regression; `p` degrades to just the
@@ -205,6 +209,24 @@ object Bench {
     } catch { // never let bookkeeping kill the bench, but do say it failed
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"bench: could not write $passesPath: $e")
+    }
+    // QUIET-rig record preservation (r15, r14 verdict item 8): the driver's
+    // per-round bench overwrites BENCH_PASSES.json whatever the rig was
+    // doing (r14's run clobbered a rig_factor-1.07 record with a 1.52 one).
+    // A full-suite run whose canary says the rig was actually quiet ALSO
+    // writes BENCH_QUIET.json — so a contended driver run can never
+    // displace the best-conditions record, and a quiet run refreshes it
+    // automatically with zero env-var discipline required.
+    if (only.isEmpty && rigFactor > 0 && rigFactor <= 1.15) {
+      val quietPath = new java.io.File(
+        sys.props.getOrElse("user.dir", "."), "BENCH_QUIET.json").getPath
+      try {
+        val w = new java.io.PrintWriter(quietPath)
+        try w.println(passesJson) finally w.close()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"bench: could not write $quietPath: $e")
+      }
     }
     def short(k: String): String = if (k.matches("q\\d+_.*")) k.takeWhile(_ != '_') else k
     val qs = results.map { case (k, best, _) => f""""${short(k)}":$best%.3f""" }.mkString("{", ",", "}")

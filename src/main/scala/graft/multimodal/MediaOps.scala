@@ -17,13 +17,20 @@ import graft.sources.Tables
   * and video containers in this JVM — fall back to a deterministic
   * byte-statistics stub, so the Spark-side contract (schema, batch
   * shape, partitioning, fixed-width feature output) is exercised
-  * end-to-end either way. Swap/extend the kernel table for JNI codecs
-  * on a cluster that has them.
+  * end-to-end either way. The kernel table is the [[MediaCodec]]
+  * REGISTRY (r15): a cluster that ships an mp3/ogg/video decoder
+  * registers it and those mimes route to it with no MediaOps change;
+  * the stub stays the flagged last resort.
   */
 object MediaOps {
 
   case class MediaRow(doc_id: Long, blob: Array[Byte], mime: String, n_bytes: Long)
-  case class MediaFeatures(doc_id: Long, n_frames: Int, features: Array[Float])
+
+  /** One feature row per blob; `decoded`/`codec` record WHICH kernel
+    * produced it — `decoded=false` rows are byte-stat stubs a training
+    * pipeline must quarantine, never silently consume. */
+  case class MediaFeatures(doc_id: Long, n_frames: Int, features: Array[Float],
+      decoded: Boolean, codec: String)
 
   val FrameBytes = 256  // fixed "frame" stride for the frame-sampler
   val FeatureDim = 8
@@ -246,19 +253,72 @@ object MediaOps {
       }
   }
 
-  /** Batched feature extraction over the media rows. */
+  /** The pluggable decode seam (r15, r14 verdict item 7). A codec
+    * CLAIMS a mime class and decodes bytes to a FeatureDim feature row,
+    * or returns None when the bytes defeat it (corrupt payload, codec
+    * mismatch) — the row then falls through to the next claiming codec
+    * and finally to the flagged [[decodeStub]]. Must be Serializable:
+    * the active table is captured into the mapPartitions closure and
+    * runs on executors.
+    */
+  trait MediaCodec extends Serializable {
+    def name: String
+    def claims(mime: String): Boolean
+    def decode(bytes: Array[Byte]): Option[Array[Float]]
+  }
+
+  /** JDK ImageIO registry (png/bmp/gif/jpeg in any stock JVM). */
+  object ImageIOCodec extends MediaCodec {
+    val name = "imageio"
+    def claims(mime: String): Boolean = mime.startsWith("image/")
+    def decode(bytes: Array[Byte]): Option[Array[Float]] = decodeImage(bytes)
+  }
+
+  /** JDK javax.sound.sampled registry (WAV/PCM in any stock JVM). */
+  object JavaSoundCodec extends MediaCodec {
+    val name = "javasound"
+    def claims(mime: String): Boolean = mime.startsWith("audio/")
+    def decode(bytes: Array[Byte]): Option[Array[Float]] = decodeAudio(bytes)
+  }
+
+  private val builtinCodecs: Seq[MediaCodec] = Seq(ImageIOCodec, JavaSoundCodec)
+  @volatile private var codecTable: Seq[MediaCodec] = builtinCodecs
+
+  /** Register a codec AHEAD of the built-ins (and of earlier
+    * registrations): a JNI mp3/ogg/video decoder on the classpath routes
+    * its mimes with no change here. Registration is driver-side and
+    * takes effect for plans built afterwards (the table is captured at
+    * plan-build time). */
+  def registerCodec(c: MediaCodec): Unit = synchronized { codecTable = c +: codecTable }
+
+  /** Restore the built-in-only table (test hook / codec unload). */
+  def resetCodecs(): Unit = synchronized { codecTable = builtinCodecs }
+
+  def registeredCodecs: Seq[MediaCodec] = codecTable
+
+  /** Batched feature extraction over the media rows: each blob routes
+    * through the first registered codec that claims its mime AND
+    * decodes it; everything else lands in the byte-stat stub with
+    * `decoded=false` — quarantine-routable, never a silent fake. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
+    val codecs = codecTable // capture once: executors see a fixed table
     media.select("doc_id", "blob", "mime", "n_bytes").as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
           // same convention as q41MediaMeta/frameSample: empty blob → 0 frames
           val nFrames = math.ceil(r.n_bytes.toDouble / FrameBytes).toInt
-          val feats =
-            if (r.mime.startsWith("image/")) decodeImage(r.blob).getOrElse(decodeStub(r.blob))
-            else if (r.mime.startsWith("audio/")) decodeAudio(r.blob).getOrElse(decodeStub(r.blob))
-            else decodeStub(r.blob)
-          MediaFeatures(r.doc_id, nFrames, feats)
+          val hit = codecs.iterator
+            .filter(_.claims(r.mime))
+            .map(c => c.decode(r.blob).map(f => (c.name, f)))
+            .collectFirst { case Some(x) => x }
+          hit match {
+            case Some((cn, f)) =>
+              MediaFeatures(r.doc_id, nFrames, f, decoded = true, codec = cn)
+            case None =>
+              MediaFeatures(r.doc_id, nFrames, decodeStub(r.blob),
+                decoded = false, codec = "stub")
+          }
         }
       }
   }

@@ -84,6 +84,7 @@ object ConnectedComponents {
     }
 
     var fp = fingerprint(cur)
+    val roundEdges = scala.collection.mutable.ArrayBuffer[Long](fp._1)
     var iter = 0
     var converged = cur.isEmpty
     while (!converged && iter < maxIter) {
@@ -102,6 +103,7 @@ object ConnectedComponents {
       graft.CacheHygiene.release(cur)
       cur = next
       fp = nfp
+      roundEdges += nfp._1
       iter += 1
     }
     if (!converged)
@@ -110,6 +112,7 @@ object ConnectedComponents {
           s"(${fp._1} edges) — raise maxIter; a partial closure would " +
           "mislabel components silently")
     lastRounds = iter
+    lastRoundEdges = roundEdges.toList
 
     // fixpoint edges are stars (center = component min): members label to
     // the center, centers and isolated nodes label to themselves. The
@@ -127,4 +130,11 @@ object ConnectedComponents {
 
   /** [[run]] plus the round count — spec hook for the O(log n) claim. */
   private[graft] var lastRounds: Int = -1
+
+  /** Edge-set size entering each round (index 0 = the initial canonical
+    * edge set) — the per-round shuffle-volume proxy the topology probe
+    * records: every round shuffles ~2× its edge count through the star
+    * aggregations, so a topology that made rounds grow OR kept edge
+    * volume from contracting would show here. */
+  private[graft] var lastRoundEdges: Seq[Long] = Nil
 }

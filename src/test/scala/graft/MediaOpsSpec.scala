@@ -157,5 +157,52 @@ class MediaOpsSpec extends SparkSpec {
     assert(f1.length == media.count())
     assert(f1.forall(_.features.length == MediaOps.FeatureDim))
     assert(f1.zip(f2).forall { case (a, b) => a.features.sameElements(b.features) })
+    // stub rows are flagged — a quarantine can route on `decoded` alone
+    assert(f1.forall(f => !f.decoded && f.codec == "stub"))
   }
+
+  test("codec registry: a registered decoder routes its mime; refusals fall through to the flagged stub") {
+    import spark.implicits._
+    try {
+      MediaOps.registerCodec(new FakeMp3Codec)
+      val media = Seq(
+        (1L, "mp3ish-bytes".getBytes("UTF-8"), "audio/mpeg", 12L),
+        // claimed by BOTH the fake codec and the javasound builtin, but
+        // both refuse the empty payload — must land in the stub, flagged
+        (2L, Array.empty[Byte], "audio/mpeg", 0L),
+        (3L, "plain".getBytes("UTF-8"), "video/mp4", 5L) // nothing claims
+      ).toDF("doc_id", "blob", "mime", "n_bytes")
+      val out = MediaOps.extractFeatures(spark, media).collect()
+        .map(f => f.doc_id -> f).toMap
+      assert(out(1L).decoded && out(1L).codec == "fake-mp3",
+        s"registered codec must take its mime: ${out(1L)}")
+      assert(out(1L).features(7) == 12f)
+      assert(!out(2L).decoded && out(2L).codec == "stub",
+        "a refusing codec chain must end at the flagged stub")
+      assert(!out(3L).decoded && out(3L).codec == "stub")
+      // the builtins are untouched by registration: images still decode
+      val img = new java.awt.image.BufferedImage(2, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      val png = baos.toByteArray
+      val imf = MediaOps.extractFeatures(spark,
+        Seq((9L, png, "image/png", png.length.toLong))
+          .toDF("doc_id", "blob", "mime", "n_bytes")).collect()(0)
+      assert(imf.decoded && imf.codec == "imageio")
+    } finally MediaOps.resetCodecs()
+    assert(MediaOps.registeredCodecs.map(_.name) == Seq("imageio", "javasound"))
+  }
+}
+
+/** Top-level (not test-class-nested, which would drag a non-serializable
+  * $outer into the executor closure): the stand-in for a real JNI mp3
+  * decoder a cluster image might ship. Refuses empty payloads so the
+  * fall-through path is exercisable. */
+class FakeMp3Codec extends MediaOps.MediaCodec {
+  val name = "fake-mp3"
+  def claims(mime: String): Boolean = mime == "audio/mpeg"
+  def decode(bytes: Array[Byte]): Option[Array[Float]] =
+    if (bytes.isEmpty) None
+    else Some(Array(1f, 2f, 3f, 4f, 5f, 6f, 7f, bytes.length.toFloat))
 }
