@@ -780,6 +780,63 @@ object TextOps {
   def q90SpanDupfrac(s: SparkSession, d: String): DataFrame =
     spanDupFraction(documents(s, d))
 
+  /** Exact-substring dedup ACTION (q101, r15) — the removal step behind
+    * q90's signal (Lee et al. 2022: scrubbing repeated substrings from
+    * training data, not just dropping whole near-dup docs): every token
+    * covered by an n-gram span occurring in ≥2 DISTINCT documents is
+    * removed; each doc keeps its unique remainder in original order.
+    * Within-doc repeats don't scrub (cross-doc only — q90's convention),
+    * docs shorter than n tokens are untouched, and the rebuilt text is
+    * whitespace-normalized lowercase (the tokenization both engines
+    * share).
+    *
+    * Scale shape: ONE corpus scan into a checkpointed (doc_id, tokens)
+    * frame (it feeds both the positional-gram path and the rebuild
+    * join); spans travel as xxhash64 keys (q90's hashSpans discipline —
+    * spans never reach the output, so the oracle is unaffected); the
+    * duplicated-span set is the distinct-(doc, span) count filter —
+    * linear in corpus spans, never pairwise; covered positions aggregate
+    * per doc (bounded by doc length) and the rebuild is a per-row
+    * higher-order-function filter, no shuffle beyond the cover join.
+    * The per-token array_contains against the covered set is O(len·cov)
+    * per doc — fine at chat/web doc lengths; a 100 TB run on book-length
+    * docs would swap it for a sorted-array merge kernel.
+    */
+  def spanScrub(docs: DataFrame, n: Int = 5): DataFrame = {
+    require(n >= 2, s"spanScrub: span width must be >= 2, got $n")
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("ws"))
+      .localCheckpoint(true)
+    // positional n-grams: the Shingles kernel's array index IS the span
+    // start position
+    val pos = toks.select(col("doc_id"),
+        posexplode(graft.plans.GraftFunctions.shingles(col("ws"), n)))
+      .select(col("doc_id"), col("pos").as("p"), xxhash64(col("col")).as("g"))
+    val dup = pos.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("g")
+    val covered = pos.join(dup, "g")
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + lit(n - 1))).as("cp"))
+      .distinct()
+      .groupBy("doc_id").agg(collect_set(col("cp")).as("cov"))
+    val zipped = zip_with(col("ws"), sequence(lit(0), size(col("ws")) - 1),
+      (t, i) => struct(t.as("t"), i.as("i")))
+    toks.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
+        when(col("cov").isNull, array_join(col("ws"), " "))
+          .otherwise(array_join(
+            transform(
+              filter(zipped, s => !array_contains(col("cov"), s.getField("i"))),
+              s => s.getField("t")),
+            " ")).as("text_clean"))
+  }
+
+  /** q101: 5-gram exact-substring scrub over `documents`. */
+  def q101SpanScrub(s: SparkSession, d: String): DataFrame =
+    spanScrub(documents(s, d))
+
   /** Corpus unigram language-model score — the CCNet-style perplexity
     * proxy: train a unigram LM on the corpus itself (p(w) = n_w / N) and
     * score each document by its mean token negative log-likelihood in
@@ -1125,6 +1182,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_span_scrub" -> q101SpanScrub _,
     "q100_collocations" -> q100Collocations _,
     "q99_source_overlap" -> q99SourceOverlap _,
     "q97_corpus_card" -> q97CorpusCard _,
@@ -1161,6 +1219,29 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q101_span_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |   regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+        | g0 AS (SELECT doc_id,
+        |   unnest(list_transform(range(0, greatest(len(ws)-4, 0)),
+        |     i -> array_to_string(ws[i+1:i+5], ' '))) AS g,
+        |   unnest(range(0, greatest(len(ws)-4, 0))) AS i FROM t),
+        | d AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM g0)
+        |       GROUP BY g HAVING count(*) >= 2),
+        | cov AS (SELECT DISTINCT g0.doc_id, g0.i + x.o AS p
+        |         FROM g0 JOIN d USING (g)
+        |         CROSS JOIN (SELECT unnest(range(0, 5)) AS o) x),
+        | tok AS (SELECT doc_id, unnest(ws) AS w,
+        |         unnest(range(0, len(ws))) AS p FROM t),
+        | kept AS (SELECT tok.doc_id, tok.p, tok.w FROM tok
+        |          LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+        |          WHERE cov.p IS NULL),
+        | k AS (SELECT doc_id, count(*) AS nk,
+        |        string_agg(w, ' ' ORDER BY p) AS txt FROM kept GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+        | CAST(len(t.ws) - coalesce(k.nk, 0) AS BIGINT) AS n_removed,
+        | coalesce(k.txt, '') AS text_clean
+        |FROM t LEFT JOIN k USING (doc_id)""".stripMargin,
     "q100_collocations" ->
       """WITH t AS (SELECT doc_id,
         |   regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),

@@ -73,7 +73,11 @@ object ScaleProbe {
       // pair volume stays bounded by sources² per span
       "q99_source_overlap",
       // r14 last: PMI pairs — one gram-concat scan, pair-vocab aggregates
-      "q100_collocations")
+      "q100_collocations",
+      // r15: the exact-substring scrub — positional-gram explode + dup
+      // count + cover join + per-row rebuild; the copy tag breaks
+      // cross-copy spans, so dup volume scales linearly like q90's
+      "q101_span_scrub")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       // the q57 probe row keeps its historical label and workload: pure
       // IVF search (r14 made the REGISTERED q57 a recall-gate instrument

@@ -446,6 +446,33 @@ class TextOpsSpec extends SparkSpec {
     assert(strKeyed == out, "hashed and string span keys must agree exactly")
   }
 
+  test("spanScrub: cross-doc spans scrub, within-doc repeats and short docs survive, overlaps union") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e x y z"),          // shares "a b c d e" with doc 2
+      (2L, "p q a b c d e r"),
+      (3L, "unique words only here now"), // its one span is unshared
+      (4L, "tiny doc"),                  // < 5 tokens: no spans at all
+      (5L, "m n o p q m n o p q"),       // repeats WITHIN one doc only
+      (6L, "f g h i j k l"),             // shares TWO overlapping spans
+      (7L, "f g h i j k m")              //   with doc 6
+    ).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextOps.spanScrub(d).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+        .toMap
+    val out = run(docs)
+    assert(out(1L) == ((8L, 5L, "x y z")), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((8L, 5L, "p q r")), s"doc2: ${out(2L)}")
+    assert(out(3L) == ((5L, 0L, "unique words only here now")))
+    assert(out(4L) == ((2L, 0L, "tiny doc")), "short docs pass untouched")
+    assert(out(5L) == ((10L, 0L, "m n o p q m n o p q")),
+      "within-doc repetition is not cross-doc duplication")
+    assert(out(6L) == ((7L, 6L, "l")) && out(7L) == ((7L, 6L, "m")),
+      s"overlapping dup spans union their coverage: ${out(6L)} ${out(7L)}")
+    assert(run(docs.repartition(5)) == out, "partitioning-independent")
+  }
+
   test("collocations: a planted bigram tops the PMI ranking; floors and ties deterministic") {
     import spark.implicits._
     // "zig zag" always adjacent; filler words re-combine freely, so the
