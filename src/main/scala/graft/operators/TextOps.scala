@@ -837,6 +837,49 @@ object TextOps {
   def q101SpanScrub(s: SparkSession, d: String): DataFrame =
     spanScrub(documents(s, d))
 
+  /** Per-source boilerplate TEMPLATE detection (q102, r15) — the
+    * diagnosis lens on the problem q101 scrubs corpus-wide: which spans
+    * FLOOD a source (nav chrome, license footers, scraper wrappers).
+    * For each source, the top-k n-gram spans by document incidence,
+    * floored at `minDocs` docs and `minIncidencePct`% of the source —
+    * the row a scraper regression shows up as, the input a per-source
+    * scrub allowlist is built from.
+    *
+    * Scale shape: one corpus scan; per-doc `array_distinct` makes the
+    * (source, span) aggregation count DOCUMENT incidence directly (no
+    * doc-level distinct shuffle); the incidence floor is integer-exact
+    * (n_docs·100 ≥ pct·n_src — no float boundary between engines). The
+    * per-source rank runs AFTER the floor, whose output is bounded by
+    * construction: spans with incidence ≥ p in a source number at most
+    * (avg spans/doc)/p — ~650 rows/source at p=8% on 52-span docs —
+    * so the window is arithmetic on aggregates, never a corpus sort.
+    * Span strings ride the one aggregation shuffle because the OUTPUT
+    * needs them (unlike q99/q101, where keys hash).
+    */
+  def sourceTemplates(docs: DataFrame, n: Int = 5, k: Int = 3,
+      minIncidencePct: Int = 8, minDocs: Long = 2): DataFrame = {
+    require(n >= 2 && k > 0 && minIncidencePct >= 0 && minDocs >= 1,
+      s"sourceTemplates: n>=2, k>0, pct>=0, minDocs>=1 required")
+    val spans = docs.select(col("source"), explode(array_distinct(
+      graft.plans.GraftFunctions.shingles(tokens(col("text")), n))).as("g"))
+    val counts = spans.groupBy("source", "g").agg(count(lit(1)).as("n_docs"))
+    val sizes = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val floored = counts.join(broadcast(sizes), "source")
+      .filter(col("n_docs") >= minDocs &&
+        col("n_docs") * 100 >= lit(minIncidencePct) * col("n_src"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_docs").desc, col("g"))
+    floored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("g").as("span"),
+        col("n_docs").cast("long").as("n_docs"),
+        round(col("n_docs").cast("double") / col("n_src"), 4).as("incidence"))
+  }
+
+  /** q102: per-source top-3 template spans over `documents`. */
+  def q102Templates(s: SparkSession, d: String): DataFrame =
+    sourceTemplates(documents(s, d))
+
   /** Corpus unigram language-model score — the CCNet-style perplexity
     * proxy: train a unigram LM on the corpus itself (p(w) = n_w / N) and
     * score each document by its mean token negative log-likelihood in
@@ -1182,6 +1225,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_templates" -> q102Templates _,
     "q101_span_scrub" -> q101SpanScrub _,
     "q100_collocations" -> q100Collocations _,
     "q99_source_overlap" -> q99SourceOverlap _,
@@ -1219,6 +1263,23 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q102_templates" ->
+      """WITH t AS (SELECT doc_id, source,
+        |   regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+        | g0 AS (SELECT doc_id, source,
+        |   unnest(list_transform(range(0, greatest(len(ws)-4, 0)),
+        |     i -> array_to_string(ws[i+1:i+5], ' '))) AS g FROM t),
+        | g AS (SELECT DISTINCT doc_id, source, g FROM g0),
+        | c AS (SELECT source, g, count(*) AS n_docs FROM g GROUP BY 1, 2),
+        | sd AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+        | f AS (SELECT c.source, c.g, c.n_docs, sd.n_src
+        |       FROM c JOIN sd USING (source)
+        |       WHERE c.n_docs >= 2 AND c.n_docs * 100 >= 8 * sd.n_src),
+        | r AS (SELECT source, g, n_docs, n_src, row_number() OVER
+        |        (PARTITION BY source ORDER BY n_docs DESC, g) AS rk FROM f)
+        |SELECT source, g AS span, CAST(n_docs AS BIGINT) AS n_docs,
+        | round(CAST(n_docs AS DOUBLE) / n_src, 4) AS incidence
+        |FROM r WHERE rk <= 3""".stripMargin,
     "q101_span_scrub" ->
       """WITH t AS (SELECT doc_id,
         |   regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),

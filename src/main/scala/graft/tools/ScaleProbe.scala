@@ -77,7 +77,10 @@ object ScaleProbe {
       // r15: the exact-substring scrub — positional-gram explode + dup
       // count + cover join + per-row rebuild; the copy tag breaks
       // cross-copy spans, so dup volume scales linearly like q90's
-      "q101_span_scrub")
+      "q101_span_scrub",
+      // r15: per-source template mining — one span aggregation + a
+      // window over the incidence-floored remainder (bounded per source)
+      "q102_templates")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       // the q57 probe row keeps its historical label and workload: pure
       // IVF search (r14 made the REGISTERED q57 a recall-gate instrument

@@ -473,6 +473,33 @@ class TextOpsSpec extends SparkSpec {
     assert(run(docs.repartition(5)) == out, "partitioning-independent")
   }
 
+  test("sourceTemplates: flooding spans rank by doc incidence; clean sources emit nothing; k caps") {
+    import spark.implicits._
+    val tpl = "t1 t2 t3 t4 t5"
+    val u = "u1 u2 u3 u4 u5"
+    val docs = Seq(
+      (1L, "A", s"$tpl aA1 aB1 aC1 aD1"),
+      (2L, "A", s"x2 y2 $tpl z2w2a2"),
+      (3L, "A", s"$tpl q3 r3 s3 t3x"),
+      (4L, "A", s"$u k4 l4 m4 n4"),
+      (5L, "A", s"p5 $u o5q5r5"),
+      (6L, "B", "b1 b2 b3 b4 b5 b6"),
+      (7L, "B", "c1 c2 c3 c4 c5 c6"),
+      (8L, "B", "d1 d2 d3 d4 d5 d6")
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.sourceTemplates(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, -t._3, t._2)).toSeq
+    assert(out == Seq(
+      ("A", tpl, 3L, 0.6), ("A", u, 2L, 0.4)),
+      s"template ranks by incidence, clean source B emits nothing: $out")
+    // k caps the per-source output even when more spans qualify
+    val k1 = TextOps.sourceTemplates(docs, k = 1).collect()
+    assert(k1.length == 1 && k1(0).getString(1) == tpl,
+      "k=1 keeps only the top template")
+    intercept[IllegalArgumentException](TextOps.sourceTemplates(docs, k = 0))
+  }
+
   test("collocations: a planted bigram tops the PMI ranking; floors and ties deterministic") {
     import spark.implicits._
     // "zig zag" always adjacent; filler words re-combine freely, so the
