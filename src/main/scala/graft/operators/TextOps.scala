@@ -814,7 +814,17 @@ object TextOps {
     val dup = pos.select("doc_id", "g").distinct()
       .groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select("g")
-    val covered = pos.join(dup, "g")
+    rebuildWithoutCovered(toks, pos.join(dup, "g"), n)
+  }
+
+  /** Shared scrub tail for [[spanScrub]]/[[templateScrub]]: expand
+    * flagged span STARTS (doc_id, p) into covered token positions,
+    * aggregate per doc (bounded by doc length), and rebuild each doc's
+    * text without them — a per-row higher-order-function filter, no
+    * UDF. `toks` must carry (doc_id, ws). */
+  private def rebuildWithoutCovered(toks: DataFrame, starts: DataFrame,
+      n: Int): DataFrame = {
+    val covered = starts
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + lit(n - 1))).as("cp"))
       .distinct()
@@ -879,6 +889,48 @@ object TextOps {
   /** q102: per-source top-3 template spans over `documents`. */
   def q102Templates(s: SparkSession, d: String): DataFrame =
     sourceTemplates(documents(s, d))
+
+  /** Per-source template SCRUB (q103, r15) — q102's diagnosis wired to
+    * q101's action in one pass: every span flooding its OWN source
+    * (same integer-exact floor as q102, no top-k cap — scrubbing wants
+    * every qualifying template, not the podium) is removed from that
+    * source's docs. Unlike corpus-wide q101, a span is scrubbed ONLY
+    * where it floods: the same 5-gram appearing once each in two
+    * sources survives both — the CCNet-style per-source boilerplate
+    * pass that removes nav chrome without touching organic cross-source
+    * quotes.
+    *
+    * Scale shape: ONE corpus scan into the checkpointed (doc_id,
+    * source, tokens) frame feeding the positional grams, the source
+    * sizes, AND the rebuild; spans travel hashed (never output); the
+    * template set is the incidence-floored aggregate — bounded per
+    * source like q102's — and BROADCASTS into the cover join, so the
+    * corpus-sized gram stream never reshuffles for it.
+    */
+  def templateScrub(docs: DataFrame, n: Int = 5,
+      minIncidencePct: Int = 8, minDocs: Long = 2): DataFrame = {
+    require(n >= 2 && minIncidencePct >= 0 && minDocs >= 1,
+      s"templateScrub: n>=2, pct>=0, minDocs>=1 required")
+    val toks = docs
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("ws"))
+      .localCheckpoint(true)
+    val pos = toks.select(col("source"), col("doc_id"),
+        posexplode(graft.plans.GraftFunctions.shingles(col("ws"), n)))
+      .select(col("source"), col("doc_id"), col("pos").as("p"),
+        xxhash64(col("col")).as("g"))
+    val counts = pos.select("source", "doc_id", "g").distinct()
+      .groupBy("source", "g").agg(count(lit(1)).as("n_docs"))
+    val sizes = toks.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val tmpl = counts.join(broadcast(sizes), "source")
+      .filter(col("n_docs") >= minDocs &&
+        col("n_docs") * 100 >= lit(minIncidencePct) * col("n_src"))
+      .select("source", "g")
+    rebuildWithoutCovered(toks, pos.join(broadcast(tmpl), Seq("source", "g")), n)
+  }
+
+  /** q103: per-source template scrub over `documents`. */
+  def q103TemplateScrub(s: SparkSession, d: String): DataFrame =
+    templateScrub(documents(s, d))
 
   /** Corpus unigram language-model score — the CCNet-style perplexity
     * proxy: train a unigram LM on the corpus itself (p(w) = n_w / N) and
@@ -1225,6 +1277,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_template_scrub" -> q103TemplateScrub _,
     "q102_templates" -> q102Templates _,
     "q101_span_scrub" -> q101SpanScrub _,
     "q100_collocations" -> q100Collocations _,
@@ -1263,6 +1316,32 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q103_template_scrub" ->
+      """WITH t AS (SELECT doc_id, source,
+        |   regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+        | g0 AS (SELECT doc_id, source,
+        |   unnest(list_transform(range(0, greatest(len(ws)-4, 0)),
+        |     i -> array_to_string(ws[i+1:i+5], ' '))) AS g,
+        |   unnest(range(0, greatest(len(ws)-4, 0))) AS i FROM t),
+        | c AS (SELECT source, g, count(*) AS n_docs
+        |       FROM (SELECT DISTINCT doc_id, source, g FROM g0) GROUP BY 1, 2),
+        | sd AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+        | tm AS (SELECT c.source, c.g FROM c JOIN sd USING (source)
+        |        WHERE c.n_docs >= 2 AND c.n_docs * 100 >= 8 * sd.n_src),
+        | cov AS (SELECT DISTINCT g0.doc_id, g0.i + x.o AS p
+        |         FROM g0 JOIN tm ON g0.source = tm.source AND g0.g = tm.g
+        |         CROSS JOIN (SELECT unnest(range(0, 5)) AS o) x),
+        | tok AS (SELECT doc_id, unnest(ws) AS w,
+        |         unnest(range(0, len(ws))) AS p FROM t),
+        | kept AS (SELECT tok.doc_id, tok.p, tok.w FROM tok
+        |          LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+        |          WHERE cov.p IS NULL),
+        | k AS (SELECT doc_id, count(*) AS nk,
+        |        string_agg(w, ' ' ORDER BY p) AS txt FROM kept GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+        | CAST(len(t.ws) - coalesce(k.nk, 0) AS BIGINT) AS n_removed,
+        | coalesce(k.txt, '') AS text_clean
+        |FROM t LEFT JOIN k USING (doc_id)""".stripMargin,
     "q102_templates" ->
       """WITH t AS (SELECT doc_id, source,
         |   regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),

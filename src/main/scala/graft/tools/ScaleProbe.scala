@@ -80,7 +80,10 @@ object ScaleProbe {
       "q101_span_scrub",
       // r15: per-source template mining — one span aggregation + a
       // window over the incidence-floored remainder (bounded per source)
-      "q102_templates")
+      "q102_templates",
+      // r15: the composed template scrub — floored template aggregate
+      // broadcast into the cover join, q101's rebuild tail
+      "q103_template_scrub")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       // the q57 probe row keeps its historical label and workload: pure
       // IVF search (r14 made the REGISTERED q57 a recall-gate instrument

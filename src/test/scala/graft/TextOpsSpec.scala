@@ -500,6 +500,40 @@ class TextOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](TextOps.sourceTemplates(docs, k = 0))
   }
 
+  test("templateScrub: spans scrub only where they flood THEIR source; clean sources untouched") {
+    import spark.implicits._
+    val tpl = "t1 t2 t3 t4 t5"
+    val u = "u1 u2 u3 u4 u5"
+    val docs = Seq(
+      (1L, "A", s"$tpl a1 a2 a3 a4"),
+      (2L, "A", s"x2 y2 $tpl z2w2a2"),
+      (3L, "A", s"$tpl q3 r3 s3 t3x"),
+      (4L, "A", s"$u k4 l4 m4 n4"),
+      (5L, "A", s"p5 $u o5q5r5"),
+      (6L, "B", "b1 b2 b3 b4 b5 b6"),
+      (7L, "B", "c1 c2 c3 c4 c5 c6"),
+      (8L, "B", "d1 d2 d3 d4 d5 d6"),
+      // the A-flooding template in ONE B doc: below B's minDocs floor,
+      // so per-source scoping must leave it alone
+      (9L, "B", s"$tpl e1 e2 e3 e4")
+    ).toDF("doc_id", "source", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextOps.templateScrub(d).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+        .toMap
+    val out = run(docs)
+    assert(out(1L) == ((9L, 5L, "a1 a2 a3 a4")), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((8L, 5L, "x2 y2 z2w2a2")))
+    assert(out(3L) == ((9L, 5L, "q3 r3 s3 t3x")))
+    assert(out(4L) == ((9L, 5L, "k4 l4 m4 n4")), "the 40%-incidence u-span is a template too")
+    assert(out(5L) == ((7L, 5L, "p5 o5q5r5")))
+    assert(out(6L)._2 == 0L && out(7L)._2 == 0L && out(8L)._2 == 0L,
+      "a source with no flooding spans is untouched")
+    assert(out(9L) == ((9L, 0L, s"$tpl e1 e2 e3 e4")),
+      s"a span flooding source A must NOT scrub its lone B occurrence: ${out(9L)}")
+    assert(run(docs.repartition(5)) == out, "partitioning-independent")
+  }
+
   test("collocations: a planted bigram tops the PMI ranking; floors and ties deterministic") {
     import spark.implicits._
     // "zig zag" always adjacent; filler words re-combine freely, so the
