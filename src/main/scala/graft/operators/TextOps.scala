@@ -932,6 +932,44 @@ object TextOps {
   def q103TemplateScrub(s: SparkSession, d: String): DataFrame =
     templateScrub(documents(s, d))
 
+  /** Benchmark decontamination SCRUB (q104, r15) — [[decontaminate]]'s
+    * detection turned into the surgical action the strictest eval
+    * hygiene wants: instead of dropping every training doc that shares
+    * a 13-gram with the benchmark registry (q65's flag), remove JUST
+    * the overlapping spans and keep the doc's unique remainder. Eval
+    * docs themselves are excluded from the output — the registry is
+    * never trained on.
+    *
+    * Scale shape: the training side is the one checkpointed token frame
+    * (grams + rebuild, q101's machinery); the eval side reduces to a
+    * DISTINCT 64-bit gram-hash set — registry-sized in production
+    * (benchmarks are MBs while the corpus is TBs), so the cover join's
+    * build side is small however big training gets; here the stand-in
+    * registry is corpus/17, and AQE picks the join strategy. A hash
+    * collision (2⁻⁶⁴, the q99/q101 trade) could scrub one innocent
+    * span; q65 keeps the string-residual form for exact counting.
+    */
+  def decontaminateScrub(docs: DataFrame, isEval: Column,
+      n: Int = ContamN): DataFrame = {
+    require(n >= 2, s"decontaminateScrub: span width must be >= 2, got $n")
+    val train = docs.filter(!isEval)
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .localCheckpoint(true)
+    val evalGrams = docs.filter(isEval)
+      .select(explode(
+        graft.plans.GraftFunctions.shingles(tokens(col("text")), n)).as("g"))
+      .select(xxhash64(col("g")).as("g")).distinct()
+    val pos = train.select(col("doc_id"),
+        posexplode(graft.plans.GraftFunctions.shingles(col("ws"), n)))
+      .select(col("doc_id"), col("pos").as("p"), xxhash64(col("col")).as("g"))
+    rebuildWithoutCovered(train, pos.join(evalGrams, "g"), n)
+  }
+
+  /** q104: 13-gram eval-overlap scrub over `documents` (every 17th doc
+    * plays the benchmark registry — q65's convention). */
+  def q104DecontamScrub(s: SparkSession, d: String): DataFrame =
+    decontaminateScrub(documents(s, d), col("doc_id") % 17 === 0)
+
   /** Corpus unigram language-model score — the CCNet-style perplexity
     * proxy: train a unigram LM on the corpus itself (p(w) = n_w / N) and
     * score each document by its mean token negative log-likelihood in
@@ -1277,6 +1315,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_decontam_scrub" -> q104DecontamScrub _,
     "q103_template_scrub" -> q103TemplateScrub _,
     "q102_templates" -> q102Templates _,
     "q101_span_scrub" -> q101SpanScrub _,
@@ -1316,6 +1355,33 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q104_decontam_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |   regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |   FROM documents WHERE doc_id % 17 <> 0),
+        | ev AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |        FROM documents WHERE doc_id % 17 = 0),
+        | e AS (SELECT DISTINCT
+        |   unnest(list_transform(range(0, greatest(len(ws)-12, 0)),
+        |     i -> array_to_string(ws[i+1:i+13], ' '))) AS g FROM ev),
+        | g0 AS (SELECT doc_id,
+        |   unnest(list_transform(range(0, greatest(len(ws)-12, 0)),
+        |     i -> array_to_string(ws[i+1:i+13], ' '))) AS g,
+        |   unnest(range(0, greatest(len(ws)-12, 0))) AS i FROM t),
+        | cov AS (SELECT DISTINCT g0.doc_id, g0.i + x.o AS p
+        |         FROM g0 JOIN e USING (g)
+        |         CROSS JOIN (SELECT unnest(range(0, 13)) AS o) x),
+        | tok AS (SELECT doc_id, unnest(ws) AS w,
+        |         unnest(range(0, len(ws))) AS p FROM t),
+        | kept AS (SELECT tok.doc_id, tok.p, tok.w FROM tok
+        |          LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+        |          WHERE cov.p IS NULL),
+        | k AS (SELECT doc_id, count(*) AS nk,
+        |        string_agg(w, ' ' ORDER BY p) AS txt FROM kept GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+        | CAST(len(t.ws) - coalesce(k.nk, 0) AS BIGINT) AS n_removed,
+        | coalesce(k.txt, '') AS text_clean
+        |FROM t LEFT JOIN k USING (doc_id)""".stripMargin,
     "q103_template_scrub" ->
       """WITH t AS (SELECT doc_id, source,
         |   regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),

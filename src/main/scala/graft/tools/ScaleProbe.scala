@@ -83,7 +83,10 @@ object ScaleProbe {
       "q102_templates",
       // r15: the composed template scrub — floored template aggregate
       // broadcast into the cover join, q101's rebuild tail
-      "q103_template_scrub")
+      "q103_template_scrub",
+      // r15: eval-overlap scrub — the eval gram-hash set is corpus/17
+      // here (registry-sized in production); cover join + rebuild
+      "q104_decontam_scrub")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       // the q57 probe row keeps its historical label and workload: pure
       // IVF search (r14 made the REGISTERED q57 a recall-gate instrument

@@ -135,6 +135,36 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"the filter-split formulation scanned documents per branch; pivoted must scan once, got $scans:\n$plan")
   }
 
+  test("q101/q103: scrubs read ONE materialized token frame; cover joins broadcast; no cartesian") {
+    // the checkpointed token frame replaces every corpus re-read: the
+    // whole scrub plan must contain ZERO parquet scans (all leaves are
+    // the one ExistingRDD) — a FileScan here means a consumer escaped
+    // the materialization and re-reads 100 TB
+    for ((name, df) <- Seq(
+        "q101" -> TextOps.q101SpanScrub(spark, sfDir),
+        "q103" -> TextOps.q103TemplateScrub(spark, sfDir))) {
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      assert(!plan.contains("FileScan"),
+        s"$name must read only its checkpointed token frame:\n$plan")
+      assert(!plan.toLowerCase.contains("cartesianproduct"), s"$name:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name's cover/rebuild joins must broadcast their bounded sides:\n$plan")
+      graft.CacheHygiene.releaseTree(df)
+    }
+  }
+
+  test("q102: the rank runs on the incidence-floored aggregate with group-limit pushdown") {
+    val plan = TextOps.q102Templates(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    // Spark's WindowGroupLimit prunes per-source rows to k BEFORE the
+    // final window — the optimizer-applied bounded top-k this shape
+    // exists for; and the source-sizes side must broadcast
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected rank pushdown over the floored aggregate:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"\n$plan")
+  }
+
   test("q93: the budget-cutoff window runs over the bin aggregate, never the corpus") {
     val plan = TextOps.q93TokenBudget(spark, sfDir).queryExecution
       .explainString(org.apache.spark.sql.execution.SimpleMode)

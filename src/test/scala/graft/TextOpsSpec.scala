@@ -583,4 +583,28 @@ class TextOpsSpec extends SparkSpec {
     val byDecile = once.values.groupBy(_ / 10).view.mapValues(_.size)
     assert(byDecile.values.max < once.size / 2)
   }
+
+  test("decontaminateScrub: eval-overlap spans excise, near-misses survive, the registry never emits") {
+    import spark.implicits._
+    val w13 = (1 to 13).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (100L, s"$w13 taile0"),                 // eval doc carrying the 13-gram
+      (1L, s"pre1 pre2 $w13 post1"),          // train: contains it -> excised
+      (2L, "clean words only here"),          // train: short + clean
+      (101L, "another eval doc body entirely"),
+      (3L, "x1 " + (1 to 12).map(i => s"w$i").mkString(" ") + " zz y1")
+    ).toDF("doc_id", "text")
+    val isEval = col("doc_id") >= 100L
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextOps.decontaminateScrub(d, isEval).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+        .toMap
+    val out = run(docs)
+    assert(out.keySet == Set(1L, 2L, 3L), "the registry must never emit")
+    assert(out(1L) == ((16L, 13L, "pre1 pre2 post1")), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((4L, 0L, "clean words only here")))
+    assert(out(3L)._2 == 0L,
+      s"12 of 13 shared tokens is a NEAR-miss — no span, no scrub: ${out(3L)}")
+    assert(run(docs.repartition(4)) == out, "partitioning-independent")
+  }
 }
