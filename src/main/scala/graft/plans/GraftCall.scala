@@ -85,6 +85,21 @@ object GraftProcedures {
         s"removed=${counts.getOrElse("removed", 0L)} " +
         s"changed=${counts.getOrElse("changed", 0L)}")
     },
+    "graft_restore" -> { (s, a) =>
+      val usage = "graft_restore(path, toVersion)"
+      require(a.size == 2, usage)
+      val v = graft.sources.ManifestTable.restore(s, path(a, usage),
+        num(usage)(a(1).toLong))
+      (v, s"restored snapshot of version ${a(1)} as version $v")
+    },
+    "graft_clone" -> { (s, a) =>
+      val usage = "graft_clone(sourcePath, targetPath [, version])"
+      require(a.size == 2 || a.size == 3, usage)
+      require(a(1).trim.nonEmpty, s"$usage — target path must be non-empty")
+      val v = graft.sources.ManifestTable.cloneShallow(s, path(a, usage),
+        a(1), num(usage)(a.lift(2).map(_.toLong).getOrElse(0L)))
+      (v, s"shallow-cloned ${a.head} to ${a(1)} at clone version $v")
+    },
     "graft_vacuum" -> { (s, a) =>
       val usage = "graft_vacuum(path [, keepVersions [, graceMs]])"
       require(a.nonEmpty && a.size <= 3, usage)

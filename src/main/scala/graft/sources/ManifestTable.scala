@@ -1340,6 +1340,67 @@ object ManifestTable {
     * its manifest yet (the Delta/Iceberg retention pattern). Keep
     * graceMs comfortably above the longest commit's write time.
     */
+  /** SHALLOW CLONE (r15) — the zero-copy fork every lakehouse ships
+    * (Delta `CLONE` semantics): `target` is created with ONE commit
+    * whose entries reference the source snapshot's data dirs by
+    * QUALIFIED ABSOLUTE path — no data bytes move; the cost is one
+    * manifest write however many TB the source holds. Stats ride along,
+    * so pruning works on the clone from commit one. The clone evolves
+    * independently: its own commits land under its own `data/`, and its
+    * [[vacuum]] only ever deletes there (foreign absolute dirs are
+    * outside vacuum's local listing by construction — resolution keeps
+    * absolute entry dirs absolute, Path(parent, child) semantics).
+    * The standard shallow-clone hazard is documented, not hidden:
+    * VACUUM or overwrite+vacuum on the SOURCE can delete dirs the clone
+    * still references — [[compactCommit]] on the clone deep-copies and
+    * cuts the dependency.
+    */
+  def cloneShallow(spark: SparkSession, source: String, target: String,
+      version: Long = 0L): Long = {
+    val v = if (version > 0) version else currentVersion(spark, source)
+    require(v > 0, s"manifest-table: $source has no committed version")
+    require(versionExists(spark, source, v),
+      s"manifest-table: clone source version $v of $source is not retained")
+    require(highestManifest(spark, target) == 0,
+      s"manifest-table: clone target $target already exists")
+    val srcRoot = { val p = new Path(source); fs(spark, p).makeQualified(p) }
+    val abs = manifestEntries(spark, source, v)
+      .map(e => e.copy(dir = new Path(srcRoot, e.dir).toString))
+    require(casCreateFile(spark, manifestPath(target, 1),
+        renderManifest(spark, target, 0, abs)),
+      s"manifest-table: lost the creation race for clone target $target")
+    advancePointer(spark, target, 1)
+    1L
+  }
+
+  /** RESTORE (r15) — rollback as a COMMIT (Delta `RESTORE` semantics):
+    * publishes head+1 whose entries are exactly `toVersion`'s. History
+    * is preserved — the rolled-back commits stay addressable for
+    * forensics and time travel — and incremental consumers hit
+    * [[readAppendedSince]]'s loud non-append boundary instead of
+    * silently double-reading rows they already consumed. Requires the
+    * target version still retained (not vacuumed); its data dirs are
+    * then live by the vacuum invariant, and publishing them at the head
+    * re-pins them against future vacuums.
+    */
+  def restore(spark: SparkSession, table: String, toVersion: Long): Long = {
+    require(toVersion > 0 && versionExists(spark, table, toVersion),
+      s"manifest-table: version $toVersion of $table is not retained")
+    val entries = manifestEntries(spark, table, toVersion)
+    var committed = 0L
+    while (committed == 0L) {
+      val base = highestManifest(spark, table)
+      if (casCreateFile(spark, manifestPath(table, base + 1),
+          renderManifest(spark, table, base, entries)))
+        committed = base + 1
+      // else: lost a commit race — re-read the head and retry (the
+      // restored SNAPSHOT is what's pinned, whatever version number it
+      // lands as)
+    }
+    advancePointer(spark, table, committed)
+    committed
+  }
+
   def vacuum(spark: SparkSession, table: String, keepVersions: Int = 1,
       graceMs: Long = 60L * 60 * 1000): Unit = {
     require(keepVersions >= 1)

@@ -100,4 +100,28 @@ class GraftCallSpec extends SparkSpec {
     val arity = intercept[Exception](spark.sql(s"CALL graft_diff('$table')"))
     assert(arity.getMessage.contains("graft_diff(path, keyCol, fromVersion"))
   }
+
+  test("CALL graft_clone / graft_restore drive the zero-copy ops from pure SQL") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_callclone").toString
+    val src = s"$root/src"
+    val tgt = s"$root/tgt"
+    graft.sources.ManifestTable.commit(
+      (1L to 5L).toDF("id"), src, append = false)                    // v1
+    graft.sources.ManifestTable.commit(
+      Seq(99L).toDF("id"), src, append = false)                      // v2 (overwrite)
+
+    val cl = spark.sql(s"CALL graft_clone('$src', '$tgt', 1)").collect()(0)
+    assert(cl.getLong(1) == 1L && cl.getString(2).contains("shallow-cloned"))
+    assert(graft.sources.ManifestTable.read(spark, tgt)
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted == (1L to 5L),
+      "clone pinned the REQUESTED version, not the head")
+
+    val rs = spark.sql(s"CALL graft_restore('$src', 1)").collect()(0)
+    assert(rs.getLong(1) == 3L && rs.getString(2).contains("restored"))
+    assert(graft.sources.ManifestTable.read(spark, src).count() == 5L)
+
+    val arity = intercept[Exception](spark.sql(s"CALL graft_restore('$src')"))
+    assert(arity.getMessage.contains("graft_restore(path, toVersion)"))
+  }
 }
