@@ -610,7 +610,36 @@ object Lifecycle {
       s"o_orderstatus FROM $cat.orders_lake")
   }
 
+  private val q105Cache = new ScratchCache("graft_q105")
+
+  /** q105 (r15): the zero-copy table ops under the ORACLE gate —
+    * commit orders (v1), clobber the table with a junk overwrite (v2),
+    * `CALL graft_restore` back to v1's snapshot (v3), `CALL graft_clone`
+    * the restored table, and read THROUGH THE CLONE. Hash-matching plain
+    * `SELECT … FROM orders` proves restore recovered exactly v1's rows
+    * and the shallow clone served them without copying a byte (the
+    * clone's own data/ stays empty — CloneRestoreSpec pins that).
+    */
+  def q105CloneRestore(s: SparkSession, d: String): DataFrame = {
+    val root = q105Cache.get(d) { root =>
+      val t = s"$root/orders_lake"
+      val o = orders(s, d).select("o_orderkey", "o_totalprice", "o_orderstatus")
+      graft.sources.ManifestTable.commit(o, t, append = false,
+        statsCols = Seq("o_orderkey"))                       // v1: the truth
+      graft.sources.ManifestTable.commit(o.limit(1), t,
+        append = false)                                      // v2: bad overwrite
+      s.sql(s"CALL graft_restore('$t', 1)")                  // v3 = v1 snapshot
+      s.sql(s"CALL graft_clone('$t', '$root/orders_clone')")
+      root
+    }
+    graft.sources.ManifestTable.read(s, s"$root/orders_clone")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_clone_restore" -> q105CloneRestore _,
     "q84_cow_delete" -> q84CowDelete _,
     "q83_sql_merge" -> q83SqlMerge _,
     "q82_retention_delete" -> q82RetentionDelete _,
@@ -633,6 +662,10 @@ object Lifecycle {
   )
 
   val oracles: Map[String, String] = Map(
+    "q105_clone_restore" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        |       o_orderstatus
+        |FROM orders""".stripMargin,
     // SAME reconstruction as q81: the SQL MERGE must land the identical
     // upsert the library call does
     "q83_sql_merge" ->
