@@ -855,9 +855,12 @@ object TextOps {
     * the row a scraper regression shows up as, the input a per-source
     * scrub allowlist is built from.
     *
-    * Scale shape: one corpus scan; per-doc `array_distinct` makes the
-    * (source, span) aggregation count DOCUMENT incidence directly (no
-    * doc-level distinct shuffle); the incidence floor is integer-exact
+    * Scale shape: one corpus TOKEN scan plus one column-pruned
+    * source-count scan (the denominator must count docs too short to
+    * span — deriving it from the gram stream would undercount); per-doc
+    * `array_distinct` makes the (source, span) aggregation count
+    * DOCUMENT incidence directly (no doc-level distinct shuffle); the
+    * incidence floor is integer-exact
     * (n_docs·100 ≥ pct·n_src — no float boundary between engines). The
     * per-source rank runs AFTER the floor, whose output is bounded by
     * construction: spans with incidence ≥ p in a source number at most
