@@ -174,6 +174,14 @@ object ScaleProbe {
         ((s: SparkSession, dir: String) => graft.operators.TextOps.ngramJaccard(
           boilerDocs(s, dir), maxShingleDF = graft.operators.TextOps.ProdMaxShingleDF,
           hashShingles = true))) :+
+      // r15: the span SCRUB on the same adversarial corpus — unlike the
+      // pairwise q35 family, q101's dup join is per-OCCURRENCE (a
+      // corpus-wide template contributes covered positions linear in its
+      // occurrences, never C(DF,2) pairs), so boilerplate must not bend
+      // its curve
+      ("q101_boiler" ->
+        ((s: SparkSession, dir: String) =>
+          graft.operators.TextOps.spanScrub(boilerDocs(s, dir)))) :+
       // r15 adversarial CC topology (r14 verdict item 6): the O(log n)
       // claim's worst enemies are diameter and hubs; sf1.0's organic
       // clusters are tiny. 100k-node chains (one-hop propagation would
