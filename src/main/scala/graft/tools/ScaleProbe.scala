@@ -191,7 +191,13 @@ object ScaleProbe {
       ("cc_chain_hub_2e6" ->
         ((s: SparkSession, dir: String) => ccTopology(s, 1000000L))) :+
       ("cc_chain_hub_1e7" ->
-        ((s: SparkSession, dir: String) => ccTopology(s, 5000000L)))
+        ((s: SparkSession, dir: String) => ccTopology(s, 5000000L))) :+
+      // r15: ONE 5M-node chain (diameter 5e6, 50× the blocked probes'
+      // component size) — the rounds axis itself: star-contraction
+      // rounds should grow ~log(component), not diameter
+      ("cc_one_chain_5e6" ->
+        ((s: SparkSession, dir: String) =>
+          ccTopology(s, 5000000L, chainLen = 5000000L)))
 
   /** Read the q91-adjudication variant table when probing the derived
     * dir; at the sf0.1 reference dir the variant IS documents.parquet. */
@@ -236,9 +242,9 @@ object ScaleProbe {
     * 999. Returns one row iff every chain collapsed to exactly one
     * component (a wrong closure returns 0 rows, which the PROBE line's
     * rows field makes loud). */
-  private def ccTopology(s: SparkSession, n: Long): DataFrame = {
+  private def ccTopology(s: SparkSession, n: Long,
+      chainLen: Long = 100000L): DataFrame = {
     import graft.operators.ConnectedComponents
-    val chainLen = 100000L
     val hubSpan = 1000L
     val ids = s.range(n).toDF("id")
     val chain = ids.filter(pmod(col("id"), lit(chainLen)) =!= (chainLen - 1))
