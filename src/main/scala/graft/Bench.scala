@@ -216,8 +216,12 @@ object Bench {
     // A full-suite run whose canary says the rig was actually quiet ALSO
     // writes BENCH_QUIET.json — so a contended driver run can never
     // displace the best-conditions record, and a quiet run refreshes it
-    // automatically with zero env-var discipline required.
-    if (only.isEmpty && rigFactor > 0 && rigFactor <= 1.15) {
+    // automatically with zero env-var discipline required. A quiet run
+    // with ANY failed query (min = -1) must not displace an all-green
+    // record — the file exists to preserve best CONDITIONS, and a broken
+    // run on a quiet rig is not them.
+    if (only.isEmpty && rigFactor > 0 && rigFactor <= 1.15 &&
+        results.forall(_._2 >= 0)) {
       val quietPath = new java.io.File(
         sys.props.getOrElse("user.dir", "."), "BENCH_QUIET.json").getPath
       try {

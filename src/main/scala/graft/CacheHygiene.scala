@@ -42,8 +42,10 @@ object CacheHygiene {
     * frame that shares a checkpoint with any still-live frame kills that
     * frame too (lineage is truncated — the next read fails loudly), so:
     * only after the final consumer, only on exclusively-owned plans.
-    * Bench/Verify invoke it after materializing each query so long
-    * sessions don't accumulate immortal checkpoint blocks.
+    * Verify invokes it after materializing each query; Bench instead
+    * blanket-unpersists ALL persistent RDDs between timings
+    * (Bench.scala), which subsumes it — either way, long sessions don't
+    * accumulate immortal checkpoint blocks.
     */
   def releaseTree(dfs: DataFrame*): Unit = dfs.foreach { df =>
     ColumnBridge.analyzed(df).foreach {

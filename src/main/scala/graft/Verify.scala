@@ -17,16 +17,25 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // the dump IS the final consumer of each query's plan — release
+      // every checkpoint block the query minted (q94/q96/q99/q100 return
+      // joins OVER their checkpoints, unreachable from near-root
+      // release) so 99 queries in one session don't accumulate them.
+      // Release must run on the FAILURE path too: a query that throws
+      // after minting checkpoints (or whose write fails) would otherwise
+      // pin its blocks for the rest of the session, so a failed query
+      // falls back to a blanket unpersist (safe here — nothing is cached
+      // across queries; Bench does the same between timings).
+      var df: org.apache.spark.sql.DataFrame = null
       try {
-        val df = fn(spark, sfDir)
+        df = fn(spark, sfDir)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        // the dump IS the final consumer of this query's plan — release
-        // every checkpoint block the query minted (q94/q96/q99/q100 return
-        // joins OVER their checkpoints, unreachable from near-root
-        // release) so 99 queries in one session don't accumulate them
-        CacheHygiene.releaseTree(df)
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        if (df != null) CacheHygiene.releaseTree(df)
+        else spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -120,9 +120,10 @@ object ConnectedComponents {
     // so they are NOT released here. They sit UNDER a join, where
     // near-root CacheHygiene.release cannot reach them by design —
     // callers that have materialized the result and own it exclusively
-    // release them with [[graft.CacheHygiene.releaseTree]] (Bench/Verify
-    // do exactly that per query, so repeated q94/q96/q99/q100 runs in one
-    // session don't accumulate immortal checkpoint blocks).
+    // release them with [[graft.CacheHygiene.releaseTree]] (Verify does
+    // exactly that per query; Bench's between-timing blanket unpersist
+    // subsumes it — so repeated q94/q96/q99/q100 runs in one session
+    // don't accumulate immortal checkpoint blocks).
     nodes.join(cur.select(col("v").as("id"), col("u").as("component")),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))

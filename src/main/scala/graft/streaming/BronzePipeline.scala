@@ -346,7 +346,14 @@ object BronzePipeline {
           val fp = graft.operators.TextOps.fingerprint(col("raw_content"))
           val dataCols = sampled.columns.toSeq
           val ordered = ("posting_id" +: dataCols.filterNot(_ == "posting_id")).map(col)
+          // null raw_content ⇒ null fingerprint. The old equi-join dropped
+          // such rows (null keys never match); groupBy would instead pool
+          // ALL of them into one group and land a single null-content row
+          // in bronze, merging unrelated malformed postings. Keep the
+          // drop, explicitly: a row with no content has no dedup identity
+          // and nothing to ingest.
           val batchDeduped = sampled.withColumn("__fp", fp)
+            .filter(col("__fp").isNotNull)
             .groupBy("__fp")
             .agg(org.apache.spark.sql.functions.min(struct(ordered: _*)).as("__r"))
             .select(dataCols.map(c => col(s"__r.$c")): _*)

@@ -184,20 +184,26 @@ object ScaleProbe {
           graft.operators.TextOps.spanScrub(boilerDocs(s, dir)))) :+
       // r15 adversarial CC topology (r14 verdict item 6): the O(log n)
       // claim's worst enemies are diameter and hubs; sf1.0's organic
-      // clusters are tiny. 100k-node chains (one-hop propagation would
-      // need 1e5 rounds) + degree-999 hubs, at ~2e6 and ~1e7 edges.
+      // clusters are tiny. Two axes, probed separately:
+      //  - chain+hub graphs: 100k-node components with a degree-999 hub
+      //    every 1000 nodes (~2 edges/node). NOTE the hubs SHORTCUT the
+      //    chain (any two nodes are ~3 hops per 1000-block apart, so
+      //    diameter is ~300, not 10^5) — these probe component SIZE and
+      //    max DEGREE at 2e6 and 1e7 edges, not diameter.
+      //  - the hub-free single chain below is the true DIAMETER axis.
       // Ignores `dir` (the graph is synthetic); rounds + per-round edge
       // volume print on a CCROUNDS line per sample.
       ("cc_chain_hub_2e6" ->
         ((s: SparkSession, dir: String) => ccTopology(s, 1000000L))) :+
       ("cc_chain_hub_1e7" ->
         ((s: SparkSession, dir: String) => ccTopology(s, 5000000L))) :+
-      // r15: ONE 5M-node chain (diameter 5e6, 50× the blocked probes'
-      // component size) — the rounds axis itself: star-contraction
-      // rounds should grow ~log(component), not diameter
+      // r15: ONE hub-free 5M-node chain — genuinely diameter 5e6 (no
+      // hub shortcuts), 50× the hub probes' component size: the
+      // diameter/rounds axis itself. Star-contraction rounds should
+      // grow ~log(component), where one-hop propagation would need 5e6.
       ("cc_one_chain_5e6" ->
         ((s: SparkSession, dir: String) =>
-          ccTopology(s, 5000000L, chainLen = 5000000L)))
+          ccTopology(s, 5000000L, chainLen = 5000000L, withHubs = false)))
 
   /** Read the q91-adjudication variant table when probing the derived
     * dir; at the sf0.1 reference dir the variant IS documents.parquet. */
@@ -236,14 +242,18 @@ object ScaleProbe {
     s.read.parquet(out)
   }
 
-  /** Deterministic chain+hub graph → CC labels, checked and summarized.
-    * n nodes in 100k-long chains plus a hub every 1000 nodes adopting
-    * its block: ~2 edges/node, diameter 10⁵ per component, max degree
-    * 999. Returns one row iff every chain collapsed to exactly one
+  /** Deterministic chain(+hub) graph → CC labels, checked and summarized.
+    * n nodes in chainLen-long chains; with `withHubs`, plus a hub every
+    * 1000 nodes adopting its block (~2 edges/node, max degree 999 — but
+    * the hubs SHORTCUT the chain, collapsing per-component diameter to
+    * ~3 hops per block, so hub graphs probe size/degree). With
+    * `withHubs = false` the chain is the only structure and the
+    * component diameter is genuinely chainLen − 1 — the diameter axis.
+    * Returns one row iff every chain collapsed to exactly one
     * component (a wrong closure returns 0 rows, which the PROBE line's
     * rows field makes loud). */
   private def ccTopology(s: SparkSession, n: Long,
-      chainLen: Long = 100000L): DataFrame = {
+      chainLen: Long = 100000L, withHubs: Boolean = true): DataFrame = {
     import graft.operators.ConnectedComponents
     val hubSpan = 1000L
     val ids = s.range(n).toDF("id")
@@ -252,7 +262,8 @@ object ScaleProbe {
     val hubs = ids.filter(pmod(col("id"), lit(hubSpan)) =!= 0L)
       .select((col("id") - pmod(col("id"), lit(hubSpan))).as("src"),
         col("id").as("dst"))
-    val labels = ConnectedComponents.run(chain.union(hubs), maxIter = 100)
+    val edges = if (withHubs) chain.union(hubs) else chain
+    val labels = ConnectedComponents.run(edges, maxIter = 100)
     val expected = (n + chainLen - 1) / chainLen
     println(s"""CCROUNDS {"n":$n,"rounds":${ConnectedComponents.lastRounds},""" +
       s""""round_edges":[${ConnectedComponents.lastRoundEdges.mkString(",")}]}""")
