@@ -38,10 +38,11 @@ import org.apache.spark.sql.SparkSession
   * data additionally lands in BENCH_PASSES.json next to this repo (the
   * driver's stdout capture keeps only the final ~2000 characters, so the
   * file is the durable record). A full-suite run whose canary reads
-  * rig_factor ≤ 1.15 also mirrors the record to BENCH_QUIET.json, so a
-  * later contended run (e.g. the driver's per-round bench) can overwrite
-  * BENCH_PASSES.json without displacing the quiet-conditions record
-  * (r15, r14 verdict item 8). The final summary line keeps the driver
+  * rig_factor ≤ 1.15 AND whose every pass of every query succeeded also
+  * mirrors the record to BENCH_QUIET.json, so neither a later contended
+  * run (e.g. the driver's per-round bench) nor a partially broken run on
+  * a quiet rig can displace the quiet-conditions record (r15, r14
+  * verdict item 8). The final summary line keeps the driver
   * contract (`queries` = per-query min, `qNN` keys, 3 decimals) and adds a
   * compact `p` object with per-pass centisecond arrays so the artifact
   * itself distinguishes noise from regression; `p` degrades to just the
@@ -217,11 +218,13 @@ object Bench {
     // writes BENCH_QUIET.json — so a contended driver run can never
     // displace the best-conditions record, and a quiet run refreshes it
     // automatically with zero env-var discipline required. A quiet run
-    // with ANY failed query (min = -1) must not displace an all-green
-    // record — the file exists to preserve best CONDITIONS, and a broken
-    // run on a quiet rig is not them.
+    // with ANY failed pass (a -1 anywhere, not just a -1 min — a query
+    // can crash twice and still post a non-negative min on its third
+    // pass) must not displace an all-green record — the file exists to
+    // preserve best CONDITIONS, and a broken run on a quiet rig is not
+    // them.
     if (only.isEmpty && rigFactor > 0 && rigFactor <= 1.15 &&
-        results.forall(_._2 >= 0)) {
+        results.forall(_._3.forall(_ >= 0))) {
       val quietPath = new java.io.File(
         sys.props.getOrElse("user.dir", "."), "BENCH_QUIET.json").getPath
       try {

@@ -23,9 +23,15 @@ object Verify {
       // release) so 99 queries in one session don't accumulate them.
       // Release must run on the FAILURE path too: a query that throws
       // after minting checkpoints (or whose write fails) would otherwise
-      // pin its blocks for the rest of the session, so a failed query
-      // falls back to a blanket unpersist (safe here — nothing is cached
-      // across queries; Bench does the same between timings).
+      // pin its blocks for the rest of the session. A write-time failure
+      // (the common case — fn mostly builds a lazy plan) still has the
+      // returned frame, so releaseTree covers its checkpoint leaves; a
+      // failure inside fn itself leaves no frame, so it falls back to a
+      // blanket unpersist (safe here — nothing is cached across queries;
+      // Bench does the same between timings). Cleanup exceptions (e.g. a
+      // dead context after an executor OOM) must stay confined to this
+      // query — the remaining queries and the oracle_sql.json dump are
+      // worth more than this cleanup.
       var df: org.apache.spark.sql.DataFrame = null
       try {
         df = fn(spark, sfDir)
@@ -33,9 +39,13 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally {
-        if (df != null) CacheHygiene.releaseTree(df)
-        else spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        try {
+          if (df != null) CacheHygiene.releaseTree(df)
+          else spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name cleanup failed: ${e.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -132,8 +132,25 @@ class MixtureGateSpec extends SparkSpec {
     assert(d.exists { case (_, src, alert) => src == "small" && !alert },
       s"the stable batch must not alert: $d")
 
+    // batch 2 (r15 review): malformed rows with NULL raw_content —
+    // DISTINCT ids, no content. fingerprint(null) is null, so the
+    // __fp-keyed batch dedup must DROP them (and the mixture hash
+    // already nulls them out of the keep filter) — the contract is that
+    // they never land, neither individually nor pooled into one merged
+    // null-content "survivor". A valid row sharing the batch still lands.
+    post(Seq("n1" -> null, "n2" -> null, "p5" -> soup(20, "z")), "small")
+      .coalesce(1).write.mode("append").json(staging)
+    drain()
+    val landed2 = graft.sources.BronzeLayer.readRaw(spark, bronze)
+    assert(landed2.filter(col("raw_content").isNull).count() == 0,
+      "null-content rows must never land in bronze")
+    assert(landed2.filter(col("posting_id").isin("n1", "n2")).count() == 0,
+      "malformed postings must be dropped, not merged into one survivor")
+    assert(landed2.filter(col("posting_id") === "p5").count() == 1,
+      s"a valid row sharing the batch with malformed rows still lands")
+
     // nothing new: no-op drain, no duplicate drift partitions
     drain()
-    assert(graft.sources.BronzeLayer.readRaw(spark, bronze).count() == landed1.count())
+    assert(graft.sources.BronzeLayer.readRaw(spark, bronze).count() == landed2.count())
   }
 }
