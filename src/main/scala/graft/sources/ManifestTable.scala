@@ -54,6 +54,13 @@ object ManifestTable {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Fresh table-relative data-dir name. The UUID is what makes
+    * concurrent writers collision-free AND what [[tornCasLanded]] leans
+    * on as an authorship proof — every commit path must mint dirs here.
+    */
+  private def newDataDirName(): String =
+    s"data/${UUID.randomUUID().toString.replace("-", "").take(16)}"
+
   private def store(spark: SparkSession): CommitStore =
     CommitStore.forSession(spark)
 
@@ -74,6 +81,24 @@ object ManifestTable {
     */
   private def casCreateFile(spark: SparkSession, p: Path, content: String): Boolean =
     store(spark).putIfAbsent(p, content)
+
+  /** Torn-CAS adoption for DERIVED commits (merge, COW rewrite,
+    * compaction): did the version a CAS reported as lost actually land,
+    * and is it OURS? The new data-dir name is a fresh UUID, so its
+    * presence in exactly the attempted version's entry list is proof of
+    * authorship. [[commit]]'s loop does the same check inline; the
+    * derived-commit loops MUST make it before deleting their new dir —
+    * deleting on a false-when-actually-landed report would leave the
+    * published head referencing a deleted dir (every read throws, and
+    * manifests are immutable, so the table stays broken until manual
+    * repair). This is the recovery obligation [[CommitStore.putIfAbsent]]
+    * places on callers. A missing/unreadable attempted manifest reads as
+    * not-landed — then nothing references the dir and deletion is safe.
+    */
+  private def tornCasLanded(spark: SparkSession, table: String,
+      attempted: Long, dirName: String): Boolean =
+    scala.util.Try(manifestEntries(spark, table, attempted)).toOption
+      .exists(_.exists(_.dir == dirName))
 
   private def readFile(spark: SparkSession, p: Path): String =
     store(spark).read(p)
@@ -179,12 +204,26 @@ object ManifestTable {
     case other => Entry(other.head, Map.empty)
   }
 
+  /** One manifest read → both things a manifest holds: the `#ts` commit
+    * stamp (None for legacy headerless manifests) and the entry list.
+    * [[manifestEntries]] and [[commitTimeMs]] each surface one half;
+    * callers needing both (e.g. [[historyRows]]) parse once here instead
+    * of issuing two store reads per version.
+    */
+  private def parseManifest(content: String): (Option[Long], Seq[Entry]) = {
+    val ts = content.linesIterator.find(_.nonEmpty)
+      .filter(_.startsWith("#ts:"))
+      .flatMap(_.stripPrefix("#ts:").trim.toLongOption)
+    val entries = content.linesIterator
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(parseEntry).toSeq
+    (ts, entries)
+  }
+
   private[graft] def manifestEntries(spark: SparkSession, table: String,
       v: Long): Seq[Entry] =
     if (v == 0) Nil
-    else readFile(spark, manifestPath(table, v)).linesIterator
-      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map(parseEntry).toSeq
+    else parseManifest(readFile(spark, manifestPath(table, v)))._2
 
   /** The wall-clock commit time stamped INSIDE a manifest at CAS time
     * (`#ts:<epochMillis>` header, r10+) — the honest axis `TIMESTAMP AS
@@ -193,10 +232,7 @@ object ManifestTable {
     */
   private[graft] def commitTimeMs(spark: SparkSession, table: String,
       v: Long): Option[Long] =
-    readFile(spark, manifestPath(table, v)).linesIterator
-      .find(_.nonEmpty)
-      .filter(_.startsWith("#ts:"))
-      .flatMap(_.stripPrefix("#ts:").trim.toLongOption)
+    parseManifest(readFile(spark, manifestPath(table, v)))._1
 
   /** Render a manifest for publication as version `base + 1`: entries
     * sorted by dir under a commit-time header. The stamp is MONOTONE per
@@ -394,7 +430,7 @@ object ManifestTable {
   def commit(df: DataFrame, table: String, append: Boolean,
       statsCols: Seq[String] = Nil, allowEvolution: Boolean = false): Long = {
     val spark = df.sparkSession
-    val dirName = s"data/${UUID.randomUUID().toString.replace("-", "").take(16)}"
+    val dirName = newDataDirName()
     val dirPath = new Path(table, dirName)
     df.write.parquet(dirPath.toString)
     val entry = Entry(dirName, commitStats(spark, dirPath, statsCols))
@@ -462,8 +498,16 @@ object ManifestTable {
 
   private def checkAppendSchema(spark: SparkSession, table: String, base: Long,
       df: DataFrame, allowEvolution: Boolean): Unit = {
-    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
-    val current = read(spark, table, base).schema
+    // the CACHED one-footer-per-dir union schema, not read(...).schema:
+    // planning the full snapshot with mergeSchema costs a footer read per
+    // FILE over ALL dirs, and this check runs on EVERY append attempt
+    // (and again per CAS-race retry) — exactly the planning cost the
+    // pruned-read path exists to avoid. Field ORDER from the footer walk
+    // is first-seen (not mergeSchema's), so the shape compare is by
+    // name+type SET: column order never matters to reads anyway
+    // ([[sliceRead]] selects by name and null-fills).
+    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSet
+    val current = snapshotSchemaOf(spark, table, base)
     if (allowEvolution) {
       val cur = current.fields.map(f => f.name -> f.dataType).toMap
       df.schema.fields.foreach(f => cur.get(f.name).foreach(t =>
@@ -738,11 +782,15 @@ object ManifestTable {
     */
   private def snapshotSchema(spark: SparkSession, table: String,
       dirs: Seq[String]): StructType = {
-    val f = fs(spark, new Path(table))
     var seen = Set.empty[String]
     val fields = Seq.newBuilder[StructField]
     dirs.foreach { d =>
-      f.listStatus(new Path(table, d))
+      // per-DIR FileSystem, not the table root's: a shallow clone's
+      // entries are qualified absolute dirs that may live on a different
+      // filesystem than the clone root (s3a source, hdfs clone) — the
+      // root-bound fs would throw "Wrong FS" on them
+      val p = new Path(table, d)
+      fs(spark, p).listStatus(p)
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .sortBy(_.getPath.getName).headOption
         .foreach { st =>
@@ -859,9 +907,13 @@ object ManifestTable {
       else math.max(hintVersion(spark, table), highestManifest(spark, table))
     require(fromVersion > 0 && fromVersion <= to,
       s"manifest-table: diff range $fromVersion -> $to invalid")
-    val (fromOnly, toOnly, _) = diffDirs(spark, table, fromVersion, to)
+    // one manifest read per version: the all-dirs lists and the
+    // shared-dir split derive from the same two entry lists
     val fromAll = manifestEntries(spark, table, fromVersion).map(_.dir)
     val toAll = manifestEntries(spark, table, to).map(_.dir)
+    val shared = fromAll.toSet intersect toAll.toSet
+    val fromOnly = fromAll.filterNot(shared).sorted
+    val toOnly = toAll.filterNot(shared).sorted
     def side(dirs: Seq[String], v: Long, all: Seq[String], as: String) = {
       val schema = snapshotSchemaCached(spark, table, v, all)
       val df = if (dirs.isEmpty)
@@ -873,8 +925,23 @@ object ManifestTable {
       df.select(keyCols.map(col) :+
         to_json(struct(nonKey.map(col): _*)).as(as): _*)
     }
-    side(fromOnly, fromVersion, fromAll, "from_values")
-      .join(side(toOnly, to, toAll, "to_values"), keyCols, "full_outer")
+    // Null keys carry no row identity: [[mergeCommit]]'s contract lets
+    // null-key target rows SURVIVE rewrites, so a rewritten dir can
+    // legally hold them — and the equality join below would then
+    // re-classify an unchanged null-key row as added + removed (null
+    // never equals null). A null-safe join is no fix either: several
+    // null-key rows per side would match many-to-many and could cancel
+    // a real removal silently. So refuse LOUDLY, and only when it
+    // matters — the check scans just the commit-pruned diff slices, so
+    // null-key rows resting in shared (untouched) dirs never trip it.
+    val lhs = side(fromOnly, fromVersion, fromAll, "from_values")
+    val rhs = side(toOnly, to, toAll, "to_values")
+    val nullKey = keyCols.map(col(_).isNull).reduce(_ || _)
+    require(lhs.filter(nullKey).isEmpty && rhs.filter(nullKey).isEmpty,
+      s"manifest-table: rows with null ${keyCols.mkString("/")} in the " +
+        s"diffed commits of $table - null keys have no row identity to " +
+        "diff on; use key columns that are non-null across both versions")
+    lhs.join(rhs, keyCols, "full_outer")
       .withColumn("change",
         when(col("from_values").isNull, "added")
           .when(col("to_values").isNull, "removed")
@@ -902,11 +969,15 @@ object ManifestTable {
       }.sortBy(_._1)
     var prev = Set.empty[String]
     manifests.map { case (v, mtimeMs) =>
-      val dirs = dataDirs(spark, table, v).toSet
+      // ONE store read per version: dirs and the commit stamp parse from
+      // the same content (2N GETs would double protocol I/O on an
+      // object-store history call for nothing)
+      val (stamp, entries) = parseManifest(readFile(spark, manifestPath(table, v)))
+      val dirs = entries.map(_.dir).toSet
       // epoch MILLIS: the stamped in-manifest commit time when present
       // (r10+, what TIMESTAMP AS OF resolves on), file mtime for legacy
       // manifests (informational only)
-      val ts = commitTimeMs(spark, table, v).getOrElse(mtimeMs)
+      val ts = stamp.getOrElse(mtimeMs)
       val row = (v, ts, dirs.size,
         dirs.diff(prev).size, prev.diff(dirs).size)
       prev = dirs
@@ -943,7 +1014,7 @@ object ManifestTable {
           if (anchor.isEmpty) {
             val schema = snapshotSchemaCached(spark, table, v, entries.map(_.dir))
             val dirName =
-              s"data/${UUID.randomUUID().toString.replace("-", "").take(16)}"
+              newDataDirName()
             spark.createDataFrame(
               java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
               .repartition(1).write.parquet(new Path(table, dirName).toString)
@@ -1015,7 +1086,7 @@ object ManifestTable {
           case empty if empty.isEmpty =>
             if (anchor.isEmpty) {
               val dirName =
-                s"data/${UUID.randomUUID().toString.replace("-", "").take(16)}"
+                newDataDirName()
               spark.createDataFrame(
                 java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
                 .repartition(1).write.parquet(new Path(table, dirName).toString)
@@ -1029,7 +1100,7 @@ object ManifestTable {
           committed = v + 1
       } else {
         val dirName =
-          s"data/${UUID.randomUUID().toString.replace("-", "").take(16)}"
+          newDataDirName()
         val dirPath = new Path(table, dirName)
         rewrite(sliceRead(spark, table, toRewrite.map(_.dir).sorted, schema))
           .write.parquet(dirPath.toString)
@@ -1039,6 +1110,8 @@ object ManifestTable {
         val content = renderManifest(spark, table, v, kept :+ entry)
         if (casCreateFile(spark, manifestPath(table, v + 1), content))
           committed = v + 1
+        else if (tornCasLanded(spark, table, v + 1, dirName))
+          committed = v + 1 // torn read-back: our publish DID land — adopt
         else f.delete(dirPath, true) // stale-derived rewrite: recompute
       }
     }
@@ -1123,7 +1196,7 @@ object ManifestTable {
           val entries = manifestEntries(spark, table, v)
           val (affected, untouched) = entries.partition(affectedBy)
           val dirName =
-            s"data/${UUID.randomUUID().toString.replace("-", "").take(16)}"
+            newDataDirName()
           val dirPath = new Path(table, dirName)
           val schema = snapshotSchemaCached(spark, table, v, entries.map(_.dir))
           val survivors = sliceRead(spark, table, affected.map(_.dir).sorted, schema)
@@ -1135,6 +1208,8 @@ object ManifestTable {
           val content = renderManifest(spark, table, v, untouched :+ entry)
           if (casCreateFile(spark, manifestPath(table, v + 1), content))
             committed = v + 1
+          else if (tornCasLanded(spark, table, v + 1, dirName))
+            committed = v + 1 // torn read-back: our publish DID land — adopt
           else f.delete(dirPath, true) // stale-derived rewrite: recompute
         }
       }
@@ -1185,15 +1260,26 @@ object ManifestTable {
     while (committed == 0L) {
       val v = highestManifest(spark, table)
       require(v > 0, s"manifest-table: $table has no committed version")
+      // per-dir fs: clone entries may be absolute dirs on a foreign
+      // filesystem (compaction on a clone is the documented escape hatch
+      // from the source-vacuum hazard, so it MUST work on such entries)
       val bytes = dataDirs(spark, table, v)
-        .map(d => f.getContentSummary(new Path(root, d)).getLength).sum
+        .map { d => val p = new Path(root, d)
+          fs(spark, p).getContentSummary(p).getLength }.sum
       val nFiles = ParquetSink.targetFileCount(bytes, targetBytes)
-      val dirName = s"data/${UUID.randomUUID().toString.replace("-", "").take(16)}"
+      val dirName = newDataDirName()
       val dirPath = new Path(table, dirName)
       read(spark, table, v).repartition(nFiles).write.parquet(dirPath.toString)
       val entry = Entry(dirName, commitStats(spark, dirPath, statsCols))
-      if (casCreateFile(spark, manifestPath(table, v + 1), renderEntry(entry)))
+      // renderManifest, not a bare renderEntry: the #ts stamp must ride
+      // EVERY commit path — an unstamped compaction manifest would make
+      // versionAtTime refuse TIMESTAMP AS OF for every target at or
+      // below it (the legacy-manifest rule firing on a fresh commit)
+      if (casCreateFile(spark, manifestPath(table, v + 1),
+          renderManifest(spark, table, v, Seq(entry))))
         committed = v + 1
+      else if (tornCasLanded(spark, table, v + 1, dirName))
+        committed = v + 1 // torn read-back: our publish DID land — adopt
       else f.delete(dirPath, true) // stale-derived rewrite: recompute
     }
     advancePointer(spark, table, committed)
@@ -1266,8 +1352,14 @@ object ManifestTable {
         s"manifest-table: cluster column $c not in snapshot schema"))
       require(!snapshot.columns.contains(BucketCol),
         s"manifest-table: column name $BucketCol is reserved by compaction")
+      // same reservation for the transient range key: withColumn would
+      // silently REPLACE a user column of this name and the drop below
+      // would erase it from the compacted snapshot
+      require(!snapshot.columns.contains("_graft_ck"),
+        "manifest-table: column name _graft_ck is reserved by compaction")
       val bytes = dataDirs(spark, table, v)
-        .map(d => f.getContentSummary(new Path(root, d)).getLength).sum
+        .map { d => val p = new Path(root, d) // per-dir fs (clone entries)
+          fs(spark, p).getContentSummary(p).getLength }.sum
       val nFiles = math.max(buckets, ParquetSink.targetFileCount(bytes, targetBytes))
       // range partitions are ordered, so a contiguous pid->bucket map keeps
       // each bucket's slice of the cluster key disjoint
@@ -1302,7 +1394,7 @@ object ManifestTable {
       val entries =
         if (bucketDirs.nonEmpty) bucketDirs.map { st =>
           val bucket = st.getPath.getName.stripPrefix(s"$BucketCol=").toInt
-          val dirName = s"data/${UUID.randomUUID().toString.replace("-", "").take(16)}"
+          val dirName = newDataDirName()
           // a silently-failed move would publish a manifest entry pointing
           // at a missing dir, breaking every read of the new version —
           // abort the compaction instead (no CAS happened yet, table intact)
@@ -1311,7 +1403,7 @@ object ManifestTable {
               s"${st.getPath} to $dirName - aborting before publish")
           Entry(dirName, bucketStats.getOrElse(bucket, Map.empty))
         } else { // empty snapshot: keep the version readable (schema-only dir)
-          val dirName = s"data/${UUID.randomUUID().toString.replace("-", "").take(16)}"
+          val dirName = newDataDirName()
           snapshot.limit(0).write.parquet(new Path(root, dirName).toString)
           Seq(Entry(dirName, Map.empty))
         }
@@ -1319,6 +1411,8 @@ object ManifestTable {
       val content = renderManifest(spark, table, v, entries)
       if (casCreateFile(spark, manifestPath(table, v + 1), content))
         committed = v + 1
+      else if (tornCasLanded(spark, table, v + 1, entries.head.dir))
+        committed = v + 1 // torn read-back: our publish DID land — adopt
       else entries.foreach(e => f.delete(new Path(root, e.dir), true))
     }
     advancePointer(spark, table, committed)
@@ -1366,9 +1460,17 @@ object ManifestTable {
     val srcRoot = { val p = new Path(source); fs(spark, p).makeQualified(p) }
     val abs = manifestEntries(spark, source, v)
       .map(e => e.copy(dir = new Path(srcRoot, e.dir).toString))
-    require(casCreateFile(spark, manifestPath(target, 1),
-        renderManifest(spark, target, 0, abs)),
-      s"manifest-table: lost the creation race for clone target $target")
+    if (!casCreateFile(spark, manifestPath(target, 1),
+        renderManifest(spark, target, 0, abs))) {
+      // torn-CAS recovery (the CommitStore contract): the publish may
+      // have LANDED with the false report. m-1 referencing exactly our
+      // snapshot's dirs proves it is this clone (ours, or an identical
+      // concurrent clone of the same source version — equivalent by
+      // content); anything else is a genuinely pre-existing target.
+      val landed = scala.util.Try(manifestEntries(spark, target, 1)).toOption
+      require(landed.exists(_.map(_.dir).toSet == abs.map(_.dir).toSet),
+        s"manifest-table: clone target $target already exists")
+    }
     advancePointer(spark, target, 1)
     1L
   }
@@ -1390,6 +1492,16 @@ object ManifestTable {
     var committed = 0L
     while (committed == 0L) {
       val base = highestManifest(spark, table)
+      // re-validate PER ATTEMPT: a concurrent commit plus an aggressive
+      // vacuum can retire toVersion (and delete its now-unreferenced
+      // dirs) between our entry read and a late CAS win — publishing the
+      // stale entry list would pin a head full of deleted dirs. The
+      // check shrinks the window to one CAS round-trip; closing it fully
+      // needs what every table format needs here: don't run vacuum with
+      // keepVersions below the restore horizon you intend to use.
+      require(versionExists(spark, table, toVersion),
+        s"manifest-table: version $toVersion of $table was vacuumed " +
+          "mid-restore - aborting before publishing dangling dirs")
       if (casCreateFile(spark, manifestPath(table, base + 1),
           renderManifest(spark, table, base, entries)))
         committed = base + 1
