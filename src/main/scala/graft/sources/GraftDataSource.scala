@@ -120,10 +120,7 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
         "row-level upserts are cdcApply's job, not a sink's")
     val opts = new CaseInsensitiveStringMap(
       scala.jdk.CollectionConverters.MapHasAsJava(parameters).asJava)
-    val path = Option(opts.get("path")).map(_.trim).filter(_.nonEmpty)
-      .getOrElse(throw new IllegalArgumentException(
-        "graft sink: a single `path` option is required"))
-    require(!path.contains(","), "graft sink: exactly one path")
+    val path = GraftDataSource.requiredPath(opts, "graft sink:")
     require(!opts.containsKey("version") && !opts.containsKey("sinceVersion"),
       "graft sink: version/sinceVersion are read options - commits land " +
         "on the CAS head")
@@ -141,29 +138,33 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
       properties: JMap[String, String]): Table =
     GraftDataSource.resolveTable(new CaseInsensitiveStringMap(properties))
 
-  /** `df.write.format("graft").mode(...).save(path)` — Spark routes
-    * path-based saves of a non-catalog source through the V1 write
-    * planner, so the four SaveModes land here and map 1:1 onto commit
-    * forms: Append = CAS append (bootstrapping a fresh table as its v1),
-    * Overwrite = atomic whole-snapshot replace, ErrorIfExists (the
-    * default) / Ignore = create-only. The existence CHECK for the
-    * create-only modes is advisory (two racing creators both pass it and
-    * their commits serialize in CAS order — the same already-exists race
-    * every path-based Spark source has); the COMMIT itself is never racy.
+  /** `df.write.format("graft").mode(...).save(path)` — the V1 fallback
+    * write path. Spark 3.2+/4 routes Append and Overwrite saves of a
+    * TableProvider through the DSv2 plan ([[GraftDataSource.GraftTable]]
+    * → V1_BATCH_WRITE), so in practice only ErrorIfExists (the default)
+    * and Ignore — the create-only modes DSv2 has no hook for on a
+    * path-based save — reach this method; the Append/Overwrite cases
+    * below run only under a `spark.sql.sources.useV1SourceList`
+    * override. They are kept BEHAVIOR-IDENTICAL to the DSv2 write
+    * (same commit forms, same option refusals, same stats inheritance)
+    * precisely so the routing never matters: edit write semantics in
+    * BOTH places or neither. The existence CHECK for the create-only
+    * modes is advisory (two racing creators both pass it and their
+    * commits serialize in CAS order — the same already-exists race every
+    * path-based Spark source has); the COMMIT itself is never racy.
     */
   override def createRelation(ctx: SQLContext, mode: SaveMode,
       parameters: Map[String, String],
       data: org.apache.spark.sql.DataFrame): BaseRelation = {
-    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft datasource: df.write needs .save(path)"))
-    require(!path.contains(","), "graft datasource: exactly one path")
-    require(!parameters.contains("version") && !parameters.contains("sinceversion") &&
-      !parameters.contains("sinceVersion"),
+    val opts = new CaseInsensitiveStringMap(
+      scala.jdk.CollectionConverters.MapHasAsJava(parameters).asJava)
+    val path = GraftDataSource.requiredPath(opts,
+      "graft datasource: df.write needs .save(path) -")
+    require(!opts.containsKey("version") && !opts.containsKey("sinceVersion"),
       "graft datasource: version/sinceVersion are read options - writes " +
         "always target the CAS head")
     val spark = ctx.sparkSession
-    val stats = parameters.get("stats")
-      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+    val stats = GraftDataSource.statsOption(opts)
       .getOrElse(ManifestTable.headStatsCols(spark, path))
     val exists = ManifestTable.currentVersion(spark, path) > 0
     mode match {
@@ -192,6 +193,20 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
 private[graft] object GraftDataSource {
   import ManifestTable.{ColStat, Entry}
 
+  /** The single `path` option, trimmed and validated — ONE rule for all
+    * four entry surfaces (table resolution, V1 save, stream setup,
+    * sink) so path handling can never drift between them. `what`
+    * prefixes the error with the surface's name and usage hint.
+    */
+  private def requiredPath(opts: CaseInsensitiveStringMap, what: String): String = {
+    val p = Option(opts.get("path")).map(_.trim).filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$what a single `path` option is required"))
+    // DataFrameReader.load(paths: _*) joins them with commas
+    require(!p.contains(","), s"$what exactly one path")
+    p
+  }
+
   /** Resolve (path, pinned version) from reader options. The version pin
     * happens HERE, once per table resolution — `inferSchema` and
     * `getTable` both land on the same [[GraftTable]] value because the
@@ -201,12 +216,8 @@ private[graft] object GraftDataSource {
     * is what the plan uses).
     */
   private def resolveTable(options: CaseInsensitiveStringMap): Table = {
-    val path = Option(options.get("path")).map(_.trim).filter(_.nonEmpty)
-      .getOrElse(throw new IllegalArgumentException(
-        "graft datasource: a single `path` option is required " +
-          "(spark.read.format(\"graft\").load(\"/table/path\"))"))
-    require(!path.contains(","), // DataFrameReader.load(paths: _*) joins them
-      "graft datasource: exactly one path (multi-path loads are not manifest snapshots)")
+    val path = requiredPath(options,
+      "graft datasource: spark.read.format(\"graft\").load(\"/table/path\") -")
     val spark = SparkSession.active
     val history = Option(options.get("history")).map(_.trim).filter(_.nonEmpty)
       .map {
@@ -288,22 +299,37 @@ private[graft] object GraftDataSource {
   // wider than the bound plan and the first batch fails on attribute
   // mismatch. A consumed/absent entry re-resolves (two concurrent starts
   // of identical parameter maps: the second re-resolves — same rare race,
-  // strictly no worse). Size-capped: an entry leaks only when a resolved
-  // relation is never started.
+  // strictly no worse). Entries EXPIRE after a TTL far above any real
+  // resolve→start gap: a resolution built but never started (a notebook
+  // cell re-run hours later, after the table evolved) must NOT hand its
+  // stale schema to the next identically-parameterized stream — and
+  // eviction removes only expired entries, because a blanket clear()
+  // would wipe other queries' in-flight resolutions and re-open the
+  // very race this cache closes.
   private val streamResolutions = new java.util.concurrent.ConcurrentHashMap[
-    Map[String, String], (String, StructType, Long, Option[Long])]()
+    Map[String, String], (Long, (String, StructType, Long, Option[Long]))]()
+  private val StreamResolutionTtlMs = 10L * 60 * 1000
 
   private def cacheStreamSetup(spark: SparkSession,
       parameters: Map[String, String])
       : (String, StructType, Long, Option[Long]) = {
-    if (streamResolutions.size > 64) streamResolutions.clear()
-    streamResolutions.computeIfAbsent(parameters, p => streamSetup(spark, p))
+    val now = System.currentTimeMillis()
+    if (streamResolutions.size > 64) {
+      streamResolutions.entrySet.removeIf(e => now - e.getValue._1 > StreamResolutionTtlMs)
+      if (streamResolutions.size > 64) streamResolutions.clear() // 64+ LIVE: pathological
+    }
+    streamResolutions.compute(parameters, (p, prev) =>
+      if (prev != null && now - prev._1 <= StreamResolutionTtlMs) prev
+      else (now, streamSetup(spark, p)))._2
   }
 
   private def consumeStreamSetup(spark: SparkSession,
       parameters: Map[String, String])
       : (String, StructType, Long, Option[Long]) =
     Option(streamResolutions.remove(parameters))
+      .filter { case (ts, _) =>
+        System.currentTimeMillis() - ts <= StreamResolutionTtlMs }
+      .map(_._2)
       .getOrElse(streamSetup(spark, parameters))
 
   /** Stream-source option resolution: (path, schema, sinceVersion,
@@ -317,10 +343,7 @@ private[graft] object GraftDataSource {
       : (String, StructType, Long, Option[Long]) = {
     val opts = new CaseInsensitiveStringMap(
       scala.jdk.CollectionConverters.MapHasAsJava(parameters).asJava)
-    val path = Option(opts.get("path")).map(_.trim).filter(_.nonEmpty)
-      .getOrElse(throw new IllegalArgumentException(
-        "graft stream: a single `path` option is required"))
-    require(!path.contains(","), "graft stream: exactly one path")
+    val path = requiredPath(opts, "graft stream:")
     require(!opts.containsKey("version"),
       "graft stream: version pins are a batch read option - a stream " +
         "tails the head; use sinceVersion to choose where the tail starts")
@@ -445,9 +468,17 @@ private[graft] object GraftDataSource {
       case LessThan(c, v) => bounded(c, None, Some(v))
       case LessThanOrEqual(c, v) => bounded(c, None, Some(v))
       case In(c, vs) => vs.isEmpty || vs.exists(v => bounded(c, Some(v), Some(v)))
+      // a recorded zero null count PROVES no row is null — without this,
+      // DELETE WHERE c IS NULL on an all-non-null table would classify
+      // every commit CowRewrite and rewrite 100 TB to delete nothing
+      // (and a scan-side IS NULL would read every dir). A missing or
+      // positive count keeps the dir, conservative as ever.
+      case IsNull(c) => !e.stats.get(c).exists(_.nulls.contains(0L))
+      case EqualNullSafe(c, v) if v == null => // <=> NULL is IS NULL
+        !e.stats.get(c).exists(_.nulls.contains(0L))
       case And(l, r) => entryCanMatch(schema, e, l) && entryCanMatch(schema, e, r)
       case Or(l, r) => entryCanMatch(schema, e, l) || entryCanMatch(schema, e, r)
-      case _ => true // IsNull, Not, string matchers, ...: no dir-level claim
+      case _ => true // Not, string matchers, ...: no dir-level claim
     }
   }
 
@@ -565,18 +596,18 @@ private[graft] object GraftDataSource {
 
   private def translateFilter(f: Filter,
       strict: Boolean): Option[org.apache.spark.sql.Column] = f match {
-    case EqualTo(c, v) => Some(col(c) === lit(v))
-    case EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
-    case GreaterThan(c, v) => Some(col(c) > lit(v))
-    case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
-    case LessThan(c, v) => Some(col(c) < lit(v))
-    case LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
-    case In(c, vs) if !vs.contains(null) => Some(col(c).isin(vs.toSeq: _*))
-    case IsNull(c) => Some(col(c).isNull)
-    case IsNotNull(c) => Some(col(c).isNotNull)
-    case StringStartsWith(c, p) => Some(col(c).startsWith(p))
-    case StringEndsWith(c, p) => Some(col(c).endsWith(p))
-    case StringContains(c, p) => Some(col(c).contains(p))
+    case EqualTo(c, v) => Some(ManifestTable.colExact(c) === lit(v))
+    case EqualNullSafe(c, v) => Some(ManifestTable.colExact(c) <=> lit(v))
+    case GreaterThan(c, v) => Some(ManifestTable.colExact(c) > lit(v))
+    case GreaterThanOrEqual(c, v) => Some(ManifestTable.colExact(c) >= lit(v))
+    case LessThan(c, v) => Some(ManifestTable.colExact(c) < lit(v))
+    case LessThanOrEqual(c, v) => Some(ManifestTable.colExact(c) <= lit(v))
+    case In(c, vs) if !vs.contains(null) => Some(ManifestTable.colExact(c).isin(vs.toSeq: _*))
+    case IsNull(c) => Some(ManifestTable.colExact(c).isNull)
+    case IsNotNull(c) => Some(ManifestTable.colExact(c).isNotNull)
+    case StringStartsWith(c, p) => Some(ManifestTable.colExact(c).startsWith(p))
+    case StringEndsWith(c, p) => Some(ManifestTable.colExact(c).endsWith(p))
+    case StringContains(c, p) => Some(ManifestTable.colExact(c).contains(p))
     case And(l, r) =>
       (translateFilter(l, strict), translateFilter(r, strict)) match {
         case (Some(a), Some(b)) => Some(a && b)
@@ -627,17 +658,27 @@ private[graft] object GraftDataSource {
       */
     override def canDeleteWhere(filters: Array[Filter]): Boolean = {
       if (explicitPin || sinceVersion > 0) return false
-      if (rowPredicate(filters).isDefined) return true
       val spark = SparkSession.active
       val head = math.max(snapshotVersion,
         ManifestTable.currentVersion(spark, path))
+      // unborn table: nothing to delete and no snapshot schema to prove
+      // against — refuse at analysis like every read path, instead of
+      // letting deleteWhere die on a manifest-internal require
+      if (head == 0) return false
+      if (rowPredicate(filters).isDefined) return true
+      // prove against the HEAD snapshot's schema, the same schema
+      // deleteWhere's classify uses — a long-lived catalog table resolved
+      // before an additive evolution would otherwise refuse deletes its
+      // execution path could decide (conservative, but needlessly so)
+      val snapSchema = ManifestTable.snapshotSchemaOf(spark, path, head)
       ManifestTable.manifestEntries(spark, path, head)
-        .forall(e => decidable(e, filters))
+        .forall(e => decidable(snapSchema, e, filters))
     }
 
-    private def decidable(e: Entry, filters: Array[Filter]): Boolean =
-      filters.forall(f => entryAllMatch(schema, e, f)) ||
-        filters.exists(f => !entryCanMatch(schema, e, f))
+    private def decidable(s: StructType, e: Entry,
+        filters: Array[Filter]): Boolean =
+      filters.forall(f => entryAllMatch(s, e, f)) ||
+        filters.exists(f => !entryCanMatch(s, e, f))
 
     /** The delete predicate as ONE exact row-level Column — `Some` only
       * when every conjunct translates strictly (a dropped conjunct
@@ -872,7 +913,8 @@ private[graft] object GraftDataSource {
       pushed.flatMap(filterColumn).foreach(c => df = df.filter(c))
       val projected =
         if (required.isEmpty) df.select() // count(*)-style empty projection
-        else df.select(required.fieldNames.map(col).toIndexedSeq: _*)
+        else df.select( // exact names: a dotted column is not a struct path
+          required.fieldNames.map(ManifestTable.colExact).toIndexedSeq: _*)
       projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
     }
   }

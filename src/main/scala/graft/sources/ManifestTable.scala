@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.util.{Base64, UUID}
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, count, date_format, lit, max, min, struct, to_json, unix_micros, when}
 import org.apache.spark.sql.types._
 
@@ -60,6 +60,16 @@ object ManifestTable {
     */
   private def newDataDirName(): String =
     s"data/${UUID.randomUUID().toString.replace("-", "").take(16)}"
+
+  /** Column reference by EXACT top-level name: backtick-quoted so a
+    * name containing dots is never parsed as a nested-field path
+    * (embedded backticks escape by doubling). Every NAME-driven select,
+    * aggregate, or filter in the table protocol and the DSv2 surface
+    * must use this — a plain col("a.b") silently resolves field b of
+    * struct a, or throws, for a perfectly legal parquet column "a.b".
+    */
+  private[graft] def colExact(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
 
   private def store(spark: SparkSession): CommitStore =
     CommitStore.forSession(spark)
@@ -329,13 +339,13 @@ object ManifestTable {
   private def statAggs(tags: Map[String, String]): Seq[org.apache.spark.sql.Column] =
     tags.toSeq.sortBy(_._1).flatMap { case (c, tag) =>
       val e = tag match {
-        case "ts" => unix_micros(col(c))
-        case "tsn" => date_format(col(c), TsPattern) // already canonical
-        case _ => col(c)
+        case "ts" => unix_micros(colExact(c))
+        case "tsn" => date_format(colExact(c), TsPattern) // already canonical
+        case _ => colExact(c)
       }
       Seq(min(e).cast("string").as(s"mn_$c"), max(e).cast("string").as(s"mx_$c"),
         // null count rides the same single agg pass: count(*) - count(c)
-        (count(lit(1)) - count(col(c))).as(s"nc_$c"))
+        (count(lit(1)) - count(colExact(c))).as(s"nc_$c"))
     }
 
   private[graft] val TsPattern = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -817,7 +827,7 @@ object ManifestTable {
         .parquet(dirs.map(d => new Path(table, d).toString): _*)
       val have = pruned.columns.toSet
       pruned.select(fullSchema.fields.map(f =>
-        if (have(f.name)) col(f.name)
+        if (have(f.name)) colExact(f.name)
         else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)): _*)
     }
 
@@ -922,8 +932,8 @@ object ManifestTable {
       keyCols.foreach(k => require(df.columns.contains(k),
         s"manifest-table: diff key $k absent from version $v's schema"))
       val nonKey = df.columns.filterNot(keyCols.contains).sorted
-      df.select(keyCols.map(col) :+
-        to_json(struct(nonKey.map(col): _*)).as(as): _*)
+      df.select(keyCols.map(colExact) :+
+        to_json(struct(nonKey.map(colExact): _*)).as(as): _*)
     }
     // Null keys carry no row identity: [[mergeCommit]]'s contract lets
     // null-key target rows SURVIVE rewrites, so a rewritten dir can
@@ -936,7 +946,7 @@ object ManifestTable {
     // null-key rows resting in shared (untouched) dirs never trip it.
     val lhs = side(fromOnly, fromVersion, fromAll, "from_values")
     val rhs = side(toOnly, to, toAll, "to_values")
-    val nullKey = keyCols.map(col(_).isNull).reduce(_ || _)
+    val nullKey = keyCols.map(colExact(_).isNull).reduce(_ || _)
     require(lhs.filter(nullKey).isEmpty && rhs.filter(nullKey).isEmpty,
       s"manifest-table: rows with null ${keyCols.mkString("/")} in the " +
         s"diffed commits of $table - null keys have no row identity to " +
@@ -1163,7 +1173,7 @@ object ManifestTable {
     }
     val u = updates.localCheckpoint(true)
     try {
-      val dupes = u.groupBy(keyCols.map(col): _*).count()
+      val dupes = u.groupBy(keyCols.map(colExact): _*).count()
         .filter(col("count") > 1).limit(1).count()
       require(dupes == 0,
         s"manifest-table: updates are not key-unique on ${keyCols.mkString(",")} " +
@@ -1199,8 +1209,18 @@ object ManifestTable {
             newDataDirName()
           val dirPath = new Path(table, dirName)
           val schema = snapshotSchemaCached(spark, table, v, entries.map(_.dir))
+          // explicit join condition, not usingColumns: a usingColumns
+          // join PARSES the names, so a key literally called "a.b" would
+          // silently match nothing and duplicate its rows. The update
+          // keys are renamed to safe synthetic names so the condition's
+          // sides can't collide; null target keys still never match
+          // (=== with null is null) — the survive-contract above.
+          val uKeys = u.select(keyCols.zipWithIndex.map { case (c, i) =>
+            colExact(c).as(s"__graft_mk_$i") }: _*)
+          val antiCond = keyCols.zipWithIndex.map { case (c, i) =>
+            colExact(c) === uKeys(s"__graft_mk_$i") }.reduce(_ && _)
           val survivors = sliceRead(spark, table, affected.map(_.dir).sorted, schema)
-            .join(u.select(keyCols.map(col): _*), keyCols, "left_anti")
+            .join(uKeys, antiCond, "left_anti")
           survivors.unionByName(u).write.parquet(dirPath.toString)
           val effStats = if (statsCols.nonEmpty) statsCols
             else entries.flatMap(_.stats.keys).distinct.sorted

@@ -66,6 +66,27 @@ class GraftDeleteSpec extends SparkSpec {
       Or(GreaterThan("id", 50L), LessThanOrEqual("id", 20L))))
   }
 
+  test("IsNull pruning rides the recorded null count; unborn tables refuse DELETE at analysis") {
+    def stat(nulls: Option[Long]) =
+      Entry("data/d", Map("id" -> ColStat("num", "10", "20", nulls)))
+    // zero recorded nulls: IS NULL provably matches nothing — the scan
+    // prunes the dir and a DELETE WHERE id IS NULL classifies it
+    // CowKeep instead of rewriting the whole table to delete nothing
+    assert(!GraftDataSource.entryCanMatch(schema, stat(Some(0L)), IsNull("id")))
+    assert(!GraftDataSource.entryCanMatch(schema, stat(Some(0L)),
+      EqualNullSafe("id", null)))
+    // positive or unrecorded null counts stay conservative
+    assert(GraftDataSource.entryCanMatch(schema, stat(Some(3L)), IsNull("id")))
+    assert(GraftDataSource.entryCanMatch(schema, stat(None), IsNull("id")))
+    // the all-match dual still refuses (there is no all-null proof)
+    assert(!GraftDataSource.entryAllMatch(schema, stat(Some(0L)), IsNull("id")))
+    // unborn table: nothing to delete, no schema to prove against —
+    // analysis-time refusal, not an execution-time internal require
+    val unborn = GraftDataSource.GraftTable(
+      java.nio.file.Files.createTempDirectory("graft_unborn").toString + "/t", 0L)
+    assert(!unborn.canDeleteWhere(Array[Filter](EqualTo("id", 1L))))
+  }
+
   test("DELETE FROM: metadata-only retention, refusals, truncate, rebirth") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_delete").toString

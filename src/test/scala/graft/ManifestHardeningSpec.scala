@@ -140,6 +140,26 @@ class ManifestHardeningSpec extends SparkSpec {
     assert(e.getMessage.contains("null"), s"got: ${e.getMessage}")
   }
 
+  test("a top-level column literally named a.b: commit, stats, SQL read with pushed filter, merge by it") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_dotted").toString + "/t"
+    ManifestTable.commit(
+      Seq((1L, "x"), (2L, "y")).toDF("id", "a.b"),
+      table, append = false, statsCols = Seq("id", "a.b"))
+    // DSv2 read: projection + pushed filter must treat the dotted name
+    // as ONE top-level column, never as field b of struct a
+    spark.read.format("graft").load(table).createOrReplaceTempView("dotted_t")
+    val out = spark.sql("SELECT `a.b` FROM dotted_t WHERE `a.b` = 'x'").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("x"))
+    // merge keyed on the dotted column (groupBy/select/anti-join paths):
+    // key value "x" must REPLACE the (1, "x") row, not duplicate it
+    ManifestTable.mergeCommit(spark, table,
+      Seq((10L, "x")).toDF("id", "a.b"), keyCols = Seq("a.b"))
+    assert(ManifestTable.read(spark, table).select("id", "`a.b`")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((10L, "x"), (2L, "y")))
+  }
+
   test("append schema check is order-insensitive (reads select by name; order never mattered)") {
     import spark.implicits._
     val table = Files.createTempDirectory("graft_order").toString + "/t"
