@@ -40,11 +40,41 @@ object BronzeLayer {
     * partition-type inference turns y=2024 into an int and drops the
     * zero-padding on m/d/h).
     */
-  def readRaw(spark: SparkSession, path: String): DataFrame = {
+  def readRaw(spark: SparkSession, path: String): DataFrame =
+    readRawPaths(spark, path, Seq(path))
+
+  /** ONE batch's rows via a targeted partition-dir glob. The whole-zone
+    * [[readRaw]] pays a full recursive listing of the bronze tree
+    * BEFORE partition pruning can apply — on a streaming readback path
+    * (commit, then read the committed rows back by batch_id) that means
+    * O(all-files) discovery per micro-batch, growing with the corpus.
+    * Globbing `batch_id=<id>` dirs lists only the matched directories,
+    * constant-ish however big bronze gets.
+    */
+  def readBatch(spark: SparkSession, path: String, batchId: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (fs.exists(root))
+        fs.globStatus(new org.apache.hadoop.fs.Path(path,
+          s"*/*/*/*/*/batch_id=$batchId")).toSeq.map(_.getPath.toString)
+      else Seq.empty
+    if (dirs.isEmpty) // schema-stable empty frame, no tree listing
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "posting_id STRING, raw_content STRING, source STRING, " +
+            "extracted_at TIMESTAMP, p_source STRING, y STRING, " +
+            "m STRING, d STRING, h STRING, batch_id STRING"))
+    else readRawPaths(spark, path, dirs)
+  }
+
+  private def readRawPaths(spark: SparkSession, basePath: String,
+      paths: Seq[String]): DataFrame = {
     val raw = spark.read
-      .option("basePath", path)
+      .option("basePath", basePath)
       .schema("value STRING, p_source STRING, y STRING, m STRING, d STRING, h STRING, batch_id STRING")
-      .text(path)
+      .text(paths: _*)
     raw.select(
       get_json_object(col("value"), "$.posting_id").as("posting_id"),
       get_json_object(col("value"), "$.raw_content").as("raw_content"),

@@ -23,6 +23,19 @@ import graft.sources.{BronzeLayer, ManifestTable, MetadataStore}
   */
 object BronzePipeline {
 
+  /** The staging-zone row schema every ingest surface binds. ONE
+    * definition: the literal used to be copy-pasted across six
+    * readStream sites, where adding a column and missing one copy would
+    * silently null it in that single ingest path.
+    */
+  private[streaming] val StagingSchema =
+    "posting_id STRING, raw_content STRING, source STRING, extracted_at TIMESTAMP"
+
+  /** The staging readStream every ingest variant tails. */
+  private[streaming] def stagingStream(spark: SparkSession,
+      path: String): DataFrame =
+    spark.readStream.schema(StagingSchema).json(path)
+
   /** The silver projection of the streaming bronze tail. */
   def silverStream(spark: SparkSession, bronzePath: String): DataFrame =
     BronzeLayer.readRawStream(spark, bronzePath)
@@ -50,9 +63,7 @@ object BronzePipeline {
       bronzePath: String, metaPath: String,
       checkpointPath: String): StreamingQuery = {
     val pid = pipelineId(spark, checkpointPath)
-    val raw = spark.readStream
-      .schema("posting_id STRING, raw_content STRING, source STRING, extracted_at TIMESTAMP")
-      .json(stagingPath)
+    val raw = BronzePipeline.stagingStream(spark, stagingPath)
     raw.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val fresh = MetadataStore.ingestWithGate(batch.toDF(), bronzePath, metaPath, f"$pid-$id%05d")
@@ -79,19 +90,24 @@ object BronzePipeline {
       bronzePath: String, metaPath: String, quarantinePath: String,
       checkpointPath: String): StreamingQuery = {
     val pid = pipelineId(spark, checkpointPath)
-    val raw = spark.readStream
-      .schema("posting_id STRING, raw_content STRING, source STRING, extracted_at TIMESTAMP")
-      .json(stagingPath)
+    val raw = BronzePipeline.stagingStream(spark, stagingPath)
     raw.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val batchId = f"$pid-$id%05d"
-        val (valid, quarantined) =
-          graft.operators.Validate.split(batch.toDF(), graft.operators.Validate.rawPostingRules)
-        if (!quarantined.isEmpty)
-          quarantined.withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(quarantinePath)
-        graft.CacheHygiene.release(
-          MetadataStore.ingestWithGate(valid, bronzePath, metaPath, batchId))
+        // ONE materialization of the staging read: the empty-quarantine
+        // probe, the quarantine write, and the gate's ingest all consume
+        // it — un-checkpointed, each action re-reads the JSON and
+        // re-evaluates every rule (three scans per micro-batch)
+        val once = batch.toDF().localCheckpoint(true)
+        try {
+          val (valid, quarantined) =
+            graft.operators.Validate.split(once, graft.operators.Validate.rawPostingRules)
+          if (!quarantined.isEmpty)
+            quarantined.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(quarantinePath)
+          graft.CacheHygiene.release(
+            MetadataStore.ingestWithGate(valid, bronzePath, metaPath, batchId))
+        } finally graft.CacheHygiene.release(once)
       }
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
@@ -115,17 +131,19 @@ object BronzePipeline {
     * "trip the gate as a duplicate".
     *
     * Crash-safe by convergence, not atomicity: admitted rows reach
-    * bronze BEFORE the quarantine rewrite, so a crash between the two
-    * leaves already-admitted rows in the quarantine — and the next
+    * bronze BEFORE the quarantine is touched, so a crash between the
+    * two leaves already-admitted rows in the quarantine — and the next
     * invocation revalidates them, finds them valid, and the etag gate
-    * drops them as the duplicates they now are, then the rewrite
-    * completes. The rewrite itself swaps via a fully-written sibling
-    * (write aside → move old away → move new in → drop old), and a
-    * crash inside the swap heals at the next invocation's entry: a
-    * complete rewrite sibling with no live quarantine IS the
-    * quarantine, so still-failing rows are never lost either.
-    * Quarantine replay duplicates (its appends are at-least-once)
-    * collapse here via dropDuplicates before revalidation.
+    * drops them as the duplicates they now are. The quarantine update
+    * is FILE-PRECISE: the parquet files captured at entry are the only
+    * ones read, still-failing rows append as fresh files BEFORE the
+    * captured files delete, and rows appended concurrently by a live
+    * [[validatedGatedIngest]] stream are in neither set — untouched,
+    * they wait for the next pass (safe to run against a live stream).
+    * Every crash point leaves still-failing rows present, at worst
+    * duplicated; quarantine replay duplicates (its appends are
+    * at-least-once) collapse here via dropDuplicates before
+    * revalidation.
     *
     * Returns (rows admitted to bronze, rows still quarantined).
     */
@@ -145,8 +163,24 @@ object BronzePipeline {
         "each invocation needs a fresh id")
     healQuarantineSwap(f, quarRoot)
     if (!f.exists(quarRoot)) return (0L, 0L)
+    // FILE-PRECISE snapshot: capture the quarantine's parquet files at
+    // entry and operate on exactly those. Rows appended CONCURRENTLY by
+    // a live validatedGatedIngest micro-batch land in files outside this
+    // list — never read here, never deleted, they simply wait for the
+    // next pass. (The previous whole-dir swap moved the dir aside and
+    // deleted it, destroying concurrent appends with it.)
+    val captured = {
+      val it = f.listFiles(quarRoot, true)
+      val b = Seq.newBuilder[Path]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(".parquet")) b += s.getPath
+      }
+      b.result()
+    }
+    if (captured.isEmpty) return (0L, 0L)
     val vCol = graft.operators.Validate.ViolationsCol
-    val quar = spark.read.parquet(quarantinePath).dropDuplicates()
+    val quar = spark.read.parquet(captured.map(_.toString): _*).dropDuplicates()
     // the repair sees payload + batch_id (lineage it must carry through),
     // never the stale violations - those are recomputed from the rules
     val candidates = fix(quar.drop(vCol))
@@ -162,26 +196,19 @@ object BronzePipeline {
       val nAdmitted = admitted.count()
       graft.CacheHygiene.release(admitted)
       val nBad = stillBad.count()
-      // point of no return passed (bronze has the admitted rows): swap the
-      // quarantine to just the remaining breakers. The sibling is fully
-      // written (with a _SUCCESS marker) BEFORE the old dir moves away,
-      // so every crash point leaves either the old quarantine live or a
-      // complete rewrite that healQuarantineSwap adopts on the next run -
-      // still-failing rows are never silently lost
-      if (nBad > 0) {
-        val tmp = new Path(quarRoot.getParent, s"$SwapPrefix${quarRoot.getName}")
-        f.delete(tmp, true) // a previous crash's stale sibling
-        stillBad.write.parquet(tmp.toString)
-        val old = new Path(quarRoot.getParent,
-          s".${quarRoot.getName}.old-${java.util.UUID.randomUUID().toString.take(8)}")
-        require(f.rename(quarRoot, old),
-          s"re-admission: could not move the old quarantine aside ($quarRoot)")
-        require(f.rename(tmp, quarRoot),
-          s"re-admission: could not move rewritten quarantine into place ($tmp)")
-        f.delete(old, true)
-      } else f.delete(quarRoot, true)
+      // point of no return passed (bronze has the admitted rows). The
+      // still-bad rows APPEND as fresh files BEFORE the captured files
+      // delete, so every crash point leaves their rows present —
+      // possibly duplicated, which the dropDuplicates read heals on the
+      // next pass — and never lost; admitted rows that reappear
+      // revalidate and gate out on content (spec'd). Concurrent appends
+      // are untouched throughout.
+      if (nBad > 0) stillBad.write.mode("append").parquet(quarantinePath)
+      captured.foreach(p => f.delete(p, false))
       (nAdmitted, nBad)
-    } finally annotated.unpersist()
+    } finally graft.CacheHygiene.release(annotated) // unpersist() on a
+    // checkpointed frame is a CacheManager no-op; the blocks need the
+    // backing-RDD release or they leak per invocation
   }
 
   private val SwapPrefix = ".readmit-next."
@@ -229,27 +256,32 @@ object BronzePipeline {
       bronzePath: String, metaPath: String, sigPath: String,
       checkpointPath: String): StreamingQuery = {
     val pid = pipelineId(spark, checkpointPath)
-    val raw = spark.readStream
-      .schema("posting_id STRING, raw_content STRING, source STRING, extracted_at TIMESTAMP")
-      .json(stagingPath)
+    val raw = BronzePipeline.stagingStream(spark, stagingPath)
     raw.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val batchId = f"$pid-$id%05d"
-        // gate() preserves every input column, so the whole batch rides
-        // through it - no second join to recover the survivors
-        val survivors = graft.operators.IncrementalDedup.gate(
-            batch.toDF()
-              .withColumn("doc_id", xxhash64(col("posting_id")))
-              .withColumn("text", col("raw_content")),
-            sigPath)
-          .drop("doc_id", "text")
-        graft.CacheHygiene.release(
-          MetadataStore.ingestWithGate(survivors, bronzePath, metaPath, batchId))
-        val committed = BronzeLayer.readRaw(spark, bronzePath)
-          .filter(col("batch_id") === batchId)
-        graft.operators.IncrementalDedup.appendSignatures(
-          committed.select(xxhash64(col("posting_id")).as("doc_id"),
-            col("raw_content").as("text")), sigPath)
+        // ONE materialization: gate() consumes the batch's band
+        // signatures in two join branches and the docs again in its
+        // anti-join — un-checkpointed, the staging JSON re-reads ~3×
+        // and the MinHash signatures compute twice per micro-batch
+        // (the gate's own scaladoc instruction; every sibling ingest
+        // checkpoints its batch for the same reason)
+        val once = batch.toDF().localCheckpoint(true)
+        try {
+          // gate() preserves every input column, so the whole batch rides
+          // through it - no second join to recover the survivors
+          val survivors = graft.operators.IncrementalDedup.gate(
+              once.withColumn("doc_id", xxhash64(col("posting_id")))
+                .withColumn("text", col("raw_content")),
+              sigPath)
+            .drop("doc_id", "text")
+          graft.CacheHygiene.release(
+            MetadataStore.ingestWithGate(survivors, bronzePath, metaPath, batchId))
+          val committed = BronzeLayer.readBatch(spark, bronzePath, batchId)
+          graft.operators.IncrementalDedup.appendSignatures(
+            committed.select(xxhash64(col("posting_id")).as("doc_id"),
+              col("raw_content").as("text")), sigPath)
+        } finally graft.CacheHygiene.release(once)
         ()
       }
       .option("checkpointLocation", checkpointPath)
@@ -275,9 +307,7 @@ object BronzePipeline {
     // one gate per drain: construction rebuilds the filter from the
     // store, which IS the restart-recovery path
     val gate = new graft.operators.BloomDedupGate(spark, fpStorePath)
-    val raw = spark.readStream
-      .schema("posting_id STRING, raw_content STRING, source STRING, extracted_at TIMESTAMP")
-      .json(stagingPath)
+    val raw = BronzePipeline.stagingStream(spark, stagingPath)
     raw.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val batchId = f"$pid-$id%05d"
@@ -289,8 +319,7 @@ object BronzePipeline {
           val survivors = gate.gate(once, textCol = "raw_content")
           graft.CacheHygiene.release(
             MetadataStore.ingestWithGate(survivors, bronzePath, metaPath, batchId))
-          val committed = BronzeLayer.readRaw(spark, bronzePath)
-            .filter(col("batch_id") === batchId)
+          val committed = BronzeLayer.readBatch(spark, bronzePath, batchId)
           gate.record(committed, textCol = "raw_content")
         } finally graft.CacheHygiene.release(once)
         ()
@@ -323,9 +352,7 @@ object BronzePipeline {
       checkpointPath: String, driftThreshold: Double = 0.25): StreamingQuery = {
     val pid = pipelineId(spark, checkpointPath)
     val gate = new graft.operators.BloomDedupGate(spark, fpStorePath)
-    val raw = spark.readStream
-      .schema("posting_id STRING, raw_content STRING, source STRING, extracted_at TIMESTAMP")
-      .json(stagingPath)
+    val raw = BronzePipeline.stagingStream(spark, stagingPath)
     raw.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val batchId = f"$pid-$id%05d"
@@ -352,17 +379,24 @@ object BronzePipeline {
           // in bronze, merging unrelated malformed postings. Keep the
           // drop, explicitly: a row with no content has no dedup identity
           // and nothing to ingest.
+          // checkpointed: the Bloom gate's empty-suspect probe and the
+          // ingest's materialization are separate ACTIONS — without
+          // this, the mixture filter + dedup shuffle + struct-min agg
+          // re-execute per consumer (the staging-read checkpoint above
+          // covers only the scan, not this aggregation)
           val batchDeduped = sampled.withColumn("__fp", fp)
             .filter(col("__fp").isNotNull)
             .groupBy("__fp")
             .agg(org.apache.spark.sql.functions.min(struct(ordered: _*)).as("__r"))
             .select(dataCols.map(c => col(s"__r.$c")): _*)
-          val survivors = gate.gate(batchDeduped, textCol = "raw_content")
-          graft.CacheHygiene.release(
-            MetadataStore.ingestWithGate(survivors, bronzePath, metaPath, batchId))
-          val committed = BronzeLayer.readRaw(spark, bronzePath)
-            .filter(col("batch_id") === batchId)
-          gate.record(committed, textCol = "raw_content")
+            .localCheckpoint(true)
+          try {
+            val survivors = gate.gate(batchDeduped, textCol = "raw_content")
+            graft.CacheHygiene.release(
+              MetadataStore.ingestWithGate(survivors, bronzePath, metaPath, batchId))
+            val committed = BronzeLayer.readBatch(spark, bronzePath, batchId)
+            gate.record(committed, textCol = "raw_content")
+          } finally graft.CacheHygiene.release(batchDeduped)
         } finally graft.CacheHygiene.release(once)
         ()
       }
@@ -411,14 +445,31 @@ object BronzePipeline {
     val f = new Path(dir, "_graft_pipeline_id")
     if (fs.exists(f)) {
       val in = fs.open(f)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
+      val id = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      // a crash between a non-atomic create and its write would have
+      // persisted an EMPTY id — and "" passes the batch-id charset
+      // check, so two degenerate checkpoints would collide on the same
+      // "_commit_-NNNNN" markers, the exact collision the pid prevents.
+      // The write below is temp+rename so this can no longer be minted;
+      // refuse loudly if a legacy crash left one behind.
+      require(id.nonEmpty,
+        s"pipeline id file $f is empty (torn legacy write) - delete it " +
+          "to mint a fresh id for this checkpoint")
+      id
     } else {
       val id = java.util.UUID.randomUUID().toString
       fs.mkdirs(dir)
-      val out = fs.create(f, false)
+      // temp + atomic rename: the id file either exists with the full
+      // UUID or not at all, never as a zero-byte torn create
+      val tmp = new Path(dir, s"._graft_pipeline_id.tmp-$id")
+      val out = fs.create(tmp, true)
       try out.write(id.getBytes(StandardCharsets.UTF_8)) finally out.close()
-      id
+      if (fs.rename(tmp, f)) id
+      else { // lost a creation race: adopt the winner's id
+        fs.delete(tmp, false)
+        pipelineId(spark, checkpointPath)
+      }
     }
   }
 

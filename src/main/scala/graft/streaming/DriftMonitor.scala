@@ -93,9 +93,7 @@ object DriftMonitor {
       driftPath: String, checkpointPath: String,
       threshold: Double = 0.25): StreamingQuery = {
     val pid = BronzePipeline.pipelineId(spark, checkpointPath)
-    val raw = spark.readStream
-      .schema("posting_id STRING, raw_content STRING, source STRING, extracted_at TIMESTAMP")
-      .json(stagingPath)
+    val raw = BronzePipeline.stagingStream(spark, stagingPath)
     raw.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val batchId = f"$pid-$id%05d"

@@ -37,9 +37,16 @@ object MixtureGate {
   def applyRates(spark: SparkSession, ratesPath: String, batch: DataFrame,
       grp: String, textCol: String): DataFrame = {
     val rates = spark.read.parquet(ratesPath)
+    // null text hashes to null, which a bare filter would silently DROP
+    // regardless of keep_rate — even for sources the gate promises to
+    // admit whole. A mixture gate has no opinion about malformed rows:
+    // admit them (coalesce → true) and let the pipeline's validation /
+    // dedup stages route them loudly (curatedIngest's fingerprint stage
+    // drops them with an explicit contract; validatedGatedIngest
+    // quarantines them).
     batch.join(broadcast(rates), Seq(grp), "left")
-      .filter(TextOps.mixtureKeep(col(textCol),
-        coalesce(col("keep_rate"), lit(1.0))))
+      .filter(coalesce(TextOps.mixtureKeep(col(textCol),
+        coalesce(col("keep_rate"), lit(1.0))), lit(true)))
       .drop("keep_rate")
   }
 
@@ -51,9 +58,7 @@ object MixtureGate {
       checkpointPath: String, grp: String = "source",
       textCol: String = "raw_content"): StreamingQuery = {
     val pid = BronzePipeline.pipelineId(spark, checkpointPath)
-    val raw = spark.readStream
-      .schema("posting_id STRING, raw_content STRING, source STRING, extracted_at TIMESTAMP")
-      .json(stagingPath)
+    val raw = BronzePipeline.stagingStream(spark, stagingPath)
     raw.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val sampled = applyRates(spark, ratesPath, batch.toDF(), grp, textCol)

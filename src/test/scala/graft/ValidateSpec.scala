@@ -169,5 +169,28 @@ class ValidateSpec extends SparkSpec {
       s"the crashed swap's rewrite must be adopted, not lost: ($healed, $stillLeft)")
     assert(spark.read.parquet(quarantine).count() == 1,
       "the adopted quarantine still holds the unfixable row")
+
+    // CONCURRENT-append survival (the r15 review's data-loss window):
+    // a live validatedGatedIngest stream can append new quarantine
+    // files WHILE a re-admission runs. The fix closure executes after
+    // the entry file capture, so an append inside it lands exactly in
+    // that window — the file-precise protocol must leave it for the
+    // next pass, where the old whole-dir swap deleted it forever.
+    val concurrentFix = (df: org.apache.spark.sql.DataFrame) => {
+      postings(Seq(("pc", "also broken", "hh")))
+        .withColumn(Validate.ViolationsCol,
+          array(lit("raw_content_not_json_object")))
+        .withColumn("batch_id", lit("batch-concurrent"))
+        .write.mode("append").parquet(quarantine)
+      backfill(df)
+    }
+    val (a4, r4) = BronzePipeline.reAdmitQuarantine(
+      spark, quarantine, bronze, meta, Validate.rawPostingRules,
+      "readmit-004", concurrentFix)
+    assert((a4, r4) == ((0L, 1L)), s"captured set: p3 only: ($a4, $r4)")
+    val after = spark.read.parquet(quarantine)
+      .select("posting_id").collect().map(_.getString(0)).toSet
+    assert(after == Set("p3", "pc"),
+      s"the concurrently-appended row must survive the re-admission: $after")
   }
 }
