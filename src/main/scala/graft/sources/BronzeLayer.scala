@@ -112,5 +112,9 @@ object BronzeLayer {
         date_format(col("extracted_at"), "yyyy/MM/dd/HH"), lit(s"/$batchId.jsonl.gz"))
         .as("s3_key"),
       current_timestamp().as("created_at"),
-      md5(col("raw_content")).as("etag"))
+      // reuse a precomputed etag: the gated ingest path arrives with the
+      // hash already materialized in its checkpoint — recomputing md5
+      // here was a second full pass over every payload byte per batch
+      (if (df.columns.contains("etag")) col("etag")
+       else md5(col("raw_content"))).as("etag"))
 }

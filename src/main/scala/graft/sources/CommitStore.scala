@@ -120,14 +120,18 @@ class RenameCommitStore(conf: Configuration) extends CommitStore {
 
   private def fs(p: Path) = p.getFileSystem(conf)
 
-  /** CAS publish: temp sibling, then a rename that REFUSES an existing
-    * destination. The read-back check closes the local filesystem's
-    * check-then-rename window (two renames can both "succeed", the
-    * second silently replacing the first): a publisher only claims the
-    * win if ITS bytes are what landed. Contents are never identical
-    * across racers — every manifest embeds its commit's fresh UUID data
-    * dir — so the check distinguishes winners exactly. On HDFS the
-    * rename is atomic and the read-back is one tiny extra read.
+  /** CAS publish: temp sibling, then an ATOMIC create-if-absent of the
+    * destination. On the LOCAL fs that is a POSIX hard link — link(2)
+    * fails with EEXIST atomically in the kernel, and the destination
+    * appears fully written because it IS the fully-written temp's
+    * inode. A no-overwrite rename is NOT that: Hadoop's local rename is
+    * check-then-rename, so two racers can both report success with the
+    * second silently REPLACING the first — a read-back narrows but
+    * cannot close that window (the loser's rename can land after the
+    * winner's read-back). On HDFS and HCFS stores the namespace rename
+    * is atomic server-side, so the rename + read-back path stands; the
+    * read-back still converts a torn verification into the contract's
+    * conservative false-when-actually-landed report.
     */
   override def putIfAbsent(p: Path, content: String): Boolean = {
     val f = fs(p)
@@ -136,14 +140,28 @@ class RenameCommitStore(conf: Configuration) extends CommitStore {
     f.mkdirs(p.getParent)
     val out = f.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val fc = FileContext.getFileContext(p.toUri, conf)
-    try {
-      fc.rename(tmp, p)
-      try read(p).trim == content.trim
-      catch { case _: java.io.IOException => false } // torn read: treat as lost
-    } catch {
-      case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
-        f.delete(tmp, false); false
+    val scheme = Option(p.toUri.getScheme).getOrElse("file")
+    if (scheme.equalsIgnoreCase("file")) {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(f.makeQualified(p).toUri.getPath),
+          java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath))
+        f.delete(tmp, false) // p holds the linked inode; tmp (+crc) goes
+        true // the link succeeded atomically: these ARE our bytes
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          f.delete(tmp, false); false
+      }
+    } else {
+      val fc = FileContext.getFileContext(p.toUri, conf)
+      try {
+        fc.rename(tmp, p)
+        try read(p).trim == content.trim
+        catch { case _: java.io.IOException => false } // torn read: treat as lost
+      } catch {
+        case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
+          f.delete(tmp, false); false
+      }
     }
   }
 
@@ -265,7 +283,14 @@ final class ObjectStoreCommitStore(api: ConditionalObjectApi) extends CommitStor
       case None => throw new FileNotFoundException(key(p))
     }
 
-  override def exists(p: Path): Boolean = api.get(key(p)).isDefined
+  override def exists(p: Path): Boolean = {
+    // key-only probe, never a full GET: exists sits on the hot path
+    // (currentVersion probes the pointer on every scan build and stream
+    // trigger), and downloading whole objects to answer a boolean
+    // doubles object-store request cost for nothing
+    val k = key(p)
+    api.list(k).exists(_._1 == k)
+  }
 
   override def listFiles(dir: Path): Seq[(String, Long)] = {
     val prefix = key(dir) + "/"

@@ -203,6 +203,15 @@ final class GraftCatalog extends TableCatalog {
       require(p.equalsIgnoreCase("graft"),
         s"graft catalog: tables are manifest tables; USING $p is not " +
           "supported (omit USING, or say USING graft)"))
+    // LOCATION would be silently IGNORED (the table lands under the
+    // catalog root regardless) - a user who asked for /data/elsewhere
+    // must hear "no", not discover their data in the warehouse root
+    Option(properties.get(
+        org.apache.spark.sql.connector.catalog.TableCatalog.PROP_LOCATION))
+      .filter(_.nonEmpty).foreach(l => throw new IllegalArgumentException(
+        s"graft catalog: LOCATION '$l' is not supported - catalog tables " +
+          "live under the catalog root (use the path-based " +
+          "spark.read.format(\"graft\") surface for external paths)"))
     val path = tablePath(ident)
     if (isManifestTable(path)) throw new TableAlreadyExistsException(ident)
     // one empty partition, so the parquet writer emits a real footer the
@@ -237,6 +246,13 @@ final class GraftCatalog extends TableCatalog {
         StructField(add.fieldNames.head, add.dataType(), nullable = true)
       case other => readOnly(s"ALTER TABLE (${other.getClass.getSimpleName})")
     }
+    // intra-statement duplicates pass the exists-in-snapshot check (it
+    // only compares against the CURRENT schema) and would surface as a
+    // cryptic parquet duplicate-column error - refuse in ALTER's words
+    val dup = fields.groupBy(_.name.toLowerCase).collectFirst {
+      case (_, fs) if fs.size > 1 => fs.head.name }
+    require(dup.isEmpty,
+      s"graft catalog: ADD COLUMNS names ${dup.getOrElse("")} more than once")
     val v = ManifestTable.addColumnsCommit(spark, path, fields)
     GraftDataSource.GraftTable(path, v)
   }

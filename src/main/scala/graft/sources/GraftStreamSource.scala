@@ -87,18 +87,41 @@ private[graft] final class GraftStreamSource(spark: SparkSession,
       .rename(tmp, offeredFile, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  private def readOffered(): Option[Long] =
-    try {
-      if (!hfs.exists(offeredFile)) None
-      else {
+  /** The persisted high-water mark, with the torn-pair retry discipline
+    * [[RenameCommitStore.read]] uses: on the local fs an overwriting
+    * rename moves the data file and its .crc sidecar as two ops, so a
+    * reader can catch a transient unreadable window. That window must
+    * NOT be mistaken for absent state — the constructor would re-seed
+    * sinceVersion OVER the live value, manufacturing exactly the
+    * backward-offsets dead checkpoint this file exists to prevent.
+    * None only when the file genuinely does not exist; an existing but
+    * persistently unreadable/garbage file throws loudly instead.
+    */
+  private def readOffered(): Option[Long] = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < 6) {
+      if (!hfs.exists(offeredFile)) return None
+      try {
         val in = hfs.open(offeredFile)
-        try Some(new String(
+        val s = try new String(
           org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          "UTF-8").trim.toLong)
-        catch { case _: NumberFormatException => None }
+          "UTF-8").trim
         finally in.close()
+        return Some(s.toLong)
+      } catch {
+        case e @ (_: java.io.IOException | _: NumberFormatException) =>
+          last = e
+          attempt += 1
+          Thread.sleep(math.min(40L, 4L << attempt))
       }
-    } catch { case _: java.io.IOException => None }
+    }
+    throw new IllegalStateException(
+      s"graft stream: offset state $offeredFile exists but stayed " +
+        "unreadable after retries - refusing to re-seed sinceVersion " +
+        "over live state (that would be a backward-offsets dead " +
+        "checkpoint); inspect or remove the file to proceed", last)
+  }
 
   private var offered: Long = readOffered() match {
     case Some(v) => math.max(sinceVersion, v)

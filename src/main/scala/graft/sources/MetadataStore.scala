@@ -15,9 +15,10 @@ import org.apache.spark.sql.types.StructType
   * The store is append-only parquet keyed by content etag; the gate
   * anti-joins incoming rows against it, so a re-delivered payload (same
   * md5) never lands in bronze twice. At 100 TB the seen-set is the big
-  * side: [[compactBucketed]] rewrites it as a bucketed table so the
-  * recurring gate join reads it pre-shuffled by etag instead of
-  * exchanging it on every ingest.
+  * side — which is exactly why the gate join BROADCASTS the incoming
+  * batch's keys and scans the store ([[graft.operators.Lifecycle
+  * .dedupGate]]): the store is read once per ingest and never shuffled,
+  * however large it grows.
   */
 object MetadataStore {
 
@@ -141,10 +142,4 @@ object MetadataStore {
         .foreach(st => fs.delete(st.getPath, true))
   }
 
-  /** Compact the append-only store into a bucketed managed table so the
-    * gate's anti-join stops exchanging the seen-set every ingest.
-    */
-  def compactBucketed(spark: SparkSession, metaPath: String, table: String,
-      buckets: Int = 32): Unit =
-    ParquetSink.writeBucketed(read(spark, metaPath), table, "etag", buckets)
 }

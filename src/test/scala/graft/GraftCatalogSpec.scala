@@ -143,6 +143,22 @@ class GraftCatalogSpec extends SparkSpec {
     assert(foreign.getMessage.contains("USING parquet is not"),
       foreign.getMessage)
 
+    // LOCATION is refused loudly - silently creating the table under
+    // the catalog root while the user believes it lives elsewhere is
+    // the wrong-location trap (r15 review)
+    val loc = intercept[Exception](spark.sql(
+      "CREATE TABLE dml.elsewhere (id BIGINT) LOCATION '/data/elsewhere'"))
+    assert(loc.getMessage.contains("LOCATION"), loc.getMessage)
+
+    // intra-statement duplicate ADD COLUMNS refuses clearly: Spark 4's
+    // analyzer catches the SQL route (COLUMN_ALREADY_EXISTS); the
+    // catalog's own "more than once" require guards direct alterTable
+    // API calls the analyzer never sees
+    val dupCol = intercept[Exception](spark.sql(
+      "ALTER TABLE dml.jobs ADD COLUMNS (x INT, x STRING)"))
+    assert(dupCol.getMessage.contains("COLUMN_ALREADY_EXISTS") ||
+      dupCol.getMessage.contains("more than once"), dupCol.getMessage)
+
     // the version ledger: VERSION AS OF made discoverable from SQL
     // (jobs went CREATE -> INSERT -> INSERT -> OVERWRITE = v1..v4)
     val hist = spark.sql(
