@@ -565,6 +565,107 @@ object VectorOps {
       .select(col("q_id"), col("c_id"), col("hybrid"), col("rk"))
   }
 
+  /** Symmetric per-vector int8 quantization: scale = max|x|/127,
+    * q_i = round(x_i/scale) — the 4× compression a 100 TB embedding
+    * store applies before ANN serving (float32 → int8 is the standard
+    * memory/recall trade; |q_i| ≤ 127 by construction, so the code
+    * range never saturates). Adds `q` (the codes) and `scale` to every
+    * row; a zero vector gets an all-zero code with scale 0 rather than
+    * a divide-by-zero. Pure per-row HOF arithmetic — one scan, zero
+    * shuffles, whole-stage codegen.
+    */
+  def int8Quantize(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val m = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    df.withColumn("scale", m / lit(127.0))
+      .withColumn("q",
+        when(col("scale") > 0,
+          transform(v, x =>
+            floor(x / col("scale") + lit(0.5)).cast("tinyint")))
+          .otherwise(transform(v, _ => lit(0).cast("tinyint"))))
+  }
+
+  /** q106: int8 quantization reconstruction diagnostics — per vector,
+    * the quantizer's scale, MSE, max absolute error, and zeroed-dim
+    * count: the table an embedding-store owner reads before flipping
+    * serving to int8 (is the worst-case error under the metric's noise
+    * floor, are small vectors collapsing to zero codes). Stats are
+    * per-row only, so every float operation folds in array order on
+    * BOTH engines; the squared-error sum reuses the native DotProduct
+    * kernel (proven bit-equal to DuckDB's list_dot_product at q38) and
+    * every emitted column is integer fixed-point (floor(v·10^k + ½)) —
+    * the hash cannot drift on float formatting. One scan, zero
+    * exchanges (PlanSpec pins it).
+    */
+  def q106Int8Quantize(s: SparkSession, d: String): DataFrame = {
+    val quant = int8Quantize(embeddings(s, d)).filter(col("scale") > 0)
+    val v = asDouble(col("embedding"))
+    val err = zip_with(v, col("q"), (x, q) => x - q * col("scale"))
+    quant
+      .withColumn("err", err)
+      .select(
+        col("vec_id"), col("label"),
+        floor(col("scale") * lit(1e9) + lit(0.5)).cast("long").as("scale_pp9"),
+        floor(dot(col("err"), col("err")) / size(col("err")) * lit(1e12) +
+          lit(0.5)).cast("long").as("mse_pp12"),
+        floor(aggregate(col("err"), lit(0.0), (a, x) => greatest(a, abs(x))) *
+          lit(1e9) + lit(0.5)).cast("long").as("max_err_pp9"),
+        size(filter(col("q"), _ === 0L)).cast("long").as("zero_dims"))
+  }
+
+  /** Integer dot product over already-long arrays — exact (no float
+    * rounding), and ANSI-safe for int8 code vectors: |Σ q_i·q_i'| ≤
+    * 64·127² ≈ 1.03e6, nowhere near a long. Codes must be widened to
+    * long BEFORE multiplying (tinyint·tinyint stays tinyint in Spark
+    * SQL and would overflow loudly under ANSI at the first |q| > 11).
+    */
+  def dotLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** q107: ANN serving on the int8 codes — top-5 per query by QUANTIZED
+    * cosine (integer dot products + the stored scales' norms), with the
+    * exact-float rank joined on as the quality instrument (exact_rk is
+    * null when int8 promoted something outside the true top-5). This is
+    * the query a 100 TB store actually runs after [[int8Quantize]]: the
+    * scan reads 4×-smaller codes, scoring is integer arithmetic, and
+    * because integer dots are EXACT in every engine the whole ranking —
+    * including the instrument — carries a full hash oracle, unlike the
+    * float-kernel ANN rows that settle for recall gates. Shape is q38's:
+    * queries broadcast, corpus streams, bounded-heap top-k. The scored
+    * frame is checkpointed — two rankings (int8 + exact) consume it, and
+    * without the checkpoint each would re-run the cross join (the q99
+    * shared-aggregate discipline); callers that own the result release
+    * it via CacheHygiene.releaseTree (Verify does).
+    */
+  def q107Int8Topk(s: SparkSession, d: String): DataFrame = {
+    val base = int8Quantize(embeddings(s, d)).filter(col("scale") > 0)
+      .withColumn("qv", transform(col("q"), _.cast("long")))
+      .withColumn("v", asDouble(col("embedding")))
+      .select(col("vec_id"), col("qv"),
+        dotLong(col("qv"), col("qv")).as("qq"),
+        col("v"), sqrt(dot(col("v"), col("v"))).as("norm"))
+    val qs = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("qq").as("q_qq"), col("v").as("q_v"), col("norm").as("q_n"))
+    val cs = base.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
+        col("qq").as("c_qq"), col("v").as("c_v"), col("norm").as("c_n"))
+    val scored = cs.crossJoin(broadcast(qs))
+      .select(col("q_id"), col("c_id"),
+        floor(dotLong(col("q_qv"), col("c_qv")) /
+          sqrt(col("q_qq").cast("double") * col("c_qq")) * lit(1e6) +
+          lit(0.5)).cast("long").as("cos8_pp6"),
+        floor(dot(col("q_v"), col("c_v")) / (col("q_n") * col("c_n")) *
+          lit(1e6) + lit(0.5)).cast("long").as("cosf_pp6"))
+      .localCheckpoint(true)
+    val r8 = rankTopK(scored, "q_id", "c_id", "cos8_pp6", k = 5)
+    val rf = rankTopK(scored, "q_id", "c_id", "cosf_pp6", k = 5)
+      .select(col("q_id"), col("c_id"), col("rk").as("exact_rk"))
+    r8.join(broadcast(rf), Seq("q_id", "c_id"), "left")
+      .select(col("q_id"), col("c_id"), col("rk"), col("cos8_pp6"),
+        col("exact_rk"))
+  }
+
   // ---- IVF (inverted-file) ANN ------------------------------------------
 
   val DefaultProbes         = 8
@@ -1468,6 +1569,8 @@ object VectorOps {
     "q40_embed_neardup" -> q40EmbedNeardup _,
     "q58_neardup_blocked" -> q58NeardupBlocked _,
     "q61_sql_vector" -> q61SqlVector _,
+    "q106_int8_quantize" -> q106Int8Quantize _,
+    "q107_int8_topk" -> q107Int8Topk _,
   )
 
   /** The hash/sketch queries (q36/q37/q39/q51) hash with
@@ -1552,5 +1655,58 @@ object VectorOps {
         | round(sqrt(list_dot_product(vec, vec)), 6) AS norm,
         | round(list_dot_product(vec, vec), 6) AS self_dot
         |FROM v""".stripMargin,
+    "q106_int8_quantize" ->
+      """WITH b AS (
+        |  SELECT vec_id, label,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        | e AS (
+        |  SELECT vec_id, label, s,
+        |    list_transform(v, x -> x - floor(x / s + 0.5) * s) AS err,
+        |    list_transform(v, x -> floor(x / s + 0.5)) AS q
+        |  FROM b WHERE s > 0)
+        |SELECT vec_id, label,
+        | CAST(floor(s * 1000000000 + 0.5) AS BIGINT) AS scale_pp9,
+        | CAST(floor(list_dot_product(err, err) / len(err) * 1000000000000 + 0.5) AS BIGINT) AS mse_pp12,
+        | CAST(floor(list_max(list_transform(err, x -> abs(x))) * 1000000000 + 0.5) AS BIGINT) AS max_err_pp9,
+        | CAST(len(list_filter(q, x -> x = 0)) AS BIGINT) AS zero_dims
+        |FROM e""".stripMargin,
+    "q107_int8_topk" ->
+      """WITH b AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        | qz AS (
+        |  SELECT vec_id, v,
+        |    list_transform(v, x -> CAST(floor(x / s + 0.5) AS BIGINT)) AS q
+        |  FROM b WHERE s > 0),
+        | n AS (
+        |  SELECT vec_id, q, v, list_dot_product(q, q) AS qq,
+        |    sqrt(list_dot_product(v, v)) AS norm
+        |  FROM qz),
+        | qs AS (SELECT vec_id AS q_id, q AS q_q, v AS q_v, qq AS q_qq, norm AS q_n
+        |        FROM n WHERE vec_id < 10),
+        | cs AS (SELECT vec_id AS c_id, q AS c_q, v AS c_v, qq AS c_qq, norm AS c_n
+        |        FROM n WHERE vec_id >= 10),
+        | s8 AS (
+        |  SELECT q_id, c_id,
+        |    CAST(floor(list_dot_product(q_q, c_q) / sqrt(CAST(q_qq AS DOUBLE) * c_qq) * 1000000 + 0.5) AS BIGINT) AS cos8_pp6,
+        |    CAST(floor(list_dot_product(q_v, c_v) / (q_n * c_n) * 1000000 + 0.5) AS BIGINT) AS cosf_pp6
+        |  FROM qs CROSS JOIN cs),
+        | r8 AS (
+        |  SELECT q_id, c_id, cos8_pp6,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos8_pp6 DESC, c_id) AS rk
+        |  FROM s8),
+        | rf AS (
+        |  SELECT q_id, c_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosf_pp6 DESC, c_id) AS exact_rk
+        |  FROM s8)
+        |SELECT r8.q_id, r8.c_id, CAST(r8.rk AS BIGINT) AS rk, r8.cos8_pp6,
+        |  CAST(rf.exact_rk AS BIGINT) AS exact_rk
+        |FROM r8 LEFT JOIN (SELECT * FROM rf WHERE exact_rk <= 5) rf
+        |  ON r8.q_id = rf.q_id AND r8.c_id = rf.c_id
+        |WHERE r8.rk <= 5""".stripMargin,
   )
 }

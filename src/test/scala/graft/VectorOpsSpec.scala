@@ -1046,4 +1046,80 @@ class VectorOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sigs(1L) == sigs(2L))
   }
+
+  test("int8Quantize: planted codes, tinyint storage, zero-vector guard") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ArrayType, ByteType}
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f), 0),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f), 0),
+    ).toDF("vec_id", "embedding", "label")
+    val quant = VectorOps.int8Quantize(df)
+    // the 4× claim is real only if the codes are BYTES on disk
+    assert(quant.schema("q").dataType.asInstanceOf[ArrayType].elementType
+      == ByteType)
+    val rows = quant.orderBy("vec_id").collect()
+    // m=1 → scale=1/127; 1.0→127 (saturates exactly, never overflows),
+    // -0.5→-63 (floor(-63.5+0.5)), 0.25→32 (round up), 0→0
+    assert(rows(0).getAs[scala.collection.Seq[Byte]]("q").toSeq
+      == Seq[Byte](127, -63, 32, 0))
+    assert(math.abs(rows(0).getAs[Double]("scale") - 1.0 / 127) < 1e-15)
+    // zero vector: scale 0 + all-zero codes, not a divide-by-zero
+    assert(rows(1).getAs[Double]("scale") == 0.0)
+    assert(rows(1).getAs[scala.collection.Seq[Byte]]("q").forall(_ == 0))
+  }
+
+  test("q106: stats match an independent driver-side recomputation, zero exchanges") {
+    val res = VectorOps.q106Int8Quantize(spark, sfDir)
+    // one scan, per-row arithmetic only — a shuffle here would mean the
+    // quantizer stopped being embarrassingly parallel
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"q106 must not shuffle:\n$plan")
+    val got = res.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    // mirror the exact arithmetic (left-to-right folds, floor-rounding)
+    val exp = graft.sources.Tables.embeddings(spark, sfDir).collect().flatMap { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding").toSeq.map(_.toDouble)
+      val s = v.foldLeft(0.0)((a, x) => math.max(a, math.abs(x))) / 127.0
+      if (s <= 0) None else {
+        val err = v.map(x => x - math.floor(x / s + 0.5) * s)
+        val mse = err.foldLeft(0.0)((a, e) => a + e * e) / err.length
+        val mx = err.foldLeft(0.0)((a, e) => math.max(a, math.abs(e)))
+        val zeros = v.count(x => math.floor(x / s + 0.5) == 0.0)
+        Some((r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+          math.floor(s * 1e9 + 0.5).toLong, math.floor(mse * 1e12 + 0.5).toLong,
+          math.floor(mx * 1e9 + 0.5).toLong, zeros.toLong))
+      }
+    }.toSet
+    assert(got == exp)
+    // reconstruction error is bounded by half a quantization step per dim
+    got.foreach { case (id, _, scale9, _, maxErr9, _) =>
+      assert(maxErr9 <= scale9 / 2 + 1, s"vec $id: max err $maxErr9 vs scale $scale9")
+    }
+  }
+
+  test("q107: int8 top-5 per query, rank-consistent, high recall vs the exact ranking") {
+    val res = VectorOps.q107Int8Topk(spark, sfDir)
+    val rows = res.collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 10)
+    byQ.values.foreach { g =>
+      assert(g.length == 5)
+      val sorted = g.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).sameElements(1L to 5L))
+      val c = sorted.map(_.getAs[Long]("cos8_pp6"))
+      assert(c.zip(c.tail).forall { case (a, b) => a >= b },
+        s"quantized cosine must be non-increasing in rank: ${c.toSeq}")
+    }
+    // the instrument: int8 must preserve nearly all of the true top-5
+    // (0.98 at sf0.01; anything under 0.8 means the quantizer broke)
+    val hits = rows.count(r => !r.isNullAt(r.fieldIndex("exact_rk")))
+    assert(hits >= 40, s"recall@5 ${hits / 50.0} — int8 ranking degraded")
+    // agreeing rows carry BOTH ranks; where both exist at rank 1 they
+    // overwhelmingly coincide (the argmax survives quantization)
+    val rank1Agree = rows.count(r => r.getAs[Long]("rk") == 1L &&
+      !r.isNullAt(r.fieldIndex("exact_rk")) && r.getAs[Long]("exact_rk") == 1L)
+    assert(rank1Agree >= 8, s"only $rank1Agree/10 argmaxes survived int8")
+    graft.CacheHygiene.releaseTree(res)
+  }
 }
