@@ -86,7 +86,14 @@ object ScaleProbe {
       "q103_template_scrub",
       // r15: eval-overlap scrub — the eval gram-hash set is corpus/17
       // here (registry-sized in production); cover join + rebuild
-      "q104_decontam_scrub")
+      "q104_decontam_scrub",
+      // r15 late: int8 quantization diagnostics (pure per-row HOF
+      // arithmetic — the probe confirms the zero-shuffle scan scales
+      // linearly with the vector count) and the quantized-serving top-k
+      // (broadcast queries over the streamed code scan + the shared
+      // checkpointed score frame — wall should track the corpus scan
+      // like q38/q95)
+      "q106_int8_quantize", "q107_int8_topk")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       // the q57 probe row keeps its historical label and workload: pure
       // IVF search (r14 made the REGISTERED q57 a recall-gate instrument
