@@ -666,6 +666,150 @@ object VectorOps {
         col("exact_rk"))
   }
 
+  /** Fixed-point integer embedding: floor(x·10⁶ + ½) per dimension. The
+    * oracle-grade k-means below runs on THESE, not floats: every
+    * distance, sum, and centroid is then exact integer arithmetic, so an
+    * iterative algorithm — normally impossible to hash-match across
+    * engines (float sums don't associate) — becomes bit-deterministic
+    * everywhere, at a quantization cost of 1e-6 per component (far under
+    * the synthetic embeddings' ~0.3 component scale).
+    */
+  def intVec(c: Column): Column =
+    transform(asDouble(c), x => floor(x * lit(1e6) + lit(0.5)))
+
+  /** K-means cluster assignment (Lloyd's), built for both the oracle and
+    * the 100 TB shape: deterministic init (the k smallest vec_ids seed
+    * the centroids, their ids become the cluster labels), a FIXED
+    * iteration count, integer-exact arithmetic throughout ([[intVec]]).
+    *
+    * Scale: the int-vec frame is checkpointed once and reused by every
+    * round (each Lloyd iteration would otherwise re-read the corpus —
+    * q101's token-frame discipline); assignment is a per-row codegen'd
+    * argmin over k centroid LITERALS (zero shuffle, the IVF envelope
+    * bounds k × dims on the driver); the recompute is a posexplode into
+    * (cluster, dim) integer sums — map-side combinable down to k×dims
+    * rows per partition, collected driver-side at k×dims total. An
+    * empty cluster keeps its previous centroid (no NaN centroids, no
+    * respawn nondeterminism). Returned frame rides the checkpoint —
+    * callers that own the result release via CacheHygiene.releaseTree.
+    *
+    * Per-dim centroid = floor(Σv / n) via double division of exact ints
+    * (identical IEEE op in DuckDB); exact while |Σv| < 2⁵³ — i.e. up to
+    * ~9e9 vectors per cluster at this component scale, loudly guarded.
+    */
+  def kmeansAssign(df: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    require(k >= 1 && iters >= 1, s"kmeansAssign: k=$k iters=$iters")
+    val iv = df.select(col("vec_id"), intVec(col("embedding")).as("q"))
+      .localCheckpoint(true)
+    val centroids = lloydCentroids(iv, k, iters)
+    iv.withColumn("best", bestCentroid(col("q"), centroids))
+      .select(col("vec_id"), col("best.cid").as("cluster"),
+        col("best.d2").as("dist2"))
+  }
+
+  /** The per-row argmin over k centroid LITERALS: struct(d2, cid) so the
+    * lexicographic `least` breaks distance ties toward the smaller
+    * cluster id — engine-deterministic. `q` must be an int-vec column.
+    */
+  private[operators] def bestCentroid(q: Column,
+      centroids: Seq[(Long, Array[Long])]): Column = {
+    def d2(cArr: Array[Long]): Column =
+      aggregate(
+        zip_with(q, array(cArr.map(lit(_)): _*), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    val cands = centroids.map { case (cid, c) =>
+      struct(d2(c).as("d2"), lit(cid).as("cid")) }
+    if (cands.size == 1) cands.head else least(cands: _*)
+  }
+
+  /** The Lloyd rounds of [[kmeansAssign]], returning the final centroid
+    * table (seed id → int-vec) — exposed so [[SemanticDedupGate]] can
+    * persist the geometry once and label every later batch against it.
+    * `iv` must be the (vec_id, q) int-vec frame, checkpointed by the
+    * caller (each round re-reads it).
+    */
+  private[operators] def lloydCentroids(iv: DataFrame, k: Int,
+      iters: Int): Seq[(Long, Array[Long])] = {
+    var centroids: Seq[(Long, Array[Long])] =
+      iv.orderBy("vec_id").limit(k).collect()
+        .map(r => r.getLong(0) ->
+          r.getAs[scala.collection.Seq[Long]]("q").toArray)
+    require(centroids.nonEmpty, "kmeansAssign: empty input")
+    for (_ <- 1 until iters) {
+      // one keyed integer agg; k×dims rows reach the driver
+      val sums = iv
+        .withColumn("cid", bestCentroid(col("q"), centroids).getField("cid"))
+        .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect()
+      sums.foreach(r => require(math.abs(r.getLong(2)) < (1L << 53),
+        "kmeansAssign: per-cluster component sum exceeds exact-double " +
+          "range — shard the corpus or rescale intVec"))
+      val byCid = sums.groupBy(_.getLong(0))
+      centroids = centroids.map { case (cid, c) =>
+        byCid.get(cid).fold(cid -> c) { rows =>
+          val arr = c.clone()
+          rows.foreach { r =>
+            arr(r.getInt(1)) =
+              math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong }
+          cid -> arr
+        }
+      }
+    }
+    centroids
+  }
+
+  /** q108: the cluster-assignment mart — every vector labeled with its
+    * k-means cluster and exact integer distance² after 2 Lloyd rounds.
+    * The organizing pass for SemDeDup-style curation (q109), IVF-like
+    * routing, and per-cluster corpus diagnostics. Fully hash-oracled:
+    * DuckDB unrolls the same two integer-exact rounds.
+    */
+  def q108Kmeans(s: SparkSession, d: String): DataFrame =
+    kmeansAssign(embeddings(s, d), k = 8, iters = 2)
+
+  /** q109: SemDeDup (Abbas et al. 2023) — semantic dedup by
+    * cluster-then-prune: within each k-means cluster, a vector is
+    * dropped when a SMALLER-id cluster-mate sits within cosine ≥ τ (the
+    * deterministic keep-min-id form of the paper's per-cluster pruning;
+    * a greedy sequential sweep would be order-dependent and
+    * unverifiable). Emits every vector with its cluster and kept flag.
+    *
+    * Scale: candidate pairs exist only WITHIN clusters — the whole
+    * point of clustering first; production k comes from
+    * [[ivfNumCentroids]]'s √n (capped) so cluster width stays bounded
+    * as the corpus grows and the within-cluster join never approaches
+    * n². The labeled-vector frame is checkpointed once and feeds both
+    * pair sides and the output (q99's shared-frame discipline). τ=0.3
+    * here because the synthetic corpus's cosine ceiling is ~0.51 — the
+    * oracle must exercise a BINDING threshold; production τ ≈ 0.9+
+    * (the spec proves the planted-twin behavior at 0.95).
+    */
+  def q109Semdedup(s: SparkSession, d: String): DataFrame =
+    semDedup(embeddings(s, d), k = 8, iters = 2, tau = 0.3)
+
+  def semDedup(df: DataFrame, k: Int, iters: Int, tau: Double): DataFrame = {
+    val labels = kmeansAssign(df, k, iters).select("vec_id", "cluster")
+    val nf = withVec(df).select(col("vec_id"), col("vec"), col("norm"))
+      .join(labels, "vec_id")
+      .localCheckpoint(true)
+    val a = nf.select(col("cluster"), col("vec_id"), col("vec"), col("norm"))
+    val b = nf.select(col("cluster"), col("vec_id").as("b_id"),
+      col("vec").as("b_vec"), col("norm").as("b_norm"))
+    // when() guards the ANSI divide-by-zero a zero vector would hit; it
+    // has no direction, so it neither drops nor is dropped
+    val dropped = a.join(b,
+        Seq("cluster")).filter(col("b_id") < col("vec_id") &&
+        when(col("norm") * col("b_norm") > 0,
+          dot(col("vec"), col("b_vec")) /
+            (col("norm") * col("b_norm")) >= tau).otherwise(lit(false)))
+      .select("vec_id").distinct()
+    nf.join(dropped.withColumn("__hit", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("__hit").isNull.as("kept"))
+  }
+
   // ---- IVF (inverted-file) ANN ------------------------------------------
 
   val DefaultProbes         = 8
@@ -1571,6 +1715,8 @@ object VectorOps {
     "q61_sql_vector" -> q61SqlVector _,
     "q106_int8_quantize" -> q106Int8Quantize _,
     "q107_int8_topk" -> q107Int8Topk _,
+    "q108_kmeans" -> q108Kmeans _,
+    "q109_semdedup" -> q109Semdedup _,
   )
 
   /** The hash/sketch queries (q36/q37/q39/q51) hash with
@@ -1708,5 +1854,57 @@ object VectorOps {
         |FROM r8 LEFT JOIN (SELECT * FROM rf WHERE exact_rk <= 5) rf
         |  ON r8.q_id = rf.q_id AND r8.c_id = rf.c_id
         |WHERE r8.rk <= 5""".stripMargin,
+    "q108_kmeans" -> KmeansOracle.sql("SELECT vec_id, cid AS cluster, d2 AS dist2 FROM a2 WHERE rn = 1"),
+    "q109_semdedup" -> KmeansOracle.sql(
+      """lab AS (SELECT vec_id, cid AS cluster FROM a2 WHERE rn = 1),
+        | v AS (SELECT e.vec_id, lab.cluster,
+        |         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |       FROM embeddings e JOIN lab ON e.vec_id = lab.vec_id),
+        | n AS (SELECT vec_id, cluster, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v)
+        |SELECT a.vec_id, a.cluster,
+        |  NOT EXISTS (SELECT 1 FROM n b WHERE b.cluster = a.cluster
+        |    AND b.vec_id < a.vec_id
+        |    AND list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.3) AS kept
+        |FROM n a""".stripMargin, continued = true),
   )
+
+  /** The shared DuckDB prefix for the k-means family: two unrolled
+    * integer-exact Lloyd rounds (see [[kmeansAssign]] — same fixed-point
+    * vectors, same deterministic seeds, same floor-division centroids,
+    * same (d2, cid) tie-break), exposed so q108 and q109 state the
+    * clustering ONCE and differ only in their tails.
+    */
+  private object KmeansOracle {
+    private val prefix =
+      """WITH iv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        | c0 AS (SELECT vec_id AS cid, q AS c FROM iv WHERE vec_id < 8),
+        | a1 AS (
+        |  SELECT vec_id, cid, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |  FROM (SELECT iv.vec_id, c0.cid,
+        |          list_sum(list_transform(list_zip(iv.q, c0.c), p -> (p[1]-p[2])*(p[1]-p[2]))) AS d2
+        |        FROM iv CROSS JOIN c0)),
+        | s1 AS (
+        |  SELECT a1.cid, u.pos, CAST(floor(CAST(sum(u.v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+        |  FROM a1 JOIN iv ON a1.vec_id = iv.vec_id AND a1.rn = 1,
+        |       LATERAL (SELECT unnest(iv.q) AS v, unnest(range(1, len(iv.q)+1)) AS pos) u
+        |  GROUP BY a1.cid, u.pos),
+        | c1 AS (
+        |  SELECT co.cid,
+        |    CASE WHEN count(s1.cv) = 0 THEN co.c
+        |         ELSE list(s1.cv ORDER BY s1.pos) END AS c
+        |  FROM c0 co LEFT JOIN s1 ON co.cid = s1.cid
+        |  GROUP BY co.cid, co.c),
+        | a2 AS (
+        |  SELECT vec_id, cid, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |  FROM (SELECT iv.vec_id, c1.cid,
+        |          list_sum(list_transform(list_zip(iv.q, c1.c), p -> (p[1]-p[2])*(p[1]-p[2]))) AS d2
+        |        FROM iv CROSS JOIN c1))""".stripMargin
+    def sql(tail: String, continued: Boolean = false): String =
+      if (continued) prefix + ",\n " + tail else prefix + "\n" + tail
+  }
 }

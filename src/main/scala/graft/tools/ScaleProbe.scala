@@ -93,7 +93,14 @@ object ScaleProbe {
       // (broadcast queries over the streamed code scan + the shared
       // checkpointed score frame — wall should track the corpus scan
       // like q38/q95)
-      "q106_int8_quantize", "q107_int8_topk")
+      "q106_int8_quantize", "q107_int8_topk",
+      // r15 late: integer-exact k-means (per-iteration cost = one argmin
+      // scan + one k×dims keyed agg — the probe watches that the wall
+      // tracks the scan) and SemDeDup (within-cluster pairs: at FIXED
+      // k=8 the pair volume grows ~n²/k — quadratic by design at this
+      // instrument config; production k scales with √n to pin cluster
+      // width, which is the ivfNumCentroids story)
+      "q108_kmeans", "q109_semdedup")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       // the q57 probe row keeps its historical label and workload: pure
       // IVF search (r14 made the REGISTERED q57 a recall-gate instrument

@@ -1122,4 +1122,60 @@ class VectorOpsSpec extends SparkSpec {
     assert(rank1Agree >= 8, s"only $rank1Agree/10 argmaxes survived int8")
     graft.CacheHygiene.releaseTree(res)
   }
+
+  test("kmeansAssign: planted two-mass corpus converges to the mass split, exact dist2") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Seq(0.0f, 0.0f), 0), (1L, Seq(10.0f, 0.0f), 0),
+      (2L, Seq(0.1f, 0.0f), 0), (3L, Seq(-0.1f, 0.0f), 0),
+      (4L, Seq(10.1f, 0.0f), 0), (5L, Seq(9.9f, 0.0f), 0),
+    ).toDF("vec_id", "embedding", "label")
+    val res = VectorOps.kmeansAssign(df, k = 2, iters = 2)
+    val got = res.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // seeds are ids 0 (origin) and 1 (at x=10); after one recompute the
+    // centroids sit at the exact integer mass centers (0,0) and (10,0)
+    assert(Seq(0L, 2L, 3L).forall(got(_)._1 == 0L))
+    assert(Seq(1L, 4L, 5L).forall(got(_)._1 == 1L))
+    assert(got(0L)._2 == 0L)
+    assert(got(2L)._2 == 100000L * 100000L) // 0.1 in 1e-6 fixed point, squared
+    graft.CacheHygiene.releaseTree(res)
+  }
+
+  test("kmeansAssign: duplicate seeds tie to the smaller cid; the emptied cluster carries over") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Seq(0.0f, 0.0f), 0),
+      (1L, Seq(5.0f, 5.0f), 0),
+      (2L, Seq(5.0f, 5.0f), 0), // identical to seed 1: its own cluster empties
+    ).toDF("vec_id", "embedding", "label")
+    val res = VectorOps.kmeansAssign(df, k = 3, iters = 2)
+    val got = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L))
+    graft.CacheHygiene.releaseTree(res)
+  }
+
+  test("q108: partitioning-independent (repartitioned input, identical labels and distances)") {
+    val a = VectorOps.q108Kmeans(spark, sfDir)
+    val b = VectorOps.kmeansAssign(
+      graft.sources.Tables.embeddings(spark, sfDir).repartition(7), k = 8, iters = 2)
+    val sa = a.collect().map(_.toString).sorted
+    val sb = b.collect().map(_.toString).sorted
+    assert(sa.sameElements(sb))
+    assert(a.select("cluster").distinct().count() == 8)
+    graft.CacheHygiene.releaseTree(a, b)
+  }
+
+  test("semDedup: planted twins drop the larger id at tau=0.95, orthogonal mates survive") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.0f, 1.0f), 0),
+      (2L, Seq(1.0f, 0.001f), 0), // twin of 0
+      (3L, Seq(0.0f, 1.001f), 0), // twin of 1
+    ).toDF("vec_id", "embedding", "label")
+    val res = VectorOps.semDedup(df, k = 1, iters = 1, tau = 0.95)
+    val got = res.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(0L -> true, 1L -> true, 2L -> false, 3L -> false))
+    graft.CacheHygiene.releaseTree(res)
+  }
 }
