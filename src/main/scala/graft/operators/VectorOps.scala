@@ -789,11 +789,40 @@ object VectorOps {
   def q109Semdedup(s: SparkSession, d: String): DataFrame =
     semDedup(embeddings(s, d), k = 8, iters = 2, tau = 0.3)
 
+  /** q110: the per-cluster "card" — size, mean and max distance² per
+    * k-means cluster: the table an operator reads to CHOOSE k (clusters
+    * with huge radii want splitting, near-empty ones want merging)
+    * before committing a SemDeDup pass or an IVF build to a geometry.
+    * All-integer output off q108's exact distances; the per-cluster sum
+    * runs in decimal(38,0) (the fingerprint discipline — a long sum of
+    * ~1e12 distances overflows under ANSI at ~10⁷ rows per cluster) and
+    * the mean is floor(double-division of the exact sum) — identical
+    * IEEE op in DuckDB.
+    */
+  def q110ClusterCard(s: SparkSession, d: String): DataFrame = {
+    val assign = kmeansAssign(embeddings(s, d), k = 8, iters = 2)
+    val res = assign.groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("dist2").cast("decimal(38,0)")).as("__s"),
+        max(col("dist2")).as("max_d2"))
+      .select(col("cluster"), col("n_vecs"),
+        floor(col("__s").cast("double") / col("n_vecs")).cast("long")
+          .as("mean_d2"),
+        col("max_d2"))
+      .localCheckpoint(true)
+    graft.CacheHygiene.releaseTree(assign)
+    res
+  }
+
   def semDedup(df: DataFrame, k: Int, iters: Int, tau: Double): DataFrame = {
     val labels = kmeansAssign(df, k, iters).select("vec_id", "cluster")
     val nf = withVec(df).select(col("vec_id"), col("vec"), col("norm"))
       .join(labels, "vec_id")
       .localCheckpoint(true)
+    // nf's EAGER checkpoint just consumed `labels` for the last time, so
+    // the int-vec checkpoint backing it (inside kmeansAssign) would
+    // otherwise leak unreleasably — the returned plan rides nf alone
+    graft.CacheHygiene.releaseTree(labels)
     val a = nf.select(col("cluster"), col("vec_id"), col("vec"), col("norm"))
     val b = nf.select(col("cluster"), col("vec_id").as("b_id"),
       col("vec").as("b_vec"), col("norm").as("b_norm"))
@@ -1717,6 +1746,7 @@ object VectorOps {
     "q107_int8_topk" -> q107Int8Topk _,
     "q108_kmeans" -> q108Kmeans _,
     "q109_semdedup" -> q109Semdedup _,
+    "q110_cluster_card" -> q110ClusterCard _,
   )
 
   /** The hash/sketch queries (q36/q37/q39/q51) hash with
@@ -1855,6 +1885,11 @@ object VectorOps {
         |  ON r8.q_id = rf.q_id AND r8.c_id = rf.c_id
         |WHERE r8.rk <= 5""".stripMargin,
     "q108_kmeans" -> KmeansOracle.sql("SELECT vec_id, cid AS cluster, d2 AS dist2 FROM a2 WHERE rn = 1"),
+    "q110_cluster_card" -> KmeansOracle.sql(
+      """SELECT cid AS cluster, count(*) AS n_vecs,
+        |  CAST(floor(CAST(sum(d2) AS DOUBLE) / count(*)) AS BIGINT) AS mean_d2,
+        |  max(d2) AS max_d2
+        |FROM a2 WHERE rn = 1 GROUP BY cid""".stripMargin),
     "q109_semdedup" -> KmeansOracle.sql(
       """lab AS (SELECT vec_id, cid AS cluster FROM a2 WHERE rn = 1),
         | v AS (SELECT e.vec_id, lab.cluster,

@@ -1166,6 +1166,24 @@ class VectorOpsSpec extends SparkSpec {
     graft.CacheHygiene.releaseTree(a, b)
   }
 
+  test("q110: cluster card agrees with q108's assignment, recomputed driver-side") {
+    val card = VectorOps.q110ClusterCard(spark, sfDir)
+    val got = card.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val assign = VectorOps.q108Kmeans(spark, sfDir)
+    val exp = assign.collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (c, rows) =>
+        val ds = rows.map(_._2)
+        c -> (ds.length.toLong,
+          math.floor(ds.map(BigInt(_)).sum.toDouble / ds.length).toLong,
+          ds.max)
+      }
+    assert(got == exp)
+    assert(got.values.map(_._1).sum == 500L)
+    graft.CacheHygiene.releaseTree(card, assign)
+  }
+
   test("semDedup: planted twins drop the larger id at tau=0.95, orthogonal mates survive") {
     import spark.implicits._
     val df = Seq(
