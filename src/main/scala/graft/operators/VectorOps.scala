@@ -595,7 +595,7 @@ object VectorOps {
     * kernel (proven bit-equal to DuckDB's list_dot_product at q38) and
     * every emitted column is integer fixed-point (floor(v·10^k + ½)) —
     * the hash cannot drift on float formatting. One scan, zero
-    * exchanges (PlanSpec pins it).
+    * exchanges (VectorOpsSpec pins the Exchange-free plan).
     */
   def q106Int8Quantize(s: SparkSession, d: String): DataFrame = {
     val quant = int8Quantize(embeddings(s, d)).filter(col("scale") > 0)

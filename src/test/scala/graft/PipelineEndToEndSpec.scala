@@ -108,4 +108,41 @@ class PipelineEndToEndSpec extends SparkSpec {
     assert(a.nonEmpty && a.exists(_._2 > 1L), "corpus must exercise real clusters")
     graft.CacheHygiene.release(labels)
   }
+
+  test("embedding curation chain: quantization gate, semantic dedup, cluster-min invariant, deterministic") {
+    import graft.operators.VectorOps
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+
+    // 1. quantization diagnostics as the go/no-go gate: every vector
+    //    must carry a real scale and not collapse to a zero code
+    val diag = VectorOps.q106Int8Quantize(spark, "/root/testdata/sf0.01")
+    val dRows = diag.collect()
+    assert(dRows.length == emb.count())
+    assert(dRows.forall(_.getAs[Long]("zero_dims") < 64L),
+      "no vector may quantize to the all-zero code")
+    // reconstruction stays under half a step everywhere → int8 is safe
+    assert(dRows.forall(r =>
+      r.getAs[Long]("max_err_pp9") <= r.getAs[Long]("scale_pp9") / 2 + 1))
+
+    // 2. semantic dedup over the same corpus (k-means + keep-min-id)
+    val sd = VectorOps.semDedup(emb, k = 8, iters = 2, tau = 0.3)
+    val rows = sd.collect()
+    val kept = rows.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(kept.nonEmpty && kept.size < rows.length,
+      s"tau=0.3 must bind on this corpus (kept ${kept.size}/${rows.length})")
+
+    // 3. the keep-min-id rule's structural invariant: a cluster's
+    //    smallest id can never be dropped (nothing smaller exists to
+    //    drop it), so every cluster survives curation with ≥1 member
+    rows.groupBy(_.getLong(1)).foreach { case (c, members) =>
+      assert(kept.contains(members.map(_.getLong(0)).min),
+        s"cluster $c lost its min-id member")
+    }
+
+    // 4. whole chain is partitioning-independent
+    val again = VectorOps.semDedup(emb.repartition(7), k = 8, iters = 2, tau = 0.3)
+    assert(again.collect().map(_.toString).sorted
+      .sameElements(rows.map(_.toString).sorted))
+    graft.CacheHygiene.releaseTree(sd, again)
+  }
 }
