@@ -1317,7 +1317,136 @@ object TextOps {
       .limit(k)
   }
 
+  /** The Gopher stop-word list (Rae et al. 2021 Appendix A) — the rule
+    * checks for "at least 2 of" these as a fluency floor. */
+  private val GopherStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style quality rule flags (Rae et al. 2021, Appendix A — the
+    * published rule set most large-corpus curations start from): per
+    * document the raw counts plus one boolean per rule and the
+    * conjunctive `pass`:
+    *
+    *   - word count in [50, 100 000]
+    *   - mean word length in [3, 10] characters
+    *   - ≥ 80% of words contain an alphabetic character
+    *   - symbol-to-word ratio (`#` or `...`) ≤ 0.1
+    *   - ≥ 2 of the 8 Gopher stop-words present
+    *
+    * Every threshold is evaluated in INTEGER arithmetic (`3·n ≤ chars`,
+    * `5·alpha ≥ 4·n`, `10·sym ≤ n`) — no float ratios — so this mart,
+    * unusually for a quality filter, carries a full cross-engine hash
+    * oracle instead of a rounded score.
+    *
+    * Scale: one corpus scan, per-row codegen'd HOF arithmetic over the
+    * token array, zero shuffles (the q106 diagnostics shape). The flags
+    * are the standard pre-LM curation gate; the counts ride along so an
+    * operator can re-threshold without a second scan.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .withColumn("wsa", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("wsa")).cast("long").as("n_words"),
+        aggregate(col("wsa"), lit(0L), (a, w) => a + length(w))
+          .as("n_word_chars"),
+        size(filter(col("wsa"), _.rlike("[a-z]"))).cast("long")
+          .as("n_alpha_words"),
+        (regexp_count(col("text"), lit("#")) +
+          regexp_count(col("text"), lit("\\.\\.\\."))).cast("long")
+          .as("n_symbols"),
+        size(filter(col("wsa"), w => w.isin(GopherStopwords: _*)))
+          .cast("long").as("n_stopwords"))
+    counts
+      .withColumn("ok_word_count",
+        col("n_words") >= 50 && col("n_words") <= 100000L)
+      .withColumn("ok_word_len",
+        lit(3) * col("n_words") <= col("n_word_chars") &&
+          col("n_word_chars") <= lit(10) * col("n_words"))
+      .withColumn("ok_alpha",
+        lit(5) * col("n_alpha_words") >= lit(4) * col("n_words"))
+      .withColumn("ok_symbol", lit(10) * col("n_symbols") <= col("n_words"))
+      .withColumn("ok_stop", col("n_stopwords") >= 2)
+      .withColumn("pass",
+        col("ok_word_count") && col("ok_word_len") && col("ok_alpha") &&
+          col("ok_symbol") && col("ok_stop"))
+  }
+
+  /** q111: the Gopher rule card over `documents`. */
+  def q111GopherRules(s: SparkSession, d: String): DataFrame =
+    gopherRules(documents(s, d))
+
+  /** DSIR importance weights (Xie et al., NeurIPS 2023 — Data Selection
+    * via Importance Resampling): score every document by how much more
+    * likely its n-grams are under the TARGET distribution than under the
+    * RAW distribution; resampling by these weights shifts a generic
+    * crawl toward the target domain without training a classifier.
+    * Per doc: `logw` = mean over its n-gram occurrences of
+    * `ln p̂_t(g) − ln p̂_r(g)` with add-1 smoothed gram probabilities
+    * (mean, not sum, so long documents aren't favored), rounded to 4
+    * decimals (the q91 float convention).
+    *
+    * This is the EXACT-gram form, fully hash-oracled. The paper's hashed
+    * form (grams bucketed into 10⁴ hash features so the gram table stays
+    * O(buckets) however large the corpus) is [[dsirHashedWeights]] —
+    * same pipeline with `xxhash64(g) pmod buckets` as the gram key.
+    *
+    * Scale shape: ONE corpus scan into a checkpointed gram stream
+    * (q101's token-frame discipline) feeding (a) the global gram table —
+    * a map-side-combinable keyed agg, itself checkpointed because both
+    * the 1-row totals and the per-doc join consume it — and (b) the
+    * per-doc gram counts. The scoring join is gram-keyed (vocabulary-
+    * sized build side under AQE — and O(buckets) in the hashed form);
+    * totals ride a 1-row broadcast. Nothing pairwise, no windows.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column, n: Int = 2,
+      gramKey: Column => Column = identity): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), isTarget.as("is_t"),
+        explode(graft.plans.GraftFunctions.shingles(tokens(col("text")), n))
+          .as("g0"))
+      .select(col("doc_id"), col("is_t"), gramKey(col("g0")).as("g"))
+      .localCheckpoint(true)
+    val vocab = grams.groupBy("g")
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("is_t"), 0L).otherwise(1L)).as("cr"))
+      .localCheckpoint(true)
+    val totals = vocab.agg(sum("ct").as("nt"), sum("cr").as("nr"),
+      count(lit(1)).as("v"))
+    val perDoc = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("ng"))
+    perDoc.join(vocab, "g").crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(sum("ng").cast("long").as("n_grams"),
+        round(
+          sum(col("ng") *
+            (log((col("ct") + lit(1L)).cast("double") /
+              (col("nt") + col("v")).cast("double")) -
+              log((col("cr") + lit(1L)).cast("double") /
+                (col("nr") + col("v")).cast("double")))) / sum("ng"),
+          4).as("logw"))
+  }
+
+  /** The production DSIR form: grams bucketed to `buckets` 64-bit-hash
+    * features, so the gram table and the scoring join's build side stay
+    * O(buckets) — constant — however large the corpus grows. Weights
+    * differ from the exact form only by hash-collision smearing (the
+    * paper's trade); TextOpsSpec pins the two forms' ranking agreement.
+    */
+  def dsirHashedWeights(docs: DataFrame, isTarget: Column, n: Int = 2,
+      buckets: Int = 10000): DataFrame = {
+    require(buckets > 0, s"dsirHashedWeights: buckets must be > 0, got $buckets")
+    dsirWeights(docs, isTarget, n, g => pmod(xxhash64(g), lit(buckets.toLong)))
+  }
+
+  /** q113: DSIR importance weights over `documents` — target = the
+    * English slice (the "want more like this" set), raw = the rest. */
+  def q113Dsir(s: SparkSession, d: String): DataFrame =
+    dsirWeights(documents(s, d), col("lang") === "en")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_dsir" -> q113Dsir _,
+    "q111_gopher_rules" -> q111GopherRules _,
     "q104_decontam_scrub" -> q104DecontamScrub _,
     "q103_template_scrub" -> q103TemplateScrub _,
     "q102_templates" -> q102Templates _,
@@ -1358,6 +1487,48 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q113_dsir" ->
+      """WITH t AS (SELECT doc_id, lang = 'en' AS is_t,
+        |   regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+        | g AS (SELECT doc_id, is_t,
+        |   unnest(list_transform(range(0, greatest(len(ws)-1, 0)),
+        |     i -> array_to_string(ws[i+1:i+2], ' '))) AS g FROM t),
+        | v AS (SELECT g, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+        |              sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+        |       FROM g GROUP BY g),
+        | tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM v),
+        | pd AS (SELECT doc_id, g, count(*) AS ng FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(ng) AS BIGINT) AS n_grams,
+        | round(sum(ng * (ln((ct+1)/CAST(nt+v AS DOUBLE))
+        |               - ln((cr+1)/CAST(nr+v AS DOUBLE)))) / sum(ng), 4) AS logw
+        |FROM pd JOIN v USING (g) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
+    "q111_gopher_rules" ->
+      """WITH t AS (SELECT doc_id,
+        |   regexp_split_to_array(lower(trim(text)), '\s+') AS ws,
+        |   CAST(len(regexp_extract_all(text, '#')) +
+        |        len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_symbols
+        |  FROM documents),
+        | c AS (SELECT doc_id,
+        |   CAST(len(ws) AS BIGINT) AS n_words,
+        |   CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS n_word_chars,
+        |   CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+        |   n_symbols,
+        |   CAST(len(list_filter(ws, w -> list_contains(
+        |     ['the','be','to','of','and','that','have','with'], w))) AS BIGINT) AS n_stopwords
+        |  FROM t)
+        |SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_symbols, n_stopwords,
+        | (n_words BETWEEN 50 AND 100000) AS ok_word_count,
+        | (3*n_words <= n_word_chars AND n_word_chars <= 10*n_words) AS ok_word_len,
+        | (5*n_alpha_words >= 4*n_words) AS ok_alpha,
+        | (10*n_symbols <= n_words) AS ok_symbol,
+        | (n_stopwords >= 2) AS ok_stop,
+        | ((n_words BETWEEN 50 AND 100000)
+        |   AND 3*n_words <= n_word_chars AND n_word_chars <= 10*n_words
+        |   AND 5*n_alpha_words >= 4*n_words
+        |   AND 10*n_symbols <= n_words
+        |   AND n_stopwords >= 2) AS pass
+        |FROM c""".stripMargin,
     "q104_decontam_scrub" ->
       """WITH t AS (SELECT doc_id,
         |   regexp_split_to_array(lower(trim(text)), '\s+') AS ws

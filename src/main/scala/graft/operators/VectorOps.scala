@@ -1731,7 +1731,61 @@ object VectorOps {
   def q57Prod(s: SparkSession, d: String): DataFrame =
     ivfTopk(withVec(embeddings(s, d)))
 
+  /** Embedding-space TARGETED data selection — the curation move behind
+    * "find more data like the target task" (the embedding-proximity
+    * counterpart of q113's DSIR n-gram weights): freeze a centroid from
+    * a small exemplar set (the task's own examples), score every corpus
+    * vector by cosine against it, and flag the ones above the threshold
+    * for up-sampling. Scores are fixed-point (cos·10⁶, the q107
+    * convention) over [[intVec]] integer embeddings, so every dot
+    * product is EXACT integer arithmetic and the whole mart — scores,
+    * flags — carries a full cross-engine hash oracle.
+    *
+    * Scale: the exemplar aggregate collects dims rows driver-side
+    * (2⁵³-guarded), the centroid becomes a codegen LITERAL in a per-row
+    * scoring expression — the corpus is scanned, never shuffled, and
+    * zero vectors are ANSI-guarded out (no direction → never selected).
+    * The int-vec frame is checkpointed once; both the exemplar pass and
+    * the scoring pass read it (kmeansAssign's discipline). Callers
+    * release via CacheHygiene.releaseTree (Verify does).
+    */
+  def targetSelect(df: DataFrame, isExemplar: Column,
+      minCosPp6: Long = 250000L): DataFrame = {
+    val iv = df.select(col("vec_id"), isExemplar.as("is_ex"),
+        intVec(col("embedding")).as("q"))
+      .localCheckpoint(true)
+    val sums = iv.filter(col("is_ex"))
+      .select(posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .collect()
+    require(sums.nonEmpty, "targetSelect: no exemplar vectors")
+    sums.foreach(r => require(math.abs(r.getLong(1)) < (1L << 53),
+      "targetSelect: exemplar component sum exceeds exact-double range — " +
+        "subsample the exemplar set or rescale intVec"))
+    val c = sums.sortBy(_.getInt(0))
+      .map(r => math.floor(r.getLong(1).toDouble / r.getLong(2)).toLong)
+    val ccB = c.map(x => BigInt(x) * BigInt(x)).sum
+    require(ccB > 0, "targetSelect: exemplar centroid is the zero vector")
+    require(ccB < (BigInt(1L) << 53),
+      "targetSelect: centroid norm² exceeds exact-double range — rescale intVec")
+    val cLit = array(c.map(lit(_)): _*)
+    iv.filter(!col("is_ex"))
+      .withColumn("qq", dotLong(col("q"), col("q")))
+      .filter(col("qq") > 0)
+      .select(col("vec_id"),
+        floor(dotLong(col("q"), cLit).cast("double") /
+          sqrt(col("qq").cast("double") * lit(ccB.toDouble)) * lit(1e6) +
+          lit(0.5)).cast("long").as("cos_pp6"))
+      .withColumn("selected", col("cos_pp6") >= minCosPp6)
+  }
+
+  /** q112: targeted selection over `embeddings` — every 25th vector
+    * plays the task exemplar set; the rest are the raw pool. */
+  def q112TargetSelect(s: SparkSession, d: String): DataFrame =
+    targetSelect(embeddings(s, d), col("vec_id") % 25 === 0)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_target_select" -> q112TargetSelect _,
     "q57_ivf_topk" -> q57IvfTopk _,
     "q36_minhash_lsh" -> q36MinhashLsh _,
     "q51_dedup_clusters" -> q51DedupClusters _,
@@ -1760,6 +1814,24 @@ object VectorOps {
     * oracle pins the query count and states the recall bound as TRUE.
     */
   val oracles: Map[String, String] = Map(
+    "q112_target_select" ->
+      """WITH iv AS (SELECT vec_id, vec_id % 25 = 0 AS is_ex,
+        |   list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        | s AS (SELECT u.pos, CAST(floor(CAST(sum(u.v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+        |   FROM iv, LATERAL (SELECT unnest(iv.q) AS v, unnest(range(1, len(iv.q)+1)) AS pos) u
+        |   WHERE iv.is_ex GROUP BY u.pos),
+        | cv AS (SELECT list(cv ORDER BY pos) AS c,
+        |        CAST(list_sum(list_transform(list(cv ORDER BY pos), x -> x*x)) AS BIGINT) AS cc
+        |   FROM s),
+        | f AS (SELECT iv.vec_id,
+        |   CAST(floor(
+        |     CAST(list_sum(list_transform(list_zip(iv.q, cv.c), p -> p[1]*p[2])) AS DOUBLE)
+        |     / sqrt(CAST(list_sum(list_transform(iv.q, x -> x*x)) AS DOUBLE) * CAST(cv.cc AS DOUBLE))
+        |     * 1e6 + 0.5) AS BIGINT) AS cos_pp6
+        |  FROM iv CROSS JOIN cv
+        |  WHERE NOT iv.is_ex AND list_sum(list_transform(iv.q, x -> x*x)) > 0)
+        |SELECT vec_id, cos_pp6, cos_pp6 >= 250000 AS selected FROM f""".stripMargin,
     "q57_ivf_topk" ->
       """SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,

@@ -100,7 +100,16 @@ object ScaleProbe {
       // k=8 the pair volume grows ~n²/k — quadratic by design at this
       // instrument config; production k scales with √n to pin cluster
       // width, which is the ivfNumCentroids story)
-      "q108_kmeans", "q109_semdedup")
+      "q108_kmeans", "q109_semdedup",
+      // r15 batch 3: Gopher rule card (pure per-row HOF scan — the q106
+      // shape; the probe confirms zero-shuffle linear), DSIR importance
+      // weights (checkpointed gram stream + vocab-keyed scoring join —
+      // the copy tag inflates the bigram vocab ~linearly, so the join's
+      // build side grows with it; the hashed production form pins it at
+      // O(buckets)), and embedding targeted selection (exemplar agg +
+      // centroid-literal scoring scan — should track the corpus scan
+      // like q106)
+      "q111_gopher_rules", "q113_dsir", "q112_target_select")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       // the q57 probe row keeps its historical label and workload: pure
       // IVF search (r14 made the REGISTERED q57 a recall-gate instrument

@@ -607,4 +607,73 @@ class TextOpsSpec extends SparkSpec {
       s"12 of 13 shared tokens is a NEAR-miss — no span, no scrub: ${out(3L)}")
     assert(run(docs.repartition(4)) == out, "partitioning-independent")
   }
+
+  test("gopherRules: each rule trips on its planted violator and only there") {
+    import spark.implicits._
+    val good = ((1 to 55).map(i => s"word$i") ++
+      Seq("the", "of")).mkString(" ")            // 57 words, stopwords, clean
+    val docs = Seq(
+      (1L, good),                                 // passes everything
+      (2L, "too short to pass the count but the of"), // word-count floor
+      (3L, ((1 to 55).map(_ => "a") ++ Seq("the", "of")).mkString(" ")), // mean len < 3
+      (4L, ((1 to 55).map(i => s"word$i") ++ Seq("the", "of"))
+        .mkString(" ") + " # # # # # # #"),       // 7 symbols in 64 words > 0.1
+      (5L, (1 to 60).map(i => s"word$i").mkString(" ")), // no stopwords
+      (6L, ((1 to 44).map(i => s"word$i") ++ (1 to 12).map(_ => "123") ++
+        Seq("the", "of")).mkString(" "))          // 12/58 numeric > 20%
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(6), r.getBoolean(7),
+        r.getBoolean(8), r.getBoolean(9), r.getBoolean(10), r.getBoolean(11)))
+      .toMap
+    // (ok_word_count, ok_word_len, ok_alpha, ok_symbol, ok_stop, pass)
+    assert(got(1L) == ((true, true, true, true, true, true)))
+    assert(got(2L)._1 == false && got(2L)._6 == false)
+    assert(got(3L)._2 == false, "1-char words must fail the mean-length floor")
+    assert(got(4L)._4 == false, s"symbol ratio must trip: ${got(4L)}")
+    assert(got(5L)._5 == false, "zero stopwords must fail the fluency floor")
+    assert(got(6L)._3 == false, s"numeric-word flood must fail alpha: ${got(6L)}")
+    // every violator trips ONLY its own rule (word-count stays ok on 3..6)
+    Seq(3L, 4L, 5L, 6L).foreach(id => assert(got(id)._1, s"doc$id word count"))
+  }
+
+  test("dsirWeights: target-like raw docs outweigh raw-like ones, hashed form agrees") {
+    import spark.implicits._
+    // target grams: "alpha beta"; raw grams: "gamma delta". Doc 10 (raw)
+    // is made of target material, doc 11 (raw) of raw material.
+    val docs = (
+      (1L to 6L).map(i => (i, "alpha beta alpha beta alpha beta", "en")) ++
+      (20L to 25L).map(i => (i, "gamma delta gamma delta gamma delta", "de")) :+
+      ((10L, "alpha beta alpha beta", "de")) :+
+      ((11L, "gamma delta gamma delta", "de"))
+    ).toDF("doc_id", "text", "lang")
+    def weights(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val exact = weights(TextOps.dsirWeights(docs, col("lang") === "en"))
+    assert(exact(10L) > 0, s"target-like doc must score positive: ${exact(10L)}")
+    assert(exact(11L) < 0, s"raw-like doc must score negative: ${exact(11L)}")
+    assert(exact(10L) > exact(11L) + 0.1)
+    // hashed form: collision-free at 2^20 buckets on this vocab, so the
+    // bucketed pipeline must reproduce the exact weights bit-for-bit
+    val hashed = weights(TextOps.dsirHashedWeights(docs,
+      col("lang") === "en", buckets = 1 << 20))
+    assert(hashed == exact,
+      "collision-free hashing must not change any weight")
+  }
+
+  test("q111: the rule card is one Exchange-free corpus scan") {
+    val res = TextOps.q111GopherRules(spark, sfDir)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"q111 must not shuffle:\n$plan")
+    assert(res.count() > 0)
+  }
+
+  test("dsirWeights: docs with fewer tokens than the gram width vanish, never divide by zero") {
+    import spark.implicits._
+    val docs = Seq((1L, "solo", "en"), (2L, "two words here", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.dsirWeights(docs, col("lang") === "en").collect()
+    assert(out.map(_.getLong(0)).toSet == Set(2L),
+      "a 1-token doc has no bigrams and must be absent, not NaN")
+  }
 }

@@ -1196,4 +1196,46 @@ class VectorOpsSpec extends SparkSpec {
     assert(got == Map(0L -> true, 1L -> true, 2L -> false, 3L -> false))
     graft.CacheHygiene.releaseTree(res)
   }
+
+  test("targetSelect: pool scores exact cosine against the exemplar centroid, zero vectors sit out") {
+    import spark.implicits._
+    // exemplars 0,1 point +x (centroid = +x); pool: aligned / opposed /
+    // orthogonal / zero
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(1.0f, 0.0f), 0),
+      (10L, Seq(0.5f, 0.0f), 0),   // cos +1
+      (11L, Seq(-2.0f, 0.0f), 0),  // cos -1
+      (12L, Seq(0.0f, 3.0f), 0),   // cos 0
+      (13L, Seq(0.0f, 0.0f), 0)    // zero vector: excluded
+    ).toDF("vec_id", "embedding", "label")
+    val out = VectorOps.targetSelect(df, col("vec_id") < 2)
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.keySet == Set(10L, 11L, 12L), "exemplars and zero vectors never emit")
+    assert(got(10L) == ((1000000L, true)))
+    assert(got(11L) == ((-1000000L, false)))
+    assert(got(12L) == ((0L, false)))
+    graft.CacheHygiene.releaseTree(out)
+  }
+
+  test("q112: scoring is an Exchange-free scan over the centroid literal") {
+    val res = VectorOps.q112TargetSelect(spark, sfDir)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"q112 scoring must not shuffle:\n$plan")
+    assert(res.count() > 0)
+    graft.CacheHygiene.releaseTree(res)
+  }
+
+  test("targetSelect: empty exemplar set and zero centroid refuse loudly") {
+    import spark.implicits._
+    val df = Seq((5L, Seq(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    intercept[IllegalArgumentException] {
+      VectorOps.targetSelect(df, col("vec_id") < 0).collect()
+    }
+    val zeroEx = Seq((0L, Seq(0.0f, 0.0f), 0), (5L, Seq(1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    intercept[IllegalArgumentException] {
+      VectorOps.targetSelect(zeroEx, col("vec_id") < 2).collect()
+    }
+  }
 }
