@@ -1431,7 +1431,8 @@ object TextOps {
     * features, so the gram table and the scoring join's build side stay
     * O(buckets) — constant — however large the corpus grows. Weights
     * differ from the exact form only by hash-collision smearing (the
-    * paper's trade); TextOpsSpec pins the two forms' ranking agreement.
+    * paper's trade); TextOpsSpec pins that a collision-free bucket count
+    * reproduces the exact weights bit-for-bit.
     */
   def dsirHashedWeights(docs: DataFrame, isTarget: Column, n: Int = 2,
       buckets: Int = 10000): DataFrame = {
