@@ -131,6 +131,16 @@ object ScaleProbe {
       ("q35_prod" ->
         ((s: SparkSession, dir: String) =>
           graft.operators.TextOps.q35Prod(s, dir))) :+
+      // the PRODUCTION DSIR configuration: grams bucketed to 10⁴ hashed
+      // features. The exact-gram instrument's probe ratio is driven by
+      // copy-tag vocab inflation (the q91 story); this row measures the
+      // O(buckets) claim — the gram table and the scoring join's build
+      // side are bucket-bound, so wall should track the corpus scan
+      ("q113_hashed" ->
+        ((s: SparkSession, dir: String) =>
+          graft.operators.TextOps.dsirHashedWeights(
+            graft.sources.Tables.documents(s, dir),
+            col("lang") === "en"))) :+
       // the sharded-index search path (r8 verdict item 6: no timed query
       // exercised it): K=4 sub-indexes over the same corpus q57's single
       // index covers, so the probe row reads directly against q57's —
