@@ -1398,7 +1398,10 @@ object TextOps {
     * the 1-row totals and the per-doc join consume it — and (b) the
     * per-doc gram counts. The scoring join is gram-keyed (vocabulary-
     * sized build side under AQE — and O(buckets) in the hashed form);
-    * totals ride a 1-row broadcast. Nothing pairwise, no windows.
+    * totals ride a 1-row broadcast. Nothing pairwise, no windows. Both
+    * checkpoints back the returned plan — callers that own the result
+    * release them via CacheHygiene.releaseTree (Verify does; Bench
+    * blanket-unpersists between timings).
     */
   def dsirWeights(docs: DataFrame, isTarget: Column, n: Int = 2,
       gramKey: Column => Column = identity): DataFrame = {
@@ -1445,7 +1448,135 @@ object TextOps {
   def q113Dsir(s: SparkSession, d: String): DataFrame =
     dsirWeights(documents(s, d), col("lang") === "en")
 
+  // ---- BPE merge learning (Sennrich et al. 2016) --------------------
+
+  /** A token's BPE base symbols: its characters, in order. */
+  private def charSyms(w: Column): Column =
+    regexp_extract_all(w, lit("."), lit(0))
+
+  /** Non-empty lowercased tokens — BPE never sees zero-length words. */
+  private def bpeTokens(text: Column): Column =
+    filter(tokens(text), w => length(w) > 0)
+
+  /** Adjacent symbol pairs of one word as (a, b) structs. */
+  private def adjacentPairs(sym: Column): Column =
+    zip_with(slice(sym, lit(1), size(sym) - 1), slice(sym, lit(2), size(sym) - 1),
+      (x, y) => struct(x.as("a"), y.as("b")))
+
+  /** One BPE merge (a, b) → ab applied greedily left-to-right to a
+    * symbol array — an aggregate-HOF fold, codegen'd, no UDF. Matches
+    * the reference implementation's non-overlapping semantics (and the
+    * oracle's bracketed-string `replace`): [a, a, a] under (a, a) →
+    * [aa, a]. The empty-accumulator branch guards the ANSI
+    * element_at(…, 0) error lazily (CaseWhen branches don't evaluate
+    * until taken — the §7 ANSI-division lesson).
+    */
+  private def applyMerge(sym: Column, a: String, b: String): Column =
+    aggregate(sym, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) === 0, concat(acc, array(x)))
+        .otherwise(
+          when(element_at(acc, size(acc)) === lit(a) && (x === lit(b)),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x)))))
+
+  /** q114: corpus-wide adjacent character-pair counts, top 20 — the
+    * table the FIRST BPE merge decision reads, and the vocabulary-
+    * construction diagnosis mart (which bigrams dominate the corpus's
+    * byte stream). One explode over token occurrences into a map-side-
+    * combinable keyed agg; the top-k is a TakeOrderedAndProject over
+    * the pair-vocabulary-sized aggregate, never a corpus sort.
+    */
+  def q114BpePairs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(bpeTokens(col("text"))).as("w"))
+      .select(explode(adjacentPairs(charSyms(col("w")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(20)
+
+  /** Learn `merges` BPE merge rules from the corpus (Sennrich et al.
+    * 2016): per round, count adjacent symbol pairs over every token
+    * occurrence, take the most frequent (ties → lexicographically
+    * smallest (a, b) — engine-deterministic, the k-means seed
+    * discipline), fuse it everywhere, repeat. Returns the rules in
+    * learned order.
+    *
+    * Scale shape — the reference trainer's own trick: the corpus is
+    * folded ONCE into the distinct-word frequency table (Zipf makes the
+    * vocabulary orders of magnitude smaller than the token stream at
+    * any corpus size), and every round thereafter runs on that
+    * vocab-sized frame — pair counts are `sum(word_count)` keyed aggs,
+    * the argmax collects one row, the merge application is a per-row
+    * codegen'd fold. The checkpoint-per-round Lloyd discipline caps
+    * lineage; the one corpus-scale job is the initial word count.
+    */
+  def bpeLearn(docs: DataFrame, merges: Int): Seq[(String, String)] = {
+    require(merges >= 1, s"bpeLearn: merges must be >= 1, got $merges")
+    var cur = docs
+      .select(explode(bpeTokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(charSyms(col("w")).as("sym"), col("n"))
+      .localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var exhausted = false
+    for (_ <- 1 to merges if !exhausted) {
+      val top = cur
+        .select(explode(adjacentPairs(col("sym"))).as("p"), col("n"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        learned += ((a, b))
+        val next = cur.withColumn("sym", applyMerge(col("sym"), a, b))
+          .localCheckpoint(true)
+        graft.CacheHygiene.release(cur)
+        cur = next
+      }
+    }
+    graft.CacheHygiene.release(cur)
+    learned.toList
+  }
+
+  /** Segment every document with an ordered BPE merge list: each word's
+    * characters are fused rule by rule in learned order (on the
+    * training corpus this reproduces the trainer's own final state —
+    * the property the oracle checks). Emits per doc the symbol count
+    * and the space-joined segmentation. Pure per-row HOF folds over one
+    * corpus scan — zero shuffles. The expression tree grows linearly
+    * with the rule count (one nested transform per rule): fine for the
+    * merge-list sizes this surface learns (tens), not for a 30k-merge
+    * production vocabulary — at that size encode with a rank-table
+    * kernel; the LEARNING loop above is the scale-relevant half here.
+    */
+  def bpeSegment(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val base = transform(bpeTokens(col("text")), w => charSyms(w))
+    val seg = merges.foldLeft(base) { case (c, (a, b)) =>
+      transform(c, w => applyMerge(w, a, b))
+    }
+    docs.select(col("doc_id"), seg.as("syms"))
+      .select(col("doc_id"),
+        aggregate(col("syms"), lit(0L), (n, s) => n + size(s))
+          .as("n_symbols"),
+        array_join(transform(col("syms"), s => array_join(s, " ")), " ")
+          .as("text_bpe"))
+  }
+
+  /** q115: learn 2 BPE merges from `documents` and segment the corpus
+    * with them — the first ITERATIVE text kernel under the full hash
+    * oracle (the q108 trick, text edition: integer pair counts +
+    * deterministic tie-breaks make every round exact, and DuckDB
+    * unrolls the same two rounds over bracketed-symbol strings whose
+    * greedy `replace` provably matches [[applyMerge]]'s fold). */
+  def q115BpeLearn(s: SparkSession, d: String): DataFrame =
+    bpeSegment(documents(s, d), bpeLearn(documents(s, d), 2))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_bpe_learn" -> q115BpeLearn _,
+    "q114_bpe_pairs" -> q114BpePairs _,
     "q113_dsir" -> q113Dsir _,
     "q111_gopher_rules" -> q111GopherRules _,
     "q104_decontam_scrub" -> q104DecontamScrub _,
@@ -1488,6 +1619,56 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // q115's oracle encodes symbols as bracketed strings (">a< >b<") so
+    // DuckDB's left-to-right non-overlapping replace() implements the
+    // same greedy fold as applyMerge. The bracket characters are the
+    // encoding's reserved alphabet — valid for this corpus's alnum
+    // tokens; the Spark side has no such reservation (it folds arrays).
+    "q114_bpe_pairs" ->
+      """WITH t AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        | w AS (SELECT unnest(ws) AS w FROM t),
+        | c AS (SELECT list_transform(range(1, length(w)+1), i -> w[i]) AS cs
+        |       FROM w WHERE length(w) > 0),
+        | p AS (SELECT unnest(list_zip(cs[1:len(cs)-1], cs[2:len(cs)])) AS pr FROM c),
+        | pc AS (SELECT pr[1] AS a, pr[2] AS b, count(*) AS cnt
+        |        FROM p WHERE pr[1] IS NOT NULL AND pr[2] IS NOT NULL GROUP BY 1,2)
+        |SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM pc
+        |ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin,
+    "q115_bpe_learn" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                w -> length(w) > 0) AS ws FROM documents),
+        | b0 AS (SELECT doc_id,
+        |    list_transform(ws, w ->
+        |      '>' || array_to_string(
+        |        list_transform(range(1, length(w)+1), i -> w[i]), '< >') || '<') AS bw
+        |    FROM t),
+        | s1 AS (SELECT regexp_extract_all(bw1, '>([^<>]*)<', 1) AS cs
+        |        FROM (SELECT unnest(bw) AS bw1 FROM b0)),
+        | p1 AS (SELECT pr[1] AS a, pr[2] AS b, count(*) AS cnt
+        |        FROM (SELECT unnest(list_zip(cs[1:len(cs)-1], cs[2:len(cs)])) AS pr FROM s1)
+        |        WHERE pr[1] IS NOT NULL AND pr[2] IS NOT NULL GROUP BY 1,2),
+        | m1 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+        | b1 AS (SELECT doc_id,
+        |    list_transform(bw, x -> replace(x, '>'||m1.a||'< >'||m1.b||'<', '>'||m1.a||m1.b||'<')) AS bw
+        |    FROM b0 CROSS JOIN m1),
+        | s2 AS (SELECT regexp_extract_all(bw2, '>([^<>]*)<', 1) AS cs
+        |        FROM (SELECT unnest(bw) AS bw2 FROM b1)),
+        | p2 AS (SELECT pr[1] AS a, pr[2] AS b, count(*) AS cnt
+        |        FROM (SELECT unnest(list_zip(cs[1:len(cs)-1], cs[2:len(cs)])) AS pr FROM s2)
+        |        WHERE pr[1] IS NOT NULL AND pr[2] IS NOT NULL GROUP BY 1,2),
+        | m2 AS (SELECT a, b FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+        | b2 AS (SELECT doc_id,
+        |    list_transform(bw, x -> replace(x, '>'||m2.a||'< >'||m2.b||'<', '>'||m2.a||m2.b||'<')) AS bw
+        |    FROM b1 CROSS JOIN m2),
+        | f AS (SELECT doc_id,
+        |    list_transform(bw, x -> regexp_extract_all(x, '>([^<>]*)<', 1)) AS syms
+        |    FROM b2)
+        |SELECT doc_id,
+        |  CAST(coalesce(list_sum(list_transform(syms, s -> len(s))), 0) AS BIGINT) AS n_symbols,
+        |  array_to_string(list_transform(syms, s -> array_to_string(s, ' ')), ' ') AS text_bpe
+        |FROM f""".stripMargin,
     "q113_dsir" ->
       """WITH t AS (SELECT doc_id, lang = 'en' AS is_t,
         |   regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),

@@ -109,7 +109,14 @@ object ScaleProbe {
       // O(buckets)), and embedding targeted selection (exemplar agg +
       // centroid-literal scoring scan — should track the corpus scan
       // like q106)
-      "q111_gopher_rules", "q113_dsir", "q112_target_select")
+      "q111_gopher_rules", "q113_dsir", "q112_target_select",
+      // r15 batch 3: BPE pair counts (explode + keyed agg + bounded
+      // top-k) and the 2-merge learner (per round: one pair agg + a
+      // 1-row argmax + a per-row fold over the checkpointed symbol
+      // frame — wall should track the word scan; the pair vocabulary
+      // is alphabet²-bounded, immune to the copy-tag inflation that
+      // drives q113's exact-gram ratio)
+      "q114_bpe_pairs", "q115_bpe_learn")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       // the q57 probe row keeps its historical label and workload: pure
       // IVF search (r14 made the REGISTERED q57 a recall-gate instrument

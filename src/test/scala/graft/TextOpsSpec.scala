@@ -661,6 +661,69 @@ class TextOpsSpec extends SparkSpec {
       "collision-free hashing must not change any weight")
   }
 
+  /** Independent in-memory BPE (naive reference implementation): the
+    * same greedy-left-to-right merge semantics, written without Spark so
+    * a shared bug is implausible (the KmeansPropertySpec discipline). */
+  private object NaiveBpe {
+    def applyMerge(w: List[String], a: String, b: String): List[String] = w match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: applyMerge(rest, a, b)
+      case x :: rest => x :: applyMerge(rest, a, b)
+      case Nil => Nil
+    }
+    def learn(words: Seq[List[String]], k: Int):
+        (Seq[(String, String)], Seq[List[String]]) = {
+      var cur = words
+      val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      for (_ <- 1 to k) {
+        val counts = cur.flatMap(w => w.zip(w.drop(1)))
+          .groupBy(identity).view.mapValues(_.size).toSeq
+        if (counts.nonEmpty) {
+          val ((a, b), _) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+          out += ((a, b))
+          cur = cur.map(w => applyMerge(w, a, b))
+        }
+      }
+      (out.toSeq, cur)
+    }
+  }
+
+  test("bpeLearn: planted corpus learns (a,a) then (aa,a), overlap stays non-greedy") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaab aab"), (2L, "aaa")).toDF("doc_id", "text")
+    // round 1: (a,a) x5 wins. NON-OVERLAPPING application: aaab ->
+    // [aa,a,b] (not [aa,aa...]), aab -> [aa,b], aaa -> [aa,a]. Round 2:
+    // (aa,a) x2 beats (a,b) x1 and (aa,b) x1
+    val merges = TextOps.bpeLearn(docs, 2)
+    assert(merges == Seq(("a", "a"), ("aa", "a")), s"got $merges")
+    val seg = TextOps.bpeSegment(docs, merges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // aaab -> [aaa, b]; aab -> [aa, b]; aaa -> [aaa]
+    assert(seg(1L) == ((4L, "aaa b aa b")), s"got ${seg(1L)}")
+    assert(seg(2L) == ((1L, "aaa")), s"got ${seg(2L)}")
+  }
+
+  test("bpeLearn/bpeSegment: 3 merges on the sf0.001 corpus match the independent model") {
+    val docs = Tables.documents(spark, sfDir)
+    val merges = TextOps.bpeLearn(docs, 3)
+    // the same corpus through the in-memory reference
+    val words = docs.select(col("text")).collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+"))
+      .filter(_.nonEmpty).map(_.toList.map(_.toString)).toSeq
+    val (expMerges, _) = NaiveBpe.learn(words, 3)
+    assert(merges == expMerges, s"spark $merges vs model $expMerges")
+    // segmentation agrees per doc
+    val got = TextOps.bpeSegment(docs, merges).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val exp = docs.select(col("doc_id"), col("text")).collect().map { r =>
+      val ws = r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .map(_.toList.map(_.toString)).toSeq
+      val seg = merges.foldLeft(ws) { case (c, (a, b)) =>
+        c.map(w => NaiveBpe.applyMerge(w, a, b)) }
+      r.getLong(0) -> seg.map(_.mkString(" ")).mkString(" ")
+    }.toMap
+    assert(got == exp)
+  }
+
   test("q111: the rule card is one Exchange-free corpus scan") {
     val res = TextOps.q111GopherRules(spark, sfDir)
     val plan = res.queryExecution.executedPlan.toString
