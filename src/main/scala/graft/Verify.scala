@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated exact query names (builder-side
+    // single-query gating; the driver always passes two args = run all)
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)    => (s, o, None)
+      case Array(s, o, f) => (s, o, Some(f.split(',').toSet))
+      case _ => sys.error("usage: Verify <sfDir> <outDir> [name,name,...]")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,7 +22,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // the dump IS the final consumer of each query's plan — release
       // every checkpoint block the query minted (q94/q96/q99/q100 return
       // joins OVER their checkpoints, unreachable from near-root

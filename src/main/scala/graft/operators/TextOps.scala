@@ -1194,6 +1194,38 @@ object TextOps {
         col("best.quality").as("keep_quality"),
         (-col("best.neg")).as("keep_id"))
 
+  /** q116: leakage-safe train/valid/test split — the q59 hash split with
+    * the one change that makes it sound for evaluation: the bucket is
+    * keyed on the near-dup CLUSTER representative (q94's closure label),
+    * not the document's own text, so a document and its near-duplicates
+    * land in the SAME split by construction. Under q59, a page and its
+    * mangled re-crawl hash to different buckets and one can sit in train
+    * while the other "tests" the model on memorized content — the classic
+    * train/test contamination a 100 TB web corpus is full of. Keying on
+    * `cluster_rep` makes straddling structurally impossible (one key, one
+    * bucket) while exact-unique docs (singleton clusters, rep = own id)
+    * split independently as before.
+    *
+    * Scale: the split itself is a projection over the label frame — zero
+    * additional shuffles beyond q94's closure, which every curation chain
+    * has already materialized (feed it to [[leakSplitOn]]; the one-arg
+    * query form mines it for the oracle's sake, same as q96's).
+    */
+  def q116LeakSplit(s: SparkSession, d: String): DataFrame =
+    leakSplitOn(dedupComponentsOn(documents(s, d)))
+
+  /** Split assignment over PRECOMPUTED cluster labels
+    * ([[dedupComponentsOn]]'s output — pass it materialized, the
+    * keepBestOn discipline): pure per-row arithmetic, no joins, no pair
+    * mining. Salted `"leak:"` so the decision is independent of every
+    * other hash-bucket decision (q59/q60/q68) on the same corpus.
+    */
+  def leakSplitOn(labels: DataFrame): DataFrame = {
+    val b = hashBucket(concat(lit("leak:"), col("cluster_rep").cast("string")))
+    labels.select(col("doc_id"), col("cluster_rep"), b.as("split_bucket"),
+      when(b < 80, "train").when(b < 90, "valid").otherwise("test").as("split"))
+  }
+
   /** q97: the per-source corpus "data card" — the one-pass summary mart
     * every training run wants next to its manifest: volume (docs,
     * tokens), length shape (median/p90 tokens), quality center, language
@@ -1575,6 +1607,7 @@ object TextOps {
     bpeSegment(documents(s, d), bpeLearn(documents(s, d), 2))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_leak_split" -> q116LeakSplit _,
     "q115_bpe_learn" -> q115BpeLearn _,
     "q114_bpe_pairs" -> q114BpePairs _,
     "q113_dsir" -> q113Dsir _,
@@ -1618,7 +1651,52 @@ object TextOps {
     "q35_ngram_jaccard" -> q35NgramJaccard _,
   )
 
+  /** The q94 closure as a DuckDB recursive CTE, shared by every oracle
+    * that verifies cluster-keyed behavior (q94 itself, q116's split):
+    * 3-shingle Jaccard ≥0.8 pairs within language, closed transitively,
+    * ending in `comp(doc_id, cluster_rep)` for non-singleton members.
+    */
+  private val DedupClosureCte: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, lang,
+      |   regexp_split_to_array(lower(trim(text)), '\s+') AS wl FROM documents),
+      | sh AS (
+      |  SELECT doc_id, lang, list_distinct(list_transform(range(1, len(wl)-1),
+      |    i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])) AS shl FROM t),
+      | sz AS (SELECT doc_id, len(shl) AS sz FROM sh),
+      | ex AS (SELECT doc_id, lang, unnest(shl) AS s FROM sh),
+      | inter AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      |  FROM ex a JOIN ex b ON a.s=b.s AND a.lang=b.lang AND a.doc_id<b.doc_id
+      |  GROUP BY 1, 2),
+      | pairs AS (
+      |  SELECT a_id, b_id FROM inter
+      |  JOIN sz sa ON sa.doc_id=a_id JOIN sz sb ON sb.doc_id=b_id
+      |  WHERE CAST(inter AS DOUBLE)/(sa.sz+sb.sz-inter) >= 0.8),
+      | edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+      |           UNION SELECT b_id, a_id FROM pairs),
+      | reach AS (
+      |  SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u),
+      | comp AS (SELECT u AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY u)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q116_leak_split" -> (DedupClosureCte +
+      """,
+        | lab AS (
+        |  SELECT d.doc_id, coalesce(c.cluster_rep, d.doc_id) AS cluster_rep
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+        | b AS (
+        |  SELECT doc_id, cluster_rep,
+        |   CAST(('0x' || substr(md5('leak:' || CAST(cluster_rep AS VARCHAR)), 1, 8))::BIGINT
+        |     % 100 AS BIGINT) AS split_bucket
+        |  FROM lab)
+        |SELECT doc_id, cluster_rep, split_bucket,
+        | CASE WHEN split_bucket < 80 THEN 'train'
+        |      WHEN split_bucket < 90 THEN 'valid'
+        |      ELSE 'test' END AS split
+        |FROM b""".stripMargin),
     // q115's oracle encodes symbols as bracketed strings (">a< >b<") so
     // DuckDB's left-to-right non-overlapping replace() implements the
     // same greedy fold as applyMerge. The bracket characters are the
@@ -1899,33 +1977,11 @@ object TextOps {
         |SELECT cluster_rep, CAST(nm AS BIGINT) AS n_members,
         | quality AS keep_quality, doc_id AS keep_id
         |FROM r WHERE rk = 1""".stripMargin,
-    "q94_dedup_components" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id, lang,
-        |   regexp_split_to_array(lower(trim(text)), '\s+') AS wl FROM documents),
-        | sh AS (
-        |  SELECT doc_id, lang, list_distinct(list_transform(range(1, len(wl)-1),
-        |    i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])) AS shl FROM t),
-        | sz AS (SELECT doc_id, len(shl) AS sz FROM sh),
-        | ex AS (SELECT doc_id, lang, unnest(shl) AS s FROM sh),
-        | inter AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-        |  FROM ex a JOIN ex b ON a.s=b.s AND a.lang=b.lang AND a.doc_id<b.doc_id
-        |  GROUP BY 1, 2),
-        | pairs AS (
-        |  SELECT a_id, b_id FROM inter
-        |  JOIN sz sa ON sa.doc_id=a_id JOIN sz sb ON sb.doc_id=b_id
-        |  WHERE CAST(inter AS DOUBLE)/(sa.sz+sb.sz-inter) >= 0.8),
-        | edges AS (SELECT a_id AS u, b_id AS v FROM pairs
-        |           UNION SELECT b_id, a_id FROM pairs),
-        | reach AS (
-        |  SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
-        |  UNION
-        |  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u),
-        | comp AS (SELECT u AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY u)
+    "q94_dedup_components" -> (DedupClosureCte +
+      """
         |SELECT d.doc_id, coalesce(c.cluster_rep, d.doc_id) AS cluster_rep,
         | (coalesce(c.cluster_rep, d.doc_id) = d.doc_id) AS is_keeper
-        |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
+        |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin),
     "q90_span_dupfrac" ->
       """WITH t AS (SELECT doc_id,
         |   regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),

@@ -739,4 +739,53 @@ class TextOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSet == Set(2L),
       "a 1-token doc has no bigrams and must be absent, not NaN")
   }
+
+  test("q116: near-dup clusters never straddle splits, and q59 provably does") {
+    import spark.implicits._
+    // Two near-dup pairs plus singletons. Under q59 (per-doc text hash)
+    // the pair members bucket independently; under q116 they share the
+    // cluster_rep key so they MUST agree. Tails chosen so at least one
+    // pair straddles under q59 (asserted, so the test can't go vacuous).
+    val shared = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared alpha"), (2L, s"$shared epsilon"),
+      (3L, s"different entirely $shared gamma delta epsilon zeta"),
+      (4L, s"different entirely $shared gamma delta epsilon eta"),
+      (5L, "lone wolf document with its own words"),
+      (6L, "another independent singleton text body")
+    ).map { case (id, t) => (id, t, "en") }.toDF("doc_id", "text", "lang")
+    val labels = TextOps.dedupComponentsOn(docs).localCheckpoint(true)
+    val leak = TextOps.leakSplitOn(labels)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // cluster-keyed: every labeled cluster lands in exactly one split
+    val byCluster = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._2).values.filter(_.length > 1)
+    assert(byCluster.nonEmpty, "corpus must contain a non-singleton cluster")
+    byCluster.foreach { members =>
+      assert(members.map(m => leak(m._1)).toSet.size == 1,
+        s"cluster ${members.map(_._1).mkString(",")} straddles splits")
+    }
+    // the per-doc q59 convention straddles at least one of those clusters
+    val naive = docs.select(col("doc_id"),
+        TextOps.hashBucket(col("text")).as("b")).collect()
+      .map { r =>
+        val b = r.getLong(1)
+        r.getLong(0) -> (if (b < 80) "train" else if (b < 90) "valid" else "test")
+      }.toMap
+    assert(byCluster.exists(ms => ms.map(m => naive(m._1)).toSet.size > 1),
+      "expected the naive per-doc hash to separate at least one near-dup pair")
+  }
+
+  test("leakSplitOn over precomputed labels: pure projection, no join, no shuffle") {
+    val labels = TextOps.dedupComponentsOn(
+      Tables.documents(spark, sfDir)).localCheckpoint(true)
+    val out = TextOps.leakSplitOn(labels)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"split assignment over labels must be a zero-shuffle projection:\n$plan")
+    // split fractions: deterministic 80/10/10 intent — sanity only
+    val n = out.count()
+    val train = out.filter(col("split") === "train").count()
+    assert(n > 0 && train > n / 2, s"train=$train of $n looks wrong")
+  }
 }
