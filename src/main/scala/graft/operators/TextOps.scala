@@ -1226,6 +1226,47 @@ object TextOps {
       when(b < 80, "train").when(b < 90, "valid").otherwise("test").as("split"))
   }
 
+  /** q117: split-leakage audit — the one-row mart that quantifies what
+    * q116 fixes: under the naive per-doc q59 split, how many near-dup
+    * clusters straddle splits, and how many documents sit in a split
+    * their cluster leaks out of. `leaked_valid`/`leaked_test` ARE the
+    * eval-contamination counts (eval docs with a near-dup elsewhere —
+    * memorization masquerading as generalization); `leaked_train` is the
+    * symmetric train-side count. Run it before trusting any eval number
+    * on a corpus that was split per-doc.
+    */
+  def q117SplitLeakage(s: SparkSession, d: String): DataFrame =
+    splitLeakageOn(dedupComponentsOn(documents(s, d)), documents(s, d))
+
+  /** The audit over PRECOMPUTED labels (the keepBestOn discipline).
+    * Scale: one doc_id equi-join to fetch the naive bucket, ONE
+    * cluster-keyed agg folding per-split member counts (map-side
+    * combinable), then a global aggregate over the cluster-sized frame —
+    * nothing pairwise, nothing collected.
+    */
+  def splitLeakageOn(labels: DataFrame, docs: DataFrame): DataFrame = {
+    val b = hashBucket(col("text"))
+    val member = labels.select("doc_id", "cluster_rep")
+      .join(docs.select(col("doc_id"),
+        when(b < 80, "train").when(b < 90, "valid").otherwise("test").as("split")),
+        "doc_id")
+    val cl = member.groupBy("cluster_rep").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("nt"),
+      sum(when(col("split") === "valid", 1L).otherwise(0L)).as("nv"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).as("nx"))
+    val straddle = ((col("nt") > 0).cast("int") + (col("nv") > 0).cast("int") +
+      (col("nx") > 0).cast("int")) > 1
+    cl.select(col("n"), col("nt"), col("nv"), col("nx"),
+        straddle.cast("long").as("st"))
+      .agg(sum(col("n")).as("n_docs"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_multi_clusters"),
+        sum(col("st")).as("n_straddling"),
+        sum(col("st") * col("nt")).as("leaked_train"),
+        sum(col("st") * col("nv")).as("leaked_valid"),
+        sum(col("st") * col("nx")).as("leaked_test"))
+  }
+
   /** q97: the per-source corpus "data card" — the one-pass summary mart
     * every training run wants next to its manifest: volume (docs,
     * tokens), length shape (median/p90 tokens), quality center, language
@@ -1607,6 +1648,7 @@ object TextOps {
     bpeSegment(documents(s, d), bpeLearn(documents(s, d), 2))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_split_leakage" -> q117SplitLeakage _,
     "q116_leak_split" -> q116LeakSplit _,
     "q115_bpe_learn" -> q115BpeLearn _,
     "q114_bpe_pairs" -> q114BpePairs _,
@@ -1682,6 +1724,37 @@ object TextOps {
       | comp AS (SELECT u AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY u)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q117_split_leakage" -> (DedupClosureCte +
+      """,
+        | lab AS (
+        |  SELECT d.doc_id, coalesce(c.cluster_rep, d.doc_id) AS cluster_rep,
+        |   CAST(('0x' || substr(md5(d.text), 1, 8))::BIGINT % 100 AS BIGINT) AS b
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+        | s AS (
+        |  SELECT doc_id, cluster_rep,
+        |   CASE WHEN b < 80 THEN 'train'
+        |        WHEN b < 90 THEN 'valid'
+        |        ELSE 'test' END AS split
+        |  FROM lab),
+        | cl AS (
+        |  SELECT cluster_rep, count(*) AS n,
+        |   sum(CASE WHEN split='train' THEN 1 ELSE 0 END) AS nt,
+        |   sum(CASE WHEN split='valid' THEN 1 ELSE 0 END) AS nv,
+        |   sum(CASE WHEN split='test' THEN 1 ELSE 0 END) AS nx
+        |  FROM s GROUP BY 1),
+        | st AS (
+        |  SELECT *, CASE WHEN (CASE WHEN nt>0 THEN 1 ELSE 0 END)
+        |                    + (CASE WHEN nv>0 THEN 1 ELSE 0 END)
+        |                    + (CASE WHEN nx>0 THEN 1 ELSE 0 END) > 1
+        |            THEN 1 ELSE 0 END AS straddle
+        |  FROM cl)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_clusters,
+        | CAST(sum(straddle) AS BIGINT) AS n_straddling,
+        | CAST(sum(straddle * nt) AS BIGINT) AS leaked_train,
+        | CAST(sum(straddle * nv) AS BIGINT) AS leaked_valid,
+        | CAST(sum(straddle * nx) AS BIGINT) AS leaked_test
+        |FROM st""".stripMargin),
     "q116_leak_split" -> (DedupClosureCte +
       """,
         | lab AS (

@@ -776,6 +776,42 @@ class TextOpsSpec extends SparkSpec {
       "expected the naive per-doc hash to separate at least one near-dup pair")
   }
 
+  test("q117: the leakage audit counts the planted straddling cluster exactly") {
+    import spark.implicits._
+    // docs 1+2: near-dups whose naive splits differ (train vs valid —
+    // verified by the q116 test's offline bucket computation); docs 3+4:
+    // near-dups (same-split or not, counted as multi either way); 5,6
+    // singletons. Assertions recompute the naive splits from hashBucket
+    // so the expectations can't drift from the convention.
+    val shared = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared alpha"), (2L, s"$shared epsilon"),
+      (3L, s"different entirely $shared gamma delta epsilon zeta"),
+      (4L, s"different entirely $shared gamma delta epsilon eta"),
+      (5L, "lone wolf document with its own words"),
+      (6L, "another independent singleton text body")
+    ).map { case (id, t) => (id, t, "en") }.toDF("doc_id", "text", "lang")
+    val labels = TextOps.dedupComponentsOn(docs).localCheckpoint(true)
+    val row = TextOps.splitLeakageOn(labels, docs).collect().head
+    val naive = docs.select(col("doc_id"), TextOps.hashBucket(col("text")).as("b"))
+      .collect().map { r =>
+        val b = r.getLong(1)
+        r.getLong(0) -> (if (b < 80) "train" else if (b < 90) "valid" else "test")
+      }.toMap
+    val clusters = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._2).values.map(_.map(_._1)).toSeq
+    val multi = clusters.filter(_.length > 1)
+    val straddling = multi.filter(_.map(naive).toSet.size > 1)
+    assert(straddling.nonEmpty, "fixture must plant at least one straddler")
+    assert(row.getAs[Long]("n_docs") == 6L)
+    assert(row.getAs[Long]("n_multi_clusters") == multi.size.toLong)
+    assert(row.getAs[Long]("n_straddling") == straddling.size.toLong)
+    val leakedBySplit = straddling.flatten.groupBy(naive).view.mapValues(_.size.toLong)
+    assert(row.getAs[Long]("leaked_train") == leakedBySplit.getOrElse("train", 0L))
+    assert(row.getAs[Long]("leaked_valid") == leakedBySplit.getOrElse("valid", 0L))
+    assert(row.getAs[Long]("leaked_test") == leakedBySplit.getOrElse("test", 0L))
+  }
+
   test("leakSplitOn over precomputed labels: pure projection, no join, no shuffle") {
     val labels = TextOps.dedupComponentsOn(
       Tables.documents(spark, sfDir)).localCheckpoint(true)
