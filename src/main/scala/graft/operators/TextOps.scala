@@ -1267,6 +1267,53 @@ object TextOps {
         sum(col("st") * col("nx")).as("leaked_test"))
   }
 
+  /** q118: UniMax language-budget allocation (Chung et al. 2023,
+    * "UniMax: Fairer and More Effective Language Sampling") — given a
+    * token budget larger than the corpus (here 3·total/2) and an epoch
+    * cap (2), allocate each language the UNIFORM share of the remaining
+    * budget, capped at epochCap·n_tokens, smallest language first: small
+    * languages stop at the cap (never over-epoched into memorization),
+    * their unused share waterfalls to the larger ones. The closed loop
+    * is exact integer waterfilling — ascending capacity order makes the
+    * greedy pass optimal — so the mart carries a full hash oracle (the
+    * DuckDB side replays the same fold as a recursive CTE over the
+    * language table).
+    */
+  def q118Unimax(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    unimaxAlloc(docs, epochCap = 2L)
+  }
+
+  /** The allocation over any (lang, text) frame. Scale: ONE map-side
+    * combinable keyed agg over the corpus; the waterfill itself runs on
+    * the LANGUAGE table — driver-side over ≤ a few thousand rows (loudly
+    * guarded), the same bounded-collect discipline as q115's argmax.
+    * `budgetNum/budgetDen` set the budget as a fraction of total corpus
+    * tokens (default 3/2).
+    */
+  def unimaxAlloc(docs: DataFrame, epochCap: Long,
+      budgetNum: Long = 3L, budgetDen: Long = 2L): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val counts = docs.groupBy("lang")
+      .agg(sum(size(split(trim(col("text")), ws)).cast("long")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(counts.length <= 10000,
+      s"unimaxAlloc: ${counts.length} languages — this fold is for language-" +
+        "cardinality tables; a high-cardinality key needs a distributed kernel")
+    val total = counts.map(_._2).sum
+    var r = budgetNum * total / budgetDen
+    val langs = counts.sortBy { case (l, n) => (n, l) }
+    val k = langs.length
+    val rows = langs.zipWithIndex.map { case ((l, n), idx) =>
+      val cap = epochCap * n
+      val alloc = math.min(cap, r / (k - idx))
+      r -= alloc
+      (l, n, cap, alloc)
+    }
+    rows.toSeq.toDF("lang", "n_tokens", "cap_tokens", "alloc_tokens")
+  }
+
   /** q97: the per-source corpus "data card" — the one-pass summary mart
     * every training run wants next to its manifest: volume (docs,
     * tokens), length shape (median/p90 tokens), quality center, language
@@ -1648,6 +1695,7 @@ object TextOps {
     bpeSegment(documents(s, d), bpeLearn(documents(s, d), 2))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_unimax" -> q118Unimax _,
     "q117_split_leakage" -> q117SplitLeakage _,
     "q116_leak_split" -> q116LeakSplit _,
     "q115_bpe_learn" -> q115BpeLearn _,
@@ -1724,6 +1772,25 @@ object TextOps {
       | comp AS (SELECT u AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY u)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q118_unimax" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT lang,
+        |   CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        | o AS (
+        |  SELECT lang, n, 2*n AS cap,
+        |   CAST(row_number() OVER (ORDER BY n, lang) AS BIGINT) AS i,
+        |   CAST(count(*) OVER () AS BIGINT) AS k,
+        |   (3 * CAST((SELECT sum(n) FROM t) AS BIGINT)) // 2 AS b
+        |  FROM t),
+        | a AS (
+        |  SELECT CAST(0 AS BIGINT) AS i, max(b) AS r FROM o
+        |  UNION ALL
+        |  SELECT o.i, a.r - least(o.cap, a.r // (o.k - o.i + 1))
+        |  FROM a JOIN o ON o.i = a.i + 1)
+        |SELECT o.lang, o.n AS n_tokens, o.cap AS cap_tokens,
+        | least(o.cap, a.r // (o.k - o.i + 1)) AS alloc_tokens
+        |FROM o JOIN a ON a.i = o.i - 1""".stripMargin,
     "q117_split_leakage" -> (DedupClosureCte +
       """,
         | lab AS (

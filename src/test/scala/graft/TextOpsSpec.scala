@@ -812,6 +812,33 @@ class TextOpsSpec extends SparkSpec {
     assert(row.getAs[Long]("leaked_test") == leakedBySplit.getOrElse("test", 0L))
   }
 
+  test("unimaxAlloc: hand-computed waterfill — cap binds small lang, leftover waterfalls") {
+    import spark.implicits._
+    // zz: 10 tokens, en: 100 tokens. total=110, budget=3*110/2=165, k=2.
+    // zz first (ascending): fair=165/2=82, cap=20 -> alloc 20, r=145.
+    // en: fair=145/1=145, cap=200 -> alloc 145. Sum = 165 = budget.
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" "), "zz"),
+      (2L, (1 to 100).map(i => s"u$i").mkString(" "), "en")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextOps.unimaxAlloc(docs, epochCap = 2L).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("zz") == ((10L, 20L, 20L)), s"zz: ${got("zz")}")
+    assert(got("en") == ((100L, 200L, 145L)), s"en: ${got("en")}")
+  }
+
+  test("q118: the epoch cap binds on the real corpus (the fixture isn't vacuous)") {
+    val rows = TextOps.q118Unimax(spark, sfDir).collect()
+    val capped = rows.filter(r => r.getLong(3) == r.getLong(2))
+    val uncapped = rows.filter(r => r.getLong(3) < r.getLong(2))
+    assert(capped.nonEmpty, "expected at least one language at its epoch cap")
+    assert(uncapped.nonEmpty, "expected at least one language below cap")
+    // allocation never exceeds budget and every alloc is within cap
+    val total = rows.map(_.getLong(1)).sum
+    assert(rows.map(_.getLong(3)).sum <= 3 * total / 2)
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(2)))
+  }
+
   test("leakSplitOn over precomputed labels: pure projection, no join, no shuffle") {
     val labels = TextOps.dedupComponentsOn(
       Tables.documents(spark, sfDir)).localCheckpoint(true)
