@@ -1374,6 +1374,29 @@ object TextOps {
           .otherwise("tail").as("bucket"))
   }
 
+  /** q120: duplicate-aware training weights — the SOFT alternative to
+    * dropping near-dups: every doc keeps a `train_weight` of
+    * 1/cluster_size, so a cluster contributes one document's worth of
+    * gradient in expectation (exactly one deduped epoch) while the
+    * sampler still sees every variant (q96 keeps one and discards the
+    * phrasing diversity; this keeps all and discounts them). Compose
+    * with q113/q112 multiplicatively — the weights are independent
+    * signals.
+    */
+  def q120DupWeights(s: SparkSession, d: String): DataFrame =
+    dupWeightsOn(dedupComponentsOn(documents(s, d)))
+
+  /** Weights over PRECOMPUTED labels (the keepBestOn discipline): one
+    * cluster-keyed count plus a join on the SAME key — Catalyst reuses
+    * the exchange, so the corpus shuffles once. */
+  def dupWeightsOn(labels: DataFrame): DataFrame = {
+    val sizes = labels.groupBy("cluster_rep")
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select("doc_id", "cluster_rep").join(sizes, "cluster_rep")
+      .select(col("doc_id"), col("cluster_rep"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size").cast("double"), 6).as("train_weight"))
+  }
+
   /** q97: the per-source corpus "data card" — the one-pass summary mart
     * every training run wants next to its manifest: volume (docs,
     * tokens), length shape (median/p90 tokens), quality center, language
@@ -1755,6 +1778,7 @@ object TextOps {
     bpeSegment(documents(s, d), bpeLearn(documents(s, d), 2))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_dup_weights" -> q120DupWeights _,
     "q119_ccnet_buckets" -> q119CcnetBuckets _,
     "q118_unimax" -> q118Unimax _,
     "q117_split_leakage" -> q117SplitLeakage _,
@@ -1833,6 +1857,16 @@ object TextOps {
       | comp AS (SELECT u AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY u)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q120_dup_weights" -> (DedupClosureCte +
+      """,
+        | lab AS (
+        |  SELECT d.doc_id, coalesce(c.cluster_rep, d.doc_id) AS cluster_rep
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+        | csz AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS cluster_size
+        |         FROM lab GROUP BY 1)
+        |SELECT lab.doc_id, lab.cluster_rep, csz.cluster_size,
+        | round(CAST(1.0 AS DOUBLE) / csz.cluster_size, 6) AS train_weight
+        |FROM lab JOIN csz USING (cluster_rep)""".stripMargin),
     "q119_ccnet_buckets" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,

@@ -884,6 +884,32 @@ class TextOpsSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("dupWeightsOn: cluster mass sums to one deduped epoch; one shuffle of the labels") {
+    import spark.implicits._
+    val shared = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared alpha"), (2L, s"$shared epsilon"), (3L, s"$shared zeta"),
+      (4L, "lone wolf document with its own words")
+    ).map { case (id, t) => (id, t, "en") }.toDF("doc_id", "text", "lang")
+    val labels = TextOps.dedupComponentsOn(docs).localCheckpoint(true)
+    val out = TextOps.dupWeightsOn(labels)
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(rows(1L) == ((3L, 0.333333)) && rows(2L) == ((3L, 0.333333)),
+      s"triplet members weight 1/3: $rows")
+    assert(rows(4L) == ((1L, 1.0)), "singleton keeps full weight")
+    // expected-gradient invariant: per-cluster weight mass ~ 1
+    val mass = out.groupBy("cluster_rep").agg(sum("train_weight").as("m"))
+      .collect().map(_.getDouble(1))
+    assert(mass.forall(m => math.abs(m - 1.0) < 1e-4), mass.mkString(","))
+    // the labels frame shuffles ONCE: count+join share the cluster_rep
+    // exchange (a second Exchange over labels would double the corpus
+    // shuffle at scale)
+    val nEx = out.queryExecution.executedPlan.toString
+      .linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(nEx <= 2, s"expected the shared cluster_rep exchange, got $nEx")
+  }
+
   test("leakSplitOn over precomputed labels: pure projection, no join, no shuffle") {
     val labels = TextOps.dedupComponentsOn(
       Tables.documents(spark, sfDir)).localCheckpoint(true)
