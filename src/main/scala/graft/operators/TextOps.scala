@@ -77,21 +77,27 @@ object TextOps {
   /** Language ID: stopword-vote n-gram heuristic with a fixed tie-break
     * order. (Votes, not a model — deterministic and shuffle-free.)
     */
-  def q34LangId(s: SparkSession, d: String): DataFrame = {
-    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+  /** The q34 stop-word-vote language guess as a reusable codegen'd
+    * expression — [[graft.streaming.CcnetGate]] runs it on staging rows
+    * that carry no language label before picking the per-language LM. */
+  def langIdExpr(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
     def votes(alts: String): Column = regexp_count(padded, lit(s" ($alts) "))
     val ve = votes("the|and|of|to|in|is|that")
     val vd = votes("der|die|und|das|ist|nicht|mit")
     val vs = votes("el|la|de|los|que|y|en")
     val vf = votes("le|la|les|et|des|un|est")
+    when(ve === 0 && vd === 0 && vs === 0 && vf === 0, "und")
+      .when(ve >= vd && ve >= vs && ve >= vf, "en")
+      .when(vd >= vs && vd >= vf, "de")
+      .when(vs >= vf, "es")
+      .otherwise("fr")
+  }
+
+  def q34LangId(s: SparkSession, d: String): DataFrame =
     documents(s, d).select(
       col("doc_id"), col("lang").as("labeled_lang"),
-      when(ve === 0 && vd === 0 && vs === 0 && vf === 0, "und")
-        .when(ve >= vd && ve >= vs && ve >= vf, "en")
-        .when(vd >= vs && vd >= vf, "de")
-        .when(vs >= vf, "es")
-        .otherwise("fr").as("pred_lang"))
-  }
+      langIdExpr(col("text")).as("pred_lang"))
 
   /** N-gram (3-shingle) Jaccard near-dup pairs via an inverted-index join:
     * explode distinct shingles → co-group on (shingle, lang) → pair
