@@ -853,6 +853,39 @@ object TextOps {
   def q101SpanScrub(s: SparkSession, d: String): DataFrame =
     spanScrub(documents(s, d))
 
+  /** q121: INTRA-doc repeated-span collapse — the surgical form of the
+    * repetition problem q66 only measures: a span (5-gram) occurrence
+    * whose identical gram appeared EARLIER in the same document is
+    * excised, the first occurrence stays. This is the RefinedWeb-style
+    * repetition removal for long crawl pages that repeat nav chrome /
+    * boilerplate internally — cross-doc structure is deliberately
+    * ignored (that is q101's corpus-wide job; this one never shuffles
+    * beyond doc_id keys). Overlapping self-repeats collapse to the
+    * leading span: `x×7` keeps exactly one `x`.
+    */
+  def q121SelfScrub(s: SparkSession, d: String): DataFrame =
+    selfScrub(documents(s, d))
+
+  /** Scale shape: one checkpointed token frame feeds the positional
+    * grams AND the rebuild (the q101 discipline); the first-occurrence
+    * table is a (doc_id, g)-keyed min and the repeat filter joins it on
+    * the SAME key — one exchange, reused; every stage is doc_id-local,
+    * so the operator composes with any partitioning-by-doc upstream
+    * without a corpus-wide shuffle. Shared [[rebuildWithoutCovered]]
+    * tail (per-row HOF filter, no UDF). */
+  def selfScrub(docs: DataFrame, n: Int = 5): DataFrame = {
+    require(n >= 2, s"selfScrub: span width must be >= 2, got $n")
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("ws"))
+      .localCheckpoint(true)
+    val pos = toks.select(col("doc_id"),
+        posexplode(graft.plans.GraftFunctions.shingles(col("ws"), n)))
+      .select(col("doc_id"), col("pos").as("p"), xxhash64(col("col")).as("g"))
+    val firsts = pos.groupBy("doc_id", "g").agg(min("p").as("p0"))
+    val repeats = pos.join(firsts, Seq("doc_id", "g"))
+      .filter(col("p") > col("p0")).select("doc_id", "p")
+    rebuildWithoutCovered(toks, repeats, n)
+  }
+
   /** Per-source boilerplate TEMPLATE detection (q102, r15) — the
     * diagnosis lens on the problem q101 scrubs corpus-wide: which spans
     * FLOOD a source (nav chrome, license footers, scraper wrappers).
@@ -1784,6 +1817,7 @@ object TextOps {
     bpeSegment(documents(s, d), bpeLearn(documents(s, d), 2))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_self_scrub" -> q121SelfScrub _,
     "q120_dup_weights" -> q120DupWeights _,
     "q119_ccnet_buckets" -> q119CcnetBuckets _,
     "q118_unimax" -> q118Unimax _,
@@ -1863,6 +1897,29 @@ object TextOps {
       | comp AS (SELECT u AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY u)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q121_self_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |   regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+        | g0 AS (SELECT doc_id,
+        |   unnest(list_transform(range(0, greatest(len(ws)-4, 0)),
+        |     i -> array_to_string(ws[i+1:i+5], ' '))) AS g,
+        |   unnest(range(0, greatest(len(ws)-4, 0))) AS i FROM t),
+        | f AS (SELECT doc_id, g, min(i) AS i0 FROM g0 GROUP BY 1, 2),
+        | rep AS (SELECT g0.doc_id, g0.i FROM g0
+        |         JOIN f USING (doc_id, g) WHERE g0.i > f.i0),
+        | cov AS (SELECT DISTINCT rep.doc_id, rep.i + x.o AS p
+        |         FROM rep CROSS JOIN (SELECT unnest(range(0, 5)) AS o) x),
+        | tok AS (SELECT doc_id, unnest(ws) AS w,
+        |         unnest(range(0, len(ws))) AS p FROM t),
+        | kept AS (SELECT tok.doc_id, tok.p, tok.w FROM tok
+        |          LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+        |          WHERE cov.p IS NULL),
+        | k AS (SELECT doc_id, count(*) AS nk,
+        |        string_agg(w, ' ' ORDER BY p) AS txt FROM kept GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+        | CAST(len(t.ws) - coalesce(k.nk, 0) AS BIGINT) AS n_removed,
+        | coalesce(k.txt, '') AS text_clean
+        |FROM t LEFT JOIN k USING (doc_id)""".stripMargin,
     "q120_dup_weights" -> (DedupClosureCte +
       """,
         | lab AS (

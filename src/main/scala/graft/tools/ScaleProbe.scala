@@ -116,7 +116,25 @@ object ScaleProbe {
       // frame — wall should track the word scan; the pair vocabulary
       // is alphabet²-bounded, immune to the copy-tag inflation that
       // drives q113's exact-gram ratio)
-      "q114_bpe_pairs", "q115_bpe_learn")
+      "q114_bpe_pairs", "q115_bpe_learn",
+      // r15 batch 4: the leakage family — q116/q117/q120 are the q94
+      // closure plus a cheap tail (a label projection / one
+      // cluster-keyed agg / a same-key count+join), so each row's
+      // EVIDENCE is its delta over the q94_dedup_components row at the
+      // same scale, not its absolute wall
+      "q116_leak_split", "q117_split_leakage", "q120_dup_weights",
+      // r15 batch 4: UniMax (one map-side-combinable lang agg + a
+      // language-table fold — dead flat per byte is the claim) and the
+      // CCNet buckets (the q91-shaped per-lang vocab join + the q85
+      // rank machinery; the probe corpus's copy tags inflate the
+      // per-lang vocab exactly like q91's, so the organic read is the
+      // plain10 control row below — the q91 adjudication, reapplied)
+      "q118_unimax", "q119_ccnet_buckets",
+      // r15 batch 4: intra-doc repeat collapse — doc_id-local keyed agg
+      // + same-key join + the q101 rebuild tail; the copy tag preserves
+      // within-doc repeat structure per copy, so dup volume scales
+      // linearly like an organic corpus
+      "q121_self_scrub")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       // the q57 probe row keeps its historical label and workload: pure
       // IVF search (r14 made the REGISTERED q57 a recall-gate instrument
@@ -196,6 +214,11 @@ object ScaleProbe {
           variantDocs(s, dir, "vocabstable")))) :+
       ("q91_plain10" ->
         ((s: SparkSession, dir: String) => graft.operators.TextOps.unigramNll(
+          variantDocs(s, dir, "plain10")))) :+
+      // r15: CCNet buckets on the untagged 10× fan-out — q119's organic
+      // vocab-growth control (same adjudication as q91_plain10)
+      ("q119_plain10" ->
+        ((s: SparkSession, dir: String) => graft.operators.TextOps.ccnetBuckets(
           variantDocs(s, dir, "plain10")))) :+
       // r15 cap-binding adversarial probe (r14 verdict item 5): every
       // DF/width cap was spec'd only where it never binds. The boiler

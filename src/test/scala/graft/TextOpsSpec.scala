@@ -910,6 +910,28 @@ class TextOpsSpec extends SparkSpec {
     assert(nEx <= 2, s"expected the shared cluster_rep exchange, got $nEx")
   }
 
+  test("selfScrub: later span repeats excise, first stays; cross-doc repeats untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      // tokens 7..12 repeat grams from 0..5 -> kept prefix only
+      (1L, "a b c d e f g a b c d e f"),
+      // overlapping self-repeat: collapses to the single leading token
+      (2L, "x x x x x x x"),
+      (3L, "no repeats in this clean document here"),
+      (4L, "too short"),
+      // exact copy of doc 3: CROSS-doc duplication is q101's job, not
+      // this operator's - both copies must come through untouched
+      (5L, "no repeats in this clean document here")
+    ).map { case (i, t) => (i, t, "en") }.toDF("doc_id", "text", "lang")
+    val got = TextOps.selfScrub(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((13L, 6L, "a b c d e f g")), s"${got(1L)}")
+    assert(got(2L) == ((7L, 6L, "x")), s"${got(2L)}")
+    assert(got(3L) == ((7L, 0L, "no repeats in this clean document here")))
+    assert(got(4L) == ((2L, 0L, "too short")), "sub-width docs pass through")
+    assert(got(5L) == got(3L), "cross-doc copies are not intra-doc repeats")
+  }
+
   test("leakSplitOn over precomputed labels: pure projection, no join, no shuffle") {
     val labels = TextOps.dedupComponentsOn(
       Tables.documents(spark, sfDir)).localCheckpoint(true)
