@@ -376,6 +376,43 @@ object VectorOps {
     * band count recall needs). The blocked scale path for genuinely-high
     * thresholds is [[embedNeardupBlocked]] (q58).
     */
+  /** q122: kNN label purity — the embedding-space health metric run
+    * BEFORE trusting semantic dedup/selection on a space: for each
+    * query vector, the fraction of its k nearest neighbors (cosine,
+    * leave-self-out) sharing its label. A healthy space scores high;
+    * purity collapsing is the signal that [[SemanticDedupGate]]/q109
+    * centroids or q112 exemplar selection would be operating on noise.
+    * Sampling IS the production shape — purity is a population
+    * estimate, so a bounded query sample (vec_id < 100 here) gives the
+    * answer without an n² all-pairs pass; the q38 discipline: queries
+    * broadcast, corpus streams, bounded-heap top-k (never a window
+    * over the scored volume).
+    */
+  def q122KnnPurity(s: SparkSession, d: String): DataFrame =
+    knnPurity(embeddings(s, d), k = 5, querySpan = 100L)
+
+  def knnPurity(emb: DataFrame, k: Int, querySpan: Long): DataFrame = {
+    val all = withVec(emb)
+    val queries = all.filter(col("vec_id") < querySpan)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("vec").as("q_vec"), col("norm").as("q_norm"))
+    val cos = dot(col("q_vec"), col("vec")) / (col("q_norm") * col("norm"))
+    val scored = all.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id").as("c_id"),
+        col("label").as("c_label"), cos.as("cos"))
+    graft.operators.TopK.topKPerKey(scored, Seq("q_id"),
+        struct(col("cos"), negate(col("c_id"))), descending = true, k = k)
+      .groupBy("q_id", "q_label")
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("c_label") === col("q_label"), 1L).otherwise(0L))
+          .as("n_same"))
+      .select(col("q_id").as("vec_id"), col("q_label").as("label"),
+        col("n_neighbors"), col("n_same"),
+        round(col("n_same").cast("double") / col("n_neighbors"), 4)
+          .as("purity"))
+  }
+
   def q40EmbedNeardup(s: SparkSession, d: String): DataFrame = {
     val v = withVec(embeddings(s, d))
     val cos = dot(col("a.vec"), col("b.vec")) / (col("a.norm") * col("b.norm"))
@@ -1794,6 +1831,7 @@ object VectorOps {
     "q95_hybrid_rerank" -> q95HybridRerank _,
     "q39_embed_lsh" -> q39EmbedLsh _,
     "q40_embed_neardup" -> q40EmbedNeardup _,
+    "q122_knn_purity" -> q122KnnPurity _,
     "q58_neardup_blocked" -> q58NeardupBlocked _,
     "q61_sql_vector" -> q61SqlVector _,
     "q106_int8_quantize" -> q106Int8Quantize _,
@@ -1877,6 +1915,28 @@ object VectorOps {
         |        row_number() OVER (PARTITION BY q_id ORDER BY hybrid DESC, c_id) AS rk
         |       FROM b)
         |SELECT q_id, c_id, hybrid, rk FROM rr WHERE rk <= 5""".stripMargin,
+    "q122_knn_purity" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        | n AS (SELECT vec_id, label, vec,
+        |        sqrt(list_dot_product(vec, vec)) AS norm FROM v),
+        | q AS (SELECT vec_id AS q_id, label AS q_label, vec AS q_vec,
+        |        norm AS q_norm FROM n WHERE vec_id < 100),
+        | s AS (SELECT q_id, q_label, n.vec_id AS c_id, n.label AS c_label,
+        |        list_dot_product(q_vec, n.vec) / (q_norm * n.norm) AS cos
+        |       FROM q CROSS JOIN n WHERE n.vec_id <> q_id),
+        | r AS (SELECT q_id, q_label, c_label,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+        |       FROM s)
+        |SELECT q_id AS vec_id, q_label AS label,
+        | CAST(count(*) AS BIGINT) AS n_neighbors,
+        | CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_same,
+        | round(CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*), 4) AS purity
+        |FROM r WHERE rk <= 5 GROUP BY 1, 2""".stripMargin,
     "q40_embed_neardup" ->
       """WITH v AS (
         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec

@@ -1238,4 +1238,35 @@ class VectorOpsSpec extends SparkSpec {
       VectorOps.targetSelect(zeroEx, col("vec_id") < 2).collect()
     }
   }
+
+  test("knnPurity: pure cluster scores 1.0, planted intruder dilutes exactly, self excluded") {
+    import spark.implicits._
+    // two tight clusters in 2-D: label 0 around (1,0), label 1 around
+    // (0,1). Query 0's 3-NN under k=3 are its 3 cluster mates -> purity
+    // 1.0. Query 1 (label 1) sits INSIDE cluster 0 (mislabeled point):
+    // its 3-NN are all label 0 -> purity 0.0 - the signal the metric
+    // exists to surface.
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val emb = Seq(
+      (0L, v(1.00, 0.00), 0), (1L, v(0.99, 0.14), 1), // intruder
+      (2L, v(0.98, 0.02), 0), (3L, v(0.97, 0.03), 0), (4L, v(0.99, 0.01), 0),
+      (10L, v(0.00, 1.00), 1), (11L, v(0.02, 0.98), 1), (12L, v(0.03, 0.97), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = VectorOps.knnPurity(emb, k = 3, querySpan = 2L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(0L) == ((3L, 3L, 1.0)), s"pure cluster: ${got(0L)}")
+    assert(got(1L) == ((3L, 0L, 0.0)), s"intruder sees only the other label: ${got(1L)}")
+    // leave-one-out: nobody is their own neighbor (n_neighbors == k even
+    // though the query is in the corpus frame)
+    assert(got.values.forall(_._1 == 3L))
+  }
+
+  test("knnPurity plan: queries broadcast, no window over the scored volume") {
+    val out = VectorOps.q122KnnPurity(spark, sfDir)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query set must broadcast:\n$plan")
+    assert(!plan.contains("SinglePartition"), "no global window allowed")
+    assert(out.count() > 0)
+  }
 }
