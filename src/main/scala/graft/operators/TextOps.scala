@@ -309,6 +309,52 @@ object TextOps {
       .agg(countDistinct("g").as("n_shared_grams"))
   }
 
+  /** q123: per-EVAL-doc contamination verdict — the model-card number
+    * [[decontaminate]] (q65) doesn't give. q65 answers from the training
+    * side ("which train docs touch the benchmark"); this answers from
+    * the benchmark side: for each eval doc, what fraction of its
+    * distinct 13-grams appears ANYWHERE in training (Lee et al. 2022's
+    * containment convention), plus the ≥`dirtyPct`% dirty flag an eval
+    * harness drops examples by.
+    *
+    * Scale shape: the train side is a single corpus gram scan that meets
+    * the BROADCAST eval gram-hash set in a semi-join — the corpus never
+    * shuffles, and everything that survives is registry-bounded (≤ the
+    * eval set's distinct grams) however big training grows. The per-doc
+    * bookkeeping then runs entirely on registry-sized frames. Gram
+    * identity travels as xxhash64 (the q90 production-key discipline);
+    * the oracle stays on strings, a collision is ~2⁻⁶⁴. The dirty flag
+    * is integer-exact (`n_hit·100 ≥ pct·n_grams`) — no float boundary
+    * for the hash oracle to straddle.
+    */
+  def q123EvalContainment(s: SparkSession, d: String): DataFrame =
+    evalContainment(documents(s, d), col("doc_id") % 17 === 0)
+
+  def evalContainment(docs: DataFrame, isEval: Column, n: Int = ContamN,
+      dirtyPct: Int = 50): DataFrame = {
+    require(dirtyPct >= 0 && dirtyPct <= 100,
+      s"evalContainment: dirtyPct must be in [0,100], got $dirtyPct")
+    val evalGrams = wordGrams(docs.filter(isEval), n)
+      .select(col("doc_id"), xxhash64(col("g")).as("gh")).distinct()
+    val evalSet = evalGrams.select("gh").distinct()
+    // corpus-side: one gram scan, broadcast semi-join, then a distinct
+    // over ONLY the matched hashes (registry-bounded shuffle)
+    val trainHits = wordGrams(docs.filter(!isEval), n)
+      .select(xxhash64(col("g")).as("gh"))
+      .join(broadcast(evalSet), Seq("gh"), "left_semi")
+      .distinct()
+      .withColumn("hit", lit(1L))
+    evalGrams.join(trainHits, Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 4)
+          .as("containment"),
+        (col("n_hit") * 100 >= lit(dirtyPct.toLong) * col("n_grams"))
+          .as("contaminated"))
+  }
+
   /** Intra-document repetition score (the Gopher-style quality signal):
     * fraction of a doc's 3-grams that are repeats of an earlier gram.
     * Per-doc aggregation only — one shuffle keyed by doc_id, no
@@ -1849,6 +1895,7 @@ object TextOps {
     "q69_quality_gate" -> q69QualityGate _,
     "q70_pack" -> q70Pack _,
     "q65_decontaminate" -> q65Decontaminate _,
+    "q123_eval_containment" -> q123EvalContainment _,
     "q66_repetition" -> q66Repetition _,
     "q67_pii_scrub" -> q67PiiScrub _,
     "q68_stratified_sample" -> q68StratifiedSample _,
@@ -2490,6 +2537,24 @@ object TextOps {
         |FROM grams JOIN ev USING (g)
         |WHERE doc_id % 17 <> 0
         |GROUP BY doc_id""".stripMargin,
+    "q123_eval_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS wl
+        |  FROM documents),
+        | grams AS (
+        |  SELECT doc_id, array_to_string(wl[i:i+12], ' ') AS g
+        |  FROM toks, unnest(generate_series(1, greatest(len(wl) - 12, 0))) AS u(i)),
+        | ev AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 17 = 0),
+        | tr AS (SELECT DISTINCT g FROM grams
+        |        WHERE doc_id % 17 <> 0 AND g IN (SELECT g FROM ev)),
+        | j AS (SELECT ev.doc_id,
+        |        CASE WHEN tr.g IS NULL THEN 0 ELSE 1 END AS hit
+        |       FROM ev LEFT JOIN tr ON ev.g = tr.g)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        | CAST(sum(hit) AS BIGINT) AS n_hit,
+        | round(CAST(sum(hit) AS DOUBLE) / count(*), 4) AS containment,
+        | (sum(hit) * 100 >= 50 * count(*)) AS contaminated
+        |FROM j GROUP BY doc_id""".stripMargin,
     "q66_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS wl

@@ -98,6 +98,38 @@ class TextOpsSpec extends SparkSpec {
     assert(flagged(2L) == 1L, "exactly the one shared 13-gram")
   }
 
+  test("evalContainment: full copy 1.0, clean 0.0, half-contained flags at the >=50% boundary") {
+    import spark.implicits._
+    // n=3 for readability. Eval doc 3 has exactly two distinct 3-grams
+    // ("e1 e2 e3", "e2 e3 e4"); train doc 12 repeats only the first ->
+    // containment exactly 0.5, which must FLAG (>= boundary, not >).
+    val docs = Seq(
+      (0L, "a b c d e", "en"),                      // eval: fully inside doc 10
+      (1L, "p q r s", "en"),                        // eval: nowhere in train
+      (3L, "e1 e2 e3 e4", "en"),                    // eval: half-contained
+      (10L, "x y a b c d e z", "en"),               // train: carries doc 0
+      (11L, (1 to 20).map(i => s"t$i").mkString(" "), "en"), // clean train
+      (12L, "m n e1 e2 e3 k", "en"),                // train: one of doc 3's grams
+    ).toDF("doc_id", "text", "lang")
+    val got = TextOps.evalContainment(docs, col("doc_id") < 10L, n = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(0L) == ((3L, 3L, 1.0, true)), s"full copy: ${got(0L)}")
+    assert(got(1L) == ((2L, 0L, 0.0, false)), s"clean eval: ${got(1L)}")
+    assert(got(3L) == ((2L, 1L, 0.5, true)), s"boundary flags: ${got(3L)}")
+    assert(!got.contains(10L) && !got.contains(11L),
+      "train docs never emit — this is the eval-side report")
+  }
+
+  test("evalContainment plan: the corpus gram scan meets a broadcast, never a corpus shuffle join") {
+    val out = TextOps.q123EvalContainment(spark, sfDir)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"eval gram-hash set must broadcast into the train scan:\n$plan")
+    assert(out.count() > 0)
+  }
+
   test("repetition score: duplicate-gram fraction, zero for all-distinct docs") {
     import spark.implicits._
     val docs = Seq(
