@@ -413,6 +413,43 @@ object VectorOps {
           .as("purity"))
   }
 
+  /** q124: cosine threshold calibration card — the histogram you read
+    * the q40/q58 near-dup and q109 SemDeDup thresholds off BEFORE
+    * running them: pairwise cosine bucketed (width 1/`bins`) split by
+    * same-label vs different-label, with each class's within-class
+    * share. A healthy embedding space shows the two distributions
+    * separated; the gap floor is the defensible threshold. Same
+    * population-estimate shape as [[knnPurity]] (q122): a bounded query
+    * sample BROADCASTS against the streamed corpus (`vec_id > q_id`
+    * counts each unordered pair once and drops self-pairs), and the
+    * scored volume collapses immediately into a ≤2·(2·bins+1)-row
+    * bucket aggregate — map-side combinable, no top-k, no window over
+    * scored rows. The share window runs over that tiny aggregate only
+    * (the q93 window-over-aggregate shape). Integer bucket =
+    * floor(cos·bins) keeps the hash oracle exact; round(4) on the share.
+    */
+  def q124CosineCalibration(s: SparkSession, d: String): DataFrame =
+    cosineCalibration(embeddings(s, d), querySpan = 100L, bins = 20)
+
+  def cosineCalibration(emb: DataFrame, querySpan: Long, bins: Int): DataFrame = {
+    require(bins > 0, s"cosineCalibration: bins must be positive, got $bins")
+    val all = withVec(emb)
+    val queries = all.filter(col("vec_id") < querySpan)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("vec").as("q_vec"), col("norm").as("q_norm"))
+    val cos = dot(col("q_vec"), col("vec")) / (col("q_norm") * col("norm"))
+    val bucketed = all.crossJoin(broadcast(queries))
+      .filter(col("vec_id") > col("q_id"))
+      .select((col("q_label") === col("label")).as("same_label"),
+        floor(cos * lit(bins)).as("bucket"))
+      .groupBy("same_label", "bucket")
+      .agg(count(lit(1)).as("n_pairs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("same_label")
+    bucketed.select(col("same_label"), col("bucket"), col("n_pairs"),
+      round(col("n_pairs").cast("double") / sum(col("n_pairs")).over(w), 4)
+        .as("share"))
+  }
+
   def q40EmbedNeardup(s: SparkSession, d: String): DataFrame = {
     val v = withVec(embeddings(s, d))
     val cos = dot(col("a.vec"), col("b.vec")) / (col("a.norm") * col("b.norm"))
@@ -1832,6 +1869,7 @@ object VectorOps {
     "q39_embed_lsh" -> q39EmbedLsh _,
     "q40_embed_neardup" -> q40EmbedNeardup _,
     "q122_knn_purity" -> q122KnnPurity _,
+    "q124_cosine_calibration" -> q124CosineCalibration _,
     "q58_neardup_blocked" -> q58NeardupBlocked _,
     "q61_sql_vector" -> q61SqlVector _,
     "q106_int8_quantize" -> q106Int8Quantize _,
@@ -1937,6 +1975,25 @@ object VectorOps {
         | round(CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS DOUBLE)
         |   / count(*), 4) AS purity
         |FROM r WHERE rk <= 5 GROUP BY 1, 2""".stripMargin,
+    "q124_cosine_calibration" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        | n AS (SELECT vec_id, label, vec,
+        |        sqrt(list_dot_product(vec, vec)) AS norm FROM v),
+        | q AS (SELECT vec_id AS q_id, label AS q_label, vec AS q_vec,
+        |        norm AS q_norm FROM n WHERE vec_id < 100),
+        | s AS (SELECT (q_label = n.label) AS same_label,
+        |        CAST(floor(list_dot_product(q_vec, n.vec) / (q_norm * n.norm)
+        |          * 20) AS BIGINT) AS bucket
+        |       FROM q CROSS JOIN n WHERE n.vec_id > q_id),
+        | g AS (SELECT same_label, bucket,
+        |        CAST(count(*) AS BIGINT) AS n_pairs FROM s GROUP BY 1, 2)
+        |SELECT same_label, bucket, n_pairs,
+        | round(CAST(n_pairs AS DOUBLE)
+        |   / sum(n_pairs) OVER (PARTITION BY same_label), 4) AS share
+        |FROM g""".stripMargin,
     "q40_embed_neardup" ->
       """WITH v AS (
         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec

@@ -1261,6 +1261,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(got.values.forall(_._1 == 3L))
   }
 
+  test("cosineCalibration: orthogonal clusters separate exactly, each pair counted once") {
+    import spark.implicits._
+    // two orthogonal axes: same-label pairs land in bucket 20
+    // (cos = 1.0 exactly), cross-label pairs in bucket 0 (cos = 0.0).
+    // vec_id > q_id means pairs count once and self-pairs never.
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val emb = Seq(
+      (0L, v(1, 0), 0), (1L, v(0, 1), 1),
+      (10L, v(1, 0), 0), (11L, v(0, 1), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = VectorOps.cosineCalibration(emb, querySpan = 2L, bins = 20)
+      .collect()
+      .map(r => (r.getBoolean(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // q0 pairs: (0,1) diff/0, (0,10) same/20, (0,11) diff/0
+    // q1 pairs: (1,10) diff/0, (1,11) same/20
+    assert(got == Map(
+      (true, 20L) -> ((2L, 1.0)),
+      (false, 0L) -> ((3L, 1.0))), s"got $got")
+  }
+
   test("knnPurity plan: queries broadcast, no window over the scored volume") {
     val out = VectorOps.q122KnnPurity(spark, sfDir)
     val plan = out.queryExecution.executedPlan.toString
