@@ -1091,6 +1091,65 @@ object TextOps {
   def q91UnigramLm(s: SparkSession, d: String): DataFrame =
     unigramNll(documents(s, d))
 
+  /** q125: surprise-tail score — the min-k%-style lens on the q91 LM:
+    * per doc, the mean NLL of its `tailPct`% MOST-surprising token
+    * occurrences (rarest under the corpus unigram LM), next to the
+    * full-doc mean and their ratio. A doc whose surprise mass is
+    * concentrated (high ratio) is burst-of-rare-tokens text — OCR
+    * garbage, symbol spam, specialized vocab — invisible to the q91
+    * mean alone; a flat ratio ≈ 1 is uniformly-typical prose. The
+    * tail aggregation is the same shape membership-inference audits
+    * (min-k% prob) run over a real LM's scores.
+    *
+    * Scale shape: the LM is q91's (w)-keyed map-side-combinable agg +
+    * broadcast total; everything after the (doc_id, w) count is
+    * DOC-LOCAL — the cumulative-occurrence window partitions by doc_id
+    * (never SinglePartition), and the boundary word contributes only
+    * the occurrences that fit (`n_tail − (cum − n)` clamped), so the
+    * tail is exact at occurrence granularity, not word granularity.
+    * n_tail = ⌈pct·n/100⌉ in integer arithmetic; equal-lnp ties can't
+    * change the tail SUM (any resolution takes the same occurrence
+    * count at the same lnp). round(4) keeps the hash oracle exact.
+    */
+  def q125SurpriseTail(s: SparkSession, d: String): DataFrame =
+    surpriseTail(documents(s, d), tailPct = 20)
+
+  def surpriseTail(docs: DataFrame, tailPct: Int): DataFrame = {
+    require(tailPct >= 1 && tailPct <= 100,
+      s"surpriseTail: tailPct must be in [1,100], got $tailPct")
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("nw"))
+    val total = vocab.agg(sum("nw").cast("double").as("N"))
+    val probs = vocab.crossJoin(broadcast(total))
+      .select(col("w"), (log(col("nw").cast("double")) - log(col("N"))).as("lnp"))
+    val dj = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+      .join(probs, "w")
+    val tot = dj.groupBy("doc_id")
+      .agg(sum("n").cast("long").as("n_tokens"),
+        sum(col("n").cast("double") * col("lnp")).as("sum_lnp"))
+      .withColumn("n_tail",
+        floor((lit(tailPct.toLong) * col("n_tokens") + 99L) / 100L).cast("long"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("lnp").asc, col("w").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tail = dj.withColumn("cum", sum("n").over(wOrd))
+      .join(tot.select("doc_id", "n_tail"), "doc_id")
+      .select(col("doc_id"),
+        greatest(lit(0L),
+          least(col("n"), col("n_tail") - (col("cum") - col("n")))).as("take_n"),
+        col("lnp"))
+      .groupBy("doc_id")
+      .agg(sum(col("take_n").cast("double") * col("lnp")).as("tail_lnp"))
+    tot.join(tail, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_tail"),
+        round(-col("tail_lnp") / col("n_tail"), 4).as("tail_nll"),
+        round(-col("sum_lnp") / col("n_tokens"), 4).as("nll"),
+        round((col("tail_lnp") / col("n_tail"))
+          / (col("sum_lnp") / col("n_tokens")), 4).as("tail_ratio"))
+  }
+
   /** Population Stability Index of the quality-score distribution, per
     * group — THE production drift monitor for a curation pipeline: when
     * a source's quality distribution shifts between a reference window
@@ -1896,6 +1955,7 @@ object TextOps {
     "q70_pack" -> q70Pack _,
     "q65_decontaminate" -> q65Decontaminate _,
     "q123_eval_containment" -> q123EvalContainment _,
+    "q125_surprise_tail" -> q125SurpriseTail _,
     "q66_repetition" -> q66Repetition _,
     "q67_pii_scrub" -> q67PiiScrub _,
     "q68_stratified_sample" -> q68StratifiedSample _,
@@ -2374,6 +2434,36 @@ object TextOps {
         |SELECT dc.doc_id, CAST(sum(dc.n) AS BIGINT) AS n_tokens,
         | round(-sum(dc.n * p.lnp) / sum(dc.n), 4) AS nll
         |FROM dc JOIN p USING (w) GROUP BY dc.doc_id""".stripMargin,
+    "q125_surprise_tail" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        | t2 AS (SELECT doc_id, w FROM toks WHERE length(w) > 0),
+        | v AS (SELECT w, count(*) AS nw FROM t2 GROUP BY 1),
+        | n AS (SELECT CAST(sum(nw) AS DOUBLE) AS total FROM v),
+        | p AS (SELECT v.w, ln(CAST(v.nw AS DOUBLE)) - ln(n.total) AS lnp
+        |       FROM v CROSS JOIN n),
+        | dc AS (SELECT doc_id, w, count(*) AS n FROM t2 GROUP BY 1, 2),
+        | dj AS (SELECT dc.doc_id, dc.w, dc.n, p.lnp FROM dc JOIN p USING (w)),
+        | tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |          sum(n * lnp) AS sum_lnp FROM dj GROUP BY 1),
+        | m AS (SELECT doc_id, n_tokens, sum_lnp,
+        |        CAST(floor((20 * n_tokens + 99) / 100.0) AS BIGINT) AS n_tail
+        |       FROM tot),
+        | c AS (SELECT doc_id, w, n, lnp,
+        |        sum(n) OVER (PARTITION BY doc_id ORDER BY lnp ASC, w ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM dj),
+        | tl AS (SELECT c.doc_id,
+        |         sum(greatest(0, least(c.n, m.n_tail - (c.cum - c.n))) * c.lnp)
+        |           AS tail_lnp
+        |        FROM c JOIN m USING (doc_id) GROUP BY 1)
+        |SELECT m.doc_id, m.n_tokens, m.n_tail,
+        | round(-tl.tail_lnp / m.n_tail, 4) AS tail_nll,
+        | round(-m.sum_lnp / m.n_tokens, 4) AS nll,
+        | round((tl.tail_lnp / m.n_tail) / (m.sum_lnp / m.n_tokens), 4)
+        |   AS tail_ratio
+        |FROM m JOIN tl USING (doc_id)""".stripMargin,
     "q92_quality_psi" ->
       """WITH m AS (
         |  SELECT source,

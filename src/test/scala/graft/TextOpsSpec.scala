@@ -130,6 +130,29 @@ class TextOpsSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("surpriseTail: rarest occurrences fill the tail, boundary word contributes partially") {
+    import spark.implicits._
+    // corpus counts: c=11, r1=1, r2=2, N=14
+    val docs = Seq(
+      (1L, "c c c c r1", "en"),  // n=5
+      (2L, "c c c c c", "en"),   // n=5, uniform
+      (3L, "r2 r2 c c", "en")    // n=4, rare word has TWO occurrences
+    ).toDF("doc_id", "text", "lang")
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lc = math.log(11.0 / 14); val l1 = math.log(1.0 / 14); val l2 = math.log(2.0 / 14)
+    val got = TextOps.surpriseTail(docs, tailPct = 25).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // doc 1: n_tail = ceil(1.25) = 2 -> the r1 occurrence plus ONE c
+    val d1Tail = (l1 + lc) / 2; val d1Full = (l1 + 4 * lc) / 5
+    assert(got(1L) == ((5L, 2L, r4(-d1Tail), r4(-d1Full), r4(d1Tail / d1Full))), s"${got(1L)}")
+    // doc 2: uniform -> tail mean == full mean, ratio exactly 1
+    assert(got(2L) == ((5L, 2L, r4(-lc), r4(-lc), 1.0)), s"${got(2L)}")
+    // doc 3: n_tail = 1 but the rarest word occurs twice -> PARTIAL take
+    val d3Full = (2 * l2 + 2 * lc) / 4
+    assert(got(3L) == ((4L, 1L, r4(-l2), r4(-d3Full), r4(l2 / d3Full))), s"${got(3L)}")
+  }
+
   test("repetition score: duplicate-gram fraction, zero for all-distinct docs") {
     import spark.implicits._
     val docs = Seq(
