@@ -134,7 +134,25 @@ object ScaleProbe {
       // + same-key join + the q101 rebuild tail; the copy tag preserves
       // within-doc repeat structure per copy, so dup volume scales
       // linearly like an organic corpus
-      "q121_self_scrub")
+      "q121_self_scrub",
+      // r15 batch 5: the embedding health metrics — both are bounded
+      // query samples (vec_id < 100, copy 0 only) broadcast over the
+      // streamed corpus, so wall should track the corpus scan; q122
+      // adds bounded-heap top-k (the q38/q95 shape), q124 collapses
+      // straight into a ≤2·41-row bucket agg
+      "q122_knn_purity", "q124_cosine_calibration",
+      // r15 batch 5: eval containment — one corpus gram scan into the
+      // BROADCAST eval gram-hash semi-join; the eval set here is
+      // corpus/17 (registry-sized in production), so the broadcast side
+      // grows 10× at the probe while the per-doc bookkeeping stays
+      // eval-sized; the copy tag kills cross-copy gram sharing, so hit
+      // volume scales like an organic corpus
+      "q123_eval_containment",
+      // r15 batch 5: surprise tail — q91's LM aggregates plus a
+      // doc_id-local cumulative window; vocab inflation hits its
+      // scoring join exactly like q91's, so the organic read is the
+      // q91_plain10 adjudication (same corpus variants)
+      "q125_surprise_tail")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       // the q57 probe row keeps its historical label and workload: pure
       // IVF search (r14 made the REGISTERED q57 a recall-gate instrument
