@@ -1303,6 +1303,51 @@ object TextOps {
       .withColumn("is_keeper", col("cluster_rep") === col("doc_id"))
   }
 
+  /** q126: the dedup-pressure card — the "how duplicated is my corpus"
+    * table a data card reports BEFORE choosing between dropping (q96),
+    * down-weighting (q120), or ignoring near-dups: one row per distinct
+    * cluster size with cluster/doc/token mass, the excess docs a
+    * hard-dedup pass would remove, and each row's share of the corpus.
+    * Mass concentrated at cluster_size 1 = clean corpus; a fat size-k
+    * tail = the burden (and the 1/k weighting impact) quantified.
+    * Exact sizes, not log buckets — size cardinality is tiny in
+    * practice, and integer rows keep the hash oracle float-free.
+    */
+  def q126DupCard(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    dupCardOn(dedupComponentsOn(docs), docs)
+  }
+
+  /** The card over PRECOMPUTED labels (the keepBestOn/dupWeightsOn
+    * discipline — composed chains feed the materialized q94 closure).
+    * Shape: one cluster-keyed count, a join back on the SAME key
+    * (exchange reuse), the doc-keyed token join, then everything
+    * collapses into a ≤distinct-sizes aggregate; the corpus-scale work
+    * ends there — the share arithmetic runs on the CHECKPOINTED tiny
+    * card (one execution of the upstream however many branches read
+    * it; the q92 shared-aggregate lesson). */
+  def dupCardOn(labels: DataFrame, docs: DataFrame): DataFrame = {
+    val sizes = labels.groupBy("cluster_rep")
+      .agg(count(lit(1)).as("cluster_size"))
+    val card = labels.select("doc_id", "cluster_rep")
+      .join(sizes, "cluster_rep")
+      .join(docs.select(col("doc_id"),
+        size(split(trim(col("text")), ws)).cast("long").as("__nt")), "doc_id")
+      .groupBy("cluster_size")
+      .agg(countDistinct("cluster_rep").as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        sum("__nt").as("n_tokens"))
+      .localCheckpoint(true)
+    val totals = card.agg(sum("n_docs").cast("double").as("__td"),
+      sum("n_tokens").cast("double").as("__tt"))
+    card.crossJoin(broadcast(totals))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        (col("n_docs") - col("n_clusters")).as("excess_docs"),
+        col("n_tokens"),
+        round(col("n_docs").cast("double") / col("__td"), 4).as("pct_docs"),
+        round(col("n_tokens").cast("double") / col("__tt"), 4).as("pct_tokens"))
+  }
+
   /** q96: quality-aware dedup survivor selection — the step after q94's
     * closure: each near-dup cluster keeps its highest-QUALITY member
     * (tie → smallest id), not the smallest id blindly: when a page and
@@ -1956,6 +2001,7 @@ object TextOps {
     "q65_decontaminate" -> q65Decontaminate _,
     "q123_eval_containment" -> q123EvalContainment _,
     "q125_surprise_tail" -> q125SurpriseTail _,
+    "q126_dup_card" -> q126DupCard _,
     "q66_repetition" -> q66Repetition _,
     "q67_pii_scrub" -> q67PiiScrub _,
     "q68_stratified_sample" -> q68StratifiedSample _,
@@ -2037,6 +2083,30 @@ object TextOps {
         |SELECT lab.doc_id, lab.cluster_rep, csz.cluster_size,
         | round(CAST(1.0 AS DOUBLE) / csz.cluster_size, 6) AS train_weight
         |FROM lab JOIN csz USING (cluster_rep)""".stripMargin),
+    "q126_dup_card" -> (DedupClosureCte +
+      """,
+        | lab AS (
+        |  SELECT d.doc_id, coalesce(c.cluster_rep, d.doc_id) AS cluster_rep
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+        | csz AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS cluster_size
+        |         FROM lab GROUP BY 1),
+        | dtok AS (SELECT doc_id,
+        |          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |            AS nt FROM documents),
+        | pd AS (SELECT lab.doc_id, lab.cluster_rep, csz.cluster_size, dtok.nt
+        |        FROM lab JOIN csz USING (cluster_rep) JOIN dtok USING (doc_id)),
+        | card AS (SELECT cluster_size,
+        |           CAST(count(DISTINCT cluster_rep) AS BIGINT) AS n_clusters,
+        |           CAST(count(*) AS BIGINT) AS n_docs,
+        |           CAST(sum(nt) AS BIGINT) AS n_tokens
+        |          FROM pd GROUP BY 1),
+        | tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS td,
+        |          CAST(sum(n_tokens) AS DOUBLE) AS tt FROM card)
+        |SELECT cluster_size, n_clusters, n_docs,
+        | n_docs - n_clusters AS excess_docs, n_tokens,
+        | round(n_docs / tot.td, 4) AS pct_docs,
+        | round(n_tokens / tot.tt, 4) AS pct_tokens
+        |FROM card CROSS JOIN tot""".stripMargin),
     "q119_ccnet_buckets" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,

@@ -130,6 +130,25 @@ class TextOpsSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("dupCardOn: exact per-size rows, excess docs, corpus shares sum to 1") {
+    import spark.implicits._
+    // clusters: {1,2,3} (size 3), {4,5} (size 2), {6}, {7} (singletons)
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 6L), (7L, 7L)).toDF("doc_id", "cluster_rep")
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b"), (3L, "a"),          // 6 tokens in size-3
+      (4L, "x y z w"), (5L, "x"),                     // 5 tokens in size-2
+      (6L, "p q"), (7L, "r s t")                      // 5 tokens in size-1
+    ).map { case (i, t) => (i, t, "en") }.toDF("doc_id", "text", "lang")
+    val got = TextOps.dupCardOn(labels, docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got(3L) == ((1L, 3L, 2L, 6L, 0.4286, 0.375)), s"size-3 row: ${got(3L)}")
+    assert(got(2L) == ((1L, 2L, 1L, 5L, 0.2857, 0.3125)), s"size-2 row: ${got(2L)}")
+    assert(got(1L) == ((2L, 2L, 0L, 5L, 0.2857, 0.3125)), s"singleton row: ${got(1L)}")
+    assert(got.keySet == Set(1L, 2L, 3L))
+  }
+
   test("surpriseTail: rarest occurrences fill the tail, boundary word contributes partially") {
     import spark.implicits._
     // corpus counts: c=11, r1=1, r2=2, N=14
