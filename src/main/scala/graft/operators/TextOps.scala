@@ -932,6 +932,74 @@ object TextOps {
     rebuildWithoutCovered(toks, repeats, n)
   }
 
+  /** q127: winnowing fingerprints + candidate pairs (Schleimer et al.
+    * 2003 — the MOSS sketch, the fourth member of the near-dup sketch
+    * family next to MinHash/SimHash/exact shingles). Per doc, slide a
+    * w-gram window over the k-gram hash sequence and keep each window's
+    * MINIMUM hash: the selected set is ~2/(w+1) of the grams, position-
+    * robust, and carries winnowing's guarantee — any shared token run of
+    * length ≥ w+k−1 shares at least one fingerprint, so long verbatim
+    * overlap CANNOT hide (MinHash has no such floor; it samples). Pairs
+    * sharing ≥ `minShared` fingerprints emit with their fingerprint
+    * resemblance — the candidate step a verbatim-overlap detector
+    * verifies exactly (q101/q90 machinery).
+    *
+    * Engine-portable selection: the per-gram hash is md5 hex and the
+    * window minimum is LEXICOGRAPHIC — identical in any engine (a
+    * 64-bit engine-specific hash in the selection path would make the
+    * sketch unreproducible outside Spark). The 64-bit xxhash64 appears
+    * only as the pair join's shuffle key (the q65/q90 discipline:
+    * narrow key, exact string residual). Windows are doc-local
+    * (partition by doc_id — composes with upstream partitioning); a doc
+    * shorter than w grams contributes its single whole-doc window; the
+    * inverted index takes the same `maxFpDF` width cap as q35 — a
+    * fingerprint flooding the corpus (boilerplate) is dropped from the
+    * index before it mints C(DF,2) candidates, the cap-binding probe's
+    * lesson.
+    */
+  def q127WinnowPairs(s: SparkSession, d: String): DataFrame =
+    winnowPairs(documents(s, d))
+
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowFingerprints: k>=1, w>=1, got k=$k w=$w")
+    val pos = docs.select(col("doc_id"),
+        posexplode(graft.plans.GraftFunctions.shingles(tokens(col("text")), k)))
+      .select(col("doc_id"), col("pos").as("p"), md5(col("col")).as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    pos.withColumn("m", min(col("h")).over(win))
+      .withColumn("ng", count(lit(1)).over(whole))
+      .filter(col("p") <= col("ng") - w || (col("ng") < w && col("p") === 0))
+      .select(col("doc_id"), col("m").as("fp")).distinct()
+  }
+
+  def winnowPairs(docs: DataFrame, k: Int = 4, w: Int = 5,
+      minShared: Long = 2L, maxFpDF: Int = Int.MaxValue): DataFrame = {
+    require(minShared >= 1 && maxFpDF >= 1,
+      s"winnowPairs: minShared>=1, maxFpDF>=1, got $minShared/$maxFpDF")
+    val fps = winnowFingerprints(docs, k, w).localCheckpoint(true)
+    val idx = if (maxFpDF == Int.MaxValue) fps else {
+      val df = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      fps.join(df.filter(col("__df") <= maxFpDF).select("fp"), "fp")
+    }
+    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val a = idx.select(col("doc_id").as("a_id"), col("fp").as("a_fp"),
+      xxhash64(col("fp")).as("fph"))
+    val b = idx.select(col("doc_id").as("b_id"), col("fp").as("b_fp"),
+      xxhash64(col("fp")).as("fph"))
+    a.join(b, Seq("fph")).filter(col("a_fp") === col("b_fp") &&
+        col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.select(col("doc_id").as("a_id"), col("nf").as("__na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("nf").as("__nb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("n_shared"),
+        round(col("n_shared").cast("double")
+          / (col("__na") + col("__nb") - col("n_shared")), 4).as("resemblance"))
+  }
+
   /** Per-source boilerplate TEMPLATE detection (q102, r15) — the
     * diagnosis lens on the problem q101 scrubs corpus-wide: which spans
     * FLOOD a source (nav chrome, license footers, scraper wrappers).
@@ -2002,6 +2070,7 @@ object TextOps {
     "q123_eval_containment" -> q123EvalContainment _,
     "q125_surprise_tail" -> q125SurpriseTail _,
     "q126_dup_card" -> q126DupCard _,
+    "q127_winnow_pairs" -> q127WinnowPairs _,
     "q66_repetition" -> q66Repetition _,
     "q67_pii_scrub" -> q67PiiScrub _,
     "q68_stratified_sample" -> q68StratifiedSample _,
@@ -2107,6 +2176,29 @@ object TextOps {
         | round(n_docs / tot.td, 4) AS pct_docs,
         | round(n_tokens / tot.tt, 4) AS pct_tokens
         |FROM card CROSS JOIN tot""".stripMargin),
+    "q127_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id,
+        |   regexp_split_to_array(lower(trim(text)), '\s+') AS wl FROM documents),
+        | g AS (SELECT doc_id,
+        |   unnest(list_transform(range(0, greatest(len(wl)-3, 0)),
+        |     i -> md5(array_to_string(wl[i+1:i+4], ' ')))) AS h,
+        |   unnest(range(0, greatest(len(wl)-3, 0))) AS p FROM t),
+        | wm AS (SELECT doc_id, p,
+        |         min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |           ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS m,
+        |         count(*) OVER (PARTITION BY doc_id) AS ng FROM g),
+        | fp AS (SELECT DISTINCT doc_id, m AS fp FROM wm
+        |        WHERE p <= ng - 5 OR (ng < 5 AND p = 0)),
+        | sz AS (SELECT doc_id, count(*) AS nf FROM fp GROUP BY 1),
+        | pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         CAST(count(*) AS BIGINT) AS n_shared
+        |        FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2)
+        |SELECT a_id, b_id, n_shared,
+        | round(CAST(n_shared AS DOUBLE) / (sa.nf + sb.nf - n_shared), 4)
+        |   AS resemblance
+        |FROM pr JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+        |WHERE n_shared >= 2""".stripMargin,
     "q119_ccnet_buckets" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,

@@ -130,6 +130,42 @@ class TextOpsSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("winnowing: the >= w+k-1 shared-run guarantee holds, short docs sketch whole-doc, disjoint docs never pair") {
+    import spark.implicits._
+    val run = (1 to 8).map(i => s"s$i").mkString(" ")   // w+k-1 = 8 tokens
+    val docs = Seq(
+      (1L, s"x1 x2 x3 x4 $run y1 y2 y3"),
+      (2L, s"z1 z2 $run q1 q2 q3 q4 q5"),
+      (3L, (1 to 40).map(i => s"u$i").mkString(" ")),   // disjoint
+      (4L, "a b c d e"),                                // 2 grams < w: whole-doc window
+      (5L, "a b c d e")
+    ).map { case (i, t) => (i, t, "en") }.toDF("doc_id", "text", "lang")
+    val pairs = TextOps.winnowPairs(docs, minShared = 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(pairs.contains((1L, 2L)),
+      s"an 8-token shared run MUST share a fingerprint (the winnowing guarantee): $pairs")
+    assert(pairs((4L, 5L)) == ((1L, 1.0)),
+      s"identical sub-window docs: one whole-doc fingerprint, resemblance 1: $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L),
+      s"disjoint doc must not pair: $pairs")
+    // selection compresses: doc 3 has 37 grams but far fewer fingerprints
+    val nf = TextOps.winnowFingerprints(docs).filter(col("doc_id") === 3L).count()
+    assert(nf < 37 && nf >= 6, s"window minima must compress the gram stream: $nf")
+  }
+
+  test("winnowPairs: the maxFpDF cap drops corpus-flooding fingerprints from the index") {
+    import spark.implicits._
+    val template = (1 to 12).map(i => s"t$i").mkString(" ")
+    val docs = (1L to 3L).map(i =>
+        (i, s"pre$i a$i b$i c$i $template post$i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val uncapped = TextOps.winnowPairs(docs, minShared = 1L).count()
+    assert(uncapped == 3L, s"template links all three pairs uncapped: $uncapped")
+    val capped = TextOps.winnowPairs(docs, minShared = 1L, maxFpDF = 2).count()
+    assert(capped == 0L,
+      s"a DF-3 fingerprint must leave the index at maxFpDF=2: $capped")
+  }
+
   test("dupCardOn: exact per-size rows, excess docs, corpus shares sum to 1") {
     import spark.implicits._
     // clusters: {1,2,3} (size 3), {4,5} (size 2), {6}, {7} (singletons)
