@@ -1218,6 +1218,55 @@ object TextOps {
           / (col("sum_lnp") / col("n_tokens")), 4).as("tail_ratio"))
   }
 
+  /** q128: interpolated bigram-LM NLL per doc — the context-sensitive
+    * member of the LM family (q91 unigram, q119 per-language, this one
+    * conditional): p(w₂|w₁) = λ·c(w₁w₂)/c(w₁·) + (1−λ)·c(w₂)/N,
+    * Jelinek-Mercer smoothing at λ = `lambdaPct`/100 (exact decimal —
+    * no float λ to diverge cross-engine). The signal q91 cannot give:
+    * "the the the" is high-probability unigram-wise but its bigrams
+    * betray it, while rare-but-coherent prose scores better here than
+    * its rare unigrams suggest — the shape real pipelines get from a
+    * 5-gram KenLM, at the bigram scale a JVM reproduces exactly.
+    *
+    * Scale: both LM tables are vocab-sized map-side-combinable aggs
+    * (c(w₁·) derives from the BIGRAM table, never a second corpus
+    * scan); the unigram backoff joins the bigram vocab (vocab×vocab
+    * sized, AQE picks the strategy); the per-doc scoring join is the
+    * q91/q113 gram-keyed shape; round(4) keeps the hash oracle exact.
+    * Docs with <2 tokens have no bigrams and are absent, like q91's
+    * token-free docs.
+    */
+  def q128BigramLm(s: SparkSession, d: String): DataFrame =
+    bigramNll(documents(s, d))
+
+  def bigramNll(docs: DataFrame, lambdaPct: Int = 80): DataFrame = {
+    require(lambdaPct >= 0 && lambdaPct <= 100,
+      s"bigramNll: lambdaPct must be in [0,100], got $lambdaPct")
+    val lam = lit(lambdaPct.toDouble / 100)
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum("cu").cast("double").as("N"))
+    val bi = docs.select(col("doc_id"),
+      explode(graft.plans.GraftFunctions.shingles(tokens(col("text")), 2)).as("g"))
+    val bCounts = bi.groupBy("g").agg(count(lit(1)).as("cb"))
+      .withColumn("w1", element_at(split(col("g"), " "), 1))
+      .withColumn("w2", element_at(split(col("g"), " "), 2))
+    val c1 = bCounts.groupBy("w1").agg(sum("cb").as("c1"))
+    val probs = bCounts.join(c1, "w1")
+      .join(uni.withColumnRenamed("w", "w2"), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("g"),
+        log(lam * col("cb").cast("double") / col("c1")
+          + (lit(1.0) - lam) * col("cu").cast("double") / col("N")).as("lnp"))
+    bi.groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+      .join(probs, "g")
+      .groupBy("doc_id")
+      .agg(sum("n").cast("long").as("n_bigrams"),
+        round(-sum(col("n").cast("double") * col("lnp")) / sum("n"), 4)
+          .as("nll"))
+  }
+
   /** Population Stability Index of the quality-score distribution, per
     * group — THE production drift monitor for a curation pipeline: when
     * a source's quality distribution shifts between a reference window
@@ -2071,6 +2120,7 @@ object TextOps {
     "q125_surprise_tail" -> q125SurpriseTail _,
     "q126_dup_card" -> q126DupCard _,
     "q127_winnow_pairs" -> q127WinnowPairs _,
+    "q128_bigram_lm" -> q128BigramLm _,
     "q66_repetition" -> q66Repetition _,
     "q67_pii_scrub" -> q67PiiScrub _,
     "q68_stratified_sample" -> q68StratifiedSample _,
@@ -2176,6 +2226,31 @@ object TextOps {
         | round(n_docs / tot.td, 4) AS pct_docs,
         | round(n_tokens / tot.tt, 4) AS pct_tokens
         |FROM card CROSS JOIN tot""".stripMargin),
+    "q128_bigram_lm" ->
+      """WITH t AS (SELECT doc_id,
+        |   regexp_split_to_array(lower(trim(text)), '\s+') AS wl FROM documents),
+        | tok AS (SELECT doc_id, unnest(wl) AS w FROM t),
+        | t2 AS (SELECT doc_id, w FROM tok WHERE length(w) > 0),
+        | uni AS (SELECT w, count(*) AS cu FROM t2 GROUP BY 1),
+        | n AS (SELECT CAST(sum(cu) AS DOUBLE) AS total FROM uni),
+        | bg AS (SELECT doc_id,
+        |   unnest(list_transform(range(1, len(wl)),
+        |     i -> array_to_string(wl[i:i+1], ' '))) AS g,
+        |   unnest(list_transform(range(1, len(wl)), i -> wl[i])) AS w1,
+        |   unnest(list_transform(range(1, len(wl)), i -> wl[i+1])) AS w2
+        |  FROM t),
+        | bc AS (SELECT g, w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2, 3),
+        | c1 AS (SELECT w1, sum(cb) AS c1 FROM bc GROUP BY 1),
+        | p AS (SELECT bc.g,
+        |        ln(CAST(80 AS DOUBLE) / 100 * CAST(bc.cb AS DOUBLE) / c1.c1
+        |         + (1 - CAST(80 AS DOUBLE) / 100) * CAST(uni.cu AS DOUBLE)
+        |           / n.total) AS lnp
+        |       FROM bc JOIN c1 USING (w1) JOIN uni ON uni.w = bc.w2
+        |       CROSS JOIN n),
+        | dc AS (SELECT doc_id, g, count(*) AS n FROM bg GROUP BY 1, 2)
+        |SELECT dc.doc_id, CAST(sum(dc.n) AS BIGINT) AS n_bigrams,
+        | round(-sum(dc.n * p.lnp) / sum(dc.n), 4) AS nll
+        |FROM dc JOIN p USING (g) GROUP BY 1""".stripMargin,
     "q127_winnow_pairs" ->
       """WITH t AS (SELECT doc_id,
         |   regexp_split_to_array(lower(trim(text)), '\s+') AS wl FROM documents),

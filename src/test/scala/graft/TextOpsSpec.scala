@@ -166,6 +166,25 @@ class TextOpsSpec extends SparkSpec {
       s"a DF-3 fingerprint must leave the index at maxFpDF=2: $capped")
   }
 
+  test("bigramNll: interpolated conditional probabilities, hand-computed; sub-bigram docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a a a"), (3L, "x")   // doc 3: no bigrams
+    ).map { case (i, t) => (i, t, "en") }.toDF("doc_id", "text", "lang")
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // uni: a=5 b=2 x=1, N=8; bigrams: "a b"x2 (w1=a), "b a"x1 (w1=b),
+    // "a a"x2 (w1=a); c1: a=4, b=1
+    val lam = 80.0 / 100
+    val pab = lam * 2 / 4 + (1.0 - lam) * 2 / 8
+    val pba = lam * 1 / 1 + (1.0 - lam) * 5 / 8
+    val paa = lam * 2 / 4 + (1.0 - lam) * 5 / 8
+    val got = TextOps.bigramNll(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((3L, r4(-(2 * math.log(pab) + math.log(pba)) / 3))), s"${got(1L)}")
+    assert(got(2L) == ((2L, r4(-math.log(paa)))), s"${got(2L)}")
+    assert(!got.contains(3L), "a doc with no bigrams is absent, like q91's token-free docs")
+  }
+
   test("dupCardOn: exact per-size rows, excess docs, corpus shares sum to 1") {
     import spark.implicits._
     // clusters: {1,2,3} (size 3), {4,5} (size 2), {6}, {7} (singletons)
