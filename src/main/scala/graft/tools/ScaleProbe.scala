@@ -152,7 +152,14 @@ object ScaleProbe {
       // doc_id-local cumulative window; vocab inflation hits its
       // scoring join exactly like q91's, so the organic read is the
       // q91_plain10 adjudication (same corpus variants)
-      "q125_surprise_tail")
+      "q125_surprise_tail",
+      // r15 batch 6: the dup card (≡ q94 closure + a tiny-card tail —
+      // read as delta over q94, like q116/q120), winnowing pairs (the
+      // copy tag breaks cross-copy k-grams, so fingerprint collisions
+      // and pair volume scale linearly like q35/q90), and the bigram LM
+      // (the q91/q113 vocab-join family — copy tags inflate the bigram
+      // vocab, so the organic read is the q91_plain10 adjudication)
+      "q126_dup_card", "q127_winnow_pairs", "q128_bigram_lm")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       // the q57 probe row keeps its historical label and workload: pure
       // IVF search (r14 made the REGISTERED q57 a recall-gate instrument
@@ -237,6 +244,14 @@ object ScaleProbe {
       // vocab-growth control (same adjudication as q91_plain10)
       ("q119_plain10" ->
         ((s: SparkSession, dir: String) => graft.operators.TextOps.ccnetBuckets(
+          variantDocs(s, dir, "plain10")))) :+
+      // r15: bigram LM on the untagged 10× fan-out — q128 is per-doc
+      // independent (no cross-doc pair structure), so like q91/q119 its
+      // organic scale read is the plain10 control: the tagged corpus
+      // mints a new bigram at every tag adjacency (~10× bigram vocab),
+      // while organic 10× keeps the bigram table near-fixed
+      ("q128_plain10" ->
+        ((s: SparkSession, dir: String) => graft.operators.TextOps.bigramNll(
           variantDocs(s, dir, "plain10")))) :+
       // r15 cap-binding adversarial probe (r14 verdict item 5): every
       // DF/width cap was spec'd only where it never binds. The boiler
