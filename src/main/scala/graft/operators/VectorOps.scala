@@ -802,7 +802,7 @@ object VectorOps {
     * `iv` must be the (vec_id, q) int-vec frame, checkpointed by the
     * caller (each round re-reads it).
     */
-  private[operators] def lloydCentroids(iv: DataFrame, k: Int,
+  private[graft] def lloydCentroids(iv: DataFrame, k: Int,
       iters: Int): Seq[(Long, Array[Long])] = {
     var centroids: Seq[(Long, Array[Long])] =
       iv.orderBy("vec_id").limit(k).collect()
@@ -912,6 +912,221 @@ object VectorOps {
       .select(col("vec_id"), col("cluster"),
         col("__hit").isNull.as("kept"))
   }
+
+  // ---- Product quantization (PQ) ----------------------------------------
+
+  /** Per-subspace PQ codebooks (Jégou et al. 2011): m independent
+    * integer-exact k-means — the q108 Lloyd math — over the m
+    * contiguous slices of the fixed-point embedding. Returns one
+    * codebook per subspace as (code id → centroid slice); code ids are
+    * the seed vec_ids, so training is deterministic end to end (same
+    * init, same (d2, cid) tie-breaks, same floor-division recompute as
+    * q108 — [[graft.VectorOpsSpec]] pins this ≡ running
+    * [[lloydCentroids]] per slice, and the q129/q130 oracles pin it
+    * cross-engine).
+    *
+    * Scale: `iv` must be the caller-checkpointed (vec_id, q) int-vec
+    * frame. All m subspaces train FUSED: each Lloyd round is ONE corpus
+    * scan that argmins every subspace in the same pass, then one keyed
+    * integer agg over the posexploded dims routed to (subspace, code,
+    * dim) — a naive per-subspace loop would scan the corpus m×iters
+    * times; this scans it iters times, the difference between 2 and 32
+    * reads of a 100 TB store at q130's m=16. Driver state is
+    * m·k·(dims/m) = k·dims longs, the q108 envelope.
+    */
+  private[graft] def pqCodebooks(iv: DataFrame, m: Int, k: Int,
+      iters: Int, dims: Int): Seq[Seq[(Long, Array[Long])]] = {
+    require(m >= 1 && dims % m == 0,
+      s"pqCodebooks: dims=$dims must split evenly into m=$m subspaces")
+    val sub = dims / m
+    val seeds = iv.orderBy("vec_id").limit(k).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Long]]("q").toArray)
+    require(seeds.nonEmpty, "pq: empty embedding input")
+    var cbs: Seq[Seq[(Long, Array[Long])]] = (0 until m).map { j =>
+      seeds.toSeq.map { case (id, q) => id -> q.slice(j * sub, (j + 1) * sub) }
+    }
+    for (_ <- 1 until iters) {
+      // one scan: per-row argmin in EVERY subspace (the native PqAssign
+      // kernel — one codegen'd integer loop, no per-candidate HOF
+      // allocation), then (j, cid, dim) integer sums — map-side
+      // combinable to m·k·sub = k·dims rows
+      val sums = iv
+        .select(col("q"), pqAssignCol(col("q"), cbs).as("__pq"))
+        .select(col("__pq"), posexplode(col("q")).as(Seq("pos", "v")))
+        .select(
+          floor(col("pos") / lit(sub)).cast("int").as("j"),
+          element_at(col("__pq"),
+            floor(col("pos") / lit(sub)).cast("int") + 1)
+            .getField("cid").as("cid"),
+          pmod(col("pos"), lit(sub)).as("dim"), col("v"))
+        .groupBy("j", "cid", "dim")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect()
+      sums.foreach(r => require(math.abs(r.getLong(3)) < (1L << 53),
+        "pqCodebooks: per-code component sum exceeds exact-double " +
+          "range — shard the corpus or rescale intVec"))
+      val byJ = sums.groupBy(_.getInt(0))
+      cbs = cbs.zipWithIndex.map { case (cb, j) =>
+        val byCid = byJ.getOrElse(j, Array.empty).groupBy(_.getLong(1))
+        cb.map { case (cid, c) =>
+          byCid.get(cid).fold(cid -> c) { rows =>
+            val arr = c.clone()
+            rows.foreach { r =>
+              arr(r.getInt(2)) =
+                math.floor(r.getLong(3).toDouble / r.getLong(4)).toLong }
+            cid -> arr
+          }
+        }
+      }
+    }
+    cbs
+  }
+
+  /** The trained codebooks as a [[graft.plans.PqAssign]] Column — the
+    * all-subspace argmin as ONE codegen'd kernel over the int-vec.
+    * Payload is k·dims longs (the q108 envelope), guarded like the IVF
+    * kernel against a plan-poisoning build.
+    */
+  private def pqAssignCol(q: Column,
+      cbs: Seq[Seq[(Long, Array[Long])]]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    val cids = cbs.head.map(_._1).toArray
+    require(cbs.forall(_.map(_._1) == cbs.head.map(_._1)),
+      "pq: subspace codebooks must share the seed code ids")
+    val payload = cbs.map(_.map(_._2.length.toLong * 8).sum).sum
+    require(payload <= (256L << 20),
+      s"pq kernel payload ${payload >> 20} MB exceeds the 256 MB hard cap")
+    toCol(graft.plans.PqAssign(toExpr(q),
+      cids, cbs.map(_.map(_._2).toArray).toArray))
+  }
+
+  /** ADC distance² (query int-vec vs corpus PQ codes) as the native
+    * [[graft.plans.PqAdc]] kernel — one integer loop per scored pair.
+    */
+  private def pqAdcCol(q: Column, codes: Column,
+      cbs: Seq[Seq[(Long, Array[Long])]]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    toCol(graft.plans.PqAdc(toExpr(q), toExpr(codes),
+      cbs.head.map(_._1).toArray, cbs.map(_.map(_._2).toArray).toArray))
+  }
+
+  /** Vector dims read off the first row of the int-vec frame — the PQ
+    * split must know the width, and every existing vector op already
+    * assumes a uniform-dims column. Loud on empty input.
+    */
+  private def vecDims(iv: DataFrame): Int = {
+    val head = iv.select(size(col("q")).as("n")).head(1)
+    require(head.nonEmpty, "pq: empty embedding input")
+    head(0).getInt(0)
+  }
+
+  /** PQ code assignment + reconstruction diagnostics: every vector's
+    * per-subspace code (nearest subspace centroid, (d2, cid) tie-break
+    * — engine-deterministic) with its exact per-subspace and total
+    * reconstruction distortion. The codes ARE the compressed store a
+    * 100 TB ANN deployment scans (m bytes per vector at k ≤ 256 vs
+    * 4·dims float bytes — 128× here); recon_d2 is the table an operator
+    * reads before trusting that compression (distortion percentiles
+    * against the metric's noise floor, the q106 discipline).
+    *
+    * Scale shape: training is [[pqCodebooks]] (k·dims driver longs);
+    * assignment is ONE codegen'd scan over the checkpointed int-vec
+    * frame — per row an argmin over k centroid literals per subspace,
+    * zero exchanges after the checkpoint. Returned frame rides the
+    * checkpoint; callers that own it release via
+    * CacheHygiene.releaseTree (Verify does).
+    */
+  def pqCodes(df: DataFrame, m: Int = 2, k: Int = 4, iters: Int = 2,
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && iters >= 1, s"pqCodes: k=$k iters=$iters")
+    val iv = df.select(col("vec_id"), intVec(col(vecCol)).as("q"))
+      .localCheckpoint(true)
+    val dims = vecDims(iv)
+    val cbs = pqCodebooks(iv, m, k, iters, dims)
+    val cols: Seq[Column] =
+      col("vec_id") +:
+        ((0 until m).flatMap(j => Seq(
+          element_at(col("__pq"), j + 1).getField("cid").as(s"code_$j"),
+          element_at(col("__pq"), j + 1).getField("d2").as(s"d2_$j"))) :+
+          (0 until m).map(j => element_at(col("__pq"), j + 1).getField("d2"))
+            .reduce(_ + _).as("recon_d2"))
+    iv.select(col("vec_id"), pqAssignCol(col("q"), cbs).as("__pq"))
+      .select(cols: _*)
+  }
+
+  /** q129: the PQ mart — 2 subspaces × 4 codes × 2 Lloyd rounds over
+    * the 64-dim embeddings. Fully hash-oracled: DuckDB unrolls the same
+    * two integer-exact rounds per subspace (the q108 trick, applied to
+    * each slice), so codes AND distortions match bit-for-bit.
+    */
+  def q129PqCodes(s: SparkSession, d: String): DataFrame =
+    pqCodes(embeddings(s, d))
+
+  /** Asymmetric-distance PQ serving (ADC): queries keep exact int-vecs,
+    * the corpus is its PQ codes, and each (query, subspace) pair prices
+    * its distance through a constant-folded code→centroid lookup map —
+    * distance² = Σ_j ‖q_j − centroid_j[code_j]‖², exact integer
+    * arithmetic, so the whole ranking (and the exact-rank instrument)
+    * carries a full cross-engine hash oracle like q107. exact_rk is
+    * null when ADC promoted a vector outside the true top-k — the
+    * in-query recall read.
+    *
+    * Scale shape: q38/q107's — queries broadcast, the code-only corpus
+    * streams (the point of PQ: the scan reads m codes per vector, not
+    * dims floats), bounded-heap TopKPerKey, no window over scored
+    * volume. The scored frame is checkpointed once and both rankings
+    * consume it (the q107 shared-frame discipline); the exact-d2
+    * instrument column reads the full int-vec alongside the codes —
+    * deployable serving drops it and scans codes alone.
+    */
+  def pqTopk(df: DataFrame, m: Int = 2, k: Int = 4, iters: Int = 2,
+      kNN: Int = 5, querySpan: Long = 10L): DataFrame = {
+    val iv = df.select(col("vec_id"), intVec(col("embedding")).as("q"))
+      .localCheckpoint(true)
+    val dims = vecDims(iv)
+    val cbs = pqCodebooks(iv, m, k, iters, dims)
+    // the corpus side carries ONLY its m codes (plus the full int-vec
+    // for the exact-rank instrument — deployable serving drops c_q)
+    val corpus = iv.filter(col("vec_id") >= querySpan)
+      .select(col("vec_id").as("c_id"), col("q").as("c_q"),
+        transform(pqAssignCol(col("q"), cbs), b => b.getField("cid"))
+          .as("codes"))
+    val queries = iv.filter(col("vec_id") < querySpan)
+      .select(col("vec_id").as("q_id"), col("q").as("q_q"))
+    val exact = aggregate(
+      zip_with(col("q_q"), col("c_q"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col("q_id"), col("c_id"),
+        pqAdcCol(col("q_q"), col("codes"), cbs).as("adc_d2"),
+        exact.as("exact_d2"))
+      .localCheckpoint(true)
+    graft.CacheHygiene.releaseTree(iv)
+    val ra = rankTopK(scored.withColumn("__neg", -col("adc_d2")),
+        "q_id", "c_id", "__neg", k = kNN)
+      .select(col("q_id"), col("c_id"), col("rk"), col("adc_d2"))
+    val re = rankTopK(scored.withColumn("__neg", -col("exact_d2")),
+        "q_id", "c_id", "__neg", k = kNN)
+      .select(col("q_id"), col("c_id"), col("rk").as("exact_rk"))
+    ra.join(broadcast(re), Seq("q_id", "c_id"), "left")
+      .select(col("q_id"), col("c_id"), col("rk"), col("adc_d2"),
+        col("exact_rk"))
+  }
+
+  /** q130: ADC top-5 per query, exact-rank instrument included — the
+    * serving read of the IVF/int8/PQ triad. Serving uses a FINER grid
+    * than the q129 demo mart: 16 subspaces × 64 codes = 16 bytes per
+    * vector vs 256 raw (16×), chosen off the PqProbe grid sweep —
+    * coarser grids (4×8, 8×64) collapse to recall@5 0.2–0.36 on this
+    * corpus because the synthetic embeddings are near-uniform (pairwise
+    * distance gaps are small relative to quantization error, PQ's
+    * documented worst case); 16×64 measures 0.48 and the next factor-2
+    * of recall costs all the compression (32×64 ≡ 2-dim cells → 0.68 at
+    * only 2×). The exact_rk instrument column IS that read, in-query.
+    */
+  def q130PqTopk(s: SparkSession, d: String): DataFrame =
+    pqTopk(embeddings(s, d), m = 16, k = 64)
 
   // ---- IVF (inverted-file) ANN ------------------------------------------
 
@@ -1877,6 +2092,8 @@ object VectorOps {
     "q108_kmeans" -> q108Kmeans _,
     "q109_semdedup" -> q109Semdedup _,
     "q110_cluster_card" -> q110ClusterCard _,
+    "q129_pq_codes" -> q129PqCodes _,
+    "q130_pq_topk" -> q130PqTopk _,
   )
 
   /** The hash/sketch queries (q36/q37/q39/q51) hash with
@@ -2090,6 +2307,13 @@ object VectorOps {
         |    AND b.vec_id < a.vec_id
         |    AND list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.3) AS kept
         |FROM n a""".stripMargin, continued = true),
+    "q129_pq_codes" -> PqOracle.sql(2, 4,
+      """SELECT a0.vec_id, a0.cid AS code_0, a0.d2 AS d2_0,
+        |  a1.cid AS code_1, a1.d2 AS d2_1,
+        |  CAST(a0.d2 + a1.d2 AS BIGINT) AS recon_d2
+        |FROM (SELECT * FROM a2_0 WHERE rn = 1) a0
+        |JOIN (SELECT * FROM a2_1 WHERE rn = 1) a1 USING (vec_id)""".stripMargin),
+    "q130_pq_topk" -> PqOracle.topkSql(16, 64),
   )
 
   /** The shared DuckDB prefix for the k-means family: two unrolled
@@ -2130,5 +2354,110 @@ object VectorOps {
         |        FROM iv CROSS JOIN c1))""".stripMargin
     def sql(tail: String, continued: Boolean = false): String =
       if (continued) prefix + ",\n " + tail else prefix + "\n" + tail
+  }
+
+  /** The DuckDB prefix for the PQ family: per subspace, the SAME two
+    * unrolled integer-exact Lloyd rounds as [[KmeansOracle]] applied to
+    * a slice of the fixed-point vector (see [[pqCodebooks]] — same
+    * seeds, same floor-division centroids, same (d2, cid) tie-break),
+    * with `_j`-suffixed CTEs per subspace so each query's tail reads
+    * the trained tables directly. Parameterized by (m, k): q129 demos
+    * the codes mart at 2×4, q130 serves at 4×8 (see [[q130PqTopk]] for
+    * why the grids differ). Slice bounds are DuckDB's 1-based inclusive
+    * list indexing; the k seeds are vec_ids 0..k-1 (dense ids, the q108
+    * convention).
+    */
+  private object PqOracle {
+    private def block(j: Int, lo: Int, hi: Int, k: Int): String =
+      s""" sv$j AS (SELECT vec_id, q[$lo:$hi] AS q FROM iv),
+         | c0_$j AS (SELECT vec_id AS cid, q AS c FROM sv$j WHERE vec_id < $k),
+         | a1_$j AS (
+         |  SELECT vec_id, cid, d2,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |  FROM (SELECT sv.vec_id, c0.cid,
+         |          list_sum(list_transform(list_zip(sv.q, c0.c), p -> (p[1]-p[2])*(p[1]-p[2]))) AS d2
+         |        FROM sv$j sv CROSS JOIN c0_$j c0)),
+         | s1_$j AS (
+         |  SELECT a1.cid, u.pos, CAST(floor(CAST(sum(u.v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+         |  FROM a1_$j a1 JOIN sv$j sv ON a1.vec_id = sv.vec_id AND a1.rn = 1,
+         |       LATERAL (SELECT unnest(sv.q) AS v, unnest(range(1, len(sv.q)+1)) AS pos) u
+         |  GROUP BY a1.cid, u.pos),
+         | c1_$j AS (
+         |  SELECT co.cid,
+         |    CASE WHEN count(s1.cv) = 0 THEN co.c
+         |         ELSE list(s1.cv ORDER BY s1.pos) END AS c
+         |  FROM c0_$j co LEFT JOIN s1_$j s1 ON co.cid = s1.cid
+         |  GROUP BY co.cid, co.c),
+         | a2_$j AS (
+         |  SELECT vec_id, cid, d2,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |  FROM (SELECT sv.vec_id, c1.cid,
+         |          list_sum(list_transform(list_zip(sv.q, c1.c), p -> (p[1]-p[2])*(p[1]-p[2]))) AS d2
+         |        FROM sv$j sv CROSS JOIN c1_$j c1))""".stripMargin
+    private def prefix(m: Int, k: Int, dims: Int = 64): String = {
+      val sub = dims / m
+      """WITH iv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |""".stripMargin +
+        (0 until m).map(j => block(j, j * sub + 1, (j + 1) * sub, k))
+          .mkString(",\n")
+    }
+    def sql(m: Int, k: Int, tail: String,
+        continued: Boolean = false): String =
+      if (continued) prefix(m, k) + ",\n " + tail
+      else prefix(m, k) + "\n" + tail
+
+    /** The full [[pqTopk]] oracle, generated for any (m, k) so the grid
+      * can follow the PqProbe evidence (q130's 16×64) without 16
+      * hand-written subspace joins. Mirrors the Spark plan 1:1: codes =
+      * per-subspace rn=1 argmins joined on vec_id, ADC = per-subspace
+      * slice-vs-trained-centroid sums, both rankings off the same
+      * scored set, exact_rk LEFT-joined (null = promoted outside the
+      * true top-k).
+      */
+    def topkSql(m: Int, k: Int, dims: Int = 64, span: Int = 10,
+        kNN: Int = 5): String = {
+      val sub = dims / m
+      val codeCols = (0 until m).map(j => s"s$j.cid AS code_$j")
+        .mkString(", ")
+      val codeJoins = (1 until m).map(j =>
+        s"  JOIN (SELECT * FROM a2_$j WHERE rn = 1) s$j USING (vec_id)")
+        .mkString("\n")
+      val adcTerms = (0 until m).map { j =>
+        val lo = j * sub + 1; val hi = (j + 1) * sub
+        s"list_sum(list_transform(list_zip(qs.q[$lo:$hi], cb$j.c), p -> (p[1]-p[2])*(p[1]-p[2])))"
+      }.mkString("\n      + ")
+      val cbJoins = (0 until m).map(j =>
+        s"  JOIN c1_$j cb$j ON cb$j.cid = codes.code_$j").mkString("\n")
+      sql(m, k,
+        s"""codes AS (
+           |  SELECT s0.vec_id AS c_id, $codeCols
+           |  FROM (SELECT * FROM a2_0 WHERE rn = 1) s0
+           |$codeJoins
+           |  WHERE s0.vec_id >= $span),
+           | qs AS (SELECT vec_id AS q_id, q FROM iv WHERE vec_id < $span),
+           | scored AS (
+           |  SELECT qs.q_id, codes.c_id,
+           |    CAST($adcTerms AS BIGINT) AS adc_d2,
+           |    CAST(list_sum(list_transform(list_zip(qs.q, ivc.q), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS exact_d2
+           |  FROM qs CROSS JOIN codes
+           |  JOIN iv ivc ON ivc.vec_id = codes.c_id
+           |$cbJoins),
+           | ra AS (
+           |  SELECT q_id, c_id, adc_d2,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, c_id) AS rk
+           |  FROM scored),
+           | re AS (
+           |  SELECT q_id, c_id,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY exact_d2, c_id) AS exact_rk
+           |  FROM scored)
+           |SELECT ra.q_id, ra.c_id, CAST(ra.rk AS BIGINT) AS rk, ra.adc_d2,
+           |  CAST(re.exact_rk AS BIGINT) AS exact_rk
+           |FROM ra LEFT JOIN (SELECT * FROM re WHERE exact_rk <= $kNN) re
+           |  ON ra.q_id = re.q_id AND ra.c_id = re.c_id
+           |WHERE ra.rk <= $kNN""".stripMargin, continued = true)
+    }
   }
 }

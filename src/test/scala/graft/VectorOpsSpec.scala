@@ -1290,4 +1290,113 @@ class VectorOpsSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), "no global window allowed")
     assert(out.count() > 0)
   }
+
+  test("pqCodes: planted corpus codes each subspace independently, exact distortions") {
+    import spark.implicits._
+    // q-space (floats are n·1e-6): dims=4, m=2 → subspaces (p1,p2) and
+    // (p3,p4); k=2 seeds are vec_ids 0 and 1. After one integer Lloyd
+    // recompute the ss0 centroids are (1,0)/(9,0) and the ss1 centroids
+    // (0,1)/(0,8) — every code and d2 below is hand-derived from those.
+    // v4 is the POINT of PQ: near code 0 in ss0 but code 1 in ss1, a
+    // cross-product cell no single-space k-means (q108) can express.
+    def v(a: Long, b: Long, c: Long, d: Long) =
+      Seq(a * 1e-6f, b * 1e-6f, c * 1e-6f, d * 1e-6f)
+    val df = Seq(
+      (0L, v(0, 0, 0, 0), 0), (1L, v(10, 0, 0, 10), 0),
+      (2L, v(2, 0, 0, 2), 0), (3L, v(8, 0, 0, 8), 0),
+      (4L, v(2, 0, 0, 8), 0),
+    ).toDF("vec_id", "embedding", "label")
+    val res = VectorOps.pqCodes(df, m = 2, k = 2, iters = 2)
+    val got = res.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == Map(
+      0L -> ((0L, 1L, 0L, 1L, 2L)),
+      1L -> ((1L, 1L, 1L, 4L, 5L)),
+      2L -> ((0L, 1L, 0L, 1L, 2L)),
+      3L -> ((1L, 1L, 1L, 0L, 1L)),
+      4L -> ((0L, 1L, 1L, 0L, 1L))), s"got $got")
+    graft.CacheHygiene.releaseTree(res)
+  }
+
+  test("pqCodes: uneven dims/m split and empty input refuse loudly") {
+    import spark.implicits._
+    val df = Seq((0L, Seq(1.0f, 2.0f, 3.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    intercept[IllegalArgumentException] {
+      VectorOps.pqCodes(df, m = 2, k = 1, iters = 1).collect()
+    }
+    val empty = df.filter(col("vec_id") < 0)
+    intercept[IllegalArgumentException] {
+      VectorOps.pqCodes(empty, m = 1, k = 1, iters = 1).collect()
+    }
+  }
+
+  test("q129: partitioning-independent (repartitioned input, identical codes and distortions)") {
+    val a = VectorOps.q129PqCodes(spark, sfDir)
+    val b = VectorOps.pqCodes(
+      graft.sources.Tables.embeddings(spark, sfDir).repartition(7))
+    val sa = a.collect().map(_.toString).sorted
+    val sb = b.collect().map(_.toString).sorted
+    assert(sa.sameElements(sb))
+    assert(sa.length == 500)
+    graft.CacheHygiene.releaseTree(a, b)
+  }
+
+  test("q130: ADC top-5 per query, rank-consistent, high recall vs the exact ranking") {
+    val res = VectorOps.q130PqTopk(spark, sfDir)
+    val rows = res.collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 10)
+    byQ.values.foreach { g =>
+      assert(g.length == 5)
+      val sorted = g.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).sameElements(1L to 5L))
+      val d = sorted.map(_.getAs[Long]("adc_d2"))
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b },
+        s"ADC distance must be non-decreasing in rank: ${d.toSeq}")
+    }
+    // The near-uniform synthetic embeddings are PQ's documented worst
+    // case (distance gaps ≪ quantization error); the PqProbe grid sweep
+    // measured recall@5 0.48 at q130's 16×64 — the floor here guards
+    // the ADC arithmetic (a broken lookup/ranking lands ≈0.1, the
+    // tie-break baseline), not the compression's intrinsic ceiling.
+    val hits = rows.count(r => !r.isNullAt(r.fieldIndex("exact_rk")))
+    assert(hits >= 18, s"recall@5 ${hits / 50.0} — ADC ranking degraded")
+    graft.CacheHygiene.releaseTree(res)
+  }
+
+  test("pqCodebooks: fused one-scan-per-round training ≡ per-subspace Lloyd on slices") {
+    import spark.implicits._
+    val df = graft.sources.Tables.embeddings(spark, sfDir)
+    val iv = df.select(col("vec_id"),
+      VectorOps.intVec(col("embedding")).as("q")).localCheckpoint(true)
+    for ((m, k, it) <- Seq((2, 4, 2), (4, 3, 3))) {
+      val fused = VectorOps.pqCodebooks(iv, m, k, it, 64)
+      val sub = 64 / m
+      val perSlice = (0 until m).map { j =>
+        VectorOps.lloydCentroids(
+          iv.select(col("vec_id"),
+            slice(col("q"), j * sub + 1, sub).as("q")), k, it)
+      }
+      assert(fused.map(_.map { case (c, a) => c -> a.toSeq }) ==
+        perSlice.map(_.map { case (c, a) => c -> a.toSeq }),
+        s"fused/per-slice codebooks diverged at m=$m k=$k iters=$it")
+    }
+    graft.CacheHygiene.releaseTree(iv)
+  }
+
+  test("pqTopk plan: exact-rank instrument broadcasts onto the ADC ranking, no global window") {
+    // the scored frame is checkpointed inside pqTopk (the q107
+    // shared-frame discipline), so the returned plan covers the two
+    // rankings over it: both are bounded-heap TopKPerKey + a keyed
+    // window over the already-reduced top set — never SinglePartition —
+    // and the tiny exact-rank side joins in as a broadcast.
+    val res = VectorOps.q130PqTopk(spark, sfDir)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"exact-rank side must broadcast:\n$plan")
+    assert(!plan.contains("SinglePartition"), "no global window allowed")
+    assert(res.count() > 0)
+    graft.CacheHygiene.releaseTree(res)
+  }
 }

@@ -1,0 +1,29 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.operators.VectorOps
+import graft.sources.Tables
+
+/** Ad-hoc probe: PQ/ADC recall@5 vs exact for various (m, k) grids. */
+object PqProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .appName("pq-probe")
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = Tables.embeddings(spark, sys.props.getOrElse("pq.sf", "/root/testdata/sf0.001"))
+    for ((m, k, it) <- Seq((8, 64, 2), (8, 64, 6), (16, 16, 6), (16, 64, 2),
+        (16, 64, 6), (32, 16, 2), (32, 64, 2), (16, 128, 2))) {
+      val t0 = System.nanoTime
+      val rows = VectorOps.pqTopk(df, m = m, k = k, iters = it).collect()
+      val hits = rows.count(r => !r.isNullAt(r.fieldIndex("exact_rk")))
+      println(f"PQSCAN m=$m k=$k iters=$it recall@5=${hits / 50.0}%.2f " +
+        f"wall=${(System.nanoTime - t0) / 1e9}%.1fs")
+    }
+    spark.stop()
+  }
+}
