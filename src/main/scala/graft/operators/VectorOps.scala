@@ -1128,6 +1128,113 @@ object VectorOps {
   def q130PqTopk(s: SparkSession, d: String): DataFrame =
     pqTopk(embeddings(s, d), m = 16, k = 64)
 
+  /** IVF-PQ serving (Jégou et al. 2011 §IV, the IVFADC layout — what
+    * FAISS deploys at billion scale): a coarse quantizer routes every
+    * vector to one of kc inverted lists, PQ codes are trained on the
+    * RESIDUALS (q − coarse centroid) — residuals concentrate around the
+    * origin, so the same code budget spends its resolution where the
+    * bucket's vectors actually live — and a query probes only its
+    * nProbe nearest lists, scoring candidates by residual-ADC. This
+    * composes the q108 coarse quantizer with the q129/q130 PQ kernels
+    * into the architecture that makes ANN sub-linear AND the store
+    * compressed at the same time: the scan per query touches
+    * nProbe/kc of the corpus, m bytes per vector.
+    *
+    * Integer-exact end to end (coarse assign, residuals, codebooks,
+    * ADC), so the full ranking — routing included — carries a
+    * cross-engine hash oracle; exact_rk is measured over the ENTIRE
+    * corpus, so a null reads as routing-OR-quantization miss, the
+    * honest end-to-end recall instrument (q57's recall gate measures
+    * routing only).
+    *
+    * Scale shape: coarse training is q108's (k·dims driver longs);
+    * residual minting + PQ coding are two kernel scans over the two
+    * checkpoints (iv, resid); the probe table is queries×kc rows built
+    * against a kc-row literal frame; candidate scoring joins the TINY
+    * probe side (queries×nProbe rows, broadcast) onto the code-only
+    * corpus ON the list id — the corpus streams, bounded-heap top-k,
+    * no window over scored volume. The exact instrument is the one
+    * full crossJoin (drop it in deployment). Callers release the
+    * backing checkpoints via CacheHygiene.releaseTree (Verify does).
+    */
+  def ivfpqTopk(df: DataFrame, kc: Int = 8, cIters: Int = 2,
+      m: Int = 16, k: Int = 64, iters: Int = 2, nProbe: Int = 2,
+      kNN: Int = 5, querySpan: Long = 10L): DataFrame = {
+    require(kc >= 1 && nProbe >= 1 && nProbe <= kc,
+      s"ivfpqTopk: need 1 <= nProbe=$nProbe <= kc=$kc")
+    val s = df.sparkSession
+    import s.implicits._
+    val iv = df.select(col("vec_id"), intVec(col("embedding")).as("q"))
+      .localCheckpoint(true)
+    val dims = vecDims(iv)
+    val coarse = lloydCentroids(iv, kc, cIters)
+    val cLut = map(coarse.flatMap { case (cid, c) =>
+      Seq(lit(cid), array(c.map(lit(_)).toSeq: _*)) }: _*)
+    // residuals: one PqAssign(m=1) kernel scan for the list id, one
+    // lookup+zip_with for q − c(v); checkpointed — feeds PQ training
+    // (iters scans) and the corpus coding scan
+    val resid = iv
+      .select(col("vec_id"), col("q"),
+        element_at(pqAssignCol(col("q"), Seq(coarse)), 1)
+          .getField("cid").as("ccid"))
+      .select(col("vec_id"), col("ccid"),
+        zip_with(col("q"), element_at(cLut, col("ccid")),
+          (a, b) => a - b).as("r"))
+      .localCheckpoint(true)
+    val cbs = pqCodebooks(
+      resid.select(col("vec_id"), col("r").as("q")), m, k, iters, dims)
+    val corpus = resid.filter(col("vec_id") >= querySpan)
+      .select(col("vec_id").as("c_id"), col("ccid"),
+        transform(pqAssignCol(col("r"), cbs), b => b.getField("cid"))
+          .as("codes"))
+    val queries = iv.filter(col("vec_id") < querySpan)
+      .select(col("vec_id").as("q_id"), col("q").as("q_q"))
+    // probe routing: exact integer d2 to each of the kc coarse
+    // centroids (a kc-row literal frame — queries×kc rows total),
+    // keep the nProbe nearest per query, residualize the query
+    // against each probed centroid
+    val centDf = coarse.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("ccid", "cvec")
+    val probeScored = queries.crossJoin(broadcast(centDf))
+      .select(col("q_id"), col("q_q"), col("ccid"),
+        (-aggregate(zip_with(col("q_q"), col("cvec"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+          .as("__neg"),
+        zip_with(col("q_q"), col("cvec"), (a, b) => a - b).as("qr"))
+    val probed = rankTopK(probeScored, "q_id", "ccid", "__neg", k = nProbe)
+      .select(col("q_id"), col("ccid"), col("qr"))
+    // candidates = the probed lists only: tiny probe side broadcasts,
+    // the code-only corpus streams through the list-id join
+    val scored = corpus.join(broadcast(probed), "ccid")
+      .select(col("q_id"), col("c_id"), col("ccid"),
+        pqAdcCol(col("qr"), col("codes"), cbs).as("adc_d2"))
+    val ra = rankTopK(scored.withColumn("__neg", -col("adc_d2")),
+        "q_id", "c_id", "__neg", k = kNN)
+      .select(col("q_id"), col("c_id"), col("ccid"), col("rk"),
+        col("adc_d2"))
+    // end-to-end instrument: the exact ranking over the FULL corpus
+    val exactScored = iv.filter(col("vec_id") >= querySpan)
+      .select(col("vec_id").as("c_id"), col("q").as("c_q"))
+      .crossJoin(broadcast(queries))
+      .select(col("q_id"), col("c_id"),
+        (-aggregate(zip_with(col("q_q"), col("c_q"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+          .as("__neg"))
+    val re = rankTopK(exactScored, "q_id", "c_id", "__neg", k = kNN)
+      .select(col("q_id"), col("c_id"), col("rk").as("exact_rk"))
+    ra.join(broadcast(re), Seq("q_id", "c_id"), "left")
+      .select(col("q_id"), col("c_id"), col("ccid"), col("rk"),
+        col("adc_d2"), col("exact_rk"))
+  }
+
+  /** q131: IVF-PQ end to end on the q108 coarse geometry (kc=8) with
+    * the q130 PQ grid (16×64) on residuals, probing 2/8 lists — the
+    * deployable 100 TB serving read: ~25% of the corpus scanned per
+    * query at 16 bytes per vector.
+    */
+  def q131IvfpqTopk(s: SparkSession, d: String): DataFrame =
+    ivfpqTopk(embeddings(s, d))
+
   // ---- IVF (inverted-file) ANN ------------------------------------------
 
   val DefaultProbes         = 8
@@ -2094,6 +2201,7 @@ object VectorOps {
     "q110_cluster_card" -> q110ClusterCard _,
     "q129_pq_codes" -> q129PqCodes _,
     "q130_pq_topk" -> q130PqTopk _,
+    "q131_ivfpq" -> q131IvfpqTopk _,
   )
 
   /** The hash/sketch queries (q36/q37/q39/q51) hash with
@@ -2314,6 +2422,7 @@ object VectorOps {
         |FROM (SELECT * FROM a2_0 WHERE rn = 1) a0
         |JOIN (SELECT * FROM a2_1 WHERE rn = 1) a1 USING (vec_id)""".stripMargin),
     "q130_pq_topk" -> PqOracle.topkSql(16, 64),
+    "q131_ivfpq" -> IvfPqOracle.sql(16, 64),
   )
 
   /** The shared DuckDB prefix for the k-means family: two unrolled
@@ -2323,7 +2432,8 @@ object VectorOps {
     * clustering ONCE and differ only in their tails.
     */
   private object KmeansOracle {
-    private val prefix =
+    // exposed to IvfPqOracle: the coarse quantizer is the SAME geometry
+    private[VectorOps] val prefix =
       """WITH iv AS (
         |  SELECT vec_id,
         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS q
@@ -2368,8 +2478,11 @@ object VectorOps {
     * convention).
     */
   private object PqOracle {
-    private def block(j: Int, lo: Int, hi: Int, k: Int): String =
-      s""" sv$j AS (SELECT vec_id, q[$lo:$hi] AS q FROM iv),
+    // `src` = the int-vec CTE the codebooks train over: "iv" for plain
+    // PQ (q129/q130), "resid" for IVF-PQ's residual training (q131)
+    private def block(j: Int, lo: Int, hi: Int, k: Int,
+        src: String = "iv"): String =
+      s""" sv$j AS (SELECT vec_id, q[$lo:$hi] AS q FROM $src),
          | c0_$j AS (SELECT vec_id AS cid, q AS c FROM sv$j WHERE vec_id < $k),
          | a1_$j AS (
          |  SELECT vec_id, cid, d2,
@@ -2403,6 +2516,16 @@ object VectorOps {
         |""".stripMargin +
         (0 until m).map(j => block(j, j * sub + 1, (j + 1) * sub, k))
           .mkString(",\n")
+    }
+
+    /** The m training blocks over an arbitrary source CTE — the
+      * composable piece [[IvfPqOracle]] points at the residual frame.
+      */
+    private[VectorOps] def blocks(m: Int, k: Int, dims: Int,
+        src: String): String = {
+      val sub = dims / m
+      (0 until m).map(j => block(j, j * sub + 1, (j + 1) * sub, k, src))
+        .mkString(",\n")
     }
     def sql(m: Int, k: Int, tail: String,
         continued: Boolean = false): String =
@@ -2457,6 +2580,77 @@ object VectorOps {
            |  CAST(re.exact_rk AS BIGINT) AS exact_rk
            |FROM ra LEFT JOIN (SELECT * FROM re WHERE exact_rk <= $kNN) re
            |  ON ra.q_id = re.q_id AND ra.c_id = re.c_id
+           |WHERE ra.rk <= $kNN""".stripMargin, continued = true)
+    }
+  }
+
+  /** The [[ivfpqTopk]] oracle: [[KmeansOracle]]'s coarse quantizer
+    * (same CTE text — the geometry IS q108's), a residual CTE
+    * (q − coarse centroid, integer-exact), [[PqOracle]]'s training
+    * blocks pointed at the residuals, then the serving tail — probe
+    * routing by exact integer d2 over the kc centroids, residual-ADC
+    * over candidates in probed lists only, and the full-corpus exact
+    * ranking LEFT-joined as the end-to-end recall instrument.
+    */
+  private object IvfPqOracle {
+    def sql(m: Int, k: Int, dims: Int = 64, span: Int = 10,
+        kNN: Int = 5, nProbe: Int = 2): String = {
+      val sub = dims / m
+      val codeCols = (0 until m).map(j => s"s$j.cid AS code_$j")
+        .mkString(", ")
+      val codeJoins = (1 until m).map(j =>
+        s"  JOIN (SELECT * FROM a2_$j WHERE rn = 1) s$j USING (vec_id)")
+        .mkString("\n")
+      val adcTerms = (0 until m).map { j =>
+        val lo = j * sub + 1; val hi = (j + 1) * sub
+        s"list_sum(list_transform(list_zip(qp.qr[$lo:$hi], cb$j.c), p -> (p[1]-p[2])*(p[1]-p[2])))"
+      }.mkString("\n      + ")
+      val cbJoins = (0 until m).map(j =>
+        s"  JOIN c1_$j cb$j ON cb$j.cid = codes.code_$j").mkString("\n")
+      KmeansOracle.sql(
+        s"""resid AS (
+           |  SELECT iv.vec_id, a2c.cid AS ccid,
+           |    list_transform(list_zip(iv.q, c1.c), p -> p[1]-p[2]) AS q
+           |  FROM (SELECT * FROM a2 WHERE rn = 1) a2c
+           |  JOIN iv ON iv.vec_id = a2c.vec_id
+           |  JOIN c1 ON c1.cid = a2c.cid),
+           |${PqOracle.blocks(m, k, dims, "resid")},
+           | codes AS (
+           |  SELECT s0.vec_id AS c_id, r.ccid, $codeCols
+           |  FROM (SELECT * FROM a2_0 WHERE rn = 1) s0
+           |$codeJoins
+           |  JOIN resid r ON r.vec_id = s0.vec_id
+           |  WHERE s0.vec_id >= $span),
+           | qs AS (SELECT vec_id AS q_id, q FROM iv WHERE vec_id < $span),
+           | probe AS (
+           |  SELECT q_id, ccid, c FROM (
+           |   SELECT qs.q_id, c1.cid AS ccid, c1.c,
+           |     row_number() OVER (PARTITION BY qs.q_id ORDER BY
+           |       list_sum(list_transform(list_zip(qs.q, c1.c), p -> (p[1]-p[2])*(p[1]-p[2]))), c1.cid) AS rn
+           |   FROM qs CROSS JOIN c1)
+           |  WHERE rn <= $nProbe),
+           | qp AS (
+           |  SELECT probe.q_id, probe.ccid,
+           |    list_transform(list_zip(qs.q, probe.c), p -> p[1]-p[2]) AS qr
+           |  FROM probe JOIN qs USING (q_id)),
+           | scored AS (
+           |  SELECT qp.q_id, codes.c_id, codes.ccid,
+           |    CAST($adcTerms AS BIGINT) AS adc_d2
+           |  FROM qp JOIN codes ON codes.ccid = qp.ccid
+           |$cbJoins),
+           | ra AS (
+           |  SELECT q_id, c_id, ccid, adc_d2,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, c_id) AS rk
+           |  FROM scored),
+           | ex AS (
+           |  SELECT qs.q_id, iv.vec_id AS c_id,
+           |    row_number() OVER (PARTITION BY qs.q_id ORDER BY
+           |      list_sum(list_transform(list_zip(qs.q, iv.q), p -> (p[1]-p[2])*(p[1]-p[2]))), iv.vec_id) AS exact_rk
+           |  FROM qs CROSS JOIN iv WHERE iv.vec_id >= $span)
+           |SELECT ra.q_id, ra.c_id, ra.ccid, CAST(ra.rk AS BIGINT) AS rk,
+           |  ra.adc_d2, CAST(ex.exact_rk AS BIGINT) AS exact_rk
+           |FROM ra LEFT JOIN (SELECT * FROM ex WHERE exact_rk <= $kNN) ex
+           |  ON ra.q_id = ex.q_id AND ra.c_id = ex.c_id
            |WHERE ra.rk <= $kNN""".stripMargin, continued = true)
     }
   }

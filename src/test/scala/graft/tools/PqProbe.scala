@@ -16,12 +16,18 @@ object PqProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = Tables.embeddings(spark, sys.props.getOrElse("pq.sf", "/root/testdata/sf0.001"))
-    for ((m, k, it) <- Seq((8, 64, 2), (8, 64, 6), (16, 16, 6), (16, 64, 2),
-        (16, 64, 6), (32, 16, 2), (32, 64, 2), (16, 128, 2))) {
+    for ((m, k, it) <- Seq((8, 64, 2), (16, 16, 6), (16, 64, 2))) {
       val t0 = System.nanoTime
       val rows = VectorOps.pqTopk(df, m = m, k = k, iters = it).collect()
       val hits = rows.count(r => !r.isNullAt(r.fieldIndex("exact_rk")))
       println(f"PQSCAN m=$m k=$k iters=$it recall@5=${hits / 50.0}%.2f " +
+        f"wall=${(System.nanoTime - t0) / 1e9}%.1fs")
+    }
+    for ((np, m, k) <- Seq((2, 16, 64), (4, 16, 64), (8, 16, 64))) {
+      val t0 = System.nanoTime
+      val rows = VectorOps.ivfpqTopk(df, nProbe = np, m = m, k = k).collect()
+      val hits = rows.count(r => !r.isNullAt(r.fieldIndex("exact_rk")))
+      println(f"IVFPQ nProbe=$np m=$m k=$k recall@5=${hits / 50.0}%.2f " +
         f"wall=${(System.nanoTime - t0) / 1e9}%.1fs")
     }
     spark.stop()
