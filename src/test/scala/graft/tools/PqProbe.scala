@@ -30,6 +30,24 @@ object PqProbe {
       println(f"IVFPQ nProbe=$np m=$m k=$k recall@5=${hits / 50.0}%.2f " +
         f"wall=${(System.nanoTime - t0) / 1e9}%.1fs")
     }
+    // 10× scale probe: sf0.1 vs the scratch sf1.0 derivative (the
+    // BASELINE.md probe-table protocol — min of 3 timed passes each)
+    for (dir <- Seq("/root/testdata/sf0.1", "/root/repo/scratch/sf1.0");
+        (name, fn) <- Seq(
+          ("q129", VectorOps.q129PqCodes _),
+          ("q130", VectorOps.q130PqTopk _),
+          ("q131", VectorOps.q131IvfpqTopk _))) {
+      val walls = (1 to 3).map { _ =>
+        val t0 = System.nanoTime
+        val n = fn(spark, dir).count()
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        ((System.nanoTime - t0) / 1e9, n)
+      }
+      println(f"SCALE $name $dir wall=${walls.map(_._1).min}%.2f " +
+        f"rows=${walls.head._2}")
+    }
     spark.stop()
   }
 }
