@@ -312,7 +312,7 @@ object VectorOps {
     * scored volume. Tie-break (score desc, id asc) matches the window
     * formulation it replaces.
     */
-  private def rankTopK(scored: DataFrame, keyCol: String, idCol: String,
+  private[operators] def rankTopK(scored: DataFrame, keyCol: String, idCol: String,
       scoreCol: String, k: Int): DataFrame = {
     val top = graft.operators.TopK.topKPerKey(scored, Seq(keyCol),
       struct(col(scoreCol), negate(col(idCol))), descending = true, k = k)
@@ -988,7 +988,7 @@ object VectorOps {
     * Payload is k·dims longs (the q108 envelope), guarded like the IVF
     * kernel against a plan-poisoning build.
     */
-  private def pqAssignCol(q: Column,
+  private[operators] def pqAssignCol(q: Column,
       cbs: Seq[Seq[(Long, Array[Long])]]): Column = {
     import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
     val cids = cbs.head.map(_._1).toArray
@@ -1004,7 +1004,7 @@ object VectorOps {
   /** ADC distance² (query int-vec vs corpus PQ codes) as the native
     * [[graft.plans.PqAdc]] kernel — one integer loop per scored pair.
     */
-  private def pqAdcCol(q: Column, codes: Column,
+  private[operators] def pqAdcCol(q: Column, codes: Column,
       cbs: Seq[Seq[(Long, Array[Long])]]): Column = {
     import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
     toCol(graft.plans.PqAdc(toExpr(q), toExpr(codes),
@@ -1015,7 +1015,7 @@ object VectorOps {
     * split must know the width, and every existing vector op already
     * assumes a uniform-dims column. Loud on empty input.
     */
-  private def vecDims(iv: DataFrame): Int = {
+  private[operators] def vecDims(iv: DataFrame): Int = {
     val head = iv.select(size(col("q")).as("n")).head(1)
     require(head.nonEmpty, "pq: empty embedding input")
     head(0).getInt(0)
