@@ -2083,6 +2083,49 @@ object TextOps {
   def q115BpeLearn(s: SparkSession, d: String): DataFrame =
     bpeSegment(documents(s, d), bpeLearn(documents(s, d), 2))
 
+  /** Tokenizer fertility card: per language, symbols-per-token
+    * (fertility) and symbols-per-character (compression) after applying
+    * the learned BPE merges — THE table a multilingual tokenizer design
+    * is judged by (a language whose fertility stays near its raw
+    * character count is being tokenized into dust: its text costs that
+    * many times more sequence positions per word than the vocabulary's
+    * favored language). Compression = 1.0 means no merge binds at all.
+    *
+    * Scale: ONE corpus scan computes token, character, and segmented-
+    * symbol counts side by side (the segmentation fold and the counts
+    * share the same codegen'd projection — joining a separate
+    * segmentation pass back to the corpus would re-scan it), then a
+    * languages-sized map-side-combinable agg; the ratio arithmetic runs
+    * on the aggregate only, division guarded so an all-empty language
+    * reads null rather than an ANSI divide error.
+    */
+  def bpeFertility(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val toks = bpeTokens(col("text"))
+    val seg = merges.foldLeft(transform(toks, w => charSyms(w))) {
+      case (c, (a, b)) => transform(c, w => applyMerge(w, a, b))
+    }
+    docs
+      .select(col("lang"),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(toks, lit(0L), (n, w) => n + length(w)).as("n_chars"),
+        aggregate(seg, lit(0L), (n, s) => n + size(s)).as("n_symbols"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("n_chars").as("n_chars"), sum("n_symbols").as("n_symbols"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_symbols"),
+        when(col("n_tokens") > 0,
+          round(col("n_symbols").cast("double") / col("n_tokens"), 4))
+          .as("fertility"),
+        when(col("n_chars") > 0,
+          round(col("n_symbols").cast("double") / col("n_chars"), 4))
+          .as("compression"))
+  }
+
+  /** q132: the fertility card over the q115-learned 2-merge vocabulary. */
+  def q132BpeFertility(s: SparkSession, d: String): DataFrame =
+    bpeFertility(documents(s, d), bpeLearn(documents(s, d), 2))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_self_scrub" -> q121SelfScrub _,
     "q120_dup_weights" -> q120DupWeights _,
@@ -2091,6 +2134,7 @@ object TextOps {
     "q117_split_leakage" -> q117SplitLeakage _,
     "q116_leak_split" -> q116LeakSplit _,
     "q115_bpe_learn" -> q115BpeLearn _,
+    "q132_bpe_fertility" -> q132BpeFertility _,
     "q114_bpe_pairs" -> q114BpePairs _,
     "q113_dsir" -> q113Dsir _,
     "q111_gopher_rules" -> q111GopherRules _,
@@ -2378,40 +2422,29 @@ object TextOps {
         |        FROM p WHERE pr[1] IS NOT NULL AND pr[2] IS NOT NULL GROUP BY 1,2)
         |SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM pc
         |ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin,
-    "q115_bpe_learn" ->
-      """WITH t AS (SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-        |                w -> length(w) > 0) AS ws FROM documents),
-        | b0 AS (SELECT doc_id,
-        |    list_transform(ws, w ->
-        |      '>' || array_to_string(
-        |        list_transform(range(1, length(w)+1), i -> w[i]), '< >') || '<') AS bw
-        |    FROM t),
-        | s1 AS (SELECT regexp_extract_all(bw1, '>([^<>]*)<', 1) AS cs
-        |        FROM (SELECT unnest(bw) AS bw1 FROM b0)),
-        | p1 AS (SELECT pr[1] AS a, pr[2] AS b, count(*) AS cnt
-        |        FROM (SELECT unnest(list_zip(cs[1:len(cs)-1], cs[2:len(cs)])) AS pr FROM s1)
-        |        WHERE pr[1] IS NOT NULL AND pr[2] IS NOT NULL GROUP BY 1,2),
-        | m1 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
-        | b1 AS (SELECT doc_id,
-        |    list_transform(bw, x -> replace(x, '>'||m1.a||'< >'||m1.b||'<', '>'||m1.a||m1.b||'<')) AS bw
-        |    FROM b0 CROSS JOIN m1),
-        | s2 AS (SELECT regexp_extract_all(bw2, '>([^<>]*)<', 1) AS cs
-        |        FROM (SELECT unnest(bw) AS bw2 FROM b1)),
-        | p2 AS (SELECT pr[1] AS a, pr[2] AS b, count(*) AS cnt
-        |        FROM (SELECT unnest(list_zip(cs[1:len(cs)-1], cs[2:len(cs)])) AS pr FROM s2)
-        |        WHERE pr[1] IS NOT NULL AND pr[2] IS NOT NULL GROUP BY 1,2),
-        | m2 AS (SELECT a, b FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
-        | b2 AS (SELECT doc_id,
-        |    list_transform(bw, x -> replace(x, '>'||m2.a||'< >'||m2.b||'<', '>'||m2.a||m2.b||'<')) AS bw
-        |    FROM b1 CROSS JOIN m2),
-        | f AS (SELECT doc_id,
-        |    list_transform(bw, x -> regexp_extract_all(x, '>([^<>]*)<', 1)) AS syms
-        |    FROM b2)
-        |SELECT doc_id,
+    "q115_bpe_learn" -> BpeOracle.sql(
+      """SELECT doc_id,
         |  CAST(coalesce(list_sum(list_transform(syms, s -> len(s))), 0) AS BIGINT) AS n_symbols,
         |  array_to_string(list_transform(syms, s -> array_to_string(s, ' ')), ' ') AS text_bpe
-        |FROM f""".stripMargin,
+        |FROM f""".stripMargin),
+    "q132_bpe_fertility" -> BpeOracle.sql(
+      """ c AS (SELECT f.doc_id, d.lang,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(trim(d.text)), '\s+'),
+        |                         w -> length(w) > 0)) AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(list_sum(list_transform(
+        |      list_filter(regexp_split_to_array(lower(trim(d.text)), '\s+'),
+        |                  w -> length(w) > 0), w -> length(w))), 0) AS BIGINT) AS n_chars,
+        |    CAST(coalesce(list_sum(list_transform(f.syms, s -> len(s))), 0) AS BIGINT) AS n_symbols
+        |   FROM f JOIN documents d USING (doc_id))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(sum(n_symbols) AS BIGINT) AS n_symbols,
+        |  CASE WHEN sum(n_tokens) > 0
+        |       THEN round(CAST(sum(n_symbols) AS DOUBLE) / sum(n_tokens), 4) END AS fertility,
+        |  CASE WHEN sum(n_chars) > 0
+        |       THEN round(CAST(sum(n_symbols) AS DOUBLE) / sum(n_chars), 4) END AS compression
+        |FROM c GROUP BY 1""".stripMargin, continued = true),
     "q113_dsir" ->
       """WITH t AS (SELECT doc_id, lang = 'en' AS is_t,
         |   regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
@@ -3012,4 +3045,46 @@ object TextOps {
         |FROM inter JOIN sz sa ON sa.doc_id=a_id JOIN sz sb ON sb.doc_id=b_id
         |WHERE CAST(inter AS DOUBLE)/(sa.sz+sb.sz-inter) >= 0.8""".stripMargin,
   )
+
+  /** The shared DuckDB prefix for the BPE family: two unrolled greedy
+    * merge rounds over bracketed-symbol strings (the q115 oracle — the
+    * bracketed `replace` provably matches [[applyMerge]]'s fold), ending
+    * at `f` = (doc_id, syms: list<list<varchar>>), so q115's per-doc
+    * segmentation and q132's per-language fertility card state the
+    * learning ONCE and differ only in their tails.
+    */
+  private object BpeOracle {
+    private val prefix =
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                w -> length(w) > 0) AS ws FROM documents),
+        | b0 AS (SELECT doc_id,
+        |    list_transform(ws, w ->
+        |      '>' || array_to_string(
+        |        list_transform(range(1, length(w)+1), i -> w[i]), '< >') || '<') AS bw
+        |    FROM t),
+        | s1 AS (SELECT regexp_extract_all(bw1, '>([^<>]*)<', 1) AS cs
+        |        FROM (SELECT unnest(bw) AS bw1 FROM b0)),
+        | p1 AS (SELECT pr[1] AS a, pr[2] AS b, count(*) AS cnt
+        |        FROM (SELECT unnest(list_zip(cs[1:len(cs)-1], cs[2:len(cs)])) AS pr FROM s1)
+        |        WHERE pr[1] IS NOT NULL AND pr[2] IS NOT NULL GROUP BY 1,2),
+        | m1 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+        | b1 AS (SELECT doc_id,
+        |    list_transform(bw, x -> replace(x, '>'||m1.a||'< >'||m1.b||'<', '>'||m1.a||m1.b||'<')) AS bw
+        |    FROM b0 CROSS JOIN m1),
+        | s2 AS (SELECT regexp_extract_all(bw2, '>([^<>]*)<', 1) AS cs
+        |        FROM (SELECT unnest(bw) AS bw2 FROM b1)),
+        | p2 AS (SELECT pr[1] AS a, pr[2] AS b, count(*) AS cnt
+        |        FROM (SELECT unnest(list_zip(cs[1:len(cs)-1], cs[2:len(cs)])) AS pr FROM s2)
+        |        WHERE pr[1] IS NOT NULL AND pr[2] IS NOT NULL GROUP BY 1,2),
+        | m2 AS (SELECT a, b FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+        | b2 AS (SELECT doc_id,
+        |    list_transform(bw, x -> replace(x, '>'||m2.a||'< >'||m2.b||'<', '>'||m2.a||m2.b||'<')) AS bw
+        |    FROM b1 CROSS JOIN m2),
+        | f AS (SELECT doc_id,
+        |    list_transform(bw, x -> regexp_extract_all(x, '>([^<>]*)<', 1)) AS syms
+        |    FROM b2)""".stripMargin
+    def sql(tail: String, continued: Boolean = false): String =
+      if (continued) prefix + ",\n" + tail else prefix + "\n" + tail
+  }
 }

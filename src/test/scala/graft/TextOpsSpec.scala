@@ -853,6 +853,35 @@ class TextOpsSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("bpeFertility: hand-computed per-language card, binding vs non-binding merges, empty lang nulls") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "ab ab", "X"),   // (a,b) binds: 2 tokens, 4 chars, 2 symbols
+      (2L, "ab", "X"),      // 1 token, 2 chars, 1 symbol
+      (3L, "cd", "Y"),      // no merge binds: 1 token, 2 chars, 2 symbols
+      (4L, "   ", "Z"),     // whitespace-only: 0 tokens — ratios null
+    ).toDF("doc_id", "text", "lang")
+    val got = TextOps.bpeFertility(docs, Seq(("a", "b"))).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("X").getLong(1) == 2 && got("X").getLong(2) == 3 &&
+      got("X").getLong(3) == 6 && got("X").getLong(4) == 3)
+    assert(got("X").getDouble(5) == 1.0 && got("X").getDouble(6) == 0.5,
+      "fully-merged language: fertility 1.0, compression 0.5")
+    assert(got("Y").getDouble(5) == 2.0 && got("Y").getDouble(6) == 1.0,
+      "merge-untouched language stays at character level")
+    assert(got("Z").isNullAt(5) && got("Z").isNullAt(6),
+      "token-less language must read null, not divide by zero")
+  }
+
+  test("q132: one corpus scan — the fertility card never joins a second segmentation pass") {
+    val res = TextOps.bpeFertility(Tables.documents(spark, sfDir),
+      TextOps.bpeLearn(Tables.documents(spark, sfDir), 2))
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.split("FileScan").length - 1 == 1,
+      s"exactly ONE corpus scan expected:\n$plan")
+    assert(res.count() > 0)
+  }
+
   test("q111: the rule card is one Exchange-free corpus scan") {
     val res = TextOps.q111GopherRules(spark, sfDir)
     val plan = res.queryExecution.executedPlan.toString
