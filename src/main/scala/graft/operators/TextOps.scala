@@ -431,23 +431,73 @@ object TextOps {
     * tokenization. Pure codegen'd row-local expressions; the whole gate
     * is one parquet scan, no shuffle at all.
     */
-  def q69QualityGate(s: SparkSession, d: String): DataFrame = {
-    val words = size(split(trim(col("text")), ws)).cast("double")
-    val distinctWords = size(array_distinct(split(lower(trim(col("text"))), ws))).cast("double")
-    val stops = regexp_count(concat(lit(" "), lower(col("text")), lit(" ")),
+  /** The q69 gate's four reject flags, in order — shared by the per-doc
+    * gate (q69) and the per-source health card (q133) so the two can
+    * never drift apart on what "pass" means.
+    */
+  private def gateFlags(text: Column): Seq[(String, Column)] = {
+    val words = size(split(trim(text), ws)).cast("double")
+    val distinctWords =
+      size(array_distinct(split(lower(trim(text)), ws))).cast("double")
+    val stops = regexp_count(concat(lit(" "), lower(text), lit(" ")),
       lit(" (the|a|of|and|to|in|is) ")).cast("double")
-    val punct = regexp_count(col("text"), lit("[.,!?;:]")).cast("double")
-    val chars = length(col("text")).cast("double")
-    documents(s, d).select(
-      col("doc_id"),
-      (words < 15).as("too_short"),
-      (distinctWords / words < 0.5).as("low_diversity"),
-      (stops / words < 0.01).as("low_stopword"),
-      (punct / chars > 0.1).as("high_punct"))
-      .withColumn("keep",
-        !col("too_short") && !col("low_diversity") &&
-          !col("low_stopword") && !col("high_punct"))
+    val punct = regexp_count(text, lit("[.,!?;:]")).cast("double")
+    val chars = length(text).cast("double")
+    Seq(
+      "too_short" -> (words < 15),
+      "low_diversity" -> (distinctWords / words < 0.5),
+      "low_stopword" -> (stops / words < 0.01),
+      "high_punct" -> (punct / chars > 0.1))
   }
+
+  def q69QualityGate(s: SparkSession, d: String): DataFrame = {
+    val flags = gateFlags(col("text"))
+    documents(s, d).select(
+      col("doc_id") +: flags.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("keep", flags.map { case (n, _) => !col(n) }.reduce(_ && _))
+  }
+
+  /** Per-group gate health card with Wilson 95% score intervals: the
+    * pass rate of the q69 quality gate per `grp`, bracketed by the
+    * interval that says whether a rate DIFFERENCE between sources (or a
+    * drop week-over-week) is statistically real given the volume behind
+    * it — a 60% rate over 20 docs brackets [0.387, 0.781] and proves
+    * nothing; the same rate over 20k docs is a finding. This is the
+    * ops read a curation pipeline does before acting on q71/q92's raw
+    * rates: Wilson rather than the normal approximation because small
+    * sources (the ones that page people) are exactly where ±z√(p̂q̂/n)
+    * collapses to nonsense (intervals outside [0,1], zero width at
+    * p̂ ∈ {0,1}).
+    *
+    * Cross-engine exactness: every term is IEEE double arithmetic in
+    * the SAME shape on both engines (z = 1.96 literal; sqrt is
+    * correctly-rounded everywhere — the q89 lesson: this is why the
+    * interval is Wilson-at-fixed-z and not a pow()-parameterized
+    * family), rounded at 4. One corpus scan into a groups-sized
+    * map-side-combinable agg; the interval arithmetic runs on the
+    * aggregate rows only.
+    */
+  def gateHealth(docs: DataFrame, grp: String = "source"): DataFrame = {
+    val keep = gateFlags(col("text")).map { case (_, c) => !c }.reduce(_ && _)
+    val agg = docs.select(col(grp), keep.as("keep"))
+      .groupBy(grp)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_pass"))
+    val z = lit(1.96)
+    val n = col("n_docs").cast("double")
+    val p = col("n_pass").cast("double") / n
+    val denom = lit(1.0) + z * z / n
+    val center = p + z * z / (lit(2.0) * n)
+    val margin = z * sqrt(p * (lit(1.0) - p) / n + z * z / (lit(4.0) * n * n))
+    agg.select(col(grp), col("n_docs"), col("n_pass"),
+      round(p, 4).as("pass_rate"),
+      round((center - margin) / denom, 4).as("wilson_lo"),
+      round((center + margin) / denom, 4).as("wilson_hi"))
+  }
+
+  /** q133: the per-source gate health card. */
+  def q133GateHealth(s: SparkSession, d: String): DataFrame =
+    gateHealth(documents(s, d))
 
   /** Context-window capacity for sequence packing. */
   val PackTokens = 512
@@ -2135,6 +2185,7 @@ object TextOps {
     "q116_leak_split" -> q116LeakSplit _,
     "q115_bpe_learn" -> q115BpeLearn _,
     "q132_bpe_fertility" -> q132BpeFertility _,
+    "q133_gate_health" -> q133GateHealth _,
     "q114_bpe_pairs" -> q114BpePairs _,
     "q113_dsir" -> q113Dsir _,
     "q111_gopher_rules" -> q111GopherRules _,
@@ -2871,6 +2922,39 @@ object TextOps {
         | NOT (words < 15 OR dw / words < 0.5 OR stops / words < 0.01
         |      OR punct / chars > 0.1) AS keep
         |FROM m""".stripMargin,
+    "q133_gate_health" ->
+      """WITH m AS (
+        |  SELECT source,
+        |   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS words,
+        |   CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS DOUBLE) AS dw,
+        |   CAST(len(regexp_extract_all(' ' || lower(text) || ' ',
+        |     ' (the|a|of|and|to|in|is) ')) AS DOUBLE) AS stops,
+        |   CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS punct,
+        |   CAST(length(text) AS DOUBLE) AS chars
+        |  FROM documents),
+        | k AS (SELECT source,
+        |   NOT (words < 15 OR dw / words < 0.5 OR stops / words < 0.01
+        |        OR punct / chars > 0.1) AS keep FROM m),
+        | g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |       FROM k GROUP BY 1)
+        |SELECT source, n_docs, n_pass,
+        | round(CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE), 4) AS pass_rate,
+        | round((CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |         + 1.96 * 1.96 / (2.0 * CAST(n_docs AS DOUBLE))
+        |       - 1.96 * sqrt(CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |           * (1.0 - CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |           / CAST(n_docs AS DOUBLE)
+        |         + 1.96 * 1.96 / (4.0 * CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))))
+        |   / (1.0 + 1.96 * 1.96 / CAST(n_docs AS DOUBLE)), 4) AS wilson_lo,
+        | round((CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |         + 1.96 * 1.96 / (2.0 * CAST(n_docs AS DOUBLE))
+        |       + 1.96 * sqrt(CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |           * (1.0 - CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |           / CAST(n_docs AS DOUBLE)
+        |         + 1.96 * 1.96 / (4.0 * CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))))
+        |   / (1.0 + 1.96 * 1.96 / CAST(n_docs AS DOUBLE)), 4) AS wilson_hi
+        |FROM g""".stripMargin,
     "q70_pack" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

@@ -882,6 +882,50 @@ class TextOpsSpec extends SparkSpec {
     assert(res.count() > 0)
   }
 
+  test("gateHealth: hand-computed Wilson intervals, wide at tiny n, degenerate p in [0,1]") {
+    import spark.implicits._
+    // pass doc: 20 diverse words incl. stopwords, no punct flood;
+    // fail doc: one word (too_short)
+    val pass = "the quick brown fox jumps over a lazy dog while birds sing " +
+      "of summer rain and wind in tall green trees."
+    val docs = Seq(
+      (1L, pass, "A"), (2L, "x", "A"),           // A: n=2, p=0.5
+      (3L, pass, "B"),                            // B: n=1, p=1.0
+      (4L, "y", "C"),                             // C: n=1, p=0.0
+    ).toDF("doc_id", "text", "lang").withColumn("source", col("lang"))
+    val got = TextOps.gateHealth(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    def wilson(nP: Long, n: Long): (Double, Double) = {
+      val z = 1.96; val nd = n.toDouble; val p = nP.toDouble / nd
+      val denom = 1.0 + z * z / nd
+      val center = p + z * z / (2.0 * nd)
+      val margin = z * math.sqrt(p * (1 - p) / nd + z * z / (4.0 * nd * nd))
+      (BigDecimal((center - margin) / denom)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+       BigDecimal((center + margin) / denom)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got("A")._1 == 2 && got("A")._2 == 1 && got("A")._3 == 0.5)
+    assert((got("A")._4, got("A")._5) == wilson(1, 2), s"got ${got("A")}")
+    // one passing doc proves little: the interval floor sits near 0.2,
+    // nowhere near the raw 1.0 — the whole point of the card
+    assert((got("B")._4, got("B")._5) == wilson(1, 1))
+    assert(got("B")._4 < 0.25 && got("B")._5 == 1.0)
+    // p = 0 stays inside [0,1] (the normal approximation would not)
+    assert(got("C")._4 == 0.0 && got("C")._5 > 0.7 && got("C")._5 < 1.0)
+  }
+
+  test("q133: one corpus scan into a sources-sized aggregate") {
+    val res = TextOps.q133GateHealth(spark, sfDir)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.split("FileScan").length - 1 == 1,
+      s"exactly ONE corpus scan expected:\n$plan")
+    assert(!plan.contains("SinglePartition"))
+    assert(res.count() > 0)
+  }
+
   test("q111: the rule card is one Exchange-free corpus scan") {
     val res = TextOps.q111GopherRules(spark, sfDir)
     val plan = res.queryExecution.executedPlan.toString
