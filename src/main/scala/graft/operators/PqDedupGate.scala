@@ -67,13 +67,69 @@ object PqDedupGate {
     val resid = residualize(iv, coarse)
     val cbs = VectorOps.pqCodebooks(
       resid.select(col("vec_id"), col("r").as("q")), m, k, iters, dims)
-    graft.CacheHygiene.release(iv)
     coarse.map { case (cid, c) => (cid, c.toSeq) }.toDF("cid", "c")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
     cbs.zipWithIndex
       .flatMap { case (cb, j) => cb.map { case (cid, c) => (j, cid, c.toSeq) } }
       .toDF("j", "cid", "c")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/codebooks")
+    // reference distortion histogram: how well the frozen codebooks
+    // reconstruct the corpus they were trained on — the baseline
+    // [[distortionDrift]] compares every later batch against. Reads
+    // `resid` (and through it the iv checkpoint), so the release comes
+    // last.
+    distortionHist(resid, cbs)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/distortion")
+    graft.CacheHygiene.release(iv)
+  }
+
+  /** Integer-exact log2 histogram of per-vector reconstruction
+    * distortion (bucket = ⌊log2(recon_d2 + 1)⌋ via binary-string length
+    * — no float in the bucket boundary): ≤64 rows however large the
+    * corpus. `resid` must carry the residual column `r`.
+    */
+  private def distortionHist(resid: DataFrame,
+      cbs: Seq[Seq[(Long, Array[Long])]]): DataFrame =
+    resid
+      .select(aggregate(
+        transform(VectorOps.pqAssignCol(col("r"), cbs),
+          b => b.getField("d2")),
+        lit(0L), (acc, x) => acc + x).as("recon_d2"))
+      .select((length(bin(col("recon_d2") + 1)) - 1).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+
+  /** PSI of a batch's reconstruction-distortion distribution against the
+    * frozen geometry's reference histogram — THE rebuild trigger for a
+    * PQ deployment: codebooks trained on yesterday's distribution
+    * silently reconstruct tomorrow's shifted embeddings WORSE (every
+    * ADC distance and every [[gate]] refusal decision degrades with
+    * them), and no individual query errors. Same reading scale as
+    * [[graft.streaming.DriftMonitor]]: <0.1 stable, 0.1–0.25 drifting,
+    * >0.25 re-run [[writeGeometry]] and rebuild the store. One batch
+    * scan into a ≤64-row integer histogram; the PSI arithmetic runs on
+    * the joined histograms only.
+    */
+  def distortionDrift(batch: DataFrame, geometryDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val (coarse, cbs) = readGeometry(spark, geometryDir)
+    val p = new Path(s"$geometryDir/distortion")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"PqDedupGate: no reference distortion histogram at $p — this " +
+        "geometry predates the drift probe; re-freeze it with " +
+        "writeGeometry (comparing against a guessed baseline would " +
+        "read noise as drift)")
+    val iv = batch
+      .select(col("vec_id"), VectorOps.intVec(col("embedding")).as("q"))
+    val batchH = distortionHist(residualize(iv, coarse), cbs)
+      .withColumnRenamed("n", "nc")
+    val wide = spark.read.parquet(s"$geometryDir/distortion")
+      .withColumnRenamed("n", "nr")
+      .join(batchH, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("nr", "nc"))
+      .withColumn("__g", lit("pq"))
+    TextOps.psiFromWide(wide, "__g")
+      .select(col("n_ref"), col("n_cur"), col("psi"))
   }
 
   /** The frozen geometry, collected (k·dims-long envelopes, like every

@@ -1377,7 +1377,7 @@ object TextOps {
 
   /** PSI over the pivoted (grp, bin, nr, nc) bin counts. An all-zero side
     * (group absent from ref or cur) prices as all-ε bins. */
-  private def psiFromWide(wide: DataFrame, grp: String): DataFrame = {
+  private[operators] def psiFromWide(wide: DataFrame, grp: String): DataFrame = {
     val eps = 1e-6
     // group totals via a window over the aggregate, NOT a self-join: a
     // join against wide.groupBy(...) re-executes wide's whole subplan —

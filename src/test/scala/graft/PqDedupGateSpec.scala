@@ -104,6 +104,43 @@ class PqDedupGateSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("distortionDrift: same-distribution batch reads stable, shifted batch reads rebuild") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_pqdrift").toString
+    val geom = s"$dir/geom"
+    // reference: a spread around massA whose residual variety exceeds
+    // the k=2 codebook, so the baseline has NONZERO distortion buckets
+    def near(i: Int) = Seq(1.0f + i / 100f, i / 200f, 0.0f, 0.0f)
+    PqDedupGate.writeGeometry(
+      (0 until 20).map(i => (i.toLong, near(i), 0))
+        .toDF("vec_id", "embedding", "label"),
+      geom, kc = 1, cIters = 1, m = 2, k = 2, iters = 2)
+    // a batch drawn from the same spread: distortion profile matches
+    val same = PqDedupGate.distortionDrift(
+      (0 until 20).map(i => (100L + i, near(i), 0))
+        .toDF("vec_id", "embedding", "label"), geom).collect()(0)
+    assert(same.getLong(0) == 20 && same.getLong(1) == 20)
+    assert(same.getDouble(2) < 0.1,
+      s"identical distribution must read stable, got psi=${same.getDouble(2)}")
+    // a shifted batch: residuals land far from every codebook entry —
+    // distortion mass moves to high buckets the reference never saw
+    val shifted = PqDedupGate.distortionDrift(
+      (0 until 20).map(i => (200L + i,
+        Seq(1.0f, 0.9f + i / 100f, 0.8f, 0.0f), 0))
+        .toDF("vec_id", "embedding", "label"), geom).collect()(0)
+    assert(shifted.getDouble(2) > 0.25,
+      s"shifted distribution must read rebuild, got psi=${shifted.getDouble(2)}")
+    // a geometry frozen without the baseline is loud, not guessed
+    val e = intercept[IllegalArgumentException] {
+      val fs = new org.apache.hadoop.fs.Path(s"$geom/distortion")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$geom/distortion"), true)
+      PqDedupGate.distortionDrift(
+        Seq((1L, massA, 0)).toDF("vec_id", "embedding", "label"), geom)
+    }
+    assert(e.getMessage.contains("re-freeze"))
+  }
+
   test("gate join shape: the code store never shuffles, even with auto-broadcast off") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_pqgate4").toString
