@@ -1515,6 +1515,55 @@ object TextOps {
         round(col("n_tokens").cast("double") / col("__tt"), 4).as("pct_tokens"))
   }
 
+  /** Memorization-risk card (the Carlini et al. 2022 / Lee et al. 2022
+    * joint read): duplication drives verbatim memorization, and the
+    * extraction-risk mass sits where HIGH duplication meets LOW
+    * perplexity — text the model already finds maximally predictable,
+    * duplicated enough to be reinforced every epoch. Per (dup-tier ×
+    * NLL-tercile) cell: doc count, token mass, corpus share, and the
+    * `hot` flag (duplicated AND lowest-NLL tercile) a data card
+    * escalates on. Dup tiers are exact integer cuts (1 / 2 / 3-4 / 5+);
+    * terciles are the q88 distributed-rank cut on the round(4) q91 NLL
+    * with doc_id tie-break — both engine-portable by construction.
+    *
+    * Labels-consuming form (the q116/q120/q126 discipline): composed
+    * chains feed the materialized q94 closure; only the one-arg q134
+    * wrapper mines it. Everything after the two doc-keyed joins is a
+    * ≤(tiers×terciles)-row aggregate; docs with no tokens have no NLL
+    * evidence and are absent (the q91 contract).
+    */
+  def memorizationCardOn(labels: DataFrame, docs: DataFrame): DataFrame = {
+    val sizes = labels.groupBy("cluster_rep")
+      .agg(count(lit(1)).as("cluster_size"))
+    val dup = labels.select("doc_id", "cluster_rep").join(sizes, "cluster_rep")
+      .select(col("doc_id"),
+        when(col("cluster_size") === 1, 1L)
+          .when(col("cluster_size") === 2, 2L)
+          .when(col("cluster_size") <= 4, 3L)
+          .otherwise(4L).as("dup_tier"))
+    val binned = curriculumBins(unigramNll(docs), col("nll"), col("doc_id"), 3)
+      .select(col("doc_id"), col("n_tokens"), col("bin").as("nll_tercile"))
+    val card = dup.join(binned, "doc_id")
+      .groupBy("dup_tier", "nll_tercile")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .localCheckpoint(true) // tiny; feeds the total AND the share rows
+    val tot = card.agg(sum("n_docs").cast("double").as("__td"))
+    card.crossJoin(broadcast(tot))
+      .select(col("dup_tier"), col("nll_tercile"), col("n_docs"),
+        col("n_tokens"),
+        round(col("n_docs").cast("double") / col("__td"), 4).as("pct_docs"),
+        (col("dup_tier") >= 2 && col("nll_tercile") === 1).as("hot"))
+  }
+
+  /** q134: the memorization-risk card, mining the closure itself. In a
+    * composed chain pass the materialized labels to
+    * [[memorizationCardOn]] instead.
+    */
+  def q134MemorizationCard(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    memorizationCardOn(dedupComponentsOn(docs), docs)
+  }
+
   /** q96: quality-aware dedup survivor selection — the step after q94's
     * closure: each near-dup cluster keeps its highest-QUALITY member
     * (tie → smallest id), not the smallest id blindly: when a page and
@@ -2186,6 +2235,7 @@ object TextOps {
     "q115_bpe_learn" -> q115BpeLearn _,
     "q132_bpe_fertility" -> q132BpeFertility _,
     "q133_gate_health" -> q133GateHealth _,
+    "q134_memorization_card" -> q134MemorizationCard _,
     "q114_bpe_pairs" -> q114BpePairs _,
     "q113_dsir" -> q113Dsir _,
     "q111_gopher_rules" -> q111GopherRules _,
@@ -2320,6 +2370,45 @@ object TextOps {
         | n_docs - n_clusters AS excess_docs, n_tokens,
         | round(n_docs / tot.td, 4) AS pct_docs,
         | round(n_tokens / tot.tt, 4) AS pct_tokens
+        |FROM card CROSS JOIN tot""".stripMargin),
+    "q134_memorization_card" -> (DedupClosureCte +
+      """,
+        | lab AS (
+        |  SELECT d.doc_id, coalesce(c.cluster_rep, d.doc_id) AS cluster_rep
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+        | csz AS (SELECT cluster_rep, count(*) AS cluster_size
+        |         FROM lab GROUP BY 1),
+        | dup AS (SELECT lab.doc_id,
+        |    CAST(CASE WHEN cluster_size = 1 THEN 1
+        |              WHEN cluster_size = 2 THEN 2
+        |              WHEN cluster_size <= 4 THEN 3 ELSE 4 END AS BIGINT)
+        |      AS dup_tier
+        |   FROM lab JOIN csz USING (cluster_rep)),
+        | toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        | t2 AS (SELECT doc_id, w FROM toks WHERE length(w) > 0),
+        | v AS (SELECT w, count(*) AS nw FROM t2 GROUP BY 1),
+        | n AS (SELECT CAST(sum(nw) AS DOUBLE) AS total FROM v),
+        | p AS (SELECT v.w, ln(CAST(v.nw AS DOUBLE)) - ln(n.total) AS lnp
+        |       FROM v CROSS JOIN n),
+        | dc AS (SELECT doc_id, w, count(*) AS n FROM t2 GROUP BY 1, 2),
+        | nll AS (SELECT dc.doc_id, CAST(sum(dc.n) AS BIGINT) AS n_tokens,
+        |    round(-sum(dc.n * p.lnp) / sum(dc.n), 4) AS nll
+        |   FROM dc JOIN p USING (w) GROUP BY 1),
+        | r AS (SELECT doc_id, n_tokens,
+        |    CAST(row_number() OVER (ORDER BY nll, doc_id) AS BIGINT) AS rk,
+        |    count(*) OVER () AS total FROM nll),
+        | terc AS (SELECT doc_id, n_tokens,
+        |    CAST((rk - 1) * 3 // total + 1 AS BIGINT) AS nll_tercile FROM r),
+        | card AS (SELECT dup.dup_tier, terc.nll_tercile,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(terc.n_tokens) AS BIGINT) AS n_tokens
+        |   FROM dup JOIN terc USING (doc_id) GROUP BY 1, 2),
+        | tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS td FROM card)
+        |SELECT dup_tier, nll_tercile, n_docs, n_tokens,
+        | round(n_docs / tot.td, 4) AS pct_docs,
+        | (dup_tier >= 2 AND nll_tercile = 1) AS hot
         |FROM card CROSS JOIN tot""".stripMargin),
     "q128_bigram_lm" ->
       """WITH t AS (SELECT doc_id,

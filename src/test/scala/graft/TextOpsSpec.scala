@@ -926,6 +926,35 @@ class TextOpsSpec extends SparkSpec {
     assert(res.count() > 0)
   }
 
+  test("memorizationCardOn: planted dup×NLL quadrants, hot only where duplication meets low NLL") {
+    import spark.implicits._
+    // three verbatim copies (cluster size 3 → tier 3) of maximally
+    // predictable text; two singleton docs of rare words. Corpus LM:
+    // 'common' (12/20) dominates → copies rank lowest-NLL (ties break
+    // by doc_id). Tercile of rank r over 5 docs = (r−1)·3 div 5 + 1 →
+    // 1,1,2,2,3: copies land (1,1,2), rare docs (2,3).
+    val docs = Seq(
+      (1L, "common common common common"), (2L, "common common common common"),
+      (3L, "common common common common"),
+      (10L, "aardvark bassoon cormorant dirigible"),
+      (11L, "ephemera fandango gossamer hinterland"),
+    ).toDF("doc_id", "text")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 11L))
+      .toDF("doc_id", "cluster_rep")
+    val got = TextOps.memorizationCardOn(labels, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(got.keySet == Set((3L, 1L), (3L, 2L), (1L, 2L), (1L, 3L)),
+      s"got $got")
+    assert(got((3L, 1L)) == ((2L, 8L, 0.4, true)),
+      "two duplicated low-NLL docs are the hot cell")
+    assert(got((3L, 2L)) == ((1L, 4L, 0.2, false)),
+      "the tie-broken third copy lands in tercile 2 — not hot")
+    assert(got((1L, 2L)) == ((1L, 4L, 0.2, false)) &&
+      got((1L, 3L)) == ((1L, 4L, 0.2, false)),
+      "singleton rare-word docs: high NLL, never hot")
+  }
+
   test("q111: the rule card is one Exchange-free corpus scan") {
     val res = TextOps.q111GopherRules(spark, sfDir)
     val plan = res.queryExecution.executedPlan.toString
