@@ -1564,6 +1564,99 @@ object TextOps {
     memorizationCardOn(dedupComponentsOn(docs), docs)
   }
 
+  /** The (source, trigram-hash) DISTINCT index both KMV cards read:
+    * one corpus scan, hashed with the engine-portable [[hashKey]] (the
+    * sketch AND the exact instruments must see identical values in
+    * both engines). KMV over a distinct stream ≡ KMV over the multiset
+    * — the sketch keeps distinct minima by definition — so one index
+    * serves the sketch side and the exact side without a second scan.
+    */
+  private def sourceGramIndex(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        explode(graft.plans.GraftFunctions.shingles(tokens(col("text")), 3))
+          .as("g"))
+      .select(col("source"), hashKey(col("g")).as("h"))
+      .distinct()
+
+  /** Per-source distinct-trigram cardinality via the KMV sketch
+    * ([[graft.plans.KmvSketch]] — Bar-Yossef et al. 2002), with the
+    * exact count as the in-query instrument: D̂ = (k−1)·2³² / v_k off
+    * ≤k longs of mergeable state per source, vs the exact distinct that
+    * would cost a full per-source key shuffle at corpus scale. Because
+    * the sketch is DETERMINISTIC (the k smallest distinct portable-hash
+    * values — partitioning- and merge-order-independent), the estimate
+    * itself hash-matches the oracle bit for bit: no tolerance gate
+    * needed, unlike HLL-style sketches (q44). A source whose distinct
+    * count ≤ k degrades to exact (n_kept < k reads the sketch AS the
+    * set). v_k ≥ 1 always at k ≥ 2 (0 can only be the largest of k
+    * distinct non-negatives when k = 1), so the division is ANSI-safe.
+    */
+  def kmvCardinality(docs: DataFrame, k: Int = 128): DataFrame = {
+    val hs = sourceGramIndex(docs)
+    hs.groupBy("source")
+      .agg(graft.plans.GraftFunctions.kmv_sketch(col("h"), k).as("kmv"),
+        count(lit(1)).as("exact_distinct"))
+      .select(col("source"),
+        size(col("kmv")).cast("long").as("n_kept"),
+        when(size(col("kmv")) < k, size(col("kmv")).cast("long"))
+          .otherwise(floor(lit((k - 1).toDouble) * lit(4294967296.0) /
+            element_at(col("kmv"), k).cast("double")).cast("long"))
+          .as("est_distinct"),
+        col("exact_distinct"))
+      .withColumn("err_pct",
+        when(col("exact_distinct") > 0,
+          round(abs(col("est_distinct") - col("exact_distinct"))
+            .cast("double") / col("exact_distinct") * 100, 2)))
+  }
+
+  /** q135: the per-source vocabulary-cardinality card (KMV estimate +
+    * exact instrument; deployable reads drop the exact column). */
+  def q135KmvCardinality(s: SparkSession, d: String): DataFrame =
+    kmvCardinality(documents(s, d))
+
+  /** Pairwise source vocabulary overlap from MERGED KMV sketches — the
+    * set-operation payoff no single-set sketch (HLL, q44) gives: the
+    * combined k minima of A∪B are computable from the two sketches
+    * alone, and KMV-Jaccard = |comb ∩ S_A ∩ S_B| / |comb| (Beyer et
+    * al. 2007). At 100 TB the pairwise-overlap question costs sources²
+    * arithmetic over k-long arrays — the corpora are never rescanned
+    * or re-joined per pair. The exact Jaccard rides along as the
+    * instrument, computed the q99 way (hash-keyed index self-join,
+    * intersection bounded by sources² per gram) — deployable serving
+    * drops it.
+    */
+  def kmvOverlap(docs: DataFrame, k: Int = 128): DataFrame = {
+    val hs = sourceGramIndex(docs).localCheckpoint(true)
+    val sk = hs.groupBy("source")
+      .agg(graft.plans.GraftFunctions.kmv_sketch(col("h"), k).as("kmv"),
+        count(lit(1)).as("sz"))
+      .localCheckpoint(true) // sources-sized; feeds both pair sides
+    val pairs = sk.select(col("source").as("src_a"), col("kmv").as("ka"),
+        col("sz").as("sza"))
+      .crossJoin(sk.select(col("source").as("src_b"), col("kmv").as("kb"),
+        col("sz").as("szb")))
+      .filter(col("src_a") < col("src_b"))
+    val comb = slice(array_sort(array_union(col("ka"), col("kb"))), 1, k)
+    val both = size(filter(comb, x =>
+      array_contains(col("ka"), x) && array_contains(col("kb"), x)))
+    val est = pairs.select(col("src_a"), col("src_b"), col("sza"),
+      col("szb"), round(both.cast("double") / size(comb), 4)
+        .as("est_jaccard"))
+    val inter = hs.select(col("source").as("src_a"), col("h"))
+      .join(hs.select(col("source").as("src_b"), col("h")), "h")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("ni"))
+    est.join(inter, Seq("src_a", "src_b"), "left")
+      .na.fill(0L, Seq("ni"))
+      .select(col("src_a"), col("src_b"), col("est_jaccard"),
+        round(col("ni").cast("double") /
+          (col("sza") + col("szb") - col("ni")), 4).as("exact_jaccard"))
+  }
+
+  /** q136: the pairwise source-overlap card off merged KMV sketches. */
+  def q136KmvOverlap(s: SparkSession, d: String): DataFrame =
+    kmvOverlap(documents(s, d))
+
   /** q96: quality-aware dedup survivor selection — the step after q94's
     * closure: each near-dup cluster keeps its highest-QUALITY member
     * (tie → smallest id), not the smallest id blindly: when a page and
@@ -2236,6 +2329,8 @@ object TextOps {
     "q132_bpe_fertility" -> q132BpeFertility _,
     "q133_gate_health" -> q133GateHealth _,
     "q134_memorization_card" -> q134MemorizationCard _,
+    "q135_kmv_cardinality" -> q135KmvCardinality _,
+    "q136_kmv_overlap" -> q136KmvOverlap _,
     "q114_bpe_pairs" -> q114BpePairs _,
     "q113_dsir" -> q113Dsir _,
     "q111_gopher_rules" -> q111GopherRules _,
@@ -2410,6 +2505,68 @@ object TextOps {
         | round(n_docs / tot.td, 4) AS pct_docs,
         | (dup_tier >= 2 AND nll_tercile = 1) AS hot
         |FROM card CROSS JOIN tot""".stripMargin),
+    "q135_kmv_cardinality" ->
+      """WITH t AS (SELECT source,
+        |   regexp_split_to_array(lower(trim(text)), '\s+') AS wl FROM documents),
+        | g AS (SELECT source,
+        |   unnest(list_transform(range(1, len(wl)-1),
+        |     i -> array_to_string(wl[i:i+2], ' '))) AS g FROM t),
+        | h AS (SELECT DISTINCT source,
+        |   ('0x' || substr(md5(g), 1, 8))::BIGINT AS h FROM g),
+        | mins AS (SELECT source, h,
+        |   row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+        | agg AS (SELECT source,
+        |   CAST(count(*) FILTER (WHERE rn <= 128) AS BIGINT) AS n_kept,
+        |   max(CASE WHEN rn = 128 THEN h END) AS vk,
+        |   CAST(count(*) AS BIGINT) AS exact_distinct
+        |  FROM mins GROUP BY 1),
+        | est AS (SELECT source, n_kept,
+        |   CAST(CASE WHEN n_kept < 128 THEN n_kept
+        |        ELSE floor(127.0 * 4294967296.0 / CAST(vk AS DOUBLE)) END
+        |     AS BIGINT) AS est_distinct,
+        |   exact_distinct FROM agg)
+        |SELECT source, n_kept, est_distinct, exact_distinct,
+        | CASE WHEN exact_distinct > 0
+        |      THEN round(abs(est_distinct - exact_distinct)
+        |             / CAST(exact_distinct AS DOUBLE) * 100, 2) END AS err_pct
+        |FROM est""".stripMargin,
+    "q136_kmv_overlap" ->
+      """WITH t AS (SELECT source,
+        |   regexp_split_to_array(lower(trim(text)), '\s+') AS wl FROM documents),
+        | g AS (SELECT source,
+        |   unnest(list_transform(range(1, len(wl)-1),
+        |     i -> array_to_string(wl[i:i+2], ' '))) AS g FROM t),
+        | h AS (SELECT DISTINCT source,
+        |   ('0x' || substr(md5(g), 1, 8))::BIGINT AS h FROM g),
+        | mins AS (SELECT source, h,
+        |   row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+        | sz AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM h GROUP BY 1),
+        | pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+        |            a.sz AS sza, b.sz AS szb
+        |           FROM sz a JOIN sz b ON a.source < b.source),
+        | u AS (SELECT p.src_a, p.src_b, m.h,
+        |        bool_or(m.source = p.src_a AND m.rn <= 128) AS ina,
+        |        bool_or(m.source = p.src_b AND m.rn <= 128) AS inb
+        |       FROM pairs p JOIN mins m
+        |         ON m.source = p.src_a OR m.source = p.src_b
+        |       GROUP BY 1, 2, 3),
+        | cu AS (SELECT src_a, src_b, ina, inb,
+        |         row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+        |        FROM u),
+        | est AS (SELECT src_a, src_b,
+        |   round(CAST(count(*) FILTER (WHERE ina AND inb) AS DOUBLE)
+        |     / count(*), 4) AS est_jaccard
+        |  FROM cu WHERE rn <= 128 GROUP BY 1, 2),
+        | ix AS (SELECT ha.source AS src_a, hb.source AS src_b,
+        |         CAST(count(*) AS BIGINT) AS ni
+        |        FROM h ha JOIN h hb ON ha.h = hb.h AND ha.source < hb.source
+        |        GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b, est.est_jaccard,
+        | round(coalesce(ix.ni, 0)
+        |   / CAST(p.sza + p.szb - coalesce(ix.ni, 0) AS DOUBLE), 4)
+        |   AS exact_jaccard
+        |FROM pairs p JOIN est USING (src_a, src_b)
+        |LEFT JOIN ix USING (src_a, src_b)""".stripMargin,
     "q128_bigram_lm" ->
       """WITH t AS (SELECT doc_id,
         |   regexp_split_to_array(lower(trim(text)), '\s+') AS wl FROM documents),

@@ -33,6 +33,14 @@ object GraftFunctions {
   def vec_avg(v: Column): Column =
     toCol(VectorAvg(toExpr(v)).toAggregateExpression())
 
+  /** KMV distinct sketch: the k smallest DISTINCT values of a long
+    * column, ≤k longs of mergeable state per group — deterministic
+    * (a pure function of the input set), so estimates off it are
+    * oracle-able. See [[KmvSketch]].
+    */
+  def kmv_sketch(c: Column, k: Int): Column =
+    toCol(KmvSketch(toExpr(c), k).toAggregateExpression())
+
   /** Fused per-row 64-bit SimHash over an array<string> token column. */
   def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
 

@@ -955,6 +955,59 @@ class TextOpsSpec extends SparkSpec {
       "singleton rare-word docs: high NLL, never hot")
   }
 
+  test("kmv_sketch: k smallest distinct values — duplicate-, order-, and partitioning-independent") {
+    import spark.implicits._
+    val vals = Seq(10L, 5L, 7L, 5L, 3L, 99L, 3L, 42L, 8L)
+    val df = vals.toDF("h")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      d.agg(graft.plans.GraftFunctions.kmv_sketch(col("h"), 3).as("s"))
+        .collect()(0).getAs[scala.collection.Seq[Long]](0).toSeq
+    assert(run(df) == Seq(3L, 5L, 7L))
+    assert(run(df.repartition(7)) == Seq(3L, 5L, 7L))
+    // fewer distinct values than k: the sketch IS the set
+    assert(run(Seq(4L, 4L, 2L).toDF("h")) == Seq(2L, 4L))
+  }
+
+  test("kmvCardinality: sub-k sources read exact; the binding estimator matches the formula") {
+    import spark.implicits._
+    // source A: 3 docs sharing one trigram universe well above k=4;
+    // source B: a single 3-token doc → exactly ONE trigram (< k)
+    val wordsA = (0 until 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, wordsA, "A"), (2L, wordsA.split(" ").reverse.mkString(" "), "A"),
+      (3L, "solo trigram here", "B"),
+    ).toDF("doc_id", "text", "source")
+    val got = TextOps.kmvCardinality(docs, k = 4).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("B") == ((1L, 1L, 1L)),
+      "a sub-k source degrades to exact with err_pct 0")
+    // the binding side: recompute the estimator from the raw hashes
+    val hs = docs.filter(col("source") === "A")
+      .select(explode(graft.plans.GraftFunctions.shingles(
+        TextOps.tokens(col("text")), 3)).as("g"))
+      .select(TextOps.hashKey(col("g")).as("h"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    assert(hs.length >= 4, "planted source must bind the k=4 sketch")
+    val expect = math.floor(3.0 * 4294967296.0 / hs(3)).toLong
+    assert(got("A")._1 == 4 && got("A")._2 == expect &&
+      got("A")._3 == hs.length, s"got ${got("A")}, expect est=$expect")
+  }
+
+  test("kmvOverlap: identical vocabularies read jaccard 1.0, disjoint read 0.0, both sides agree") {
+    import spark.implicits._
+    val sharedText = (0 until 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, sharedText, "A"), (2L, sharedText, "B"),
+      (3L, (0 until 10).map(i => s"z$i").mkString(" "), "C"),
+    ).toDF("doc_id", "text", "source")
+    val got = TextOps.kmvOverlap(docs, k = 4).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(("A", "B")) == ((1.0, 1.0)), s"got $got")
+    assert(got(("A", "C")) == ((0.0, 0.0)) && got(("B", "C")) == ((0.0, 0.0)))
+  }
+
   test("q111: the rule card is one Exchange-free corpus scan") {
     val res = TextOps.q111GopherRules(spark, sfDir)
     val plan = res.queryExecution.executedPlan.toString
