@@ -80,6 +80,9 @@ object GraftFunctions {
         .toAggregateExpression()),
     ("vec_avg", "vec_avg(v) - element-wise mean of array<double> vectors",
       es => VectorAvg(es(0)).toAggregateExpression()),
+    ("kmv_sketch", "kmv_sketch(h, k) - KMV distinct sketch: the k smallest distinct values of a long column (deterministic, mergeable)",
+      es => KmvSketch(es(0), intArg(es(1), "kmv_sketch", 1))
+        .toAggregateExpression()),
     // composed from built-ins, not a native kernel — registered so SQL
     // users rank by the SAME number as q33/q88/q92/q93/q96 (the lambda
     // resolves TextOps at call time; no object-init cycle with operators)

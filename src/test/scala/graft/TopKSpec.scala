@@ -77,6 +77,9 @@ class TopKSpec extends SparkSpec {
       "SELECT topk_freq(w, 1, 16) AS t FROM (SELECT explode(array('x','x','y')) AS w)")
       .select(explode(col("t")).as("e")).select("e.word", "e.cnt").head()
     assert(hh.getString(0) == "x" && hh.getLong(1) == 2L)
+    assert(spark.sql(
+      "SELECT kmv_sketch(h, 2) AS s FROM (SELECT explode(array(9L,4L,7L,4L)) AS h)")
+      .head().getSeq[Long](0) == Seq(4L, 7L))
     // the config-string path: the class must instantiate by name and apply
     val inst = Class.forName("graft.GraftExtensions").getDeclaredConstructor()
       .newInstance().asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
