@@ -1657,6 +1657,43 @@ object TextOps {
   def q136KmvOverlap(s: SparkSession, d: String): DataFrame =
     kmvOverlap(documents(s, d))
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006): each doc draws the deterministic uniform
+    * u = (hash+1)/2³² from the house salted content hash, and the k
+    * largest u^(1/w) win — selection probability proportional to weight
+    * w (here the q33 quality score), with zero RNG: the same corpus
+    * gives the same sample on any engine, any partitioning, any rerun
+    * (the q59/q60 hash-decision contract, upgraded from uniform to
+    * WEIGHTED). Ranked in log space — key = ln(u)/w is monotone in
+    * u^(1/w) and ln is correctly-rounded IEEE where pow is not (the
+    * q89 lesson; this is exactly why the key is not written u^(1/w)).
+    * Zero-weight docs take a 1e-4 floor: still sampleable, never an
+    * ANSI divide error, and the floor is the documented "minimum
+    * representation" knob.
+    *
+    * Scale: one corpus scan; the top-k is a TakeOrderedAndProject
+    * (per-partition bounded heaps merged on the driver — no global
+    * sort, no corpus-wide window); the rank window runs over the ≤k-row
+    * survivor set only (the q95-stage-2 shape).
+    */
+  def weightedSample(docs: DataFrame, k: Int = 100,
+      salt: String = "wsample:"): DataFrame = {
+    require(k >= 1, s"weightedSample: k must be >= 1, got $k")
+    val q = qualityExpr(col("text"))
+    val u = (hashKey(concat(lit(salt), col("text"))) + 1).cast("double") /
+      lit(4294967296.0)
+    val key = round(log(u) / greatest(q, lit(0.0001)), 8)
+    docs.select(col("doc_id"), q.as("quality"), key.as("skey"))
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("skey").desc, col("doc_id"))).cast("long"))
+  }
+
+  /** q137: the deterministic quality-weighted 100-doc sample. */
+  def q137WeightedSample(s: SparkSession, d: String): DataFrame =
+    weightedSample(documents(s, d))
+
   /** q96: quality-aware dedup survivor selection — the step after q94's
     * closure: each near-dup cluster keeps its highest-QUALITY member
     * (tie → smallest id), not the smallest id blindly: when a page and
@@ -2331,6 +2368,7 @@ object TextOps {
     "q134_memorization_card" -> q134MemorizationCard _,
     "q135_kmv_cardinality" -> q135KmvCardinality _,
     "q136_kmv_overlap" -> q136KmvOverlap _,
+    "q137_weighted_sample" -> q137WeightedSample _,
     "q114_bpe_pairs" -> q114BpePairs _,
     "q113_dsir" -> q113Dsir _,
     "q111_gopher_rules" -> q111GopherRules _,
@@ -2505,6 +2543,22 @@ object TextOps {
         | round(n_docs / tot.td, 4) AS pct_docs,
         | (dup_tier >= 2 AND nll_tercile = 1) AS hot
         |FROM card CROSS JOIN tot""".stripMargin),
+    "q137_weighted_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, round(
+        |   least(CAST(len(regexp_split_to_array(trim(text),'\s+')) AS DOUBLE)/100.0, 1.0)*0.5
+        |   + (CAST(len(regexp_extract_all(' '||lower(text)||' ', ' (the|a|of|and|to|in|is) ')) AS DOUBLE)
+        |      / CAST(len(regexp_split_to_array(trim(text),'\s+')) AS DOUBLE))*0.3
+        |   + (1.0 - CAST(len(regexp_extract_all(text,'[.,!?;:]')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE))*0.2, 4) AS quality,
+        |   (('0x' || substr(md5('wsample:' || text), 1, 8))::BIGINT + 1)
+        |     / 4294967296.0 AS u
+        |  FROM documents),
+        | sc AS (SELECT doc_id, quality,
+        |         round(ln(u) / greatest(quality, 0.0001), 8) AS skey FROM m)
+        |SELECT doc_id, quality, skey,
+        | CAST(row_number() OVER (ORDER BY skey DESC, doc_id) AS BIGINT) AS rk
+        |FROM sc ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin,
     "q135_kmv_cardinality" ->
       """WITH t AS (SELECT source,
         |   regexp_split_to_array(lower(trim(text)), '\s+') AS wl FROM documents),

@@ -1008,6 +1008,49 @@ class TextOpsSpec extends SparkSpec {
     assert(got(("A", "C")) == ((0.0, 0.0)) && got(("B", "C")) == ((0.0, 0.0)))
   }
 
+  test("weightedSample: E-S key math favors weight at equal draws, floors zero weights, stays deterministic") {
+    import spark.implicits._
+    // 2k docs with quality spread; k=50 — the sample must (a) be exactly
+    // k rows ranked by the recomputed key, (b) be identical however the
+    // input is partitioned, (c) never ANSI-error on a zero-quality doc
+    val texts = (0 until 2000).map { i =>
+      val words = (0 until (i % 120) + 1).map(j => s"w${(i * 7 + j) % 50}")
+      (i.toLong, ("the of and " * (i % 3)) + words.mkString(" "))
+    }
+    val docs = texts.toDF("doc_id", "text")
+    val a = TextOps.weightedSample(docs, k = 50).collect()
+    assert(a.length == 50)
+    assert(a.map(_.getLong(3)).sorted.sameElements(1L to 50L))
+    val b = TextOps.weightedSample(docs.repartition(13), k = 50).collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted),
+      "the sample is a pure function of content — partitioning-independent")
+    // keys re-derived: every sampled row's skey matches ln(u)/max(q,1e-4)
+    val ref = docs
+      .select(col("doc_id"),
+        TextOps.hashKey(concat(lit("wsample:"), col("text"))).as("h"),
+        TextOps.qualityExpr(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    a.foreach { r =>
+      val (h, q) = ref(r.getLong(0))
+      val expect = BigDecimal(math.log((h + 1).toDouble / 4294967296.0) /
+        math.max(q, 0.0001))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) == expect, s"skey mismatch for doc ${r.getLong(0)}")
+    }
+    // a weight-0 doc neither errors nor is excluded by construction
+    val z = TextOps.weightedSample(
+      Seq((1L, "!!!!"), (2L, "!!!!!!!!")).toDF("doc_id", "text"), k = 2)
+    assert(z.count() == 2)
+  }
+
+  test("q137 plan: bounded-heap TakeOrdered, never a corpus-wide sort or window") {
+    val res = TextOps.q137WeightedSample(spark, sfDir)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must be the bounded-heap operator:\n$plan")
+    assert(res.count() == 100)
+  }
+
   test("q111: the rule card is one Exchange-free corpus scan") {
     val res = TextOps.q111GopherRules(spark, sfDir)
     val plan = res.queryExecution.executedPlan.toString
