@@ -336,6 +336,110 @@ object MediaOps {
       round(element_at(col("features"), 1), 4).as("f0"))
   }
 
+  /** Average-hash (aHash) perceptual fingerprint of an image blob: the
+    * decoded picture reduced to an 8×8 grid of luma block-means,
+    * thresholded at the grid's own mean — a 64-bit signature stable
+    * under re-encode, resize, and small edits, the standard screen for
+    * "the same picture crawled twice at different sizes/qualities"
+    * (byte hashes see nothing there). Block means subsample at most 8×8
+    * pixels per cell, so a 100-megapixel blob costs the same as a
+    * thumbnail (the decodeImage discipline). None when no installed
+    * reader claims the bytes — undecodable blobs have no perceptual
+    * identity and never pair.
+    *
+    * Known aHash property (document, don't hide): near-flat images all
+    * hash near 0 regardless of their color — the near-dup join's width
+    * cap is what keeps that degenerate bucket from exploding, and a
+    * production verdict on flat-image pairs needs a second signal
+    * (the decodeImage color features).
+    */
+  def perceptualHash(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+    img.map { im =>
+      val (w, h) = (im.getWidth, im.getHeight)
+      val cells = new Array[Double](64)
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          val x0 = cx * w / 8; val x1 = math.max(x0 + 1, (cx + 1) * w / 8)
+          val y0 = cy * h / 8; val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
+          val stepX = math.max(1, (x1 - x0) / 8)
+          val stepY = math.max(1, (y1 - y0) / 8)
+          var (s, n) = (0.0, 0L)
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val p = im.getRGB(x, y)
+              s += 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) +
+                0.114 * (p & 0xFF)
+              n += 1
+              x += stepX
+            }
+            y += stepY
+          }
+          cells(cy * 8 + cx) = s / n
+          cx += 1
+        }
+        cy += 1
+      }
+      val mean = cells.sum / 64
+      var hsh = 0L
+      var i = 0
+      while (i < 64) { if (cells(i) > mean) hsh |= (1L << i); i += 1 }
+      hsh
+    }
+  }
+
+  /** Image near-duplicates by perceptual hash: pairs of decodable blobs
+    * within `maxHamming` aHash bits — the multimodal member of the
+    * dedup family (q30 bytes, q35/q94 text, q40/q109 embeddings; this
+    * catches the re-encoded/resized SAME PICTURE none of those see).
+    *
+    * Scale shape: candidates come from equality joins on maxHamming+1
+    * hash chunks — pigeonhole-COMPLETE (≤ t flips must leave one of
+    * t+1 chunks untouched, so no qualifying pair can be missed, unlike
+    * a sampled banding) — through the house width-capped pair kernel:
+    * degenerate buckets (the flat-image collapse) star-route instead
+    * of exploding O(width²), and every candidate passes the exact
+    * bit_count filter. Undecodable blobs drop before the join and
+    * never pair (quarantine semantics, the extractFeatures contract).
+    */
+  def imageNearDup(media: DataFrame, maxHamming: Int = 8): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"imageNearDup: maxHamming must be in [0,63], got $maxHamming")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashed = media.select(col("doc_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => (id, perceptualHash(b)) })
+      .toDF("doc_id", "ph")
+      .filter(col("ph").isNotNull)
+    val bands = maxHamming + 1
+    val chunkCols = (0 until bands).map { i =>
+      val lo = i * 64 / bands
+      val hi = (i + 1) * 64 / bands
+      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1
+      struct(lit(i).as("chunk"),
+        shiftrightunsigned(col("ph"), lo).bitwiseAND(lit(mask)).as("key"))
+    }
+    val bucketed = hashed
+      .select(col("doc_id"), col("ph"), explode(array(chunkCols: _*)).as("ck"))
+      .select(col("doc_id"), col("ph"),
+        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    graft.operators.VectorOps
+      .widthCappedPairs(bucketed, Seq("chunk", "key"), Seq("ph"),
+        graft.operators.VectorOps.MaxBucketWidth)
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_ph").bitwiseXOR(col("b_ph"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_media_meta" -> q41MediaMeta _,
     "q42_media_features" -> q42MediaFeatures _,

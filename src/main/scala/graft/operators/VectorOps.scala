@@ -106,7 +106,7 @@ object VectorOps {
     * residual filters. Pair order: `a_id < b_id` on the narrow path, and
     * the star source is the bucket's smallest doc_id, so it holds on both.
     */
-  private def widthCappedPairs(bucketed: DataFrame, keyCols: Seq[String],
+  private[graft] def widthCappedPairs(bucketed: DataFrame, keyCols: Seq[String],
       carry: Seq[String], maxBucketWidth: Int,
       markStars: Boolean = false): DataFrame = {
     val bucket = Window.partitionBy(keyCols.map(col): _*)

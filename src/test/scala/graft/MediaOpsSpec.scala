@@ -193,6 +193,72 @@ class MediaOpsSpec extends SparkSpec {
     } finally MediaOps.resetCodecs()
     assert(MediaOps.registeredCodecs.map(_.name) == Seq("imageio", "javasound"))
   }
+
+  /** A deterministic 64×64 gradient PNG; `tweak` nudges a few pixels so
+    * re-encodes of "the same picture" land within a small aHash
+    * distance while a different picture lands far away. */
+  private def gradientPng(tweak: Boolean = false, invert: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val v = if (invert) 255 - (x * 4 min 255) else x * 4 min 255
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    if (tweak) for (y <- 0 until 3; x <- 0 until 3)
+      img.setRGB(x, y, 0x808080)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("perceptualHash: stable under small edits, far for a different picture, None for non-images") {
+    val base = MediaOps.perceptualHash(gradientPng())
+    val near = MediaOps.perceptualHash(gradientPng(tweak = true))
+    val far = MediaOps.perceptualHash(gradientPng(invert = true))
+    assert(base.isDefined && near.isDefined && far.isDefined)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(base.get, near.get) <= 4,
+      s"nudged copy must stay close, got ${ham(base.get, near.get)}")
+    assert(ham(base.get, far.get) > 16,
+      s"inverted picture must read far, got ${ham(base.get, far.get)}")
+    assert(MediaOps.perceptualHash("not pixels".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("imageNearDup: re-encoded twin pairs, different picture and undecodables never pair") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, gradientPng(), "image/png", 0L),
+      (2L, gradientPng(tweak = true), "image/png", 0L),
+      (3L, gradientPng(invert = true), "image/png", 0L),
+      (4L, "definitely not pixels".getBytes("UTF-8"), "video/mp4", 0L),
+    ).toDF("doc_id", "blob", "mime", "n_bytes")
+    val pairs = MediaOps.imageNearDup(media, maxHamming = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"only the perceptual twin may pair, got ${pairs.toSeq}")
+    assert(pairs.head._3 <= 8)
+    // partitioning-independent (the pair set is a function of content)
+    val rep = MediaOps.imageNearDup(media.repartition(5), maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rep == Set((1L, 2L)))
+    intercept[IllegalArgumentException](MediaOps.imageNearDup(media, 64))
+  }
+
+  test("imageNearDup banding is pigeonhole-complete: every <=t pair survives the chunk join") {
+    import spark.implicits._
+    // adversarial placement: flip t bits CONCENTRATED at chunk
+    // boundaries of a synthetic hash pair — the pair must still emit.
+    // Build two fake 1×1-pixel... instead drive the DataFrame directly
+    // through the chunk join by planting blobs whose hashes we control
+    // is impossible (hash comes from pixels), so assert the guarantee
+    // arithmetically over the chunk layout: 9 chunks cover all 64 bits
+    // with no gaps or overlaps, so 8 flips cannot touch all 9.
+    val bands = 9
+    val bounds = (0 until bands).map(i => (i * 64 / bands, (i + 1) * 64 / bands))
+    assert(bounds.head._1 == 0 && bounds.last._2 == 64)
+    assert(bounds.sliding(2).forall { case Seq((_, hi), (lo, _)) => hi == lo })
+    assert(bounds.forall { case (lo, hi) => hi > lo })
+  }
 }
 
 /** Top-level (not test-class-nested, which would drag a non-serializable
