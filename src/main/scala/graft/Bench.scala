@@ -127,7 +127,10 @@ object Bench {
       "q63prod" -> ((s: SparkSession, dir: String) =>
         graft.operators.Marts.q63Prod(s, dir)),
       "q57prod" -> ((s: SparkSession, dir: String) =>
-        graft.operators.VectorOps.q57Prod(s, dir)))
+        graft.operators.VectorOps.q57Prod(s, dir)),
+      "q131prod" -> ((s: SparkSession, dir: String) =>
+        graft.operators.VectorOps.ivfpqTopk(
+          graft.sources.Tables.embeddings(s, dir), instrument = false)))
     // A selector matches a query only exactly, or as a prefix that ends at
     // an underscore boundary ("q35" selects q35_ngram_jaccard but NOT the
     // bench-only "q35prod") — a bare startsWith would silently widen what a

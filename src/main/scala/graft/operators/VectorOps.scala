@@ -1159,7 +1159,8 @@ object VectorOps {
     */
   def ivfpqTopk(df: DataFrame, kc: Int = 8, cIters: Int = 2,
       m: Int = 16, k: Int = 64, iters: Int = 2, nProbe: Int = 2,
-      kNN: Int = 5, querySpan: Long = 10L): DataFrame = {
+      kNN: Int = 5, querySpan: Long = 10L,
+      instrument: Boolean = true): DataFrame = {
     require(kc >= 1 && nProbe >= 1 && nProbe <= kc,
       s"ivfpqTopk: need 1 <= nProbe=$nProbe <= kc=$kc")
     val s = df.sparkSession
@@ -1212,19 +1213,27 @@ object VectorOps {
         "q_id", "c_id", "__neg", k = kNN)
       .select(col("q_id"), col("c_id"), col("ccid"), col("rk"),
         col("adc_d2"))
-    // end-to-end instrument: the exact ranking over the FULL corpus
-    val exactScored = iv.filter(col("vec_id") >= querySpan)
-      .select(col("vec_id").as("c_id"), col("q").as("c_q"))
-      .crossJoin(broadcast(queries))
-      .select(col("q_id"), col("c_id"),
-        (-aggregate(zip_with(col("q_q"), col("c_q"),
-          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
-          .as("__neg"))
-    val re = rankTopK(exactScored, "q_id", "c_id", "__neg", k = kNN)
-      .select(col("q_id"), col("c_id"), col("rk").as("exact_rk"))
-    ra.join(broadcast(re), Seq("q_id", "c_id"), "left")
-      .select(col("q_id"), col("c_id"), col("ccid"), col("rk"),
-        col("adc_d2"), col("exact_rk"))
+    // end-to-end instrument: the exact ranking over the FULL corpus.
+    // Deployable serving (instrument = false, benched as q131prod)
+    // skips this crossJoin entirely — the one data-scale stage the
+    // instrument adds.
+    if (!instrument)
+      ra.select(col("q_id"), col("c_id"), col("ccid"), col("rk"),
+        col("adc_d2"))
+    else {
+      val exactScored = iv.filter(col("vec_id") >= querySpan)
+        .select(col("vec_id").as("c_id"), col("q").as("c_q"))
+        .crossJoin(broadcast(queries))
+        .select(col("q_id"), col("c_id"),
+          (-aggregate(zip_with(col("q_q"), col("c_q"),
+            (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+            .as("__neg"))
+      val re = rankTopK(exactScored, "q_id", "c_id", "__neg", k = kNN)
+        .select(col("q_id"), col("c_id"), col("rk").as("exact_rk"))
+      ra.join(broadcast(re), Seq("q_id", "c_id"), "left")
+        .select(col("q_id"), col("c_id"), col("ccid"), col("rk"),
+          col("adc_d2"), col("exact_rk"))
+    }
   }
 
   /** q131: IVF-PQ end to end on the q108 coarse geometry (kc=8) with

@@ -1419,6 +1419,17 @@ class VectorOpsSpec extends SparkSpec {
     graft.CacheHygiene.releaseTree(res)
   }
 
+  test("ivfpqTopk deployable form: dropping the instrument changes no ranking, only the column") {
+    val df = graft.sources.Tables.embeddings(spark, sfDir)
+    val full = VectorOps.ivfpqTopk(df).drop("exact_rk")
+    val prod = VectorOps.ivfpqTopk(df, instrument = false)
+    assert(prod.columns.toSeq ==
+      Seq("q_id", "c_id", "ccid", "rk", "adc_d2"))
+    assert(full.collect().map(_.toString).sorted
+      .sameElements(prod.collect().map(_.toString).sorted))
+    graft.CacheHygiene.releaseTree(full, prod)
+  }
+
   test("ivfpqTopk: partitioning-independent and loud on bad nProbe") {
     val df = graft.sources.Tables.embeddings(spark, sfDir)
     val a = VectorOps.ivfpqTopk(df)
