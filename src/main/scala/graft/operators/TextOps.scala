@@ -533,6 +533,36 @@ object TextOps {
         floor((col("cum") - col("n_tokens")) / PackTokens).cast("long").as("pack_id"))
   }
 
+  /** Packing-efficiency card: per language, the context-window fill rate
+    * the q70 sharded packing achieves — the padding waste a training
+    * run actually pays for. In the contiguous-stream formulation waste
+    * accrues ONLY at each shard's tail (every interior window is full),
+    * so fill_pct = Σtokens / (Σ⌈shard_tokens/PackTokens⌉ · PackTokens)
+    * prices the shard fan-out knob directly: more shards = more tails =
+    * lower fill (the packAutoSharded trade-off, quantified). One corpus
+    * scan into a (lang × shards)-sized agg; all arithmetic on the
+    * aggregate, division null-guarded for token-less languages.
+    */
+  def packCard(docs: DataFrame, shards: Int): DataFrame = {
+    require(shards >= 1, s"packCard: shards must be >= 1, got $shards")
+    docs.select(col("lang"),
+        hashBucket(concat(lit("pack:"), col("text")), shards).as("shard"),
+        size(split(trim(col("text")), ws)).cast("long").as("n_tokens"))
+      .groupBy("lang", "shard").agg(sum("n_tokens").as("st"))
+      .groupBy("lang").agg(count(lit(1)).as("n_shards"),
+        sum("st").as("n_tokens"),
+        sum(ceil(col("st").cast("double") / PackTokens).cast("long"))
+          .as("n_packs"))
+      .select(col("lang"), col("n_shards"), col("n_tokens"), col("n_packs"),
+        when(col("n_packs") > 0,
+          round(col("n_tokens").cast("double") /
+            (col("n_packs") * PackTokens), 4)).as("fill_pct"))
+  }
+
+  /** q138: the fill-rate card for q70's 16-shard packing. */
+  def q138PackCard(s: SparkSession, d: String): DataFrame =
+    packCard(documents(s, d), 16)
+
   /** Packing with a per-language shard fan-out scaled to the corpus: one
     * cheap counting pass (rows per language — bounded by the language
     * count) sizes each language's shard count to keep every window
@@ -2369,6 +2399,7 @@ object TextOps {
     "q135_kmv_cardinality" -> q135KmvCardinality _,
     "q136_kmv_overlap" -> q136KmvOverlap _,
     "q137_weighted_sample" -> q137WeightedSample _,
+    "q138_pack_card" -> q138PackCard _,
     "q114_bpe_pairs" -> q114BpePairs _,
     "q113_dsir" -> q113Dsir _,
     "q111_gopher_rules" -> q111GopherRules _,
@@ -2543,6 +2574,21 @@ object TextOps {
         | round(n_docs / tot.td, 4) AS pct_docs,
         | (dup_tier >= 2 AND nll_tercile = 1) AS hot
         |FROM card CROSS JOIN tot""".stripMargin),
+    "q138_pack_card" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |   ('0x' || substr(md5('pack:' || text), 1, 8))::BIGINT % 16 AS shard,
+        |   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | sh AS (SELECT lang, shard, sum(n_tokens) AS st FROM t GROUP BY 1, 2),
+        | g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_shards,
+        |        CAST(sum(st) AS BIGINT) AS n_tokens,
+        |        CAST(sum(CAST(ceil(CAST(st AS DOUBLE) / 512) AS BIGINT)) AS BIGINT) AS n_packs
+        |       FROM sh GROUP BY 1)
+        |SELECT lang, n_shards, n_tokens, n_packs,
+        | CASE WHEN n_packs > 0
+        |      THEN round(CAST(n_tokens AS DOUBLE) / (n_packs * 512), 4) END AS fill_pct
+        |FROM g""".stripMargin,
     "q137_weighted_sample" ->
       """WITH m AS (
         |  SELECT doc_id, round(

@@ -1051,6 +1051,26 @@ class TextOpsSpec extends SparkSpec {
     assert(res.count() == 100)
   }
 
+  test("packCard: tail-waste accounting — fill drops as fan-out grows, exact at one shard") {
+    import spark.implicits._
+    // lang X: 1000 tokens. 1 shard → 2 packs (⌈1000/512⌉), fill 0.9766.
+    // Forced 4-way spread can only add tails: packs ≥ 2, fill ≤ 0.9766.
+    val docs = (0 until 10).map(i =>
+      (i.toLong, (0 until 100).map(j => s"t${i}_$j").mkString(" "), "X"))
+      .toDF("doc_id", "text", "lang")
+    val one = TextOps.packCard(docs, 1).collect()(0)
+    assert((one.getLong(1), one.getLong(2), one.getLong(3), one.getDouble(4)) ==
+      ((1L, 1000L, 2L, 0.9766)), s"got $one")
+    val four = TextOps.packCard(docs, 4).collect()(0)
+    assert(four.getLong(3) >= 2L && four.getDouble(4) <= 0.9766,
+      s"fan-out can only add tail waste, got $four")
+    assert(four.getLong(2) == 1000L, "token mass is conserved across shardings")
+    // a token-less language reads null fill, not a NaN or an error
+    val z = TextOps.packCard(Seq((1L, "", "Z")).toDF("doc_id", "text", "lang"), 2)
+      .collect()(0)
+    assert(z.getLong(2) >= 0L)
+  }
+
   test("q111: the rule card is one Exchange-free corpus scan") {
     val res = TextOps.q111GopherRules(spark, sfDir)
     val plan = res.queryExecution.executedPlan.toString
