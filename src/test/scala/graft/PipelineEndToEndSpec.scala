@@ -145,4 +145,57 @@ class PipelineEndToEndSpec extends SparkSpec {
       .sameElements(rows.map(_.toString).sorted))
     graft.CacheHygiene.releaseTree(sd, again)
   }
+
+  test("compressed-store chain: PQ geometry freeze, gated ingest, theta from the distortion card, drift read, vocab growth") {
+    import graft.operators.PqDedupGate
+    import graft.streaming.VocabMonitor
+    val dir = java.nio.file.Files.createTempDirectory("graft_e2e_pq").toString
+    val (geom, store) = (s"$dir/geom", s"$dir/store")
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+
+    // 1. freeze the IVF-PQ geometry from the corpus itself
+    PqDedupGate.writeGeometry(emb, geom, kc = 8, cIters = 2,
+      m = 8, k = 16, iters = 2)
+
+    // 2. θ comes FROM the persisted distortion card (the documented
+    //    discipline): one power of two above the worst reference
+    //    bucket, so a re-ingested vector (ADC = its own recon
+    //    distortion) always refuses while staying far under the
+    //    organic inter-vector floor at this corpus's dimensionality
+    val maxBucket = spark.read.parquet(s"$geom/distortion")
+      .agg(max("bucket")).collect()(0).getLong(0)
+    val theta = 1L << (maxBucket + 1)
+
+    // 3. ingest in two batches; the corpus has no code-level twins at
+    //    this grid... unless it does — what matters is the CONTRACT:
+    //    admitted ∪ refused = batch, and everything admitted landed
+    val b1 = emb.filter(col("vec_id") < 2500)
+    val b2 = emb.filter(col("vec_id") >= 2500)
+    val n1 = PqDedupGate.ingest(b1, geom, store, theta).count()
+    val n2 = PqDedupGate.ingest(b2, geom, store, theta).count()
+    assert(n1 > 0 && n1 <= b1.count() && n2 <= b2.count())
+    assert(PqDedupGate.readStore(spark, store).count() == n1 + n2)
+
+    // 4. a verbatim re-crawl of batch 1 refuses WHOLESALE: every vector
+    //    meets its own stored codes within its own distortion
+    assert(PqDedupGate.gate(b1, geom, store, theta).count() == 0,
+      "re-ingested vectors must gate out at a distortion-covering theta")
+
+    // 5. the drift read on the re-crawl says stable, not rebuild
+    val psi = PqDedupGate.distortionDrift(b1, geom).collect()(0).getDouble(2)
+    assert(psi < 0.25, s"same-distribution re-crawl must not read rebuild, psi=$psi")
+
+    // 6. vocabulary growth over the text corpus, split in two: the
+    //    second half contributes, a re-crawl of the first does not
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val (vs, vl) = (s"$dir/vstore", s"$dir/vlog")
+    val g1 = VocabMonitor.record(docs.filter(col("doc_id") < 250), vs, vl, "b1", k = 64)
+      .collect()(0).getLong(4)
+    val g2 = VocabMonitor.record(docs.filter(col("doc_id") >= 250), vs, vl, "b2", k = 64)
+      .collect()(0).getLong(4)
+    val g3 = VocabMonitor.record(docs.filter(col("doc_id") < 250), vs, vl, "b3", k = 64)
+      .collect()(0).getLong(4)
+    assert(g1 > 0 && g2 > 0, s"both fresh halves must grow the vocab ($g1, $g2)")
+    assert(g3 == 0L, "the re-crawled half must read zero growth")
+  }
 }
