@@ -225,6 +225,25 @@ object Marts {
     orders(s, d).cube("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
 
+  /** q139: explicit GROUPING SETS — the general form q18's ROLLUP and
+    * q43's CUBE are shorthands for, here selecting exactly the grain
+    * combinations a mart needs ((status, priority), (status), ()) and
+    * SKIPPING the (priority)-only grain a CUBE would also pay for. One
+    * Expand + one aggregation, same as rollup/cube — Spark plans all
+    * three through the identical Expand machinery, so the scale story
+    * is q43's: output grows with the SELECTED grains only.
+    */
+  def q139GroupingSets(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                              (o_orderstatus), ())
+    """)
+  }
+
   /** HLL-sketch approximate distinct — the 100 TB path where exact
     * distinct (q09) shuffles too much. Sketch values are implementation-
     * specific (Spark HLL++ vs DuckDB HLL never hash-match), so the
@@ -386,6 +405,7 @@ object Marts {
     "q29_percentile" -> q29Percentile _,
     "q63_approx_quantile" -> q63ApproxQuantile _,
     "q43_cube" -> q43Cube _,
+    "q139_grouping_sets" -> q139GroupingSets _,
     "q44_approx_distinct" -> q44ApproxDistinct _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
@@ -481,6 +501,11 @@ object Marts {
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
         | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q139_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        | round(sum(o_totalprice),2) AS revenue
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                                    (o_orderstatus), ())""".stripMargin,
     "q43_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         | round(sum(o_totalprice),2) AS revenue
