@@ -30,6 +30,26 @@ object PqProbe {
       println(f"IVFPQ nProbe=$np m=$m k=$k recall@5=${hits / 50.0}%.2f " +
         f"wall=${(System.nanoTime - t0) / 1e9}%.1fs")
     }
+    // persisted-index lifecycle at 10×: build once, serve thrice (min
+    // wall), count the list partitions the probe read actually touches
+    for (dir <- Seq("/root/testdata/sf0.1", "/root/repo/scratch/sf1.0")) {
+      val idx = java.nio.file.Files.createTempDirectory("pqprobe_idx").toString
+      val corpus = Tables.embeddings(spark, dir)
+      val t0 = System.nanoTime
+      VectorOps.ivfpqBuild(corpus.filter(
+        org.apache.spark.sql.functions.col("vec_id") >= 10), idx,
+        kc = 8, m = 16, k = 64)
+      val tb = (System.nanoTime - t0) / 1e9
+      val qs = corpus.filter(
+        org.apache.spark.sql.functions.col("vec_id") < 10)
+      val walls = (1 to 3).map { _ =>
+        val t1 = System.nanoTime
+        val n = VectorOps.ivfpqSearch(spark, idx, qs).count()
+        ((System.nanoTime - t1) / 1e9, n)
+      }
+      println(f"IVFPQIDX $dir build=$tb%.2f search=${walls.map(_._1).min}%.2f " +
+        f"rows=${walls.head._2}")
+    }
     // 10× scale probe: sf0.1 vs the scratch sf1.0 derivative (the
     // BASELINE.md probe-table protocol — min of 3 timed passes each)
     for (dir <- Seq("/root/testdata/sf0.1", "/root/repo/scratch/sf1.0");
