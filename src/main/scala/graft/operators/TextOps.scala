@@ -1713,7 +1713,10 @@ object TextOps {
     val u = (hashKey(concat(lit(salt), col("text"))) + 1).cast("double") /
       lit(4294967296.0)
     val key = round(log(u) / greatest(q, lit(0.0001)), 8)
-    docs.select(col("doc_id"), q.as("quality"), key.as("skey"))
+    // null text has no content hash, hence no draw — absent, not a
+    // null-keyed row whose sort position differs between engines
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), q.as("quality"), key.as("skey"))
       .orderBy(col("skey").desc, col("doc_id"))
       .limit(k)
       .withColumn("rk", row_number().over(
@@ -2601,7 +2604,8 @@ object TextOps {
         |     / 4294967296.0 AS u
         |  FROM documents),
         | sc AS (SELECT doc_id, quality,
-        |         round(ln(u) / greatest(quality, 0.0001), 8) AS skey FROM m)
+        |         round(ln(u) / greatest(quality, 0.0001), 8) AS skey
+        |        FROM m WHERE u IS NOT NULL)
         |SELECT doc_id, quality, skey,
         | CAST(row_number() OVER (ORDER BY skey DESC, doc_id) AS BIGINT) AS rk
         |FROM sc ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin,

@@ -1037,10 +1037,13 @@ class TextOpsSpec extends SparkSpec {
         .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(r.getDouble(2) == expect, s"skey mismatch for doc ${r.getLong(0)}")
     }
-    // a weight-0 doc neither errors nor is excluded by construction
+    // a weight-0 doc neither errors nor is excluded by construction;
+    // a null-text doc is ABSENT (no content hash → no draw), never a
+    // null-keyed row whose sort position differs between engines
     val z = TextOps.weightedSample(
-      Seq((1L, "!!!!"), (2L, "!!!!!!!!")).toDF("doc_id", "text"), k = 2)
-    assert(z.count() == 2)
+      Seq((1L, "!!!!"), (2L, "!!!!!!!!"), (3L, null: String))
+        .toDF("doc_id", "text"), k = 3)
+    assert(z.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
   test("q137 plan: bounded-heap TakeOrdered, never a corpus-wide sort or window") {
