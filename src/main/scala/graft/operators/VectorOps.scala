@@ -2487,11 +2487,11 @@ object VectorOps {
         |FROM r8 LEFT JOIN (SELECT * FROM rf WHERE exact_rk <= 5) rf
         |  ON r8.q_id = rf.q_id AND r8.c_id = rf.c_id
         |WHERE r8.rk <= 5""".stripMargin,
-    "q108_kmeans" -> KmeansOracle.sql("SELECT vec_id, cid AS cluster, d2 AS dist2 FROM a2 WHERE rn = 1"),
+    "q108_kmeans" -> KmeansOracle.sql("SELECT vec_id, cid AS cluster, CAST(d2 AS BIGINT) AS dist2 FROM a2 WHERE rn = 1"),
     "q110_cluster_card" -> KmeansOracle.sql(
       """SELECT cid AS cluster, count(*) AS n_vecs,
         |  CAST(floor(CAST(sum(d2) AS DOUBLE) / count(*)) AS BIGINT) AS mean_d2,
-        |  max(d2) AS max_d2
+        |  CAST(max(d2) AS BIGINT) AS max_d2
         |FROM a2 WHERE rn = 1 GROUP BY cid""".stripMargin),
     "q109_semdedup" -> KmeansOracle.sql(
       """lab AS (SELECT vec_id, cid AS cluster FROM a2 WHERE rn = 1),
@@ -2505,8 +2505,8 @@ object VectorOps {
         |    AND list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.3) AS kept
         |FROM n a""".stripMargin, continued = true),
     "q129_pq_codes" -> PqOracle.sql(2, 4,
-      """SELECT a0.vec_id, a0.cid AS code_0, a0.d2 AS d2_0,
-        |  a1.cid AS code_1, a1.d2 AS d2_1,
+      """SELECT a0.vec_id, a0.cid AS code_0, CAST(a0.d2 AS BIGINT) AS d2_0,
+        |  a1.cid AS code_1, CAST(a1.d2 AS BIGINT) AS d2_1,
         |  CAST(a0.d2 + a1.d2 AS BIGINT) AS recon_d2
         |FROM (SELECT * FROM a2_0 WHERE rn = 1) a0
         |JOIN (SELECT * FROM a2_1 WHERE rn = 1) a1 USING (vec_id)""".stripMargin),

@@ -59,6 +59,20 @@ def main(sf_dir, out_dir):
             c, i, a, b = bad
             print(f"FAIL {name}: col {c} row {i}: {a!r} != {b!r}")
             n_fail += 1
+            continue
+        # Driver-parity dtype strictness: the driver hashes string
+        # REPRESENTATIONS, so an oracle column that materializes as float64
+        # (e.g. DuckDB HUGEINT from list_sum) against Spark's int64 can be
+        # value-equal here ("8 == 8.0") yet hash-mismatch in the gate
+        # ("8.5e8" vs "850000000"). Both frames arrive through duckdb .df(),
+        # so any dtype asymmetry is an oracle-SQL dtype drift — fail it.
+        dbad = [(c, str(g[c].dtype), str(e[c].dtype))
+                for c in g.columns if g[c].dtype != e[c].dtype]
+        if dbad:
+            c, gd, ed = dbad[0]
+            print(f"FAIL {name}: DTYPE col {c}: spark {gd} vs oracle {ed}"
+                  f" (values matched — CAST the oracle column)")
+            n_fail += 1
         else:
             print(f"PASS {name}: {len(g)} rows")
             n_pass += 1
