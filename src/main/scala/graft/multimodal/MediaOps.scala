@@ -400,12 +400,23 @@ object MediaOps {
     * catches the re-encoded/resized SAME PICTURE none of those see).
     *
     * Scale shape: candidates come from equality joins on maxHamming+1
-    * hash chunks — pigeonhole-COMPLETE (≤ t flips must leave one of
-    * t+1 chunks untouched, so no qualifying pair can be missed, unlike
-    * a sampled banding) — through the house width-capped pair kernel:
-    * degenerate buckets (the flat-image collapse) star-route instead
-    * of exploding O(width²), and every candidate passes the exact
-    * bit_count filter. Undecodable blobs drop before the join and
+    * hash chunks (pigeonhole: ≤ t flips must leave one of t+1 chunks
+    * untouched) through the house width-capped pair kernel, and every
+    * candidate passes the exact bit_count filter. Completeness is
+    * therefore guaranteed only for pairs that share at least one chunk
+    * bucket within MaxBucketWidth: oversized buckets (the flat-image
+    * collapse, where aHash keys concentrate) star-route to the
+    * bucket-min, and the exact filter then keeps only star edges whose
+    * endpoints really are within maxHamming — two members of an
+    * oversized bucket that are near-dups of each other but both far
+    * from the bucket-min are NOT listed. That loss is inherent, not an
+    * implementation shortcut: in the degenerate bucket the complete
+    * qualifying-pair list is itself O(width²) (all-flat corpora pair
+    * all-with-all), so no capped kernel can emit it. Production
+    * handling of such corpora is connectivity, not pair listing: run
+    * widthCappedPairs with markStars=true and feed the edges (star
+    * edges exempt from the hamming threshold) to ConnectedComponents,
+    * the q94 discipline. Undecodable blobs drop before the join and
     * never pair (quarantine semantics, the extractFeatures contract).
     */
   def imageNearDup(media: DataFrame, maxHamming: Int = 8): DataFrame = {

@@ -1259,8 +1259,13 @@ object VectorOps {
     * [[ivfShardedIndex]].
     */
   def ivfpqBuild(corpus: DataFrame, dir: String, kc: Int = 8,
-      cIters: Int = 2, m: Int = 16, k: Int = 64, iters: Int = 2): Unit = {
-    PqDedupGate.writeGeometry(corpus, s"$dir/geom", kc, cIters, m, k, iters)
+      cIters: Int = 2, m: Int = 16, k: Int = 64, iters: Int = 2,
+      trainOn: DataFrame = null): Unit = {
+    // trainOn: freeze geometry from a frame other than the indexed corpus
+    // (e.g. corpus + the expected query distribution, matching what the
+    // one-shot ivfpqTopk trains on — the equivalence spec's construction).
+    PqDedupGate.writeGeometry(Option(trainOn).getOrElse(corpus),
+      s"$dir/geom", kc, cIters, m, k, iters)
     ivfpqAppend(corpus, dir)
   }
 
@@ -1288,9 +1293,13 @@ object VectorOps {
     * nearest lists, then read ONLY those list partitions (the probed
     * ccid set is ≤ kc values, collected driver-side, so the partition
     * filter is STATIC — no dynamic-pruning gamble) and residual-ADC
-    * the candidates with the probe table broadcast. Identical ranking
-    * to [[ivfpqTopk]]`(instrument = false)` built from the same corpus
-    * and grid (spec-pinned) — the index just pays the training once.
+    * the candidates with the probe table broadcast. Ranking-identical
+    * to [[ivfpqTopk]]`(instrument = false)` when the index was built
+    * with the SAME training frame and grid — ivfpqTopk trains its
+    * geometry on queries + corpus together, so the equivalent build is
+    * `ivfpqBuild(corpusOnly, dir, trainOn = fullFrame)` (spec-pinned:
+    * "persisted index ranks identically to the one-shot ivfpqTopk").
+    * The index just pays the training once.
     */
   def ivfpqSearch(spark: SparkSession, dir: String, queries: DataFrame,
       nProbe: Int = 2, kNN: Int = 5): DataFrame = {
@@ -1313,7 +1322,19 @@ object VectorOps {
       .localCheckpoint(true) // read twice: the ccid set and the join side
     val probedLists = probed.select("ccid").distinct()
       .collect().map(_.getLong(0))
-    val scored = spark.read.parquet(s"$dir/lists")
+    // explicit schema: directory-name inference would type the ccid
+    // partition column INT, diverging from every other surface's BIGINT
+    // (PqAssign emits cid:long); typing it here keeps the served schema
+    // identical to ivfpqTopk's and the partition filter cast-free
+    val listsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("c_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("codes",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.types.StructField("ccid",
+        org.apache.spark.sql.types.LongType)))
+    val scored = spark.read.schema(listsSchema).parquet(s"$dir/lists")
       .filter(col("ccid").isin(probedLists: _*))
       .join(broadcast(probed), "ccid")
       .select(col("q_id"), col("c_id"), col("ccid"),

@@ -105,7 +105,12 @@ object CcnetGate {
           .when(col("t_head").isNotNull && col("nll") <= col("t_head"), "head")
           .when(col("t_middle").isNotNull && col("nll") <= col("t_middle"), "middle")
           .otherwise("tail"))
-      .drop("__id", "__lang", "t_head", "t_middle")
+      .drop("__id", "t_head", "t_middle")
+      // keep the RESOLVED language in the output as `lang` (replacing any
+      // same-named input column — langCol's verdict is what scored the row):
+      // a tail drop must be attributable to the language/LM that scored it
+      .drop("lang")
+      .withColumnRenamed("__lang", "lang")
   }
 
   /** [[BronzePipeline.gatedIngest]] with the CCNet gate in front:
@@ -137,8 +142,8 @@ object CcnetGate {
             MetadataStore.ingestWithGate(survivors, bronzePath, metaPath,
               batchId))
           graft.sources.ParquetSink.overwritePartitions(
-            scored.select(col("posting_id"), col("nll"), col("bucket"),
-              lit(batchId).as("batch_id")),
+            scored.select(col("posting_id"), col("lang"), col("nll"),
+              col("bucket"), lit(batchId).as("batch_id")),
             scoresPath, Seq("batch_id"))
         } finally graft.CacheHygiene.release(scored)
         ()

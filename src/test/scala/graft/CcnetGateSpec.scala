@@ -96,5 +96,11 @@ class CcnetGateSpec extends SparkSpec {
       .map(r => r.getAs[String]("posting_id") -> r.getAs[String]("bucket")).toMap
     assert(scores == Map("p_head" -> "head", "p_tail" -> "tail",
       "p_und" -> "unscored"), s"score table must audit the drop: $scores")
+    // the drop is ATTRIBUTABLE: the score row names the language whose
+    // LM scored it (the resolved langIdExpr verdict, not a raw column)
+    val langs = spark.read.parquet(s"$root/scores").collect()
+      .map(r => r.getAs[String]("posting_id") -> r.getAs[String]("lang")).toMap
+    assert(langs("p_head") == "en" && langs("p_tail") == "en",
+      s"scored rows must carry the scoring language: $langs")
   }
 }

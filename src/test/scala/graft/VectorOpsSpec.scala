@@ -1458,6 +1458,35 @@ class VectorOpsSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("persisted index ranks identically to the one-shot ivfpqTopk") {
+    // ivfpqTopk trains geometry on queries + corpus together and indexes
+    // only vec_id >= querySpan; the equivalent persisted build therefore
+    // trains on the FULL frame (trainOn) and appends only the corpus.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_eq").toString
+    val df = graft.sources.Tables.embeddings(spark, sfDir)
+    VectorOps.ivfpqBuild(df.filter(col("vec_id") >= 10L), dir,
+      kc = 8, m = 16, k = 64, trainOn = df)
+    val served = VectorOps.ivfpqSearch(spark, dir,
+        df.filter(col("vec_id") < 10L), nProbe = 2, kNN = 5)
+      .select("q_id", "c_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShot = VectorOps.ivfpqTopk(df, kc = 8, m = 16, k = 64,
+        nProbe = 2, kNN = 5, querySpan = 10L, instrument = false)
+      .select("q_id", "c_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served == oneShot,
+      s"persisted-index ranking must equal the one-shot form:\n" +
+        s"served-only=${(served -- oneShot).take(5)}\n" +
+        s"oneshot-only=${(oneShot -- served).take(5)}")
+    // and the served schema carries ccid as BIGINT like every other
+    // surface (partition-dir inference would have said INT)
+    val servedDf = VectorOps.ivfpqSearch(spark, dir,
+      df.filter(col("vec_id") < 3L), nProbe = 2, kNN = 5)
+    assert(servedDf.schema("ccid").dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"ccid must serve as BIGINT: ${servedDf.schema("ccid").dataType}")
+  }
+
   test("ivfpqSearch plan: probing reads only the probed list partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq2").toString
     val df = graft.sources.Tables.embeddings(spark, sfDir)
