@@ -56,6 +56,47 @@ object VectorOps {
       (1 until NumHashes).map(i => min(xxhash64(lit(i), col("w"))).as(s"mh$i")): _*)
   }
 
+  /** Engine-PORTABLE MinHash signature: family i hashes word w as the
+    * (i mod 4)-th 32-bit hex slice of md5("⌊i/4⌋:" ++ w) — the house
+    * md5-hex convention ([[TextOps.hashKey]], the q32/q59 trick), so an
+    * ANSI engine reproduces every family bit-for-bit
+    * (`('0x' || substr(md5(s || ':' || w), p, 8))::BIGINT` in DuckDB)
+    * and the full LSH banding + width-capped pair kernel carries a hash
+    * oracle. Band b consumes exactly the four slices of salt b, so
+    * bands stay independent across salts. Costs one explode + 4 md5
+    * calls per distinct word + one map-side-combinable shuffle — the
+    * price of an AUDITABLE pairwise listing; the clustering family
+    * (q51, converged CC, IncrementalDedup) keeps the fused xxhash64
+    * kernel ([[minhashSignatures]]) that minhashes at scan speed with
+    * no shuffle at all.
+    */
+  def minhashSignaturesPortable(docs: DataFrame): DataFrame = {
+    val hashed = tokenBearing(docs)
+      .select(col("doc_id"), explode(wordSet(col("text"))).as("w"))
+      .select(col("doc_id") +: (0 until Bands).map(s =>
+        md5(concat(lit(s"$s:"), col("w"))).as(s"h$s")): _*)
+    def slice(i: Int): Column =
+      conv(substring(col(s"h${i / RowsPerBand}"), 1 + 8 * (i % RowsPerBand), 8),
+        16, 10).cast("long")
+    hashed.groupBy("doc_id").agg(
+      min(slice(0)).as("mh0"),
+      (1 until NumHashes).map(i => min(slice(i)).as(s"mh$i")): _*)
+  }
+
+  /** [[bandedSignatures]] over the portable signature family; the band
+    * key is the comma-joined minhash row VALUES (collision-free by
+    * construction — no second hash to port).
+    */
+  def bandedSignaturesPortable(docs: DataFrame): DataFrame = {
+    val sigs = minhashSignaturesPortable(docs)
+    val bandCols = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), concat_ws(",", rows.map(_.cast("string")): _*).as("sig"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
   /** One row per (doc, band) with the band's bucket signature — the
     * single source of the banding layout shared by the pairwise listing,
     * the one-pass clustering, and the converged clustering.
@@ -91,9 +132,16 @@ object VectorOps {
   def q36MinhashLsh(s: SparkSession, d: String): DataFrame =
     q36MinhashLshOn(documents(s, d))
 
+  /** r16: the registered listing runs on the PORTABLE signature family
+    * ([[minhashSignaturesPortable]]) so the whole chain — per-word hash,
+    * per-family min, band key, bucket width, star routing, pair count —
+    * hash-matches the DuckDB oracle. The structural properties (exact
+    * dups collide in every band, star connectivity, capped ⊆ exact) are
+    * family-independent and stay spec-pinned.
+    */
   def q36MinhashLshOn(docs: DataFrame,
       maxBucketWidth: Int = MaxBucketWidth): DataFrame =
-    widthCappedPairs(bandedSignatures(docs), Seq("band", "sig"), Nil, maxBucketWidth)
+    widthCappedPairs(bandedSignaturesPortable(docs), Seq("band", "sig"), Nil, maxBucketWidth)
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("n_shared_bands"))
 
@@ -2314,9 +2362,11 @@ object VectorOps {
     "q131_ivfpq" -> q131IvfpqTopk _,
   )
 
-  /** The hash/sketch queries (q36/q37/q39/q51) hash with
+  /** The hash/sketch queries (q37/q39/q51) hash with
     * engine-specific functions (xxhash64) or are approximate by design —
     * rows-only checked by the driver, exactly verified by ScalaTest specs.
+    * q36 graduated to a full hash oracle in r16: its registered form runs
+    * on the portable md5-slice family (see [[minhashSignaturesPortable]]).
     * The exact-cosine queries ARE SQL-expressible: DuckDB list lambdas on
     * double-cast arrays reproduce DotProduct's per-element-upcast double
     * accumulation bit-for-bit, so q38/q40 (and q58, whose blocking has
@@ -2324,7 +2374,53 @@ object VectorOps {
     * q57 is oracled in its recall-gated form (see q57IvfTopk): the
     * oracle pins the query count and states the recall bound as TRUE.
     */
+  /** q36's oracle restates the WHOLE portable chain in DuckDB: md5-slice
+    * families, per-doc mins, comma-joined band keys, the width-capped
+    * pair kernel (window width + bucket-min star routing), shared-band
+    * counts. Generated, not hand-typed — the 16 family slices come from
+    * the same (salt, offset) arithmetic the Spark side uses.
+    */
+  private def q36OracleSql: String = {
+    val mins = (0 until NumHashes).map { i =>
+      s"min(('0x' || substr(h${i / RowsPerBand}, ${1 + 8 * (i % RowsPerBand)}, 8))::BIGINT) AS mh$i"
+    }.mkString(", ")
+    val bandRows = (0 until Bands).map { b =>
+      val cat = (0 until RowsPerBand)
+        .map(r => s"CAST(mh${b * RowsPerBand + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $cat AS sig FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents WHERE coalesce(trim(text), '') <> ''),
+       | words AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS w
+       |  FROM base),
+       | hashed AS (
+       |  SELECT doc_id, md5('0:' || w) AS h0, md5('1:' || w) AS h1,
+       |    md5('2:' || w) AS h2, md5('3:' || w) AS h3
+       |  FROM words),
+       | sigs AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
+       | banded AS ($bandRows),
+       | keyed AS (
+       |  SELECT doc_id, band, sig,
+       |    count(*) OVER (PARTITION BY band, sig) AS wd,
+       |    min(doc_id) OVER (PARTITION BY band, sig) AS mn
+       |  FROM banded),
+       | pr AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM keyed a JOIN keyed b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |  WHERE a.wd <= $MaxBucketWidth
+       |  UNION ALL
+       |  SELECT mn AS a_id, doc_id AS b_id FROM keyed
+       |  WHERE wd > $MaxBucketWidth AND doc_id <> mn)
+       |SELECT a_id, b_id, count(*) AS n_shared_bands
+       |FROM pr GROUP BY a_id, b_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q36_minhash_lsh" -> q36OracleSql,
     "q112_target_select" ->
       """WITH iv AS (SELECT vec_id, vec_id % 25 = 0 AS is_ex,
         |   list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS q
