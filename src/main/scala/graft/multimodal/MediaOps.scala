@@ -329,11 +329,27 @@ object MediaOps {
       .select(col("doc_id"), col("mime"), col("n_bytes"),
         ceil(col("n_bytes").cast("double") / FrameBytes).cast("long").as("n_chunks"))
 
-  /** Rows-only feature-extraction query (stubbed decode → spec-verified). */
+  /** Feature-extraction query, HASH-ORACLED (r16) on its byte-stat
+    * surface: the registered projection reconstructs the stub's first
+    * feature as the exact INTEGER stride-8 byte sum (f0 × n_bytes,
+    * recovered by round — the float quotient's widened error is
+    * ≤ sum·2⁻²⁴, far under 0.5 at any document size whose per-residue
+    * byte sum stays below 2²³), plus the frame count and the
+    * decoded/codec routing verdicts, all of which DuckDB reproduces
+    * over hex(encode(text)). The REAL decode paths (ImageIO, JavaSound,
+    * registry codecs) keep their planted-payload specs — on the
+    * documents table every mime is octet-stream, so the full row set
+    * routes through the stub and the oracle covers every row.
+    */
   def q42MediaFeatures(s: SparkSession, d: String): DataFrame = {
-    val feats = extractFeatures(s, attachBlobs(Tables.documents(s, d)))
-    feats.toDF().select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
-      round(element_at(col("features"), 1), 4).as("f0"))
+    val media = attachBlobs(Tables.documents(s, d))
+    val feats = extractFeatures(s, media)
+    feats.toDF()
+      .join(media.select(col("doc_id"), col("n_bytes")), "doc_id")
+      .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+        col("decoded"), col("codec"),
+        round(element_at(col("features"), 1).cast("double") * col("n_bytes"))
+          .cast("long").as("f0_sum"))
   }
 
   /** Average-hash (aHash) perceptual fingerprint of an image blob: the
@@ -462,5 +478,25 @@ object MediaOps {
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE)/256) AS BIGINT) AS n_chunks
         |FROM documents""".stripMargin,
+    // the stub's residue-0 feature is sum(stride-8 bytes)/n_bytes; the
+    // registered query re-multiplies by n_bytes, so the oracle needs only
+    // the exact integer byte sum over hex-decoded blob positions 0,8,16,…
+    "q42_media_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |         hex(encode(text)) AS hx
+        |  FROM documents),
+        | k AS (
+        |  SELECT doc_id, hx, unnest(range(0, CAST(n AS BIGINT), 8)) AS i
+        |  FROM b),
+        | s AS (
+        |  SELECT doc_id,
+        |    sum(('0x' || substr(hx, CAST(i*2+1 AS BIGINT), 2))::BIGINT) AS f0s
+        |  FROM k GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  CAST(ceil(CAST(b.n AS DOUBLE)/256) AS BIGINT) AS n_frames,
+        |  false AS decoded, 'stub' AS codec,
+        |  CAST(coalesce(s.f0s, 0) AS BIGINT) AS f0_sum
+        |FROM b LEFT JOIN s ON b.doc_id = s.doc_id""".stripMargin,
   )
 }
