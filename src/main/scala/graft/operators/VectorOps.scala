@@ -276,12 +276,68 @@ object VectorOps {
       .select(col("doc_id"), folded.as("simhash"))
   }
 
+  /** Engine-PORTABLE SimHash: the 64-bit signature as TWO 32-bit longs
+    * (sh_hi ∥ sh_lo), with word w's bit source being the first/second
+    * 32-bit hex slice of md5(w) — the same md5-slice convention as
+    * [[minhashSignaturesPortable]], so every vote, fold, chunk key and
+    * hamming distance recomputes bit-for-bit in ANSI SQL (no sign-bit
+    * gymnastics: both halves stay in [0, 2³²)). Semantics mirror
+    * [[simhashAgg]] exactly — tf-weighted bit votes, strict >0 fold.
+    * Costs one explode + md5 + a 64-buffer aggregate per corpus; the
+    * registered q37 pays it for a full hash oracle while [[simhash]]
+    * (the fused scan-speed kernel) remains the clustering/prod path.
+    */
+  def simhashPortable(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .withColumn("hx", md5(col("w")))
+      .withColumn("hhi", conv(substring(col("hx"), 1, 8), 16, 10).cast("long"))
+      .withColumn("hlo", conv(substring(col("hx"), 9, 8), 16, 10).cast("long"))
+    def votes(src: String, base: Int) = (0 until 32).map { i =>
+      sum(when(shiftright(col(src), i).bitwiseAND(lit(1L)) === 1L, col("tf"))
+        .otherwise(-col("tf"))).as(s"v${base + i}")
+    }
+    val all = votes("hlo", 0) ++ votes("hhi", 32)
+    def fold(base: Int) = (0 until 32)
+      .map(i => when(col(s"v${base + i}") > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    tf.groupBy("doc_id").agg(all.head, all.tail: _*)
+      .select(col("doc_id"), fold(0).as("sh_lo"), fold(32).as("sh_hi"))
+  }
+
   /** SimHash near-dups: candidates from 16-bit chunk equality (any of 4
     * chunks equal → candidate; guarantees recall for hamming ≤ 3), then
-    * exact hamming ≤ 8 filter via bit_count(xor).
+    * exact hamming ≤ 8 filter via bit_count(xor). r16: the registered
+    * form runs on [[simhashPortable]] and carries a full DuckDB hash
+    * oracle; the chunk-recall guarantee is hash-family-independent.
     */
   def q37Simhash(s: SparkSession, d: String): DataFrame =
-    q37SimhashOn(documents(s, d))
+    q37SimhashPortableOn(documents(s, d))
+
+  def q37SimhashPortableOn(docs: DataFrame,
+      maxBucketWidth: Int = MaxBucketWidth): DataFrame = {
+    val sh = simhashPortable(docs)
+    val chunks = Seq(
+      (0, col("sh_lo").bitwiseAND(lit(0xFFFFL))),
+      (1, shiftright(col("sh_lo"), 16).bitwiseAND(lit(0xFFFFL))),
+      (2, col("sh_hi").bitwiseAND(lit(0xFFFFL))),
+      (3, shiftright(col("sh_hi"), 16).bitwiseAND(lit(0xFFFFL)))
+    ).map { case (j, k) => struct(lit(j).as("chunk"), k.as("key")) }
+    val bucketed = sh
+      .select(col("doc_id"), col("sh_lo"), col("sh_hi"),
+        explode(array(chunks: _*)).as("ck"))
+      .select(col("doc_id"), col("sh_lo"), col("sh_hi"),
+        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    widthCappedPairs(bucketed, Seq("chunk", "key"),
+        Seq("sh_lo", "sh_hi"), maxBucketWidth)
+      .select(col("a_id"), col("b_id"),
+        (bit_count(col("a_sh_lo").bitwiseXOR(col("b_sh_lo"))) +
+          bit_count(col("a_sh_hi").bitwiseXOR(col("b_sh_hi"))))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+  }
 
   /** Chunk buckets get the same width discipline as q36's band buckets:
     * pairwise listing only inside buckets of bounded width, oversized
@@ -2419,8 +2475,67 @@ object VectorOps {
        |FROM pr GROUP BY a_id, b_id""".stripMargin
   }
 
+  /** q37's oracle: the full portable SimHash chain in DuckDB — md5
+    * hi/lo slices, tf-weighted votes, strict->0 fold into two 32-bit
+    * halves, 16-bit chunk keys, the width-capped pair kernel, exact
+    * hamming. Generated from the same bit arithmetic the Spark side
+    * uses.
+    */
+  private def q37OracleSql: String = {
+    def votes(src: String, base: Int) = (0 until 32).map { i =>
+      s"sum(CASE WHEN ($src >> $i) & 1 = 1 THEN tf ELSE -tf END) AS v${base + i}"
+    }
+    val voteCols = (votes("hlo", 0) ++ votes("hhi", 32)).mkString(", ")
+    def fold(base: Int) = (0 until 32)
+      .map(i => s"(CASE WHEN v${base + i} > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    val chunkRows = Seq(
+      "0 AS chunk, sh_lo & 65535 AS key",
+      "1 AS chunk, (sh_lo >> 16) & 65535 AS key",
+      "2 AS chunk, sh_hi & 65535 AS key",
+      "3 AS chunk, (sh_hi >> 16) & 65535 AS key"
+    ).map(c => s"SELECT doc_id, sh_lo, sh_hi, $c FROM sh").mkString(" UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+       |  FROM documents),
+       | tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+       | h AS (
+       |  SELECT doc_id, tf,
+       |    ('0x' || substr(md5(w), 1, 8))::BIGINT AS hhi,
+       |    ('0x' || substr(md5(w), 9, 8))::BIGINT AS hlo
+       |  FROM tf),
+       | v AS (SELECT doc_id, $voteCols FROM h GROUP BY doc_id),
+       | sh AS (SELECT doc_id, ${fold(0)} AS sh_lo, ${fold(32)} AS sh_hi FROM v),
+       | banded AS ($chunkRows),
+       | keyed AS (
+       |  SELECT doc_id, sh_lo, sh_hi, chunk, key,
+       |    count(*) OVER wb AS wd,
+       |    min(doc_id) OVER wb AS mn,
+       |    first_value(sh_lo) OVER wo AS m_lo,
+       |    first_value(sh_hi) OVER wo AS m_hi
+       |  FROM banded
+       |  WINDOW wb AS (PARTITION BY chunk, key),
+       |         wo AS (PARTITION BY chunk, key ORDER BY doc_id)),
+       | pr AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.sh_lo AS alo, a.sh_hi AS ahi, b.sh_lo AS blo, b.sh_hi AS bhi
+       |  FROM keyed a JOIN keyed b
+       |    ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+       |  WHERE a.wd <= $MaxBucketWidth
+       |  UNION ALL
+       |  SELECT mn, doc_id, m_lo, m_hi, sh_lo, sh_hi FROM keyed
+       |  WHERE wd > $MaxBucketWidth AND doc_id <> mn)
+       |SELECT DISTINCT a_id, b_id,
+       |  CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS BIGINT)
+       |    AS hamming
+       |FROM pr
+       |WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 8""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q36_minhash_lsh" -> q36OracleSql,
+    "q37_simhash" -> q37OracleSql,
     "q112_target_select" ->
       """WITH iv AS (SELECT vec_id, vec_id % 25 = 0 AS is_ex,
         |   list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS q

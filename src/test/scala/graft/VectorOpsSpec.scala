@@ -146,6 +146,30 @@ class VectorOpsSpec extends SparkSpec {
       s"wide bucket must star-route to the bucket min only, got $pairs")
   }
 
+  test("q37 portable form: same structural guarantees, md5-slice family") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(collect(VectorOps.q37SimhashPortableOn(docs)) ==
+      collect(VectorOps.q37SimhashPortableOn(docs, Int.MaxValue)),
+      "portable family: capped must equal exact at sf0.01")
+    import spark.implicits._
+    val dup = "spark shuffle join window agg scan"
+    val planted = ((1L to 10L).map(i => (i, dup)) :+
+      (20L, "completely different words entirely unrelated body"))
+      .toDF("doc_id", "text")
+    val pairs = collect(VectorOps.q37SimhashPortableOn(planted, maxBucketWidth = 4))
+    assert(pairs == (2L to 10L).map(i => (1L, i, 0L)).toSet,
+      s"identical docs: hamming-0 star edges only, unrelated doc apart: $pairs")
+    // both halves stay in [0, 2^32): no sign-bit divergence to port
+    val sh = VectorOps.simhashPortable(planted).collect()
+    sh.foreach { r =>
+      val (lo, hi) = (r.getAs[Long]("sh_lo"), r.getAs[Long]("sh_hi"))
+      assert(lo >= 0L && lo < (1L << 32) && hi >= 0L && hi < (1L << 32),
+        s"halves must be unsigned-32 ranged: $lo/$hi")
+    }
+  }
+
   test("q39 bucket cap: capped equals exact at sf0.01; hot buckets star-route") {
     def vecsOf(dir: String) =
       graft.sources.Tables.embeddings(spark, dir)
