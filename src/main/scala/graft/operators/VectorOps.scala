@@ -2533,9 +2533,61 @@ object VectorOps {
        |WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 8""".stripMargin
   }
 
+  /** q39's oracle: the eight seed-42 hyperplanes EMBEDDED as double
+    * list literals (Double.toString round-trips bit-exactly through any
+    * correctly-rounding parser, DuckDB's included), the sign-bit
+    * signature recomputed with the same list_dot_product that q38/q40
+    * proved bit-equal to the DotProduct kernel, then the width-capped
+    * pair kernel with star edges exempt from the cosine threshold —
+    * the full registered semantics, not a relaxation.
+    */
+  private def q39OracleSql: String = {
+    val sigExpr = planes.zipWithIndex.map { case (p, j) =>
+      val lit = "[" + p.map(_.toString).mkString(", ") + "]"
+      s"(CASE WHEN list_dot_product(vec, $lit) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n       |    + ")
+    s"""WITH v AS (
+       |  SELECT vec_id AS doc_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       | n AS (
+       |  SELECT doc_id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM v),
+       | s AS (
+       |  SELECT doc_id, vec, norm,
+       |    $sigExpr AS sig
+       |  FROM n),
+       | keyed AS (
+       |  SELECT doc_id, vec, norm, sig,
+       |    count(*) OVER wb AS wd,
+       |    min(doc_id) OVER wb AS mn,
+       |    first_value(vec) OVER wo AS m_vec,
+       |    first_value(norm) OVER wo AS m_norm
+       |  FROM s
+       |  WINDOW wb AS (PARTITION BY sig),
+       |         wo AS (PARTITION BY sig ORDER BY doc_id)),
+       | pr AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.vec AS a_vec,
+       |    a.norm AS a_norm, b.vec AS b_vec, b.norm AS b_norm,
+       |    false AS is_star
+       |  FROM keyed a JOIN keyed b
+       |    ON a.sig = b.sig AND a.doc_id < b.doc_id
+       |  WHERE a.wd <= $MaxBucketWidth
+       |  UNION ALL
+       |  SELECT mn, doc_id, m_vec, m_norm, vec, norm, true FROM keyed
+       |  WHERE wd > $MaxBucketWidth AND doc_id <> mn),
+       | scored AS (
+       |  SELECT a_id, b_id,
+       |    round(list_dot_product(a_vec, b_vec) / (a_norm * b_norm), 6) AS cos,
+       |    is_star
+       |  FROM pr)
+       |SELECT a_id, b_id, cos FROM scored
+       |WHERE cos >= 0.2 OR is_star""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q36_minhash_lsh" -> q36OracleSql,
     "q37_simhash" -> q37OracleSql,
+    "q39_embed_lsh" -> q39OracleSql,
     "q112_target_select" ->
       """WITH iv AS (SELECT vec_id, vec_id % 25 = 0 AS is_ex,
         |   list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS q
