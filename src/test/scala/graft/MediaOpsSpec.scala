@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.multimodal.MediaOps
+import graft.multimodal.{HeaderCodecs, MediaOps}
 import graft.sources.Tables
 
 class MediaOpsSpec extends SparkSpec {
@@ -191,7 +191,99 @@ class MediaOpsSpec extends SparkSpec {
           .toDF("doc_id", "blob", "mime", "n_bytes")).collect()(0)
       assert(imf.decoded && imf.codec == "imageio")
     } finally MediaOps.resetCodecs()
-    assert(MediaOps.registeredCodecs.map(_.name) == Seq("imageio", "javasound"))
+    assert(MediaOps.registeredCodecs.map(_.name) ==
+      Seq("imageio", "javasound", "mpeg-headers", "ogg-headers"))
+  }
+
+  /** A valid MPEG-1 Layer III 128 kbps 44100 Hz joint-stereo frame chain
+    * built from the public header layout: 0xFF 0xFB 0x90 0x40, frame
+    * length 144·128000/44100 = 417 bytes. */
+  private def plantedMp3(nFrames: Int, id3: Boolean = false): Array[Byte] = {
+    val frame = new Array[Byte](417)
+    frame(0) = 0xFF.toByte; frame(1) = 0xFB.toByte
+    frame(2) = 0x90.toByte; frame(3) = 0x40.toByte
+    java.util.Arrays.fill(frame, 4, 417, 0xAA.toByte)
+    val tag =
+      if (!id3) Array.empty[Byte]
+      else Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 12) ++
+        new Array[Byte](12) // syncsafe size 12
+    tag ++ Array.fill(nFrames)(frame).flatten
+  }
+
+  /** A minimal 2-page Ogg/Vorbis stream: BOS page carrying the Vorbis
+    * identification header (44100 Hz, 2ch, 128 kbps nominal), EOS page
+    * with granule 44100 (= 1.0 s of PCM). CRCs are zero — the header
+    * walk reads structure, not checksums. */
+  private def plantedOgg(): Array[Byte] = {
+    def page(htype: Int, granule: Long, body: Array[Byte]): Array[Byte] = {
+      val h = new Array[Byte](27 + 1)
+      h(0) = 'O'; h(1) = 'g'; h(2) = 'g'; h(3) = 'S'; h(4) = 0
+      h(5) = htype.toByte
+      var i = 0
+      while (i < 8) { h(6 + i) = ((granule >> (8 * i)) & 0xFF).toByte; i += 1 }
+      h(26) = 1; h(27) = body.length.toByte
+      h ++ body
+    }
+    val id = new Array[Byte](30)
+    id(0) = 1; "vorbis".getBytes("US-ASCII").copyToArray(id, 1)
+    id(11) = 2 // channels
+    val rate = 44100; val nom = 128000
+    var i = 0
+    while (i < 4) {
+      id(12 + i) = ((rate >> (8 * i)) & 0xFF).toByte
+      id(20 + i) = ((nom >> (8 * i)) & 0xFF).toByte
+      i += 1
+    }
+    page(0x02, 0L, id) ++ page(0x04, 44100L, Array.fill(10)(0x55.toByte))
+  }
+
+  test("mpeg-headers codec: real frame-header walk — rate/channels/duration/bitrate from the framing") {
+    val f = HeaderCodecs.decodeMpegHeaders(plantedMp3(3)).get
+    assert(f(0) == 44100f && f(1) == 2f, s"rate/channels: ${f.toSeq}")
+    assert(math.abs(f(2) - 3 * 1152f / 44100) < 1e-6, s"duration: ${f(2)}")
+    assert(f(3) == 128f && f(4) == 3f && f(5) == 0f, s"cbr 3 frames: ${f.toSeq}")
+    // ID3v2 prefix skipped, same structure found
+    val g = HeaderCodecs.decodeMpegHeaders(plantedMp3(2, id3 = true)).get
+    assert(g(4) == 2f, s"id3-prefixed chain: ${g.toSeq}")
+    // a lone false sync in arbitrary bytes is refused (chained-pair screen)
+    val noise = Array[Byte](0x41, 0xFF.toByte, 0xFB.toByte, 0x90.toByte,
+      0x40, 0x41, 0x42, 0x43)
+    assert(HeaderCodecs.decodeMpegHeaders(noise).isEmpty)
+    assert(HeaderCodecs.decodeMpegHeaders("words".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("ogg-headers codec: page walk + Vorbis id header — duration from the final granule") {
+    val f = HeaderCodecs.decodeOggHeaders(plantedOgg()).get
+    assert(f(0) == 44100f && f(1) == 2f, s"rate/channels: ${f.toSeq}")
+    assert(f(2) == 1.0f, s"granule 44100 at 44100 Hz = 1 s: ${f(2)}")
+    assert(f(3) == 128f && f(4) == 2f, s"nominal kbps / pages: ${f.toSeq}")
+    assert(HeaderCodecs.decodeOggHeaders("OggX nope".getBytes("UTF-8")).isEmpty)
+    // an Ogg page whose first packet is not a Vorbis id header is refused
+    // (e.g. Theora video in an Ogg container must not fake audio features)
+    val notVorbis = plantedOgg()
+    notVorbis(28) = 0x7F // corrupt the packet-type byte
+    assert(HeaderCodecs.decodeOggHeaders(notVorbis).isEmpty)
+  }
+
+  test("mp3/ogg route through the registry as decoded structural features; video stays stubbed") {
+    import spark.implicits._
+    val mp3 = plantedMp3(3); val ogg = plantedOgg()
+    val media = Seq(
+      (1L, mp3, "audio/mpeg", mp3.length.toLong),
+      (2L, ogg, "audio/ogg", ogg.length.toLong),
+      (3L, "not media".getBytes("UTF-8"), "video/mp4", 9L),
+      // mp3 mime but undecodable bytes: refused by javasound AND the
+      // header parser -> flagged stub, never a fake
+      (4L, "zz".getBytes("UTF-8"), "audio/mpeg", 2L)
+    ).toDF("doc_id", "blob", "mime", "n_bytes")
+    val out = MediaOps.extractFeatures(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(out(1L).decoded && out(1L).codec == "mpeg-headers", s"${out(1L)}")
+    assert(out(1L).features(0) == 44100f && out(1L).features(4) == 3f)
+    assert(out(2L).decoded && out(2L).codec == "ogg-headers", s"${out(2L)}")
+    assert(out(2L).features(2) == 1.0f)
+    assert(!out(3L).decoded && out(3L).codec == "stub")
+    assert(!out(4L).decoded && out(4L).codec == "stub")
   }
 
   /** A deterministic 64×64 gradient PNG; `tweak` nudges a few pixels so
