@@ -1667,8 +1667,12 @@ object TextOps {
         col("sz").as("szb")))
       .filter(col("src_a") < col("src_b"))
     val comb = slice(array_sort(array_union(col("ka"), col("kb"))), 1, k)
-    val both = size(filter(comb, x =>
-      array_contains(col("ka"), x) && array_contains(col("kb"), x)))
+    // hash-set intersections, NOT filter+array_contains: contains is a
+    // linear scan per element, O(k²) per pair — measured 23 s vs 1 s at
+    // k=4096 over sf1.0 (the r16 adversarial-k probe); array_intersect
+    // builds a hash set once per array and stays O(k)
+    val both = size(array_intersect(array_intersect(comb, col("ka")),
+      col("kb")))
     val est = pairs.select(col("src_a"), col("src_b"), col("sza"),
       col("szb"), round(both.cast("double") / size(comb), 4)
         .as("est_jaccard"))
