@@ -159,10 +159,18 @@ object VectorOps {
       markStars: Boolean = false): DataFrame = {
     val bucket = Window.partitionBy(keyCols.map(col): _*)
     // min over struct(doc_id, carry...) is ordered by doc_id first, so it
-    // selects the bucket-min row together with its carried payload
+    // selects the bucket-min row together with its carried payload.
+    // CHECKPOINTED (r16): three consumers read this frame (both sides of
+    // the narrow self-join + the star branch) — without the checkpoint
+    // each re-runs the whole upstream signature lineage, which the r16
+    // plan dump showed as THREE corpus scans + three signature
+    // aggregations (it was invisible while the upstream was a scan-speed
+    // kernel; the portable md5 families made it real work). The frame is
+    // n×bands rows — the cheap thing; the lineage above it is not.
     val keyed = bucketed
       .withColumn("w", count(lit(1)).over(bucket))
       .withColumn("m", min(struct((col("doc_id") +: carry.map(col)): _*)).over(bucket))
+      .localCheckpoint(true)
     val narrow = keyed.filter(col("w") <= maxBucketWidth).drop("w", "m")
     val joinCond = keyCols.map(k => col(s"a.$k") === col(s"b.$k"))
       .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
