@@ -1,17 +1,22 @@
 package graft.multimodal
 
-/** Structural decoders for the codec-less audio containers (mp3/ogg in a
-  * stock JVM): REAL parsers over the public container specs — MPEG-1/2
-  * audio frame headers (ISO/IEC 11172-3 §2.4.1 header layout) and Ogg
-  * pages + the Vorbis identification header (RFC 3533 / Vorbis I spec) —
+/** Structural decoders for the codec-less media containers (mp3/ogg/mp4
+  * in a stock JVM): REAL parsers over the public container specs — MPEG-1/2
+  * audio frame headers (ISO/IEC 11172-3 §2.4.1 header layout), Ogg
+  * pages + the Vorbis identification header (RFC 3533 / Vorbis I spec),
+  * and ISO base-media-file-format boxes (ISO/IEC 14496-12: ftyp/moov/
+  * mvhd/trak/tkhd/hdlr — the mp4/quicktime/m4a family) —
   * producing genuine per-payload features: sample rate, channel count,
-  * duration, bitrate, frame/page counts, all read from the payload's own
-  * framing. What they do NOT do is decode PCM samples (that needs a DSP
-  * codec this JVM lacks), so rms/peak/zero-cross stay zero and the codec
+  * duration, bitrate, frame/page/track counts, video dimensions, all
+  * read from the payload's own
+  * framing. What they do NOT do is decode PCM samples or pixel data
+  * (that needs a DSP/video codec this JVM lacks), so content statistics
+  * stay zero and the codec
   * names say `-headers`: a downstream pipeline can tell "structure
-  * verified, content features present" apart from the JavaSound full
+  * verified, container features present" apart from the JavaSound full
   * decode AND from the byte-stat stub. A payload whose framing does not
-  * parse (no sync run, bad magic) is refused — it falls through the
+  * parse (no sync run, bad magic, malformed box chain) is refused — it
+  * falls through the
   * registry to the flagged stub, never a fake.
   */
 object HeaderCodecs {
@@ -157,6 +162,131 @@ object HeaderCodecs {
       nPages.toFloat, 0f, 0f, 0f))
   }
 
+  // ---- ISO base media file format (mp4/mov/m4a) box walk -----------------
+
+  private def beInt(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+      ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+
+  private def beLong(b: Array[Byte], off: Int): Long =
+    (0 until 8).map(i => (b(off + i) & 0xFFL) << (8 * (7 - i))).reduce(_ | _)
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(Array(b(off), b(off + 1), b(off + 2), b(off + 3)), "ISO-8859-1")
+
+  /** One ISO-BMFF box at `off` inside [off, end): (type, bodyStart,
+    * boxEnd). size==1 → 64-bit largesize follows the type; size==0 →
+    * box runs to `end` (last-box convention). None on a size that
+    * over/under-runs the window — a malformed chain refuses the payload
+    * rather than mis-walking into garbage. */
+  private def boxAt(b: Array[Byte], off: Int, end: Int): Option[(String, Int, Int)] = {
+    if (off + 8 > end) return None
+    val size32 = beInt(b, off)
+    val typ = fourcc(b, off + 4)
+    val (bodyStart, boxEnd) =
+      if (size32 == 1L) {
+        if (off + 16 > end) return None
+        val sz = beLong(b, off + 8)
+        if (sz < 16 || off + sz > end) return None
+        (off + 16, off + sz.toInt)
+      } else if (size32 == 0L) (off + 8, end)
+      else {
+        if (size32 < 8 || off + size32 > end) return None
+        (off + 8, off + size32.toInt)
+      }
+    Some((typ, bodyStart, boxEnd))
+  }
+
+  /** Walk the direct children of [start, end), invoking `f` per box. */
+  private def walkBoxes(b: Array[Byte], start: Int, end: Int)(
+      f: (String, Int, Int) => Unit): Boolean = {
+    var off = start
+    while (off < end) {
+      boxAt(b, off, end) match {
+        case Some((typ, bodyStart, boxEnd)) =>
+          f(typ, bodyStart, boxEnd); off = boxEnd
+        case None => return false
+      }
+    }
+    true
+  }
+
+  /** Walk the ISO-BMFF box tree (mp4/quicktime/m4a family). Requires
+    * `ftyp` as the FIRST box (the standard container sniff) and a
+    * well-formed top-level chain; reads movie duration/timescale from
+    * `moov/mvhd` (version 0 and 1 layouts), per-track presentation
+    * dimensions from `trak/tkhd` (16.16 fixed point), and the
+    * video/audio track split from each track's `mdia/hdlr` handler type
+    * (`vide`/`soun`). Features: [width, height, durationSec, nTracks,
+    * nVideoTracks, nAudioTracks, nTopLevelBoxes, timescale] — width/
+    * height are the largest video track's. Refuses payloads without a
+    * leading ftyp, without a parseable mvhd, or whose box sizes don't
+    * tile their parent exactly.
+    */
+  def decodeBmffHeaders(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (bytes.length < 16) return None
+    val first = boxAt(bytes, 0, bytes.length)
+    if (!first.exists(_._1 == "ftyp")) return None
+    var timescale = 0L
+    var duration = 0L
+    var nTracks = 0
+    var nVideo = 0
+    var nAudio = 0
+    var nTop = 0
+    var (width, height) = (0f, 0f)
+    var sawMvhd = false
+    var innerOk = true // a malformed chain ANYWHERE refuses the payload
+    val wellFormed = walkBoxes(bytes, 0, bytes.length) { (typ, bs, be) =>
+      nTop += 1
+      if (typ == "moov") {
+        innerOk &= walkBoxes(bytes, bs, be) { (t2, b2, e2) =>
+          if (t2 == "mvhd" && e2 - b2 >= 20) {
+            val version = bytes(b2) & 0xFF
+            if (version == 1 && e2 - b2 >= 32) {
+              timescale = beInt(bytes, b2 + 20)
+              duration = beLong(bytes, b2 + 24)
+              sawMvhd = true
+            } else if (version == 0) {
+              timescale = beInt(bytes, b2 + 12)
+              duration = beInt(bytes, b2 + 16)
+              sawMvhd = true
+            }
+          } else if (t2 == "trak") {
+            nTracks += 1
+            var (tw, th) = (0f, 0f)
+            var handler = ""
+            innerOk &= walkBoxes(bytes, b2, e2) { (t3, b3, e3) =>
+              if (t3 == "tkhd") {
+                val version = bytes(b3) & 0xFF
+                // width/height: 16.16 fixed, after version/flags(4) +
+                // times/ids (v0: 20, v1: 32) + reserved/layer/volume/
+                // matrix (52)
+                val wOff = b3 + (if (version == 1) 4 + 32 + 52 else 4 + 20 + 52)
+                if (wOff + 8 <= e3) {
+                  tw = beInt(bytes, wOff).toFloat / 65536f
+                  th = beInt(bytes, wOff + 4).toFloat / 65536f
+                }
+              } else if (t3 == "mdia") {
+                innerOk &= walkBoxes(bytes, b3, e3) { (t4, b4, e4) =>
+                  if (t4 == "hdlr" && e4 - b4 >= 12)
+                    handler = fourcc(bytes, b4 + 8)
+                }
+              }
+            }
+            if (handler == "vide") {
+              nVideo += 1
+              if (tw * th > width * height) { width = tw; height = th }
+            } else if (handler == "soun") nAudio += 1
+          }
+        }
+      }
+    }
+    if (!wellFormed || !innerOk || !sawMvhd || timescale <= 0) None
+    else Some(Array(width, height, duration.toFloat / timescale,
+      nTracks.toFloat, nVideo.toFloat, nAudio.toFloat, nTop.toFloat,
+      timescale.toFloat))
+  }
+
   /** MPEG-audio frame-header codec: claims the mp3 mimes JavaSound
     * refuses in a stock JVM. */
   object MpegHeaderCodec extends MediaOps.MediaCodec {
@@ -174,5 +304,17 @@ object HeaderCodecs {
       mime == "audio/ogg" || mime == "application/ogg" || mime == "audio/vorbis"
     def decode(bytes: Array[Byte]): Option[Array[Float]] =
       decodeOggHeaders(bytes)
+  }
+
+  /** ISO-BMFF box codec: the mp4/quicktime video family plus the m4a
+    * audio siblings (identical box structure; audio payloads simply
+    * report zero dimensions and nVideoTracks=0). */
+  object BmffHeaderCodec extends MediaOps.MediaCodec {
+    val name = "bmff-headers"
+    def claims(mime: String): Boolean =
+      mime == "video/mp4" || mime == "video/quicktime" ||
+        mime == "audio/mp4" || mime == "audio/x-m4a"
+    def decode(bytes: Array[Byte]): Option[Array[Float]] =
+      decodeBmffHeaders(bytes)
   }
 }

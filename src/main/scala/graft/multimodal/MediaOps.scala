@@ -13,11 +13,13 @@ import graft.sources.Tables
   * local batches. Image payloads decode for REAL through the JDK's
   * ImageIO registry (png/bmp/gif/jpeg need no native codec); audio
   * payloads decode for REAL through `javax.sound.sampled` (WAV/PCM needs
-  * no native codec — r14); mp3/ogg payloads route to REAL
+  * no native codec — r14); mp3/ogg/mp4 payloads route to REAL
   * structural parsers ([[HeaderCodecs]], r16: MPEG frame-header walk,
-  * Ogg page walk + Vorbis id header — rate/channels/duration/bitrate
-  * from the payload's own framing, PCM stats honestly zero); payloads
-  * nothing claims — video containers in this JVM — fall back to a
+  * Ogg page walk + Vorbis id header, ISO-BMFF box walk for the
+  * mp4/quicktime/m4a family — rate/channels/duration/bitrate/dimensions/
+  * track counts from the payload's own framing, content stats honestly
+  * zero); payloads
+  * nothing claims — exotic containers in this JVM — fall back to a
   * deterministic byte-statistics stub, so the Spark-side contract (schema, batch
   * shape, partitioning, fixed-width feature output) is exercised
   * end-to-end either way. The kernel table is the [[MediaCodec]]
@@ -285,11 +287,13 @@ object MediaOps {
   }
 
   // header parsers come AFTER the full decoders: a JVM that gains a real
-  // mp3/ogg PCM codec (JavaSound SPI on the classpath) wins the route,
-  // and the structural parse is the fallback before the byte-stat stub
+  // mp3/ogg/mp4 codec (JavaSound/ImageIO SPI on the classpath) wins the
+  // route, and the structural parse is the fallback before the byte-stat
+  // stub
   private val builtinCodecs: Seq[MediaCodec] =
     Seq(ImageIOCodec, JavaSoundCodec,
-      HeaderCodecs.MpegHeaderCodec, HeaderCodecs.OggHeaderCodec)
+      HeaderCodecs.MpegHeaderCodec, HeaderCodecs.OggHeaderCodec,
+      HeaderCodecs.BmffHeaderCodec)
   @volatile private var codecTable: Seq[MediaCodec] = builtinCodecs
 
   /** Register a codec AHEAD of the built-ins (and of earlier

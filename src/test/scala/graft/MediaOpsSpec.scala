@@ -192,7 +192,7 @@ class MediaOpsSpec extends SparkSpec {
       assert(imf.decoded && imf.codec == "imageio")
     } finally MediaOps.resetCodecs()
     assert(MediaOps.registeredCodecs.map(_.name) ==
-      Seq("imageio", "javasound", "mpeg-headers", "ogg-headers"))
+      Seq("imageio", "javasound", "mpeg-headers", "ogg-headers", "bmff-headers"))
   }
 
   /** A valid MPEG-1 Layer III 128 kbps 44100 Hz joint-stereo frame chain
@@ -265,16 +265,65 @@ class MediaOpsSpec extends SparkSpec {
     assert(HeaderCodecs.decodeOggHeaders(notVorbis).isEmpty)
   }
 
-  test("mp3/ogg route through the registry as decoded structural features; video stays stubbed") {
+  /** A minimal-but-spec-shaped ISO-BMFF (mp4) payload: ftyp(isom) then
+    * moov{ mvhd v0 (timescale 600, duration 1200 = 2.0 s, full 100-byte
+    * body), video trak{ tkhd (640×360 in 16.16 fixed), mdia{hdlr vide} },
+    * audio trak{ tkhd (0×0), mdia{hdlr soun} } }. Box sizes tile their
+    * parents exactly, as the walker requires. */
+  private def plantedMp4(): Array[Byte] = {
+    def be32(v: Long): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ body
+    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0))
+    // mvhd v0: version/flags + creation + modification + timescale +
+    // duration + rate/volume/reserved/matrix/predefined/next_track
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(600) ++
+      be32(1200) ++ new Array[Byte](80))
+    def tkhd(w: Int, h: Int): Array[Byte] =
+      // version/flags + creation/mod/track_id/reserved/duration (20) +
+      // reserved/layer/alt/volume/reserved/matrix (52) + width + height
+      box("tkhd", be32(0) ++ new Array[Byte](20) ++ new Array[Byte](52) ++
+        be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    def hdlr(kind: String): Array[Byte] =
+      box("hdlr", be32(0) ++ be32(0) ++ kind.getBytes("ISO-8859-1") ++
+        new Array[Byte](12))
+    val vtrak = box("trak", tkhd(640, 360) ++ box("mdia", hdlr("vide")))
+    val atrak = box("trak", tkhd(0, 0) ++ box("mdia", hdlr("soun")))
+    ftyp ++ box("moov", mvhd ++ vtrak ++ atrak)
+  }
+
+  test("bmff-headers codec: box walk — dims/duration/track split from the container") {
+    val f = HeaderCodecs.decodeBmffHeaders(plantedMp4()).get
+    assert(f(0) == 640f && f(1) == 360f, s"video dims: ${f.toSeq}")
+    assert(f(2) == 2.0f, s"duration 1200/600 = 2 s: ${f(2)}")
+    assert(f(3) == 2f && f(4) == 1f && f(5) == 1f,
+      s"2 tracks = 1 video + 1 audio: ${f.toSeq}")
+    assert(f(6) == 2f && f(7) == 600f, s"top boxes / timescale: ${f.toSeq}")
+    // refusals: no leading ftyp; truncated box chain (size over-runs);
+    // arbitrary bytes
+    assert(HeaderCodecs.decodeBmffHeaders(plantedMp4().drop(16)).isEmpty,
+      "moov without a leading ftyp must refuse")
+    assert(HeaderCodecs.decodeBmffHeaders(plantedMp4().dropRight(5)).isEmpty,
+      "a box size that over-runs the payload must refuse")
+    assert(HeaderCodecs.decodeBmffHeaders("not a container".getBytes("UTF-8")).isEmpty)
+    // an ftyp-only payload (no mvhd) is structure without a movie — refused
+    assert(HeaderCodecs.decodeBmffHeaders(plantedMp4().take(16)).isEmpty)
+  }
+
+  test("mp3/ogg/mp4 route through the registry as decoded structural features; undecodable bytes stay stubbed") {
     import spark.implicits._
-    val mp3 = plantedMp3(3); val ogg = plantedOgg()
+    val mp3 = plantedMp3(3); val ogg = plantedOgg(); val mp4 = plantedMp4()
     val media = Seq(
       (1L, mp3, "audio/mpeg", mp3.length.toLong),
       (2L, ogg, "audio/ogg", ogg.length.toLong),
+      // video mime but non-BMFF bytes: claimed by bmff-headers, refused
+      // by the box walk -> flagged stub, never a fake
       (3L, "not media".getBytes("UTF-8"), "video/mp4", 9L),
       // mp3 mime but undecodable bytes: refused by javasound AND the
       // header parser -> flagged stub, never a fake
-      (4L, "zz".getBytes("UTF-8"), "audio/mpeg", 2L)
+      (4L, "zz".getBytes("UTF-8"), "audio/mpeg", 2L),
+      (5L, mp4, "video/mp4", mp4.length.toLong)
     ).toDF("doc_id", "blob", "mime", "n_bytes")
     val out = MediaOps.extractFeatures(spark, media).collect()
       .map(f => f.doc_id -> f).toMap
@@ -284,6 +333,8 @@ class MediaOpsSpec extends SparkSpec {
     assert(out(2L).features(2) == 1.0f)
     assert(!out(3L).decoded && out(3L).codec == "stub")
     assert(!out(4L).decoded && out(4L).codec == "stub")
+    assert(out(5L).decoded && out(5L).codec == "bmff-headers", s"${out(5L)}")
+    assert(out(5L).features(0) == 640f && out(5L).features(2) == 2.0f)
   }
 
   /** A deterministic 64×64 gradient PNG; `tweak` nudges a few pixels so
