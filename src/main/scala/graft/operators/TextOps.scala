@@ -563,6 +563,55 @@ object TextOps {
   def q138PackCard(s: SparkSession, d: String): DataFrame =
     packCard(documents(s, d), 16)
 
+  /** Fill-in-the-middle transform (q141, r16) — Bavarian et al. 2022
+    * ("Efficient Training of Language Models to Fill in the Middle"):
+    * rearrange a fraction of documents into PSM order
+    * (`<PRE> prefix <SUF> suffix <MID> middle`) so an autoregressive LM
+    * learns infilling from plain left-to-right training. Everything is
+    * DETERMINISTIC from the document content alone — the apply decision
+    * (1-in-`rate` by content hash) and both cut points come from the
+    * engine-portable md5 key ([[hashKey]]'s q32/q59 convention), so any
+    * engine, any partitioning, any re-run produces the identical
+    * transformed corpus: cut_a ∈ [1, n-2] and cut_b ∈ [a+1, n-1]
+    * guarantee non-empty prefix/middle/suffix. Docs under 3 tokens or
+    * hash-selected out stay `plain` (whitespace-normalized, null cuts).
+    *
+    * Scale shape: one corpus scan, per-row codegen'd slice/join
+    * arithmetic, ZERO shuffles — the transform composes with any
+    * upstream partitioning and feeds q70-style packing directly.
+    */
+  def fimTransform(docs: DataFrame, rate: Int = 2): DataFrame = {
+    require(rate >= 1, s"fimTransform: rate must be >= 1, got $rate")
+    val n = size(col("ws"))
+    val apply = n >= 3 &&
+      pmod(hashKey(concat(lit("fim:"), col("text"))), lit(rate)) === 0
+    val a = (lit(1) +
+      pmod(hashKey(concat(lit("fima:"), col("text"))), n - 2)).cast("long")
+    val b = (a + 1 +
+      pmod(hashKey(concat(lit("fimb:"), col("text"))), n - 1 - a)).cast("long")
+    docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("ws"))
+      .select(
+        col("doc_id"),
+        when(apply, lit("psm")).otherwise(lit("plain")).as("mode"),
+        n.cast("long").as("n_tokens"),
+        when(apply, a).as("cut_a"),
+        when(apply, b).as("cut_b"),
+        when(apply, concat(
+            lit("<PRE> "), array_join(slice(col("ws"), lit(1), a.cast("int")), " "),
+            lit(" <SUF> "),
+            array_join(slice(col("ws"), (b + 1).cast("int"),
+              (n - b).cast("int")), " "),
+            lit(" <MID> "),
+            array_join(slice(col("ws"), (a + 1).cast("int"),
+              (b - a).cast("int")), " ")))
+          .otherwise(array_join(col("ws"), " ")).as("text_fim"))
+  }
+
+  /** q141: 50% PSM fill-in-the-middle transform over `documents`. */
+  def q141FimTransform(s: SparkSession, d: String): DataFrame =
+    fimTransform(documents(s, d))
+
   /** Packing with a per-language shard fan-out scaled to the corpus: one
     * cheap counting pass (rows per language — bounded by the language
     * count) sizes each language's shard count to keep every window
@@ -1167,6 +1216,56 @@ object TextOps {
   /** q103: per-source template scrub over `documents`. */
   def q103TemplateScrub(s: SparkSession, d: String): DataFrame =
     templateScrub(documents(s, d))
+
+  /** KEEP-FIRST exact-substring dedup (q140, r16) — the third point in
+    * the substring-scrub design space, and the one Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * actually specify: every duplicated n-gram keeps its FIRST corpus
+    * occurrence (min (doc_id, position)) and is scrubbed everywhere
+    * else. Contrast: [[spanScrub]] (q101) removes EVERY occurrence of a
+    * cross-doc span — both copies lose it, destroying the information —
+    * and [[selfScrub]] (q121) keeps first only WITHIN a doc, blind to
+    * the corpus. Keep-first preserves exactly one copy of each
+    * duplicated run, so the corpus still contains every substring it
+    * started with. Like Lee et al.'s character ranges, the kept
+    * occurrence is canonical PER GRAM: a kept gram's tokens can still
+    * be removed by a DIFFERENT overlapping gram whose first occurrence
+    * lives elsewhere — per-gram keep-first, not per-token immunity.
+    * Within-doc repeats scrub too (occurrence 2+ regardless of doc),
+    * matching q121 locally while also deduplicating across docs.
+    *
+    * Scale shape: the q101 discipline — ONE corpus scan into a
+    * checkpointed (doc_id, tokens) frame feeding both the positional
+    * grams and the rebuild; grams travel as xxhash64 keys. The first
+    * occurrence per gram is a gram-keyed `min(struct(doc_id, p))` —
+    * MAP-SIDE COMBINABLE, unlike a row_number window, so a viral
+    * boilerplate gram duplicated in millions of docs partial-aggregates
+    * on every mapper instead of sort-shuffling one hot partition. The
+    * `count >= 2` filter keeps the rejoin side to duplicated grams only
+    * (the minority), and [[rebuildWithoutCovered]] finishes per-doc.
+    */
+  def keepFirstScrub(docs: DataFrame, n: Int = 8): DataFrame = {
+    require(n >= 2, s"keepFirstScrub: span width must be >= 2, got $n")
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("ws"))
+      .localCheckpoint(true)
+    val pos = toks.select(col("doc_id"),
+        posexplode(graft.plans.GraftFunctions.shingles(col("ws"), n)))
+      .select(col("doc_id"), col("pos").as("p"), xxhash64(col("col")).as("g"))
+    val firsts = pos
+      .groupBy("g")
+      .agg(min(struct(col("doc_id"), col("p"))).as("first"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("g"), col("first.doc_id").as("f_doc"), col("first.p").as("f_p"))
+    val rest = pos.join(firsts, "g")
+      .filter(!(col("doc_id") === col("f_doc") && col("p") === col("f_p")))
+      .select("doc_id", "p")
+    rebuildWithoutCovered(toks, rest, n)
+  }
+
+  /** q140: 8-gram keep-first substring scrub over `documents`. */
+  def q140KeepfirstScrub(s: SparkSession, d: String): DataFrame =
+    keepFirstScrub(documents(s, d))
 
   /** Benchmark decontamination SCRUB (q104, r15) — [[decontaminate]]'s
     * detection turned into the surgical action the strictest eval
@@ -2414,6 +2513,8 @@ object TextOps {
     "q103_template_scrub" -> q103TemplateScrub _,
     "q102_templates" -> q102Templates _,
     "q101_span_scrub" -> q101SpanScrub _,
+    "q140_keepfirst_scrub" -> q140KeepfirstScrub _,
+    "q141_fim_transform" -> q141FimTransform _,
     "q100_collocations" -> q100Collocations _,
     "q99_source_overlap" -> q99SourceOverlap _,
     "q97_corpus_card" -> q97CorpusCard _,
@@ -2985,6 +3086,53 @@ object TextOps {
         | CAST(len(t.ws) - coalesce(k.nk, 0) AS BIGINT) AS n_removed,
         | coalesce(k.txt, '') AS text_clean
         |FROM t LEFT JOIN k USING (doc_id)""".stripMargin,
+    "q140_keepfirst_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |   regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+        | g0 AS (SELECT doc_id,
+        |   unnest(list_transform(range(0, greatest(len(ws)-7, 0)),
+        |     i -> array_to_string(ws[i+1:i+8], ' '))) AS g,
+        |   unnest(range(0, greatest(len(ws)-7, 0))) AS i FROM t),
+        | f AS (SELECT g, min(struct_pack(d := doc_id, p := i)) AS fst
+        |       FROM g0 GROUP BY g HAVING count(*) >= 2),
+        | rest AS (SELECT g0.doc_id, g0.i FROM g0 JOIN f USING (g)
+        |          WHERE NOT (g0.doc_id = f.fst.d AND g0.i = f.fst.p)),
+        | cov AS (SELECT DISTINCT rest.doc_id, rest.i + x.o AS p
+        |         FROM rest CROSS JOIN (SELECT unnest(range(0, 8)) AS o) x),
+        | tok AS (SELECT doc_id, unnest(ws) AS w,
+        |         unnest(range(0, len(ws))) AS p FROM t),
+        | kept AS (SELECT tok.doc_id, tok.p, tok.w FROM tok
+        |          LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+        |          WHERE cov.p IS NULL),
+        | k AS (SELECT doc_id, count(*) AS nk,
+        |        string_agg(w, ' ' ORDER BY p) AS txt FROM kept GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+        | CAST(len(t.ws) - coalesce(k.nk, 0) AS BIGINT) AS n_removed,
+        | coalesce(k.txt, '') AS text_clean
+        |FROM t LEFT JOIN k USING (doc_id)""".stripMargin,
+    "q141_fim_transform" ->
+      """WITH t AS (SELECT doc_id, text,
+        |   regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+        | c AS (SELECT doc_id, text, ws, len(ws) AS n,
+        |   (len(ws) >= 3 AND
+        |    ('0x'||substr(md5('fim:'||text),1,8))::BIGINT % 2 = 0) AS app,
+        |   CASE WHEN len(ws) >= 3 THEN
+        |     1 + ('0x'||substr(md5('fima:'||text),1,8))::BIGINT % (len(ws)-2)
+        |   END AS a0 FROM t),
+        | c2 AS (SELECT *, CASE WHEN app THEN
+        |     a0 + 1 + ('0x'||substr(md5('fimb:'||text),1,8))::BIGINT % (n-1-a0)
+        |   END AS b0 FROM c)
+        |SELECT doc_id,
+        | CASE WHEN app THEN 'psm' ELSE 'plain' END AS mode,
+        | CAST(n AS BIGINT) AS n_tokens,
+        | CASE WHEN app THEN CAST(a0 AS BIGINT) END AS cut_a,
+        | CASE WHEN app THEN CAST(b0 AS BIGINT) END AS cut_b,
+        | CASE WHEN app THEN
+        |   '<PRE> '||array_to_string(ws[1:a0], ' ')||
+        |   ' <SUF> '||array_to_string(ws[b0+1:n], ' ')||
+        |   ' <MID> '||array_to_string(ws[a0+1:b0], ' ')
+        |  ELSE array_to_string(ws, ' ') END AS text_fim
+        |FROM c2""".stripMargin,
     "q100_collocations" ->
       """WITH t AS (SELECT doc_id,
         |   regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),

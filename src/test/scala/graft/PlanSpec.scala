@@ -142,7 +142,8 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // the materialization and re-reads 100 TB
     for ((name, df) <- Seq(
         "q101" -> TextOps.q101SpanScrub(spark, sfDir),
-        "q103" -> TextOps.q103TemplateScrub(spark, sfDir))) {
+        "q103" -> TextOps.q103TemplateScrub(spark, sfDir),
+        "q140" -> TextOps.q140KeepfirstScrub(spark, sfDir))) {
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode)
       assert(!plan.contains("FileScan"),
@@ -152,6 +153,14 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         s"$name's cover/rebuild joins must broadcast their bounded sides:\n$plan")
       graft.CacheHygiene.releaseTree(df)
     }
+    // q140's first-occurrence pick must be the map-side-combinable
+    // min(struct) AGGREGATE, never a row_number sort window — a viral
+    // gram duplicated in millions of docs partial-aggregates on every
+    // mapper instead of sort-shuffling one hot partition
+    val p140 = TextOps.q140KeepfirstScrub(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!p140.contains("Window"),
+      s"q140 keep-first must aggregate, not window:\n$p140")
   }
 
   test("q102: the rank runs on the incidence-floored aggregate with group-limit pushdown") {

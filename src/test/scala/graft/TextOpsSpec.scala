@@ -602,6 +602,94 @@ class TextOpsSpec extends SparkSpec {
     assert(run(docs.repartition(5)) == out, "partitioning-independent")
   }
 
+  test("fimTransform: PSM reassembles to the original, cuts stay in bounds, short docs stay plain") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six"),
+      (3L, "just three tokens"),
+      (4L, "two tokens"),          // n < 3: never transformed
+      (5L, "solo"),
+      (6L, "The   Quick  Brown Fox Jumps Over"),  // normalization check
+      (7L, "a b c d e f g h i j k l m n o p")
+    ).toDF("doc_id", "text")
+    val out = TextOps.fimTransform(docs, rate = 1).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for ((id, r) <- out) {
+      val (mode, n, textFim) = (r.getString(1), r.getLong(2), r.getString(5))
+      if (n < 3) {
+        assert(mode == "plain" && r.isNullAt(3) && r.isNullAt(4),
+          s"doc $id short: $r")
+      } else {
+        // rate=1: every eligible doc transforms
+        assert(mode == "psm", s"doc $id: $r")
+        val (a, b) = (r.getLong(3), r.getLong(4))
+        assert(a >= 1 && a <= n - 2 && b >= a + 1 && b <= n - 1,
+          s"doc $id cuts out of bounds: a=$a b=$b n=$n")
+        // <PRE> p <SUF> s <MID> m reassembles to p+m+s = the original
+        val m = "<PRE> (.*) <SUF> (.*) <MID> (.*)".r
+        textFim match {
+          case m(p, sfx, mid) =>
+            assert(p.split(" ").length.toLong == a, s"doc $id |prefix|")
+            assert(mid.split(" ").length.toLong == b - a, s"doc $id |middle|")
+            assert(sfx.split(" ").length.toLong == n - b, s"doc $id |suffix|")
+          case _ => fail(s"doc $id: psm text malformed: $textFim")
+        }
+      }
+    }
+    // PSM segments reassemble to the normalized original, in p+m+s order
+    val norm = docs.select($"doc_id",
+        concat_ws(" ", split(lower(trim($"text")), "\\s+")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, r) <- out if r.getString(1) == "psm") {
+      val m = "<PRE> (.*) <SUF> (.*) <MID> (.*)".r
+      val m(p, sfx, mid) = r.getString(5): @unchecked
+      assert(s"$p $mid $sfx" == norm(id), s"doc $id reassembly")
+    }
+    for ((id, r) <- out if r.getString(1) == "plain")
+      assert(r.getString(5) == norm(id), s"doc $id plain normalization")
+    // default rate=2 selects by content hash: deterministic under
+    // repartitioning, and a varied corpus lands on both modes
+    val d1 = TextOps.fimTransform(docs).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(5))).toSet
+    val d2 = TextOps.fimTransform(docs.repartition(5)).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(5))).toSet
+    assert(d1 == d2, "content-hash selection is partitioning-independent")
+    intercept[IllegalArgumentException](TextOps.fimTransform(docs, rate = 0))
+  }
+
+  test("keepFirstScrub: first corpus occurrence survives, later ones scrub — across AND within docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h x y z"),    // 8-gram "a..h" FIRST here (doc 1, pos 0)
+      (2L, "p q a b c d e f g h r"),    //   same 8-gram again -> scrubbed here
+      (3L, "m1 m2 m3 m4 m5 m6 m7 m8 m1 m2 m3 m4 m5 m6 m7 m8"), // self-repeat
+      (4L, "tiny doc"),                 // < 8 tokens: no grams, untouched
+      (5L, "y1 y2 y3 y4 y5 y6 y7 y8 foo"),   // gram Y first here
+      (7L, "x0 y1 y2 y3 y4 y5 y6 y7 y8"),    // gram X first here; Y repeats
+      (8L, "x0 y1 y2 y3 y4 y5 y6 y7 z")      // gram X repeats here
+    ).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextOps.keepFirstScrub(d).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+        .toMap
+    val out = run(docs)
+    // unlike q101 spanScrub, the FIRST copy keeps the duplicated run intact
+    assert(out(1L) == ((11L, 0L, "a b c d e f g h x y z")), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((11L, 8L, "p q r")), s"doc2: ${out(2L)}")
+    // within-doc repetition scrubs too (global occurrence 2, same doc)
+    assert(out(3L) == ((16L, 8L, "m1 m2 m3 m4 m5 m6 m7 m8")), s"doc3: ${out(3L)}")
+    assert(out(4L) == ((2L, 0L, "tiny doc")), "short docs pass untouched")
+    assert(out(5L) == ((9L, 0L, "y1 y2 y3 y4 y5 y6 y7 y8 foo")), s"doc5: ${out(5L)}")
+    // per-gram keep-first, not per-token immunity: doc7 KEEPS gram X
+    // (x0 y1..y7, first occurrence) but gram Y's scrub (first in doc 5)
+    // removes y1..y8 from it anyway — only x0 survives
+    assert(out(7L) == ((9L, 8L, "x0")), s"doc7: ${out(7L)}")
+    assert(out(8L) == ((9L, 8L, "z")), s"doc8: ${out(8L)}")
+    assert(run(docs.repartition(5)) == out, "partitioning-independent")
+    intercept[IllegalArgumentException](TextOps.keepFirstScrub(docs, n = 1))
+  }
+
   test("sourceTemplates: flooding spans rank by doc incidence; clean sources emit nothing; k caps") {
     import spark.implicits._
     val tpl = "t1 t2 t3 t4 t5"
