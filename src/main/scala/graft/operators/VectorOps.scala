@@ -525,6 +525,55 @@ object VectorOps {
           .as("purity"))
   }
 
+  /** Contrastive hard-negative mining (q143, r16) — the training-PAIR
+    * producer for dense-retrieval / embedding-model training (DPR,
+    * Karpukhin et al. 2020; ANCE, Xiong et al. 2021): for every anchor,
+    * the top-k most-similar DIFFERENT-label corpus vectors (the hard
+    * negatives a contrastive loss learns most from), each tagged
+    * `semihard` when it scores within `marginMicro` (fixed-point 1e-6
+    * units) of the anchor's HARDEST POSITIVE (max same-label cosine,
+    * self excluded) — the FaceNet semi-hard band. The margin compare
+    * runs in integer micro-units on both engines (the house fixed-point
+    * trick), so the flag is bit-portable; an anchor whose label appears
+    * nowhere else gets a null `pos_cos_pp6`/`semihard`, never a fake.
+    *
+    * Scale shape: TWO streaming broadcast passes over the corpus — the
+    * positives pass collapses immediately into an anchors-sized scalar
+    * aggregate (map-side combinable max), the negatives pass feeds the
+    * bounded-heap top-k — deliberately NOT one materialized
+    * anchors×corpus frame (at 100 TB that checkpoint is the corpus
+    * size times the anchor count; two scans with bounded state win).
+    * The pos join back is a broadcast of ≤anchors rows.
+    */
+  def hardNegatives(emb: DataFrame, k: Int = 5, querySpan: Long = 100L,
+      marginMicro: Long = 100000L): DataFrame = {
+    require(k >= 1 && querySpan >= 1 && marginMicro >= 0,
+      s"hardNegatives: bad params k=$k span=$querySpan margin=$marginMicro")
+    val all = withVec(emb)
+    val queries = all.filter(col("vec_id") < querySpan)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("vec").as("q_vec"), col("norm").as("q_norm"))
+    val cos = dot(col("q_vec"), col("vec")) / (col("q_norm") * col("norm"))
+    val cosI = floor(cos * lit(1e6) + lit(0.5)).cast("long")
+    val pos = all.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id") && col("label") === col("q_label"))
+      .groupBy("q_id").agg(max(cosI).as("pos_cos_pp6"))
+    val negs = all.crossJoin(broadcast(queries))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("q_id"), col("q_label"), col("vec_id").as("c_id"),
+        cos.as("cos"), cosI.as("cos_pp6"))
+    rankTopK(negs, "q_id", "c_id", "cos", k = k)
+      .join(broadcast(pos), Seq("q_id"), "left")
+      .select(col("q_id"), col("q_label"), col("c_id"),
+        round(col("cos"), 6).as("cos"), col("rk"), col("pos_cos_pp6"),
+        when(col("pos_cos_pp6").isNotNull,
+          col("cos_pp6") > col("pos_cos_pp6") - marginMicro).as("semihard"))
+  }
+
+  /** q143: top-5 hard negatives for the first 100 anchors. */
+  def q143HardNegatives(s: SparkSession, d: String): DataFrame =
+    hardNegatives(embeddings(s, d))
+
   /** q124: cosine threshold calibration card — the histogram you read
     * the q40/q58 near-dup and q109 SemDeDup thresholds off BEFORE
     * running them: pairwise cosine bucketed (width 1/`bins`) split by
@@ -2413,6 +2462,7 @@ object VectorOps {
     "q39_embed_lsh" -> q39EmbedLsh _,
     "q40_embed_neardup" -> q40EmbedNeardup _,
     "q122_knn_purity" -> q122KnnPurity _,
+    "q143_hard_negatives" -> q143HardNegatives _,
     "q124_cosine_calibration" -> q124CosineCalibration _,
     "q58_neardup_blocked" -> q58NeardupBlocked _,
     "q61_sql_vector" -> q61SqlVector _,
@@ -2681,6 +2731,31 @@ object VectorOps {
         | round(CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS DOUBLE)
         |   / count(*), 4) AS purity
         |FROM r WHERE rk <= 5 GROUP BY 1, 2""".stripMargin,
+    "q143_hard_negatives" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        | n AS (SELECT vec_id, label, vec,
+        |        sqrt(list_dot_product(vec, vec)) AS norm FROM v),
+        | q AS (SELECT vec_id AS q_id, label AS q_label, vec AS q_vec,
+        |        norm AS q_norm FROM n WHERE vec_id < 100),
+        | s AS (SELECT q_id, q_label, n.vec_id AS c_id, n.label AS c_label,
+        |        list_dot_product(q_vec, n.vec) / (q_norm * n.norm) AS cos
+        |       FROM q CROSS JOIN n WHERE n.vec_id <> q_id),
+        | p AS (SELECT q_id,
+        |        max(CAST(floor(cos*1000000+0.5) AS BIGINT)) AS pos_cos_pp6
+        |       FROM s WHERE c_label = q_label GROUP BY 1),
+        | r AS (SELECT q_id, q_label, c_id, cos,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id)
+        |          AS rk
+        |       FROM s WHERE c_label <> q_label)
+        |SELECT r.q_id, r.q_label, r.c_id, round(r.cos, 6) AS cos,
+        | CAST(rk AS BIGINT) AS rk, p.pos_cos_pp6,
+        | CASE WHEN p.pos_cos_pp6 IS NOT NULL THEN
+        |   CAST(floor(r.cos*1000000+0.5) AS BIGINT) > p.pos_cos_pp6 - 100000
+        | END AS semihard
+        |FROM r LEFT JOIN p USING (q_id) WHERE rk <= 5""".stripMargin,
     "q124_cosine_calibration" ->
       """WITH v AS (
         |  SELECT vec_id, label,
