@@ -612,6 +612,63 @@ object TextOps {
   def q141FimTransform(s: SparkSession, d: String): DataFrame =
     fimTransform(documents(s, d))
 
+  /** Span-corruption transform (q142, r16) — Raffel et al. 2020 (T5,
+    * §3.1.4): mask ~`pctTokens`% of each document's tokens in
+    * `spanLen`-token spans; `inputs` carries the text with each span
+    * replaced by a sentinel `<Xj>`, `targets` the sentinel-delimited
+    * span contents closed by a final sentinel — the denoising objective
+    * enc-dec and UL2 training mixes consume, completing the objective-
+    * format trio next to q70's CLM packing and q141's FIM. Stochastic
+    * placement is replaced by the engine-portable md5 arithmetic (the
+    * q141 discipline): the doc partitions into `m = max(1,
+    * ⌊n·pct/(100·L)⌋)` equal segments and span `j` starts at a
+    * hash-picked offset inside segment `j` — non-overlap by
+    * construction, identical corpus on any engine/partitioning/re-run.
+    * Docs under `spanLen` tokens stay `plain` (null spans/targets).
+    *
+    * Scale shape: one corpus scan, per-row slice/flatten arithmetic,
+    * ZERO shuffles.
+    */
+  def spanCorrupt(docs: DataFrame, spanLen: Int = 3,
+      pctTokens: Int = 15): DataFrame = {
+    require(spanLen >= 1 && pctTokens >= 1 && pctTokens <= 100,
+      s"spanCorrupt: bad params spanLen=$spanLen pct=$pctTokens")
+    val n = size(col("ws"))
+    val m = greatest(lit(1),
+      floor(n * pctTokens / lit(100 * spanLen)).cast("int"))
+    val seg = floor(n / m).cast("int")
+    val eligible = n >= spanLen
+    val js = sequence(lit(0), m - 1)
+    def sentinel(j: Column) = concat(lit("<X"), j.cast("string"), lit(">"))
+    def hj(j: Column) =
+      hashKey(concat(lit("sc:"), col("text"), lit(":"), j.cast("string")))
+    def sj(j: Column) = j * seg + pmod(hj(j), (seg - lit(spanLen) + 1).cast("long")).cast("int")
+    val inputsArr = flatten(concat(
+      transform(js, j => concat(
+        slice(col("ws"), j * seg + 1, sj(j) - j * seg),
+        array(sentinel(j)),
+        slice(col("ws"), sj(j) + spanLen + 1,
+          (j + 1) * seg - (sj(j) + spanLen)))),
+      array(slice(col("ws"), m * seg + 1, n - m * seg))))
+    val targetsArr = concat(
+      flatten(transform(js, j =>
+        concat(array(sentinel(j)), slice(col("ws"), sj(j) + 1, lit(spanLen))))),
+      array(sentinel(m)))
+    docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"),
+        when(eligible, lit("t5")).otherwise(lit("plain")).as("mode"),
+        n.cast("long").as("n_tokens"),
+        when(eligible, m.cast("long")).as("n_spans"),
+        when(eligible, array_join(inputsArr, " "))
+          .otherwise(array_join(col("ws"), " ")).as("inputs"),
+        when(eligible, array_join(targetsArr, " ")).as("targets"))
+  }
+
+  /** q142: 15%/3-token span corruption over `documents`. */
+  def q142SpanCorruption(s: SparkSession, d: String): DataFrame =
+    spanCorrupt(documents(s, d))
+
   /** Packing with a per-language shard fan-out scaled to the corpus: one
     * cheap counting pass (rows per language — bounded by the language
     * count) sizes each language's shard count to keep every window
@@ -2515,6 +2572,7 @@ object TextOps {
     "q101_span_scrub" -> q101SpanScrub _,
     "q140_keepfirst_scrub" -> q140KeepfirstScrub _,
     "q141_fim_transform" -> q141FimTransform _,
+    "q142_span_corruption" -> q142SpanCorruption _,
     "q100_collocations" -> q100Collocations _,
     "q99_source_overlap" -> q99SourceOverlap _,
     "q97_corpus_card" -> q97CorpusCard _,
@@ -3133,6 +3191,33 @@ object TextOps {
         |   ' <MID> '||array_to_string(ws[a0+1:b0], ' ')
         |  ELSE array_to_string(ws, ' ') END AS text_fim
         |FROM c2""".stripMargin,
+    "q142_span_corruption" ->
+      """WITH t AS (SELECT doc_id, text,
+        |   regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+        | c AS (SELECT doc_id, text, ws, len(ws) AS n,
+        |   greatest(1, (len(ws)*15) // 300) AS m FROM t),
+        | c2 AS (SELECT *, n // m AS seg, n >= 3 AS elig FROM c),
+        | sp AS (SELECT doc_id, ws, n, m, seg, elig,
+        |   CASE WHEN elig THEN list_transform(range(0, m), j ->
+        |     j*seg + ('0x'||substr(md5('sc:'||text||':'||CAST(j AS VARCHAR)),1,8))::BIGINT
+        |       % (seg - 2)) END AS ss FROM c2)
+        |SELECT doc_id,
+        | CASE WHEN elig THEN 't5' ELSE 'plain' END AS mode,
+        | CAST(n AS BIGINT) AS n_tokens,
+        | CASE WHEN elig THEN CAST(m AS BIGINT) END AS n_spans,
+        | CASE WHEN elig THEN array_to_string(
+        |   flatten(list_transform(range(0, m), j ->
+        |     ws[j*seg+1 : ss[j+1]]
+        |     || ['<X'||CAST(j AS VARCHAR)||'>']
+        |     || ws[ss[j+1]+4 : (j+1)*seg]))
+        |   || ws[m*seg+1 : n], ' ')
+        |  ELSE array_to_string(ws, ' ') END AS inputs,
+        | CASE WHEN elig THEN array_to_string(
+        |   flatten(list_transform(range(0, m), j ->
+        |     ['<X'||CAST(j AS VARCHAR)||'>'] || ws[ss[j+1]+1 : ss[j+1]+3]))
+        |   || ['<X'||CAST(m AS VARCHAR)||'>'], ' ')
+        | END AS targets
+        |FROM sp""".stripMargin,
     "q100_collocations" ->
       """WITH t AS (SELECT doc_id,
         |   regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),

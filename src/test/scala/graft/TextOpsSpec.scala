@@ -658,6 +658,49 @@ class TextOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](TextOps.fimTransform(docs, rate = 0))
   }
 
+  test("spanCorrupt: sentinel splice-back recovers the original; span count and shapes hold") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (0 until 6).map(i => s"t$i").mkString(" ")),   // n=6 -> m=1
+      (2L, (0 until 40).map(i => s"w$i").mkString(" ")),  // n=40 -> m=2
+      (3L, (0 until 100).map(i => s"v$i").mkString(" ")), // n=100 -> m=5
+      (4L, "too short"),                                  // n=2 -> plain
+      (5L, "x y z")                                       // n=3 -> m=1, one full-span doc
+    ).toDF("doc_id", "text")
+    val out = TextOps.spanCorrupt(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(4L).getString(1) == "plain" && out(4L).isNullAt(3) &&
+      out(4L).isNullAt(5) && out(4L).getString(4) == "too short")
+    for (id <- Seq(1L, 2L, 3L, 5L)) {
+      val r = out(id)
+      val (n, m) = (r.getLong(2), r.getLong(3))
+      assert(r.getString(1) == "t5", s"doc $id: $r")
+      assert(m == math.max(1L, n * 15 / 300), s"doc $id span count")
+      val inputs = r.getString(4).split(" ")
+      val targets = r.getString(5).split(" ")
+      assert(inputs.length.toLong == n - m * 3 + m, s"doc $id |inputs|")
+      assert(targets.length.toLong == 4 * m + 1, s"doc $id |targets|")
+      assert(targets.last == s"<X$m>", s"doc $id final sentinel")
+      // splice each sentinel's 3-token span back -> the normalized doc
+      val spans = targets.dropRight(1).grouped(4)
+        .map(g => g.head -> g.tail.toSeq).toMap
+      val rebuilt = inputs.flatMap(t =>
+        if (t.startsWith("<X")) spans(t) else Seq(t)).mkString(" ")
+      val norm = docs.filter($"doc_id" === id)
+        .select(concat_ws(" ", split(lower(trim($"text")), "\\s+")))
+        .collect()(0).getString(0)
+      assert(rebuilt == norm, s"doc $id splice-back")
+      assert(inputs.count(_.startsWith("<X")).toLong == m)
+    }
+    // deterministic under repartitioning
+    val d1 = TextOps.spanCorrupt(docs).collect()
+      .map(r => (r.getLong(0), r.getString(4), r.getString(5))).toSet
+    val d2 = TextOps.spanCorrupt(docs.repartition(4)).collect()
+      .map(r => (r.getLong(0), r.getString(4), r.getString(5))).toSet
+    assert(d1 == d2, "hash placement is partitioning-independent")
+    intercept[IllegalArgumentException](TextOps.spanCorrupt(docs, spanLen = 0))
+  }
+
   test("keepFirstScrub: first corpus occurrence survives, later ones scrub — across AND within docs") {
     import spark.implicits._
     val docs = Seq(
