@@ -731,6 +731,17 @@ class TextOpsSpec extends SparkSpec {
     assert(out(8L) == ((9L, 8L, "z")), s"doc8: ${out(8L)}")
     assert(run(docs.repartition(5)) == out, "partitioning-independent")
     intercept[IllegalArgumentException](TextOps.keepFirstScrub(docs, n = 1))
+    // adversarial viral-gram corpus: 50 identical docs — every gram's
+    // group is 50 wide. The min-id doc survives INTACT (all its grams
+    // are the firsts), every other copy scrubs to empty: exactly one
+    // copy of the information remains, the keep-first contract
+    val viral = (1L to 50L).map(i => (i, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10"))
+      .toDF("doc_id", "text")
+    val vout = run(viral)
+    assert(vout(1L) == ((10L, 0L, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10")),
+      s"min-id copy intact: ${vout(1L)}")
+    assert((2L to 50L).forall(i => vout(i) == ((10L, 10L, ""))),
+      "every later copy scrubs to empty")
   }
 
   test("sourceTemplates: flooding spans rank by doc incidence; clean sources emit nothing; k caps") {
