@@ -99,6 +99,47 @@ object TextOps {
       col("doc_id"), col("lang").as("labeled_lang"),
       langIdExpr(col("text")).as("pred_lang"))
 
+  /** FUSED curation scan (q144, r16) — the deployment form of the
+    * per-doc signal family: fingerprint (q32), token/piece/char counts
+    * (q31), quality score (q33), language guess (q34) and 3-gram
+    * repetition (q66, in its per-row array form) computed in ONE pass.
+    * The individual queries are the per-signal ORACLE INSTRUMENTS; a
+    * 100 TB curation run does not read the corpus six times — it runs
+    * THIS scan once and routes on the bundled columns. Every signal is
+    * the same shared expression the instrument uses ([[fingerprint]],
+    * [[qualityExpr]], [[langIdExpr]]), so the bundle can never drift
+    * from the numbers the instruments verified. Docs too short for
+    * 3-grams carry `n_grams3 = 0` and a null `rep3` (q66 emits no row
+    * for them; the fused scan keeps every doc — downstream routing
+    * needs the doc even when one signal abstains).
+    *
+    * Scale shape: one FileScan, zero Exchanges (plan-pinned) — all
+    * per-row codegen'd regex/array arithmetic, including the
+    * repetition ratio via `array_distinct` on the doc's own grams
+    * instead of q66's corpus-wide explode + groupBy.
+    */
+  def signalBundle(docs: DataFrame): DataFrame = {
+    val grams3 = graft.plans.GraftFunctions.shingles(tokens(col("text")), 3)
+    docs.select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fp"),
+      size(split(trim(col("text")), ws)).cast("long").as("n_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+        .cast("long").as("n_bpe_pieces"),
+      length(col("text")).cast("long").as("n_chars"),
+      qualityExpr(col("text")).as("quality"),
+      langIdExpr(col("text")).as("pred_lang"),
+      size(grams3).cast("long").as("n_grams3"),
+      when(size(grams3) > 0,
+        round(lit(1.0) -
+          size(array_distinct(grams3)).cast("double") / size(grams3), 4))
+        .as("rep3"))
+  }
+
+  /** q144: the fused one-scan signal bundle over `documents`. */
+  def q144SignalBundle(s: SparkSession, d: String): DataFrame =
+    signalBundle(documents(s, d))
+
   /** N-gram (3-shingle) Jaccard near-dup pairs via an inverted-index join:
     * explode distinct shingles → co-group on (shingle, lang) → pair
     * counts → |∩|/|∪| ≥ 0.8. Shingle frequencies are low (unlike raw
@@ -2611,6 +2652,7 @@ object TextOps {
     "q33_quality_score" -> q33QualityScore _,
     "q34_lang_id" -> q34LangId _,
     "q35_ngram_jaccard" -> q35NgramJaccard _,
+    "q144_signal_bundle" -> q144SignalBundle _,
   )
 
   /** The q94 closure as a DuckDB recursive CTE, shared by every oracle
@@ -3681,6 +3723,38 @@ object TextOps {
         | + (1.0 - CAST(len(regexp_extract_all(text,'[.,!?;:]')) AS DOUBLE)
         |    / CAST(length(text) AS DOUBLE))*0.2, 4) AS quality
         |FROM documents""".stripMargin,
+    "q144_signal_bundle" ->
+      """WITH t AS (SELECT doc_id, text,
+        |   regexp_split_to_array(lower(trim(text)), '\s+') AS wl FROM documents),
+        | g AS (SELECT doc_id, text,
+        |   list_transform(range(1, len(wl)-1),
+        |     i -> wl[i]||' '||wl[i+1]||' '||wl[i+2]) AS gl,
+        |   len(regexp_extract_all(' '||lower(text)||' ', ' (the|and|of|to|in|is|that) ')) AS ve,
+        |   len(regexp_extract_all(' '||lower(text)||' ', ' (der|die|und|das|ist|nicht|mit) ')) AS vd,
+        |   len(regexp_extract_all(' '||lower(text)||' ', ' (el|la|de|los|que|y|en) ')) AS vs,
+        |   len(regexp_extract_all(' '||lower(text)||' ', ' (le|la|les|et|des|un|est) ')) AS vf
+        |  FROM t)
+        |SELECT doc_id,
+        | md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_pieces,
+        | CAST(length(text) AS BIGINT) AS n_chars,
+        | round(
+        |  least(CAST(len(regexp_split_to_array(trim(text),'\s+')) AS DOUBLE)/100.0, 1.0)*0.5
+        |  + (CAST(len(regexp_extract_all(' '||lower(text)||' ', ' (the|a|of|and|to|in|is) ')) AS DOUBLE)
+        |     / CAST(len(regexp_split_to_array(trim(text),'\s+')) AS DOUBLE))*0.3
+        |  + (1.0 - CAST(len(regexp_extract_all(text,'[.,!?;:]')) AS DOUBLE)
+        |     / CAST(length(text) AS DOUBLE))*0.2, 4) AS quality,
+        | CASE WHEN ve=0 AND vd=0 AND vs=0 AND vf=0 THEN 'und'
+        |      WHEN ve>=vd AND ve>=vs AND ve>=vf THEN 'en'
+        |      WHEN vd>=vs AND vd>=vf THEN 'de'
+        |      WHEN vs>=vf THEN 'es'
+        |      ELSE 'fr' END AS pred_lang,
+        | CAST(len(gl) AS BIGINT) AS n_grams3,
+        | CASE WHEN len(gl) > 0 THEN
+        |   round(1 - CAST(len(list_distinct(gl)) AS DOUBLE)/len(gl), 4)
+        | END AS rep3
+        |FROM g""".stripMargin,
     "q34_lang_id" ->
       """WITH v AS (SELECT doc_id, lang,
         |  len(regexp_extract_all(' '||lower(text)||' ', ' (the|and|of|to|in|is|that) ')) AS ve,

@@ -658,6 +658,42 @@ class TextOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](TextOps.fimTransform(docs, rate = 0))
   }
 
+  test("signalBundle: one scan, zero exchanges, every signal equals its oracle instrument") {
+    val dir = "/root/testdata/sf0.001"
+    val bundle = TextOps.q144SignalBundle(spark, dir)
+    // the whole point: ONE corpus read, no shuffle anywhere
+    val plan = bundle.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("FileScan")) == 1,
+      s"fused scan must read documents exactly once:\n$plan")
+    assert(!plan.contains("Exchange"), s"per-row signals must not shuffle:\n$plan")
+    val b = bundle.collect().map(r => r.getLong(0) -> r).toMap
+    // cross-check each bundled column against the instrument that
+    // oracles it — the bundle must never drift from the verified numbers
+    val q31 = TextOps.q31TokenCount(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val q32 = TextOps.q32Fingerprint(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val q33 = TextOps.q33QualityScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val q34 = TextOps.q34LangId(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val q66 = TextOps.q66Repetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(b.nonEmpty && b.size >= q66.size)
+    for ((id, r) <- b) {
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) == q31(id), s"q31 drift at $id")
+      assert(r.getString(1) == q32(id), s"q32 drift at $id")
+      assert(r.getDouble(5) == q33(id), s"q33 drift at $id")
+      assert(r.getString(6) == q34(id), s"q34 drift at $id")
+      q66.get(id) match {
+        case Some((ng, rep)) =>
+          assert(r.getLong(7) == ng && r.getDouble(8) == rep, s"q66 drift at $id")
+        case None => // doc too short for 3-grams: q66 emits no row,
+          assert(r.getLong(7) == 0L && r.isNullAt(8), s"short-doc abstain at $id")
+      }
+    }
+  }
+
   test("spanCorrupt: sentinel splice-back recovers the original; span count and shapes hold") {
     import spark.implicits._
     val docs = Seq(
