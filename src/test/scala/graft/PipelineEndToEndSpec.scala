@@ -198,4 +198,64 @@ class PipelineEndToEndSpec extends SparkSpec {
     assert(g1 > 0 && g2 > 0, s"both fresh halves must grow the vocab ($g1, $g2)")
     assert(g3 == 0L, "the re-crawled half must read zero growth")
   }
+
+  test("curation-to-objective chain: fused signals gate, keep-first scrub, FIM transform, pack") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val n0 = docs.count()
+
+    // 1. ONE fused scan produces every routing signal (q144): gate on
+    //    quality >= 0.5 AND sane repetition — the bundle's columns, no
+    //    second corpus read for any signal
+    val signals = TextOps.signalBundle(docs).localCheckpoint(true)
+    assert(signals.count() == n0, "the bundle keeps every doc")
+    val keepIds = signals
+      .filter(col("quality") >= 0.5 &&
+        (col("rep3").isNull || col("rep3") <= 0.5))
+      .select("doc_id")
+    val kept = docs.join(keepIds, "doc_id").localCheckpoint(true)
+    val n1 = kept.count()
+    assert(n1 > 0 && n1 <= n0, s"gate must pass a nonempty subset ($n1/$n0)")
+
+    // 2. keep-first substring scrub over the survivors: token
+    //    conservation per doc, first copies intact (n_removed=0 rows
+    //    exist — the corpus HAS planted near-dups, someone must win)
+    val scrubbed = TextOps.keepFirstScrub(kept).localCheckpoint(true)
+    assert(scrubbed.count() == n1, "scrub keeps every doc row")
+    val badTok = scrubbed.filter(
+      size(split(col("text_clean"), "\\s+")) =!=
+        (col("n_tokens") - col("n_removed")) && col("n_removed") < col("n_tokens"))
+    assert(badTok.count() == 0, "token conservation: kept = total - removed")
+    assert(scrubbed.filter(col("n_removed") === 0).count() > 0,
+      "keep-first must leave winners untouched")
+
+    // 3. FIM transform consumes the scrubbed text directly (the
+    //    rename is the whole adapter — contract compatibility)
+    val fim = TextOps.fimTransform(
+      scrubbed.select(col("doc_id"), col("text_clean").as("text")))
+    val modes = fim.groupBy("mode").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(modes.values.sum == n1, "one objective row per doc")
+    assert(modes.getOrElse("psm", 0L) > 0, s"hash rate must select PSM docs: $modes")
+
+    // 4. pack the transformed rows (lang rejoined from the source —
+    //    packing is language-sharded): every row lands in a pack
+    val packed = TextOps.packOn(
+      fim.select(col("doc_id"), col("text_fim").as("text"))
+        .join(docs.select("doc_id", "lang"), "doc_id"), shards = 4)
+    assert(packed.count() == n1 && packed.filter(col("pack_id").isNull).count() == 0)
+
+    // 5. end-to-end determinism under input repartitioning: the same
+    //    chain over a reshuffled corpus yields the identical packed set
+    val docs2 = docs.repartition(7)
+    val signals2 = TextOps.signalBundle(docs2)
+    val kept2 = docs2.join(signals2.filter(col("quality") >= 0.5 &&
+      (col("rep3").isNull || col("rep3") <= 0.5)).select("doc_id"), "doc_id")
+    val fim2 = TextOps.fimTransform(TextOps.keepFirstScrub(kept2)
+      .select(col("doc_id"), col("text_clean").as("text")))
+    val a = fim.select("doc_id", "mode", "text_fim").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val b = fim2.select("doc_id", "mode", "text_fim").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(a == b, "the chain is deterministic under repartitioning")
+  }
 }
