@@ -769,6 +769,50 @@ object TextOps {
       .filter(col("rk") <= 3)
   }
 
+  /** BM25 term scoring (q145, r16) — Robertson–Spärck Jones / the
+    * Lucene-form Okapi BM25, THE lexical retrieval scorer q78's plain
+    * tf-idf approximates: `idf·(tf·(k1+1))/(tf + k1·(1−b+b·len/avglen))`
+    * with the always-positive idf `ln((N−df+0.5)/(df+0.5)+1)`. The
+    * saturation (k1) and length-normalization (b) terms are what tf-idf
+    * lacks: a term repeated 50× stops mattering more than one repeated
+    * 5×, and long documents stop dominating on raw term mass. Top-k
+    * terms per doc, scores rounded to 6 BEFORE ranking with the term
+    * tie-break (q78's determinism convention — ln and division are
+    * bit-portable, pow is never used).
+    *
+    * Scale shape: identical to q78 — everything derives from the ONE
+    * (doc_id, term) aggregate; the two corpus scalars (doc count, mean
+    * length) ride a 1-row broadcast; the top-k window partitions by
+    * doc_id, never globally.
+    */
+  def bm25(docs: DataFrame, k: Int = 3, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k >= 1 && k1 > 0 && b >= 0 && b <= 1,
+      s"bm25: bad params k=$k k1=$k1 b=$b")
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
+    val dl = tf.groupBy("doc_id").agg(sum("n").as("len"))
+    val stats = dl.agg(count(lit(1)).as("nd"), avg("len").as("avgl"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log((col("nd").cast("double") - col("df") + 0.5) /
+      (col("df") + 0.5) + 1.0)
+    val norm = lit(k1) * (lit(1 - b) + lit(b) * col("len").cast("double") / col("avgl"))
+    val scored = tf.join(dl, "doc_id").join(dfc, "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        round(idf * (col("n") * lit(k1 + 1)) / (col("n") + norm), 6).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** q145: top-3 BM25 terms per doc (k1=1.2, b=0.75, the standard
+    * defaults) over `documents`. */
+  def q145Bm25(s: SparkSession, d: String): DataFrame =
+    bm25(documents(s, d))
+
   /** Deterministic corpus shuffle with a SCALABLE global rank. Training
     * pipelines shuffle the corpus before sharding/packing so adjacent
     * source documents (same crawl host, same dump file) don't land in
@@ -2629,6 +2673,7 @@ object TextOps {
     "q88_curriculum_decile" -> q88CurriculumDecile _,
     "q85_corpus_shuffle" -> q85CorpusShuffle _,
     "q78_tfidf" -> q78Tfidf _,
+    "q145_bm25" -> q145Bm25 _,
     "q69_quality_gate" -> q69QualityGate _,
     "q70_pack" -> q70Pack _,
     "q65_decontaminate" -> q65Decontaminate _,
@@ -3527,6 +3572,27 @@ object TextOps {
         |  SELECT tf.doc_id, tf.term,
         |    round((tf.n * 1.0 / dl.len) * ln(nd.nd * 1.0 / dfc.df), 6) AS score
         |  FROM tf JOIN dl USING (doc_id) JOIN dfc USING (term) CROSS JOIN nd
+        |), ranked AS (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        |  FROM scored
+        |)
+        |SELECT doc_id, term, score, rk FROM ranked WHERE rk <= 3""".stripMargin,
+    "q145_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), toks2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+        |tf AS (SELECT doc_id, term, count(*) AS n FROM toks2 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS len FROM toks2 GROUP BY 1),
+        |stats AS (SELECT count(*) AS nd, avg(len) AS avgl FROM dl),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(
+        |      ln((nd - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+        |        * (tf.n * 2.2)
+        |        / (tf.n + 1.2 * (0.25 + 0.75 * dl.len / avgl)), 6) AS score
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfc USING (term) CROSS JOIN stats
         |), ranked AS (
         |  SELECT doc_id, term, score,
         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk

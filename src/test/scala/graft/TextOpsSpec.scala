@@ -658,6 +658,41 @@ class TextOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](TextOps.fimTransform(docs, rate = 0))
   }
 
+  test("bm25: hand-computed Lucene form, tf saturation, length penalty, deterministic ties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),          // tf(apple)=2, len 3
+      (2L, "apple cherry"),                // len 2
+      (3L, "banana banana banana banana"), // tf saturation case, len 4
+      (4L, "date elderberry fig grape")    // rare terms, len 4
+    ).toDF("doc_id", "text")
+    // reference: the identical formula in the identical operation order
+    def ref(n: Long, len: Long, df: Long, nd: Long, avgl: Double): Double = {
+      val idf = math.log((nd - df + 0.5) / (df + 0.5) + 1.0)
+      val norm = 1.2 * (0.25 + 0.75 * len / avgl)
+      BigDecimal(idf * (n * 2.2) / (n + norm))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val (nd, avgl) = (4L, (3 + 2 + 4 + 4) / 4.0)
+    val out = TextOps.bm25(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(out((1L, "apple")) == ((ref(2, 3, 2, nd, avgl), 1L)), s"${out((1L, "apple"))}")
+    assert(out((1L, "banana")) == ((ref(1, 3, 2, nd, avgl), 2L)))
+    assert(out((3L, "banana")) == ((ref(4, 4, 2, nd, avgl), 1L)))
+    // tf saturation: 4 occurrences score < 4x one occurrence's score
+    assert(ref(4, 4, 2, nd, avgl) < 4 * ref(1, 4, 2, nd, avgl))
+    // length penalty: same tf/df scores lower in a longer doc
+    assert(ref(1, 8, 2, nd, avgl) < ref(1, 2, 2, nd, avgl))
+    // idf is always positive even for a term in every doc (Lucene form)
+    assert(ref(1, 4, 4, nd, avgl) > 0)
+    // doc 4: four distinct df=1 terms tie exactly -> rank by term asc
+    val d4 = TextOps.bm25(docs).filter($"doc_id" === 4L)
+      .orderBy("rk").collect().map(_.getString(1)).toSeq
+    assert(d4 == Seq("date", "elderberry", "fig"), s"tie order: $d4")
+    intercept[IllegalArgumentException](TextOps.bm25(docs, k = 0))
+  }
+
   test("signalBundle: one scan, zero exchanges, every signal equals its oracle instrument") {
     val dir = "/root/testdata/sf0.001"
     val bundle = TextOps.q144SignalBundle(spark, dir)
