@@ -256,7 +256,9 @@ object HeaderCodecs {
             var (tw, th) = (0f, 0f)
             var handler = ""
             innerOk &= walkBoxes(bytes, b2, e2) { (t3, b3, e3) =>
-              if (t3 == "tkhd") {
+              // version/flags must be present before any field read — an
+              // empty-body tkhd is a refusal, not an ArrayIndexOutOfBounds
+              if (t3 == "tkhd" && e3 - b3 >= 4) {
                 val version = bytes(b3) & 0xFF
                 // width/height: 16.16 fixed, after version/flags(4) +
                 // times/ids (v0: 20, v1: 32) + reserved/layer/volume/

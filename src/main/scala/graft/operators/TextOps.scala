@@ -748,14 +748,7 @@ object TextOps {
     * partitions by doc_id, never globally.
     */
   def q78Tfidf(s: SparkSession, d: String): DataFrame = {
-    val toks = documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(length(col("term")) > 0)
-    // everything derives from the ONE (doc_id, term) aggregate: doc
-    // length is the sum of its term counts and the corpus size is the
-    // doc-length frame's row count — no second pass over the exploded
-    // tokens (the raw explode is the expensive frame here)
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
+    val tf = termCounts(documents(s, d))
     val dl = tf.groupBy("doc_id").agg(sum("n").as("len"))
     val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nd = dl.agg(count(lit(1)).as("nd"))
@@ -764,9 +757,30 @@ object TextOps {
       .select(col("doc_id"), col("term"),
         round((col("n").cast("double") / col("len")) *
           log(col("nd").cast("double") / col("df")), 6).as("score"))
+    topTermsPerDoc(scored, 3)
+  }
+
+  /** The (doc_id, term) count frame BOTH lexical scorers (q78 tf-idf,
+    * q145 BM25) derive everything from: raw-space tokens, empty terms
+    * dropped — doc length is the sum of a doc's counts and the corpus
+    * size is the doc-length frame's row count, so there is no second
+    * pass over the exploded tokens (the raw explode is the expensive
+    * frame here). One definition keeps the two scorers' tokenization
+    * from ever diverging.
+    */
+  private def termCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
+
+  /** Shared top-k tail for the lexical scorers: scores are already
+    * round(6) so the (score desc, term asc) order is identical in every
+    * engine; the window partitions by doc_id, never globally.
+    */
+  private def topTermsPerDoc(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 3)
+      .filter(col("rk") <= k)
   }
 
   /** BM25 term scoring (q145, r16) — Robertson–Spärck Jones / the
@@ -789,10 +803,7 @@ object TextOps {
       b: Double = 0.75): DataFrame = {
     require(k >= 1 && k1 > 0 && b >= 0 && b <= 1,
       s"bm25: bad params k=$k k1=$k1 b=$b")
-    val toks = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(length(col("term")) > 0)
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
+    val tf = termCounts(docs)
     val dl = tf.groupBy("doc_id").agg(sum("n").as("len"))
     val stats = dl.agg(count(lit(1)).as("nd"), avg("len").as("avgl"))
     val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -803,9 +814,7 @@ object TextOps {
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("term"),
         round(idf * (col("n") * lit(k1 + 1)) / (col("n") + norm), 6).as("score"))
-    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    topTermsPerDoc(scored, k)
   }
 
   /** q145: top-3 BM25 terms per doc (k1=1.2, b=0.75, the standard

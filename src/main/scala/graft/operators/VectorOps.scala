@@ -529,13 +529,16 @@ object VectorOps {
     * producer for dense-retrieval / embedding-model training (DPR,
     * Karpukhin et al. 2020; ANCE, Xiong et al. 2021): for every anchor,
     * the top-k most-similar DIFFERENT-label corpus vectors (the hard
-    * negatives a contrastive loss learns most from), each tagged
-    * `semihard` when it scores within `marginMicro` (fixed-point 1e-6
-    * units) of the anchor's HARDEST POSITIVE (max same-label cosine,
-    * self excluded) — the FaceNet semi-hard band. The margin compare
-    * runs in integer micro-units on both engines (the house fixed-point
-    * trick), so the flag is bit-portable; an anchor whose label appears
-    * nowhere else gets a null `pos_cos_pp6`/`semihard`, never a fake.
+    * negatives a contrastive loss learns most from), each tagged with
+    * its FaceNet `band` against the anchor's HARDEST POSITIVE (max
+    * same-label cosine, self excluded): `hard` = at or above the
+    * positive (loss-violating), `semihard` = strictly inside the
+    * `marginMicro` band below it (fixed-point 1e-6 units — Schroff
+    * et al. 2015's pos−margin < neg < pos), `easy` = below the band.
+    * The compares run in integer micro-units on both engines (the
+    * house fixed-point trick), so the band is bit-portable; an anchor
+    * whose label appears nowhere else gets a null `pos_cos_pp6`/`band`,
+    * never a fake.
     *
     * Scale shape: TWO streaming broadcast passes over the corpus — the
     * positives pass collapses immediately into an anchors-sized scalar
@@ -566,8 +569,10 @@ object VectorOps {
       .join(broadcast(pos), Seq("q_id"), "left")
       .select(col("q_id"), col("q_label"), col("c_id"),
         round(col("cos"), 6).as("cos"), col("rk"), col("pos_cos_pp6"),
-        when(col("pos_cos_pp6").isNotNull,
-          col("cos_pp6") > col("pos_cos_pp6") - marginMicro).as("semihard"))
+        when(col("pos_cos_pp6").isNull, lit(null).cast("string"))
+          .when(col("cos_pp6") >= col("pos_cos_pp6"), "hard")
+          .when(col("cos_pp6") > col("pos_cos_pp6") - marginMicro, "semihard")
+          .otherwise("easy").as("band"))
   }
 
   /** q143: top-5 hard negatives for the first 100 anchors. */
@@ -2752,9 +2757,12 @@ object VectorOps {
         |       FROM s WHERE c_label <> q_label)
         |SELECT r.q_id, r.q_label, r.c_id, round(r.cos, 6) AS cos,
         | CAST(rk AS BIGINT) AS rk, p.pos_cos_pp6,
-        | CASE WHEN p.pos_cos_pp6 IS NOT NULL THEN
-        |   CAST(floor(r.cos*1000000+0.5) AS BIGINT) > p.pos_cos_pp6 - 100000
-        | END AS semihard
+        | CASE WHEN p.pos_cos_pp6 IS NULL THEN NULL
+        |      WHEN CAST(floor(r.cos*1000000+0.5) AS BIGINT) >= p.pos_cos_pp6
+        |        THEN 'hard'
+        |      WHEN CAST(floor(r.cos*1000000+0.5) AS BIGINT) > p.pos_cos_pp6 - 100000
+        |        THEN 'semihard'
+        |      ELSE 'easy' END AS band
         |FROM r LEFT JOIN p USING (q_id) WHERE rk <= 5""".stripMargin,
     "q124_cosine_calibration" ->
       """WITH v AS (

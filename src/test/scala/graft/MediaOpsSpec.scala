@@ -265,33 +265,11 @@ class MediaOpsSpec extends SparkSpec {
     assert(HeaderCodecs.decodeOggHeaders(notVorbis).isEmpty)
   }
 
-  /** A minimal-but-spec-shaped ISO-BMFF (mp4) payload: ftyp(isom) then
-    * moov{ mvhd v0 (timescale 600, duration 1200 = 2.0 s, full 100-byte
-    * body), video trak{ tkhd (640×360 in 16.16 fixed), mdia{hdlr vide} },
-    * audio trak{ tkhd (0×0), mdia{hdlr soun} } }. Box sizes tile their
-    * parents exactly, as the walker requires. */
-  private def plantedMp4(): Array[Byte] = {
-    def be32(v: Long): Array[Byte] =
-      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
-    def box(typ: String, body: Array[Byte]): Array[Byte] =
-      be32(body.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ body
-    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0))
-    // mvhd v0: version/flags + creation + modification + timescale +
-    // duration + rate/volume/reserved/matrix/predefined/next_track
-    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(600) ++
-      be32(1200) ++ new Array[Byte](80))
-    def tkhd(w: Int, h: Int): Array[Byte] =
-      // version/flags + creation/mod/track_id/reserved/duration (20) +
-      // reserved/layer/alt/volume/reserved/matrix (52) + width + height
-      box("tkhd", be32(0) ++ new Array[Byte](20) ++ new Array[Byte](52) ++
-        be32(w.toLong << 16) ++ be32(h.toLong << 16))
-    def hdlr(kind: String): Array[Byte] =
-      box("hdlr", be32(0) ++ be32(0) ++ kind.getBytes("ISO-8859-1") ++
-        new Array[Byte](12))
-    val vtrak = box("trak", tkhd(640, 360) ++ box("mdia", hdlr("vide")))
-    val atrak = box("trak", tkhd(0, 0) ++ box("mdia", hdlr("soun")))
-    ftyp ++ box("moov", mvhd ++ vtrak ++ atrak)
-  }
+  /** The spec-shaped ISO-BMFF payload — built by the shared
+    * [[BmffFixture]] (one box grammar for every spec that feeds the
+    * walker). Box sizes tile their parents exactly, as the walker
+    * requires. */
+  private def plantedMp4(): Array[Byte] = BmffFixture.plantedMp4()
 
   test("bmff-headers codec: box walk — dims/duration/track split from the container") {
     val f = HeaderCodecs.decodeBmffHeaders(plantedMp4()).get
@@ -309,6 +287,11 @@ class MediaOpsSpec extends SparkSpec {
     assert(HeaderCodecs.decodeBmffHeaders("not a container".getBytes("UTF-8")).isEmpty)
     // an ftyp-only payload (no mvhd) is structure without a movie — refused
     assert(HeaderCodecs.decodeBmffHeaders(plantedMp4().take(16)).isEmpty)
+    // regression (r16 review): a structurally valid chain with an
+    // EMPTY-body tkhd must skip the absent fields, not read past the box
+    val et = HeaderCodecs.decodeBmffHeaders(BmffFixture.emptyTkhdMp4()).get
+    assert(et(2) == 2.0f && et(3) == 1f && et(4) == 1f && et(0) == 0f,
+      s"empty tkhd: track counted via hdlr, no dims, no throw: ${et.toSeq}")
   }
 
   test("mp3/ogg/mp4 route through the registry as decoded structural features; undecodable bytes stay stubbed") {

@@ -155,14 +155,17 @@ class TransformPropertySpec extends SparkSpec {
       } yield (qid, qlab, cid,
         BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
         (i + 1).toLong, posCos,
-        posCos.map(p => math.floor(c * 1e6 + 0.5).toLong > p - 100000L))).toSet
+        posCos.map { p =>
+          val ci = math.floor(c * 1e6 + 0.5).toLong
+          if (ci >= p) "hard" else if (ci > p - 100000L) "semihard" else "easy"
+        })).toSet
       val got = VectorOps.hardNegatives(
         rows.toDF("vec_id", "label", "embedding"), k = 5, querySpan = span)
         .collect().map { r =>
           (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
             r.getLong(4),
             if (r.isNullAt(5)) None else Some(r.getLong(5)),
-            if (r.isNullAt(6)) None else Some(r.getBoolean(6)))
+            if (r.isNullAt(6)) None else Some(r.getString(6)))
         }.toSet
       assert(got == expected, s"seed $seed")
     }
@@ -185,19 +188,13 @@ class TransformPropertySpec extends SparkSpec {
         bytes.length >= 16, "a BMFF parse needs at least ftyp + one box")
     }
     // adversarial truncations of a VALID payload must refuse, not throw:
-    // every prefix of a real box chain either parses or returns None
-    val mp4 = {
-      def be32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte,
-        (v >> 8).toByte, v.toByte)
-      def box(t: String, b: Array[Byte]) =
-        be32(b.length + 8L) ++ t.getBytes("ISO-8859-1") ++ b
-      box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0)) ++
-        box("moov", box("mvhd",
-          be32(0) ++ be32(0) ++ be32(0) ++ be32(600) ++ be32(1200) ++
-            new Array[Byte](80)))
+    // every prefix of a real box chain either parses or returns None.
+    // The shared FULL fixture (with trak/tkhd/mdia) exercises the inner
+    // walks the movie-header-only payload cannot reach.
+    for (mp4 <- Seq(BmffFixture.minimalMp4(), BmffFixture.plantedMp4())) {
+      assert(HeaderCodecs.decodeBmffHeaders(mp4).isDefined)
+      for (cut <- 0 until mp4.length)
+        HeaderCodecs.decodeBmffHeaders(mp4.take(cut)) // must not throw
     }
-    assert(HeaderCodecs.decodeBmffHeaders(mp4).isDefined)
-    for (cut <- 0 until mp4.length)
-      HeaderCodecs.decodeBmffHeaders(mp4.take(cut)) // must not throw
   }
 }

@@ -1059,36 +1059,39 @@ class VectorOpsSpec extends SparkSpec {
       s"$candidates candidates vs $allPairs brute-force pairs — blocking must prune >90%")
   }
 
-  test("hardNegatives: different-label top-k, semihard band vs hardest positive, null-safe lone label") {
+  test("hardNegatives: different-label top-k, hard/semihard/easy bands vs hardest positive, null-safe lone label") {
     import spark.implicits._
     val emb = Seq(
       (0L, "A", Array(1f, 0f)),   // anchor 0
       (1L, "Z", Array(0f, 1f)),   // anchor 1: label Z appears nowhere else
       (10L, "A", Array(1f, 0f)),  // anchor 0's positive, cos 1.0
-      (11L, "B", Array(1f, 1f)),  // cos 1/sqrt(2) to anchor 0
-      (12L, "B", Array(1f, 0f)),  // cos 1.0 to anchor 0 -> semihard negative
-      (13L, "B", Array(0f, 1f))   // cos 0 to anchor 0
+      (11L, "B", Array(1f, 1f)),  // cos 1/sqrt(2) to anchor 0 -> easy
+      (12L, "B", Array(1f, 0f)),  // cos 1.0 to anchor 0 -> HARD (>= positive)
+      (13L, "B", Array(0f, 1f)),  // cos 0 to anchor 0
+      (14L, "B", Array(3f, 1f))   // cos 3/sqrt(10)=.948683 -> SEMIHARD band
     ).toDF("vec_id", "label", "embedding")
     val out = VectorOps.hardNegatives(emb, k = 5, querySpan = 2L)
       .collect().map(r => (r.getLong(0), r.getLong(4)) -> r).toMap
     // anchor 0: hardest positive is id10 at cos 1.0 -> pos_cos_pp6 = 1000000
     val a0 = out((0L, 1L))
     assert(a0.getLong(2) == 12L && a0.getDouble(3) == 1.0 &&
-      a0.getLong(5) == 1000000L && a0.getBoolean(6),
-      s"anchor0 rk1 must be the semihard id12: $a0")
-    assert(out((0L, 2L)).getLong(2) == 11L &&
-      out((0L, 2L)).getDouble(3) == 0.707107 && !out((0L, 2L)).getBoolean(6),
-      s"anchor0 rk2: ${out((0L, 2L))}")
+      a0.getLong(5) == 1000000L && a0.getString(6) == "hard",
+      s"anchor0 rk1: a negative AT the positive is hard, not semihard: $a0")
+    assert(out((0L, 2L)).getLong(2) == 14L &&
+      out((0L, 2L)).getDouble(3) == 0.948683 &&
+      out((0L, 2L)).getString(6) == "semihard",
+      s"anchor0 rk2 sits strictly inside the margin band: ${out((0L, 2L))}")
+    assert(out((0L, 3L)).getLong(2) == 11L &&
+      out((0L, 3L)).getString(6) == "easy", s"anchor0 rk3: ${out((0L, 3L))}")
     // cos-0 ties rank by id: anchor 1 (vec_id 1) before id13
-    assert(out((0L, 3L)).getLong(2) == 1L && out((0L, 4L)).getLong(2) == 13L)
-    assert(!out.contains((0L, 5L)), "only 4 different-label candidates exist")
-    // anchor 1: label Z is unique -> no positive, null pos/semihard; its
-    // negatives still rank (id13 cos 1.0 first, then id11, then ties by id)
+    assert(out((0L, 4L)).getLong(2) == 1L && out((0L, 5L)).getLong(2) == 13L)
+    // anchor 1: label Z is unique -> no positive, null pos/band; its
+    // negatives still rank (id13 cos 1.0 first, then id11, id14, ties by id)
     val a1 = out((1L, 1L))
     assert(a1.getLong(2) == 13L && a1.isNullAt(5) && a1.isNullAt(6), s"$a1")
-    assert(out((1L, 2L)).getLong(2) == 11L)
-    assert(Seq(out((1L, 3L)), out((1L, 4L)), out((1L, 5L))).map(_.getLong(2))
-      == Seq(0L, 10L, 12L), "cos-0 ties break ascending by candidate id")
+    assert(out((1L, 2L)).getLong(2) == 11L && out((1L, 3L)).getLong(2) == 14L)
+    assert(Seq(out((1L, 4L)), out((1L, 5L))).map(_.getLong(2)) == Seq(0L, 10L),
+      "cos-0 ties break ascending by candidate id; k=5 cuts the last tie")
     intercept[IllegalArgumentException](VectorOps.hardNegatives(emb, k = 0))
     // scale pins: queries broadcast against the streamed corpus on both
     // passes, and no stage funnels the scored volume into one partition
