@@ -128,6 +128,10 @@ object Bench {
         graft.operators.Marts.q63Prod(s, dir)),
       "q57prod" -> ((s: SparkSession, dir: String) =>
         graft.operators.VectorOps.q57Prod(s, dir)),
+      // r17: q51 graduated to the portable md5-family hash oracle; the
+      // fused xxhash64 one-pass clustering stays timed here as prod.
+      "q51prod" -> ((s: SparkSession, dir: String) =>
+        graft.operators.VectorOps.q51Prod(s, dir)),
       "q131prod" -> ((s: SparkSession, dir: String) =>
         graft.operators.VectorOps.ivfpqTopk(
           graft.sources.Tables.embeddings(s, dir), instrument = false)))

@@ -71,7 +71,10 @@ object HeaderCodecs {
   /** Walk the frame chain from the first valid sync. Accepts the payload
     * only when ≥2 consecutive frames parse (a lone 0xFFEx bigram in
     * arbitrary bytes is common; a chained pair at the exact computed
-    * frame length is the standard false-sync screen). Features:
+    * frame length is the standard false-sync screen). The rule is
+    * UNCONDITIONAL (r17): a single frame whose computed length happens to
+    * land exactly at EOF is refused too — a real sub-30ms one-frame mp3
+    * is not worth weakening the screen on arbitrary bytes for. Features:
     * [sampleRate, channels, durationSec, avgBitrateKbps, nFrames,
     *  vbr(0/1), 0, 0].
     */
@@ -81,8 +84,7 @@ object HeaderCodecs {
     var first: Option[Frame] = None
     while (first.isEmpty && off + 4 <= bytes.length) {
       frameAt(bytes, off) match {
-        case Some(f) if frameAt(bytes, off + f.length).isDefined ||
-            off + f.length == bytes.length =>
+        case Some(f) if frameAt(bytes, off + f.length).isDefined =>
           first = Some(f)
         case _ => off += 1
       }
@@ -176,10 +178,14 @@ object HeaderCodecs {
 
   /** One ISO-BMFF box at `off` inside [off, end): (type, bodyStart,
     * boxEnd). size==1 → 64-bit largesize follows the type; size==0 →
-    * box runs to `end` (last-box convention). None on a size that
+    * box runs to `end` — but ONLY when `topLevel` (ISO/IEC 14496-12
+    * §4.2 permits size 0 solely for the final top-level box; r17 — a
+    * corrupt INNER box claiming size 0 previously swallowed its
+    * siblings instead of refusing the payload). None on a size that
     * over/under-runs the window — a malformed chain refuses the payload
     * rather than mis-walking into garbage. */
-  private def boxAt(b: Array[Byte], off: Int, end: Int): Option[(String, Int, Int)] = {
+  private def boxAt(b: Array[Byte], off: Int, end: Int,
+      topLevel: Boolean): Option[(String, Int, Int)] = {
     if (off + 8 > end) return None
     val size32 = beInt(b, off)
     val typ = fourcc(b, off + 4)
@@ -189,8 +195,10 @@ object HeaderCodecs {
         val sz = beLong(b, off + 8)
         if (sz < 16 || off + sz > end) return None
         (off + 16, off + sz.toInt)
-      } else if (size32 == 0L) (off + 8, end)
-      else {
+      } else if (size32 == 0L) {
+        if (!topLevel) return None
+        (off + 8, end)
+      } else {
         if (size32 < 8 || off + size32 > end) return None
         (off + 8, off + size32.toInt)
       }
@@ -198,11 +206,12 @@ object HeaderCodecs {
   }
 
   /** Walk the direct children of [start, end), invoking `f` per box. */
-  private def walkBoxes(b: Array[Byte], start: Int, end: Int)(
+  private def walkBoxes(b: Array[Byte], start: Int, end: Int,
+      topLevel: Boolean = false)(
       f: (String, Int, Int) => Unit): Boolean = {
     var off = start
     while (off < end) {
-      boxAt(b, off, end) match {
+      boxAt(b, off, end, topLevel) match {
         case Some((typ, bodyStart, boxEnd)) =>
           f(typ, bodyStart, boxEnd); off = boxEnd
         case None => return false
@@ -225,7 +234,7 @@ object HeaderCodecs {
     */
   def decodeBmffHeaders(bytes: Array[Byte]): Option[Array[Float]] = {
     if (bytes.length < 16) return None
-    val first = boxAt(bytes, 0, bytes.length)
+    val first = boxAt(bytes, 0, bytes.length, topLevel = true)
     if (!first.exists(_._1 == "ftyp")) return None
     var timescale = 0L
     var duration = 0L
@@ -236,7 +245,7 @@ object HeaderCodecs {
     var (width, height) = (0f, 0f)
     var sawMvhd = false
     var innerOk = true // a malformed chain ANYWHERE refuses the payload
-    val wellFormed = walkBoxes(bytes, 0, bytes.length) { (typ, bs, be) =>
+    val wellFormed = walkBoxes(bytes, 0, bytes.length, topLevel = true) { (typ, bs, be) =>
       nTop += 1
       if (typ == "moov") {
         innerOk &= walkBoxes(bytes, bs, be) { (t2, b2, e2) =>

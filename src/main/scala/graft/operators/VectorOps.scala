@@ -146,31 +146,40 @@ object VectorOps {
       .agg(count(lit(1)).as("n_shared_bands"))
 
   /** THE cap/star-route scaffolding shared by every bucketed pairwise
-    * listing (q36 band buckets, q37 chunk buckets): one window shuffle on
-    * the bucket key annotates width + min row, buckets of bounded width
-    * list pairs exactly, oversized buckets emit star edges
-    * (bucket-min ↔ member) so connectivity survives without the O(width²)
-    * blowup. `carry` columns ride along as `a_<c>`/`b_<c>` for downstream
-    * residual filters. Pair order: `a_id < b_id` on the narrow path, and
-    * the star source is the bucket's smallest doc_id, so it holds on both.
+    * listing (q36 band buckets, q37 chunk buckets): bucket width + min row
+    * come from a map-side-combinable `groupBy(key).agg(count, min(struct))`
+    * joined back on the key (r17 — a Window here buffered each bucket in
+    * ONE task, so a viral band bucket at 100 TB funneled through a single
+    * spilling task just to be MEASURED before star-routing kicked in; the
+    * keyed agg measures it map-side). Buckets of bounded width list pairs
+    * exactly, oversized buckets emit star edges (bucket-min ↔ member) so
+    * connectivity survives without the O(width²) blowup. `carry` columns
+    * ride along as `a_<c>`/`b_<c>` for downstream residual filters. Pair
+    * order: `a_id < b_id` on the narrow path, and the star source is the
+    * bucket's smallest doc_id, so it holds on both.
     */
   private[graft] def widthCappedPairs(bucketed: DataFrame, keyCols: Seq[String],
       carry: Seq[String], maxBucketWidth: Int,
       markStars: Boolean = false): DataFrame = {
-    val bucket = Window.partitionBy(keyCols.map(col): _*)
+    // CHECKPOINTED (r16, reshaped r17): four consumers read the bucketed
+    // rows (the width/min aggregate, both sides of the narrow self-join,
+    // the star branch) — without the checkpoint each re-runs the whole
+    // upstream signature lineage, which the r16 plan dump showed as THREE
+    // corpus scans + three signature aggregations (invisible while the
+    // upstream was a scan-speed kernel; the portable md5 families made it
+    // real work). The frame is n×bands rows — the cheap thing; the lineage
+    // above it is not. Eager on purpose: a lazy checkpoint can't be
+    // release()d safely before first materialization, and concurrent
+    // first-touch from the self-join's two sides would race-recompute the
+    // expensive lineage; the price is that CONSTRUCTING these frames runs
+    // one Spark job (PlanDump/explain callers see it — documented there).
+    val based = bucketed.localCheckpoint(true)
     // min over struct(doc_id, carry...) is ordered by doc_id first, so it
     // selects the bucket-min row together with its carried payload.
-    // CHECKPOINTED (r16): three consumers read this frame (both sides of
-    // the narrow self-join + the star branch) — without the checkpoint
-    // each re-runs the whole upstream signature lineage, which the r16
-    // plan dump showed as THREE corpus scans + three signature
-    // aggregations (it was invisible while the upstream was a scan-speed
-    // kernel; the portable md5 families made it real work). The frame is
-    // n×bands rows — the cheap thing; the lineage above it is not.
-    val keyed = bucketed
-      .withColumn("w", count(lit(1)).over(bucket))
-      .withColumn("m", min(struct((col("doc_id") +: carry.map(col)): _*)).over(bucket))
-      .localCheckpoint(true)
+    val stats = based.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("w"),
+        min(struct((col("doc_id") +: carry.map(col)): _*)).as("m"))
+    val keyed = based.join(stats, keyCols)
     val narrow = keyed.filter(col("w") <= maxBucketWidth).drop("w", "m")
     val joinCond = keyCols.map(k => col(s"a.$k") === col(s"b.$k"))
       .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
@@ -200,11 +209,39 @@ object VectorOps {
   def q51DedupClusters(s: SparkSession, d: String): DataFrame =
     q51DedupClustersOn(documents(s, d))
 
-  def q51DedupClustersOn(docs: DataFrame): DataFrame = {
-    val banded = bandedSignatures(docs)
-    val bucketMin = banded.withColumn("bucket_min",
-      min("doc_id").over(Window.partitionBy("band", "sig")))
-    bucketMin.groupBy("doc_id")
+  /** r17: the registered form runs on the PORTABLE signature family
+    * ([[minhashSignaturesPortable]]) so the whole chain — per-word hash,
+    * per-family min, band key, bucket min, label min — hash-matches the
+    * DuckDB oracle (the q36/q37/q39 r16 graduation applied to the last
+    * rows-only query on the board). The fused xxhash64 kernel stays as
+    * [[q51Prod]] on the bench board; the clustering semantics are
+    * family-independent and spec-pinned on both.
+    */
+  def q51DedupClustersOn(docs: DataFrame): DataFrame =
+    onePassClusters(bandedSignaturesPortable(docs))
+
+  /** Bench-only PRODUCTION form of q51: fused xxhash64 MinHash kernel —
+    * signatures at scan speed, no per-word md5 explode. */
+  def q51Prod(s: SparkSession, d: String): DataFrame =
+    q51ProdOn(documents(s, d))
+
+  def q51ProdOn(docs: DataFrame): DataFrame =
+    onePassClusters(bandedSignatures(docs))
+
+  /** The shared one-pass band-min clustering kernel: bucket minima via a
+    * map-side-combinable `groupBy(band, sig).agg(min)` joined back on the
+    * band key (r17 — formerly a Window, which buffered each bucket in one
+    * task; a viral bucket at 100 TB is exactly where this operator must
+    * not funnel), then a per-doc min over its buckets. Checkpointed like
+    * [[widthCappedPairs]]: the agg side and the probe side would otherwise
+    * each re-run the signature lineage.
+    */
+  private def onePassClusters(banded: DataFrame): DataFrame = {
+    val based = banded.localCheckpoint(true)
+    val bucketMin = based.groupBy("band", "sig")
+      .agg(min("doc_id").as("bucket_min"))
+    based.join(bucketMin, Seq("band", "sig"))
+      .groupBy("doc_id")
       .agg(min("bucket_min").as("cluster_rep"))
       .withColumn("is_keeper", col("cluster_rep") === col("doc_id"))
   }
@@ -2481,11 +2518,13 @@ object VectorOps {
     "q131_ivfpq" -> q131IvfpqTopk _,
   )
 
-  /** The hash/sketch queries (q37/q39/q51) hash with
-    * engine-specific functions (xxhash64) or are approximate by design —
-    * rows-only checked by the driver, exactly verified by ScalaTest specs.
-    * q36 graduated to a full hash oracle in r16: its registered form runs
-    * on the portable md5-slice family (see [[minhashSignaturesPortable]]).
+  /** Every sketch query on the board now carries a full hash oracle: q36
+    * graduated in r16 (its registered form runs on the portable md5-slice
+    * family, [[minhashSignaturesPortable]]), q37/q39 followed in the same
+    * round with portable SimHash/hyperplane families, and q51 closed the
+    * board in r17 (the one-pass clustering over the same portable band
+    * keys). The fused xxhash64 kernels remain the prod/bench paths
+    * (q35prod/q51prod convention).
     * The exact-cosine queries ARE SQL-expressible: DuckDB list lambdas on
     * double-cast arrays reproduce DotProduct's per-element-upcast double
     * accumulation bit-for-bit, so q38/q40 (and q58, whose blocking has
@@ -2499,7 +2538,13 @@ object VectorOps {
     * counts. Generated, not hand-typed — the 16 family slices come from
     * the same (salt, offset) arithmetic the Spark side uses.
     */
-  private def q36OracleSql: String = {
+  /** The shared DuckDB restatement of the portable banded-signature chain
+    * (md5-slice families → per-doc mins → comma-joined band keys), the CTE
+    * prefix both q36's and q51's oracles build on. Generated, not
+    * hand-typed — the 16 family slices come from the same (salt, offset)
+    * arithmetic the Spark side uses.
+    */
+  private def portableBandedCte: String = {
     val mins = (0 until NumHashes).map { i =>
       s"min(('0x' || substr(h${i / RowsPerBand}, ${1 + 8 * (i % RowsPerBand)}, 8))::BIGINT) AS mh$i"
     }.mkString(", ")
@@ -2520,7 +2565,11 @@ object VectorOps {
        |    md5('2:' || w) AS h2, md5('3:' || w) AS h3
        |  FROM words),
        | sigs AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
-       | banded AS ($bandRows),
+       | banded AS ($bandRows)""".stripMargin
+  }
+
+  private def q36OracleSql: String = {
+    s"""$portableBandedCte,
        | keyed AS (
        |  SELECT doc_id, band, sig,
        |    count(*) OVER (PARTITION BY band, sig) AS wd,
@@ -2537,6 +2586,23 @@ object VectorOps {
        |SELECT a_id, b_id, count(*) AS n_shared_bands
        |FROM pr GROUP BY a_id, b_id""".stripMargin
   }
+
+  /** q51's oracle: the same portable banded chain, then the one-pass
+    * clustering restated relationally — bucket min per (band, sig),
+    * joined back, per-doc min. Mirrors [[onePassClusters]] clause for
+    * clause.
+    */
+  private def q51OracleSql: String =
+    s"""$portableBandedCte,
+       | bm AS (
+       |  SELECT band, sig, min(doc_id) AS bucket_min
+       |  FROM banded GROUP BY band, sig),
+       | j AS (
+       |  SELECT banded.doc_id, bm.bucket_min
+       |  FROM banded JOIN bm USING (band, sig))
+       |SELECT doc_id, min(bucket_min) AS cluster_rep,
+       |  min(bucket_min) = doc_id AS is_keeper
+       |FROM j GROUP BY doc_id""".stripMargin
 
   /** q37's oracle: the full portable SimHash chain in DuckDB — md5
     * hi/lo slices, tf-weighted votes, strict->0 fold into two 32-bit
@@ -2651,6 +2717,7 @@ object VectorOps {
     "q36_minhash_lsh" -> q36OracleSql,
     "q37_simhash" -> q37OracleSql,
     "q39_embed_lsh" -> q39OracleSql,
+    "q51_dedup_clusters" -> q51OracleSql,
     "q112_target_select" ->
       """WITH iv AS (SELECT vec_id, vec_id % 25 = 0 AS is_ex,
         |   list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS q

@@ -78,7 +78,13 @@ object CcnetGate {
     * the language to look up — a label column if the frame has one, or
     * [[TextOps.langIdExpr]] for raw text. Rows whose language is
     * absent from the model — or with no scorable tokens — bucket
-    * `unscored`. */
+    * `unscored`.
+    *
+    * SCHEMA REWRITE: the output's `lang` column is the RESOLVED scoring
+    * language (langCol's verdict) — any caller-supplied `lang` column is
+    * dropped and replaced. A tail drop must be attributable to the
+    * language/LM that scored it; a caller whose input `lang` carries
+    * different semantics must rename it before calling. */
   def scoreBatch(spark: SparkSession, modelPath: String, batch: DataFrame,
       idCol: String, textCol: String, langCol: Column): DataFrame = {
     val vocab = spark.read.parquet(s"$modelPath/vocab")

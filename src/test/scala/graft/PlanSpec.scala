@@ -164,6 +164,30 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("sketch pair/cluster kernels measure buckets map-side: no Window (r17)") {
+    // widthCappedPairs and onePassClusters annotate bucket width/min via
+    // groupBy(key).agg(count, min(struct)) + a key join — never a Window.
+    // A Window here buffers each bucket in ONE task: a viral band bucket
+    // at 100 TB funnels through a single spilling task just to be
+    // MEASURED before star-routing kicks in; the keyed agg is map-side
+    // combinable. Only the (windowless) signature frame is checkpointed,
+    // so the whole kernel is visible in the consumer plan and assertable.
+    for ((name, df) <- Seq(
+        "q36" -> VectorOps.q36MinhashLsh(spark, sfDir),
+        "q37" -> VectorOps.q37Simhash(spark, sfDir),
+        "q39" -> VectorOps.q39EmbedLsh(spark, sfDir),
+        "q51" -> VectorOps.q51DedupClusters(spark, sfDir),
+        "q51prod" -> VectorOps.q51Prod(spark, sfDir))) {
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      assert(!plan.contains("Window"),
+        s"$name bucket width/min must aggregate, not window:\n$plan")
+      assert(plan.contains("HashAggregate"),
+        s"$name: expected the width/min aggregate in:\n$plan")
+      graft.CacheHygiene.releaseTree(df)
+    }
+  }
+
   test("q102: the rank runs on the incidence-floored aggregate with group-limit pushdown") {
     val plan = TextOps.q102Templates(spark, sfDir).queryExecution
       .explainString(org.apache.spark.sql.execution.SimpleMode)

@@ -82,6 +82,29 @@ class VectorOpsSpec extends SparkSpec {
     assert(reps(13L) == 13L)
   }
 
+  test("q51prod (fused xxhash64 family) clusters exact dups like the oracled form") {
+    import spark.implicits._
+    // the prod path differs from the registered q51 only in hash FAMILY;
+    // exact duplicates share every band bucket under ANY family, so on a
+    // planted dup/distinct corpus both forms must agree exactly
+    val docs = Seq(
+      (10L, "spark shuffle join window agg scan"),
+      (11L, "spark shuffle join window agg scan"),
+      (12L, "spark shuffle join window agg scan"),
+      (13L, "totally different content with other words"),
+    ).toDF("doc_id", "text")
+    def reps(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
+    val prod = reps(VectorOps.q51ProdOn(docs))
+    assert(prod == reps(VectorOps.q51DedupClustersOn(docs)))
+    assert(prod == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 13L))
+    // rep minimality holds on real data too (the one-pass min chain can
+    // only ever propagate ids downward)
+    VectorOps.q51Prod(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("cluster_rep") <= r.getAs[Long]("doc_id"))
+    }
+  }
+
   test("converged clustering links components the single pass misses") {
     import spark.implicits._
     // doc 2 bridges 1 and 3 (shares words with both), 1 and 3 share none:
