@@ -298,6 +298,190 @@ object HeaderCodecs {
       timescale.toFloat))
   }
 
+  // ---- FLAC (fLaC marker + STREAMINFO metadata block) ---------------------
+
+  /** Walk the FLAC metadata-block chain from the `fLaC` marker (RFC 9639
+    * §8): STREAMINFO (type 0, 34 bytes) MUST be the first block and
+    * carries rate / channels / bits-per-sample / total samples. Features:
+    * [sampleRate, channels, durationSec, bitsPerSample, nMetadataBlocks,
+    * 0, 0, 0]. Refuses payloads without the marker, whose first block is
+    * not a 34-byte STREAMINFO, whose block chain over-runs the payload,
+    * or whose sample rate is 0 (forbidden for audio streams).
+    */
+  def decodeFlacHeaders(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (bytes.length < 4 + 4 + 34) return None
+    if (!(bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' && bytes(3) == 'C'))
+      return None
+    var off = 4
+    var nBlocks = 0
+    var info = Option.empty[Array[Float]]
+    var last = false
+    while (!last) {
+      if (off + 4 > bytes.length) return None
+      val b0 = bytes(off) & 0xFF
+      last = (b0 & 0x80) != 0
+      val typ = b0 & 0x7F
+      val len = ((bytes(off + 1) & 0xFF) << 16) |
+        ((bytes(off + 2) & 0xFF) << 8) | (bytes(off + 3) & 0xFF)
+      val body = off + 4
+      if (body + len > bytes.length) return None
+      if (nBlocks == 0) {
+        if (typ != 0 || len != 34) return None // STREAMINFO first, exactly
+        // layout after the 10 block/frame-size bytes: 20-bit rate,
+        // 3-bit channels-1, 5-bit bps-1, 36-bit total samples
+        val b10 = bytes(body + 10) & 0xFF
+        val b11 = bytes(body + 11) & 0xFF
+        val b12 = bytes(body + 12) & 0xFF
+        val b13 = bytes(body + 13) & 0xFF
+        val rate = (b10 << 12) | (b11 << 4) | (b12 >> 4)
+        val channels = ((b12 >> 1) & 0x7) + 1
+        val bps = (((b12 & 0x1) << 4) | (b13 >> 4)) + 1
+        val total = ((b13 & 0xFL) << 32) | ((bytes(body + 14) & 0xFFL) << 24) |
+          ((bytes(body + 15) & 0xFFL) << 16) | ((bytes(body + 16) & 0xFFL) << 8) |
+          (bytes(body + 17) & 0xFFL)
+        if (rate == 0) return None
+        info = Some(Array(rate.toFloat, channels.toFloat, total.toFloat / rate,
+          bps.toFloat, 0f, 0f, 0f, 0f))
+      }
+      nBlocks += 1
+      off = body + len
+    }
+    info.map { f => f(4) = nBlocks.toFloat; f }
+  }
+
+  // ---- WebM / Matroska (EBML) ---------------------------------------------
+
+  private val EbmlId = 0x1A45DFA3L
+  private val SegmentId = 0x18538067L
+
+  /** EBML variable-length integer at `off`: (value, width). Element IDs
+    * keep their length-marker bits (the spec's ID space includes them);
+    * sizes clear them. None on a zero lead byte (reserved) or a vint
+    * that over-runs the window.
+    */
+  private def vint(b: Array[Byte], off: Int, end: Int,
+      keepMarker: Boolean): Option[(Long, Int)] = {
+    if (off >= end) return None
+    val first = b(off) & 0xFF
+    if (first == 0) return None
+    val width = Integer.numberOfLeadingZeros(first) - 23 // 1..8
+    if (off + width > end) return None
+    var v: Long = if (keepMarker) first else first & ((1 << (8 - width)) - 1)
+    var i = 1
+    while (i < width) { v = (v << 8) | (b(off + i) & 0xFF); i += 1 }
+    Some((v, width))
+  }
+
+  /** Walk the direct EBML children of [start, end): `f(id, bodyStart,
+    * bodyEnd)` per element. The unknown-size convention (all size bits 1
+    * → element runs to the window's end) is accepted ONLY for Segment —
+    * the one element real muxers stream with unknown size; anywhere else
+    * it would swallow siblings like the BMFF size-0 case (boxAt).
+    */
+  private def ebmlChildren(b: Array[Byte], start: Int, end: Int)(
+      f: (Long, Int, Int) => Unit): Boolean = {
+    var off = start
+    while (off < end) {
+      val (id, idW) = vint(b, off, end, keepMarker = true).getOrElse(return false)
+      val szOff = off + idW
+      val (sz, szW) = vint(b, szOff, end, keepMarker = false).getOrElse(return false)
+      val body = szOff + szW
+      val unknown = sz == (1L << (7 * szW)) - 1
+      if (unknown && id != SegmentId) return false
+      val bodyEnd = if (unknown) end.toLong else body.toLong + sz
+      if (bodyEnd > end || bodyEnd < body) return false
+      f(id, body, bodyEnd.toInt)
+      off = bodyEnd.toInt
+    }
+    true
+  }
+
+  private def ebmlUint(b: Array[Byte], start: Int, end: Int): Long = {
+    var v = 0L
+    var i = start
+    while (i < end) { v = (v << 8) | (b(i) & 0xFF); i += 1 }
+    v
+  }
+
+  private def ebmlFloat(b: Array[Byte], start: Int, end: Int): Float =
+    (end - start) match {
+      case 4 => java.lang.Float.intBitsToFloat(ebmlUint(b, start, end).toInt)
+      case 8 => java.lang.Double.longBitsToDouble(ebmlUint(b, start, end)).toFloat
+      case _ => 0f
+    }
+
+  /** Walk a WebM/Matroska container: EBML header first (DocType must
+    * read `webm` or `matroska`), then the Segment — duration ×
+    * timecode-scale from Info, track type split and the largest video
+    * track's pixel dimensions from Tracks. Features: [pixelWidth,
+    * pixelHeight, durationSec, nTracks, nVideoTracks, nAudioTracks,
+    * nTopLevelElements, timecodeScaleNs] (scale defaults to the spec's
+    * 1,000,000 ns when absent). Refuses payloads not opening with the
+    * EBML element, with a foreign DocType, with malformed vints or
+    * element sizes that over-run, or without a Segment.
+    */
+  def decodeEbmlHeaders(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (bytes.length < 8) return None
+    // the container must OPEN with the EBML header element
+    if (vint(bytes, 0, bytes.length, keepMarker = true).forall(_._1 != EbmlId))
+      return None
+    var docType = ""
+    var sawSegment = false
+    var timecodeScale = 1000000L
+    var duration = 0f
+    var nTracks = 0
+    var nVideo = 0
+    var nAudio = 0
+    var nTop = 0
+    var (width, height) = (0f, 0f)
+    var innerOk = true // a malformed chain ANYWHERE refuses the payload
+    val ok = ebmlChildren(bytes, 0, bytes.length) { (id, bs, be) =>
+      nTop += 1
+      if (id == EbmlId) {
+        innerOk &= ebmlChildren(bytes, bs, be) { (id2, b2, e2) =>
+          if (id2 == 0x4282L) // DocType
+            docType = new String(bytes.slice(b2, e2), "ISO-8859-1")
+        }
+      } else if (id == SegmentId) {
+        sawSegment = true
+        innerOk &= ebmlChildren(bytes, bs, be) { (id2, b2, e2) =>
+          if (id2 == 0x1549A966L) { // Info
+            innerOk &= ebmlChildren(bytes, b2, e2) { (id3, b3, e3) =>
+              if (id3 == 0x2AD7B1L) timecodeScale = ebmlUint(bytes, b3, e3)
+              else if (id3 == 0x4489L) duration = ebmlFloat(bytes, b3, e3)
+            }
+          } else if (id2 == 0x1654AE6BL) { // Tracks
+            innerOk &= ebmlChildren(bytes, b2, e2) { (id3, b3, e3) =>
+              if (id3 == 0xAEL) { // TrackEntry
+                nTracks += 1
+                var typ = 0L
+                var (tw, th) = (0f, 0f)
+                innerOk &= ebmlChildren(bytes, b3, e3) { (id4, b4, e4) =>
+                  if (id4 == 0x83L) typ = ebmlUint(bytes, b4, e4)
+                  else if (id4 == 0xE0L) { // Video
+                    innerOk &= ebmlChildren(bytes, b4, e4) { (id5, b5, e5) =>
+                      if (id5 == 0xB0L) tw = ebmlUint(bytes, b5, e5).toFloat
+                      else if (id5 == 0xBAL) th = ebmlUint(bytes, b5, e5).toFloat
+                    }
+                  }
+                }
+                if (typ == 1L) {
+                  nVideo += 1
+                  if (tw * th > width * height) { width = tw; height = th }
+                } else if (typ == 2L) nAudio += 1
+              }
+            }
+          }
+        }
+      }
+    }
+    if (!ok || !innerOk || !sawSegment || timecodeScale <= 0 ||
+        (docType != "webm" && docType != "matroska")) None
+    else Some(Array(width, height, duration * timecodeScale / 1e9f,
+      nTracks.toFloat, nVideo.toFloat, nAudio.toFloat, nTop.toFloat,
+      timecodeScale.toFloat))
+  }
+
   /** MPEG-audio frame-header codec: claims the mp3 mimes JavaSound
     * refuses in a stock JVM. */
   object MpegHeaderCodec extends MediaOps.MediaCodec {
@@ -327,5 +511,25 @@ object HeaderCodecs {
         mime == "audio/mp4" || mime == "audio/x-m4a"
     def decode(bytes: Array[Byte]): Option[Array[Float]] =
       decodeBmffHeaders(bytes)
+  }
+
+  /** FLAC STREAMINFO codec (r17). */
+  object FlacHeaderCodec extends MediaOps.MediaCodec {
+    val name = "flac-headers"
+    def claims(mime: String): Boolean =
+      mime == "audio/flac" || mime == "audio/x-flac"
+    def decode(bytes: Array[Byte]): Option[Array[Float]] =
+      decodeFlacHeaders(bytes)
+  }
+
+  /** WebM/Matroska EBML codec (r17): the video family's open-container
+    * sibling to the ISO-BMFF walk. */
+  object EbmlHeaderCodec extends MediaOps.MediaCodec {
+    val name = "ebml-headers"
+    def claims(mime: String): Boolean =
+      mime == "video/webm" || mime == "audio/webm" ||
+        mime == "video/x-matroska" || mime == "audio/x-matroska"
+    def decode(bytes: Array[Byte]): Option[Array[Float]] =
+      decodeEbmlHeaders(bytes)
   }
 }

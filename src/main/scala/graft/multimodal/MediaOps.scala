@@ -293,7 +293,8 @@ object MediaOps {
   private val builtinCodecs: Seq[MediaCodec] =
     Seq(ImageIOCodec, JavaSoundCodec,
       HeaderCodecs.MpegHeaderCodec, HeaderCodecs.OggHeaderCodec,
-      HeaderCodecs.BmffHeaderCodec)
+      HeaderCodecs.BmffHeaderCodec, HeaderCodecs.FlacHeaderCodec,
+      HeaderCodecs.EbmlHeaderCodec)
   @volatile private var codecTable: Seq[MediaCodec] = builtinCodecs
 
   /** Register a codec AHEAD of the built-ins (and of earlier

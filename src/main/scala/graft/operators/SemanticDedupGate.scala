@@ -56,6 +56,61 @@ object SemanticDedupGate {
     import spark.implicits._
     cs.map { case (cid, c) => (cid, c.toSeq) }.toDF("cid", "c")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+    // freeze-time assignment baseline: how tightly the reference corpus
+    // fits its own geometry — what [[assignDrift]] compares every later
+    // batch against (the PqDedupGate.writeGeometry discipline)
+    assignHist(reference, cs)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(baselinePath(path))
+  }
+
+  /** The baseline sits BESIDE the centroid table (the table itself is a
+    * plain parquet dir — nothing can nest inside it). */
+  private def baselinePath(centroidsPath: String): String =
+    s"$centroidsPath.assign"
+
+  /** Integer-exact log2 histogram of per-vector assignment distance (d2
+    * to the nearest frozen centroid; bucket = ⌊log2(d2+1)⌋ via binary-
+    * string length, no float in the boundary): ≤64 rows however large
+    * the input — the PqDedupGate.distortionHist shape over the plain
+    * gate's geometry.
+    */
+  private def assignHist(df: DataFrame,
+      centroids: Seq[(Long, Array[Long])]): DataFrame =
+    df.select(VectorOps.bestCentroid(VectorOps.intVec(col("embedding")), centroids)
+        .getField("d2").as("d2"))
+      .select((length(bin(col("d2") + 1)) - 1).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+
+  /** PSI of a batch's centroid-assignment-distance distribution against
+    * the freeze-time baseline — THE staleness signal for the gate's
+    * frozen geometry (r17; the plain-gate analog of
+    * [[PqDedupGate.distortionDrift]]): centroids trained on yesterday's
+    * distribution label tomorrow's shifted embeddings into the wrong
+    * clusters, a near-copy and its stored original stop landing in the
+    * same cluster, and every refusal decision silently degrades — no
+    * individual query errors. Same reading scale as
+    * [[graft.streaming.DriftMonitor]]: <0.1 stable, 0.1–0.25 drifting,
+    * >0.25 re-run [[writeCentroids]] and rebuild the store. One batch
+    * scan into a ≤64-row integer histogram; the PSI arithmetic runs on
+    * the joined histograms only.
+    */
+  def assignDrift(batch: DataFrame, centroidsPath: String): DataFrame = {
+    val spark = batch.sparkSession
+    val centroids = readCentroids(spark, centroidsPath)
+    val p = new Path(baselinePath(centroidsPath))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"SemanticDedupGate: no assignment baseline at $p — this geometry " +
+        "predates the drift probe; re-freeze it with writeCentroids " +
+        "(comparing against a guessed baseline would read noise as drift)")
+    val batchH = assignHist(batch, centroids).withColumnRenamed("n", "nc")
+    val wide = spark.read.parquet(p.toString)
+      .withColumnRenamed("n", "nr")
+      .join(batchH, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("nr", "nc"))
+      .withColumn("__g", lit("semantic"))
+    TextOps.psiFromWide(wide, "__g")
+      .select(col("n_ref"), col("n_cur"), col("psi"))
   }
 
   /** The persisted geometry, collected (k×dims — driver-bounded by the

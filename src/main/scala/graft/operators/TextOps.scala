@@ -2566,6 +2566,70 @@ object TextOps {
     learned.toList
   }
 
+  /** Exact in-memory mirror of [[bpeLearn]] over a collected word-
+    * frequency table: identical pair counting (sum of word counts over
+    * every adjacent occurrence), identical argmax tie-break (count
+    * descending, then (a, b) lexicographically — the orderBy(cnt.desc,
+    * a, b) discipline), identical greedy left-to-right merge
+    * application. This is how a PRODUCTION-size vocabulary trains: the
+    * corpus folds once into the distinct-word frequency table (Zipf
+    * keeps it orders of magnitude below the token stream at any corpus
+    * size — the one distributed job), and the thousand-round merge loop
+    * runs driver-side over that bounded table instead of paying a Spark
+    * job per merge. SentencePiece/HF trainers share the shape: count
+    * distributed, learn local. Equality with the distributed learner is
+    * spec-pinned (BpeEncodeSpec).
+    */
+  def bpeLearnLocal(wordCounts: Seq[(String, Long)], merges: Int): Seq[(String, String)] = {
+    require(merges >= 1, s"bpeLearnLocal: merges must be >= 1, got $merges")
+    // words as mutable symbol buffers; counts ride along
+    val vocab = wordCounts.iterator.filter(_._1.nonEmpty).map { case (w, n) =>
+      val syms = new scala.collection.mutable.ArrayBuffer[String](w.length)
+      var i = 0
+      while (i < w.length) {
+        val cc = Character.charCount(w.codePointAt(i))
+        syms += w.substring(i, i + cc)
+        i += cc
+      }
+      (syms, n)
+    }.toArray
+    val learned = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var exhausted = false
+    while (learned.length < merges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, n) <- vocab) {
+        var j = 0
+        while (j < syms.length - 1) {
+          val p = (syms(j), syms(j + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + n)
+          j += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        for ((p, n) <- counts) {
+          if (best == null || n > best._2 ||
+              (n == best._2 && (p._1 < best._1._1 ||
+                (p._1 == best._1._1 && p._2 < best._1._2)))) best = (p, n)
+        }
+        val (a, b) = best._1
+        learned += ((a, b))
+        val ab = a + b
+        for ((syms, _) <- vocab) {
+          var k = 0
+          while (k < syms.length - 1) {
+            if (syms(k) == a && syms(k + 1) == b) {
+              syms(k) = ab
+              syms.remove(k + 1)
+            } else k += 1
+          }
+        }
+      }
+    }
+    learned.toList
+  }
+
   /** Segment every document with an ordered BPE merge list: each word's
     * characters are fused rule by rule in learned order (on the
     * training corpus this reproduces the trainer's own final state —
@@ -2573,9 +2637,10 @@ object TextOps {
     * and the space-joined segmentation. Pure per-row HOF folds over one
     * corpus scan — zero shuffles. The expression tree grows linearly
     * with the rule count (one nested transform per rule): fine for the
-    * merge-list sizes this surface learns (tens), not for a 30k-merge
-    * production vocabulary — at that size encode with a rank-table
-    * kernel; the LEARNING loop above is the scale-relevant half here.
+    * merge-list sizes this surface learns (tens); the 1k+-merge
+    * production path is the [[graft.plans.BpeEncode]] rank-table kernel
+    * (q146), whose lowest-rank-first loop provably matches this fold on
+    * collision-free tables.
     */
   def bpeSegment(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val base = transform(bpeTokens(col("text")), w => charSyms(w))
@@ -2598,6 +2663,72 @@ object TextOps {
     * greedy `replace` provably matches [[applyMerge]]'s fold). */
   def q115BpeLearn(s: SparkSession, d: String): DataFrame =
     bpeSegment(documents(s, d), bpeLearn(documents(s, d), 2))
+
+  /** Segment with a FROZEN merge table through the rank-table kernel
+    * ([[graft.plans.BpeEncode]]): one corpus scan, zero shuffles, work
+    * per word independent of table size — the production encode path
+    * the fold-based [[bpeSegment]] documents itself unfit for. Output
+    * shape matches q115 (n_symbols + space-joined segmentation); the
+    * symbol stream is flattened across words, which joins to the
+    * identical string.
+    */
+  def bpeEncodeFrozen(docs: DataFrame, rules: Seq[(String, String)]): DataFrame =
+    docs
+      .select(col("doc_id"),
+        // raw tokens, not bpeTokens: the kernel skips empty/null words
+        // itself, and the filter() HOF is CodegenFallback — it alone
+        // would evict this projection from the whole-stage span
+        graft.plans.GraftFunctions.bpe_encode(tokens(col("text")), rules).as("syms"))
+      .select(col("doc_id"),
+        size(col("syms")).cast("long").as("n_symbols"),
+        array_join(col("syms"), " ").as("text_bpe"))
+
+  /** q146: the corpus segmented with the frozen [[BpeMerges]] vocabulary
+    * (64 rules learned once from sf0.01 by the exact driver-side
+    * trainer — the tokenizer-as-artifact discipline; vocab size is the
+    * hyperparameter, the corpus's 31-word vocabulary saturates at 89).
+    * The oracle replays the full encode: every rule applied in rank
+    * order as a bracketed-string replace chain via a recursive CTE over
+    * the distinct words, then rejoined positionally. Sequential replay
+    * equals the kernel's lowest-rank-first because the generator
+    * asserts [[graft.plans.BpeEncode.sequentialCollisionFree]].
+    */
+  def q146BpeEncode(s: SparkSession, d: String): DataFrame =
+    bpeEncodeFrozen(documents(s, d), BpeMerges.Table)
+
+  private def q146OracleSql: String = {
+    val n = BpeMerges.Table.length
+    def sq(x: String) = x.replace("'", "''")
+    val aList = BpeMerges.Table.map(p => s"'${sq(p._1)}'").mkString(", ")
+    val bList = BpeMerges.Table.map(p => s"'${sq(p._2)}'").mkString(", ")
+    s"""WITH RECURSIVE t AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |                w -> length(w) > 0) AS ws FROM documents),
+       | dw AS (SELECT DISTINCT unnest(ws) AS w FROM t),
+       | mr AS (SELECT unnest([$aList]) AS a, unnest([$bList]) AS b,
+       |        unnest(range(1, ${n + 1})) AS r),
+       | enc AS (
+       |  SELECT w, '>' || array_to_string(
+       |      list_transform(range(1, length(w)+1), i -> w[i]), '< >') || '<' AS bw,
+       |    1 AS nxt
+       |  FROM dw
+       |  UNION ALL
+       |  SELECT e.w,
+       |    replace(e.bw, '>'||m.a||'< >'||m.b||'<', '>'||m.a||m.b||'<') AS bw,
+       |    e.nxt + 1
+       |  FROM enc e JOIN mr m ON m.r = e.nxt),
+       | fw AS (SELECT w, regexp_extract_all(bw, '>([^<>]*)<', 1) AS syms
+       |        FROM enc WHERE nxt = ${n + 1}),
+       | wd AS (SELECT doc_id, unnest(ws) AS w,
+       |        unnest(range(1, len(ws)+1)) AS pos FROM t),
+       | per AS (SELECT wd.doc_id, wd.pos, fw.syms FROM wd JOIN fw USING (w)),
+       | agg AS (SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_symbols,
+       |         string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos) AS text_bpe
+       |         FROM per GROUP BY doc_id)
+       |SELECT t.doc_id, coalesce(a.n_symbols, 0) AS n_symbols,
+       |  coalesce(a.text_bpe, '') AS text_bpe
+       |FROM t LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
 
   /** Tokenizer fertility card: per language, symbols-per-token
     * (fertility) and symbols-per-character (compression) after applying
@@ -2650,6 +2781,7 @@ object TextOps {
     "q117_split_leakage" -> q117SplitLeakage _,
     "q116_leak_split" -> q116LeakSplit _,
     "q115_bpe_learn" -> q115BpeLearn _,
+    "q146_bpe_encode" -> q146BpeEncode _,
     "q132_bpe_fertility" -> q132BpeFertility _,
     "q133_gate_health" -> q133GateHealth _,
     "q134_memorization_card" -> q134MemorizationCard _,
@@ -3082,6 +3214,7 @@ object TextOps {
         |        FROM p WHERE pr[1] IS NOT NULL AND pr[2] IS NOT NULL GROUP BY 1,2)
         |SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM pc
         |ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin,
+    "q146_bpe_encode" -> q146OracleSql,
     "q115_bpe_learn" -> BpeOracle.sql(
       """SELECT doc_id,
         |  CAST(coalesce(list_sum(list_transform(syms, s -> len(s))), 0) AS BIGINT) AS n_symbols,

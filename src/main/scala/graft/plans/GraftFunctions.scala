@@ -52,6 +52,12 @@ object GraftFunctions {
   def shingles(tokens: Column, n: Int): Column =
     toCol(Shingles(toExpr(tokens), n))
 
+  /** Rank-table BPE segmentation of a token column: the flattened symbol
+    * stream after applying the ordered merge rules per word. See
+    * [[BpeEncode]]. */
+  def bpe_encode(tokens: Column, rules: Seq[(String, String)]): Column =
+    toCol(BpeEncode(toExpr(tokens), rules.map(_._1).toArray, rules.map(_._2).toArray))
+
   private def intArg(e: Expression, fn: String, pos: Int): Int =
     if (e.foldable) e.eval().asInstanceOf[Number].intValue
     else throw new IllegalArgumentException(s"$fn: argument $pos must be a literal int")

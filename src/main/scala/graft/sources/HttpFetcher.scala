@@ -71,7 +71,45 @@ final class HttpFetcher(
   def fetchIncremental(since: Option[String], page: Int): PacedExtractor.Response =
     fetchPage(page, since.map("date_from" -> _).toMap)
 
-  private def fetchPage(page: Int, extra: Map[String, String]): PacedExtractor.Response = {
+  /** Stage-1 fetch for [[PacedExtractor.runListDetail]]: the same paged
+    * GET, but each returned line is just the item's raw id — the detail
+    * stage re-fetches the full document per id (the reference's
+    * fetch_postings collects the vacancy-ID set before any detail GET,
+    * hh_api.py:205-209).
+    */
+  def fetchIds(page: Int): PacedExtractor.Response =
+    fetchPage(page, Map.empty, idsOnly = true)
+
+  /** Stage-2 fetch for [[PacedExtractor.runListDetail]]: GET
+    * `{baseUrl}/{id}` (the reference's `_fetch_single_vacancy`,
+    * hh_api.py:177-203 — no paging params, same auth header and
+    * 429/401 mapping), the whole response document as ONE staging line
+    * in the bronze contract. The body is re-serialized through the JSON
+    * parser, so a non-JSON 200 fails loudly instead of landing garbage.
+    */
+  def fetchDetail(id: String): PacedExtractor.Response = {
+    val b = HttpRequest.newBuilder(URI.create(s"$baseUrl/${enc(id)}"))
+      .timeout(requestTimeout).GET()
+    tokens.foreach(t => b.header("Authorization", s"Bearer ${t.current()}"))
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    resp.statusCode() match {
+      case 429 => PacedExtractor.Backoff
+      case 401 => PacedExtractor.Unauthorized
+      case 200 =>
+        val o = mapper.createObjectNode()
+        o.put("posting_id", id)
+        o.put("raw_content", mapper.writeValueAsString(mapper.readTree(resp.body())))
+        o.put("source", source)
+        o.put("extracted_at", nowIso())
+        PacedExtractor.Fetched(Seq(mapper.writeValueAsString(o)), hasMore = false)
+      case other =>
+        throw new IllegalStateException(
+          s"HTTP $other from $baseUrl/$id: ${resp.body().take(500)}")
+    }
+  }
+
+  private def fetchPage(page: Int, extra: Map[String, String],
+      idsOnly: Boolean = false): PacedExtractor.Response = {
     val b = HttpRequest.newBuilder(URI.create(url(page, extra)))
       .timeout(requestTimeout).GET()
     tokens.foreach(t => b.header("Authorization", s"Bearer ${t.current()}"))
@@ -90,7 +128,6 @@ final class HttpFetcher(
           if (root.hasNonNull("pages")) root.get("pages").asInt() else page + 1
         val at = nowIso()
         val lines = items.map { item =>
-          val o = mapper.createObjectNode()
           // a missing id is a response-shape surprise: raise like any
           // other (the class contract, mirroring hh_api.py:131's strict
           // parse) - a silently-empty posting_id would corrupt bronze
@@ -99,11 +136,15 @@ final class HttpFetcher(
             .getOrElse(throw new IllegalStateException(
               s"item missing id field '$idField' on $baseUrl page $page: " +
                 mapper.writeValueAsString(item).take(200)))
-          o.put("posting_id", id)
-          o.put("raw_content", mapper.writeValueAsString(item))
-          o.put("source", source)
-          o.put("extracted_at", at)
-          mapper.writeValueAsString(o)
+          if (idsOnly) id
+          else {
+            val o = mapper.createObjectNode()
+            o.put("posting_id", id)
+            o.put("raw_content", mapper.writeValueAsString(item))
+            o.put("source", source)
+            o.put("extracted_at", at)
+            mapper.writeValueAsString(o)
+          }
         }
         PacedExtractor.Fetched(lines, hasMore = page + 1 < pages)
       case other =>

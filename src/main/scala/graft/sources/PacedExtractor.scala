@@ -572,4 +572,137 @@ object PacedExtractor {
     }
     (fetched, exhausted)
   }
+
+  /** Two-stage LIST→DETAIL extract — the reference's intended ingest
+    * shape (finnoio/jobhouse src/extract/hh_api.py:177-231
+    * `fetch_postings`, driven by src/extract/main.py:21): collect the
+    * vacancy-ID frontier from the paged list endpoint, then fetch per-ID
+    * detail documents in bounded-concurrency batches under the SAME
+    * sliding-window limiter, landing detail batches in the staging dir
+    * the gated ingest tails.
+    *
+    * Stage 1 IS the paged loop (`fetchList` returns pages of raw IDs as
+    * lines), landing ID pages under `statePath/ids` with the standard
+    * page-cursor crash contract; when the list exhausts, the
+    * deduplicated first-seen-ordered frontier (the reference collects
+    * IDs into a set, hh_api.py:207-209) is written atomically as
+    * `statePath/frontier` and becomes authoritative — a resume skips the
+    * list stage entirely. Stage 2 walks the frontier in `batchSize`-ID
+    * batches (the reference's batch_size = 10, hh_api.py:216-222): all
+    * IDs of one batch in flight concurrently, each detail GET
+    * limiter-paced with the standard 429-backoff / 401-refresh bounds;
+    * the batch lands as ONE atomic file named by its frontier offset and
+    * only then does the detail cursor step past it.
+    *
+    * Crash contract: killed mid-list → resume at the list page cursor;
+    * killed between frontier write and a batch → frontier reused, cursor
+    * names the first unconfirmed batch, which re-fetches and overwrites
+    * its own deterministic file (idempotent — and the downstream etag
+    * gate drops re-delivered payloads anyway, the [[run]] discipline).
+    *
+    * Deliberate deviation: the reference's detail loop logs-and-SKIPS a
+    * failed vacancy (hh_api.py:225-228); here a detail that exhausts its
+    * retry bounds fails the run with the cursor pinned at its batch — a
+    * silent skip loses corpus rows invisibly, and the resume contract
+    * makes loud failure cheap.
+    *
+    * One frontier per statePath (one extract generation): re-pulls use a
+    * fresh statePath/filePrefix, the [[runIncremental]] generation
+    * discipline. Returns (frontier size, batches landed THIS run).
+    */
+  def runListDetail(spark: SparkSession,
+      fetchList: Int => Response,
+      fetchDetail: String => Response,
+      stagingDir: String, statePath: String, limiter: RateLimiter,
+      batchSize: Int = 10,
+      maxBatches: Int = Int.MaxValue,
+      backoffMs: Long = 5000L,
+      sleepMs: Long => Unit = Thread.sleep,
+      tokens: Option[TokenProvider] = None,
+      maxAuthRetries: Int = 3,
+      maxBackoffs: Int = 60,
+      filePrefix: String = ""): (Int, Int) = {
+    require(batchSize >= 1, "batchSize must be >= 1")
+    require(maxBatches >= 0)
+    val frontierPath = new Path(statePath, "frontier")
+    val frontier: IndexedSeq[String] = readOpt(spark, frontierPath) match {
+      case Some(s) =>
+        if (s.isEmpty) Vector.empty else s.split("\n").toVector
+      case None =>
+        // stage 1: drain the list endpoint through the page loop (its
+        // crash contract); ID pages land under the STATE path — they are
+        // extract state, not bronze payload
+        runPages(spark, fetchList, s"$statePath/ids",
+          s"$statePath/list.cursor", limiter, Int.MaxValue, backoffMs,
+          sleepMs, tokens, maxAuthRetries, maxBackoffs, "")
+        val idDir = new Path(s"$statePath/ids")
+        val f = fs(spark, idDir)
+        val pages =
+          if (!f.exists(idDir)) Seq.empty[Path]
+          else f.listStatus(idDir).map(_.getPath)
+            .filter(_.getName.startsWith("page-")).sortBy(_.getName).toSeq
+        val seen = mutable.LinkedHashSet.empty[String]
+        pages.foreach(p => readOpt(spark, p)
+          .foreach(_.split("\n").foreach(id => if (id.nonEmpty) seen += id)))
+        val ids = seen.toVector
+        writeAtomic(spark, frontierPath, ids.mkString("\n"))
+        ids
+    }
+    var idx = readOpt(spark, new Path(statePath, "detail.cursor"))
+      .map(_.toInt).getOrElse(0)
+    var batches = 0
+    while (idx < frontier.length && batches < maxBatches) {
+      val end = math.min(idx + batchSize, frontier.length)
+      val batch = frontier.slice(idx, end)
+      val lines = new Array[Seq[String]](batch.length)
+      val lock = new Object
+      var failure = Option.empty[Throwable]
+      val threads = batch.zipWithIndex.map { case (id, i) =>
+        new Thread(() => {
+          try {
+            var done = false
+            var authRetries = 0
+            var backoffs = 0
+            while (!done) {
+              limiter.acquire()
+              fetchDetail(id) match {
+                case Backoff =>
+                  backoffs += 1
+                  if (backoffs > maxBackoffs)
+                    throw new IllegalStateException(
+                      s"detail $id still throttled after $maxBackoffs backoffs")
+                  sleepMs(backoffMs)
+                case Unauthorized =>
+                  authRetries += 1
+                  if (authRetries > maxAuthRetries || tokens.isEmpty)
+                    throw new IllegalStateException(
+                      s"detail $id still unauthorized after $maxAuthRetries token refreshes")
+                  tokens.foreach(_.invalidate())
+                case Fetched(ls, _) =>
+                  lines(i) = ls // own slot per thread — no lock needed
+                  done = true
+              }
+            }
+          } catch { case t: Throwable => lock.synchronized {
+            if (failure.isEmpty) failure = Some(t)
+          }}
+        }, s"graft-detail-$id")
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      lock.synchronized(failure).foreach(throw _)
+      // batch content ordered by frontier position, file named by the
+      // batch's frontier offset: a re-fetched batch reproduces the very
+      // same file, byte for byte
+      val all = lines.toSeq.flatten
+      if (all.nonEmpty)
+        writeAtomic(spark,
+          new Path(stagingDir, f"${filePrefix}detail-$idx%06d.jsonl"),
+          all.mkString("", "\n", "\n"))
+      writeAtomic(spark, new Path(statePath, "detail.cursor"), end.toString)
+      idx = end
+      batches += 1
+    }
+    (frontier.length, batches)
+  }
 }

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{BpeMerges, TextOps}
+import graft.plans.{BpeEncode, GraftFunctions}
+
+/** The rank-table BPE encode kernel (q146) against three independent
+  * references: the fold encoder it replaces (small tables), a pure
+  * in-memory sequential encoder (production-size tables the fold can't
+  * build), and the distributed learner (the local trainer must reproduce
+  * it merge for merge).
+  */
+class BpeEncodeSpec extends SparkSpec {
+
+  /** Independent in-memory reference: apply the rules SEQUENTIALLY in
+    * learned order, each rule as applyMerge's greedy left-to-right fold.
+    * Deliberately the naive O(rules × len) formulation — the semantics
+    * spec, not the fast path. */
+  private def refEncode(w: String, rules: Seq[(String, String)]): Seq[String] = {
+    val base = w.map(_.toString)
+    rules.foldLeft(base: Seq[String]) { case (syms, (a, b)) =>
+      syms.foldLeft(List.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.head == a && x == b) (a + b) :: acc.tail
+        else x :: acc
+      }.reverse
+    }
+  }
+
+  private def kernelEncode(words: Seq[String], rules: Seq[(String, String)]): Seq[String] = {
+    import spark.implicits._
+    Seq(words).toDF("toks")
+      .select(GraftFunctions.bpe_encode(col("toks"), rules).as("syms"))
+      .collect()(0).getSeq[String](0)
+  }
+
+  test("kernel matches the fold encoder (bpeSegment) on the real corpus") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val rules = BpeMerges.Table.take(8)
+    val viaKernel = TextOps.bpeEncodeFrozen(docs, rules)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val viaFold = TextOps.bpeSegment(docs, rules)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(viaKernel == viaFold)
+  }
+
+  test("local learner reproduces the distributed learner merge for merge") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val distributed = TextOps.bpeLearn(docs, 5)
+    val wc = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val local = TextOps.bpeLearnLocal(wc, 5)
+    assert(local == distributed, s"local $local vs distributed $distributed")
+  }
+
+  test("production-size table: 1500+ learned merges, kernel == sequential reference") {
+    // deterministic synthetic vocabulary rich enough for 1,500+ merges
+    // (the real corpus holds 31 distinct words and saturates at 89 — the
+    // scale property must be proven on a planted one): 676 four-char
+    // words over a 26-letter alphabet, counts varied to exercise ties
+    val words = for (a <- 'a' to 'z'; b <- 'a' to 'z')
+      yield s"$a$b$a$b$a$b"
+    val wc = words.zipWithIndex.map { case (w, i) => (w, (i % 7 + 1).toLong) }
+    val rules = TextOps.bpeLearnLocal(wc, 1500)
+    assert(rules.length >= 1500, s"only ${rules.length} merges learnable")
+    assert(BpeEncode.sequentialCollisionFree(rules),
+      "planted-table prefix must be collision-free for the equivalence below")
+    val sample = words.zipWithIndex.collect { case (w, i) if i % 13 == 0 => w }
+    val enc = kernelEncode(sample, rules)
+    val ref = sample.flatMap(w => refEncode(w, rules))
+    assert(enc == ref)
+    // and the q115 overlap semantics hold under the big table too
+    assert(kernelEncode(Seq("aaa"), Seq(("a", "a"))) == Seq("aa", "a"))
+  }
+
+  test("frozen-table saturation: learning to exhaustion makes every word one symbol") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val wc = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val full = TextOps.bpeLearnLocal(wc, 10000) // exhausts well below this
+    assert(BpeEncode.sequentialCollisionFree(full))
+    val sat = TextOps.bpeEncodeFrozen(docs, full)
+      .select(sum("n_symbols")).collect()(0).getLong(0)
+    val nTok = docs.select(
+      sum(size(filter(TextOps.tokens(col("text")), w => length(w) > 0))))
+      .collect()(0).getLong(0)
+    assert(sat == nTok, s"saturated encode must emit one symbol per token ($sat vs $nTok)")
+    // the frozen 64-rule budget sits strictly between chars and saturation:
+    // fertility (symbols per token) above 1, below the raw char count
+    val frozen = TextOps.bpeEncodeFrozen(docs, BpeMerges.Table)
+      .select(sum("n_symbols")).collect()(0).getLong(0)
+    assert(frozen > nTok && frozen < sat * 3,
+      s"64-rule fertility out of band: $frozen symbols for $nTok tokens")
+  }
+
+  test("q146 plans as one scan, zero exchanges, codegen'd kernel") {
+    val df = TextOps.q146BpeEncode(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"per-doc encode must not shuffle:\n$plan")
+    // the `*(n)` marker on the bpeencode projection = inside a
+    // whole-stage-codegen span (a CodegenFallback neighbor would evict it)
+    assert(plan.linesIterator.exists(l => l.contains("bpeencode") && l.contains("*(")),
+      s"kernel projection must sit inside a codegen span:\n$plan")
+    val scans = plan.linesIterator.count(_.contains("FileScan"))
+    assert(scans == 1, s"expected exactly one corpus scan, got $scans:\n$plan")
+  }
+}

@@ -192,7 +192,8 @@ class MediaOpsSpec extends SparkSpec {
       assert(imf.decoded && imf.codec == "imageio")
     } finally MediaOps.resetCodecs()
     assert(MediaOps.registeredCodecs.map(_.name) ==
-      Seq("imageio", "javasound", "mpeg-headers", "ogg-headers", "bmff-headers"))
+      Seq("imageio", "javasound", "mpeg-headers", "ogg-headers",
+        "bmff-headers", "flac-headers", "ebml-headers"))
   }
 
   /** A valid MPEG-1 Layer III 128 kbps 44100 Hz joint-stereo frame chain
@@ -384,6 +385,100 @@ class MediaOpsSpec extends SparkSpec {
     assert(bounds.head._1 == 0 && bounds.last._2 == 64)
     assert(bounds.sliding(2).forall { case Seq((_, hi), (lo, _)) => hi == lo })
     assert(bounds.forall { case (lo, hi) => hi > lo })
+  }
+
+  /** fLaC marker + STREAMINFO (44100 Hz stereo 16-bit, 88200 samples =
+    * 2.0 s, NOT last) + a 4-byte PADDING block (last). */
+  private def plantedFlac(): Array[Byte] = {
+    val info = new Array[Byte](34)
+    info(0) = 0x10; info(1) = 0x00 // min block 4096
+    info(2) = 0x10; info(3) = 0x00 // max block 4096
+    // bytes 4..9: min/max frame size 0
+    val rate = 44100; val total = 88200L
+    info(10) = (rate >> 12).toByte
+    info(11) = ((rate >> 4) & 0xFF).toByte
+    info(12) = (((rate & 0xF) << 4) | ((2 - 1) << 1) | ((16 - 1) >> 4)).toByte
+    info(13) = ((((16 - 1) & 0xF) << 4) | ((total >> 32) & 0xF)).toByte
+    info(14) = ((total >> 24) & 0xFF).toByte
+    info(15) = ((total >> 16) & 0xFF).toByte
+    info(16) = ((total >> 8) & 0xFF).toByte
+    info(17) = (total & 0xFF).toByte
+    "fLaC".getBytes("ISO-8859-1") ++
+      Array[Byte](0x00, 0x00, 0x00, 34) ++ info ++          // STREAMINFO
+      Array[Byte](0x81.toByte, 0x00, 0x00, 0x04, 0, 0, 0, 0) // PADDING, last
+  }
+
+  /** Minimal WebM: EBML header (DocType "webm") + Segment(Info(scale
+    * 1e6 ns, duration 2000 ticks = 2.0 s) + Tracks(video 640x360,
+    * audio)). */
+  private def plantedWebm(docType: String = "webm"): Array[Byte] = {
+    def el(id: Seq[Int], body: Array[Byte]): Array[Byte] = {
+      require(body.length < 127)
+      id.map(_.toByte).toArray ++ Array((0x80 | body.length).toByte) ++ body
+    }
+    def uint(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xFF).toByte).toArray
+    val ebml = el(Seq(0x1A, 0x45, 0xDF, 0xA3),
+      el(Seq(0x42, 0x82), docType.getBytes("ISO-8859-1")))
+    val infoEl = el(Seq(0x15, 0x49, 0xA9, 0x66),
+      el(Seq(0x2A, 0xD7, 0xB1), uint(1000000L, 3)) ++
+        el(Seq(0x44, 0x89), uint(java.lang.Float.floatToIntBits(2000f) & 0xFFFFFFFFL, 4)))
+    val video = el(Seq(0xAE),
+      el(Seq(0x83), uint(1L, 1)) ++
+        el(Seq(0xE0), el(Seq(0xB0), uint(640L, 2)) ++ el(Seq(0xBA), uint(360L, 2))))
+    val audio = el(Seq(0xAE), el(Seq(0x83), uint(2L, 1)))
+    val tracks = el(Seq(0x16, 0x54, 0xAE, 0x6B), video ++ audio)
+    ebml ++ el(Seq(0x18, 0x53, 0x80, 0x67), infoEl ++ tracks)
+  }
+
+  test("flac-headers codec: STREAMINFO walk — rate/channels/duration/bps from the block chain") {
+    val f = HeaderCodecs.decodeFlacHeaders(plantedFlac()).get
+    assert(f(0) == 44100f && f(1) == 2f, s"rate/channels: ${f.toSeq}")
+    assert(f(2) == 2.0f && f(3) == 16f, s"duration/bps: ${f.toSeq}")
+    assert(f(4) == 2f, s"2 metadata blocks walked: ${f.toSeq}")
+    // refusals: no marker; truncated chain; first block not STREAMINFO;
+    // arbitrary bytes
+    assert(HeaderCodecs.decodeFlacHeaders(plantedFlac().drop(4)).isEmpty)
+    assert(HeaderCodecs.decodeFlacHeaders(plantedFlac().dropRight(3)).isEmpty)
+    val wrongFirst = plantedFlac()
+    wrongFirst(4) = 0x01 // PADDING where STREAMINFO must sit
+    assert(HeaderCodecs.decodeFlacHeaders(wrongFirst).isEmpty)
+    assert(HeaderCodecs.decodeFlacHeaders("not audio data".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("ebml-headers codec: WebM walk — dims/duration/track split; foreign DocType refused") {
+    val f = HeaderCodecs.decodeEbmlHeaders(plantedWebm()).get
+    assert(f(0) == 640f && f(1) == 360f, s"video dims: ${f.toSeq}")
+    assert(f(2) == 2.0f, s"2000 ticks x 1e6 ns = 2 s: ${f(2)}")
+    assert(f(3) == 2f && f(4) == 1f && f(5) == 1f,
+      s"2 tracks = 1 video + 1 audio: ${f.toSeq}")
+    assert(f(6) == 2f && f(7) == 1000000f, s"top elements / scale: ${f.toSeq}")
+    assert(HeaderCodecs.decodeEbmlHeaders(plantedWebm("foo")).isEmpty,
+      "a non-webm/matroska DocType must refuse")
+    assert(HeaderCodecs.decodeEbmlHeaders(plantedWebm("matroska")).nonEmpty)
+    assert(HeaderCodecs.decodeEbmlHeaders(plantedWebm().dropRight(2)).isEmpty,
+      "an element size over-running the payload must refuse")
+    assert(HeaderCodecs.decodeEbmlHeaders("zz not a container".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("flac/webm route through the registry as decoded structural features") {
+    import spark.implicits._
+    val flac = plantedFlac(); val webm = plantedWebm()
+    val media = Seq(
+      (1L, flac, "audio/flac", flac.length.toLong),
+      (2L, webm, "video/webm", webm.length.toLong),
+      // claimed mimes with undecodable bytes: flagged stubs, never fakes
+      (3L, "zz".getBytes("UTF-8"), "audio/flac", 2L),
+      (4L, "zz".getBytes("UTF-8"), "video/webm", 2L),
+    ).toDF("doc_id", "blob", "mime", "n_bytes")
+    val out = MediaOps.extractFeatures(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(out(1L).decoded && out(1L).codec == "flac-headers", s"${out(1L)}")
+    assert(out(1L).features(0) == 44100f && out(1L).features(2) == 2.0f)
+    assert(out(2L).decoded && out(2L).codec == "ebml-headers", s"${out(2L)}")
+    assert(out(2L).features(0) == 640f && out(2L).features(5) == 1f)
+    assert(!out(3L).decoded && !out(4L).decoded,
+      "undecodable bytes under claimed mimes must stay flagged stubs")
   }
 }
 

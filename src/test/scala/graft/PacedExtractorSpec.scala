@@ -617,4 +617,115 @@ class PacedExtractorSpec extends SparkSpec {
         "extracted_at must parse as a timestamp through the staging schema")
     } finally server.stop(0)
   }
+
+  test("list->detail extract: ID frontier, batched detail fan-out, kill/resume, re-delivery gated") {
+    import java.util.concurrent.atomic.AtomicInteger
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import graft.sources.HttpFetcher
+    import graft.sources.PacedExtractor.TokenProvider
+
+    val root = Files.createTempDirectory("graft_listdetail").toString
+    val issued = new AtomicInteger(0)
+    val listHits = new AtomicInteger(0)
+    val detailHits = new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]()
+    @volatile var throttleV3Once = true // v3's first detail GET gets a 429
+    @volatile var revokeV5Once = true   // v5's first detail GET gets a 401
+
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    // three list pages of ids; v1 appears on pages 0 AND 2 (the frontier
+    // must dedupe like the reference's vacancy-ID set)
+    val pageIds = Vector(Seq("v1", "v2", "v3"), Seq("v4", "v5", "v6"), Seq("v7", "v1"))
+    server.createContext("/vacancies", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val path = ex.getRequestURI.getPath
+        // any ISSUED token stays valid (serial-exact matching would make
+        // concurrent batch threads cascade refreshes non-deterministically;
+        // the one-shot v5 revocation below still exercises the 401 path)
+        val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        if (!auth.exists(_.startsWith("Bearer tok-"))) {
+          respond(ex, 401, """{"error":"bad token"}""")
+        } else if (path == "/vacancies") { // the LIST endpoint
+          listHits.incrementAndGet()
+          val page = Option(ex.getRequestURI.getQuery).getOrElse("")
+            .split("&").collectFirst {
+              case kv if kv.startsWith("page=") => kv.drop(5).toInt
+            }.getOrElse(0)
+          val items = pageIds(page).map(id => s"""{"id":"$id"}""").mkString(",")
+          respond(ex, 200, s"""{"items":[$items],"pages":3,"page":$page}""")
+        } else { // the DETAIL endpoint: /vacancies/{id}
+          val id = path.stripPrefix("/vacancies/")
+          if (id == "v3" && throttleV3Once) {
+            throttleV3Once = false
+            respond(ex, 429, "")
+          } else if (id == "v5" && revokeV5Once) {
+            revokeV5Once = false
+            respond(ex, 401, """{"error":"revoked"}""")
+          } else {
+            detailHits.computeIfAbsent(id, _ => new AtomicInteger(0)).incrementAndGet()
+            respond(ex, 200, s"""{"id":"$id","name":"detail $id","salary":${id.drop(1)}00}""")
+          }
+        }
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val tp = new TokenProvider(
+        () => { issued.incrementAndGet(); (s"tok-${issued.get}", 60000L) })
+      val fetcher = new HttpFetcher(
+        baseUrl = s"http://127.0.0.1:$port/vacancies",
+        source = "hh", perPage = 3, tokens = Some(tp),
+        nowIso = () => "2026-08-15T10:00:00.000Z")
+      val limiter = new RateLimiter(100, 1000L)
+      val staging = s"$root/staging"
+
+      // tick 1: budget-capped at ONE detail batch (the "kill" point)
+      val (n1, b1) = PacedExtractor.runListDetail(spark, fetcher.fetchIds,
+        fetcher.fetchDetail, staging, s"$root/state", limiter,
+        batchSize = 4, maxBatches = 1, backoffMs = 1L, tokens = Some(tp))
+      assert(n1 == 7, s"frontier must dedupe to 7 ids, got $n1")
+      assert(b1 == 1)
+      val listHitsAfterStage1 = listHits.get
+
+      // tick 2 (resume): list stage skipped, only the remaining batch runs,
+      // batch-0 ids are NOT re-fetched
+      val (n2, b2) = PacedExtractor.runListDetail(spark, fetcher.fetchIds,
+        fetcher.fetchDetail, staging, s"$root/state", limiter,
+        batchSize = 4, backoffMs = 1L, tokens = Some(tp))
+      assert(n2 == 7 && b2 == 1, s"resume must land exactly the remaining batch, got ($n2, $b2)")
+      assert(listHits.get == listHitsAfterStage1,
+        "a resume with a persisted frontier must not re-hit the list endpoint")
+      import scala.jdk.CollectionConverters._
+      assert(detailHits.asScala.forall(_._2.get == 1),
+        s"every detail fetched exactly once across the two ticks: ${detailHits.asScala.map { case (k, v) => k -> v.get }}")
+      assert(issued.get >= 2, "the v5 401 must have forced a token refresh")
+
+      // the two batch files carry frontier order and the bronze contract
+      val f0 = scala.io.Source.fromFile(s"$staging/detail-000000.jsonl").getLines().toSeq
+      val f1 = scala.io.Source.fromFile(s"$staging/detail-000004.jsonl").getLines().toSeq
+      assert(f0.size == 4 && f1.size == 3)
+      assert(f0.head.contains("\"posting_id\":\"v1\"") && f0.head.contains("detail v1"))
+
+      // generation 2 re-pulls the same API into the same staging dir
+      // (fresh state + prefix, the runIncremental discipline): every
+      // payload is a re-delivery and must be gated out of bronze
+      val (n3, b3) = PacedExtractor.runListDetail(spark, fetcher.fetchIds,
+        fetcher.fetchDetail, staging, s"$root/state2", limiter,
+        batchSize = 4, backoffMs = 1L, tokens = Some(tp), filePrefix = "gen2-")
+      assert(n3 == 7 && b3 == 2)
+      graft.streaming.BronzePipeline.gatedIngest(spark, staging,
+        s"$root/bronze", s"$root/meta", s"$root/ckpt").awaitTermination()
+      val bronze = graft.sources.BronzeLayer.readRaw(spark, s"$root/bronze")
+      assert(bronze.count() == 7,
+        "gen-2's re-delivered details must be gated: one bronze row per posting")
+      val ids = bronze.select("posting_id").collect().map(_.getString(0)).sorted
+      assert(ids.sameElements(Seq("v1", "v2", "v3", "v4", "v5", "v6", "v7")))
+    } finally server.stop(0)
+  }
 }

@@ -53,6 +53,41 @@ class SemanticDedupGateSpec extends SparkSpec {
     assert(stored == Set(10L, 11L, 21L))
   }
 
+  test("assignDrift: same-distribution batch quiet, shifted batch alerts, pre-baseline geometry loud") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_semdrift").toString
+    val centroids = s"$dir/centroids"
+    // a spread around one mass, so the freeze-time baseline has NONZERO
+    // assignment-distance buckets (a degenerate all-zero-d2 baseline
+    // would make any batch variance read as drift)
+    def near(i: Int) = Seq(1.0f + i / 100f, i / 200f, 0.0f, 0.0f)
+    SemanticDedupGate.writeCentroids(
+      (0 until 20).map(i => (i.toLong, near(i), 0))
+        .toDF("vec_id", "embedding", "label"),
+      centroids, k = 2, iters = 2)
+    // a batch drawn from the same spread: assignment profile matches
+    val same = SemanticDedupGate.assignDrift(
+      (0 until 20).map(i => (100L + i, near(i), 0))
+        .toDF("vec_id", "embedding", "label"), centroids).collect()(0)
+    assert(same.getLong(0) == 20 && same.getLong(1) == 20)
+    assert(same.getDouble(2) < 0.1,
+      s"identical distribution must read stable, got psi=${same.getDouble(2)}")
+    // a shifted batch lands far from every frozen centroid: distance
+    // mass moves to high buckets the reference never saw
+    val shifted = SemanticDedupGate.assignDrift(
+      (0 until 20).map(i => (200L + i, Seq(5.0f, 4.0f + i / 10f, 3.0f, 0.0f), 0))
+        .toDF("vec_id", "embedding", "label"), centroids).collect()(0)
+    assert(shifted.getDouble(2) > 0.25,
+      s"shifted distribution must read rebuild, got psi=${shifted.getDouble(2)}")
+    // a geometry frozen before the probe existed is loud, not guessed
+    val bp = new org.apache.hadoop.fs.Path(s"$centroids.assign")
+    bp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(bp, true)
+    val e = intercept[IllegalArgumentException](
+      SemanticDedupGate.assignDrift(
+        Seq((1L, massA, 0)).toDF("vec_id", "embedding", "label"), centroids))
+    assert(e.getMessage.contains("re-freeze"))
+  }
+
   test("missing centroid table is loud; missing store admits; zero vector admits") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_semgate2").toString
