@@ -675,6 +675,50 @@ object ScaleProbe {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/documents_plain10.parquet")
 
+    // r17 full-board tables (checked separately so earlier scratch dirs
+    // upgrade in place): fact/dim fan-outs for the relational marts and
+    // the events stream, completing the sf1.0 derivative so EVERY
+    // registered query can probe at 10×.
+    //   - customer/supplier/part: ×10, primary keys remapped per copy.
+    //     Fact FKs (o_custkey, l_partkey/l_suppkey) are NOT remapped, so
+    //     copy-0 dims carry 10× the facts and copies 1-9 are fact-less
+    //     dimension growth — join/shuffle volume is the 10× probe's
+    //     subject, result values are not.
+    //   - nation/region: copied VERBATIM (25/5-row broadcast dims; a
+    //     fan-out would only break key distinctness, not add scale).
+    //   - events: ×10 with event_id and user_id remapped per copy —
+    //     10× the users, each with the original session/funnel shape,
+    //     so sessionize/funnel state volume scales without inventing
+    //     new temporal structure. Timestamps ride through the Tables
+    //     loader's nanos normalization and land as plain micros.
+    if (!f.exists(new Path(s"$out/customer.parquet"))) {
+      fan(spark.read.parquet(s"$src/customer.parquet"))
+        .withColumn("c_custkey", col("c_custkey") + col("cp") * IdSpan)
+        .drop("cp")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/customer.parquet")
+      fan(spark.read.parquet(s"$src/supplier.parquet"))
+        .withColumn("s_suppkey", col("s_suppkey") + col("cp") * IdSpan)
+        .drop("cp")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+      fan(spark.read.parquet(s"$src/part.parquet"))
+        .withColumn("p_partkey", col("p_partkey") + col("cp") * IdSpan)
+        .drop("cp")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/part.parquet")
+      spark.read.parquet(s"$src/nation.parquet")
+        .write.mode("overwrite").parquet(s"$out/nation.parquet")
+      spark.read.parquet(s"$src/region.parquet")
+        .write.mode("overwrite").parquet(s"$out/region.parquet")
+      fan(graft.sources.Tables.events(spark, src))
+        .withColumn("event_id", col("event_id") + col("cp") * IdSpan)
+        .withColumn("user_id", col("user_id") + col("cp") * IdSpan)
+        .drop("cp")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
+
     if (f.exists(new Path(s"$out/orders.parquet")) &&
         f.exists(new Path(s"$out/documents.parquet")) &&
         f.exists(new Path(s"$out/embeddings.parquet"))) return

@@ -17,7 +17,10 @@ object ScaleCheck {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (dir <- Seq("/root/testdata/sf0.1", "/root/repo/scratch/sf1.0");
+    val dirs = sys.env.get("SPARK_GRAFT_SCALE_DIRS")
+      .map(_.split(",").toSeq)
+      .getOrElse(Seq("/root/testdata/sf0.1", "/root/repo/scratch/sf1.0"))
+    for (dir <- dirs;
         name <- args) {
       val fn = graft.SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query $name"))
