@@ -65,10 +65,11 @@ object VectorOps {
     * oracle. Band b consumes exactly the four slices of salt b, so
     * bands stay independent across salts. Costs one explode + 4 md5
     * calls per distinct word + one map-side-combinable shuffle — the
-    * price of an AUDITABLE pairwise listing; the clustering family
-    * (q51, converged CC, IncrementalDedup) keeps the fused xxhash64
-    * kernel ([[minhashSignatures]]) that minhashes at scan speed with
-    * no shuffle at all.
+    * price of an AUDITABLE pairwise listing. The registered q36/q51
+    * rows both run this family (q51 graduated in r17); the fused
+    * xxhash64 kernel ([[minhashSignatures]]) — minhashing at scan
+    * speed, no shuffle — remains the prod path (bench-only q51prod,
+    * converged CC, IncrementalDedup).
     */
   def minhashSignaturesPortable(docs: DataFrame): DataFrame = {
     val hashed = tokenBearing(docs)

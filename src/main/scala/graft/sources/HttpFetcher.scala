@@ -81,14 +81,26 @@ final class HttpFetcher(
     fetchPage(page, Map.empty, idsOnly = true)
 
   /** Stage-2 fetch for [[PacedExtractor.runListDetail]]: GET
-    * `{baseUrl}/{id}` (the reference's `_fetch_single_vacancy`,
-    * hh_api.py:177-203 — no paging params, same auth header and
+    * `{basePath}/{id}` (the reference's `_fetch_single_vacancy`,
+    * hh_api.py:177-203 — no PAGING params, same auth header and
     * 429/401 mapping), the whole response document as ONE staging line
-    * in the bronze contract. The body is re-serialized through the JSON
-    * parser, so a non-JSON 200 fails loudly instead of landing garbage.
+    * in the bronze contract. The constructor `params` (API keys,
+    * locale — per-request config, not paging) ride every detail GET
+    * too, and a baseUrl that already carries a query string keeps it
+    * AFTER the appended id path segment (r17 review — the naive
+    * `$baseUrl/$id` dropped params and spliced the id into the query).
+    * The body is re-serialized through the JSON parser, so a non-JSON
+    * 200 fails loudly instead of landing garbage.
     */
   def fetchDetail(id: String): PacedExtractor.Response = {
-    val b = HttpRequest.newBuilder(URI.create(s"$baseUrl/${enc(id)}"))
+    val (basePath, baseQs) = baseUrl.indexOf('?') match {
+      case -1 => (baseUrl, None)
+      case i => (baseUrl.substring(0, i), Some(baseUrl.substring(i + 1)))
+    }
+    val qs = (params.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${enc(k)}=${enc(v)}" } ++ baseQs).mkString("&")
+    val detailUrl = s"$basePath/${enc(id)}" + (if (qs.isEmpty) "" else s"?$qs")
+    val b = HttpRequest.newBuilder(URI.create(detailUrl))
       .timeout(requestTimeout).GET()
     tokens.foreach(t => b.header("Authorization", s"Bearer ${t.current()}"))
     val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())

@@ -234,6 +234,44 @@ object PacedExtractor {
   def cursor(spark: SparkSession, cursorPath: String): Int =
     readOpt(spark, new Path(cursorPath)).map(_.toInt).getOrElse(0)
 
+  /** THE bounded retry state machine every fetch path shares (sequential
+    * pages, windowed pages, per-ID details — formerly three hand-copied
+    * loops, r17 review): limiter-paced attempts until `doFetch` returns
+    * [[Fetched]]; 429 sleeps `backoffMs` and retries (at most
+    * `maxBackoffs` per unit — a permanently-throttled endpoint fails the
+    * tick loudly with the cursor untouched instead of hanging the
+    * scheduler), 401 invalidates the shared credential and retries (at
+    * most `maxAuthRetries` — a revoked grant fails the run instead of
+    * spinning on the API). `what` names the unit in the failure message
+    * ("page 7", "detail v123").
+    */
+  private def fetchWithRetries(what: String, doFetch: () => Response,
+      limiter: RateLimiter, backoffMs: Long, sleepMs: Long => Unit,
+      tokens: Option[TokenProvider], maxAuthRetries: Int,
+      maxBackoffs: Int): Fetched = {
+    var authRetries = 0
+    var backoffs = 0
+    while (true) {
+      limiter.acquire()
+      doFetch() match {
+        case Backoff =>
+          backoffs += 1
+          if (backoffs > maxBackoffs)
+            throw new IllegalStateException(
+              s"$what still throttled after $maxBackoffs backoffs")
+          sleepMs(backoffMs)
+        case Unauthorized =>
+          authRetries += 1
+          if (authRetries > maxAuthRetries || tokens.isEmpty)
+            throw new IllegalStateException(
+              s"$what still unauthorized after $maxAuthRetries token refreshes")
+          tokens.foreach(_.invalidate())
+        case f: Fetched => return f
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Pull pages from `fetch` under the limiter's pacing until the source
     * reports no more (or `maxPages` per invocation — the scheduled-run
     * budget), landing each non-empty page in `stagingDir` and advancing
@@ -279,40 +317,18 @@ object PacedExtractor {
     var page = cursor(spark, cursorPath)
     var fetched = 0
     var more = true
-    var authRetries = 0
-    var backoffs = 0
     while (more && fetched < maxPages) {
-      limiter.acquire()
-      fetch(page) match {
-        case Backoff =>
-          // bounded: a permanently-throttled endpoint fails the tick
-          // loudly (the cursor is untouched - the next scheduled run
-          // resumes here) instead of hanging the scheduler forever
-          backoffs += 1
-          if (backoffs > maxBackoffs)
-            throw new IllegalStateException(
-              s"page $page still throttled after $maxBackoffs backoffs")
-          sleepMs(backoffMs) // retry the same page, still limiter-paced
-        case Unauthorized =>
-          // refresh the credential and retry the page; bounded so a
-          // revoked grant fails the run instead of spinning on the API
-          authRetries += 1
-          if (authRetries > maxAuthRetries || tokens.isEmpty)
-            throw new IllegalStateException(
-              s"page $page still unauthorized after $maxAuthRetries token refreshes")
-          tokens.foreach(_.invalidate())
-        case Fetched(lines, hasMore) =>
-          if (lines.nonEmpty)
-            writeAtomic(spark,
-              new Path(stagingDir, f"${filePrefix}page-$page%06d.jsonl"),
-              lines.mkString("", "\n", "\n"))
-          writeAtomic(spark, new Path(cursorPath), (page + 1).toString)
-          page += 1
-          fetched += 1
-          more = hasMore
-          authRetries = 0
-          backoffs = 0
-      }
+      val Fetched(lines, hasMore) = fetchWithRetries(s"page $page",
+        () => fetch(page), limiter, backoffMs, sleepMs, tokens,
+        maxAuthRetries, maxBackoffs)
+      if (lines.nonEmpty)
+        writeAtomic(spark,
+          new Path(stagingDir, f"${filePrefix}page-$page%06d.jsonl"),
+          lines.mkString("", "\n", "\n"))
+      writeAtomic(spark, new Path(cursorPath), (page + 1).toString)
+      page += 1
+      fetched += 1
+      more = hasMore
     }
     (fetched, !more)
   }
@@ -388,29 +404,9 @@ object PacedExtractor {
       var p = nextPage()
       while (p.nonEmpty) {
         val page = p.get
-        var done = false
-        var authRetries = 0
-        var backoffs = 0
-        while (!done) {
-          limiter.acquire()
-          fetch(page) match {
-            case Backoff =>
-              backoffs += 1
-              if (backoffs > maxBackoffs)
-                throw new IllegalStateException(
-                  s"page $page still throttled after $maxBackoffs backoffs")
-              sleepMs(backoffMs)
-            case Unauthorized =>
-              authRetries += 1
-              if (authRetries > maxAuthRetries || tokens.isEmpty)
-                throw new IllegalStateException(
-                  s"page $page still unauthorized after $maxAuthRetries token refreshes")
-              tokens.foreach(_.invalidate())
-            case Fetched(lines, hasMore) =>
-              completePage(page, lines, hasMore)
-              done = true
-          }
-        }
+        val f = fetchWithRetries(s"page $page", () => fetch(page), limiter,
+          backoffMs, sleepMs, tokens, maxAuthRetries, maxBackoffs)
+        completePage(page, f.lines, f.hasMore)
         p = nextPage()
       }
     }
@@ -660,29 +656,9 @@ object PacedExtractor {
       val threads = batch.zipWithIndex.map { case (id, i) =>
         new Thread(() => {
           try {
-            var done = false
-            var authRetries = 0
-            var backoffs = 0
-            while (!done) {
-              limiter.acquire()
-              fetchDetail(id) match {
-                case Backoff =>
-                  backoffs += 1
-                  if (backoffs > maxBackoffs)
-                    throw new IllegalStateException(
-                      s"detail $id still throttled after $maxBackoffs backoffs")
-                  sleepMs(backoffMs)
-                case Unauthorized =>
-                  authRetries += 1
-                  if (authRetries > maxAuthRetries || tokens.isEmpty)
-                    throw new IllegalStateException(
-                      s"detail $id still unauthorized after $maxAuthRetries token refreshes")
-                  tokens.foreach(_.invalidate())
-                case Fetched(ls, _) =>
-                  lines(i) = ls // own slot per thread — no lock needed
-                  done = true
-              }
-            }
+            val f = fetchWithRetries(s"detail $id", () => fetchDetail(id),
+              limiter, backoffMs, sleepMs, tokens, maxAuthRetries, maxBackoffs)
+            lines(i) = f.lines // own slot per thread — no lock needed
           } catch { case t: Throwable => lock.synchronized {
             if (failure.isEmpty) failure = Some(t)
           }}

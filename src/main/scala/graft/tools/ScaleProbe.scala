@@ -691,33 +691,35 @@ object ScaleProbe {
     //     so sessionize/funnel state volume scales without inventing
     //     new temporal structure. Timestamps ride through the Tables
     //     loader's nanos normalization and land as plain micros.
-    if (!f.exists(new Path(s"$out/customer.parquet"))) {
+    // each table individually guarded (r17 review): a crash mid-block
+    // must leave a dir that SELF-HEALS on the next run, not one that a
+    // single leading existence check declares complete forever
+    def ifMissing(name: String)(build: => DataFrame): Unit =
+      if (!f.exists(new Path(s"$out/$name.parquet")))
+        build.write.mode("overwrite").parquet(s"$out/$name.parquet")
+    ifMissing("customer")(
       fan(spark.read.parquet(s"$src/customer.parquet"))
         .withColumn("c_custkey", col("c_custkey") + col("cp") * IdSpan)
         .drop("cp")
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$out/customer.parquet")
+        .repartition(32))
+    ifMissing("supplier")(
       fan(spark.read.parquet(s"$src/supplier.parquet"))
         .withColumn("s_suppkey", col("s_suppkey") + col("cp") * IdSpan)
         .drop("cp")
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+        .repartition(32))
+    ifMissing("part")(
       fan(spark.read.parquet(s"$src/part.parquet"))
         .withColumn("p_partkey", col("p_partkey") + col("cp") * IdSpan)
         .drop("cp")
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$out/part.parquet")
-      spark.read.parquet(s"$src/nation.parquet")
-        .write.mode("overwrite").parquet(s"$out/nation.parquet")
-      spark.read.parquet(s"$src/region.parquet")
-        .write.mode("overwrite").parquet(s"$out/region.parquet")
+        .repartition(32))
+    ifMissing("nation")(spark.read.parquet(s"$src/nation.parquet"))
+    ifMissing("region")(spark.read.parquet(s"$src/region.parquet"))
+    ifMissing("events")(
       fan(graft.sources.Tables.events(spark, src))
         .withColumn("event_id", col("event_id") + col("cp") * IdSpan)
         .withColumn("user_id", col("user_id") + col("cp") * IdSpan)
         .drop("cp")
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$out/events.parquet")
-    }
+        .repartition(32))
 
     if (f.exists(new Path(s"$out/orders.parquet")) &&
         f.exists(new Path(s"$out/documents.parquet")) &&

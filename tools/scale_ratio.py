@@ -10,19 +10,28 @@ import re
 import sys
 
 
-def parse(path):
+def parse(path, label):
+    # keyed by FILE OF ORIGIN, not by a substring of the dir path: the
+    # SPARK_GRAFT_SCALE_DIRS override means custom dirs need not contain
+    # "sf1.0", and substring-bucketing would silently collapse them.
+    # A log covering both dirs keeps the small scale under `label` and
+    # anything under a different dir under the other label.
     out = {}
+    dirs = {}
     for line in open(path, errors="replace"):
         m = re.match(
             r"SCALE (\S+) (\S+) wall=([0-9.]+) rows=(\d+)", line.strip())
         if m:
             name, d, w, r = m.group(1), m.group(2), float(m.group(3)), int(m.group(4))
-            out.setdefault(name, {})[("sf1.0" if "sf1.0" in d else "sf0.1")] = (w, r)
+            if d not in dirs:  # first dir seen = this file's label
+                dirs[d] = label if not dirs else (
+                    "sf1.0" if label == "sf0.1" else "sf0.1")
+            out.setdefault(name, {})[dirs[d]] = (w, r)
     return out
 
 
 def main(a, b, flag=3.0):
-    pa, pb = parse(a), parse(b)
+    pa, pb = parse(a, "sf0.1"), parse(b, "sf1.0")
     merged = {}
     for src in (pa, pb):
         for name, d in src.items():
