@@ -132,6 +132,13 @@ object Bench {
       // fused xxhash64 one-pass clustering stays timed here as prod.
       "q51prod" -> ((s: SparkSession, dir: String) =>
         graft.operators.VectorOps.q51Prod(s, dir)),
+      // r17: q146's table-size control — same encode, rank table padded
+      // to 1,500 entries with rules that can never fire (uppercase
+      // operands vs a lowercased stream), output spec-pinned identical;
+      // the row pairs with q146 to EVIDENCE cost independence of
+      // vocabulary size on the live board.
+      "q146big" -> ((s: SparkSession, dir: String) =>
+        graft.operators.TextOps.q146Big(s, dir)),
       "q131prod" -> ((s: SparkSession, dir: String) =>
         graft.operators.VectorOps.ivfpqTopk(
           graft.sources.Tables.embeddings(s, dir), instrument = false)))

@@ -2683,6 +2683,51 @@ object TextOps {
         size(col("syms")).cast("long").as("n_symbols"),
         array_join(col("syms"), " ").as("text_bpe"))
 
+  /** Bench-only table-size control for q146: the SAME encode with the
+    * rank table padded to 1,500 entries by rules whose operands carry
+    * uppercase letters — impossible in the lowercased token stream, so
+    * they can never fire and the OUTPUT is provably identical to q146
+    * (spec-pinned) while the kernel's hash map holds 23× the entries.
+    * The bench row evidences the design claim directly: per-word cost
+    * independent of vocabulary size.
+    */
+  def q146Big(s: SparkSession, d: String): DataFrame =
+    bpeEncodeFrozen(documents(s, d), paddedMerges)
+
+  private[graft] lazy val paddedMerges: Seq[(String, String)] =
+    BpeMerges.Table ++ (0 until (1500 - BpeMerges.Table.length)).map { i =>
+      (s"${('A' + i % 26).toChar}${i / 26}", "Z")
+    }
+
+  /** Fertility card over a FROZEN merge table through the rank-table
+    * kernel — the q132 semantics at production vocabulary size (the
+    * fold-based [[bpeFertility]] nests one transform per rule and cannot
+    * carry a 1k+-rule table): ONE corpus scan computes token/char counts
+    * beside the kernel's symbol stream, then the languages-sized
+    * map-side-combinable agg and null-guarded ratio arithmetic.
+    */
+  def bpeFertilityFrozen(docs: DataFrame, rules: Seq[(String, String)]): DataFrame = {
+    val toks = tokens(col("text"))
+    docs
+      .select(col("lang"),
+        size(bpeTokens(col("text"))).cast("long").as("n_tokens"),
+        aggregate(bpeTokens(col("text")), lit(0L), (n, w) => n + length(w))
+          .as("n_chars"),
+        size(graft.plans.GraftFunctions.bpe_encode(toks, rules)).cast("long")
+          .as("n_symbols"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("n_chars").as("n_chars"), sum("n_symbols").as("n_symbols"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_symbols"),
+        when(col("n_tokens") > 0,
+          round(col("n_symbols").cast("double") / col("n_tokens"), 4))
+          .as("fertility"),
+        when(col("n_chars") > 0,
+          round(col("n_symbols").cast("double") / col("n_chars"), 4))
+          .as("compression"))
+  }
+
   /** q146: the corpus segmented with the frozen [[BpeMerges]] vocabulary
     * (64 rules learned once from sf0.01 by the exact driver-side
     * trainer — the tokenizer-as-artifact discipline; vocab size is the

@@ -98,6 +98,37 @@ class BpeEncodeSpec extends SparkSpec {
       s"64-rule fertility out of band: $frozen symbols for $nTok tokens")
   }
 
+  test("q146big (1,500-entry padded table) returns byte-identical output to q146") {
+    // the padding rules carry uppercase operands, impossible in the
+    // lowercased stream — so the bench control's output must equal the
+    // 64-rule encode exactly while its rank map holds 23x the entries
+    assert(TextOps.paddedMerges.length == 1500)
+    val a = TextOps.q146BpeEncode(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val b = TextOps.q146Big(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(a == b)
+  }
+
+  test("frozen-table fertility card: kernel form matches the fold form, 64-rule card sits between") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val twoRules = TextOps.bpeLearn(docs, 2)
+    def card(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_symbols"), r.getAs[Double]("fertility"))).toMap
+    assert(card(TextOps.bpeFertilityFrozen(docs, twoRules)) ==
+      card(TextOps.bpeFertility(docs, twoRules)),
+      "kernel fertility must equal the fold fertility on the same rules")
+    // more merges can only fuse further: 64-rule symbols <= 2-rule
+    // symbols, and fertility >= 1 (a symbol per token at saturation)
+    val two = card(TextOps.bpeFertilityFrozen(docs, twoRules))
+    val full = card(TextOps.bpeFertilityFrozen(docs, graft.operators.BpeMerges.Table))
+    for ((lang, (nTwo, _)) <- two; (nFull, f) = full(lang)) {
+      assert(nFull <= nTwo, s"$lang: 64-rule encode must not add symbols")
+      assert(f >= 1.0, s"$lang: fertility below one symbol per token: $f")
+    }
+  }
+
   test("q146 plans as one scan, zero exchanges, codegen'd kernel") {
     val df = TextOps.q146BpeEncode(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
