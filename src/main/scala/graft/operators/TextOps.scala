@@ -2238,7 +2238,13 @@ object TextOps {
         sum("n_tokens").as("n_tokens"),
         round(expr("percentile(n_tokens, 0.5)"), 4).as("median_tokens"),
         round(expr("percentile(n_tokens, 0.9)"), 4).as("p90_tokens"),
-        round(expr("percentile(quality, 0.5)"), 4).as("median_quality"),
+        // 5 decimals, NOT 4 (r17, caught by the extended sf0.1 gate): an
+        // even group's median interpolates halfway between two 4-decimal
+        // qualities — a value ENDING at the 5th decimal's 5, i.e. exactly
+        // on round(,4)'s half-up boundary, where Spark and DuckDB flip
+        // opposite ways from ulp-level noise. round(,5) is identity on
+        // every reachable value (≤5 true decimals), so it's boundary-free.
+        round(expr("percentile(quality, 0.5)"), 5).as("median_quality"),
         countDistinct("lang").as("n_langs"),
         countDistinct("fp").as("n_unique_fp"))
 
@@ -3541,7 +3547,7 @@ object TextOps {
         | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         | round(quantile_cont(n_tokens, 0.5), 4) AS median_tokens,
         | round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens,
-        | round(quantile_cont(quality, 0.5), 4) AS median_quality,
+        | round(quantile_cont(quality, 0.5), 5) AS median_quality,
         | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
         | CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_fp
         |FROM m GROUP BY source""".stripMargin,

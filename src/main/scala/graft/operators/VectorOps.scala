@@ -726,9 +726,18 @@ object VectorOps {
     * returns a quadratic output in linear time, and the probe's 14×
     * wall at 107× output means cost tracks the output, not n².
     */
+  /** 32 planes / 2-bit bands = 16 bands (r17, caught by the extended
+    * sf0.1 gate): at θ=0.4 the per-band agreement is p² ≈ 0.398, so 8
+    * bands (the old 16 planes) miss a qualifying pair with probability
+    * (1−p²)^8 ≈ 1.7% — sf0.01's 5 pairs got lucky, sf0.1's 86 lost 2.
+    * 16 bands push the miss rate to ~3·10⁻⁴ (≈0.03 expected misses on
+    * this corpus family at sf0.1) at 2× the candidate volume — the
+    * exactness-equality oracle needs empirical recall 1.0 at every
+    * probed scale, and band count is the honest dial for it.
+    */
   def q58NeardupBlocked(s: SparkSession, d: String): DataFrame =
     embedNeardupBlocked(withVec(embeddings(s, d)),
-      threshold = 0.4, numPlanes = 16, bandBits = 2, seed = 7L)
+      threshold = 0.4, numPlanes = 32, bandBits = 2, seed = 7L)
 
   /** The production-θ, corpus-scaled instantiation of the blocked
     * near-dup (what the sf1.0 scale probe measures): recall is
@@ -1552,6 +1561,20 @@ object VectorOps {
   // ---- IVF (inverted-file) ANN ------------------------------------------
 
   val DefaultProbes         = 8
+
+  /** AUTO probe count (r17): a FIXED nProbe over a √n-scaled centroid
+    * table probes a shrinking FRACTION of the index as the corpus grows,
+    * so recall silently decays with scale — the sf0.1 extended gate
+    * caught exactly this (q57's recall@5 ≥ 0.8 bound held at 8-of-22
+    * probes on sf0.01 and FAILED at 8-of-70 on sf0.1). The auto rule
+    * probes ~30% of the centroid table (floor [[DefaultProbes]]):
+    * constant fraction → recall stable under corpus growth on
+    * self-similar data, at a bounded ~3× index-speedup trade. A
+    * deployment chasing tighter latency tunes numProbes explicitly
+    * against its own recall target (docs/TUNING.md's ANN envelope).
+    */
+  def ivfAutoProbes(numCentroids: Int): Int =
+    math.max(DefaultProbes, math.ceil(numCentroids * 0.3).toInt)
   val DefaultLloydIters     = 2
   val DefaultAssignReplicas = 2
 
@@ -1613,9 +1636,12 @@ object VectorOps {
     * table (≤4096 × 64 doubles ≈ 2 MB — broadcast-sized by construction).
     */
   private def topCentroidsCol(centroids: DataFrame, vecCol: Column,
-      normCol: Column, k: Int): Column = {
+      normCol: Column, kIn: Int): Column = {
     val rows = centroids.select("cid", "cvec", "cnorm").collect()
       .sortBy(_.getInt(0))
+    // kIn <= 0 = AUTO: the fraction rule needs the centroid count, which
+    // is only known here (post-collect) — see [[ivfAutoProbes]]
+    val k = if (kIn > 0) kIn else ivfAutoProbes(rows.length)
     val cids = rows.map(_.getInt(0))
     // seed centroids are raw corpus vectors (array<float> for the
     // embeddings tables); Lloyd means are array<double> - normalize here
@@ -1714,7 +1740,7 @@ object VectorOps {
     * q38 is the exact baseline it trades against; recall@5 ≥ 0.8 at
     * nProbe=8 is asserted in VectorOpsSpec.
     */
-  def ivfTopk(all: DataFrame, numProbes: Int = DefaultProbes,
+  def ivfTopk(all: DataFrame, numProbes: Int = 0,
       numCentroids: Int = 0, lloydIters: Int = DefaultLloydIters,
       assignReplicas: Int = DefaultAssignReplicas): DataFrame = {
     val queries = all.filter(col("vec_id") < 10)
@@ -1736,7 +1762,7 @@ object VectorOps {
     * runs once.
     */
   def ivfSearch(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      assignments: DataFrame, numProbes: Int = DefaultProbes,
+      assignments: DataFrame, numProbes: Int = 0,
       k: Int = 5): DataFrame =
     scoreProbes(probeSelection(queries, centroids, numProbes),
       corpus, assignments, k)

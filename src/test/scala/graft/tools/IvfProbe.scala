@@ -11,23 +11,30 @@ object IvfProbe {
     val spark = SparkSession.builder()
       .master("local[16]")
       .appName("ivf-probe")
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    // args: [dir ...] — defaults to the two small SFs; nProbe sweep is
+    // fixed (r17: recall vs probe count is the scale-rule evidence)
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    for (sf <- dirs) {
       val exact = VectorOps.q38EmbedTopk(spark, sf).collect()
         .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
       val all = Tables.embeddings(spark, sf)
         .select(col("vec_id"), col("label"), col("embedding").as("vec"))
         .withColumn("norm", sqrt(VectorOps.dot(col("vec"), col("vec"))))
-      for (iters <- Seq(1, 2, 3); reps <- Seq(1, 2, 3)) {
-        val ivf = VectorOps.ivfTopk(all, numProbes = 8, lloydIters = iters,
-            assignReplicas = reps)
+      val n = all.filter(col("vec_id") >= 10).count()
+      val c = VectorOps.ivfNumCentroids(n)
+      println(s"$sf corpus=$n centroids=$c")
+      for (probes <- Seq(4, 8, 12, 16, 24, 32, 0)) {
+        val ivf = VectorOps.ivfTopk(all, numProbes = probes)
           .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
         val recall = (exact & ivf).size.toDouble / exact.size
-        println(s"$sf iters=$iters reps=$reps recall=$recall")
+        println(s"$sf nProbe=$probes recall=$recall")
       }
     }
     spark.stop()
