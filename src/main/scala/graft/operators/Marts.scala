@@ -327,11 +327,21 @@ object Marts {
     * extremes in this data; with ties the composite-key window form (q07)
     * is the deterministic alternative.
     */
+  /** Deterministic arg-max/arg-min (r17): bare max_by/min_by leave ties
+    * engine-arbitrary — invisible until the sf1.0 derived gate minted
+    * 10-way exact acctbal ties and Spark and DuckDB picked different
+    * customers. The struct-extremum form pins the tie-break to the
+    * SMALLEST custkey on both extremes, on both engines (the k-means
+    * seed discipline: every argmax in an oracled query carries an
+    * explicit total order).
+    */
   def q48Argmax(s: SparkSession, d: String): DataFrame =
     customer(s, d).groupBy("c_mktsegment")
       .agg(
-        max_by(col("c_custkey"), col("c_acctbal")).as("richest_cust"),
-        min_by(col("c_custkey"), col("c_acctbal")).as("poorest_cust"),
+        (-max(struct(col("c_acctbal").as("a"), (-col("c_custkey")).as("k")))
+          .getField("k")).as("richest_cust"),
+        min(struct(col("c_acctbal").as("a"), col("c_custkey").as("k")))
+          .getField("k").as("poorest_cust"),
         round(max("c_acctbal"), 2).as("max_bal"))
 
   /** Statistical aggregates: correlation + sample covariance. */
@@ -470,8 +480,9 @@ object Marts {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q48_argmax" ->
       """SELECT c_mktsegment,
-        | arg_max(c_custkey, c_acctbal) AS richest_cust,
-        | arg_min(c_custkey, c_acctbal) AS poorest_cust,
+        | CAST(-((max(struct_pack(a := c_acctbal, k := -c_custkey))).k) AS BIGINT)
+        |   AS richest_cust,
+        | (min(struct_pack(a := c_acctbal, k := c_custkey))).k AS poorest_cust,
         | round(max(c_acctbal),2) AS max_bal
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
     "q49_corr" ->

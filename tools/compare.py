@@ -19,10 +19,20 @@ def canon(df):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # bound the spill AND the heap (r17): an exact-instrument oracle
+    # re-run at a big derived SF can spill quadratically (q130's PQ
+    # recomputation filled the disk at sf1.0, then OOM-killed the
+    # process once spill was capped) — fail THAT query cleanly, not
+    # the host or the whole gate
+    con.execute("SET max_temp_directory_size='40GB'")
+    con.execute("SET memory_limit='24GB'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+            # driver testdata tables are single files; derived scratch
+            # tables are Spark directory-parquet — glob those
+            pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = n_skip = 0
     for name in sorted(os.listdir(out_dir)):
