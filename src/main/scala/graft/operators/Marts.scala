@@ -323,10 +323,6 @@ object Marts {
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(round(sum("l_quantity"), 2))
 
-  /** Argmax aggregates (max_by/min_by). Balances are unique at the group
-    * extremes in this data; with ties the composite-key window form (q07)
-    * is the deterministic alternative.
-    */
   /** Deterministic arg-max/arg-min (r17): bare max_by/min_by leave ties
     * engine-arbitrary — invisible until the sf1.0 derived gate minted
     * 10-way exact acctbal ties and Spark and DuckDB picked different

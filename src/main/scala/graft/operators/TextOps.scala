@@ -2713,14 +2713,21 @@ object TextOps {
     * map-side-combinable agg and null-guarded ratio arithmetic.
     */
   def bpeFertilityFrozen(docs: DataFrame, rules: Seq[(String, String)]): DataFrame = {
-    val toks = tokens(col("text"))
+    // every per-row expression codegen-native (r17 review: the first cut
+    // counted tokens/chars through filter()/aggregate() HOFs — each a
+    // CodegenFallback that evicts the WHOLE projection, kernel included,
+    // from the whole-stage span, the exact overhead q146's encode is
+    // plan-pinned against). With trimmed input, split(\s+) mints an
+    // empty token only for the empty string, so: tokens = size guarded
+    // by the empty case; chars = length with all whitespace deleted.
+    val trimmed = lower(trim(col("text")))
     docs
       .select(col("lang"),
-        size(bpeTokens(col("text"))).cast("long").as("n_tokens"),
-        aggregate(bpeTokens(col("text")), lit(0L), (n, w) => n + length(w))
-          .as("n_chars"),
-        size(graft.plans.GraftFunctions.bpe_encode(toks, rules)).cast("long")
-          .as("n_symbols"))
+        when(length(trimmed) === 0, lit(0L))
+          .otherwise(size(split(trimmed, ws)).cast("long")).as("n_tokens"),
+        length(regexp_replace(trimmed, ws, "")).cast("long").as("n_chars"),
+        size(graft.plans.GraftFunctions.bpe_encode(tokens(col("text")), rules))
+          .cast("long").as("n_symbols"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
         sum("n_chars").as("n_chars"), sum("n_symbols").as("n_symbols"))

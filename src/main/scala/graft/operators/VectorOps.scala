@@ -714,19 +714,17 @@ object VectorOps {
       .groupBy("a_id", "b_id", "label").agg(first("cos").as("cos"))
   }
 
-  /** Blocked near-dup on the embeddings table. θ=0.4 with 8×2-bit bands is
-    * tuned to this corpus's near-random vectors (recall 1.0 at sf≤0.01,
-    * verified against the exact within-label scan — which is why it can
-    * carry an exact-SQL oracle); production near-dup at θ≥0.8 uses
-    * [[embedNeardupBlockedAuto]], whose blocking scales with the corpus.
+  /** Blocked near-dup on the embeddings table; production near-dup at
+    * θ≥0.8 uses [[embedNeardupBlockedAuto]], whose blocking scales with
+    * the corpus.
     *
     * Scale note (sf1.0 probe, BASELINE.md): at θ=0.4 the RESULT itself is
     * quadratic in n on constant-pair-density corpora (measured 84 →
     * 9030 rows at 10×, density ~2e-7 at both scales) — no algorithm
-    * returns a quadratic output in linear time, and the probe's 14×
-    * wall at 107× output means cost tracks the output, not n².
-    */
-  /** 32 planes / 2-bit bands = 16 bands (r17, caught by the extended
+    * returns a quadratic output in linear time, and the probe's
+    * wall-vs-output ratios show cost tracks the output, not n².
+    *
+    * 32 planes / 2-bit bands = 16 bands (r17, caught by the extended
     * sf0.1 gate): at θ=0.4 the per-band agreement is p² ≈ 0.398, so 8
     * bands (the old 16 planes) miss a qualifying pair with probability
     * (1−p²)^8 ≈ 1.7% — sf0.01's 5 pairs got lucky, sf0.1's 86 lost 2.
@@ -1566,7 +1564,7 @@ object VectorOps {
     * table probes a shrinking FRACTION of the index as the corpus grows,
     * so recall silently decays with scale — the sf0.1 extended gate
     * caught exactly this (q57's recall@5 ≥ 0.8 bound held at 8-of-22
-    * probes on sf0.01 and FAILED at 8-of-70 on sf0.1). The auto rule
+    * probes on sf0.01 and FAILED at 8-of-44 on sf0.1). The auto rule
     * probes ~30% of the centroid table (floor [[DefaultProbes]]):
     * constant fraction → recall stable under corpus growth on
     * self-similar data, at a bounded ~3× index-speedup trade. A
@@ -1736,9 +1734,11 @@ object VectorOps {
   }
 
   /** IVF-probed cosine top-k: rank centroids per query, exact-search only
-    * the nProbe nearest buckets. Approximate (recall < 1) by design —
-    * q38 is the exact baseline it trades against; recall@5 ≥ 0.8 at
-    * nProbe=8 is asserted in VectorOpsSpec.
+    * the probed buckets. Approximate (recall < 1) by design — q38 is the
+    * exact baseline it trades against; numProbes ≤ 0 (the default)
+    * resolves via [[ivfAutoProbes]], under which q57's recall@5 ≥ 0.8
+    * gate holds at every probed scale (VectorOpsSpec + the sf0.1/sf1.0
+    * extended gates).
     */
   def ivfTopk(all: DataFrame, numProbes: Int = 0,
       numCentroids: Int = 0, lloydIters: Int = DefaultLloydIters,
@@ -2087,7 +2087,7 @@ object VectorOps {
     * shape collapsed.
     */
   def ivfShardedSearch(queries: DataFrame, corpus: DataFrame, path: String,
-      numProbes: Int = DefaultProbes, k: Int = 5): DataFrame = {
+      numProbes: Int = 0, k: Int = 5): DataFrame = {
     val s = queries.sparkSession
     val shards = shardCount(s, path)
     val f = new org.apache.hadoop.fs.Path(path)
@@ -2145,9 +2145,17 @@ object VectorOps {
     * at that scale no single search should fan over every shard anyway.
     */
   private def shardedProbeSelection(queries: DataFrame, centTagged: DataFrame,
-      numProbes: Int): DataFrame = {
+      numProbesIn: Int): DataFrame = {
     val rows = centTagged.select("shard", "cid", "cvec", "cnorm").collect()
       .sortBy(r => (r.getInt(0), r.getInt(1)))
+    // numProbes <= 0 = AUTO, per shard: the same fraction rule as the
+    // single index ([[ivfAutoProbes]] — r17 review: the fix was first
+    // applied only to ivfSearch, leaving the sharded path's per-shard
+    // √(n/K) tables to the same fixed-probe recall decay). Sized on the
+    // WIDEST shard's table so an unlucky hash split cannot under-probe.
+    val numProbes =
+      if (numProbesIn > 0) numProbesIn
+      else ivfAutoProbes(rows.groupBy(_.getInt(0)).values.map(_.size).max)
     val shardArr = rows.map(_.getInt(0))
     val cids = rows.map(_.getInt(1))
     val cvecs = rows.map(_.getSeq[Any](2).iterator.map {

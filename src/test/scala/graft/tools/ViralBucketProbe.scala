@@ -31,11 +31,15 @@ object ViralBucketProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // one viral key (band=0, sig=0) + organic keys of width ~10
+    // one viral key (band=0, sig=0) + DISJOINT organic keys of width ~10
+    // (sigs offset by 1 so no organic row can merge into the viral
+    // bucket; the modulus is floored at 1 so a tiny organic arg can't
+    // divide by zero into null sigs)
+    val orgBuckets = math.max(1L, organic / 10)
     val bucketed = spark.range(viral + organic)
       .select(col("id").as("doc_id"),
         when(col("id") < viral, lit(0L))
-          .otherwise(pmod(col("id"), lit(organic / 10))).as("sig"),
+          .otherwise(pmod(col("id"), lit(orgBuckets)) + 1L).as("sig"),
         lit(0).as("band"))
       .localCheckpoint(true)
 
@@ -62,14 +66,24 @@ object ViralBucketProbe {
         .withColumn("w", count(lit(1)).over(b))
         .withColumn("m", min(struct(col("doc_id"))).over(b))
     }
-    // warm both paths' codegen once on a sliver
-    aggAnnotated.limit(1).count(); winAnnotated.limit(1).count()
+    // identity check OVER THE VALUES, not just counts (the consume()
+    // filter is always-true, so equal counts alone could not detect a
+    // divergent w/m): an order-insensitive checksum of every annotated
+    // row must match between the two forms
+    // bit_xor, not sum: ANSI long-sum overflows at a few hundred
+    // thousand hashes; XOR is order-insensitive and safe (rows are
+    // distinct by doc_id, so pairwise cancellation can't hide anything)
+    def digest(df: DataFrame): Long = df
+      .agg(expr("bit_xor(xxhash64(doc_id, w, m.doc_id))"))
+      .collect()(0).getLong(0)
+    require(digest(aggAnnotated) == digest(winAnnotated),
+      "annotation forms diverge: groupBy+join vs window produce different w/m")
     val passes = 2
     for (p <- 1 to passes) {
       println(s"-- pass $p (viral=$viral organic=$organic) --")
       val na = time("A groupBy+join")(aggAnnotated)
       val nb = time("B window")(winAnnotated)
-      require(na == nb, s"annotation forms must agree: $na vs $nb")
+      require(na == nb, s"annotation row counts must agree: $na vs $nb")
     }
     // and the shipped kernel end to end: the viral bucket star-routes
     time("widthCappedPairs") {
