@@ -188,13 +188,19 @@ object PqDedupGate {
     * rank-1 cluster — ready for [[ingest]]'s append).
     */
   def gate(batch: DataFrame, geometryDir: String, storePath: String,
-      theta: Long, nProbe: Int = 2): DataFrame = {
+      theta: Long, nProbe: Int = 0): DataFrame = {
     require(theta >= 0, s"PqDedupGate: theta must be >= 0, got $theta")
     val spark = batch.sparkSession
     import spark.implicits._
     val (coarse, cbs) = readGeometry(spark, geometryDir)
-    require(nProbe >= 1 && nProbe <= coarse.size,
-      s"PqDedupGate: need 1 <= nProbe=$nProbe <= kc=${coarse.size}")
+    // nProbe <= 0 = AUTO against the frozen kc ([[VectorOps.ivfpqAutoProbes]]):
+    // a fixed probe count over a geometry someone re-freezes at production
+    // kc would silently re-open the boundary-straggler miss the nProbe>1
+    // design exists to close
+    val np = if (nProbe > 0) nProbe
+      else VectorOps.ivfpqAutoProbes(coarse.size)
+    require(np >= 1 && np <= coarse.size,
+      s"PqDedupGate: need 1 <= nProbe=$np <= kc=${coarse.size}")
     val iv = batch.withColumn("__q", VectorOps.intVec(col("embedding")))
     // probe table: batch × kc rows against the literal centroid frame,
     // nProbe nearest kept, the query residualized per probed cluster
@@ -209,7 +215,7 @@ object PqDedupGate {
           .as("__neg"),
         zip_with(col("__q"), col("cvec"), (a, b) => a - b).as("qr"))
     val probed = VectorOps
-      .rankTopK(probeScored, "b_id", "cluster", "__neg", k = nProbe)
+      .rankTopK(probeScored, "b_id", "cluster", "__neg", k = np)
       .select(col("b_id"), col("cluster"), col("qr"))
     // store scanned, probe broadcast: a BroadcastHashJoin that streams
     // the code store however large it grows (never the reverse build)
@@ -238,7 +244,7 @@ object PqDedupGate {
     * bookkeeping, like the other gates.
     */
   def ingest(batch: DataFrame, geometryDir: String, storePath: String,
-      theta: Long, nProbe: Int = 2): DataFrame = {
+      theta: Long, nProbe: Int = 0): DataFrame = {
     val admitted = gate(batch, geometryDir, storePath, theta, nProbe)
       .localCheckpoint(true)
     admitted.select(col("cluster"), col("vec_id"), col("codes"))

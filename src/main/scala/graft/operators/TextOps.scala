@@ -2763,13 +2763,17 @@ object TextOps {
        |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
        |                w -> length(w) > 0) AS ws FROM documents),
        | dw AS (SELECT DISTINCT unnest(ws) AS w FROM t),
+       | chk AS (SELECT CASE WHEN EXISTS (
+       |     SELECT 1 FROM dw WHERE w LIKE '%<%' OR w LIKE '%>%')
+       |   THEN error('q146 oracle: a corpus token contains a literal < or > - the bracketed symbol encoding below would corrupt; extend the encoding before trusting this oracle')
+       |   ELSE 1 END AS ok),
        | mr AS (SELECT unnest([$aList]) AS a, unnest([$bList]) AS b,
        |        unnest(range(1, ${n + 1})) AS r),
        | enc AS (
        |  SELECT w, '>' || array_to_string(
        |      list_transform(range(1, length(w)+1), i -> w[i]), '< >') || '<' AS bw,
        |    1 AS nxt
-       |  FROM dw
+       |  FROM dw, chk
        |  UNION ALL
        |  SELECT e.w,
        |    replace(e.bw, '>'||m.a||'< >'||m.b||'<', '>'||m.a||m.b||'<') AS bw,

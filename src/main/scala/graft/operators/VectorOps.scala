@@ -1369,11 +1369,14 @@ object VectorOps {
     * backing checkpoints via CacheHygiene.releaseTree (Verify does).
     */
   def ivfpqTopk(df: DataFrame, kc: Int = 8, cIters: Int = 2,
-      m: Int = 16, k: Int = 64, iters: Int = 2, nProbe: Int = 2,
+      m: Int = 16, k: Int = 64, iters: Int = 2, nProbe: Int = 0,
       kNN: Int = 5, querySpan: Long = 10L,
       instrument: Boolean = true): DataFrame = {
-    require(kc >= 1 && nProbe >= 1 && nProbe <= kc,
-      s"ivfpqTopk: need 1 <= nProbe=$nProbe <= kc=$kc")
+    // nProbe <= 0 = AUTO: a fixed probe count over a scale-dependent kc
+    // is the q57 recall-decay bug class — see [[ivfpqAutoProbes]]
+    val np = if (nProbe > 0) nProbe else ivfpqAutoProbes(kc)
+    require(kc >= 1 && np >= 1 && np <= kc,
+      s"ivfpqTopk: need 1 <= nProbe=$np <= kc=$kc")
     val s = df.sparkSession
     import s.implicits._
     val iv = df.select(col("vec_id"), intVec(col("embedding")).as("q"))
@@ -1413,7 +1416,7 @@ object VectorOps {
           (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
           .as("__neg"),
         zip_with(col("q_q"), col("cvec"), (a, b) => a - b).as("qr"))
-    val probed = rankTopK(probeScored, "q_id", "ccid", "__neg", k = nProbe)
+    val probed = rankTopK(probeScored, "q_id", "ccid", "__neg", k = np)
       .select(col("q_id"), col("ccid"), col("qr"))
     // candidates = the probed lists only: tiny probe side broadcasts,
     // the code-only corpus streams through the list-id join
@@ -1448,9 +1451,12 @@ object VectorOps {
   }
 
   /** q131: IVF-PQ end to end on the q108 coarse geometry (kc=8) with
-    * the q130 PQ grid (16×64) on residuals, probing 2/8 lists — the
-    * deployable 100 TB serving read: ~25% of the corpus scanned per
-    * query at 16 bytes per vector.
+    * the q130 PQ grid (16×64) on residuals, probe count AUTO
+    * ([[ivfpqAutoProbes]] — all 8 lists at this toy kc, the ~30%
+    * fraction at production kc). The deployable 100 TB serving read
+    * scans nProbe/kc of the corpus at 16 bytes per vector; the auto
+    * rule keeps that fraction — and recall — constant as kc grows
+    * with √n.
     */
   def q131IvfpqTopk(s: SparkSession, d: String): DataFrame =
     ivfpqTopk(embeddings(s, d))
@@ -1513,10 +1519,13 @@ object VectorOps {
     * The index just pays the training once.
     */
   def ivfpqSearch(spark: SparkSession, dir: String, queries: DataFrame,
-      nProbe: Int = 2, kNN: Int = 5): DataFrame = {
+      nProbe: Int = 0, kNN: Int = 5): DataFrame = {
     val (coarse, cbs) = PqDedupGate.readGeometry(spark, s"$dir/geom")
-    require(nProbe >= 1 && nProbe <= coarse.size,
-      s"ivfpqSearch: need 1 <= nProbe=$nProbe <= kc=${coarse.size}")
+    // AUTO resolves against the PERSISTED kc — an index grown to more
+    // lists is probed proportionally harder, like the sharded IVF path
+    val np = if (nProbe > 0) nProbe else ivfpqAutoProbes(coarse.size)
+    require(np >= 1 && np <= coarse.size,
+      s"ivfpqSearch: need 1 <= nProbe=$np <= kc=${coarse.size}")
     import spark.implicits._
     val centDf = coarse.map { case (cid, c) => (cid, c.toSeq) }
       .toDF("ccid", "cvec")
@@ -1528,7 +1537,7 @@ object VectorOps {
           (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
           .as("__neg"),
         zip_with(col("q_q"), col("cvec"), (a, b) => a - b).as("qr"))
-    val probed = rankTopK(probeScored, "q_id", "ccid", "__neg", k = nProbe)
+    val probed = rankTopK(probeScored, "q_id", "ccid", "__neg", k = np)
       .select(col("q_id"), col("ccid"), col("qr"))
       .localCheckpoint(true) // read twice: the ccid set and the join side
     val probedLists = probed.select("ccid").distinct()
@@ -1573,6 +1582,23 @@ object VectorOps {
     */
   def ivfAutoProbes(numCentroids: Int): Int =
     math.max(DefaultProbes, math.ceil(numCentroids * 0.3).toInt)
+
+  /** AUTO probe count for the IVF-PQ family (r18): the same
+    * constant-fraction discipline as [[ivfAutoProbes]], clamped to kc
+    * because the PQ paths carry a hard `nProbe <= kc` contract (probing
+    * a list twice is meaningless). At toy kc the [[DefaultProbes]] floor
+    * dominates (kc=8 → probe all 8 lists — recall can hide nothing at
+    * gate scale); at production kc (√n per [[ivfNumCentroids]], e.g.
+    * 1024 at 10⁶ vectors) the ~30% fraction rules, keeping the scanned
+    * fraction — and therefore recall on self-similar data — CONSTANT as
+    * the corpus grows. This closes the last fixed-absolute-parameter-
+    * over-a-scale-dependent-structure on the board: the r17 extended
+    * gate proved the bug class on q57 (fixed 8 probes held at 22
+    * centroids, decayed at 44); nothing gated PQ recall at scale until
+    * this rule + the PqProbe kc sweep (BASELINE.md).
+    */
+  def ivfpqAutoProbes(kc: Int): Int =
+    math.min(math.max(1, kc), ivfAutoProbes(kc))
   val DefaultLloydIters     = 2
   val DefaultAssignReplicas = 2
 
@@ -2148,6 +2174,13 @@ object VectorOps {
       numProbesIn: Int): DataFrame = {
     val rows = centTagged.select("shard", "cid", "cvec", "cnorm").collect()
       .sortBy(r => (r.getInt(0), r.getInt(1)))
+    // loud on an empty sharded index: the auto rule below takes a .max
+    // over per-shard counts, which on zero rows would throw an opaque
+    // UnsupportedOperationException instead of naming the real problem
+    require(rows.nonEmpty,
+      "ivf sharded search: the index has no centroids - build it with " +
+        "ivfShardedIndex before searching (an empty centroid table can " +
+        "answer no probe)")
     // numProbes <= 0 = AUTO, per shard: the same fraction rule as the
     // single index ([[ivfAutoProbes]] — r17 review: the fix was first
     // applied only to ivfSearch, leaving the sharded path's per-shard
@@ -2988,7 +3021,9 @@ object VectorOps {
         |FROM (SELECT * FROM a2_0 WHERE rn = 1) a0
         |JOIN (SELECT * FROM a2_1 WHERE rn = 1) a1 USING (vec_id)""".stripMargin),
     "q130_pq_topk" -> PqOracle.topkSql(16, 64),
-    "q131_ivfpq" -> IvfPqOracle.sql(16, 64),
+    // q131 probes AUTO = ivfpqAutoProbes(kc=8) = 8 lists at the gate's
+    // toy kc — the oracle restates the RESOLVED count, not the rule
+    "q131_ivfpq" -> IvfPqOracle.sql(16, 64, nProbe = ivfpqAutoProbes(8)),
   )
 
   /** The shared DuckDB prefix for the k-means family: two unrolled

@@ -116,7 +116,7 @@ final class HttpFetcher(
         PacedExtractor.Fetched(Seq(mapper.writeValueAsString(o)), hasMore = false)
       case other =>
         throw new IllegalStateException(
-          s"HTTP $other from $baseUrl/$id: ${resp.body().take(500)}")
+          s"HTTP $other from $detailUrl: ${resp.body().take(500)}")
     }
   }
 

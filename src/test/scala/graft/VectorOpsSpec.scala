@@ -1457,8 +1457,12 @@ class VectorOpsSpec extends SparkSpec {
   }
 
   test("q131: IVF-PQ top-5 per query — rank-consistent, candidates only from probed lists") {
+    // explicit nProbe=2: the containment assertion below (≤2 ccids per
+    // query) is only meaningful under partial probing — the DEFAULT is
+    // AUTO (ivfpqAutoProbes: all 8 lists at this toy kc, ~30% at
+    // production kc), which the next test and the resolver test pin
     val res = VectorOps.ivfpqTopk(
-      graft.sources.Tables.embeddings(spark, sfDir))
+      graft.sources.Tables.embeddings(spark, sfDir), nProbe = 2)
     val rows = res.collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
     assert(byQ.size == 10)
@@ -1491,6 +1495,14 @@ class VectorOpsSpec extends SparkSpec {
     // too; ranks then differ from q130's only through residual-vs-plain
     // codebooks, never through routing. Pin the structural guarantee:
     // 10 queries × 5 ranks, all ccids permitted, ADC non-decreasing.
+    // This is also the DEFAULT at this toy kc — AUTO resolves to 8/8
+    // (the registered q131 probes every list; recall can hide nothing
+    // at gate scale, and the ~30% fraction only engages at real kc).
+    assert(VectorOps.ivfpqAutoProbes(8) == 8)
+    assert(VectorOps.ivfpqAutoProbes(1024) == 308,
+      "production kc must resolve to the ~30% fraction, not the floor")
+    assert(VectorOps.ivfpqAutoProbes(4) == 4,
+      "AUTO must clamp to kc — probing a list twice is meaningless")
     val res = VectorOps.ivfpqTopk(
       graft.sources.Tables.embeddings(spark, sfDir), nProbe = 8)
     val rows = res.collect()
