@@ -141,7 +141,12 @@ object Bench {
         graft.operators.TextOps.q146Big(s, dir)),
       "q131prod" -> ((s: SparkSession, dir: String) =>
         graft.operators.VectorOps.ivfpqTopk(
-          graft.sources.Tables.embeddings(s, dir), instrument = false)))
+          graft.sources.Tables.embeddings(s, dir), instrument = false)),
+      // r18: q149's serving path — the shortlist pass runs on packed
+      // 8-byte sign signatures (XOR + POPCNT) instead of the per-dim
+      // oracle form; output spec-pinned identical.
+      "q149prod" -> ((s: SparkSession, dir: String) =>
+        graft.operators.VectorOps.q149BinaryTopk(s, dir, packed = true)))
     // A selector matches a query only exactly, or as a prefix that ends at
     // an underscore boundary ("q35" selects q35_ngram_jaccard but NOT the
     // bench-only "q35prod") — a bare startsWith would silently widen what a

@@ -817,6 +817,59 @@ object TextOps {
     topTermsPerDoc(scored, k)
   }
 
+  /** Lexical more-like-this (q147's stage-B retriever, r18): doc-to-doc
+    * BM25 retrieval — each QUERY document's top `qTerms` BM25 terms
+    * form a bag-of-words query, and every corpus document is scored by
+    * the sum of its own BM25 term scores over that bag (the Lucene
+    * MoreLikeThis shape: select interesting terms, then run them as a
+    * disjunctive query). Returns (q_id, c_id, lex_u, rk): top `k`
+    * corpus docs per query doc, `lex_u` the summed score in integer
+    * MICRO-units.
+    *
+    * Why micro-units: the per-(q,c) score is a SUM of per-term doubles,
+    * and cross-engine float sums are order-sensitive — the one bug
+    * class the round-before-rank convention can't fix (rounding a sum
+    * still rounds two different sums). Quantizing each per-term
+    * contribution to an integer BEFORE the sum makes the aggregate
+    * exact, associative, and bit-portable; the oracle restates the same
+    * integer arithmetic.
+    *
+    * Scale shape: everything derives from the ONE (doc_id, term)
+    * aggregate both lexical scorers share; the query bag (queries ×
+    * qTerms rows) broadcasts onto the streaming corpus term frame, the
+    * per-(q,c) sum partial-aggregates map-side, and the top-k is the
+    * bounded-heap operator — no window ever sees the scored volume.
+    * Query docs are `doc_id < nQueries` (the q38/q95 convention).
+    */
+  def moreLikeThis(docs: DataFrame, nQueries: Long = 10L, qTerms: Int = 10,
+      k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(nQueries >= 1 && qTerms >= 1 && k >= 1 && k1 > 0 && b >= 0 && b <= 1,
+      s"moreLikeThis: bad params nQueries=$nQueries qTerms=$qTerms k=$k k1=$k1 b=$b")
+    val tf = termCounts(docs)
+    val dl = tf.groupBy("doc_id").agg(sum("n").as("len"))
+    val stats = dl.agg(count(lit(1)).as("nd"), avg("len").as("avgl"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log((col("nd").cast("double") - col("df") + 0.5) /
+      (col("df") + 0.5) + 1.0)
+    val norm = lit(k1) * (lit(1 - b) + lit(b) * col("len").cast("double") / col("avgl"))
+    val scoredU = tf.join(dl, "doc_id").join(dfc, "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        round(idf * (col("n") * lit(k1 + 1)) / (col("n") + norm) * lit(1e6), 0)
+          .cast("long").as("score_u"))
+    val wq = Window.partitionBy("doc_id")
+      .orderBy(col("score_u").desc, col("term"))
+    val qbag = scoredU.filter(col("doc_id") < nQueries)
+      .withColumn("qrk", row_number().over(wq)).filter(col("qrk") <= qTerms)
+      .select(col("doc_id").as("q_id"), col("term"))
+    val pairs = scoredU.filter(col("doc_id") >= nQueries)
+      .join(broadcast(qbag), "term")
+      .groupBy(col("q_id"), col("doc_id").as("c_id"))
+      .agg(sum("score_u").as("lex_u"))
+    VectorOps.rankTopK(pairs, "q_id", "c_id", "lex_u", k)
+      .select(col("q_id"), col("c_id"), col("lex_u"), col("rk"))
+  }
+
   /** q145: top-3 BM25 terms per doc (k1=1.2, b=0.75, the standard
     * defaults) over `documents`. */
   def q145Bm25(s: SparkSession, d: String): DataFrame =

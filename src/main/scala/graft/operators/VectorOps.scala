@@ -850,6 +850,190 @@ object VectorOps {
       .select(col("q_id"), col("c_id"), col("hybrid"), col("rk"))
   }
 
+  /** Exact cosine ranked list, q38's shape with the rank retained and a
+    * configurable depth — the shared stage-A retriever for the fusion
+    * and rerank queries (q95 keeps its own inline copy because it also
+    * needs the raw cos).
+    */
+  def cosineRanked(s: SparkSession, d: String, k: Int): DataFrame = {
+    val all = withVec(embeddings(s, d))
+    val queries = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+        col("norm").as("q_norm"))
+    val corpus = all.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("vec").as("c_vec"),
+        col("norm").as("c_norm"))
+    val cos = dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))
+    rankTopK(
+      corpus.crossJoin(broadcast(queries))
+        .select(col("q_id"), col("c_id"), cos.as("cos")),
+      "q_id", "c_id", "cos", k = k)
+      .select(col("q_id"), col("c_id"), col("rk"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009): fuse two
+    * ranked lists keyed (q_id, c_id, rk) into one by
+    * `score = Σ 1/(k0 + rank)`, the standard k0 = 60. The per-list
+    * contribution is quantized to integer NANO-units
+    * (⌊10⁹/(k0+rank)⌋) so the fused score is exact integer arithmetic —
+    * rank-faithful (the quantization error ~10⁻⁹ is far below the
+    * smallest true score gap at sane list depths) and bit-portable
+    * across engines, where a float sum of reciprocals would be at the
+    * mercy of addition order. A doc present in only one list keeps its
+    * single contribution (standard RRF over top-N lists).
+    *
+    * Scale shape: both inputs are already per-query bounded (≤ queries
+    * × depth rows), so the full-outer join and the bounded-heap top-k
+    * are over tiny frames regardless of corpus size — fusion cost never
+    * grows with the data, only with the query batch.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k0: Int = 60, k: Int = 10): DataFrame = {
+    require(k0 >= 1 && k >= 1, s"rrfFuse: bad params k0=$k0 k=$k")
+    def quant(df: DataFrame, out: String) = df.select(col("q_id"), col("c_id"),
+      floor(lit(1e9) / (lit(k0) + col("rk"))).cast("long").as(out))
+    val fused = quant(a, "pa").join(quant(b, "pb"), Seq("q_id", "c_id"), "full_outer")
+      .select(col("q_id"), col("c_id"),
+        (coalesce(col("pa"), lit(0L)) + coalesce(col("pb"), lit(0L))).as("rrf_u"))
+    rankTopK(fused, "q_id", "c_id", "rrf_u", k)
+      .select(col("q_id"), col("c_id"), col("rrf_u"), col("rk"))
+  }
+
+  /** q147: hybrid retrieval by reciprocal-rank fusion — the OTHER
+    * standard two-retriever composition next to q95's score blend, and
+    * the one production stacks default to because it needs no score
+    * calibration (ranks are scale-free; a cosine in [−1,1] and a BM25
+    * in [0,30] fuse without normalization). Stage A = exact cosine
+    * top-20 per query (q38's broadcast + bounded-heap shape); stage B =
+    * lexical doc-to-doc BM25 top-20 ([[TextOps.moreLikeThis]], the
+    * aligned documents table); fused top-10 per query at k0=60.
+    */
+  def q147RrfFusion(s: SparkSession, d: String): DataFrame =
+    rrfFuse(
+      cosineRanked(s, d, k = 20),
+      TextOps.moreLikeThis(Tables.documents(s, d)).select("q_id", "c_id", "rk"))
+
+  /** q148: Matryoshka-truncation ANN (Kusupati et al. 2022) — serve
+    * top-k from the PREFIX of each embedding (here the first 32 of 64
+    * dims) and measure what the truncation costs: MRL-style models pack
+    * coarse semantics into leading dims, so a half-width index (half
+    * the bytes, half the FLOPs per distance) is the cheapest ANN
+    * speedup that exists — no training, no codebooks, just a slice.
+    * Output: truncated-space top-5 per query with `full_rk` = the
+    * doc's rank in FULL-dim exact top-5 (NULL = not in it), the same
+    * per-row recall instrument q131 carries. On synthetic uniform
+    * embeddings the prefix is an arbitrary coordinate subspace (no
+    * MRL training concentrated meaning there), so recall measures the
+    * instrument's honesty, not the method's ceiling.
+    *
+    * Scale shape: identical to q38 — corpus streams once, queries
+    * broadcast, bounded-heap top-k; the slice halves every dot.
+    */
+  def q148MrlTopk(s: SparkSession, d: String, dims: Int = 32): DataFrame = {
+    require(dims >= 1, s"q148MrlTopk: dims must be >= 1, got $dims")
+    val t = embeddings(s, d)
+      .select(col("vec_id"), slice(col("embedding"), 1, dims).as("tvec"))
+      .withColumn("tnorm", sqrt(dot(col("tvec"), col("tvec"))))
+    val queries = t.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("tvec").as("q_vec"),
+        col("tnorm").as("q_norm"))
+    val corpus = t.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("tvec").as("c_vec"),
+        col("tnorm").as("c_norm"))
+    val cosT = dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))
+    val top = rankTopK(
+      corpus.crossJoin(broadcast(queries))
+        .select(col("q_id"), col("c_id"), cosT.as("cos_t")),
+      "q_id", "c_id", "cos_t", k = 5)
+    val exact = cosineRanked(s, d, k = 5)
+      .withColumnRenamed("rk", "full_rk")
+    top.join(broadcast(exact), Seq("q_id", "c_id"), "left")
+      .select(col("q_id"), col("c_id"), round(col("cos_t"), 6).as("cos_t"),
+        col("rk"), col("full_rk"))
+  }
+
+  /** Packed sign-bit signature: one bit per dimension (set iff the
+    * coordinate > 0), a dimension SLICE folding to one long via a
+    * Horner fold (acc·2 + bit). Each half packs ≤ 32 bits so the fold
+    * never touches the long's sign bit — ANSI mode (Spark 4's default)
+    * throws on the wrap a full 64-bit pack would need — hence the
+    * two-half struct ([[binarySig]]), the q37 SimHash convention.
+    */
+  private def binarySigSlice(vec: Column, start: Int, len: Int): Column =
+    aggregate(slice(vec, start, len), lit(0L),
+      (acc, x) => acc * 2L + when(x > 0f, 1L).otherwise(0L))
+
+  /** 64-dim sign signature as struct(hi, lo) — 8 bytes of payload per
+    * vector; Hamming = bit_count(hi⊕hi') + bit_count(lo⊕lo').
+    */
+  def binarySig(vec: Column, dims: Int = 64): Column = {
+    require(dims >= 2, s"binarySig: dims must be >= 2, got $dims")
+    struct(
+      binarySigSlice(vec, 1, dims / 2).as("hi"),
+      binarySigSlice(vec, dims / 2 + 1, dims - dims / 2).as("lo"))
+  }
+
+  /** Packed-signature Hamming distance — the BQ serving kernel. */
+  def sigHamming(a: Column, b: Column): Column =
+    (bit_count(a.getField("hi").bitwiseXOR(b.getField("hi"))) +
+      bit_count(a.getField("lo").bitwiseXOR(b.getField("lo")))).cast("long")
+
+  /** q149: binary-quantization ANN — 1 bit per dimension (sign of the
+    * coordinate), candidates shortlisted by Hamming distance, then
+    * reranked with the exact cosine. THE memory-floor serving read:
+    * 64 dims fold to 8 bytes/vector (32× under float32), and at 100 TB
+    * the shortlist pass is a packed-long XOR + POPCNT per pair (the
+    * [[binarySig]] kernel — spec-pinned equal to the per-dim form this
+    * registered query runs for the oracle's sake). Output: exact-cosine
+    * top-5 per query FROM the Hamming-top-20 shortlist, with the
+    * shortlist Hamming distance carried per row.
+    */
+  def q149BinaryTopk(s: SparkSession, d: String,
+      packed: Boolean = false): DataFrame = {
+    val all = withVec(embeddings(s, d))
+    val queries = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+        col("norm").as("q_norm"))
+    val corpus = all.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("vec").as("c_vec"),
+        col("norm").as("c_norm"))
+    // registered form: per-dim sign-disagreement count (the engine-
+    // portable oracle form). packed = the serving path: vectors fold
+    // ONCE to 8-byte signatures, the pairwise pass is XOR + POPCNT —
+    // spec-pinned output-identical.
+    val scored = if (packed) {
+      val qs = queries.select(col("q_id"),
+        binarySig(col("q_vec")).as("q_sig"))
+      corpus.select(col("c_id"), binarySig(col("c_vec")).as("c_sig"))
+        .crossJoin(broadcast(qs))
+        .select(col("q_id"), col("c_id"),
+          sigHamming(col("q_sig"), col("c_sig")).as("hamming"))
+    } else {
+      val ham = aggregate(
+        zip_with(col("q_vec"), col("c_vec"),
+          (x, y) => when((x > 0f) =!= (y > 0f), 1L).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x)
+      corpus.crossJoin(broadcast(queries))
+        .select(col("q_id"), col("c_id"), ham.as("hamming"))
+    }
+    val shortlist = rankTopK(
+      scored.withColumn("__neg", -col("hamming")),
+      "q_id", "c_id", "__neg", k = 20)
+      .select("q_id", "c_id", "hamming")
+    // exact dots ONLY on the shortlist (queries × 20 rows, never the
+    // corpus): the tiny shortlist broadcasts onto the corpus scan, then
+    // picks its query vector off the broadcast query set — the float
+    // re-read is the BQ serving pattern (sig index answers the
+    // shortlist, the rerank fetches ≤ queries×20 full vectors)
+    val rer = corpus.join(broadcast(shortlist), "c_id")
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("c_id"), col("hamming"),
+        (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+          .as("cos"))
+    rankTopK(rer, "q_id", "c_id", "cos", k = 5)
+      .select(col("q_id"), col("c_id"), col("hamming"),
+        round(col("cos"), 6).as("cos"), col("rk"))
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max|x|/127,
     * q_i = round(x_i/scale) — the 4× compression a 100 TB embedding
     * store applies before ANN serving (float32 → int8 is the standard
@@ -2584,6 +2768,9 @@ object VectorOps {
     "q129_pq_codes" -> q129PqCodes _,
     "q130_pq_topk" -> q130PqTopk _,
     "q131_ivfpq" -> q131IvfpqTopk _,
+    "q147_rrf_fusion" -> q147RrfFusion _,
+    "q148_mrl_topk" -> ((s: SparkSession, d: String) => q148MrlTopk(s, d)),
+    "q149_binary_topk" -> ((s: SparkSession, d: String) => q149BinaryTopk(s, d)),
   )
 
   /** Every sketch query on the board now carries a full hash oracle: q36
@@ -3024,6 +3211,113 @@ object VectorOps {
     // q131 probes AUTO = ivfpqAutoProbes(kc=8) = 8 lists at the gate's
     // toy kc — the oracle restates the RESOLVED count, not the rule
     "q131_ivfpq" -> IvfPqOracle.sql(16, 64, nProbe = ivfpqAutoProbes(8)),
+    // q147: both retrievers restated end-to-end — the cosine stage is
+    // q95's CTE prefix, the lexical stage is q145's BM25 quantized to
+    // integer micro-units before the per-(q,c) sum (float sums are the
+    // one thing round-before-rank can't make portable), and the fusion
+    // is exact integer arithmetic (⌊1e9/(60+rk)⌋ nano-units)
+    "q147_rrf_fusion" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        | n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM v),
+        | q AS (SELECT vec_id AS q_id, vec AS q_vec, norm AS q_norm FROM n WHERE vec_id < 10),
+        | c AS (SELECT vec_id AS c_id, vec AS c_vec, norm AS c_norm FROM n WHERE vec_id >= 10),
+        | s AS (SELECT q_id, c_id,
+        |        list_dot_product(q_vec, c_vec) / (q_norm * c_norm) AS cos
+        |       FROM q CROSS JOIN c),
+        | sem AS (SELECT q_id, c_id, rk FROM (
+        |   SELECT q_id, c_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+        |   FROM s) WHERE rk <= 20),
+        | toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | toks2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+        | tf AS (SELECT doc_id, term, count(*) AS n FROM toks2 GROUP BY 1, 2),
+        | dl AS (SELECT doc_id, count(*) AS len FROM toks2 GROUP BY 1),
+        | stats AS (SELECT count(*) AS nd, avg(len) AS avgl FROM dl),
+        | dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | su AS (SELECT tf.doc_id, tf.term,
+        |   CAST(round(ln((nd - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+        |     * (tf.n * 2.2) / (tf.n + 1.2 * (0.25 + 0.75 * dl.len / avgl))
+        |     * 1000000.0) AS BIGINT) AS score_u
+        |   FROM tf JOIN dl USING (doc_id) JOIN dfc USING (term) CROSS JOIN stats),
+        | qbag AS (SELECT doc_id AS q_id, term FROM (
+        |   SELECT doc_id, term,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score_u DESC, term) AS qrk
+        |   FROM su WHERE doc_id < 10) WHERE qrk <= 10),
+        | lexs AS (SELECT qbag.q_id, su.doc_id AS c_id, sum(su.score_u) AS lex_u
+        |   FROM su JOIN qbag USING (term) WHERE su.doc_id >= 10 GROUP BY 1, 2),
+        | lex AS (SELECT q_id, c_id, rk FROM (
+        |   SELECT q_id, c_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY lex_u DESC, c_id) AS rk
+        |   FROM lexs) WHERE rk <= 20),
+        | pa AS (SELECT q_id, c_id,
+        |        CAST(floor(1000000000.0 / (60 + rk)) AS BIGINT) AS p FROM sem),
+        | pb AS (SELECT q_id, c_id,
+        |        CAST(floor(1000000000.0 / (60 + rk)) AS BIGINT) AS p FROM lex),
+        | f AS (SELECT q_id, c_id, coalesce(pa.p, 0) + coalesce(pb.p, 0) AS rrf_u
+        |       FROM pa FULL OUTER JOIN pb USING (q_id, c_id))
+        |SELECT q_id, c_id, rrf_u, rk FROM (
+        |  SELECT q_id, c_id, rrf_u,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY rrf_u DESC, c_id) AS rk
+        |  FROM f) WHERE rk <= 10""".stripMargin,
+    // q148: the truncated space is the 32-element list prefix (slice
+    // AFTER the double cast ≡ Spark's slice before — the cast is
+    // elementwise); full_rk restates q38's full-dim exact top-5
+    "q148_mrl_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        | tn AS (SELECT vec_id, vec[1:32] AS tvec,
+        |        sqrt(list_dot_product(vec[1:32], vec[1:32])) AS tnorm FROM v),
+        | tq AS (SELECT vec_id AS q_id, tvec AS q_vec, tnorm AS q_norm
+        |        FROM tn WHERE vec_id < 10),
+        | tc AS (SELECT vec_id AS c_id, tvec AS c_vec, tnorm AS c_norm
+        |        FROM tn WHERE vec_id >= 10),
+        | ts AS (SELECT q_id, c_id,
+        |        list_dot_product(q_vec, c_vec) / (q_norm * c_norm) AS cos_t
+        |       FROM tq CROSS JOIN tc),
+        | tr AS (SELECT q_id, c_id, cos_t, rk FROM (
+        |   SELECT q_id, c_id, cos_t,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos_t DESC, c_id) AS rk
+        |   FROM ts) WHERE rk <= 5),
+        | n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM v),
+        | q AS (SELECT vec_id AS q_id, vec AS q_vec, norm AS q_norm FROM n WHERE vec_id < 10),
+        | c AS (SELECT vec_id AS c_id, vec AS c_vec, norm AS c_norm FROM n WHERE vec_id >= 10),
+        | s AS (SELECT q_id, c_id,
+        |        list_dot_product(q_vec, c_vec) / (q_norm * c_norm) AS cos
+        |       FROM q CROSS JOIN c),
+        | ex AS (SELECT q_id, c_id, rk AS full_rk FROM (
+        |   SELECT q_id, c_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+        |   FROM s) WHERE rk <= 5)
+        |SELECT t.q_id, t.c_id, round(t.cos_t, 6) AS cos_t, t.rk, ex.full_rk
+        |FROM tr t LEFT JOIN ex ON t.q_id = ex.q_id AND t.c_id = ex.c_id""".stripMargin,
+    // q149: per-dim sign-disagreement count is the portable Hamming
+    // form (the packed XOR+POPCNT kernel is spec-pinned equal);
+    // shortlist ties break on c_id, exact cosine reranks the shortlist
+    "q149_binary_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        | n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM v),
+        | q AS (SELECT vec_id AS q_id, vec AS q_vec, norm AS q_norm FROM n WHERE vec_id < 10),
+        | c AS (SELECT vec_id AS c_id, vec AS c_vec, norm AS c_norm FROM n WHERE vec_id >= 10),
+        | h AS (SELECT q_id, c_id,
+        |        CAST(len(list_filter(range(1, 65),
+        |          i -> (q_vec[i] > 0) <> (c_vec[i] > 0))) AS BIGINT) AS hamming
+        |       FROM q CROSS JOIN c),
+        | sl AS (SELECT q_id, c_id, hamming FROM (
+        |   SELECT q_id, c_id, hamming,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY hamming, c_id) AS srk
+        |   FROM h) WHERE srk <= 20),
+        | rer AS (SELECT sl.q_id, sl.c_id, sl.hamming,
+        |        list_dot_product(q.q_vec, c.c_vec) / (q.q_norm * c.c_norm) AS cos
+        |       FROM sl JOIN q USING (q_id) JOIN c USING (c_id))
+        |SELECT q_id, c_id, hamming, round(cos, 6) AS cos, rk FROM (
+        |  SELECT q_id, c_id, hamming, cos,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+        |  FROM rer) WHERE rk <= 5""".stripMargin,
   )
 
   /** The shared DuckDB prefix for the k-means family: two unrolled

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
-import graft.operators.VectorOps
+import graft.operators.{TextOps, VectorOps}
 
 class VectorOpsSpec extends SparkSpec {
 
@@ -1649,6 +1649,167 @@ class VectorOpsSpec extends SparkSpec {
         s"fused/per-slice codebooks diverged at m=$m k=$k iters=$it")
     }
     graft.CacheHygiene.releaseTree(iv)
+  }
+
+  test("rrfFuse: exact integer fusion, one-list docs keep their single contribution") {
+    import spark.implicits._
+    // q=1: semantic list ranks c100 then c101; lexical ranks c101 then
+    // c102 — c101 (in BOTH) must fuse first with the exact nano-unit sum
+    val a = Seq((1L, 100L, 1L), (1L, 101L, 2L)).toDF("q_id", "c_id", "rk")
+    val b = Seq((1L, 101L, 1L), (1L, 102L, 2L)).toDF("q_id", "c_id", "rk")
+    val got = VectorOps.rrfFuse(a, b).collect()
+      .sortBy(_.getAs[Long]("rk"))
+      .map(r => (r.getAs[Long]("c_id"), r.getAs[Long]("rrf_u")))
+    val p61 = 1000000000L / 61; val p62 = 1000000000L / 62
+    assert(got.toSeq == Seq((101L, p61 + p62), (100L, p61), (102L, p62)),
+      s"fusion order/arithmetic wrong: ${got.toSeq}")
+  }
+
+  test("q147: RRF fusion — contiguous ranks, monotone scores, members from the stage lists") {
+    val rows = VectorOps.q147RrfFusion(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 10)
+    byQ.values.foreach { g =>
+      assert(g.length == 10)
+      val sorted = g.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).sameElements(1L to 10L))
+      val u = sorted.map(_.getAs[Long]("rrf_u"))
+      assert(u.zip(u.tail).forall { case (x, y) => x >= y },
+        s"rrf_u must be non-increasing in rank: ${u.toSeq}")
+    }
+    // membership + arithmetic: every fused row's score is exactly the
+    // sum of its quantized stage contributions (absent stage = 0), so
+    // no row can come from outside the two lists
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))
+    val sem = VectorOps.cosineRanked(spark, sfDir, 20).collect()
+      .map(r => key(r) -> (1000000000L / (60 + r.getAs[Long]("rk")))).toMap
+    val lex = TextOps.moreLikeThis(graft.sources.Tables.documents(spark, sfDir))
+      .collect()
+      .map(r => key(r) -> (1000000000L / (60 + r.getAs[Long]("rk")))).toMap
+    rows.foreach { r =>
+      val expect = sem.getOrElse(key(r), 0L) + lex.getOrElse(key(r), 0L)
+      assert(expect > 0L, s"${key(r)} appears in neither stage list")
+      assert(r.getAs[Long]("rrf_u") == expect,
+        s"${key(r)}: rrf_u ${r.getAs[Long]("rrf_u")} != stage sum $expect")
+    }
+  }
+
+  test("moreLikeThis: query's own doc never returned, scores are exact micro-unit sums") {
+    val rows = TextOps.moreLikeThis(
+      graft.sources.Tables.documents(spark, sfDir)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("c_id") >= 10L,
+        "corpus side must exclude the query docs")
+      assert(r.getAs[Long]("lex_u") > 0L)
+    }
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.values.foreach { g =>
+      assert(g.length <= 20)
+      val sorted = g.sortBy(_.getAs[Long]("rk"))
+      val u = sorted.map(_.getAs[Long]("lex_u"))
+      assert(u.zip(u.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("q148: truncated-space top-5 with an honest full-dim instrument") {
+    val rows = VectorOps.q148MrlTopk(spark, sfDir).collect()
+    assert(rows.length == 50)
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 10)
+    byQ.values.foreach { g =>
+      assert(g.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("rk"))
+        .sameElements(1L to 5L))
+    }
+    // instrument honesty: full_rk restates q38's full-dim exact top-5
+    // rank for exactly the overlapping (q, c) pairs
+    val exact = VectorOps.q38EmbedTopk(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")) ->
+        r.getAs[Long]("rk")).toMap
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))
+      val fi = r.fieldIndex("full_rk")
+      if (r.isNullAt(fi)) assert(!exact.contains(k),
+        s"$k missing full_rk but IS in the exact top-5")
+      else assert(exact.get(k).contains(r.getLong(fi)),
+        s"$k full_rk ${r.getLong(fi)} != exact ${exact.get(k)}")
+    }
+    // at dims = full width the truncation is the identity: top-5 sets
+    // and ranks must equal the exact baseline's
+    val full = VectorOps.q148MrlTopk(spark, sfDir, dims = 64).collect()
+    assert(full.forall(r => !r.isNullAt(r.fieldIndex("full_rk")) &&
+      r.getAs[Long]("rk") == r.getAs[Long]("full_rk")),
+      "64-dim truncation must reproduce the exact ranking")
+  }
+
+  test("q149: Hamming shortlist + exact rerank; packed XOR+POPCNT kernel matches per-dim Hamming") {
+    val rows = VectorOps.q149BinaryTopk(spark, sfDir).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("hamming")
+      assert(h >= 0L && h <= 64L, s"hamming $h out of [0,64]")
+    }
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 10)
+    byQ.values.foreach { g =>
+      assert(g.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("rk"))
+        .sameElements(1L to 5L))
+      val sorted = g.sortBy(_.getAs[Long]("rk"))
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+    }
+    // the production kernel: bit_count(sig XOR sig) ≡ the per-dim
+    // sign-disagreement count, for every (query, corpus) pair
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val sigs = emb.select(col("vec_id"),
+      VectorOps.binarySig(col("embedding")).as("sig"))
+    val q = sigs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("sig").as("q_sig"))
+    val c = sigs.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("sig").as("c_sig"))
+    val packed = c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("c_id"),
+        VectorOps.sigHamming(col("q_sig"), col("c_sig")).as("h"))
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")) -> r.getAs[Long]("h"))
+      .toMap
+    val ev = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1)).toMap
+    val qs = ev.keys.filter(_ < 10)
+    val cs2 = ev.keys.filter(_ >= 10)
+    for (qi <- qs; ci <- cs2) {
+      val perDim = ev(qi).zip(ev(ci)).count { case (a, b) => (a > 0) != (b > 0) }
+      assert(packed((qi, ci)) == perDim.toLong,
+        s"packed kernel diverges at ($qi,$ci): ${packed((qi, ci))} vs $perDim")
+    }
+    // the end-to-end serving path (packed = true, benched as q149prod)
+    // is output-identical to the registered per-dim form
+    val prod = VectorOps.q149BinaryTopk(spark, sfDir, packed = true)
+      .collect().map(_.toString).sorted
+    assert(prod.sameElements(rows.map(_.toString).sorted),
+      "packed serving path diverged from the registered form")
+  }
+
+  test("q147/q149 plans: broadcast stages, every window keyed by q_id") {
+    // q147's lexical stage legitimately reduces TWO corpus scalars
+    // (doc count, mean length) through a 1-row SinglePartition exchange
+    // — that is a broadcastable constant, not a data funnel — so the
+    // global-window check targets Window operators specifically: each
+    // must partition by q_id (or doc_id for the query-bag selection),
+    // never globally.
+    for (df <- Seq(VectorOps.q147RrfFusion(spark, sfDir),
+        VectorOps.q149BinaryTopk(spark, sfDir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastExchange"),
+        s"query/shortlist sides must broadcast:\n$plan")
+      val windows = plan.split("\n").filter(_.contains("Window ["))
+      assert(windows.nonEmpty)
+      windows.foreach(w => assert(
+        w.contains(", [q_id") || w.contains(", [doc_id"),
+        s"window not keyed (global sort funnel):\n$w"))
+      assert(df.count() > 0)
+    }
   }
 
   test("pqTopk plan: exact-rank instrument broadcasts onto the ADC ranking, no global window") {
