@@ -1034,6 +1034,45 @@ object VectorOps {
         round(col("cos"), 6).as("cos"), col("rk"))
   }
 
+  /** q150: ANN-quality card — the pre-deploy read for the cheap serving
+    * tiers: per tier (q148's 32-dim MRL prefix, q149's binary
+    * signatures), how much of the exact top-5 the tier reproduces
+    * (hits5 / recall per-mille) and how reliably it surfaces the exact
+    * TOP-1 (quantized MRR: Σ ⌊10⁶/rank-of-exact-top1-in-tier-list⌋,
+    * 0 when absent). All-integer output, so the card carries a full
+    * hash oracle — the q117/q133 card discipline. A deployment reads
+    * this row BEFORE routing traffic to a tier; on these synthetic
+    * uniform embeddings the absolute numbers are pessimistic (no MRL
+    * training, sign bits of noise), which is exactly what the card is
+    * for.
+    *
+    * Scale shape: every input is an already-bounded top-k list
+    * (≤ queries×5 rows), so the card's joins and scalar aggregates are
+    * constant-size regardless of corpus volume; the cost is the two
+    * tier queries themselves.
+    */
+  def q150AnnQualityCard(s: SparkSession, d: String): DataFrame = {
+    val ex = cosineRanked(s, d, 5).localCheckpoint(true)
+    val nq = ex.agg(countDistinct(col("q_id")).as("n_queries"))
+    val top1 = ex.filter(col("rk") === 1).select("q_id", "c_id")
+    def card(tier: String, list: DataFrame): DataFrame = {
+      val hits = list.join(ex.select("q_id", "c_id"), Seq("q_id", "c_id"))
+        .agg(count(lit(1)).as("hits5"))
+      val mrr = top1.join(list, Seq("q_id", "c_id"), "left")
+        .agg(coalesce(sum(when(col("rk").isNotNull,
+          floor(lit(1e6) / col("rk")).cast("long"))), lit(0L)).as("mrr_u"))
+      nq.crossJoin(hits).crossJoin(mrr)
+        .select(lit(tier).as("tier"), col("n_queries"), col("hits5"),
+          expr("hits5 * 1000 DIV (n_queries * 5)").as("recall5_m"),
+          col("mrr_u"))
+    }
+    // ex's checkpoint blocks ride the returned tree — the consumer's
+    // CacheHygiene.releaseTree sweep frees them (Verify/Bench do)
+    card("mrl32", q148MrlTopk(s, d).select("q_id", "c_id", "rk"))
+      .unionAll(card("binary",
+        q149BinaryTopk(s, d).select("q_id", "c_id", "rk")))
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max|x|/127,
     * q_i = round(x_i/scale) — the 4× compression a 100 TB embedding
     * store applies before ANN serving (float32 → int8 is the standard
@@ -2771,6 +2810,7 @@ object VectorOps {
     "q147_rrf_fusion" -> q147RrfFusion _,
     "q148_mrl_topk" -> ((s: SparkSession, d: String) => q148MrlTopk(s, d)),
     "q149_binary_topk" -> ((s: SparkSession, d: String) => q149BinaryTopk(s, d)),
+    "q150_ann_quality_card" -> q150AnnQualityCard _,
   )
 
   /** Every sketch query on the board now carries a full hash oracle: q36
@@ -3264,7 +3304,59 @@ object VectorOps {
     // q148: the truncated space is the 32-element list prefix (slice
     // AFTER the double cast ≡ Spark's slice before — the cast is
     // elementwise); full_rk restates q38's full-dim exact top-5
-    "q148_mrl_topk" ->
+    "q148_mrl_topk" -> Q148OracleSql,
+    // q149: per-dim sign-disagreement count is the portable Hamming
+    // form (the packed XOR+POPCNT kernel is spec-pinned equal);
+    // shortlist ties break on c_id, exact cosine reranks the shortlist
+    "q149_binary_topk" -> Q149OracleSql,
+    // q150: the two tier oracles embed VERBATIM as CTEs (DuckDB allows
+    // a nested WITH inside a CTE body), joined against the exact top-5;
+    // counts, per-mille integer division, and the quantized MRR are all
+    // exact integer arithmetic
+    "q150_ann_quality_card" ->
+      s"""WITH ex AS ($ExactTop5Sql),
+         | mrl AS ($Q148OracleSql),
+         | bin AS ($Q149OracleSql),
+         | nq AS (SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries FROM ex),
+         | mh AS (SELECT CAST(count(*) AS BIGINT) AS hits5
+         |        FROM mrl JOIN ex USING (q_id, c_id)),
+         | bh AS (SELECT CAST(count(*) AS BIGINT) AS hits5
+         |        FROM bin JOIN ex USING (q_id, c_id)),
+         | t1 AS (SELECT q_id, c_id FROM ex WHERE rk = 1),
+         | mm AS (SELECT CAST(coalesce(sum(
+         |          CAST(floor(1000000.0 / mrl.rk) AS BIGINT)), 0) AS BIGINT) AS mrr_u
+         |        FROM t1 JOIN mrl USING (q_id, c_id)),
+         | bm AS (SELECT CAST(coalesce(sum(
+         |          CAST(floor(1000000.0 / bin.rk) AS BIGINT)), 0) AS BIGINT) AS mrr_u
+         |        FROM t1 JOIN bin USING (q_id, c_id))
+         |SELECT 'mrl32' AS tier, n_queries, hits5,
+         |  hits5 * 1000 // (n_queries * 5) AS recall5_m, mrr_u
+         |FROM nq, mh, mm
+         |UNION ALL
+         |SELECT 'binary' AS tier, n_queries, hits5,
+         |  hits5 * 1000 // (n_queries * 5) AS recall5_m, mrr_u
+         |FROM nq, bh, bm""".stripMargin,
+  )
+
+  /** Exact full-dim cosine top-5 (q_id, c_id, rk) — q38's ranking
+    * restated as a composable SELECT for the card oracles.
+    */
+  private def ExactTop5Sql: String =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings),
+      | n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM v),
+      | q AS (SELECT vec_id AS q_id, vec AS q_vec, norm AS q_norm FROM n WHERE vec_id < 10),
+      | c AS (SELECT vec_id AS c_id, vec AS c_vec, norm AS c_norm FROM n WHERE vec_id >= 10),
+      | s AS (SELECT q_id, c_id,
+      |        list_dot_product(q_vec, c_vec) / (q_norm * c_norm) AS cos
+      |       FROM q CROSS JOIN c)
+      |SELECT q_id, c_id, rk FROM (
+      |  SELECT q_id, c_id,
+      |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+      |  FROM s) WHERE rk <= 5""".stripMargin
+
+  private def Q148OracleSql: String =
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
         |  FROM embeddings),
@@ -3292,11 +3384,9 @@ object VectorOps {
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
         |   FROM s) WHERE rk <= 5)
         |SELECT t.q_id, t.c_id, round(t.cos_t, 6) AS cos_t, t.rk, ex.full_rk
-        |FROM tr t LEFT JOIN ex ON t.q_id = ex.q_id AND t.c_id = ex.c_id""".stripMargin,
-    // q149: per-dim sign-disagreement count is the portable Hamming
-    // form (the packed XOR+POPCNT kernel is spec-pinned equal);
-    // shortlist ties break on c_id, exact cosine reranks the shortlist
-    "q149_binary_topk" ->
+        |FROM tr t LEFT JOIN ex ON t.q_id = ex.q_id AND t.c_id = ex.c_id""".stripMargin
+
+  private def Q149OracleSql: String =
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
         |  FROM embeddings),
@@ -3317,8 +3407,7 @@ object VectorOps {
         |SELECT q_id, c_id, hamming, round(cos, 6) AS cos, rk FROM (
         |  SELECT q_id, c_id, hamming, cos,
         |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
-        |  FROM rer) WHERE rk <= 5""".stripMargin,
-  )
+        |  FROM rer) WHERE rk <= 5""".stripMargin
 
   /** The shared DuckDB prefix for the k-means family: two unrolled
     * integer-exact Lloyd rounds (see [[kmeansAssign]] — same fixed-point

@@ -1791,6 +1791,28 @@ class VectorOpsSpec extends SparkSpec {
       "packed serving path diverged from the registered form")
   }
 
+  test("q150: ANN-quality card — counts recomputed from the tier instruments") {
+    val card = VectorOps.q150AnnQualityCard(spark, sfDir)
+    val rows = card.collect().map(r => r.getAs[String]("tier") -> r).toMap
+    assert(rows.keySet == Set("mrl32", "binary"))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_queries") == 10L)
+      val hits = r.getAs[Long]("hits5")
+      assert(hits >= 0L && hits <= 50L)
+      assert(r.getAs[Long]("recall5_m") == hits * 1000L / 50L,
+        "recall per-mille must be exactly hits*1000 div (n_queries*5)")
+      val mrr = r.getAs[Long]("mrr_u")
+      assert(mrr >= 0L && mrr <= 10000000L, s"mrr_u $mrr out of range")
+    }
+    // the mrl32 row's hits5 is definitionally q148's full_rk instrument:
+    // count of truncated-top-5 rows that exist in the full-dim top-5
+    val mrlHits = VectorOps.q148MrlTopk(spark, sfDir).collect()
+      .count(r => !r.isNullAt(r.fieldIndex("full_rk")))
+    assert(rows("mrl32").getAs[Long]("hits5") == mrlHits.toLong,
+      "card hits5 diverged from q148's own instrument")
+    graft.CacheHygiene.releaseTree(card)
+  }
+
   test("q147/q149 plans: broadcast stages, every window keyed by q_id") {
     // q147's lexical stage legitimately reduces TWO corpus scalars
     // (doc count, mean length) through a 1-row SinglePartition exchange
