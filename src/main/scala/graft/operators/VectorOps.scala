@@ -928,7 +928,8 @@ object VectorOps {
     * Scale shape: identical to q38 — corpus streams once, queries
     * broadcast, bounded-heap top-k; the slice halves every dot.
     */
-  def q148MrlTopk(s: SparkSession, d: String, dims: Int = 32): DataFrame = {
+  def q148MrlTopk(s: SparkSession, d: String, dims: Int = 32,
+      instrument: Boolean = true): DataFrame = {
     require(dims >= 1, s"q148MrlTopk: dims must be >= 1, got $dims")
     val t = embeddings(s, d)
       .select(col("vec_id"), slice(col("embedding"), 1, dims).as("tvec"))
@@ -944,11 +945,15 @@ object VectorOps {
       corpus.crossJoin(broadcast(queries))
         .select(col("q_id"), col("c_id"), cosT.as("cos_t")),
       "q_id", "c_id", "cos_t", k = 5)
-    val exact = cosineRanked(s, d, k = 5)
-      .withColumnRenamed("rk", "full_rk")
-    top.join(broadcast(exact), Seq("q_id", "c_id"), "left")
       .select(col("q_id"), col("c_id"), round(col("cos_t"), 6).as("cos_t"),
-        col("rk"), col("full_rk"))
+        col("rk"))
+    // instrument = false: the deployable serving read, and the form
+    // consumers that compute their own exact reference use (q150 —
+    // paying the full-dim cross scan twice for a column it drops)
+    if (!instrument) top
+    else top.join(
+      broadcast(cosineRanked(s, d, k = 5).withColumnRenamed("rk", "full_rk")),
+      Seq("q_id", "c_id"), "left")
   }
 
   /** Packed sign-bit signature: one bit per dimension (set iff the
@@ -966,7 +971,12 @@ object VectorOps {
     * vector; Hamming = bit_count(hi⊕hi') + bit_count(lo⊕lo').
     */
   def binarySig(vec: Column, dims: Int = 64): Column = {
-    require(dims >= 2, s"binarySig: dims must be >= 2, got $dims")
+    // upper bound: each half must stay <= 32 bits — past 64 the Horner
+    // fold would hit the long's sign bit and ANSI mode turns the wrap
+    // into an opaque mid-aggregate ArithmeticException; wider vectors
+    // take one struct per 64-dim slice
+    require(dims >= 2 && dims <= 64,
+      s"binarySig: need 2 <= dims <= 64 (one two-long struct), got $dims")
     struct(
       binarySigSlice(vec, 1, dims / 2).as("hi"),
       binarySigSlice(vec, dims / 2 + 1, dims - dims / 2).as("lo"))
@@ -1067,8 +1077,12 @@ object VectorOps {
           col("mrr_u"))
     }
     // ex's checkpoint blocks ride the returned tree — the consumer's
-    // CacheHygiene.releaseTree sweep frees them (Verify/Bench do)
-    card("mrl32", q148MrlTopk(s, d).select("q_id", "c_id", "rk"))
+    // CacheHygiene.releaseTree sweep frees them (Verify/Bench do).
+    // instrument = false: the card joins against its OWN exact top-5,
+    // so q148's instrument would recompute the full-dim cross scan for
+    // a column the card drops
+    card("mrl32", q148MrlTopk(s, d, instrument = false)
+        .select("q_id", "c_id", "rk"))
       .unionAll(card("binary",
         q149BinaryTopk(s, d).select("q_id", "c_id", "rk")))
   }
@@ -1681,8 +1695,15 @@ object VectorOps {
     * rule keeps that fraction — and recall — constant as kc grows
     * with √n.
     */
+  /** The registered q131's coarse list count — ONE constant feeding both
+    * the query (kc below) and its oracle's resolved AUTO probe count, so
+    * the two cannot drift apart; it mirrors KmeansOracle's q108 geometry
+    * (k=8), which the oracle's coarse CTEs restate.
+    */
+  val Q131GateKc = 8
+
   def q131IvfpqTopk(s: SparkSession, d: String): DataFrame =
-    ivfpqTopk(embeddings(s, d))
+    ivfpqTopk(embeddings(s, d), kc = Q131GateKc)
 
   // ---- Persisted IVF-PQ index (build / serve / append) -------------------
 
@@ -3248,9 +3269,11 @@ object VectorOps {
         |FROM (SELECT * FROM a2_0 WHERE rn = 1) a0
         |JOIN (SELECT * FROM a2_1 WHERE rn = 1) a1 USING (vec_id)""".stripMargin),
     "q130_pq_topk" -> PqOracle.topkSql(16, 64),
-    // q131 probes AUTO = ivfpqAutoProbes(kc=8) = 8 lists at the gate's
-    // toy kc — the oracle restates the RESOLVED count, not the rule
-    "q131_ivfpq" -> IvfPqOracle.sql(16, 64, nProbe = ivfpqAutoProbes(8)),
+    // q131 probes AUTO = ivfpqAutoProbes(Q131GateKc) = 8 lists at the
+    // gate's toy kc — the oracle restates the RESOLVED count, not the
+    // rule, derived from the SAME constant the registered query uses
+    "q131_ivfpq" -> IvfPqOracle.sql(16, 64,
+      nProbe = ivfpqAutoProbes(Q131GateKc)),
     // q147: both retrievers restated end-to-end — the cosine stage is
     // q95's CTE prefix, the lexical stage is q145's BM25 quantized to
     // integer micro-units before the per-(q,c) sum (float sums are the

@@ -51,7 +51,10 @@ def label_dirs(all_dirs, explicit):
                      f"dirs in the logs: {sorted(all_dirs)}")
         return {small: "sf0.1", big: "sf1.0"}
     sfs = {d: sf_of(d) for d in all_dirs}
-    if any(v is None for v in sfs.values()):
+    if any(v is None for v in sfs.values()) or len(set(sfs.values())) < 2:
+        # unparseable OR equal sf suffixes (e.g. two rebuilds of the same
+        # scale): ordering would be arbitrary — silently inverted ratios
+        # are the bug this tool's rewrite exists to kill, so exit loudly
         sys.exit(f"scale_ratio: cannot infer scale order from dir names "
                  f"{sorted(all_dirs)} — pass --dirs SMALL_DIR BIG_DIR")
     small, big = sorted(all_dirs, key=lambda d: sfs[d])
@@ -86,7 +89,13 @@ if __name__ == "__main__":
     explicit = None
     if "--dirs" in argv:
         i = argv.index("--dirs")
+        if len(argv) < i + 3:
+            sys.exit("scale_ratio: --dirs needs two operands: "
+                     "--dirs SMALL_DIR BIG_DIR")
         explicit = (argv[i + 1], argv[i + 2])
         argv = argv[:i] + argv[i + 3:]
+    if len(argv) < 2:
+        sys.exit("usage: scale_ratio.py <sf01log> <sf10log> [flag_ratio] "
+                 "[--dirs SMALL_DIR BIG_DIR]")
     main(argv[0], argv[1],
          float(argv[2]) if len(argv) > 2 else 3.0, explicit)
