@@ -146,7 +146,11 @@ object Bench {
       // 8-byte sign signatures (XOR + POPCNT) instead of the per-dim
       // oracle form; output spec-pinned identical.
       "q149prod" -> ((s: SparkSession, dir: String) =>
-        graft.operators.VectorOps.q149BinaryTopk(s, dir, packed = true)))
+        graft.operators.VectorOps.q149BinaryTopk(s, dir, packed = true)),
+      // r18: q148's deployable serving read — the truncated-space top-5
+      // without the full-dim recall instrument (the q131prod convention).
+      "q148prod" -> ((s: SparkSession, dir: String) =>
+        graft.operators.VectorOps.q148MrlTopk(s, dir, instrument = false)))
     // A selector matches a query only exactly, or as a prefix that ends at
     // an underscore boundary ("q35" selects q35_ngram_jaccard but NOT the
     // bench-only "q35prod") — a bare startsWith would silently widen what a

@@ -1741,6 +1741,14 @@ class VectorOpsSpec extends SparkSpec {
     assert(full.forall(r => !r.isNullAt(r.fieldIndex("full_rk")) &&
       r.getAs[Long]("rk") == r.getAs[Long]("full_rk")),
       "64-dim truncation must reproduce the exact ranking")
+    // the deployable form (instrument = false, benched as q148prod)
+    // changes no ranking, only drops the instrument column
+    val prod = VectorOps.q148MrlTopk(spark, sfDir, instrument = false)
+    assert(prod.columns.toSeq == Seq("q_id", "c_id", "cos_t", "rk"))
+    assert(prod.collect().map(_.toString).sorted.sameElements(
+      VectorOps.q148MrlTopk(spark, sfDir).drop("full_rk")
+        .collect().map(_.toString).sorted),
+      "uninstrumented form diverged from the registered ranking")
   }
 
   test("q149: Hamming shortlist + exact rerank; packed XOR+POPCNT kernel matches per-dim Hamming") {
