@@ -698,20 +698,32 @@ object VectorOps {
       }.reduce(_ + _)
       struct(lit(b).as("band"), bits.as("bsig"))
     }
+    // the band join runs ID-ONLY (r18): a pair agreeing in k bands used
+    // to flow k times through a join carrying BOTH 64-double vectors and
+    // compute k identical cosines before a post-filter dedup — at low θ
+    // (many agreeing bands) that multiplied the dominant dot-product
+    // volume ~k× and shipped wide rows through the exploded exchange.
+    // Now the exploded frame is 4 integer-ish columns, the pair set
+    // dedups map-side BEFORE any float work, and each distinct pair
+    // fetches its two vectors once for a single exact cosine.
     val sig = vecs
       .withColumn("bs", explode(array(bandCols: _*)))
-      .select(col("vec_id"), col("label"), col("vec"), col("norm"),
+      .select(col("vec_id"), col("label"),
         col("bs.band").as("band"), col("bs.bsig").as("bsig"))
-    val cos = dot(col("a.vec"), col("b.vec")) / (col("a.norm") * col("b.norm"))
-    sig.as("a")
+    val cand = sig.as("a")
       .join(sig.as("b"),
         col("a.label") === col("b.label") && col("a.band") === col("b.band") &&
           col("a.bsig") === col("b.bsig") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        col("a.label").as("label"), round(cos, 6).as("cos"))
+        col("a.label").as("label"))
+      .distinct()
+    val v = vecs.select(col("vec_id"), col("vec"), col("norm"))
+    val cos = dot(col("va.vec"), col("vb.vec")) / (col("va.norm") * col("vb.norm"))
+    cand.join(v.as("va"), col("a_id") === col("va.vec_id"))
+      .join(v.as("vb"), col("b_id") === col("vb.vec_id"))
+      .select(col("a_id"), col("b_id"), col("label"),
+        round(cos, 6).as("cos"))
       .filter(col("cos") >= threshold)
-      // a pair can match in several bands; pair-key combine dedups post-filter
-      .groupBy("a_id", "b_id", "label").agg(first("cos").as("cos"))
   }
 
   /** Blocked near-dup on the embeddings table; production near-dup at
