@@ -1742,12 +1742,13 @@ class VectorOpsSpec extends SparkSpec {
       r.getAs[Long]("rk") == r.getAs[Long]("full_rk")),
       "64-dim truncation must reproduce the exact ranking")
     // the deployable form (instrument = false, benched as q148prod)
-    // changes no ranking, only drops the instrument column
+    // changes no ranking, only drops the instrument column — compare
+    // against the already-collected instrumented rows, not a recompute
     val prod = VectorOps.q148MrlTopk(spark, sfDir, instrument = false)
     assert(prod.columns.toSeq == Seq("q_id", "c_id", "cos_t", "rk"))
-    assert(prod.collect().map(_.toString).sorted.sameElements(
-      VectorOps.q148MrlTopk(spark, sfDir).drop("full_rk")
-        .collect().map(_.toString).sorted),
+    def key(r: org.apache.spark.sql.Row) = (r.getAs[Long]("q_id"),
+      r.getAs[Long]("c_id"), r.getAs[Double]("cos_t"), r.getAs[Long]("rk"))
+    assert(prod.collect().map(key).sorted.sameElements(rows.map(key).sorted),
       "uninstrumented form diverged from the registered ranking")
   }
 
