@@ -845,18 +845,7 @@ object TextOps {
       k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(nQueries >= 1 && qTerms >= 1 && k >= 1 && k1 > 0 && b >= 0 && b <= 1,
       s"moreLikeThis: bad params nQueries=$nQueries qTerms=$qTerms k=$k k1=$k1 b=$b")
-    val tf = termCounts(docs)
-    val dl = tf.groupBy("doc_id").agg(sum("n").as("len"))
-    val stats = dl.agg(count(lit(1)).as("nd"), avg("len").as("avgl"))
-    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val idf = log((col("nd").cast("double") - col("df") + 0.5) /
-      (col("df") + 0.5) + 1.0)
-    val norm = lit(k1) * (lit(1 - b) + lit(b) * col("len").cast("double") / col("avgl"))
-    val scoredU = tf.join(dl, "doc_id").join(dfc, "term")
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("term"),
-        round(idf * (col("n") * lit(k1 + 1)) / (col("n") + norm) * lit(1e6), 0)
-          .cast("long").as("score_u"))
+    val scoredU = bm25ScoredU(docs, k1, b)
     val wq = Window.partitionBy("doc_id")
       .orderBy(col("score_u").desc, col("term"))
     val qbag = scoredU.filter(col("doc_id") < nQueries)
@@ -869,6 +858,54 @@ object TextOps {
     VectorOps.rankTopK(pairs, "q_id", "c_id", "lex_u", k)
       .select(col("q_id"), col("c_id"), col("lex_u"), col("rk"))
   }
+
+  /** The quantized per-(doc, term) BM25 frame both lexical serving ops
+    * derive from ([[moreLikeThis]]'s scorer, [[impactIndex]]'s postings):
+    * q145's Lucene-form score in integer MICRO-units (round(raw·10⁶) —
+    * the contribution a sum can aggregate exactly and portably).
+    */
+  private def bm25ScoredU(docs: DataFrame, k1: Double, b: Double): DataFrame = {
+    val tf = termCounts(docs)
+    val dl = tf.groupBy("doc_id").agg(sum("n").as("len"))
+    val stats = dl.agg(count(lit(1)).as("nd"), avg("len").as("avgl"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log((col("nd").cast("double") - col("df") + 0.5) /
+      (col("df") + 0.5) + 1.0)
+    val norm = lit(k1) * (lit(1 - b) + lit(b) * col("len").cast("double") / col("avgl"))
+    tf.join(dl, "doc_id").join(dfc, "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        round(idf * (col("n") * lit(k1 + 1)) / (col("n") + norm) * lit(1e6), 0)
+          .cast("long").as("score_u"))
+  }
+
+  /** q151: impact-ordered postings index (Anh & Moffat's impact-sorted
+    * lists — the artifact a production lexical-retrieval tier actually
+    * MATERIALIZES): per term, the top `topPerTerm` documents by
+    * quantized BM25 contribution, rank-ordered. Query evaluation then
+    * reads only the head of each query term's posting list (score-at-
+    * a-time with early termination) instead of every posting — the
+    * lexical analog of the ANN shortlist, and the table
+    * [[moreLikeThis]]-style scoring serves from at corpus scale.
+    * Impact pruning is lossy BY DESIGN (a doc outside every query
+    * term's top-N is unreachable); topPerTerm is the lexical recall
+    * dial, sized against the query-term fan-out like nProbe against kc.
+    *
+    * Scale shape: one (doc_id, term) aggregate (the shared q78/q145
+    * frame), then the bounded-heap top-N keyed by TERM — map-side
+    * partial heaps mean the exchange carries ≤ vocab × topPerTerm rows
+    * no matter the corpus; no window touches the full posting volume.
+    */
+  def impactIndex(docs: DataFrame, topPerTerm: Int = 16,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(topPerTerm >= 1, s"impactIndex: topPerTerm must be >= 1, got $topPerTerm")
+    VectorOps.rankTopK(bm25ScoredU(docs, k1, b),
+        "term", "doc_id", "score_u", topPerTerm)
+      .select(col("term"), col("doc_id"), col("score_u"), col("rk"))
+  }
+
+  def q151ImpactIndex(s: SparkSession, d: String): DataFrame =
+    impactIndex(documents(s, d))
 
   /** q145: top-3 BM25 terms per doc (k1=1.2, b=0.75, the standard
     * defaults) over `documents`. */
@@ -2930,6 +2967,7 @@ object TextOps {
     "q85_corpus_shuffle" -> q85CorpusShuffle _,
     "q78_tfidf" -> q78Tfidf _,
     "q145_bm25" -> q145Bm25 _,
+    "q151_impact_index" -> q151ImpactIndex _,
     "q69_quality_gate" -> q69QualityGate _,
     "q70_pack" -> q70Pack _,
     "q65_decontaminate" -> q65Decontaminate _,
@@ -3835,6 +3873,25 @@ object TextOps {
         |  FROM scored
         |)
         |SELECT doc_id, term, score, rk FROM ranked WHERE rk <= 3""".stripMargin,
+    // q151: the q147 lexical block's su CTE ranked per TERM — the
+    // impact-sorted posting list, integer-exact end to end
+    "q151_impact_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), toks2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+        |tf AS (SELECT doc_id, term, count(*) AS n FROM toks2 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS len FROM toks2 GROUP BY 1),
+        |stats AS (SELECT count(*) AS nd, avg(len) AS avgl FROM dl),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |su AS (SELECT tf.doc_id, tf.term,
+        |  CAST(round(ln((nd - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+        |    * (tf.n * 2.2) / (tf.n + 1.2 * (0.25 + 0.75 * dl.len / avgl))
+        |    * 1000000.0) AS BIGINT) AS score_u
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfc USING (term) CROSS JOIN stats)
+        |SELECT term, doc_id, score_u, rk FROM (
+        |  SELECT term, doc_id, score_u,
+        |   row_number() OVER (PARTITION BY term ORDER BY score_u DESC, doc_id) AS rk
+        |  FROM su) WHERE rk <= 16""".stripMargin,
     "q145_bm25" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

@@ -693,6 +693,46 @@ class TextOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](TextOps.bm25(docs, k = 0))
   }
 
+  test("impactIndex: per-term impact order, quantized scores match bm25, small-df terms keep all postings") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana banana"),
+      (4L, "date elderberry fig grape")
+    ).toDF("doc_id", "text")
+    val idx = TextOps.impactIndex(docs, topPerTerm = 2).collect()
+    val byTerm = idx.groupBy(_.getAs[String]("term"))
+    byTerm.values.foreach { g =>
+      assert(g.length <= 2)
+      val sorted = g.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).sameElements(1L to g.length.toLong))
+      val u = sorted.map(_.getAs[Long]("score_u"))
+      assert(u.zip(u.tail).forall { case (x, y) => x >= y })
+    }
+    // apple appears in docs 1 (tf 2) and 2 (tf 1) — doc 1's saturation
+    // beats doc 2's shorter length at these stats; both kept at N=2
+    val apple = byTerm("apple").sortBy(_.getAs[Long]("rk"))
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(apple == Seq(1L, 2L), s"apple postings: $apple")
+    // df=1 terms keep their single posting at rank 1
+    Seq("cherry", "date", "fig").foreach { t =>
+      assert(byTerm(t).map(_.getAs[Long]("rk")).toSeq == Seq(1L), t)
+    }
+    // quantization: score_u is bm25's round(6) score in micro-units
+    // (the two rounding routes agree within 1 micro-unit)
+    val bm = TextOps.bm25(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    idx.foreach { r =>
+      val k = (r.getAs[Long]("doc_id"), r.getAs[String]("term"))
+      bm.get(k).foreach { s =>
+        assert(math.abs(r.getAs[Long]("score_u") - math.round(s * 1e6)) <= 1L,
+          s"$k: ${r.getAs[Long]("score_u")} vs bm25 $s")
+      }
+    }
+    intercept[IllegalArgumentException](TextOps.impactIndex(docs, topPerTerm = 0))
+  }
+
   test("signalBundle: one scan, zero exchanges, every signal equals its oracle instrument") {
     val dir = "/root/testdata/sf0.001"
     val bundle = TextOps.q144SignalBundle(spark, dir)
