@@ -150,7 +150,12 @@ object Bench {
       // r18: q148's deployable serving read — the truncated-space top-5
       // without the full-dim recall instrument (the q131prod convention).
       "q148prod" -> ((s: SparkSession, dir: String) =>
-        graft.operators.VectorOps.q148MrlTopk(s, dir, instrument = false)))
+        graft.operators.VectorOps.q148MrlTopk(s, dir, instrument = false)),
+      // r18: q152's serving read — retrieval through the pruned impact
+      // index without the exact unpruned-scoring instrument.
+      "q152prod" -> ((s: SparkSession, dir: String) =>
+        graft.operators.TextOps.impactSearch(
+          graft.sources.Tables.documents(s, dir), instrument = false)))
     // A selector matches a query only exactly, or as a prefix that ends at
     // an underscore boundary ("q35" selects q35_ngram_jaccard but NOT the
     // bench-only "q35prod") — a bare startsWith would silently widen what a

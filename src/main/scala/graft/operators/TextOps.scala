@@ -907,6 +907,53 @@ object TextOps {
   def q151ImpactIndex(s: SparkSession, d: String): DataFrame =
     impactIndex(documents(s, d))
 
+  /** q152: retrieval THROUGH the pruned impact index — the serving read
+    * q151 exists for, instrumented like q131: each query doc's bag (its
+    * top `qTerms` BM25 terms, the [[moreLikeThis]] convention) is scored
+    * against ONLY the per-term top-`topPerTerm` posting heads, and
+    * `exact_rk` restates the doc's rank under FULL unpruned scoring
+    * (NULL = impact pruning lost it — a doc outside every query term's
+    * top-N is unreachable by design). The per-row read of what the
+    * lossy index costs, before a deployment sizes topPerTerm.
+    *
+    * Scale shape: the postings frame is ≤ vocab × topPerTerm rows
+    * REGARDLESS of corpus size (that is the point of the index); the
+    * query bag broadcasts onto it, the per-(q,c) sum partial-aggregates
+    * map-side, and the exact instrument reuses [[moreLikeThis]]'s
+    * bounded shapes. Serving drops the instrument (q152prod).
+    */
+  def impactSearch(docs: DataFrame, nQueries: Long = 10L, qTerms: Int = 10,
+      k: Int = 10, topPerTerm: Int = 16, k1: Double = 1.2, b: Double = 0.75,
+      instrument: Boolean = true): DataFrame = {
+    require(nQueries >= 1 && qTerms >= 1 && k >= 1 && topPerTerm >= 1,
+      s"impactSearch: bad params nQueries=$nQueries qTerms=$qTerms k=$k topPerTerm=$topPerTerm")
+    val scoredU = bm25ScoredU(docs, k1, b)
+    val wq = Window.partitionBy("doc_id")
+      .orderBy(col("score_u").desc, col("term"))
+    val qbag = scoredU.filter(col("doc_id") < nQueries)
+      .withColumn("qrk", row_number().over(wq)).filter(col("qrk") <= qTerms)
+      .select(col("doc_id").as("q_id"), col("term"))
+    // the index: per-term posting heads over CORPUS docs only (query
+    // docs never occupy a slot a serving index wouldn't give them)
+    val postings = VectorOps.rankTopK(
+        scoredU.filter(col("doc_id") >= nQueries),
+        "term", "doc_id", "score_u", topPerTerm)
+      .select(col("term"), col("doc_id").as("c_id"), col("score_u"))
+    val pruned = VectorOps.rankTopK(
+      postings.join(broadcast(qbag), "term")
+        .groupBy("q_id", "c_id").agg(sum("score_u").as("lex_u")),
+      "q_id", "c_id", "lex_u", k)
+      .select(col("q_id"), col("c_id"), col("lex_u"), col("rk"))
+    if (!instrument) pruned
+    else pruned.join(
+      broadcast(moreLikeThis(docs, nQueries, qTerms, k, k1, b)
+        .select(col("q_id"), col("c_id"), col("rk").as("exact_rk"))),
+      Seq("q_id", "c_id"), "left")
+  }
+
+  def q152ImpactSearch(s: SparkSession, d: String): DataFrame =
+    impactSearch(documents(s, d))
+
   /** q145: top-3 BM25 terms per doc (k1=1.2, b=0.75, the standard
     * defaults) over `documents`. */
   def q145Bm25(s: SparkSession, d: String): DataFrame =
@@ -2968,6 +3015,7 @@ object TextOps {
     "q78_tfidf" -> q78Tfidf _,
     "q145_bm25" -> q145Bm25 _,
     "q151_impact_index" -> q151ImpactIndex _,
+    "q152_impact_search" -> q152ImpactSearch _,
     "q69_quality_gate" -> q69QualityGate _,
     "q70_pack" -> q70Pack _,
     "q65_decontaminate" -> q65Decontaminate _,
@@ -3892,6 +3940,45 @@ object TextOps {
         |  SELECT term, doc_id, score_u,
         |   row_number() OVER (PARTITION BY term ORDER BY score_u DESC, doc_id) AS rk
         |  FROM su) WHERE rk <= 16""".stripMargin,
+    // q152: the q151 postings ranked per query bag vs the UNPRUNED
+    // scoring (q147's lexs block) as the exact_rk instrument — the
+    // impact-pruning recall read, integer-exact end to end
+    "q152_impact_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), toks2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+        |tf AS (SELECT doc_id, term, count(*) AS n FROM toks2 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS len FROM toks2 GROUP BY 1),
+        |stats AS (SELECT count(*) AS nd, avg(len) AS avgl FROM dl),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |su AS (SELECT tf.doc_id, tf.term,
+        |  CAST(round(ln((nd - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+        |    * (tf.n * 2.2) / (tf.n + 1.2 * (0.25 + 0.75 * dl.len / avgl))
+        |    * 1000000.0) AS BIGINT) AS score_u
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfc USING (term) CROSS JOIN stats),
+        |qbag AS (SELECT doc_id AS q_id, term FROM (
+        |  SELECT doc_id, term,
+        |   row_number() OVER (PARTITION BY doc_id ORDER BY score_u DESC, term) AS qrk
+        |  FROM su WHERE doc_id < 10) WHERE qrk <= 10),
+        |post AS (SELECT term, doc_id AS c_id, score_u FROM (
+        |  SELECT term, doc_id, score_u,
+        |   row_number() OVER (PARTITION BY term ORDER BY score_u DESC, doc_id) AS prk
+        |  FROM su WHERE doc_id >= 10) WHERE prk <= 16),
+        |ps AS (SELECT qbag.q_id, post.c_id,
+        |        CAST(sum(post.score_u) AS BIGINT) AS lex_u
+        |       FROM post JOIN qbag USING (term) GROUP BY 1, 2),
+        |pruned AS (SELECT q_id, c_id, lex_u, rk FROM (
+        |  SELECT q_id, c_id, lex_u,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY lex_u DESC, c_id) AS rk
+        |  FROM ps) WHERE rk <= 10),
+        |lexs AS (SELECT qbag.q_id, su.doc_id AS c_id, sum(su.score_u) AS lex_u
+        |  FROM su JOIN qbag USING (term) WHERE su.doc_id >= 10 GROUP BY 1, 2),
+        |ex AS (SELECT q_id, c_id, rk AS exact_rk FROM (
+        |  SELECT q_id, c_id,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY lex_u DESC, c_id) AS rk
+        |  FROM lexs) WHERE rk <= 10)
+        |SELECT p.q_id, p.c_id, p.lex_u, p.rk, ex.exact_rk
+        |FROM pruned p LEFT JOIN ex ON p.q_id = ex.q_id AND p.c_id = ex.c_id""".stripMargin,
     "q145_bm25" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

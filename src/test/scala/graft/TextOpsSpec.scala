@@ -733,6 +733,46 @@ class TextOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](TextOps.impactIndex(docs, topPerTerm = 0))
   }
 
+  test("impactSearch: pruned scores bounded by exact, instrument honest, planted pruning loss visible") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val out = TextOps.impactSearch(docs).collect()
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    byQ.values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).sameElements(1L to g.length.toLong))
+      val u = sorted.map(_.getAs[Long]("lex_u"))
+      assert(u.zip(u.tail).forall { case (x, y) => x >= y })
+    }
+    // pruning can only REMOVE postings: the pruned score of any pair is
+    // <= its unpruned moreLikeThis score
+    val exact = TextOps.moreLikeThis(docs, k = 1000).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")) ->
+        r.getAs[Long]("lex_u")).toMap
+    out.foreach { r =>
+      val k = (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))
+      exact.get(k).foreach(e => assert(r.getAs[Long]("lex_u") <= e,
+        s"$k: pruned ${r.getAs[Long]("lex_u")} > exact $e"))
+    }
+    // planted pruning loss: term 'zap' posts in docs 20 (tf 3) and 21
+    // (tf 1); at topPerTerm=1 only the stronger head survives, so the
+    // query doc (id 0, all-zap) can reach 20 but never 21 — while the
+    // exact instrument still ranks both
+    val planted = Seq(
+      (0L, "zap zap zap"), (1L, "noise flub"),
+      (20L, "zap zap zap other words here"), (21L, "zap lone"),
+      (22L, "filler text entirely unrelated"))
+      .toDF("doc_id", "text")
+    val pr = TextOps.impactSearch(planted, nQueries = 2L, qTerms = 2,
+      k = 5, topPerTerm = 1).collect()
+      .filter(_.getAs[Long]("q_id") == 0L)
+      .map(r => r.getAs[Long]("c_id")).toSet
+    assert(pr.contains(20L) && !pr.contains(21L),
+      s"topPerTerm=1 must keep the head posting and lose the tail: $pr")
+    intercept[IllegalArgumentException](TextOps.impactSearch(docs, k = 0))
+  }
+
   test("signalBundle: one scan, zero exchanges, every signal equals its oracle instrument") {
     val dir = "/root/testdata/sf0.001"
     val bundle = TextOps.q144SignalBundle(spark, dir)
