@@ -159,7 +159,13 @@ object ScaleProbe {
       // and pair volume scale linearly like q35/q90), and the bigram LM
       // (the q91/q113 vocab-join family — copy tags inflate the bigram
       // vocab, so the organic read is the q91_plain10 adjudication)
-      "q126_dup_card", "q127_winnow_pairs", "q128_bigram_lm")
+      "q126_dup_card", "q127_winnow_pairs", "q128_bigram_lm",
+      // r18: the retrieval tier — RRF fusion (both retrievers grow with
+      // the corpus, fusion stays queries×20-bound), the impact postings
+      // build (term-keyed bounded heap over the shared BM25 frame), and
+      // the instrumented impact search (the unpruned exact half is what
+      // grows; the pruned read is vocab-bound)
+      "q147_rrf_fusion", "q151_impact_index", "q152_impact_search")
       .map(n => n -> graft.SparkEntry.queries(n)) :+
       // the q57 probe row keeps its historical label and workload: pure
       // IVF search (r14 made the REGISTERED q57 a recall-gate instrument
