@@ -859,16 +859,28 @@ object TextOps {
       .select(col("q_id"), col("c_id"), col("lex_u"), col("rk"))
   }
 
-  /** The quantized per-(doc, term) BM25 frame both lexical serving ops
-    * derive from ([[moreLikeThis]]'s scorer, [[impactIndex]]'s postings):
-    * q145's Lucene-form score in integer MICRO-units (round(raw·10⁶) —
-    * the contribution a sum can aggregate exactly and portably).
+  /** Query-doc convention for the lexical serving tier (q151/q152): docs
+    * with `doc_id < LexQueryDocs` play the query batch, the rest the
+    * corpus (the q38/q95 convention). Shared by the registered queries
+    * AND their oracle SQL, so the two can never disagree on the split.
     */
-  private def bm25ScoredU(docs: DataFrame, k1: Double, b: Double): DataFrame = {
-    val tf = termCounts(docs)
+  private[operators] val LexQueryDocs = 10L
+
+  /** The quantized BM25 contribution of a (doc, term) row scored AGAINST
+    * a given corpus context: q145's Lucene-form score in integer
+    * MICRO-units (round(raw·10⁶) — the contribution a sum can aggregate
+    * exactly and portably). `tf` is the doc frame's own (doc_id, term, n)
+    * counts (doc length is doc-local); `dfc`/`stats` are the CORPUS's
+    * term df and (nd, avgl) scalars — for corpus self-scoring they come
+    * from the same frame, for query scoring they come from the frozen
+    * index context (a serving system scores queries with the index's
+    * statistics, not its own). A term absent from the corpus vocabulary
+    * drops on the inner df join: it has no postings to read anyway, and
+    * keeping it would waste a bag slot on an unanswerable term.
+    */
+  private def bm25ScoreU(tf: DataFrame, dfc: DataFrame, stats: DataFrame,
+      k1: Double, b: Double): DataFrame = {
     val dl = tf.groupBy("doc_id").agg(sum("n").as("len"))
-    val stats = dl.agg(count(lit(1)).as("nd"), avg("len").as("avgl"))
-    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log((col("nd").cast("double") - col("df") + 0.5) /
       (col("df") + 0.5) + 1.0)
     val norm = lit(k1) * (lit(1 - b) + lit(b) * col("len").cast("double") / col("avgl"))
@@ -877,6 +889,41 @@ object TextOps {
       .select(col("doc_id"), col("term"),
         round(idf * (col("n") * lit(k1 + 1)) / (col("n") + norm) * lit(1e6), 0)
           .cast("long").as("score_u"))
+  }
+
+  /** A corpus's lexical context + its own scored frame: (dfc, stats,
+    * scored_u). With `materialize` the (doc_id, term) count frame — the
+    * expensive tokenize product every derived frame re-reads — is
+    * localCheckpointed once, so the instrument paths that consume
+    * `scored_u` twice (q152) don't tokenize the corpus twice (the
+    * q99/q107 shared-frame discipline).
+    */
+  private def lexCorpusFrames(corpus: DataFrame, k1: Double, b: Double,
+      materialize: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
+    val tf0 = termCounts(corpus)
+    val tf = if (materialize) tf0.localCheckpoint(true) else tf0
+    val dl = tf.groupBy("doc_id").agg(sum("n").as("len"))
+    val stats = dl.agg(count(lit(1)).as("nd"), avg("len").as("avgl"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    (dfc, stats, bm25ScoreU(tf, dfc, stats, k1, b))
+  }
+
+  /** The quantized per-(doc, term) BM25 frame of a SELF-scored frame
+    * ([[moreLikeThis]]'s scorer — df/avglen over the whole given frame).
+    */
+  private def bm25ScoredU(docs: DataFrame, k1: Double, b: Double): DataFrame =
+    lexCorpusFrames(docs, k1, b)._3
+
+  /** Each query doc's bag-of-words query: its top `qTerms` scored terms
+    * (score desc, term asc — the round-before-rank tie-break). The window
+    * partitions by query doc over an already query-sized frame.
+    */
+  private def queryBag(queryU: DataFrame, qTerms: Int): DataFrame = {
+    val wq = Window.partitionBy("doc_id")
+      .orderBy(col("score_u").desc, col("term"))
+    queryU.withColumn("qrk", row_number().over(wq))
+      .filter(col("qrk") <= qTerms)
+      .select(col("doc_id").as("q_id"), col("term"))
   }
 
   /** q151: impact-ordered postings index (Anh & Moffat's impact-sorted
@@ -904,39 +951,48 @@ object TextOps {
       .select(col("term"), col("doc_id"), col("score_u"), col("rk"))
   }
 
+  /** q151 builds the index over CORPUS docs only (doc_id ≥
+    * [[LexQueryDocs]]) — the artifact q152 actually serves through: a
+    * production index never lets the incoming query batch occupy posting
+    * slots (r18 advice; before r19 the registered form indexed the full
+    * frame while q152 rebuilt a corpus-only variant).
+    */
   def q151ImpactIndex(s: SparkSession, d: String): DataFrame =
-    impactIndex(documents(s, d))
+    impactIndex(documents(s, d).filter(col("doc_id") >= LexQueryDocs))
 
   /** q152: retrieval THROUGH the pruned impact index — the serving read
     * q151 exists for, instrumented like q131: each query doc's bag (its
-    * top `qTerms` BM25 terms, the [[moreLikeThis]] convention) is scored
-    * against ONLY the per-term top-`topPerTerm` posting heads, and
-    * `exact_rk` restates the doc's rank under FULL unpruned scoring
-    * (NULL = impact pruning lost it — a doc outside every query term's
-    * top-N is unreachable by design). The per-row read of what the
-    * lossy index costs, before a deployment sizes topPerTerm.
+    * top `qTerms` BM25 terms, scored against the CORPUS context — a
+    * serving system evaluates queries with the index's df/avglen, never
+    * its own) is scored against ONLY the per-term top-`topPerTerm`
+    * posting heads, and `exact_rk` restates the pair's rank under FULL
+    * unpruned scoring over the same bag. NULL exact_rk marks a pruned
+    * hit the index PROMOTED past the exact top-k (the q107/q131
+    * convention); true pruning losses — exact-top-k docs the lossy
+    * index cannot reach — never appear as rows at all, which is what
+    * the recall read in ImpactIndexSpec measures set-wise.
     *
     * Scale shape: the postings frame is ≤ vocab × topPerTerm rows
     * REGARDLESS of corpus size (that is the point of the index); the
     * query bag broadcasts onto it, the per-(q,c) sum partial-aggregates
-    * map-side, and the exact instrument reuses [[moreLikeThis]]'s
-    * bounded shapes. Serving drops the instrument (q152prod).
+    * map-side, and the exact instrument re-reads the SAME checkpointed
+    * (doc_id, term) frame the postings derive from (r19 — the r18 form
+    * re-tokenized the corpus through [[moreLikeThis]], doubling the
+    * dominant cost). Serving drops the instrument (q152prod), and the
+    * persisted form ([[writeImpactIndex]]/[[impactSearchServe]]) skips
+    * the corpus scan entirely.
     */
   def impactSearch(docs: DataFrame, nQueries: Long = 10L, qTerms: Int = 10,
       k: Int = 10, topPerTerm: Int = 16, k1: Double = 1.2, b: Double = 0.75,
       instrument: Boolean = true): DataFrame = {
     require(nQueries >= 1 && qTerms >= 1 && k >= 1 && topPerTerm >= 1,
       s"impactSearch: bad params nQueries=$nQueries qTerms=$qTerms k=$k topPerTerm=$topPerTerm")
-    val scoredU = bm25ScoredU(docs, k1, b)
-    val wq = Window.partitionBy("doc_id")
-      .orderBy(col("score_u").desc, col("term"))
-    val qbag = scoredU.filter(col("doc_id") < nQueries)
-      .withColumn("qrk", row_number().over(wq)).filter(col("qrk") <= qTerms)
-      .select(col("doc_id").as("q_id"), col("term"))
-    // the index: per-term posting heads over CORPUS docs only (query
-    // docs never occupy a slot a serving index wouldn't give them)
-    val postings = VectorOps.rankTopK(
-        scoredU.filter(col("doc_id") >= nQueries),
+    val (dfc, stats, corpusU) = lexCorpusFrames(
+      docs.filter(col("doc_id") >= nQueries), k1, b, materialize = true)
+    val qbag = queryBag(
+      bm25ScoreU(termCounts(docs.filter(col("doc_id") < nQueries)),
+        dfc, stats, k1, b), qTerms)
+    val postings = VectorOps.rankTopK(corpusU,
         "term", "doc_id", "score_u", topPerTerm)
       .select(col("term"), col("doc_id").as("c_id"), col("score_u"))
     val pruned = VectorOps.rankTopK(
@@ -945,14 +1001,197 @@ object TextOps {
       "q_id", "c_id", "lex_u", k)
       .select(col("q_id"), col("c_id"), col("lex_u"), col("rk"))
     if (!instrument) pruned
-    else pruned.join(
-      broadcast(moreLikeThis(docs, nQueries, qTerms, k, k1, b)
-        .select(col("q_id"), col("c_id"), col("rk").as("exact_rk"))),
-      Seq("q_id", "c_id"), "left")
+    else {
+      val exact = VectorOps.rankTopK(
+        corpusU.join(broadcast(qbag), "term")
+          .select(col("q_id"), col("doc_id").as("c_id"), col("score_u"))
+          .groupBy("q_id", "c_id").agg(sum("score_u").as("lex_u")),
+        "q_id", "c_id", "lex_u", k)
+        .select(col("q_id"), col("c_id"), col("rk").as("exact_rk"))
+      pruned.join(broadcast(exact), Seq("q_id", "c_id"), "left")
+    }
   }
 
   def q152ImpactSearch(s: SparkSession, d: String): DataFrame =
     impactSearch(documents(s, d))
+
+  // ---- impact index persistence: the build-once/serve-many lifecycle ----
+
+  /** How many partitions the persisted postings and df tables split into.
+    * A query bag's terms touch at most min(bag size, ImpactTermBuckets)
+    * partitions, so a serving read PRUNES the store scan (the
+    * saveIvfIndex cid discipline); 64 keeps per-partition files large at
+    * any realistic vocabulary while still pruning a 10-term bag's read
+    * ~6×. The bucket is recomputable from the term alone — build and
+    * serve agree without a routing table (the ivf shardOf discipline).
+    */
+  val ImpactTermBuckets = 64
+
+  private def termBucket(term: Column): Column =
+    pmod(xxhash64(lit("impact-tb"), term), lit(ImpactTermBuckets)).cast("int")
+
+  /** log₂-df histogram of a vocabulary — the freshness probe's reference
+    * shape: vocab-sized input folds to ≤ ~32 integer rows, so the drift
+    * arithmetic never touches corpus volume.
+    */
+  private def dfHist(dfc: DataFrame): DataFrame =
+    dfc.groupBy(floor(log(2.0, col("df").cast("double"))).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Persist an impact-ordered postings index — the lexical tier's
+    * build-once/serve-many artifact, parity with
+    * [[VectorOps.saveIvfIndex]] (an impact list exists to be SERVED, not
+    * rebuilt per query batch). Layout under `path`:
+    *
+    *   - `postings/` — per-term top-`topPerTerm` (term, c_id, score_u,
+    *     rk), partitioned by `tb` = hash(term) % [[ImpactTermBuckets]] so
+    *     a query bag's term lookups prune the scan;
+    *   - `df/` — the corpus term→df table (same `tb` partitioning):
+    *     incoming query docs are scored against THESE statistics;
+    *   - `stats/` — one row (nd, avgl, k1, b, top_per_term): the frozen
+    *     scoring context, read back by [[impactSearchServe]] so a serve
+    *     can never run with parameters the build didn't freeze;
+    *   - `dfhist/` — the log₂-df histogram [[impactIndexDrift]] compares
+    *     every later corpus snapshot against.
+    *
+    * `corpus` must be the corpus docs only — never let a query batch
+    * occupy posting slots (the q151 contract).
+    */
+  def writeImpactIndex(corpus: DataFrame, path: String, topPerTerm: Int = 16,
+      k1: Double = 1.2, b: Double = 0.75): Unit = {
+    require(topPerTerm >= 1,
+      s"writeImpactIndex: topPerTerm must be >= 1, got $topPerTerm")
+    val (dfc, stats, corpusU) = lexCorpusFrames(corpus, k1, b, materialize = true)
+    VectorOps.rankTopK(corpusU, "term", "doc_id", "score_u", topPerTerm)
+      .select(col("term"), col("doc_id").as("c_id"), col("score_u"), col("rk"))
+      .withColumn("tb", termBucket(col("term")))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+    val dfx = dfc.localCheckpoint(true) // vocab-sized; feeds df AND dfhist
+    dfx.withColumn("tb", termBucket(col("term")))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/df")
+    stats.withColumn("k1", lit(k1)).withColumn("b", lit(b))
+      .withColumn("top_per_term", lit(topPerTerm))
+      .write.mode("overwrite").parquet(s"$path/stats")
+    dfHist(dfx).write.mode("overwrite").parquet(s"$path/dfhist")
+  }
+
+  private def loudPart(spark: SparkSession, path: String, what: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"impact index: no $what at $path — freeze one with writeImpactIndex " +
+        "(serving against a guessed or partial index would silently " +
+        "mis-rank; this store is written atomically as four tables)")
+  }
+
+  /** The persisted index back as frames: (postings, df, stats). Missing
+    * tables are LOUD — a partial store must never serve.
+    */
+  def readImpactIndex(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    Seq("postings" -> "posting lists", "df" -> "df table",
+      "stats" -> "frozen scoring stats").foreach { case (t, w) =>
+      loudPart(spark, s"$path/$t", w)
+    }
+    (spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/df"),
+      spark.read.parquet(s"$path/stats"))
+  }
+
+  /** Retrieval through a PERSISTED impact index — [[impactSearch]]'s
+    * serving read without the corpus scan: tokenize the incoming query
+    * docs, score their terms against the store's frozen df/avglen
+    * context (k1/b/topPerTerm come from the store, not the caller — a
+    * serve cannot disagree with its build), form each doc's top-`qTerms`
+    * bag, and sum posting-head impacts per (query, candidate).
+    * Output is hash-identical to `impactSearch(…, instrument = false)`
+    * over the same split (spec-pinned in ImpactIndexSpec).
+    *
+    * Scale shape — the gate-family join direction throughout: the query
+    * batch (tiny) BROADCASTS into the scanned store, which never
+    * shuffles; both store scans are partition-PRUNED to the query terms'
+    * `tb` buckets (the bag's distinct buckets are collected first —
+    * ≤ [[ImpactTermBuckets]] ints of driver state); the per-(q,c) sum
+    * partial-aggregates map-side over a frame that is ≤ bag × topPerTerm
+    * rows whatever the corpus size.
+    */
+  def impactSearchServe(queryDocs: DataFrame, path: String,
+      qTerms: Int = 10, k: Int = 10): DataFrame = {
+    require(qTerms >= 1 && k >= 1,
+      s"impactSearchServe: bad params qTerms=$qTerms k=$k")
+    val spark = queryDocs.sparkSession
+    val (postingsAll, dfAll, stats) = readImpactIndex(spark, path)
+    val st = stats.head() // 1 row: the frozen context
+    val k1 = st.getAs[Double]("k1")
+    val b = st.getAs[Double]("b")
+    val qtf = termCounts(queryDocs).localCheckpoint(true) // query-sized
+    val qtbs = qtf.select(termBucket(col("term")).as("tb"))
+      .distinct().collect().map(_.getInt(0)) // ≤ ImpactTermBuckets ints
+    val dfc = dfAll.where(col("tb").isin(qtbs.map(Integer.valueOf): _*))
+      .select(col("term"), col("df"))
+    // score the query docs against the FROZEN context: the df store scan
+    // stays shuffle-free — the query side broadcasts into it
+    val dl = qtf.groupBy("doc_id").agg(sum("n").as("len"))
+    val idf = log((col("nd").cast("double") - col("df") + 0.5) /
+      (col("df") + 0.5) + 1.0)
+    val norm = lit(k1) * (lit(1 - b) + lit(b) * col("len").cast("double") / col("avgl"))
+    val queryU = dfc
+      .join(broadcast(qtf.join(dl, "doc_id")), Seq("term"))
+      .crossJoin(broadcast(stats.select(col("nd"), col("avgl"))))
+      .select(col("doc_id"), col("term"),
+        round(idf * (col("n") * lit(k1 + 1)) / (col("n") + norm) * lit(1e6), 0)
+          .cast("long").as("score_u"))
+    val qbag = queryBag(queryU, qTerms).localCheckpoint(true) // bag-sized
+    val btbs = qbag.select(termBucket(col("term")).as("tb"))
+      .distinct().collect().map(_.getInt(0))
+    val postings = postingsAll
+      .where(col("tb").isin(btbs.map(Integer.valueOf): _*))
+      .select(col("term"), col("c_id"), col("score_u"))
+    VectorOps.rankTopK(
+      postings.join(broadcast(qbag), "term")
+        .groupBy("q_id", "c_id").agg(sum("score_u").as("lex_u")),
+      "q_id", "c_id", "lex_u", k)
+      .select(col("q_id"), col("c_id"), col("lex_u"), col("rk"))
+  }
+
+  /** Freshness probe for a persisted impact index — THE re-freeze
+    * trigger for a lexical deployment (the
+    * [[PqDedupGate.distortionDrift]] discipline): postings frozen on
+    * yesterday's df/avglen silently mis-weight tomorrow's shifted
+    * vocabulary — idf moves with df, length norm with avglen — and no
+    * individual query errors. Compares the CURRENT corpus snapshot's
+    * log₂-df histogram against the store's frozen one (PSI, same
+    * reading scale as [[graft.streaming.DriftMonitor]]: <0.1 stable,
+    * 0.1–0.25 drifting, >0.25 re-run [[writeImpactIndex]]) and restates
+    * both avglen scalars beside their ratio (re-freeze outside
+    * ~[0.8, 1.25] even at low PSI — length norm drifts independently of
+    * vocabulary shape). One corpus tokenize into a vocab-sized
+    * aggregate; all drift arithmetic runs on ≤ ~32 joined histogram
+    * rows. Output: one row (n_ref, n_cur, psi, avgl_ref, avgl_cur,
+    * len_ratio).
+    */
+  def impactIndexDrift(corpus: DataFrame, path: String): DataFrame = {
+    val spark = corpus.sparkSession
+    Seq(("dfhist", "reference df histogram (this index predates the " +
+      "drift probe; re-freeze with writeImpactIndex)"),
+      ("stats", "frozen scoring stats")).foreach { case (t, w) =>
+      loudPart(spark, s"$path/$t", w)
+    }
+    val tf = termCounts(corpus).localCheckpoint(true)
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val curLen = tf.groupBy("doc_id").agg(sum("n").as("len"))
+      .agg(avg("len").as("avgl_cur"))
+    val wide = spark.read.parquet(s"$path/dfhist").withColumnRenamed("n", "nr")
+      .join(dfHist(dfc).withColumnRenamed("n", "nc"), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("nr", "nc"))
+      .withColumn("__g", lit("impact"))
+    psiFromWide(wide, "__g")
+      .select(col("n_ref"), col("n_cur"), col("psi"))
+      .crossJoin(broadcast(
+        spark.read.parquet(s"$path/stats").select(col("avgl").as("avgl_ref"))))
+      .crossJoin(broadcast(curLen))
+      .withColumn("len_ratio", round(col("avgl_cur") / col("avgl_ref"), 4))
+  }
 
   /** q145: top-3 BM25 terms per doc (k1=1.2, b=0.75, the standard
     * defaults) over `documents`. */
@@ -3921,11 +4160,13 @@ object TextOps {
         |  FROM scored
         |)
         |SELECT doc_id, term, score, rk FROM ranked WHERE rk <= 3""".stripMargin,
-    // q151: the q147 lexical block's su CTE ranked per TERM — the
-    // impact-sorted posting list, integer-exact end to end
+    // q151: the corpus-only BM25 frame ranked per TERM — the
+    // impact-sorted posting list, integer-exact end to end (r19: query
+    // docs excluded, the artifact q152/impactSearchServe serve through)
     "q151_impact_index" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |  WHERE doc_id >= $LexQueryDocs
         |), toks2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
         |tf AS (SELECT doc_id, term, count(*) AS n FROM toks2 GROUP BY 1, 2),
         |dl AS (SELECT doc_id, count(*) AS len FROM toks2 GROUP BY 1),
@@ -3940,30 +4181,45 @@ object TextOps {
         |  SELECT term, doc_id, score_u,
         |   row_number() OVER (PARTITION BY term ORDER BY score_u DESC, doc_id) AS rk
         |  FROM su) WHERE rk <= 16""".stripMargin,
-    // q152: the q151 postings ranked per query bag vs the UNPRUNED
-    // scoring (q147's lexs block) as the exact_rk instrument — the
-    // impact-pruning recall read, integer-exact end to end
+    // q152: the q151 (corpus-only) postings ranked per query bag vs the
+    // UNPRUNED scoring over the same bag as the exact_rk instrument —
+    // the impact-pruning recall read, integer-exact end to end. r19:
+    // query docs score against the CORPUS context (df/nd/avgl from
+    // doc_id >= LexQueryDocs), the serving semantics — a query-only
+    // term has no df row, hence no bag slot (it has no postings either)
     "q152_impact_search" ->
-      """WITH toks AS (
+      s"""WITH ctoks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-        |), toks2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
-        |tf AS (SELECT doc_id, term, count(*) AS n FROM toks2 GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, count(*) AS len FROM toks2 GROUP BY 1),
-        |stats AS (SELECT count(*) AS nd, avg(len) AS avgl FROM dl),
-        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |su AS (SELECT tf.doc_id, tf.term,
+        |  WHERE doc_id >= $LexQueryDocs
+        |), ctoks2 AS (SELECT doc_id, term FROM ctoks WHERE length(term) > 0),
+        |ctf AS (SELECT doc_id, term, count(*) AS n FROM ctoks2 GROUP BY 1, 2),
+        |cdl AS (SELECT doc_id, count(*) AS len FROM ctoks2 GROUP BY 1),
+        |stats AS (SELECT count(*) AS nd, avg(len) AS avgl FROM cdl),
+        |dfc AS (SELECT term, count(*) AS df FROM ctf GROUP BY 1),
+        |csu AS (SELECT ctf.doc_id, ctf.term,
         |  CAST(round(ln((nd - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
-        |    * (tf.n * 2.2) / (tf.n + 1.2 * (0.25 + 0.75 * dl.len / avgl))
+        |    * (ctf.n * 2.2) / (ctf.n + 1.2 * (0.25 + 0.75 * cdl.len / avgl))
         |    * 1000000.0) AS BIGINT) AS score_u
-        |  FROM tf JOIN dl USING (doc_id) JOIN dfc USING (term) CROSS JOIN stats),
+        |  FROM ctf JOIN cdl USING (doc_id) JOIN dfc USING (term) CROSS JOIN stats),
+        |qtoks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |  WHERE doc_id < $LexQueryDocs
+        |), qtoks2 AS (SELECT doc_id, term FROM qtoks WHERE length(term) > 0),
+        |qtf AS (SELECT doc_id, term, count(*) AS n FROM qtoks2 GROUP BY 1, 2),
+        |qdl AS (SELECT doc_id, count(*) AS len FROM qtoks2 GROUP BY 1),
+        |qsu AS (SELECT qtf.doc_id, qtf.term,
+        |  CAST(round(ln((nd - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+        |    * (qtf.n * 2.2) / (qtf.n + 1.2 * (0.25 + 0.75 * qdl.len / avgl))
+        |    * 1000000.0) AS BIGINT) AS score_u
+        |  FROM qtf JOIN qdl USING (doc_id) JOIN dfc USING (term) CROSS JOIN stats),
         |qbag AS (SELECT doc_id AS q_id, term FROM (
         |  SELECT doc_id, term,
         |   row_number() OVER (PARTITION BY doc_id ORDER BY score_u DESC, term) AS qrk
-        |  FROM su WHERE doc_id < 10) WHERE qrk <= 10),
+        |  FROM qsu) WHERE qrk <= 10),
         |post AS (SELECT term, doc_id AS c_id, score_u FROM (
         |  SELECT term, doc_id, score_u,
         |   row_number() OVER (PARTITION BY term ORDER BY score_u DESC, doc_id) AS prk
-        |  FROM su WHERE doc_id >= 10) WHERE prk <= 16),
+        |  FROM csu) WHERE prk <= 16),
         |ps AS (SELECT qbag.q_id, post.c_id,
         |        CAST(sum(post.score_u) AS BIGINT) AS lex_u
         |       FROM post JOIN qbag USING (term) GROUP BY 1, 2),
@@ -3971,8 +4227,8 @@ object TextOps {
         |  SELECT q_id, c_id, lex_u,
         |   row_number() OVER (PARTITION BY q_id ORDER BY lex_u DESC, c_id) AS rk
         |  FROM ps) WHERE rk <= 10),
-        |lexs AS (SELECT qbag.q_id, su.doc_id AS c_id, sum(su.score_u) AS lex_u
-        |  FROM su JOIN qbag USING (term) WHERE su.doc_id >= 10 GROUP BY 1, 2),
+        |lexs AS (SELECT qbag.q_id, csu.doc_id AS c_id, sum(csu.score_u) AS lex_u
+        |  FROM csu JOIN qbag USING (term) GROUP BY 1, 2),
         |ex AS (SELECT q_id, c_id, rk AS exact_rk FROM (
         |  SELECT q_id, c_id,
         |   row_number() OVER (PARTITION BY q_id ORDER BY lex_u DESC, c_id) AS rk

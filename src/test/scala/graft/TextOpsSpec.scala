@@ -746,8 +746,11 @@ class TextOpsSpec extends SparkSpec {
       assert(u.zip(u.tail).forall { case (x, y) => x >= y })
     }
     // pruning can only REMOVE postings: the pruned score of any pair is
-    // <= its unpruned moreLikeThis score
-    val exact = TextOps.moreLikeThis(docs, k = 1000).collect()
+    // <= its score under an effectively-unpruned index (topPerTerm so
+    // large no posting list is ever cut — same corpus context, so the
+    // comparison is exact integer arithmetic)
+    val exact = TextOps.impactSearch(docs, k = 1000, topPerTerm = 1 << 20,
+        instrument = false).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")) ->
         r.getAs[Long]("lex_u")).toMap
     out.foreach { r =>
