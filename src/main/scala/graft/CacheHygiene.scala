@@ -23,6 +23,46 @@ import org.apache.spark.sql.graft.ColumnBridge
   * checkpointed frames) and unpersist frames still in use.
   */
 object CacheHygiene {
+  /** Session flag selecting [[materialize]]'s mode — the cluster-posture
+    * seam (r19, extending shuffleRank's `reliable` parameter to the
+    * other lineage-truncating families): `false` (default) =
+    * `localCheckpoint` into executor block storage (zero infrastructure,
+    * fastest — right for local/bench, but losing an executor loses its
+    * blocks and fails the JOB, since truncated lineage cannot recompute);
+    * `true` = `checkpoint()` to the session's checkpoint dir (HDFS/object
+    * store), where executor loss re-reads the lost partitions instead.
+    * A session conf rather than a parameter on every operator because the
+    * choice is a DEPLOYMENT property, not a per-call one: a preemptible
+    * fleet wants every truncation reliable, a laptop wants none of them.
+    * See TUNING.md "Materialization posture at cluster scale".
+    */
+  val ReliableFlag = "spark.graft.reliableCheckpoints"
+
+  /** Materialize `df` once with truncated lineage, honoring
+    * [[ReliableFlag]]. Eager in both modes (the operators that call this
+    * need the frame frozen NOW — range boundaries, bucket widths, batch
+    * snapshots — and a lazy checkpoint racing two consumers would
+    * recompute the expensive lineage). Loud when the reliable mode has
+    * no checkpoint dir: silently falling back to local blocks would keep
+    * the exact failure mode the flag exists to remove. [[release]] /
+    * [[releaseTree]] work on both modes (reliable checkpoint files live
+    * under the dir until application end — set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` to reap
+    * them with their RDDs).
+    */
+  def materialize(df: DataFrame, what: String): DataFrame = {
+    val spark = df.sparkSession
+    if (spark.conf.get(ReliableFlag, "false").toBoolean) {
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        s"$what: $ReliableFlag=true needs a checkpoint dir — call " +
+          "spark.sparkContext.setCheckpointDir(<HDFS/object-store path>). " +
+          "Reliable materialization re-reads lost partitions from the " +
+          "checkpoint instead of failing the job on executor loss; " +
+          "without a dir there is nothing to re-read from")
+      df.checkpoint(eager = true)
+    } else df.localCheckpoint(eager = true)
+  }
+
   /** Unpersist the block-backed RDD behind checkpointed frames. No-op for
     * frames that are not themselves (possibly projected/filtered)
     * checkpoints. After release the frame must not be read again

@@ -76,16 +76,47 @@ object PlanDump {
       // r17: q51's de-windowed one-pass clustering (groupBy bucket-min
       // + band-key join — no Window anywhere), q146's single-scan
       // zero-Exchange rank-table BPE encode inside the codegen span
-      "q51_dedup_clusters", "q146_bpe_encode")
+      "q51_dedup_clusters", "q146_bpe_encode",
+      // r18/r19 retrieval/serving tier: q147's two bounded retriever
+      // stages + integer fusion, q149's packed-signature shortlist +
+      // rerank, q151's term-keyed bounded-heap postings build, q152's
+      // corpus-context pruned read sharing the checkpointed term frame
+      // with its exact instrument
+      "q147_rrf_fusion", "q148_mrl_topk", "q149_binary_topk",
+      "q151_impact_index", "q152_impact_search")
+    // Plan-shape contracts enforced AT DUMP TIME (r19): the dump is the
+    // evidence artifact, so a violating plan must fail generation loudly,
+    // not publish itself. Pair kernels de-windowed in r17 must never
+    // regress to a Window (a bucket-buffering Window is the 100-TB
+    // funnel); the retrieval tier may use windows but every one must be
+    // KEYED (q_id/doc_id/term), never a global sort.
+    val noWindow = Set("q35_ngram_jaccard", "q36_minhash_lsh", "q37_simhash",
+      "q51_dedup_clusters", "q58_neardup_blocked")
+    val keyedWindowOnly = Set("q78_tfidf", "q145_bm25", "q147_rrf_fusion",
+      "q148_mrl_topk", "q149_binary_topk", "q151_impact_index",
+      "q152_impact_search")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries)\n\n")
     sb.append(s"Generated by `graft.PlanDump` on $sfDir. What to look for: " +
       "`PushedFilters`/`ReadSchema` at scans, `BroadcastHashJoin` on dim " +
-      "joins, no `CartesianProduct`, `TakeOrderedAndProject` for top-k.\n")
+      "joins, no `CartesianProduct`, `TakeOrderedAndProject` for top-k. " +
+      "Two shape contracts are ASSERTED at dump time: no Window in any " +
+      "pair-kernel plan, and only keyed windows (q_id/doc_id/term) in " +
+      "the retrieval tier.\n")
     headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
+      val exec = df.queryExecution.executedPlan.toString
+      if (noWindow(name))
+        require(!exec.contains("Window ["),
+          s"$name: a pair kernel regressed to a Window (bucket-buffering " +
+            s"funnel at scale):\n$exec")
+      if (keyedWindowOnly(name))
+        exec.split("\n").filter(_.contains("Window [")).foreach(w =>
+          require(w.contains(", [q_id") || w.contains(", [doc_id") ||
+            w.contains(", [term"),
+            s"$name: unkeyed (global-sort) window:\n$w"))
       sb.append(s"\n## $name\n\n```\n$plan```\n")
     }
     // ---- library operators without a queries() entry -----------------

@@ -292,6 +292,10 @@ object MediaOps {
   // stub
   private val builtinCodecs: Seq[MediaCodec] =
     Seq(ImageIOCodec, JavaSoundCodec,
+      // video CONTENT tiers (r19): the two families a stock JVM can
+      // truly pixel-decode — bounded keyframe-luma samples, ahead of
+      // the structural header walks
+      VideoCodecs.MjpegCodec, VideoCodecs.Y4mCodec,
       HeaderCodecs.MpegHeaderCodec, HeaderCodecs.OggHeaderCodec,
       HeaderCodecs.BmffHeaderCodec, HeaderCodecs.FlacHeaderCodec,
       HeaderCodecs.EbmlHeaderCodec)

@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   * Each round is two keyed aggregations and two joins over the edge
   * list — neighborhoods are never collected into arrays (a hub node's
   * adjacency stays distributed across rows; hubs are exactly what the
-  * algorithm converges toward). Every round's edge set is
-  * locally checkpointed to truncate lineage, and the previous round's
+  * algorithm converges toward). Every round's edge set is materialized
+  * with truncated lineage — localCheckpoint by default, a RELIABLE
+  * checkpoint under `spark.graft.reliableCheckpoints=true` (the r19
+  * cluster-posture seam: an O(log n)-round closure over a 100-TB pair
+  * list is exactly the multi-hour job where executor loss must cost a
+  * partition re-read, not the whole closure) — and the previous round's
   * blocks are released (the [[graft.CacheHygiene]] contract).
   *
   * - large-star: every node u attaches its LARGER neighbors to
@@ -40,14 +44,16 @@ object ConnectedComponents {
     // whole near-dup pair mining) — nodes and the working edge set both
     // derive from this checkpoint. It backs the returned plan via
     // `nodes`, so it is never released here.
-    val base = edges
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .distinct()
-      .localCheckpoint(true)
+    val base = graft.CacheHygiene.materialize(
+      edges
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct(),
+      "connectedComponents base")
     val nodes = base.select(col("u").as("id"))
       .union(base.select(col("v").as("id"))).distinct()
-    var cur = base.filter(col("u") =!= col("v")).localCheckpoint(true)
+    var cur = graft.CacheHygiene.materialize(
+      base.filter(col("u") =!= col("v")), "connectedComponents edges")
 
     // (count, hash-sum) fingerprint: one cheap agg decides convergence.
     // The sum runs in decimal(38,0) — a long sum of 64-bit hashes
@@ -88,7 +94,8 @@ object ConnectedComponents {
     var iter = 0
     var converged = cur.isEmpty
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = graft.CacheHygiene.materialize(
+        smallStar(largeStar(cur)), "connectedComponents round edges")
       val nfp = fingerprint(next)
       // Fingerprint equality is the cheap convergence signal; a hash-sum
       // collision between DIFFERENT edge sets (~2^-64 odds) would end the

@@ -70,7 +70,8 @@ object IncrementalDedup {
   def ingest(docs: DataFrame, path: String): DataFrame = {
     // materialize once: the gate result feeds both the signature append
     // and the caller, and must not re-read the store mid-flow
-    val fresh = gate(docs, path).localCheckpoint(true)
+    val fresh = graft.CacheHygiene.materialize(gate(docs, path),
+      "minhash-gate batch")
     appendSignatures(fresh, path)
     fresh
   }

@@ -59,9 +59,10 @@ object PqDedupGate {
       cIters: Int = 2, m: Int = 16, k: Int = 64, iters: Int = 2): Unit = {
     val spark = reference.sparkSession
     import spark.implicits._
-    val iv = reference
-      .select(col("vec_id"), VectorOps.intVec(col("embedding")).as("q"))
-      .localCheckpoint(true)
+    val iv = graft.CacheHygiene.materialize(
+      reference
+        .select(col("vec_id"), VectorOps.intVec(col("embedding")).as("q")),
+      "pq-gate reference")
     val dims = VectorOps.vecDims(iv)
     val coarse = VectorOps.lloydCentroids(iv, kc, cIters)
     val resid = residualize(iv, coarse)
@@ -245,8 +246,8 @@ object PqDedupGate {
     */
   def ingest(batch: DataFrame, geometryDir: String, storePath: String,
       theta: Long, nProbe: Int = 0): DataFrame = {
-    val admitted = gate(batch, geometryDir, storePath, theta, nProbe)
-      .localCheckpoint(true)
+    val admitted = graft.CacheHygiene.materialize(
+      gate(batch, geometryDir, storePath, theta, nProbe), "pq-gate batch")
     admitted.select(col("cluster"), col("vec_id"), col("codes"))
       .write.mode(SaveMode.Append).parquet(storePath)
     admitted

@@ -47,9 +47,10 @@ object SemanticDedupGate {
     */
   def writeCentroids(reference: DataFrame, path: String, k: Int = 64,
       iters: Int = 2): Unit = {
-    val iv = reference
-      .select(col("vec_id"), VectorOps.intVec(col("embedding")).as("q"))
-      .localCheckpoint(true)
+    val iv = graft.CacheHygiene.materialize(
+      reference
+        .select(col("vec_id"), VectorOps.intVec(col("embedding")).as("q")),
+      "semantic-gate reference")
     val cs = VectorOps.lloydCentroids(iv, k, iters)
     graft.CacheHygiene.release(iv)
     val spark = reference.sparkSession
@@ -184,8 +185,8 @@ object SemanticDedupGate {
     */
   def ingest(batch: DataFrame, centroidsPath: String, storePath: String,
       tau: Double): DataFrame = {
-    val admitted = gate(batch, centroidsPath, storePath, tau)
-      .localCheckpoint(true)
+    val admitted = graft.CacheHygiene.materialize(
+      gate(batch, centroidsPath, storePath, tau), "semantic-gate batch")
     admitted.select(col("cluster"), col("vec_id"), col("embedding"))
       .write.mode(SaveMode.Append).parquet(storePath)
     admitted

@@ -174,7 +174,10 @@ object VectorOps {
     // first-touch from the self-join's two sides would race-recompute the
     // expensive lineage; the price is that CONSTRUCTING these frames runs
     // one Spark job (PlanDump/explain callers see it — documented there).
-    val based = bucketed.localCheckpoint(true)
+    // Materialization honors spark.graft.reliableCheckpoints (r19): the
+    // pair kernel is the suite's widest intermediate, the one a
+    // preemptible fleet least wants to recompute from raw text.
+    val based = graft.CacheHygiene.materialize(bucketed, "widthCappedPairs buckets")
     // min over struct(doc_id, carry...) is ordered by doc_id first, so it
     // selects the bucket-min row together with its carried payload.
     val stats = based.groupBy(keyCols.map(col): _*)
@@ -1068,16 +1071,31 @@ object VectorOps {
     * training, sign bits of noise), which is exactly what the card is
     * for.
     *
+    * r19: the card GATES, not just reports — `floor_ok` states
+    * per tier that recall5_m and mrr_u clear their floors, the
+    * q57/q44/q63 convention (the oracle states TRUE, so a tier decaying
+    * below its floor at any gate SF hash-fails the round instead of
+    * shipping a silently-worse card). The defaults are calibrated to
+    * this synthetic corpus's observed range across the gate SFs
+    * (mrl32 160–300‰ / binary 300–500‰ recall, 1.3–2.1M / 5–8M mrr_u);
+    * a deployment on trained embeddings raises them to its own SLO.
+    *
     * Scale shape: every input is an already-bounded top-k list
     * (≤ queries×5 rows), so the card's joins and scalar aggregates are
     * constant-size regardless of corpus volume; the cost is the two
     * tier queries themselves.
     */
-  def q150AnnQualityCard(s: SparkSession, d: String): DataFrame = {
+  def annQualityCard(s: SparkSession, d: String,
+      floors: Map[String, (Long, Long)] = Map(
+        "mrl32" -> ((100L, 1000000L)),
+        "binary" -> ((200L, 3000000L)))): DataFrame = {
     val ex = cosineRanked(s, d, 5).localCheckpoint(true)
     val nq = ex.agg(countDistinct(col("q_id")).as("n_queries"))
     val top1 = ex.filter(col("rk") === 1).select("q_id", "c_id")
     def card(tier: String, list: DataFrame): DataFrame = {
+      val (recallFloorM, mrrFloorU) = floors.getOrElse(tier,
+        sys.error(s"annQualityCard: no floor for tier '$tier' — a tier " +
+          "without a stated floor ships ungated"))
       val hits = list.join(ex.select("q_id", "c_id"), Seq("q_id", "c_id"))
         .agg(count(lit(1)).as("hits5"))
       val mrr = top1.join(list, Seq("q_id", "c_id"), "left")
@@ -1087,6 +1105,8 @@ object VectorOps {
         .select(lit(tier).as("tier"), col("n_queries"), col("hits5"),
           expr("hits5 * 1000 DIV (n_queries * 5)").as("recall5_m"),
           col("mrr_u"))
+        .withColumn("floor_ok",
+          col("recall5_m") >= recallFloorM && col("mrr_u") >= mrrFloorU)
     }
     // ex's checkpoint blocks ride the returned tree — the consumer's
     // CacheHygiene.releaseTree sweep frees them (Verify/Bench do).
@@ -1098,6 +1118,9 @@ object VectorOps {
       .unionAll(card("binary",
         q149BinaryTopk(s, d).select("q_id", "c_id", "rk")))
   }
+
+  def q150AnnQualityCard(s: SparkSession, d: String): DataFrame =
+    annQualityCard(s, d)
 
   /** Symmetric per-vector int8 quantization: scale = max|x|/127,
     * q_i = round(x_i/scale) — the 4× compression a 100 TB embedding
@@ -3365,11 +3388,13 @@ object VectorOps {
          |          CAST(floor(1000000.0 / bin.rk) AS BIGINT)), 0) AS BIGINT) AS mrr_u
          |        FROM t1 JOIN bin USING (q_id, c_id))
          |SELECT 'mrl32' AS tier, n_queries, hits5,
-         |  hits5 * 1000 // (n_queries * 5) AS recall5_m, mrr_u
+         |  hits5 * 1000 // (n_queries * 5) AS recall5_m, mrr_u,
+         |  TRUE AS floor_ok
          |FROM nq, mh, mm
          |UNION ALL
          |SELECT 'binary' AS tier, n_queries, hits5,
-         |  hits5 * 1000 // (n_queries * 5) AS recall5_m, mrr_u
+         |  hits5 * 1000 // (n_queries * 5) AS recall5_m, mrr_u,
+         |  TRUE AS floor_ok
          |FROM nq, bh, bm""".stripMargin,
   )
 
@@ -3457,7 +3482,7 @@ object VectorOps {
         |  SELECT vec_id,
         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS q
         |  FROM embeddings),
-        | c0 AS (SELECT vec_id AS cid, q AS c FROM iv WHERE vec_id < 8),
+        | c0 AS (SELECT vec_id AS cid, q AS c FROM iv ORDER BY vec_id LIMIT 8),
         | a1 AS (
         |  SELECT vec_id, cid, d2,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
@@ -3498,11 +3523,15 @@ object VectorOps {
     */
   private object PqOracle {
     // `src` = the int-vec CTE the codebooks train over: "iv" for plain
-    // PQ (q129/q130), "resid" for IVF-PQ's residual training (q131)
+    // PQ (q129/q130), "resid" for IVF-PQ's residual training (q131).
+    // Seeds are FIRST-k-BY-ID (ORDER BY vec_id LIMIT k), matching the
+    // Spark side's orderBy("vec_id").limit(k) — NOT `vec_id < k`, which
+    // is only equivalent on contiguous id spaces and diverged on the
+    // r19 hash-sampled sf1.0 slices (same for KmeansOracle's c0).
     private def block(j: Int, lo: Int, hi: Int, k: Int,
         src: String = "iv"): String =
       s""" sv$j AS (SELECT vec_id, q[$lo:$hi] AS q FROM $src),
-         | c0_$j AS (SELECT vec_id AS cid, q AS c FROM sv$j WHERE vec_id < $k),
+         | c0_$j AS (SELECT vec_id AS cid, q AS c FROM sv$j ORDER BY vec_id LIMIT $k),
          | a1_$j AS (
          |  SELECT vec_id, cid, d2,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn

@@ -98,7 +98,7 @@ object BronzePipeline {
         // probe, the quarantine write, and the gate's ingest all consume
         // it — un-checkpointed, each action re-reads the JSON and
         // re-evaluates every rule (three scans per micro-batch)
-        val once = batch.toDF().localCheckpoint(true)
+        val once = graft.CacheHygiene.materialize(batch.toDF(), "bronze batch")
         try {
           val (valid, quarantined) =
             graft.operators.Validate.split(once, graft.operators.Validate.rawPostingRules)
@@ -186,8 +186,8 @@ object BronzePipeline {
     val candidates = fix(quar.drop(vCol))
     require(candidates.columns.contains("batch_id"),
       "re-admission: fix must preserve the batch_id lineage column")
-    val annotated = graft.operators.Validate.check(
-      candidates, rules).localCheckpoint()
+    val annotated = graft.CacheHygiene.materialize(
+      graft.operators.Validate.check(candidates, rules), "re-admission check")
     try {
       val valid = annotated.filter(size(col(vCol)) === 0).drop(vCol, "batch_id")
       val stillBad = annotated.filter(size(col(vCol)) > 0)
@@ -266,7 +266,7 @@ object BronzePipeline {
         // and the MinHash signatures compute twice per micro-batch
         // (the gate's own scaladoc instruction; every sibling ingest
         // checkpoints its batch for the same reason)
-        val once = batch.toDF().localCheckpoint(true)
+        val once = graft.CacheHygiene.materialize(batch.toDF(), "bronze batch")
         try {
           // gate() preserves every input column, so the whole batch rides
           // through it - no second join to recover the survivors
@@ -314,7 +314,7 @@ object BronzePipeline {
         // materialize the staging read ONCE: the gate's fresh/suspect
         // branches re-execute their input plan, and without this the
         // staging JSON would be re-read and re-hashed per branch
-        val once = batch.toDF().localCheckpoint(true)
+        val once = graft.CacheHygiene.materialize(batch.toDF(), "bronze batch")
         try {
           val survivors = gate.gate(once, textCol = "raw_content")
           graft.CacheHygiene.release(
@@ -356,7 +356,7 @@ object BronzePipeline {
     raw.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val batchId = f"$pid-$id%05d"
-        val once = batch.toDF().localCheckpoint(true)
+        val once = graft.CacheHygiene.materialize(batch.toDF(), "bronze batch")
         try {
           DriftMonitor.recordDrift(spark, refHistPath, once, driftPath,
             batchId, driftThreshold)
@@ -384,12 +384,13 @@ object BronzePipeline {
           // this, the mixture filter + dedup shuffle + struct-min agg
           // re-execute per consumer (the staging-read checkpoint above
           // covers only the scan, not this aggregation)
-          val batchDeduped = sampled.withColumn("__fp", fp)
-            .filter(col("__fp").isNotNull)
-            .groupBy("__fp")
-            .agg(org.apache.spark.sql.functions.min(struct(ordered: _*)).as("__r"))
-            .select(dataCols.map(c => col(s"__r.$c")): _*)
-            .localCheckpoint(true)
+          val batchDeduped = graft.CacheHygiene.materialize(
+            sampled.withColumn("__fp", fp)
+              .filter(col("__fp").isNotNull)
+              .groupBy("__fp")
+              .agg(org.apache.spark.sql.functions.min(struct(ordered: _*)).as("__r"))
+              .select(dataCols.map(c => col(s"__r.$c")): _*),
+            "curated batch")
           try {
             val survivors = gate.gate(batchDeduped, textCol = "raw_content")
             graft.CacheHygiene.release(

@@ -139,9 +139,10 @@ object CcnetGate {
         val batchId = f"$pid-$id%05d"
         // one scoring pass feeds the survivor filter AND the score
         // table — without the checkpoint the LM join would run twice
-        val scored = scoreBatch(spark, modelPath, batch.toDF(),
-          "posting_id", "raw_content", TextOps.langIdExpr(col("raw_content")))
-          .localCheckpoint(true)
+        val scored = graft.CacheHygiene.materialize(
+          scoreBatch(spark, modelPath, batch.toDF(),
+            "posting_id", "raw_content", TextOps.langIdExpr(col("raw_content"))),
+          "ccnet-gate batch")
         try {
           val survivors = scored.filter(col("bucket") =!= "tail")
           graft.CacheHygiene.release(

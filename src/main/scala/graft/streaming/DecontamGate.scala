@@ -113,9 +113,10 @@ object DecontamGate {
         // one screening pass feeds the survivor filter AND the score
         // table — without the checkpoint the registry probe would run
         // twice per batch
-        val screened = screenBatch(spark, registryPath, batch.toDF(),
-          "posting_id", "raw_content", maxSharedGrams)
-          .localCheckpoint(true)
+        val screened = graft.CacheHygiene.materialize(
+          screenBatch(spark, registryPath, batch.toDF(),
+            "posting_id", "raw_content", maxSharedGrams),
+          "decontam-gate batch")
         try {
           val survivors = screened.filter(!col("contaminated"))
             .drop("n_shared_grams", "contaminated")

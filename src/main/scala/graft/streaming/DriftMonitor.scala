@@ -99,7 +99,7 @@ object DriftMonitor {
         val batchId = f"$pid-$id%05d"
         // one materialization: the gate consumes the batch and the
         // histogram pass would otherwise re-read the staging JSON
-        val once = batch.toDF().localCheckpoint(true)
+        val once = graft.CacheHygiene.materialize(batch.toDF(), "drift batch")
         try {
           graft.CacheHygiene.release(
             MetadataStore.ingestWithGate(once, bronzePath, metaPath, batchId))

@@ -75,6 +75,45 @@ class BpeEncodeSpec extends SparkSpec {
     assert(kernelEncode(Seq("aaa"), Seq(("a", "a"))) == Seq("aa", "a"))
   }
 
+  test("10k-merge table firing to depth 150+: kernel == sequential reference, plan stays one exchange-free scan") {
+    // r19 (the r17 carried item): the real corpus's 89-rule table applies
+    // ≤5 merges per word, so deep cascades were unexercised. A 10,000-rule
+    // CHAIN — rule i fuses (a·bⁱ, b) → a·bⁱ⁺¹ — is the adversarial shape
+    // for the rank-first-equals-sequential claim: every application MINTS
+    // the next rule's operand, so one word cascades through hundreds of
+    // strictly ordered merges, and any rank-selection or greedy-restart
+    // bug desynchronizes the two encoders immediately.
+    val chain = (0 until 10000).map(i => ("a" + "b" * i, "b"))
+    assert(BpeEncode.sequentialCollisionFree(chain),
+      "the chain consumes earlier results as later operands — legal, " +
+        "and exactly what the collision check must NOT reject")
+    val words = Seq(
+      "a" + "b" * 150,  // fires 150 chained applications → ONE symbol
+      "a" + "b" * 277,  // deeper than the deepest driver-data word by ~50×
+      "c" + "b" * 50,   // no rule matches: 51 symbols, untouched control
+      "a" + "b" * 9, "a", "aa")
+    val enc = kernelEncode(words, chain)
+    val ref = words.flatMap(w => refEncode(w, chain))
+    assert(enc == ref, "kernel diverged from the sequential reference under deep cascades")
+    assert(enc.contains("a" + "b" * 150) && enc.contains("a" + "b" * 277),
+      "a chain word must collapse to a single symbol (depth = len-1 applications)")
+    assert(enc.count(_ == "b") == 50, "the no-match control must stay unmerged")
+    // "aa": two words "a","a"? no — one token "aa" has no pair in the
+    // table (operands are a·bⁱ and b), so it splits to chars and stays
+    assert(enc.containsSlice(Seq("a", "a")))
+    // the Spark-side frozen encode over the same table: one scan, zero
+    // exchanges — table size must never change the plan shape (the
+    // q146big cost-independence claim, now at 10k entries)
+    import spark.implicits._
+    val docs = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val encDf = TextOps.bpeEncodeFrozen(docs, chain)
+    val plan = encDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"frozen encode must stay a per-row scan at any table size:\n$plan")
+    assert(encDf.count() == words.length)
+  }
+
   test("frozen-table saturation: learning to exhaustion makes every word one symbol") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val wc = docs

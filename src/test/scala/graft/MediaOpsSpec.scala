@@ -192,8 +192,9 @@ class MediaOpsSpec extends SparkSpec {
       assert(imf.decoded && imf.codec == "imageio")
     } finally MediaOps.resetCodecs()
     assert(MediaOps.registeredCodecs.map(_.name) ==
-      Seq("imageio", "javasound", "mpeg-headers", "ogg-headers",
-        "bmff-headers", "flac-headers", "ebml-headers"))
+      Seq("imageio", "javasound", "mjpeg-luma", "y4m-luma",
+        "mpeg-headers", "ogg-headers", "bmff-headers", "flac-headers",
+        "ebml-headers"))
   }
 
   /** A valid MPEG-1 Layer III 128 kbps 44100 Hz joint-stereo frame chain
@@ -479,6 +480,68 @@ class MediaOpsSpec extends SparkSpec {
     assert(out(2L).features(0) == 640f && out(2L).features(5) == 1f)
     assert(!out(3L).decoded && !out(4L).decoded,
       "undecodable bytes under claimed mimes must stay flagged stubs")
+  }
+
+  test("y4m video content stats: planted frames read exact luma mean/std/motion, malformed falls to stub") {
+    import spark.implicits._
+    // 4x2 C420 at 25 fps, three planted frames: all-0, all-255, all-128
+    // luma — every pixel lands in the <=32x32 grid at this size, so the
+    // statistics are EXACT, not sampled
+    def frame(y: Int): Array[Byte] =
+      "FRAME\n".getBytes("US-ASCII") ++ Array.fill(4 * 2)(y.toByte) ++
+        Array.fill(4 * 2 / 2)(0x80.toByte) // U+V for C420
+    val y4m = "YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420\n".getBytes("US-ASCII") ++
+      frame(0) ++ frame(255) ++ frame(128)
+    val media = Seq(
+      (1L, y4m, "video/x-yuv4mpeg", y4m.length.toLong),
+      (2L, "YUV4MPEG2 W0 H2\njunk".getBytes("US-ASCII"), "video/x-yuv4mpeg", 20L),
+    ).toDF("doc_id", "blob", "mime", "n_bytes")
+    val out = MediaOps.extractFeatures(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    val f = out(1L)
+    assert(f.decoded && f.codec == "y4m-luma", s"${f.codec}/${f.decoded}")
+    val v = f.features
+    assert(v(0) == 4f && v(1) == 2f && v(2) == 3f, s"w/h/frames: ${v.mkString(",")}")
+    assert(math.abs(v(3) - 25f) < 1e-6, s"fps: ${v(3)}")
+    val lumas = Seq(0.0, 1.0, 128 / 255.0)
+    val mean = lumas.sum / 3
+    val std = math.sqrt(lumas.map(l => (l - mean) * (l - mean)).sum / 3)
+    assert(math.abs(v(4) - mean) < 1e-6, s"lumaMean: ${v(4)} vs $mean")
+    assert(math.abs(v(5) - std) < 1e-6, s"lumaStd: ${v(5)} vs $std")
+    val motion = (math.abs(1.0 - 0.0) + math.abs(128 / 255.0 - 1.0)) / 2
+    assert(math.abs(v(6) - motion) < 1e-6, s"motion: ${v(6)} vs $motion")
+    assert(v(7) == 3f, "all three frames sampled at n <= SampleFrames")
+    // malformed header: refused by the codec, lands in the flagged stub
+    assert(!out(2L).decoded, "a malformed y4m must never report pixels")
+  }
+
+  test("mjpeg video content stats: concatenated JPEG frames, keyframe sample bounded at 3") {
+    import spark.implicits._
+    def jpegGray(level: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (level << 16) | (level << 8) | level
+      for (y <- 0 until 8; x <- 0 until 8) im.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "jpg", bos)
+      bos.toByteArray
+    }
+    // five frames at stepped gray levels: the sample takes first /
+    // middle / last (40, 120, 200), never all five
+    val levels = Seq(40, 80, 120, 160, 200)
+    val mjpeg = levels.map(jpegGray).reduce(_ ++ _)
+    val media = Seq((1L, mjpeg, "video/mjpeg", mjpeg.length.toLong))
+      .toDF("doc_id", "blob", "mime", "n_bytes")
+    val f = MediaOps.extractFeatures(spark, media).collect().head
+    assert(f.decoded && f.codec == "mjpeg-luma", s"${f.codec}/${f.decoded}")
+    val v = f.features
+    assert(v(0) == 8f && v(1) == 8f && v(2) == 5f,
+      s"w/h/frames: ${v.mkString(",")}")
+    assert(v(7) == 3f, s"keyframe sample must stay bounded: ${v(7)}")
+    // JPEG of a solid gray round-trips near-exactly; the sampled means
+    // are ~(40+120+200)/3/255 and motion ~80/255
+    assert(math.abs(v(4) - 120 / 255.0) < 0.02, s"lumaMean: ${v(4)}")
+    assert(math.abs(v(6) - 80 / 255.0) < 0.02, s"motion: ${v(6)}")
   }
 }
 

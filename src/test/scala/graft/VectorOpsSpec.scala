@@ -1819,7 +1819,25 @@ class VectorOpsSpec extends SparkSpec {
       .count(r => !r.isNullAt(r.fieldIndex("full_rk")))
     assert(rows("mrl32").getAs[Long]("hits5") == mrlHits.toLong,
       "card hits5 diverged from q148's own instrument")
+    // r19: the card GATES — at the default floors both tiers state TRUE
+    // (the oracle restates the literal, so a decay hash-fails the round)
+    rows.values.foreach(r => assert(r.getAs[Boolean]("floor_ok"),
+      s"${r.getAs[String]("tier")}: default floor must hold on this corpus"))
     graft.CacheHygiene.releaseTree(card)
+  }
+
+  test("q150 floors: an unreachable floor flips floor_ok, a floor-less tier is loud") {
+    val strict = VectorOps.annQualityCard(spark, sfDir, floors = Map(
+      "mrl32" -> ((999L, 9999999L)), "binary" -> ((200L, 3000000L)))).collect()
+      .map(r => r.getAs[String]("tier") -> r.getAs[Boolean]("floor_ok")).toMap
+    assert(!strict("mrl32"),
+      "an unreachable floor must read FALSE, not vanish into a report")
+    assert(strict("binary"), "the untouched tier keeps its default verdict")
+    val e = intercept[RuntimeException](
+      VectorOps.annQualityCard(spark, sfDir, floors = Map(
+        "mrl32" -> ((100L, 1000000L)))))
+    assert(e.getMessage.contains("no floor"),
+      s"a tier without a stated floor must refuse to ship: ${e.getMessage}")
   }
 
   test("q147/q149 plans: broadcast stages, every window keyed by q_id") {
