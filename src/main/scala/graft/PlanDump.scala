@@ -83,7 +83,10 @@ object PlanDump {
       // corpus-context pruned read sharing the checkpointed term frame
       // with its exact instrument
       "q147_rrf_fusion", "q148_mrl_topk", "q149_binary_topk",
-      "q151_impact_index", "q152_impact_search")
+      "q151_impact_index", "q152_impact_search",
+      // q78: the keyed-window contract below covers it, so it must be
+      // dumped (a set entry outside the headline list asserts nothing)
+      "q78_tfidf")
     // Plan-shape contracts enforced AT DUMP TIME (r19): the dump is the
     // evidence artifact, so a violating plan must fail generation loudly,
     // not publish itself. Pair kernels de-windowed in r17 must never

@@ -327,7 +327,12 @@ object MediaOps {
           val nFrames = math.ceil(r.n_bytes.toDouble / FrameBytes).toInt
           val hit = codecs.iterator
             .filter(_.claims(r.mime))
-            .map(c => c.decode(r.blob).map(f => (c.name, f)))
+            // a codec that THROWS (vs returning None) is treated as a
+            // refusal: one hostile blob must quarantine to the stub row,
+            // never fail the task and the whole extraction job with it
+            .map(c => (try c.decode(r.blob)
+              catch { case scala.util.control.NonFatal(_) => None })
+              .map(f => (c.name, f)))
             .collectFirst { case Some(x) => x }
           hit match {
             case Some((cn, f)) =>

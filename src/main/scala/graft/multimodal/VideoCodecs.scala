@@ -65,30 +65,69 @@ object VideoCodecs {
       }
   }
 
-  /** MJPEG: frames delimited by JPEG SOI (FF D8 FF). */
+  /** MJPEG: concatenated JPEG frames, bounds found by a real SEGMENT
+    * WALK per frame — not a raw FF D8 FF scan, which would count the
+    * JPEG thumbnails EMBEDDED in EXIF APP1 payloads as frames and could
+    * sample one as a "keyframe". The walk skips marker-segment payloads
+    * wholesale (thumbnails live inside them) and ends a frame at the
+    * first EOI after SOS (inside entropy data FF is escaped as FF 00 /
+    * restart markers, so that EOI is the true frame end).
+    */
   object MjpegCodec extends MediaCodec {
     val name = "mjpeg-luma"
     def claims(mime: String): Boolean = {
       val m = mime.toLowerCase
       m == "video/x-motion-jpeg" || m == "video/mjpeg" || m == "video/x-mjpeg"
     }
-    def decode(bytes: Array[Byte]): Option[Array[Float]] = {
-      // one marker scan: every FF D8 FF is a frame start (FF D8 inside
-      // entropy-coded data is always escaped as FF 00, so SOI+marker
-      // never occurs mid-frame)
-      val starts = scala.collection.mutable.ArrayBuffer[Int]()
-      var i = 0
-      while (i + 2 < bytes.length) {
-        if (bytes(i) == 0xFF.toByte && bytes(i + 1) == 0xD8.toByte &&
-            bytes(i + 2) == 0xFF.toByte) starts += i
-        i += 1
+
+    /** End index (exclusive) of the JPEG frame starting at `start`, or
+      * -1 when the structure is malformed/truncated. */
+    private def frameEnd(bytes: Array[Byte], start: Int): Int = {
+      var p = start + 2 // past SOI
+      while (p + 1 < bytes.length) {
+        if (bytes(p) != 0xFF.toByte) return -1
+        val m = bytes(p + 1) & 0xFF
+        if (m == 0xD9) return p + 2 // EOI (degenerate: no SOS)
+        else if (m == 0xD8) return -1 // nested SOI outside a segment
+        else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) p += 2 // standalone
+        else if (m == 0xDA) { // SOS: entropy data until the true EOI
+          if (p + 3 >= bytes.length) return -1
+          var q = p + 2 + (((bytes(p + 2) & 0xFF) << 8) | (bytes(p + 3) & 0xFF))
+          while (q + 1 < bytes.length) {
+            if (bytes(q) == 0xFF.toByte) {
+              val e = bytes(q + 1) & 0xFF
+              if (e == 0xD9) return q + 2
+              else if (e == 0x00 || (e >= 0xD0 && e <= 0xD7)) q += 2
+              else q += 1 // stray FF fill
+            } else q += 1
+          }
+          return -1
+        } else { // marker segment with 2-byte length (APPn/DQT/SOF/DHT…)
+          if (p + 3 >= bytes.length) return -1
+          val len = ((bytes(p + 2) & 0xFF) << 8) | (bytes(p + 3) & 0xFF)
+          if (len < 2) return -1
+          p += 2 + len // skips EXIF payloads — embedded thumbnails too
+        }
       }
-      if (starts.isEmpty) return None
+      -1
+    }
+
+    def decode(bytes: Array[Byte]): Option[Array[Float]] = try {
+      val frames = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      var i = 0
+      while (i + 2 < bytes.length && frames.length < 100000) {
+        if (bytes(i) == 0xFF.toByte && bytes(i + 1) == 0xD8.toByte &&
+            bytes(i + 2) == 0xFF.toByte) {
+          val end = frameEnd(bytes, i)
+          if (end > 0) { frames += ((i, end)); i = end }
+          else i = bytes.length // truncated tail frame: stop, keep walked
+        } else i += 1 // tolerate padding between frames
+      }
+      if (frames.isEmpty) return None
       val agg = new LumaAgg
       var (w, h) = (0, 0)
-      sampleIdx(starts.length).foreach { fi =>
-        val from = starts(fi)
-        val until = if (fi + 1 < starts.length) starts(fi + 1) else bytes.length
+      sampleIdx(frames.length).foreach { fi =>
+        val (from, until) = frames(fi)
         val img = try {
           Option(javax.imageio.ImageIO.read(
             new ByteArrayInputStream(bytes, from, until - from)))
@@ -107,9 +146,11 @@ object VideoCodecs {
           })
         }
       }
-      // a marker scan alone is not content: if no sampled frame decoded,
+      // a frame walk alone is not content: if no sampled frame decoded,
       // refuse (→ header/stub tiers), never report zeros as pixels
-      agg.result(w, h, starts.length, fps = 0f)
+      agg.result(w, h, frames.length, fps = 0f)
+    } catch { // a hostile blob must land in the stub, never fail the task
+      case scala.util.control.NonFatal(_) => None
     }
   }
 
@@ -121,7 +162,7 @@ object VideoCodecs {
       val m = mime.toLowerCase
       m == "video/x-yuv4mpeg" || m == "video/y4m" || m == "application/x-yuv4mpeg"
     }
-    def decode(bytes: Array[Byte]): Option[Array[Float]] = {
+    def decode(bytes: Array[Byte]): Option[Array[Float]] = try {
       val magic = "YUV4MPEG2 ".getBytes("US-ASCII")
       if (bytes.length < magic.length ||
         !bytes.take(magic.length).sameElements(magic)) return None
@@ -129,24 +170,34 @@ object VideoCodecs {
       if (hEnd < 0) return None
       val header = new String(bytes, 0, hEnd, "US-ASCII")
       val params = header.split(' ').drop(1)
+      // dims bounded to 16 bits each: w*h stays inside Int, and a hostile
+      // 'W99999999999' (toInt would throw) or W×H overflow (which would
+      // wrap NEGATIVE and slip past every bounds check below) both refuse
       def intParam(p: Char): Option[Int] =
         params.collectFirst { case s if s.nonEmpty && s.head == p =>
-          s.tail.takeWhile(_.isDigit) }.filter(_.nonEmpty).map(_.toInt)
+          s.tail.takeWhile(_.isDigit) }
+          .filter(d => d.nonEmpty && d.length <= 5).map(_.toInt)
+          .filter(v => v > 0 && v <= 0xFFFF)
       val (w, h) = (intParam('W'), intParam('H')) match {
-        case (Some(a), Some(b)) if a > 0 && b > 0 => (a, b)
+        case (Some(a), Some(b)) => (a, b)
         case _ => return None
       }
       val fps = params.collectFirst { case s if s.startsWith("F") =>
         s.tail.split(':') match {
-          case Array(n, d) if d.toFloat > 0 => n.toFloat / d.toFloat
+          case Array(n, d) if n.forall(_.isDigit) && d.forall(_.isDigit) &&
+            n.length <= 7 && d.length <= 7 && d.toFloat > 0 =>
+            n.toFloat / d.toFloat
           case _ => 0f
         }
       }.getOrElse(0f)
+      // chroma plane bytes per frame — ceil'd per plane for odd dims
+      // (C420 subsamples both axes: 2 planes of ⌈w/2⌉×⌈h/2⌉; a plain
+      // w*h/2 misaligns every subsequent FRAME at odd w or h)
       val chromaBytes = params.collectFirst {
         case s if s.startsWith("C") => s.tail
       }.getOrElse("420") match {
-        case c if c.startsWith("420") => (w * h) / 2
-        case c if c.startsWith("422") => w * h
+        case c if c.startsWith("420") => 2 * ((w + 1) / 2) * ((h + 1) / 2)
+        case c if c.startsWith("422") => 2 * ((w + 1) / 2) * h
         case c if c.startsWith("444") => 2 * w * h
         case c if c.startsWith("mono") => 0
         case _ => return None // an unknown layout would misalign every frame
@@ -181,6 +232,8 @@ object VideoCodecs {
           } yield (bytes(y0 + y * w + x) & 0xFF) / 255.0)
       }
       agg.result(w, h, yStarts.length, fps)
+    } catch { // a hostile blob must land in the stub, never fail the task
+      case scala.util.control.NonFatal(_) => None
     }
   }
 }

@@ -892,20 +892,30 @@ object TextOps {
   }
 
   /** A corpus's lexical context + its own scored frame: (dfc, stats,
-    * scored_u). With `materialize` the (doc_id, term) count frame — the
+    * scored_u), PLUS the materialized tf handle itself (null when not
+    * materialized) so callers that fully consume the frames — like
+    * [[writeImpactIndex]], whose output is parquet, not a plan — can
+    * release the corpus-sized checkpoint instead of pinning it for the
+    * session. With `materialize` the (doc_id, term) count frame — the
     * expensive tokenize product every derived frame re-reads — is
-    * localCheckpointed once, so the instrument paths that consume
-    * `scored_u` twice (q152) don't tokenize the corpus twice (the
-    * q99/q107 shared-frame discipline).
+    * materialized once via [[graft.CacheHygiene.materialize]] (honoring
+    * the reliable-checkpoint seam: this is a corpus-sized frame on the
+    * multi-hour path), so the instrument paths that consume `scored_u`
+    * twice (q152) don't tokenize the corpus twice (the q99/q107
+    * shared-frame discipline).
     */
   private def lexCorpusFrames(corpus: DataFrame, k1: Double, b: Double,
-      materialize: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
+      materialize: Boolean = false)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val tf0 = termCounts(corpus)
-    val tf = if (materialize) tf0.localCheckpoint(true) else tf0
+    val tf =
+      if (materialize) graft.CacheHygiene.materialize(tf0, "lexical term counts")
+      else tf0
     val dl = tf.groupBy("doc_id").agg(sum("n").as("len"))
     val stats = dl.agg(count(lit(1)).as("nd"), avg("len").as("avgl"))
     val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    (dfc, stats, bm25ScoreU(tf, dfc, stats, k1, b))
+    (dfc, stats, bm25ScoreU(tf, dfc, stats, k1, b),
+      if (materialize) tf else null)
   }
 
   /** The quantized per-(doc, term) BM25 frame of a SELF-scored frame
@@ -987,7 +997,10 @@ object TextOps {
       instrument: Boolean = true): DataFrame = {
     require(nQueries >= 1 && qTerms >= 1 && k >= 1 && topPerTerm >= 1,
       s"impactSearch: bad params nQueries=$nQueries qTerms=$qTerms k=$k topPerTerm=$topPerTerm")
-    val (dfc, stats, corpusU) = lexCorpusFrames(
+    // the tf handle stays aboard the returned plan (both rankings read
+    // it), so the consumer's CacheHygiene.releaseTree sweep frees it —
+    // the Verify/Bench discipline for checkpoint-backed results
+    val (dfc, stats, corpusU, _) = lexCorpusFrames(
       docs.filter(col("doc_id") >= nQueries), k1, b, materialize = true)
     val qbag = queryBag(
       bm25ScoreU(termCounts(docs.filter(col("doc_id") < nQueries)),
@@ -1013,7 +1026,10 @@ object TextOps {
   }
 
   def q152ImpactSearch(s: SparkSession, d: String): DataFrame =
-    impactSearch(documents(s, d))
+    // nQueries pinned to the SHARED constant the oracle interpolates —
+    // relying on impactSearch's own default would let a LexQueryDocs
+    // retune desync this query from its oracle silently
+    impactSearch(documents(s, d), nQueries = LexQueryDocs)
 
   // ---- impact index persistence: the build-once/serve-many lifecycle ----
 
@@ -1061,18 +1077,26 @@ object TextOps {
       k1: Double = 1.2, b: Double = 0.75): Unit = {
     require(topPerTerm >= 1,
       s"writeImpactIndex: topPerTerm must be >= 1, got $topPerTerm")
-    val (dfc, stats, corpusU) = lexCorpusFrames(corpus, k1, b, materialize = true)
-    VectorOps.rankTopK(corpusU, "term", "doc_id", "score_u", topPerTerm)
-      .select(col("term"), col("doc_id").as("c_id"), col("score_u"), col("rk"))
-      .withColumn("tb", termBucket(col("term")))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
-    val dfx = dfc.localCheckpoint(true) // vocab-sized; feeds df AND dfhist
-    dfx.withColumn("tb", termBucket(col("term")))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/df")
-    stats.withColumn("k1", lit(k1)).withColumn("b", lit(b))
-      .withColumn("top_per_term", lit(topPerTerm))
-      .write.mode("overwrite").parquet(s"$path/stats")
-    dfHist(dfx).write.mode("overwrite").parquet(s"$path/dfhist")
+    val (dfc, stats, corpusU, tf) =
+      lexCorpusFrames(corpus, k1, b, materialize = true)
+    val dfx = graft.CacheHygiene.materialize(dfc,
+      "impact df table") // vocab-sized; feeds df AND dfhist
+    try {
+      VectorOps.rankTopK(corpusU, "term", "doc_id", "score_u", topPerTerm)
+        .select(col("term"), col("doc_id").as("c_id"), col("score_u"), col("rk"))
+        .withColumn("tb", termBucket(col("term")))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+      dfx.withColumn("tb", termBucket(col("term")))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$path/df")
+      stats.withColumn("k1", lit(k1)).withColumn("b", lit(b))
+        .withColumn("top_per_term", lit(topPerTerm))
+        .write.mode("overwrite").parquet(s"$path/stats")
+      dfHist(dfx).write.mode("overwrite").parquet(s"$path/dfhist")
+    } finally
+      // the parquet tables ARE the output — nothing returned references
+      // these frames, so a re-freeze loop (the impactIndexDrift cadence)
+      // must not pin one corpus-sized checkpoint per freeze
+      graft.CacheHygiene.release(tf, dfx)
   }
 
   private def loudPart(spark: SparkSession, path: String, what: String): Unit = {
@@ -1124,7 +1148,8 @@ object TextOps {
     val st = stats.head() // 1 row: the frozen context
     val k1 = st.getAs[Double]("k1")
     val b = st.getAs[Double]("b")
-    val qtf = termCounts(queryDocs).localCheckpoint(true) // query-sized
+    val qtf = graft.CacheHygiene.materialize(
+      termCounts(queryDocs), "impact serve query terms") // query-sized
     val qtbs = qtf.select(termBucket(col("term")).as("tb"))
       .distinct().collect().map(_.getInt(0)) // ≤ ImpactTermBuckets ints
     val dfc = dfAll.where(col("tb").isin(qtbs.map(Integer.valueOf): _*))
@@ -1141,9 +1166,15 @@ object TextOps {
       .select(col("doc_id"), col("term"),
         round(idf * (col("n") * lit(k1 + 1)) / (col("n") + norm) * lit(1e6), 0)
           .cast("long").as("score_u"))
-    val qbag = queryBag(queryU, qTerms).localCheckpoint(true) // bag-sized
+    val qbag = graft.CacheHygiene.materialize(
+      queryBag(queryU, qTerms), "impact serve query bag") // bag-sized
     val btbs = qbag.select(termBucket(col("term")).as("tb"))
       .distinct().collect().map(_.getInt(0))
+    // qbag (aboard the returned plan) is the consumer's releaseTree to
+    // free; qtf's checkpoint is SEVERED from that plan by qbag's own
+    // materialization and fully consumed now — release it here or the
+    // serve-many loop leaks one query-batch frame per call
+    graft.CacheHygiene.release(qtf)
     val postings = postingsAll
       .where(col("tb").isin(btbs.map(Integer.valueOf): _*))
       .select(col("term"), col("c_id"), col("score_u"))
@@ -1177,7 +1208,8 @@ object TextOps {
       ("stats", "frozen scoring stats")).foreach { case (t, w) =>
       loudPart(spark, s"$path/$t", w)
     }
-    val tf = termCounts(corpus).localCheckpoint(true)
+    val tf = graft.CacheHygiene.materialize(
+      termCounts(corpus), "impact drift term counts")
     val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val curLen = tf.groupBy("doc_id").agg(sum("n").as("len"))
       .agg(avg("len").as("avgl_cur"))

@@ -72,7 +72,10 @@ object SampleSlice {
     if (srcFiles != null) srcFiles.filter(f => !sampledNames(f.getName))
       .foreach { f =>
         val link = Paths.get(dstDir, f.getName)
-        if (!Files.exists(link)) Files.createSymbolicLink(link, f.toPath)
+        // absolute target: a relative srcDir would otherwise mint links
+        // the filesystem resolves against DST — silently broken
+        if (!Files.exists(link))
+          Files.createSymbolicLink(link, f.toPath.toAbsolutePath)
       }
     spark.stop()
   }

@@ -515,6 +515,67 @@ class MediaOpsSpec extends SparkSpec {
     assert(!out(2L).decoded, "a malformed y4m must never report pixels")
   }
 
+  test("y4m hardening: W*H overflow refuses instead of throwing; odd dims keep chroma alignment") {
+    import spark.implicits._
+    // 46341^2 overflows Int — pre-fix this wrapped negative, slipped the
+    // bounds check, and threw ArrayIndexOutOfBounds mid-task
+    val hostile = ("YUV4MPEG2 W46341 H46341 F25:1 C420\n" + "FRAME\n" + "xx")
+      .getBytes("US-ASCII")
+    // odd 5x3 C420: chroma is 2*ceil(5/2)*ceil(3/2)=12 bytes, not 15/2=7
+    // — the wrong arithmetic desyncs the walk and reports nFrames=1
+    def odd(y: Int): Array[Byte] =
+      "FRAME\n".getBytes("US-ASCII") ++ Array.fill(15)(y.toByte) ++
+        Array.fill(12)(0x80.toByte)
+    val oddY4m = "YUV4MPEG2 W5 H3 F30:1 C420\n".getBytes("US-ASCII") ++
+      odd(100) ++ odd(200)
+    val media = Seq(
+      (1L, hostile, "video/x-yuv4mpeg", hostile.length.toLong),
+      (2L, oddY4m, "video/x-yuv4mpeg", oddY4m.length.toLong),
+    ).toDF("doc_id", "blob", "mime", "n_bytes")
+    val out = MediaOps.extractFeatures(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(!out(1L).decoded, "dimension overflow must quarantine, not crash")
+    val v = out(2L).features
+    assert(out(2L).decoded && v(2) == 2f,
+      s"odd-dim chroma arithmetic must keep both frames: ${v.mkString(",")}")
+    assert(math.abs(v(6) - 100 / 255.0) < 1e-6, s"motion: ${v(6)}")
+  }
+
+  test("mjpeg frame walk skips EXIF-embedded thumbnails (an SOI scan would double-count)") {
+    import spark.implicits._
+    def jpegGray(level: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (level << 16) | (level << 8) | level
+      for (y <- 0 until 8; x <- 0 until 8) im.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "jpg", bos)
+      bos.toByteArray
+    }
+    // splice an APP1 segment whose payload CONTAINS a complete JPEG
+    // (the EXIF-thumbnail shape) right after each frame's SOI
+    def withThumb(frame: Array[Byte]): Array[Byte] = {
+      val thumb = jpegGray(30)
+      val payload = "Exif  ".getBytes("US-ASCII") ++ thumb
+      val len = payload.length + 2
+      frame.take(2) ++ Array(0xFF.toByte, 0xE1.toByte,
+        ((len >> 8) & 0xFF).toByte, (len & 0xFF).toByte) ++ payload ++
+        frame.drop(2)
+    }
+    val mjpeg = withThumb(jpegGray(60)) ++ withThumb(jpegGray(180))
+    val media = Seq((1L, mjpeg, "video/mjpeg", mjpeg.length.toLong))
+      .toDF("doc_id", "blob", "mime", "n_bytes")
+    val f = MediaOps.extractFeatures(spark, media).collect().head
+    assert(f.decoded && f.codec == "mjpeg-luma")
+    val v = f.features
+    assert(v(2) == 2f,
+      s"embedded thumbnails must not count as frames: nFrames=${v(2)}")
+    // both sampled lumas come from the REAL frames (60, 180), never the
+    // 30-level thumbnail: mean ~120/255, motion ~120/255
+    assert(math.abs(v(4) - 120 / 255.0) < 0.02, s"lumaMean: ${v(4)}")
+    assert(math.abs(v(6) - 120 / 255.0) < 0.02, s"motion: ${v(6)}")
+  }
+
   test("mjpeg video content stats: concatenated JPEG frames, keyframe sample bounded at 3") {
     import spark.implicits._
     def jpegGray(level: Int): Array[Byte] = {

@@ -41,6 +41,8 @@ class ReliableCheckpointSpec extends SparkSpec {
     }
     val localLabels = rows(ConnectedComponents.run(edges))
     val localPairs = rows(VectorOps.q36MinhashLshOn(docs))
+    val localLex = rows(graft.operators.TextOps
+      .impactSearch(docs, instrument = false))
 
     val dir = java.nio.file.Files.createTempDirectory("graft_relckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
@@ -49,6 +51,9 @@ class ReliableCheckpointSpec extends SparkSpec {
         "reliable closure must label identically to the local mode")
       assert(rows(VectorOps.q36MinhashLshOn(docs)) == localPairs,
         "reliable pair kernel must list identically to the local mode")
+      assert(rows(graft.operators.TextOps
+          .impactSearch(docs, instrument = false)) == localLex,
+        "reliable lexical term frame must serve identically to the local mode")
       // the frames really did route through the reliable path: the
       // checkpoint dir is no longer empty
       val ckpts = new java.io.File(dir).listFiles()
@@ -73,6 +78,10 @@ class ReliableCheckpointSpec extends SparkSpec {
         .select("vec_id"))
     }
     val local = runOnce()
+    // self-contained: set a dir rather than depending on the parity
+    // test's setCheckpointDir having run first in this suite order
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft_relgate_ckpt").toString)
     val reliable = withFlag(on = true) { runOnce() }
     assert(local == reliable,
       s"gate admit set must not depend on the materialization mode: $local vs $reliable")
