@@ -864,7 +864,7 @@ object TextOps {
     * corpus (the q38/q95 convention). Shared by the registered queries
     * AND their oracle SQL, so the two can never disagree on the split.
     */
-  private[operators] val LexQueryDocs = 10L
+  val LexQueryDocs = 10L
 
   /** The quantized BM25 contribution of a (doc, term) row scored AGAINST
     * a given corpus context: q145's Lucene-form score in integer
