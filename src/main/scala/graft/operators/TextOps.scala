@@ -1185,6 +1185,89 @@ object TextOps {
       .select(col("q_id"), col("c_id"), col("lex_u"), col("rk"))
   }
 
+  /** Incremental growth of a persisted impact index — the lexical
+    * [[VectorOps.ivfAppend]]: new corpus docs score under the FROZEN
+    * context (the store's df/nd/avgl/k1/b — the frozen-geometry
+    * contract; scoring drift is [[impactIndexDrift]]'s job, appends are
+    * the between-freezes path) and merge into the per-term posting
+    * heads. The merge is EXACT under frozen scoring: a stored head is
+    * the true top-N of the old corpus, stored scores never change, so
+    * top-N(head ∪ new postings) = top-N(old ∪ new) — any evicted
+    * non-head posting was already dominated by N stored entries. Hence
+    * appends are also split-invariant (append B then C ≡ append B∪C,
+    * spec-pinned).
+    *
+    * A new doc's terms OUTSIDE the frozen vocabulary have no df row, so
+    * they score nothing and mint no postings — the doc is reachable
+    * only through frozen-vocab terms until the next re-freeze (exactly
+    * IVF's "new modes need re-clustering" posture); a batch of pure
+    * novel vocabulary leaves the store untouched.
+    *
+    * Scale shape: the batch tokenizes once and broadcasts into the
+    * scanned df store (the gate join direction); only the tb partitions
+    * the batch's terms TOUCH are read and rewritten (dynamic partition
+    * overwrite — untouched buckets' files are never opened, the
+    * [[VectorOps.ivfPartialRebuild]] discipline), and each rewrite is
+    * bounded by bucket-vocab × (topPerTerm + batch postings).
+    */
+  def impactIndexAppend(newDocs: DataFrame, path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val (postingsAll, dfAll, stats) = readImpactIndex(spark, path)
+    val st = stats.head()
+    val (k1, b) = (st.getAs[Double]("k1"), st.getAs[Double]("b"))
+    val topPerTerm = st.getAs[Int]("top_per_term")
+    val ntf = graft.CacheHygiene.materialize(termCounts(newDocs),
+      "impact append terms")
+    try {
+      val newU = graft.CacheHygiene.materialize(
+        bm25ScoreU(ntf, dfAll.select(col("term"), col("df")),
+          stats.select(col("nd"), col("avgl")), k1, b),
+        "impact append postings")
+      try {
+        val touched = newU.select(termBucket(col("term")).as("tb"))
+          .distinct().collect().map(_.getInt(0)) // ≤ ImpactTermBuckets
+        if (touched.nonEmpty) {
+          // whole touched buckets re-rank (they hold every term the
+          // merge can move), so the dynamic overwrite below rewrites
+          // exactly those partitions completely
+          val old = postingsAll
+            .where(col("tb").isin(touched.map(Integer.valueOf): _*))
+            .select(col("term"), col("c_id"), col("score_u"))
+          // re-ingesting an already-indexed doc would DOUBLE its rows in
+          // a head (two equal-score entries for one c_id) — refuse the
+          // collisions this bucket read can see rather than corrupt
+          require(old.select(col("c_id")).distinct()
+              .join(broadcast(newU.select(col("doc_id").as("c_id")).distinct()),
+                Seq("c_id"))
+              .isEmpty,
+            "impactIndexAppend: batch doc_ids collide with stored postings " +
+              "— an already-indexed doc must not append again (gate the " +
+              "batch with the dedup family first, or re-freeze)")
+          val union = old
+            .unionByName(newU
+              .select(col("term"), col("doc_id").as("c_id"), col("score_u")))
+          val merged = VectorOps.rankTopK(union,
+              "term", "c_id", "score_u", topPerTerm)
+            .select(col("term"), col("c_id"), col("score_u"), col("rk"))
+            .withColumn("tb", termBucket(col("term")))
+            // the self-read-then-overwrite hazard: the merged plan READS
+            // the postings partitions the write is about to replace, so
+            // it must be fully materialized before the write starts
+            .transform(m => graft.CacheHygiene.materialize(m, "impact append merge"))
+          val prevMode = spark.conf
+            .get("spark.sql.sources.partitionOverwriteMode", "static")
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          try merged.write.mode("overwrite").partitionBy("tb")
+            .parquet(s"$path/postings")
+          finally {
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+            graft.CacheHygiene.release(merged)
+          }
+        }
+      } finally graft.CacheHygiene.release(newU)
+    } finally graft.CacheHygiene.release(ntf)
+  }
+
   /** Freshness probe for a persisted impact index — THE re-freeze
     * trigger for a lexical deployment (the
     * [[PqDedupGate.distortionDrift]] discipline): postings frozen on

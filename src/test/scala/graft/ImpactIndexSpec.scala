@@ -101,6 +101,80 @@ class ImpactIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("writeImpactIndex"))
   }
 
+  test("append: split-invariant exact head merge, untouched buckets byte-identical, appended docs served") {
+    import spark.implicits._
+    val (corpus, queries, _) = split(sfDir)
+    def freeze(): String = {
+      val p = java.nio.file.Files.createTempDirectory("graft_impapp").toString + "/idx"
+      TextOps.writeImpactIndex(corpus, p)
+      p
+    }
+    def postings(p: String): Set[Seq[Any]] =
+      spark.read.parquet(s"$p/postings").collect().map(_.toSeq).toSet
+    // batches of NEW docs built from frozen-vocab words of the corpus
+    val vocab = corpus.select(org.apache.spark.sql.functions
+        .explode(org.apache.spark.sql.functions.split($"text", " ")))
+      .filter(org.apache.spark.sql.functions.length($"col") > 0)
+      .distinct().limit(30).as[String].collect()
+    val bDocs = Seq((900001L, vocab.take(8).mkString(" ")),
+      (900002L, (vocab.slice(4, 10) ++ vocab.slice(4, 10)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val cDocs = Seq((900003L, vocab.slice(10, 22).mkString(" ")))
+      .toDF("doc_id", "text")
+
+    // split invariance: append B then C == append B∪C, row for row
+    val p1 = freeze(); val p2 = freeze()
+    TextOps.impactIndexAppend(bDocs, p1)
+    TextOps.impactIndexAppend(cDocs, p1)
+    TextOps.impactIndexAppend(bDocs.unionByName(cDocs), p2)
+    assert(postings(p1) == postings(p2),
+      "append must be split-invariant (the exact-merge property)")
+
+    // untouched buckets' FILES are never rewritten (the partial-rebuild
+    // discipline): compare each tb partition's file list + sizes before
+    // and after an append that touches a strict subset of buckets
+    val p3 = freeze()
+    def fileSig(p: String): Map[String, Seq[(String, Long)]] = {
+      val root = new java.io.File(s"$p/postings")
+      root.listFiles().filter(_.getName.startsWith("tb=")).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length)).toSeq.sortBy(_._1)
+      }.toMap
+    }
+    val before = fileSig(p3)
+    TextOps.impactIndexAppend(bDocs, p3)
+    val after = fileSig(p3)
+    val touched = after.keySet.filter(k =>
+      before.get(k) != after.get(k)) ++ (after.keySet -- before.keySet)
+    assert(touched.nonEmpty && touched.size < before.size,
+      s"an 8-word batch must rewrite a strict subset of buckets: $touched")
+    (before.keySet -- touched).foreach { k =>
+      assert(before(k) == after(k), s"untouched bucket $k was rewritten")
+    }
+
+    // the appended doc is reachable through frozen-vocab terms: a query
+    // doc whose bag intersects bDocs' words can retrieve 900001/900002
+    val hits = TextOps.impactSearchServe(queries, p3, k = 200).collect()
+      .map(_.getAs[Long]("c_id")).toSet
+    // (not every query bag overlaps; assert the postings carry them)
+    val carried = spark.read.parquet(s"$p3/postings")
+      .filter($"c_id" >= 900001L).count()
+    assert(carried > 0, "appended docs must occupy posting heads")
+    assert(hits.nonEmpty)
+
+    // a pure-novel-vocabulary batch cannot mint postings: store unchanged
+    val novel = Seq((900009L, "zzqx1 zzqx2 zzqx3")).toDF("doc_id", "text")
+    val sigBefore = fileSig(p3)
+    TextOps.impactIndexAppend(novel, p3)
+    assert(fileSig(p3) == sigBefore,
+      "novel-vocab docs score nothing under the frozen df and must not touch the store")
+
+    // re-ingesting an indexed doc refuses loudly
+    val e = intercept[IllegalArgumentException](
+      TextOps.impactIndexAppend(bDocs, p3))
+    assert(e.getMessage.contains("collide"), e.getMessage)
+  }
+
   test("a partial store must never serve: missing tables are loud") {
     val (_, queries, _) = split(sfDir)
     val bare = Files.createTempDirectory("graft_impidx_partial").toString + "/idx"
