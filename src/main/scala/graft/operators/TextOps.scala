@@ -1209,6 +1209,12 @@ object TextOps {
     * overwrite — untouched buckets' files are never opened, the
     * [[VectorOps.ivfPartialRebuild]] discipline), and each rewrite is
     * bounded by bucket-vocab × (topPerTerm + batch postings).
+    *
+    * Single-writer contract (the saveIvfIndex/ivfAppend posture): the
+    * dynamic partition overwrite is not transactional — two concurrent
+    * appends racing the same bucket lose one batch's merge. Serialize
+    * appends (one maintenance job owns the store), or put the store
+    * behind a ManifestTable-style commit if multi-writer is ever needed.
     */
   def impactIndexAppend(newDocs: DataFrame, path: String): Unit = {
     val spark = newDocs.sparkSession
@@ -1373,7 +1379,14 @@ object TextOps {
       reliable: Boolean, outCol: String): (DataFrame, Long) = {
     val s = df.sparkSession
     import s.implicits._
-    if (reliable)
+    // the explicit parameter FORCES reliable mode; the session flag
+    // (spark.graft.reliableCheckpoints, r19) covers it too, so a
+    // deployment that sets the flag gets EVERY truncation reliable
+    // without auditing per-operator parameters — shuffleRank predates
+    // the flag and must not be the one site it silently misses
+    val rel = reliable ||
+      s.conf.get(graft.CacheHygiene.ReliableFlag, "false").toBoolean
+    if (rel)
       require(s.sparkContext.getCheckpointDir.nonEmpty,
         "globalRank(reliable = true) needs a checkpoint dir: call " +
           "spark.sparkContext.setCheckpointDir(<HDFS/object-store path>) first")
@@ -1382,7 +1395,7 @@ object TextOps {
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
     val sorted =
-      if (reliable) arranged.checkpoint(eager = true)
+      if (rel) arranged.checkpoint(eager = true)
       else arranged.localCheckpoint(true)
     val counts = sorted.groupBy("__pid").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

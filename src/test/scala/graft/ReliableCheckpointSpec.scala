@@ -43,6 +43,8 @@ class ReliableCheckpointSpec extends SparkSpec {
     val localPairs = rows(VectorOps.q36MinhashLshOn(docs))
     val localLex = rows(graft.operators.TextOps
       .impactSearch(docs, instrument = false))
+    val localRank = rows(graft.operators.TextOps
+      .shuffleRank(docs.select($"doc_id"), $"doc_id", "spec:"))
 
     val dir = java.nio.file.Files.createTempDirectory("graft_relckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
@@ -54,6 +56,10 @@ class ReliableCheckpointSpec extends SparkSpec {
       assert(rows(graft.operators.TextOps
           .impactSearch(docs, instrument = false)) == localLex,
         "reliable lexical term frame must serve identically to the local mode")
+      assert(rows(graft.operators.TextOps
+          .shuffleRank(docs.select($"doc_id"), $"doc_id", "spec:")) == localRank,
+        "shuffleRank must honor the session flag (reliable=false param or " +
+          "not, a flagged session gets reliable truncation) with identical ranks")
       // the frames really did route through the reliable path: the
       // checkpoint dir is no longer empty
       val ckpts = new java.io.File(dir).listFiles()
