@@ -50,7 +50,7 @@ object CacheHygiene {
     * `spark.cleaner.referenceTracking.cleanCheckpoints=true` to reap
     * them with their RDDs).
     */
-  def materialize(df: DataFrame, what: String): DataFrame = {
+  def materialize(df: DataFrame, what: String = "materialized frame"): DataFrame = {
     val spark = df.sparkSession
     if (spark.conf.get(ReliableFlag, "false").toBoolean) {
       require(spark.sparkContext.getCheckpointDir.isDefined,

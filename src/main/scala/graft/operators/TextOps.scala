@@ -1641,7 +1641,7 @@ object TextOps {
   def spanScrub(docs: DataFrame, n: Int = 5): DataFrame = {
     require(n >= 2, s"spanScrub: span width must be >= 2, got $n")
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("ws"))
-      .localCheckpoint(true)
+      .transform(d => graft.CacheHygiene.materialize(d))
     // positional n-grams: the Shingles kernel's array index IS the span
     // start position
     val pos = toks.select(col("doc_id"),
@@ -1706,7 +1706,7 @@ object TextOps {
   def selfScrub(docs: DataFrame, n: Int = 5): DataFrame = {
     require(n >= 2, s"selfScrub: span width must be >= 2, got $n")
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("ws"))
-      .localCheckpoint(true)
+      .transform(d => graft.CacheHygiene.materialize(d))
     val pos = toks.select(col("doc_id"),
         posexplode(graft.plans.GraftFunctions.shingles(col("ws"), n)))
       .select(col("doc_id"), col("pos").as("p"), xxhash64(col("col")).as("g"))
@@ -1763,7 +1763,7 @@ object TextOps {
       minShared: Long = 2L, maxFpDF: Int = Int.MaxValue): DataFrame = {
     require(minShared >= 1 && maxFpDF >= 1,
       s"winnowPairs: minShared>=1, maxFpDF>=1, got $minShared/$maxFpDF")
-    val fps = winnowFingerprints(docs, k, w).localCheckpoint(true)
+    val fps = winnowFingerprints(docs, k, w).transform(d => graft.CacheHygiene.materialize(d))
     val idx = if (maxFpDF == Int.MaxValue) fps else {
       val df = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
       fps.join(df.filter(col("__df") <= maxFpDF).select("fp"), "fp")
@@ -1853,7 +1853,7 @@ object TextOps {
       s"templateScrub: n>=2, pct>=0, minDocs>=1 required")
     val toks = docs
       .select(col("doc_id"), col("source"), tokens(col("text")).as("ws"))
-      .localCheckpoint(true)
+      .transform(d => graft.CacheHygiene.materialize(d))
     val pos = toks.select(col("source"), col("doc_id"),
         posexplode(graft.plans.GraftFunctions.shingles(col("ws"), n)))
       .select(col("source"), col("doc_id"), col("pos").as("p"),
@@ -1902,7 +1902,7 @@ object TextOps {
   def keepFirstScrub(docs: DataFrame, n: Int = 8): DataFrame = {
     require(n >= 2, s"keepFirstScrub: span width must be >= 2, got $n")
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("ws"))
-      .localCheckpoint(true)
+      .transform(d => graft.CacheHygiene.materialize(d))
     val pos = toks.select(col("doc_id"),
         posexplode(graft.plans.GraftFunctions.shingles(col("ws"), n)))
       .select(col("doc_id"), col("pos").as("p"), xxhash64(col("col")).as("g"))
@@ -1944,7 +1944,7 @@ object TextOps {
     require(n >= 2, s"decontaminateScrub: span width must be >= 2, got $n")
     val train = docs.filter(!isEval)
       .select(col("doc_id"), tokens(col("text")).as("ws"))
-      .localCheckpoint(true)
+      .transform(d => graft.CacheHygiene.materialize(d))
     val evalGrams = docs.filter(isEval)
       .select(explode(
         graft.plans.GraftFunctions.shingles(tokens(col("text")), n)).as("g"))
@@ -2288,7 +2288,7 @@ object TextOps {
       .agg(countDistinct("cluster_rep").as("n_clusters"),
         count(lit(1)).as("n_docs"),
         sum("__nt").as("n_tokens"))
-      .localCheckpoint(true)
+      .transform(d => graft.CacheHygiene.materialize(d))
     val totals = card.agg(sum("n_docs").cast("double").as("__td"),
       sum("n_tokens").cast("double").as("__tt"))
     card.crossJoin(broadcast(totals))
@@ -2330,7 +2330,7 @@ object TextOps {
     val card = dup.join(binned, "doc_id")
       .groupBy("dup_tier", "nll_tercile")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
-      .localCheckpoint(true) // tiny; feeds the total AND the share rows
+      .transform(d => graft.CacheHygiene.materialize(d)) // tiny; feeds the total AND the share rows
     val tot = card.agg(sum("n_docs").cast("double").as("__td"))
     card.crossJoin(broadcast(tot))
       .select(col("dup_tier"), col("nll_tercile"), col("n_docs"),
@@ -2410,11 +2410,11 @@ object TextOps {
     * drops it.
     */
   def kmvOverlap(docs: DataFrame, k: Int = 128): DataFrame = {
-    val hs = sourceGramIndex(docs).localCheckpoint(true)
+    val hs = sourceGramIndex(docs).transform(d => graft.CacheHygiene.materialize(d))
     val sk = hs.groupBy("source")
       .agg(graft.plans.GraftFunctions.kmv_sketch(col("h"), k).as("kmv"),
         count(lit(1)).as("sz"))
-      .localCheckpoint(true) // sources-sized; feeds both pair sides
+      .transform(d => graft.CacheHygiene.materialize(d)) // sources-sized; feeds both pair sides
     val pairs = sk.select(col("source").as("src_a"), col("kmv").as("ka"),
         col("sz").as("sza"))
       .crossJoin(sk.select(col("source").as("src_b"), col("kmv").as("kb"),
@@ -2788,7 +2788,7 @@ object TextOps {
     val grams = (if (hashSpans) raw.select(col("source"), xxhash64(col("g")).as("g"))
       else raw)
       .distinct()
-      .localCheckpoint(true)
+      .transform(d => graft.CacheHygiene.materialize(d))
     val sizes = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
     grams.as("a").join(grams.as("b"),
         col("a.g") === col("b.g") && col("a.source") < col("b.source"))
@@ -2827,7 +2827,7 @@ object TextOps {
     val uni = docs.select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cw"))
-      .localCheckpoint(true)
+      .transform(d => graft.CacheHygiene.materialize(d))
     val nTok = uni.agg(sum("cw").cast("double").as("n_tok"))
     val gramArrays = (2 to window).map(n =>
       graft.plans.GraftFunctions.shingles(tokens(col("text")), n))
@@ -2838,7 +2838,7 @@ object TextOps {
       .select(least(col("x"), col("y")).as("wa"),
         greatest(col("x"), col("y")).as("wb"))
       .groupBy("wa", "wb").agg(count(lit(1)).as("cab"))
-      .localCheckpoint(true)
+      .transform(d => graft.CacheHygiene.materialize(d))
     val nPair = pcAll.agg(sum("cab").cast("double").as("n_pair"))
     pcAll.filter(col("cab") >= minCount)
       .join(uni.select(col("w").as("wa"), col("cw").as("ca")), "wa")
@@ -2945,11 +2945,11 @@ object TextOps {
         explode(graft.plans.GraftFunctions.shingles(tokens(col("text")), n))
           .as("g0"))
       .select(col("doc_id"), col("is_t"), gramKey(col("g0")).as("g"))
-      .localCheckpoint(true)
+      .transform(d => graft.CacheHygiene.materialize(d))
     val vocab = grams.groupBy("g")
       .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
         sum(when(col("is_t"), 0L).otherwise(1L)).as("cr"))
-      .localCheckpoint(true)
+      .transform(d => graft.CacheHygiene.materialize(d))
     val totals = vocab.agg(sum("ct").as("nt"), sum("cr").as("nr"),
       count(lit(1)).as("v"))
     val perDoc = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("ng"))
@@ -3052,7 +3052,7 @@ object TextOps {
       .select(explode(bpeTokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(charSyms(col("w")).as("sym"), col("n"))
-      .localCheckpoint(true)
+      .transform(d => graft.CacheHygiene.materialize(d))
     val learned = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var exhausted = false
     for (_ <- 1 to merges if !exhausted) {
@@ -3067,7 +3067,7 @@ object TextOps {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         learned += ((a, b))
         val next = cur.withColumn("sym", applyMerge(col("sym"), a, b))
-          .localCheckpoint(true)
+          .transform(d => graft.CacheHygiene.materialize(d))
         graft.CacheHygiene.release(cur)
         cur = next
       }

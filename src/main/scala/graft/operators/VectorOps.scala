@@ -241,7 +241,7 @@ object VectorOps {
     * each re-run the signature lineage.
     */
   private def onePassClusters(banded: DataFrame): DataFrame = {
-    val based = banded.localCheckpoint(true)
+    val based = banded.transform(d => graft.CacheHygiene.materialize(d))
     val bucketMin = based.groupBy("band", "sig")
       .agg(min("doc_id").as("bucket_min"))
     based.join(bucketMin, Seq("band", "sig"))
@@ -259,7 +259,7 @@ object VectorOps {
   def dedupClustersConverged(docs: DataFrame, maxIter: Int = 10): DataFrame = {
     val edges = bandedSignatures(docs)
       .select(col("doc_id"), xxhash64(col("band"), col("sig")).as("bucket"))
-      .localCheckpoint(true)
+      .transform(d => graft.CacheHygiene.materialize(d))
     var labels = edges.select("doc_id").distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_rep"))
     // only frames THIS loop checkpointed may be released: the initial
@@ -276,7 +276,7 @@ object VectorOps {
         .groupBy("doc_id").agg(min("bucket_rep").as("prop_rep"))
         .join(labels, "doc_id")
         .select(col("doc_id"), least(col("prop_rep"), col("cluster_rep")).as("cluster_rep"))
-        .localCheckpoint(true)
+        .transform(d => graft.CacheHygiene.materialize(d))
       changed = next.as("n")
         .join(labels.select(col("doc_id"), col("cluster_rep").as("old_rep")).as("o"), "doc_id")
         .filter(col("cluster_rep") =!= col("old_rep")).count()
@@ -1089,7 +1089,7 @@ object VectorOps {
       floors: Map[String, (Long, Long)] = Map(
         "mrl32" -> ((100L, 1000000L)),
         "binary" -> ((200L, 3000000L)))): DataFrame = {
-    val ex = cosineRanked(s, d, 5).localCheckpoint(true)
+    val ex = cosineRanked(s, d, 5).transform(d => graft.CacheHygiene.materialize(d))
     val nq = ex.agg(countDistinct(col("q_id")).as("n_queries"))
     val top1 = ex.filter(col("rk") === 1).select("q_id", "c_id")
     def card(tier: String, list: DataFrame): DataFrame = {
@@ -1214,7 +1214,7 @@ object VectorOps {
           lit(0.5)).cast("long").as("cos8_pp6"),
         floor(dot(col("q_v"), col("c_v")) / (col("q_n") * col("c_n")) *
           lit(1e6) + lit(0.5)).cast("long").as("cosf_pp6"))
-      .localCheckpoint(true)
+      .transform(d => graft.CacheHygiene.materialize(d))
     val r8 = rankTopK(scored, "q_id", "c_id", "cos8_pp6", k = 5)
     val rf = rankTopK(scored, "q_id", "c_id", "cosf_pp6", k = 5)
       .select(col("q_id"), col("c_id"), col("rk").as("exact_rk"))
@@ -1257,7 +1257,7 @@ object VectorOps {
   def kmeansAssign(df: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
     require(k >= 1 && iters >= 1, s"kmeansAssign: k=$k iters=$iters")
     val iv = df.select(col("vec_id"), intVec(col("embedding")).as("q"))
-      .localCheckpoint(true)
+      .transform(d => graft.CacheHygiene.materialize(d))
     val centroids = lloydCentroids(iv, k, iters)
     iv.withColumn("best", bestCentroid(col("q"), centroids))
       .select(col("vec_id"), col("best.cid").as("cluster"),
@@ -1366,7 +1366,7 @@ object VectorOps {
         floor(col("__s").cast("double") / col("n_vecs")).cast("long")
           .as("mean_d2"),
         col("max_d2"))
-      .localCheckpoint(true)
+      .transform(d => graft.CacheHygiene.materialize(d))
     graft.CacheHygiene.releaseTree(assign)
     res
   }
@@ -1375,7 +1375,7 @@ object VectorOps {
     val labels = kmeansAssign(df, k, iters).select("vec_id", "cluster")
     val nf = withVec(df).select(col("vec_id"), col("vec"), col("norm"))
       .join(labels, "vec_id")
-      .localCheckpoint(true)
+      .transform(d => graft.CacheHygiene.materialize(d))
     // nf's EAGER checkpoint just consumed `labels` for the last time, so
     // the int-vec checkpoint backing it (inside kmeansAssign) would
     // otherwise leak unreleasably — the returned plan rides nf alone
@@ -1524,7 +1524,7 @@ object VectorOps {
       vecCol: String = "embedding"): DataFrame = {
     require(k >= 1 && iters >= 1, s"pqCodes: k=$k iters=$iters")
     val iv = df.select(col("vec_id"), intVec(col(vecCol)).as("q"))
-      .localCheckpoint(true)
+      .transform(d => graft.CacheHygiene.materialize(d))
     val dims = vecDims(iv)
     val cbs = pqCodebooks(iv, m, k, iters, dims)
     val cols: Seq[Column] =
@@ -1566,7 +1566,7 @@ object VectorOps {
   def pqTopk(df: DataFrame, m: Int = 2, k: Int = 4, iters: Int = 2,
       kNN: Int = 5, querySpan: Long = 10L): DataFrame = {
     val iv = df.select(col("vec_id"), intVec(col("embedding")).as("q"))
-      .localCheckpoint(true)
+      .transform(d => graft.CacheHygiene.materialize(d))
     val dims = vecDims(iv)
     val cbs = pqCodebooks(iv, m, k, iters, dims)
     // the corpus side carries ONLY its m codes (plus the full int-vec
@@ -1584,7 +1584,7 @@ object VectorOps {
       .select(col("q_id"), col("c_id"),
         pqAdcCol(col("q_q"), col("codes"), cbs).as("adc_d2"),
         exact.as("exact_d2"))
-      .localCheckpoint(true)
+      .transform(d => graft.CacheHygiene.materialize(d))
     graft.CacheHygiene.releaseTree(iv)
     val ra = rankTopK(scored.withColumn("__neg", -col("adc_d2")),
         "q_id", "c_id", "__neg", k = kNN)
@@ -1652,7 +1652,7 @@ object VectorOps {
     val s = df.sparkSession
     import s.implicits._
     val iv = df.select(col("vec_id"), intVec(col("embedding")).as("q"))
-      .localCheckpoint(true)
+      .transform(d => graft.CacheHygiene.materialize(d))
     val dims = vecDims(iv)
     val coarse = lloydCentroids(iv, kc, cIters)
     val cLut = map(coarse.flatMap { case (cid, c) =>
@@ -1667,7 +1667,7 @@ object VectorOps {
       .select(col("vec_id"), col("ccid"),
         zip_with(col("q"), element_at(cLut, col("ccid")),
           (a, b) => a - b).as("r"))
-      .localCheckpoint(true)
+      .transform(d => graft.CacheHygiene.materialize(d))
     val cbs = pqCodebooks(
       resid.select(col("vec_id"), col("r").as("q")), m, k, iters, dims)
     val corpus = resid.filter(col("vec_id") >= querySpan)
@@ -1818,7 +1818,7 @@ object VectorOps {
         zip_with(col("q_q"), col("cvec"), (a, b) => a - b).as("qr"))
     val probed = rankTopK(probeScored, "q_id", "ccid", "__neg", k = np)
       .select(col("q_id"), col("ccid"), col("qr"))
-      .localCheckpoint(true) // read twice: the ccid set and the join side
+      .transform(d => graft.CacheHygiene.materialize(d)) // read twice: the ccid set and the join side
     val probedLists = probed.select("ccid").distinct()
       .collect().map(_.getLong(0))
     // explicit schema: directory-name inference would type the ccid
@@ -1981,7 +1981,7 @@ object VectorOps {
   def ivfIndex(corpusIn: DataFrame, numCentroids: Int = 0,
       lloydIters: Int = DefaultLloydIters,
       assignReplicas: Int = DefaultAssignReplicas): (DataFrame, DataFrame) = {
-    val corpus = corpusIn.localCheckpoint(true)
+    val corpus = corpusIn.transform(d => graft.CacheHygiene.materialize(d))
     val n = corpus.count()
     val c = if (numCentroids > 0) numCentroids else ivfNumCentroids(n)
     ivfWidthWarning(n, c).foreach(log.warn)
@@ -1989,7 +1989,7 @@ object VectorOps {
     // materialize the assignment so the corpus checkpoint can be released
     // here instead of living for the rest of the session
     val assignments = assign(corpus, centroids, assignReplicas)
-      .select("vec_id", "cid").localCheckpoint(true)
+      .select("vec_id", "cid").transform(d => graft.CacheHygiene.materialize(d))
     graft.CacheHygiene.release(corpus)
     (centroids, assignments)
   }
@@ -2013,7 +2013,7 @@ object VectorOps {
       .filter(col("pos") < c)
       .select(col("pos").cast("int").as("cid"),
         col("col.vec").as("cvec"), col("col.norm").as("cnorm"))
-    var centroids = seeds.localCheckpoint(true)
+    var centroids = seeds.transform(d => graft.CacheHygiene.materialize(d))
     // fail loudly, not with an index that silently assigns nothing: a
     // corpus pre-filtered by something correlated with the seed sampler's
     // id hash (e.g. an unsalted hash router) can empty the sample
@@ -2030,7 +2030,7 @@ object VectorOps {
         .groupBy("cid")
         .agg(graft.plans.GraftFunctions.vec_avg(col("vec")).as("cvec"))
         .withColumn("cnorm", sqrt(dot(col("cvec"), col("cvec"))))
-        .localCheckpoint(true)
+        .transform(d => graft.CacheHygiene.materialize(d))
       // the eager checkpoint above was this frame's last consumer
       graft.CacheHygiene.release(prev)
       i += 1
@@ -2055,7 +2055,7 @@ object VectorOps {
     // materialize the (tiny, k×queries-row) result so the index frames can
     // be released now — otherwise every ivfTopk call leaks its index
     val res = ivfSearch(queries, corpus, centroids, assignments, numProbes)
-      .localCheckpoint(true)
+      .transform(d => graft.CacheHygiene.materialize(d))
     graft.CacheHygiene.release(centroids, assignments)
     res
   }
@@ -2335,7 +2335,7 @@ object VectorOps {
     val shards = shardCount(s, path)
     val f = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val routed = newVecs.withColumn("__shard", shardOf(shards)).localCheckpoint(true)
+    val routed = newVecs.withColumn("__shard", shardOf(shards)).transform(d => graft.CacheHygiene.materialize(d))
     try {
       val present = routed.select("__shard").distinct()
         .collect().map(_.getInt(0)).sorted
@@ -2563,7 +2563,7 @@ object VectorOps {
   def saveIvfBucketHealth(corpus: DataFrame, path: String): Unit = {
     val spark = corpus.sparkSession
     val (centroids, assignments) = loadIvfIndex(spark, path)
-    val health = ivfBucketHealth(corpus, centroids, assignments).localCheckpoint(true)
+    val health = ivfBucketHealth(corpus, centroids, assignments).transform(d => graft.CacheHygiene.materialize(d))
     require(health.agg(sum("unresolved")).head().getLong(0) == 0,
       "assigned vec_ids missing from the corpus frame - pass the grown corpus")
     health.select("cid", "mean_cos", "n")
@@ -2658,7 +2658,7 @@ object VectorOps {
       .select("vec_id").distinct()
     val members = corpus.select(col("vec_id"), col("vec"), col("norm"))
       .join(memberIds, "vec_id")
-      .localCheckpoint(true)
+      .transform(d => graft.CacheHygiene.materialize(d))
     // fail loudly on a stale corpus (same contract as the probes): the
     // inner join above would otherwise silently DROP any assigned vec_id
     // the corpus can't resolve, and the rewrite would erase those vectors
@@ -2680,19 +2680,19 @@ object VectorOps {
       targetCids.indices.map(i => (i, targetCids(i))).toDF("cid", "new_cid"))
     val replaced = fresh.join(mapping, "cid")
       .select(col("new_cid").as("cid"), col("cvec"), col("cnorm"))
-      .localCheckpoint(true)
+      .transform(d => graft.CacheHygiene.materialize(d))
     graft.CacheHygiene.release(fresh)
     val replacedCids = replaced.select("cid").collect().map(_.getInt(0)).toSet
 
     // materialize BEFORE the writes: both frames' lineage reads the very
     // files the writes replace
     val newAssign = assign(members, replaced, assignReplicas)
-      .select("vec_id", "cid").localCheckpoint(true)
+      .select("vec_id", "cid").transform(d => graft.CacheHygiene.materialize(d))
     val droppedCids = (oldCids.toSet ++ replacedCids).toSeq
     val updatedCentroids = centroids
       .filter(!col("cid").isin(droppedCids.map(Int.box): _*))
       .unionByName(replaced)
-      .localCheckpoint(true)
+      .transform(d => graft.CacheHygiene.materialize(d))
     graft.CacheHygiene.release(members, replaced)
 
     val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -2748,7 +2748,7 @@ object VectorOps {
         .++(seeds).toDF("cid", "mean_cos", "n")
       val kept = spark.read.parquet(s"$path/health")
         .filter(!col("cid").isin(affected.map(Int.box): _*))
-      val newHealth = kept.unionByName(refreshed).localCheckpoint(true)
+      val newHealth = kept.unionByName(refreshed).transform(d => graft.CacheHygiene.materialize(d))
       newHealth.write.mode("overwrite").parquet(s"$path/health")
       graft.CacheHygiene.release(newHealth)
     }
@@ -2809,7 +2809,7 @@ object VectorOps {
       minCosPp6: Long = 250000L): DataFrame = {
     val iv = df.select(col("vec_id"), isExemplar.as("is_ex"),
         intVec(col("embedding")).as("q"))
-      .localCheckpoint(true)
+      .transform(d => graft.CacheHygiene.materialize(d))
     val sums = iv.filter(col("is_ex"))
       .select(posexplode(col("q")).as(Seq("pos", "v")))
       .groupBy("pos").agg(sum("v").as("s"), count(lit(1)).as("n"))

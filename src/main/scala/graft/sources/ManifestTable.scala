@@ -1171,7 +1171,7 @@ object ManifestTable {
       require(v > 0, s"manifest-table: $table has no committed version")
       return v
     }
-    val u = updates.localCheckpoint(true)
+    val u = updates.transform(d => graft.CacheHygiene.materialize(d))
     try {
       val dupes = u.groupBy(keyCols.map(colExact): _*).count()
         .filter(col("count") > 1).limit(1).count()

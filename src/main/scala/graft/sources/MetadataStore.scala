@@ -119,7 +119,7 @@ object MetadataStore {
       .dedupGate(withEtag, read(spark, metaPath), "etag")
       // materialize once: feeds the bronze write, the metadata append,
       // and the caller - and must not re-read the store mid-flow
-      .localCheckpoint(true)
+      .transform(d => graft.CacheHygiene.materialize(d))
     if (!committed) {
       BronzeLayer.writeRaw(fresh.drop("etag"), bronzePath, batchId)
       append(BronzeLayer.storageMetadata(fresh, batchId), metaPath)

@@ -45,6 +45,8 @@ class ReliableCheckpointSpec extends SparkSpec {
       .impactSearch(docs, instrument = false))
     val localRank = rows(graft.operators.TextOps
       .shuffleRank(docs.select($"doc_id"), $"doc_id", "spec:"))
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val localPq = rows(VectorOps.pqTopk(emb))
 
     val dir = java.nio.file.Files.createTempDirectory("graft_relckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
@@ -60,6 +62,8 @@ class ReliableCheckpointSpec extends SparkSpec {
           .shuffleRank(docs.select($"doc_id"), $"doc_id", "spec:")) == localRank,
         "shuffleRank must honor the session flag (reliable=false param or " +
           "not, a flagged session gets reliable truncation) with identical ranks")
+      assert(rows(VectorOps.pqTopk(emb)) == localPq,
+        "the PQ family's shared score frame must rank identically under the flag")
       // the frames really did route through the reliable path: the
       // checkpoint dir is no longer empty
       val ckpts = new java.io.File(dir).listFiles()
