@@ -1076,9 +1076,12 @@ object VectorOps {
     * q57/q44/q63 convention (the oracle states TRUE, so a tier decaying
     * below its floor at any gate SF hash-fails the round instead of
     * shipping a silently-worse card). The defaults are calibrated to
-    * this synthetic corpus's observed range across the gate SFs
-    * (mrl32 160–300‰ / binary 300–500‰ recall, 1.3–2.1M / 5–8M mrr_u);
-    * a deployment on trained embeddings raises them to its own SLO.
+    * this synthetic corpus's observed range across the gate SFs AND the
+    * 100× probe (mrl32 140–300‰ recall / 1.3–2.3M mrr_u, binary
+    * 240–500‰ / 1.0–8.0M — the binary tier's MRR decays hardest with
+    * corpus growth, which the r19 sf1.0 oracle run caught when the
+    * first floor draft sat above it); a deployment on trained
+    * embeddings raises them to its own SLO.
     *
     * Scale shape: every input is an already-bounded top-k list
     * (≤ queries×5 rows), so the card's joins and scalar aggregates are
@@ -1088,7 +1091,7 @@ object VectorOps {
   def annQualityCard(s: SparkSession, d: String,
       floors: Map[String, (Long, Long)] = Map(
         "mrl32" -> ((100L, 1000000L)),
-        "binary" -> ((200L, 3000000L)))): DataFrame = {
+        "binary" -> ((150L, 500000L)))): DataFrame = {
     val ex = cosineRanked(s, d, 5).transform(d => graft.CacheHygiene.materialize(d))
     val nq = ex.agg(countDistinct(col("q_id")).as("n_queries"))
     val top1 = ex.filter(col("rk") === 1).select("q_id", "c_id")

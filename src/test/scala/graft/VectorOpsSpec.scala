@@ -1828,7 +1828,7 @@ class VectorOpsSpec extends SparkSpec {
 
   test("q150 floors: an unreachable floor flips floor_ok, a floor-less tier is loud") {
     val strict = VectorOps.annQualityCard(spark, sfDir, floors = Map(
-      "mrl32" -> ((999L, 9999999L)), "binary" -> ((200L, 3000000L)))).collect()
+      "mrl32" -> ((999L, 9999999L)), "binary" -> ((150L, 500000L)))).collect()
       .map(r => r.getAs[String]("tier") -> r.getAs[Boolean]("floor_ok")).toMap
     assert(!strict("mrl32"),
       "an unreachable floor must read FALSE, not vanish into a report")
