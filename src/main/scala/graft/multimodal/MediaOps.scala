@@ -292,6 +292,11 @@ object MediaOps {
   // stub
   private val builtinCodecs: Seq[MediaCodec] =
     Seq(ImageIOCodec, JavaSoundCodec,
+      // compressed-audio CONTENT tier (r20): full IMA-ADPCM PCM
+      // reconstruction — runs after JavaSound (which handles the PCM
+      // WAVs and returns None for format tag 0x11) and before the
+      // structural header walks
+      AdpcmCodec,
       // video CONTENT tiers (r19): the two families a stock JVM can
       // truly pixel-decode — bounded keyframe-luma samples, ahead of
       // the structural header walks

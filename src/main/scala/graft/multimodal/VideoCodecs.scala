@@ -23,7 +23,12 @@ import graft.multimodal.MediaOps.MediaCodec
   * lumaMean, lumaStd, motion, sampledFrames] — luma in [0,1],
   * `motion` = mean |Δ mean-luma| between consecutive SAMPLED frames (a
   * real content signal: a static camera reads ~0, a scene cut spikes),
-  * fps 0 when the container doesn't state one (MJPEG).
+  * fps 0 when the container doesn't state one (MJPEG). `nFrames`
+  * SATURATES at [[FrameCap]]: the frame walk stops there (the bounded-
+  * cost contract), so a reported value of exactly FrameCap means "at
+  * least FrameCap frames" — consumers comparing frame counts treat it
+  * as a floor, and the sampled keyframes then come from the walked
+  * prefix. Every count below FrameCap is exact.
   *
   * Bounded by construction (the [[MediaOps.decodeImage]] discipline): at
   * most [[SampleFrames]] frames decode (first / middle / last — the
@@ -36,6 +41,15 @@ object VideoCodecs {
 
   val SampleFrames = 3
   private val Grid = 32
+
+  /** Frame-walk bound: counting stops here, so `nFrames == FrameCap`
+    * reads "at least FrameCap" (saturation, documented in the layout
+    * scaladoc above) while anything below is exact. 100k frames is ~55
+    * minutes at 30 fps — far past any training-clip payload — and keeps
+    * a hostile header-only stream from turning the count pass into an
+    * unbounded walk.
+    */
+  val FrameCap = 100000
 
   /** Indices of up to `k` sampled frames: first, middle, last. */
   private def sampleIdx(n: Int, k: Int = SampleFrames): Seq[Int] =
@@ -115,7 +129,7 @@ object VideoCodecs {
     def decode(bytes: Array[Byte]): Option[Array[Float]] = try {
       val frames = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
       var i = 0
-      while (i + 2 < bytes.length && frames.length < 100000) {
+      while (i + 2 < bytes.length && frames.length < FrameCap) {
         if (bytes(i) == 0xFF.toByte && bytes(i + 1) == 0xD8.toByte &&
             bytes(i + 2) == 0xFF.toByte) {
           val end = frameEnd(bytes, i)
@@ -170,9 +184,13 @@ object VideoCodecs {
       if (hEnd < 0) return None
       val header = new String(bytes, 0, hEnd, "US-ASCII")
       val params = header.split(' ').drop(1)
-      // dims bounded to 16 bits each: w*h stays inside Int, and a hostile
-      // 'W99999999999' (toInt would throw) or W×H overflow (which would
-      // wrap NEGATIVE and slip past every bounds check below) both refuse
+      // dims bounded to 16 bits each (a hostile 'W99999999999' refuses
+      // instead of throwing in toInt) — but 16-bit × 16-bit still
+      // overflows Int (65535² ≈ 4.3e9 wraps negative), so every frame-
+      // size product below is computed in Long and guarded EXPLICITLY
+      // against the blob length: refusal is by design, not by whatever
+      // downstream exception the wrapped offset happens to hit (r19
+      // advice)
       def intParam(p: Char): Option[Int] =
         params.collectFirst { case s if s.nonEmpty && s.head == p =>
           s.tail.takeWhile(_.isDigit) }
@@ -190,32 +208,42 @@ object VideoCodecs {
           case _ => 0f
         }
       }.getOrElse(0f)
+      // a single Y plane larger than the whole blob cannot contain one
+      // complete frame: refuse HERE, before any offset arithmetic —
+      // this is also what keeps the Int casts below exact (yBytes ≤
+      // bytes.length ≤ Int.MaxValue)
+      val yBytes = w.toLong * h
+      if (yBytes > bytes.length) return None
       // chroma plane bytes per frame — ceil'd per plane for odd dims
       // (C420 subsamples both axes: 2 planes of ⌈w/2⌉×⌈h/2⌉; a plain
-      // w*h/2 misaligns every subsequent FRAME at odd w or h)
-      val chromaBytes = params.collectFirst {
+      // w*h/2 misaligns every subsequent FRAME at odd w or h). Long:
+      // 2·w·h at C444 can exceed Int even when w·h fits.
+      val chromaBytes: Long = params.collectFirst {
         case s if s.startsWith("C") => s.tail
       }.getOrElse("420") match {
-        case c if c.startsWith("420") => 2 * ((w + 1) / 2) * ((h + 1) / 2)
-        case c if c.startsWith("422") => 2 * ((w + 1) / 2) * h
-        case c if c.startsWith("444") => 2 * w * h
-        case c if c.startsWith("mono") => 0
+        case c if c.startsWith("420") => 2L * ((w + 1) / 2) * ((h + 1) / 2)
+        case c if c.startsWith("422") => 2L * ((w + 1) / 2) * h
+        case c if c.startsWith("444") => 2L * w * h
+        case c if c.startsWith("mono") => 0L
         case _ => return None // an unknown layout would misalign every frame
       }
       // walk the FRAME records once (arithmetic, no pixel reads): the
-      // frame count is exact and the walk is O(frames) header hops
+      // frame count is exact (to FrameCap saturation) and the walk is
+      // O(frames) header hops. The cursor advances in Long — one frame
+      // stride can exceed Int — and stops cleanly past the blob end.
       val frameMagic = "FRAME".getBytes("US-ASCII")
       val yStarts = scala.collection.mutable.ArrayBuffer[Int]()
-      var p = hEnd + 1
+      var p: Long = hEnd + 1
       var ok = true
-      while (ok && p < bytes.length && yStarts.length < 100000) {
-        if (p + frameMagic.length <= bytes.length &&
-            bytes.slice(p, p + frameMagic.length).sameElements(frameMagic)) {
-          val nl = bytes.indexOf('\n'.toByte, p)
+      while (ok && p < bytes.length && yStarts.length < FrameCap) {
+        val pi = p.toInt // exact: 0 ≤ p < bytes.length ≤ Int.MaxValue
+        if (pi + frameMagic.length <= bytes.length &&
+            bytes.slice(pi, pi + frameMagic.length).sameElements(frameMagic)) {
+          val nl = bytes.indexOf('\n'.toByte, pi)
           if (nl < 0) ok = false
           else {
             yStarts += nl + 1
-            p = nl + 1 + w * h + chromaBytes
+            p = (nl + 1).toLong + yBytes + chromaBytes
           }
         } else ok = false
       }
@@ -225,7 +253,7 @@ object VideoCodecs {
       val stepY = math.max(1, h / Grid)
       sampleIdx(yStarts.length).foreach { fi =>
         val y0 = yStarts(fi)
-        if (y0 + w * h <= bytes.length)
+        if (y0 + yBytes <= bytes.length)
           agg.addFrame(for {
             y <- Iterator.range(0, h, stepY)
             x <- Iterator.range(0, w, stepX)

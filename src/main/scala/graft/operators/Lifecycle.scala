@@ -306,7 +306,7 @@ object Lifecycle {
     * temp root and returns the value to cache (a table path under it,
     * or the root itself).
     */
-  private final class ScratchCache(prefix: String) {
+  private[operators] final class ScratchCache(prefix: String) {
     private val cached = new java.util.concurrent.ConcurrentHashMap[String, String]()
     private val roots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     private lazy val hook: Unit = {

@@ -926,14 +926,19 @@ object TextOps {
 
   /** Each query doc's bag-of-words query: its top `qTerms` scored terms
     * (score desc, term asc — the round-before-rank tie-break). The window
-    * partitions by query doc over an already query-sized frame.
+    * partitions by query doc over an already query-sized frame. The
+    * term's own impact rides along as `q_score_u` (named apart from the
+    * posting side's `score_u` so the serve join stays unambiguous): the
+    * bag's self-score sum is [[ImpactDedupGate]]'s duplicate yardstick,
+    * and retrieval consumers that don't need it simply never select it.
     */
   private def queryBag(queryU: DataFrame, qTerms: Int): DataFrame = {
     val wq = Window.partitionBy("doc_id")
       .orderBy(col("score_u").desc, col("term"))
     queryU.withColumn("qrk", row_number().over(wq))
       .filter(col("qrk") <= qTerms)
-      .select(col("doc_id").as("q_id"), col("term"))
+      .select(col("doc_id").as("q_id"), col("term"),
+        col("score_u").as("q_score_u"))
   }
 
   /** q151: impact-ordered postings index (Anh & Moffat's impact-sorted
@@ -1031,6 +1036,33 @@ object TextOps {
     // retune desync this query from its oracle silently
     impactSearch(documents(s, d), nQueries = LexQueryDocs)
 
+  private val q153Cache = new Lifecycle.ScratchCache("graft_q153")
+
+  /** q153: the lexical retrieval tier through PURE SQL (r19 verdict item
+    * 6 — the vector tier reached SQL at q61 via vec_* functions while
+    * BM25/impact stayed Scala-only): `CALL graft_impact_build` freezes
+    * the corpus-split store once per (scale dir, JVM) — the q77/q79
+    * landed-scratch discipline, so repeated invocations time the SERVING
+    * read the surface exists for — and `CALL graft_impact_search`
+    * retrieves the query docs through it, returning rows identical to
+    * [[impactSearchServe]] (= q152's pruned read without the exact
+    * instrument), which the oracle restates. Both statements are plain
+    * strings through `spark.sql` — a SQL-only user drives the whole
+    * build-once/serve-many lifecycle without touching Scala.
+    */
+  def q153SqlImpact(s: SparkSession, d: String): DataFrame = {
+    val idx = q153Cache.get(d) { root =>
+      val t = s"$root/impact_store"
+      documents(s, d).filter(col("doc_id") >= LexQueryDocs)
+        .createOrReplaceTempView("graft_q153_corpus")
+      s.sql(s"CALL graft_impact_build('graft_q153_corpus', '$t')").collect()
+      t
+    }
+    documents(s, d).filter(col("doc_id") < LexQueryDocs)
+      .createOrReplaceTempView("graft_q153_queries")
+    s.sql(s"CALL graft_impact_search('$idx', 'graft_q153_queries', 10, 10)")
+  }
+
   // ---- impact index persistence: the build-once/serve-many lifecycle ----
 
   /** How many partitions the persisted postings and df tables split into.
@@ -1045,6 +1077,15 @@ object TextOps {
 
   private def termBucket(term: Column): Column =
     pmod(xxhash64(lit("impact-tb"), term), lit(ImpactTermBuckets)).cast("int")
+
+  /** Partition count of the `ids/` indexed-doc registry — doc-id space
+    * analog of [[ImpactTermBuckets]]: an append's collision check prunes
+    * its registry scan to the batch's own id buckets.
+    */
+  val ImpactIdBuckets = 64
+
+  private def idBucket(id: Column): Column =
+    pmod(xxhash64(lit("impact-ib"), id), lit(ImpactIdBuckets)).cast("int")
 
   /** log₂-df histogram of a vocabulary — the freshness probe's reference
     * shape: vocab-sized input folds to ≤ ~32 integer rows, so the drift
@@ -1068,7 +1109,15 @@ object TextOps {
     *     scoring context, read back by [[impactSearchServe]] so a serve
     *     can never run with parameters the build didn't freeze;
     *   - `dfhist/` — the log₂-df histogram [[impactIndexDrift]] compares
-    *     every later corpus snapshot against.
+    *     every later corpus snapshot against;
+    *   - `ids/` — the indexed-doc-id registry (every doc_id that has
+    *     EVER entered this store, `ib`-partitioned by hash(id) %
+    *     [[ImpactIdBuckets]]): [[impactIndexAppend]]'s re-ingestion
+    *     check reads the batch's own buckets from it, which is EXACT —
+    *     the r19 guard scanned only posting heads in touched `tb`
+    *     buckets, so a doc re-ingested with changed text (old postings
+    *     in untouched buckets) or whose old postings had been evicted
+    *     from heads slipped through to duplicate representation.
     *
     * `corpus` must be the corpus docs only — never let a query batch
     * occupy posting slots (the q151 contract).
@@ -1092,6 +1141,11 @@ object TextOps {
         .withColumn("top_per_term", lit(topPerTerm))
         .write.mode("overwrite").parquet(s"$path/stats")
       dfHist(dfx).write.mode("overwrite").parquet(s"$path/dfhist")
+      // every doc that shaped the frozen context registers — one long
+      // per corpus doc, map-side-combinable distinct
+      tf.select(col("doc_id").as("c_id")).distinct()
+        .withColumn("ib", idBucket(col("c_id")))
+        .write.mode("overwrite").partitionBy("ib").parquet(s"$path/ids")
     } finally
       // the parquet tables ARE the output — nothing returned references
       // these frames, so a re-freeze loop (the impactIndexDrift cadence)
@@ -1140,49 +1194,200 @@ object TextOps {
     * rows whatever the corpus size.
     */
   def impactSearchServe(queryDocs: DataFrame, path: String,
-      qTerms: Int = 10, k: Int = 10): DataFrame = {
+      qTerms: Int = 10, k: Int = 10,
+      freshnessCorpus: Option[DataFrame] = None,
+      maxPsi: Double = 0.25,
+      lenRatioBounds: (Double, Double) = (0.8, 1.25)): DataFrame = {
     require(qTerms >= 1 && k >= 1,
       s"impactSearchServe: bad params qTerms=$qTerms k=$k")
+    freshnessCorpus.foreach(c =>
+      requireImpactFresh(c, path, maxPsi, lenRatioBounds))
+    val (qbag, postings, qtf) = serveBag(queryDocs, path, qTerms)
+    // qbag (aboard the returned plan) is the consumer's releaseTree to
+    // free; qtf's checkpoint is SEVERED from that plan by qbag's own
+    // materialization and fully consumed now — release it here or the
+    // serve-many loop leaks one query-batch frame per call
+    graft.CacheHygiene.release(qtf)
+    VectorOps.rankTopK(
+      postings.join(broadcast(qbag.select(col("q_id"), col("term"))), "term")
+        .groupBy("q_id", "c_id").agg(sum("score_u").as("lex_u")),
+      "q_id", "c_id", "lex_u", k)
+      .select(col("q_id"), col("c_id"), col("lex_u"), col("rk"))
+  }
+
+  /** Refuse a DRIFTED frozen context — the gate-family staleness
+    * posture ([[graft.operators.SemanticDedupGate.assignDrift]] /
+    * PqDedupGate.distortionDrift made MANDATORY): runs
+    * [[impactIndexDrift]] of `corpus` against the store and throws
+    * loudly when the vocabulary PSI exceeds `maxPsi` or the average
+    * document length moved outside `lenRatioBounds` — postings frozen
+    * on yesterday's df/avglen silently mis-weight a shifted corpus and
+    * no individual query errors, so a policy-bound serve must refuse
+    * rather than degrade (r19 verdict item: the probe existed, nothing
+    * enforced it). One corpus tokenize per check — the per-deploy /
+    * per-batch-window cadence, not per-query; callers on a tight serve
+    * loop check once and pass `freshnessCorpus = None` thereafter.
+    */
+  def requireImpactFresh(corpus: DataFrame, path: String,
+      maxPsi: Double = 0.25,
+      lenRatioBounds: (Double, Double) = (0.8, 1.25)): Unit = {
+    val (lo, hi) = lenRatioBounds
+    require(maxPsi > 0 && lo > 0 && hi > lo,
+      s"requireImpactFresh: bad policy maxPsi=$maxPsi bounds=$lenRatioBounds")
+    val r = impactIndexDrift(corpus, path).head()
+    val psi = r.getAs[Double]("psi")
+    val lenRatio = r.getAs[Double]("len_ratio")
+    require(psi <= maxPsi && lenRatio >= lo && lenRatio <= hi,
+      f"impact index at $path is STALE for this corpus: df-histogram " +
+        f"psi=$psi%.4f (policy max $maxPsi) len_ratio=$lenRatio%.4f " +
+        f"(policy [$lo, $hi]) — serving from a drifted frozen context " +
+        "mis-ranks silently; re-freeze with writeImpactIndex and rebuild " +
+        "dependent stores")
+  }
+
+  /** q145's quantized BM25 contribution as a column over a frame with
+    * `n`, `len`, `df`, `nd`, `avgl` in scope — the ONE formula the
+    * serve, the append scorer, and the gate's novel-mass read all
+    * restate (a drifted copy of it would silently de-sync a consumer
+    * from the store it reads).
+    */
+  private def frozenScoreUExpr(k1: Double, b: Double): Column = {
+    val idf = log((col("nd").cast("double") - col("df") + 0.5) /
+      (col("df") + 0.5) + 1.0)
+    val norm = lit(k1) * (lit(1 - b) + lit(b) * col("len").cast("double") / col("avgl"))
+    round(idf * (col("n") * lit(k1 + 1)) / (col("n") + norm) * lit(1e6), 0)
+      .cast("long")
+  }
+
+  /** Shared serving head: the incoming docs' top-`qTerms` bags scored
+    * against the store's FROZEN context, plus the posting heads pruned
+    * to the bags' term buckets — (qbag MATERIALIZED [q_id, term,
+    * q_score_u], postings [term, c_id, score_u], qtf MATERIALIZED
+    * (doc_id, term, n, len)). qbag rides aboard every consumer's
+    * returned plan (their releaseTree frees it); qtf is handed back for
+    * consumers that need the raw term frame ([[impactGateEvidence]]'s
+    * novel-mass read) — callers that don't MUST release it themselves.
+    */
+  private def serveBag(queryDocs: DataFrame, path: String,
+      qTerms: Int): (DataFrame, DataFrame, DataFrame) = {
     val spark = queryDocs.sparkSession
     val (postingsAll, dfAll, stats) = readImpactIndex(spark, path)
     val st = stats.head() // 1 row: the frozen context
     val k1 = st.getAs[Double]("k1")
     val b = st.getAs[Double]("b")
     val qtf = graft.CacheHygiene.materialize(
-      termCounts(queryDocs), "impact serve query terms") // query-sized
+      termCounts(queryDocs) // query-sized; carry len for the score expr
+        .withColumn("len", sum("n").over(Window.partitionBy("doc_id"))),
+      "impact serve query terms")
     val qtbs = qtf.select(termBucket(col("term")).as("tb"))
       .distinct().collect().map(_.getInt(0)) // ≤ ImpactTermBuckets ints
     val dfc = dfAll.where(col("tb").isin(qtbs.map(Integer.valueOf): _*))
       .select(col("term"), col("df"))
     // score the query docs against the FROZEN context: the df store scan
     // stays shuffle-free — the query side broadcasts into it
-    val dl = qtf.groupBy("doc_id").agg(sum("n").as("len"))
-    val idf = log((col("nd").cast("double") - col("df") + 0.5) /
-      (col("df") + 0.5) + 1.0)
-    val norm = lit(k1) * (lit(1 - b) + lit(b) * col("len").cast("double") / col("avgl"))
     val queryU = dfc
-      .join(broadcast(qtf.join(dl, "doc_id")), Seq("term"))
+      .join(broadcast(qtf), Seq("term"))
       .crossJoin(broadcast(stats.select(col("nd"), col("avgl"))))
       .select(col("doc_id"), col("term"),
-        round(idf * (col("n") * lit(k1 + 1)) / (col("n") + norm) * lit(1e6), 0)
-          .cast("long").as("score_u"))
+        frozenScoreUExpr(k1, b).as("score_u"))
     val qbag = graft.CacheHygiene.materialize(
       queryBag(queryU, qTerms), "impact serve query bag") // bag-sized
     val btbs = qbag.select(termBucket(col("term")).as("tb"))
       .distinct().collect().map(_.getInt(0))
-    // qbag (aboard the returned plan) is the consumer's releaseTree to
-    // free; qtf's checkpoint is SEVERED from that plan by qbag's own
-    // materialization and fully consumed now — release it here or the
-    // serve-many loop leaks one query-batch frame per call
-    graft.CacheHygiene.release(qtf)
     val postings = postingsAll
       .where(col("tb").isin(btbs.map(Integer.valueOf): _*))
       .select(col("term"), col("c_id"), col("score_u"))
-    VectorOps.rankTopK(
-      postings.join(broadcast(qbag), "term")
+    (qbag, postings, qtf)
+  }
+
+  /** Per-batch-doc lexical duplicate evidence against a persisted
+    * impact index — [[ImpactDedupGate]]'s kernel: (doc_id, self_u,
+    * top_u, top_c_id) where `self_u` is the doc's own lexical mass (the
+    * bag's self-score PLUS its out-of-vocabulary terms scored at df=0 —
+    * maximum idf, the mass a novel term carries) and `top_u` the best
+    * stored candidate's summed head impacts over the bag (NULL when no
+    * posting head shares a term). An identical doc scores identically
+    * under the frozen context and has no novel terms, so its stored
+    * twin covers self_u exactly (ratio 1.0); a doc whose distinctive
+    * content is NOVEL vocabulary keeps a large uncoverable self mass
+    * and admits even when its only in-vocab terms are corpus-wide
+    * filler — without the novel-mass component the gate would refuse
+    * precisely the freshest documents. Store never shuffles; everything
+    * right of the pruned head scan is batch-sized. The returned frame
+    * is MATERIALIZED (batch-bounded) with the serve head's checkpoints
+    * already released — the caller owns exactly one handle to free via
+    * [[graft.CacheHygiene.release]].
+    */
+  private[operators] def impactGateEvidence(batch: DataFrame, path: String,
+      qTerms: Int): DataFrame = {
+    val spark = batch.sparkSession
+    val (qbag, postings, qtf) = serveBag(batch, path, qTerms)
+    val stats = spark.read.parquet(s"$path/stats")
+    val st = stats.head()
+    val (k1, b) = (st.getAs[Double]("k1"), st.getAs[Double]("b"))
+    // in-vocab terms of the batch (batch-bounded: the covered side of
+    // the df join, independent of bag truncation)
+    val qtbs2 = qtf.select(termBucket(col("term")).as("tb"))
+      .distinct().collect().map(_.getInt(0))
+    val covered = spark.read.parquet(s"$path/df")
+      .where(col("tb").isin(qtbs2.map(Integer.valueOf): _*))
+      .select(col("term"))
+      .join(broadcast(qtf.select(col("doc_id"), col("term"))),
+        Seq("term"))
+      .select(col("doc_id"), col("term"))
+    // novel terms score at df=0 — they mint no candidate evidence (no
+    // postings exist) but their mass counts toward what a candidate
+    // would have to cover
+    val novelU = qtf
+      .join(broadcast(covered), Seq("doc_id", "term"), "left_anti")
+      .withColumn("df", lit(0L))
+      .crossJoin(broadcast(stats.select(col("nd"), col("avgl"))))
+      .select(col("doc_id").as("q_id"),
+        frozenScoreUExpr(k1, b).as("q_score_u"))
+    val selfU = qbag.select(col("q_id"), col("q_score_u"))
+      .unionByName(novelU)
+      .groupBy("q_id").agg(sum("q_score_u").as("self_u"))
+    val top = VectorOps.rankTopK(
+      postings.join(broadcast(qbag.select(col("q_id"), col("term"))), "term")
         .groupBy("q_id", "c_id").agg(sum("score_u").as("lex_u")),
-      "q_id", "c_id", "lex_u", k)
-      .select(col("q_id"), col("c_id"), col("lex_u"), col("rk"))
+      "q_id", "c_id", "lex_u", k = 1)
+      .select(col("q_id"), col("lex_u").as("top_u"), col("c_id").as("top_c_id"))
+    val out = graft.CacheHygiene.materialize(
+      selfU.join(top, Seq("q_id"), "left")
+        .select(col("q_id").as("doc_id"), col("self_u"),
+          col("top_u"), col("top_c_id")),
+      "impact gate evidence")
+    graft.CacheHygiene.release(qbag, qtf) // fully consumed by the materialize
+    out
+  }
+
+  /** The store's indexed-doc-id registry (c_id, ib). LOUD when absent:
+    * a store frozen before r20 predates the registry — re-freeze it
+    * with [[writeImpactIndex]] rather than guess which docs it holds.
+    */
+  def impactRegisteredIds(spark: SparkSession, path: String): DataFrame = {
+    loudPart(spark, s"$path/ids",
+      "indexed-doc-id registry (this store predates the exact " +
+        "re-ingestion guard; re-freeze with writeImpactIndex)")
+    spark.read.parquet(s"$path/ids")
+  }
+
+  /** The subset of `batchIds` (a `doc_id` column, batch-bounded)
+    * already present in the store's registry. Gate join direction: the
+    * registry scan prunes to the batch's own id buckets and STREAMS
+    * while the batch broadcasts — an anti-join against the raw registry
+    * would instead build/shuffle the corpus-sized side. Output is
+    * batch-bounded.
+    */
+  private[operators] def impactCollidingIds(batchIds: DataFrame,
+      path: String): DataFrame = {
+    val spark = batchIds.sparkSession
+    val ibs = batchIds.select(idBucket(col("doc_id")).as("ib"))
+      .distinct().collect().map(_.getInt(0)) // ≤ ImpactIdBuckets ints
+    impactRegisteredIds(spark, path)
+      .where(col("ib").isin(ibs.map(Integer.valueOf): _*))
+      .select(col("c_id").as("doc_id"))
+      .join(broadcast(batchIds), Seq("doc_id"))
   }
 
   /** Incremental growth of a persisted impact index — the lexical
@@ -1212,19 +1417,60 @@ object TextOps {
     *
     * Single-writer contract (the saveIvfIndex/ivfAppend posture): the
     * dynamic partition overwrite is not transactional — two concurrent
-    * appends racing the same bucket lose one batch's merge. Serialize
-    * appends (one maintenance job owns the store), or put the store
-    * behind a ManifestTable-style commit if multi-writer is ever needed.
+    * appends racing the same bucket lose one batch's merge, and a CRASH
+    * mid-append can leave a torn store (some buckets merged, the id
+    * registry not yet extended) — serialize appends (one maintenance
+    * job owns the store), re-freeze with [[writeImpactIndex]] after a
+    * crashed append, or put the store behind a ManifestTable-style
+    * commit if multi-writer is ever needed.
+    *
+    * Re-ingestion guard (r20, closing the r19 advice): the batch is
+    * checked against the store's `ids/` registry — EXACT over every doc
+    * that ever entered the store, where the r19 head-scan guard missed
+    * docs whose old postings sat in untouched buckets or had been
+    * evicted from heads. The registry scan prunes to the batch's id
+    * buckets; the batch side broadcasts. `ifAbsent = false` (default,
+    * the maintenance-append contract) refuses collisions LOUDLY;
+    * `ifAbsent = true` (the streaming-replay contract —
+    * [[graft.streaming.BronzePipeline]] re-records a committed batch
+    * after a crash between commit and record) silently drops
+    * already-registered docs and appends the rest, making replays
+    * idempotent.
     */
-  def impactIndexAppend(newDocs: DataFrame, path: String): Unit = {
+  def impactIndexAppend(newDocs: DataFrame, path: String,
+      ifAbsent: Boolean = false): Unit = {
     val spark = newDocs.sparkSession
     val (postingsAll, dfAll, stats) = readImpactIndex(spark, path)
     val st = stats.head()
     val (k1, b) = (st.getAs[Double]("k1"), st.getAs[Double]("b"))
     val topPerTerm = st.getAs[Int]("top_per_term")
-    val ntf = graft.CacheHygiene.materialize(termCounts(newDocs),
+    val ntf0 = graft.CacheHygiene.materialize(termCounts(newDocs),
       "impact append terms")
     try {
+      val batchIds = ntf0.select(col("doc_id")).distinct()
+      // batch-bounded collision set; materialized because the refusal
+      // read and the survivor filter both consume it and neither should
+      // rescan the registry
+      val collided = graft.CacheHygiene.materialize(
+        impactCollidingIds(batchIds, path), "impact append collisions")
+      if (!ifAbsent) require(collided.isEmpty,
+        "impactIndexAppend: batch doc_ids collide with the store's " +
+          "indexed-doc registry — an already-ingested doc must not " +
+          "append again, even re-worded (gate the batch with the " +
+          "dedup family first, re-freeze, or pass ifAbsent = true " +
+          "for replay-idempotent recording)")
+      // survivor ids feed BOTH the term filter and the registry append
+      // below; materializing them consumes collided, which can then go
+      val keepIds =
+        try graft.CacheHygiene.materialize(
+          if (ifAbsent)
+            batchIds.join(broadcast(collided), Seq("doc_id"), "left_anti")
+          else batchIds,
+          "impact append survivor ids")
+        finally graft.CacheHygiene.release(collided)
+      val ntf =
+        if (ifAbsent) ntf0.join(broadcast(keepIds), Seq("doc_id"))
+        else ntf0
       val newU = graft.CacheHygiene.materialize(
         bm25ScoreU(ntf, dfAll.select(col("term"), col("df")),
           stats.select(col("nd"), col("avgl")), k1, b),
@@ -1239,16 +1485,6 @@ object TextOps {
           val old = postingsAll
             .where(col("tb").isin(touched.map(Integer.valueOf): _*))
             .select(col("term"), col("c_id"), col("score_u"))
-          // re-ingesting an already-indexed doc would DOUBLE its rows in
-          // a head (two equal-score entries for one c_id) — refuse the
-          // collisions this bucket read can see rather than corrupt
-          require(old.select(col("c_id")).distinct()
-              .join(broadcast(newU.select(col("doc_id").as("c_id")).distinct()),
-                Seq("c_id"))
-              .isEmpty,
-            "impactIndexAppend: batch doc_ids collide with stored postings " +
-              "— an already-indexed doc must not append again (gate the " +
-              "batch with the dedup family first, or re-freeze)")
           val union = old
             .unionByName(newU
               .select(col("term"), col("doc_id").as("c_id"), col("score_u")))
@@ -1270,8 +1506,21 @@ object TextOps {
             graft.CacheHygiene.release(merged)
           }
         }
-      } finally graft.CacheHygiene.release(newU)
-    } finally graft.CacheHygiene.release(ntf)
+        // register survivors — ALL of them, postings or not: a doc whose
+        // terms were all out-of-vocab minted nothing, but its CONTENT was
+        // ingested; a later re-append of a changed version of it is
+        // exactly the stale-representation hazard the registry exists to
+        // refuse. AFTER the postings write, so the registry never claims
+        // docs whose postings a crash prevented (a crash between the two
+        // writes is the documented torn-store case: re-freeze).
+        keepIds.select(col("doc_id").as("c_id"))
+          .withColumn("ib", idBucket(col("c_id")))
+          .write.mode("append").partitionBy("ib").parquet(s"$path/ids")
+      } finally {
+        graft.CacheHygiene.release(newU)
+        graft.CacheHygiene.release(keepIds)
+      }
+    } finally graft.CacheHygiene.release(ntf0)
   }
 
   /** Freshness probe for a persisted impact index — THE re-freeze
@@ -3383,6 +3632,7 @@ object TextOps {
     "q145_bm25" -> q145Bm25 _,
     "q151_impact_index" -> q151ImpactIndex _,
     "q152_impact_search" -> q152ImpactSearch _,
+    "q153_sql_impact" -> q153SqlImpact _,
     "q69_quality_gate" -> q69QualityGate _,
     "q70_pack" -> q70Pack _,
     "q65_decontaminate" -> q65Decontaminate _,
@@ -4363,6 +4613,50 @@ object TextOps {
         |  FROM lexs) WHERE rk <= 10)
         |SELECT p.q_id, p.c_id, p.lex_u, p.rk, ex.exact_rk
         |FROM pruned p LEFT JOIN ex ON p.q_id = ex.q_id AND p.c_id = ex.c_id""".stripMargin,
+    // q153: the pure-SQL CALL surface serves the same pruned read as
+    // q152 minus the exact-rk instrument — the oracle is q152's with the
+    // instrument CTEs dropped (build defaults: topPerTerm 16, qTerms 10,
+    // k 10, the store frozen over the corpus split)
+    "q153_sql_impact" ->
+      s"""WITH ctoks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |  WHERE doc_id >= $LexQueryDocs
+        |), ctoks2 AS (SELECT doc_id, term FROM ctoks WHERE length(term) > 0),
+        |ctf AS (SELECT doc_id, term, count(*) AS n FROM ctoks2 GROUP BY 1, 2),
+        |cdl AS (SELECT doc_id, count(*) AS len FROM ctoks2 GROUP BY 1),
+        |stats AS (SELECT count(*) AS nd, avg(len) AS avgl FROM cdl),
+        |dfc AS (SELECT term, count(*) AS df FROM ctf GROUP BY 1),
+        |csu AS (SELECT ctf.doc_id, ctf.term,
+        |  CAST(round(ln((nd - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+        |    * (ctf.n * 2.2) / (ctf.n + 1.2 * (0.25 + 0.75 * cdl.len / avgl))
+        |    * 1000000.0) AS BIGINT) AS score_u
+        |  FROM ctf JOIN cdl USING (doc_id) JOIN dfc USING (term) CROSS JOIN stats),
+        |qtoks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |  WHERE doc_id < $LexQueryDocs
+        |), qtoks2 AS (SELECT doc_id, term FROM qtoks WHERE length(term) > 0),
+        |qtf AS (SELECT doc_id, term, count(*) AS n FROM qtoks2 GROUP BY 1, 2),
+        |qdl AS (SELECT doc_id, count(*) AS len FROM qtoks2 GROUP BY 1),
+        |qsu AS (SELECT qtf.doc_id, qtf.term,
+        |  CAST(round(ln((nd - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+        |    * (qtf.n * 2.2) / (qtf.n + 1.2 * (0.25 + 0.75 * qdl.len / avgl))
+        |    * 1000000.0) AS BIGINT) AS score_u
+        |  FROM qtf JOIN qdl USING (doc_id) JOIN dfc USING (term) CROSS JOIN stats),
+        |qbag AS (SELECT doc_id AS q_id, term FROM (
+        |  SELECT doc_id, term,
+        |   row_number() OVER (PARTITION BY doc_id ORDER BY score_u DESC, term) AS qrk
+        |  FROM qsu) WHERE qrk <= 10),
+        |post AS (SELECT term, doc_id AS c_id, score_u FROM (
+        |  SELECT term, doc_id, score_u,
+        |   row_number() OVER (PARTITION BY term ORDER BY score_u DESC, doc_id) AS prk
+        |  FROM csu) WHERE prk <= 16),
+        |ps AS (SELECT qbag.q_id, post.c_id,
+        |        CAST(sum(post.score_u) AS BIGINT) AS lex_u
+        |       FROM post JOIN qbag USING (term) GROUP BY 1, 2)
+        |SELECT q_id, c_id, lex_u, rk FROM (
+        |  SELECT q_id, c_id, lex_u,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY lex_u DESC, c_id) AS rk
+        |  FROM ps) WHERE rk <= 10""".stripMargin,
     "q145_bm25" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

@@ -52,6 +52,23 @@ object GraftProcedures {
     a.head
   }
 
+  /** A document source argument: a registered table/temp view name, or —
+    * when it contains a `/` — a parquet path (the Iceberg-procedure
+    * convention of taking table identifiers, widened for path-native
+    * stores). Must expose `doc_id` and `text`, checked here so the error
+    * names the procedure instead of surfacing as a resolution failure
+    * deep inside the tokenizer.
+    */
+  private def docSource(s: SparkSession, src: String,
+      usage: String): org.apache.spark.sql.DataFrame = {
+    require(src.trim.nonEmpty, s"$usage — document source must be non-empty")
+    val df = if (src.contains('/')) s.read.parquet(src) else s.table(src)
+    require(df.columns.contains("doc_id") && df.columns.contains("text"),
+      s"$usage — source '$src' must have doc_id and text columns " +
+        s"(found: ${df.columns.mkString(", ")})")
+    df
+  }
+
   /** name → (session, args) → one result row (version / message). */
   val registry: Map[String, (SparkSession, Seq[String]) => (Long, String)] = Map(
     "graft_compact" -> { (s, a) =>
@@ -108,7 +125,49 @@ object GraftProcedures {
         graceMs = num(usage)(a.lift(2).map(_.toLong).getOrElse(60L * 60 * 1000)))
       val v = graft.sources.ManifestTable.currentVersion(s, a.head)
       (v, s"vacuumed; head is version $v")
+    },
+    // the lexical tier's SQL surface (r20, closing the r19 verdict item:
+    // vec_* reached pure SQL at r16 while BM25/impact stayed Scala-only)
+    "graft_impact_build" -> { (s, a) =>
+      val usage =
+        "graft_impact_build(corpusSrc, indexPath [, topPerTerm [, k1 [, b]]])"
+      require(a.size >= 2 && a.size <= 5, usage)
+      require(a(1).trim.nonEmpty, s"$usage — index path must be non-empty")
+      graft.operators.TextOps.writeImpactIndex(
+        docSource(s, a.head, usage), a(1),
+        topPerTerm = num(usage)(a.lift(2).map(_.toInt).getOrElse(16)),
+        k1 = num(usage)(a.lift(3).map(_.toDouble).getOrElse(1.2)),
+        b = num(usage)(a.lift(4).map(_.toDouble).getOrElse(0.75)))
+      // the registry the build just froze doubles as the report: docs
+      // that shaped the frozen context
+      val nd = s.read.parquet(s"${a(1)}/ids").count()
+      (nd, s"froze impact index over $nd docs at ${a(1)}")
     })
+
+  /** Procedures that RETURN a result set (the `SELECT * FROM
+    * my_procedure(...)` half of the Iceberg idiom, kept in CALL shape):
+    * name → (result schema, executor). Parsed to [[GraftTableCall]],
+    * whose output IS the schema — `spark.sql("CALL …")` hands back the
+    * rows like any query. Results must be driver-bounded by
+    * construction (Command output collects eagerly); impact search
+    * returns ≤ queries × k rows.
+    */
+  val tableRegistry: Map[String, (StructType, (SparkSession, Seq[String]) => Seq[org.apache.spark.sql.Row])] = Map(
+    "graft_impact_search" -> ((
+      StructType.fromDDL("q_id BIGINT, c_id BIGINT, lex_u BIGINT, rk BIGINT"),
+      { (s: SparkSession, a: Seq[String]) =>
+        val usage = "graft_impact_search(indexPath, querySrc [, qTerms [, k]])"
+        require(a.size >= 2 && a.size <= 4, usage)
+        val res = graft.operators.TextOps.impactSearchServe(
+          docSource(s, a(1), usage), path(a, usage),
+          qTerms = num(usage)(a.lift(2).map(_.toInt).getOrElse(10)),
+          k = num(usage)(a.lift(3).map(_.toInt).getOrElse(10)))
+        val rows = res.collect().toSeq
+        // the serve's query-bag checkpoint rides aboard its plan; the
+        // collect was the final consumer
+        graft.CacheHygiene.releaseTree(res)
+        rows
+      })))
 }
 
 /** The eagerly-executed CALL statement. `Command` makes `spark.sql(...)`
@@ -128,7 +187,8 @@ case class GraftCallExec(call: GraftCall) extends LeafExecNode {
     val fn = GraftProcedures.registry.getOrElse(call.proc,
       throw new IllegalArgumentException(
         s"graft: unknown procedure ${call.proc} " +
-          s"(known: ${GraftProcedures.registry.keys.toSeq.sorted.mkString(", ")})"))
+          s"(known: ${(GraftProcedures.registry.keys ++
+            GraftProcedures.tableRegistry.keys).toSeq.sorted.mkString(", ")})"))
     val (version, msg) = fn(session, call.args)
     Array(InternalRow(UTF8String.fromString(call.proc), version,
       UTF8String.fromString(msg)))
@@ -137,9 +197,35 @@ case class GraftCallExec(call: GraftCall) extends LeafExecNode {
     sparkContext.parallelize(executeCollect().toIndexedSeq, 1)
 }
 
+/** A CALL that returns a RESULT SET: output is the procedure's declared
+  * schema, so `spark.sql("CALL graft_impact_search(…)")` is a query —
+  * still a `Command` (eager at sql() time; the executor must be able to
+  * read stores and run jobs before anything downstream plans against
+  * the rows).
+  */
+case class GraftTableCall(proc: String, args: Seq[String])
+    extends LeafNode with Command {
+  override val output: Seq[Attribute] =
+    GraftProcedures.tableRegistry(proc)._1.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)()).toSeq
+}
+
+case class GraftTableCallExec(call: GraftTableCall) extends LeafExecNode {
+  override def output: Seq[Attribute] = call.output
+  override def executeCollect(): Array[InternalRow] = {
+    val (schema, fn) = GraftProcedures.tableRegistry(call.proc)
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(schema)
+    fn(session, call.args).map(r => conv(r).asInstanceOf[InternalRow]).toArray
+  }
+  override protected def doExecute(): org.apache.spark.rdd.RDD[InternalRow] =
+    sparkContext.parallelize(executeCollect().toIndexedSeq, 1)
+}
+
 object GraftCallStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case c: GraftCall => GraftCallExec(c) :: Nil
+    case c: GraftTableCall => GraftTableCallExec(c) :: Nil
     case _ => Nil
   }
 }
@@ -184,7 +270,9 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           Option(m.group(1)).map(_.replace("''", "'"))
             .getOrElse(m.group(2).trim)
         }.toSeq
-        GraftCall(proc.toLowerCase(java.util.Locale.ROOT), args)
+        val p = proc.toLowerCase(java.util.Locale.ROOT)
+        if (GraftProcedures.tableRegistry.contains(p)) GraftTableCall(p, args)
+        else GraftCall(p, args)
       case cleaned if GraftCallPrefix.matcher(cleaned).matches() =>
         // the statement committed to being a graft CALL but does not fit
         // the shape: delegating would surface Spark's unknown-procedure

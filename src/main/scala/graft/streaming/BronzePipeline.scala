@@ -289,6 +289,65 @@ object BronzePipeline {
       .start()
   }
 
+  /** Streaming ingest through the LEXICAL impact-index gate (r20 — the
+    * lexical tier's streaming parity with [[nearDupGatedIngest]]'s
+    * MinHash and [[SemanticDedupGate]]'s embedding path): a batch
+    * posting whose bag of top BM25 terms is already ≥ τ-covered by a
+    * document in the PERSISTED impact store
+    * ([[graft.operators.ImpactDedupGate]]) never reaches bronze, and
+    * committed survivors merge into the store's posting heads so the
+    * NEXT batch gates against them.
+    *
+    * Same crash discipline as the sibling gates: the store append runs
+    * on the batch's rows IN BRONZE (read back after the commit), with
+    * `ifAbsent = true` so a replay of a committed batch re-records
+    * idempotently (the store's id registry drops the already-recorded
+    * rows) instead of failing loudly mid-recovery. Staleness: the
+    * store's frozen scoring context is the operator's to maintain —
+    * run [[graft.operators.TextOps.impactIndexDrift]] (or gate a
+    * snapshot through requireImpactFresh) on the re-freeze cadence;
+    * this wiring deliberately doesn't tokenize a corpus per
+    * micro-batch.
+    */
+  def lexGatedIngest(spark: SparkSession, stagingPath: String,
+      bronzePath: String, metaPath: String, indexPath: String,
+      checkpointPath: String, tau: Double = 0.8): StreamingQuery = {
+    val pid = pipelineId(spark, checkpointPath)
+    val raw = BronzePipeline.stagingStream(spark, stagingPath)
+    raw.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val batchId = f"$pid-$id%05d"
+        // ONE materialization: the gate consumes the batch in its
+        // registry anti-join and its scoring read — un-checkpointed,
+        // the staging JSON would re-read per branch (the sibling
+        // ingests' shared discipline)
+        val once = graft.CacheHygiene.materialize(batch.toDF(), "bronze batch")
+        try {
+          val survivors = graft.operators.ImpactDedupGate.gate(
+              once.withColumn("doc_id", xxhash64(col("posting_id")))
+                .withColumn("text", col("raw_content")),
+              indexPath, tau)
+            .drop("doc_id", "text")
+          graft.CacheHygiene.release(
+            MetadataStore.ingestWithGate(survivors, bronzePath, metaPath, batchId))
+          // the gate's refusal frame rides aboard the survivors plan
+          // (its documented checkpoint contract); the commit above was
+          // its final consumer — free it, or a long-running stream
+          // accumulates one batch-bounded frame per micro-batch
+          graft.CacheHygiene.releaseTree(survivors)
+          val committed = BronzeLayer.readBatch(spark, bronzePath, batchId)
+          graft.operators.TextOps.impactIndexAppend(
+            committed.select(xxhash64(col("posting_id")).as("doc_id"),
+              col("raw_content").as("text")),
+            indexPath, ifAbsent = true)
+        } finally graft.CacheHygiene.release(once)
+        ()
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming ingest through the NORMALIZED-content gate (r14), priced
     * by [[graft.operators.BloomDedupGate]]: whitespace/case/reformatting
     * copies — which the metadata gate's byte-exact etag misses and the

@@ -53,6 +53,20 @@ object SampleSlice {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(dstDir))
+    // a slice is a single consistent GENERATION: remove every
+    // pre-existing entry first — re-running into a dstDir with a
+    // different sampled-table list would otherwise mix generations (the
+    // symlink-if-absent below skipped entries that were previously
+    // sliced dirs and vice versa). Symlinks delete as links (never
+    // following into the source data); only real dirs recurse.
+    Option(new java.io.File(dstDir).listFiles()).foreach(_.foreach { e =>
+      def rm(p: java.io.File): Unit = {
+        if (!Files.isSymbolicLink(p.toPath))
+          Option(p.listFiles()).foreach(_.foreach(rm))
+        Files.delete(p.toPath); ()
+      }
+      rm(e)
+    })
     val sampledNames = sampled.map(_._1 + ".parquet").toSet
     for ((table, idCol) <- sampled) {
       val src = s"$srcDir/$table.parquet"

@@ -64,6 +64,55 @@ class BronzePipelineSpec extends SparkSpec {
     assert(rows.filter(col("posting_id") === "p3").count() == 1)
   }
 
+  test("lexical impact-gated ingest drops bag-covered copies cross-batch and survives replays (r20)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_leximp_ingest").toString
+    val staging = s"$root/staging"
+    val bronze = s"$root/bronze"
+    val meta = s"$root/meta"
+    val idx = s"$root/idx"
+    val checkpoint = s"$root/ckpt"
+    // the persisted store the stream gates against: frozen ONCE from a
+    // reference corpus (the operator action), then grown by the stream
+    graft.operators.TextOps.writeImpactIndex(
+      (0 until 30).map(i => (2000L + i,
+        s"shared filler words here rare$i unique$i tail${i}x"))
+        .toDF("doc_id", "text"),
+      idx)
+    def drop(rows: Seq[(String, String)]): Unit =
+      rawPostings(rows).coalesce(1).write.mode("append").json(staging)
+    def drain(): Unit = BronzePipeline.lexGatedIngest(
+      spark, staging, bronze, meta, idx, checkpoint).awaitTermination()
+
+    // L1 copies stored doc 2004's body byte-for-byte under a new id →
+    // the store's heads cover its whole bag, gated out BEFORE bronze.
+    // L2 remixes frozen-vocab rares from four docs (all in-vocab, so
+    // its copy L3 below is fully coverable) → admits, lands.
+    drop(Seq(
+      "L1" -> "shared filler words here rare4 unique4 tail4x",
+      "L2" -> "rare1 rare9 unique22 tail15x shared filler"))
+    drain()
+    val rows1 = sources.BronzeLayer.readRaw(spark, bronze)
+    assert(rows1.count() == 1, "the stored-copy posting must gate out")
+    assert(rows1.filter(col("posting_id") === "L2").count() == 1)
+
+    // cross-batch: L3 copies L2's body (now IN the store's heads via the
+    // post-commit append) → gated; L4 is fresh → lands
+    drop(Seq(
+      "L3" -> "rare1 rare9 unique22 tail15x shared filler",
+      "L4" -> "rare6 rare11 unique27 tail19x other mix"))
+    drain()
+    val rows2 = sources.BronzeLayer.readRaw(spark, bronze)
+    assert(rows2.count() == 2, "a copy of a previously admitted posting must gate out")
+    assert(rows2.filter(col("posting_id") === "L3").count() == 0)
+    assert(rows2.filter(col("posting_id") === "L4").count() == 1)
+
+    // idle drain: nothing new, no errors (the replay-idempotent append
+    // path — committed rows are already in the store's id registry)
+    drain()
+    assert(sources.BronzeLayer.readRaw(spark, bronze).count() == 2)
+  }
+
   test("content-gated ingest drops identical bodies under new ids, keeps reworded ones") {
     val root = Files.createTempDirectory("graft_content_ingest").toString
     val staging = s"$root/staging"

@@ -124,4 +124,45 @@ class GraftCallSpec extends SparkSpec {
     val arity = intercept[Exception](spark.sql(s"CALL graft_restore('$src')"))
     assert(arity.getMessage.contains("graft_restore(path, toVersion)"))
   }
+
+  test("CALL graft_impact_build / graft_impact_search drive the lexical tier from pure SQL (r20)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_callimp").toString
+    val idx = s"$root/idx"
+    val corpus = (0 until 40).map(i =>
+      (100L + i, s"common filler text rare$i unique$i")).toDF("doc_id", "text")
+    val queries = Seq((1L, "rare7 unique7 filler"), (2L, "rare22 common text"))
+      .toDF("doc_id", "text")
+    corpus.createOrReplaceTempView("call_imp_corpus")
+    queries.createOrReplaceTempView("call_imp_queries")
+
+    val b = spark.sql(s"CALL graft_impact_build('call_imp_corpus', '$idx')")
+      .collect()(0)
+    assert(b.getLong(1) == 40L && b.getString(2).contains("froze impact index"),
+      s"build must report the registered doc count: $b")
+
+    val viaSql = spark.sql(
+      s"CALL graft_impact_search('$idx', 'call_imp_queries', 10, 10)")
+    assert(viaSql.columns.toSeq == Seq("q_id", "c_id", "lex_u", "rk"))
+    val got = viaSql.collect().map(_.toSeq).toSet
+    val expected = graft.operators.TextOps
+      .impactSearchServe(queries, idx).collect().map(_.toSeq).toSet
+    assert(got == expected && got.nonEmpty,
+      "the SQL surface must return exactly the Scala serve's rows")
+
+    // a parquet PATH as the query source works too (the '/' route)
+    val qp = s"$root/q.parquet"
+    queries.write.parquet(qp)
+    assert(spark.sql(s"CALL graft_impact_search('$idx', '$qp')")
+      .collect().map(_.toSeq).toSet == expected)
+
+    // loud arg errors: wrong arity, a source without doc_id/text
+    val arity = intercept[Exception](
+      spark.sql(s"CALL graft_impact_search('$idx')"))
+    assert(arity.getMessage.contains("graft_impact_search(indexPath"))
+    Seq((1L, "x")).toDF("id", "body").createOrReplaceTempView("call_imp_bad")
+    val cols = intercept[Exception](
+      spark.sql(s"CALL graft_impact_build('call_imp_bad', '$root/idx2')"))
+    assert(cols.getMessage.contains("doc_id and text"))
+  }
 }

@@ -175,6 +175,103 @@ class ImpactIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("collide"), e.getMessage)
   }
 
+  test("re-ingestion guard is EXACT (r20): a changed-text re-ingestion whose old postings sit in untouched buckets still refuses") {
+    import spark.implicits._
+    val (corpus, _, _) = split(sfDir)
+    val path = Files.createTempDirectory("graft_impreg").toString + "/idx"
+    TextOps.writeImpactIndex(corpus, path)
+    val vocab = corpus.select(org.apache.spark.sql.functions
+        .explode(org.apache.spark.sql.functions.split($"text", " ")))
+      .filter(org.apache.spark.sql.functions.length($"col") > 0)
+      .distinct().limit(40).as[String].collect()
+    // first ingestion of 900021 lands postings under words A
+    TextOps.impactIndexAppend(
+      Seq((900021L, vocab.take(6).mkString(" "))).toDF("doc_id", "text"), path)
+    // the SAME doc re-arrives fully re-worded: its new terms live in
+    // other tb buckets, so the r19 head-scan guard (touched buckets
+    // only) saw no collision — the id registry must still refuse
+    val e = intercept[IllegalArgumentException](
+      TextOps.impactIndexAppend(
+        Seq((900021L, vocab.slice(20, 32).mkString(" "))).toDF("doc_id", "text"),
+        path))
+    assert(e.getMessage.contains("registry"), e.getMessage)
+    // and a doc that entered at FREEZE time (no postings touched by the
+    // batch needed) refuses too: take a real corpus doc's id
+    val cid = corpus.select("doc_id").head().getLong(0)
+    val e2 = intercept[IllegalArgumentException](
+      TextOps.impactIndexAppend(
+        Seq((cid, vocab.slice(30, 36).mkString(" "))).toDF("doc_id", "text"),
+        path))
+    assert(e2.getMessage.contains("registry"), e2.getMessage)
+  }
+
+  test("ifAbsent append: replays are idempotent, mixed batches land only the unseen docs") {
+    import spark.implicits._
+    val (corpus, _, _) = split(sfDir)
+    val path = Files.createTempDirectory("graft_impabs").toString + "/idx"
+    TextOps.writeImpactIndex(corpus, path)
+    val vocab = corpus.select(org.apache.spark.sql.functions
+        .explode(org.apache.spark.sql.functions.split($"text", " ")))
+      .filter(org.apache.spark.sql.functions.length($"col") > 0)
+      .distinct().limit(30).as[String].collect()
+    val b1 = Seq((900031L, vocab.take(7).mkString(" "))).toDF("doc_id", "text")
+    TextOps.impactIndexAppend(b1, path)
+    def postings(): Set[Seq[Any]] =
+      spark.read.parquet(s"$path/postings").collect().map(_.toSeq).toSet
+    val after1 = postings()
+    // full replay of the committed batch: no-op, no error
+    TextOps.impactIndexAppend(b1, path, ifAbsent = true)
+    assert(postings() == after1, "a replayed batch must change nothing")
+    // mixed batch: the replayed doc drops, the fresh one lands exactly
+    // as if appended alone
+    val fresh = Seq((900032L, vocab.slice(7, 15).mkString(" ")))
+      .toDF("doc_id", "text")
+    TextOps.impactIndexAppend(b1.unionByName(fresh), path, ifAbsent = true)
+    val mixed = postings()
+    val control = Files.createTempDirectory("graft_impabs2").toString + "/idx"
+    TextOps.writeImpactIndex(corpus, control)
+    TextOps.impactIndexAppend(b1, control)
+    TextOps.impactIndexAppend(fresh, control)
+    val controlSet =
+      spark.read.parquet(s"$control/postings").collect().map(_.toSeq).toSet
+    assert(mixed == controlSet,
+      "ifAbsent must land exactly the unseen docs' postings")
+  }
+
+  test("freshness-gated serve (r20): a drifted corpus refuses, an appended-but-fresh one serves") {
+    import spark.implicits._
+    val (corpus, queries, _) = split(sfDir)
+    val path = Files.createTempDirectory("graft_impfresh").toString + "/idx"
+    TextOps.writeImpactIndex(corpus, path)
+    // the build corpus itself: fresh by construction → serves
+    assert(TextOps.impactSearchServe(queries, path,
+      freshnessCorpus = Some(corpus)).count() > 0)
+    // a small append barely moves the df histogram: still fresh
+    val vocab = corpus.select(org.apache.spark.sql.functions
+        .explode(org.apache.spark.sql.functions.split($"text", " ")))
+      .filter(org.apache.spark.sql.functions.length($"col") > 0)
+      .distinct().limit(10).as[String].collect()
+    val small = Seq((900041L, vocab.take(6).mkString(" "))).toDF("doc_id", "text")
+    TextOps.impactIndexAppend(small, path)
+    val grown = corpus.select("doc_id", "text").unionByName(small)
+    assert(TextOps.impactSearchServe(queries, path,
+      freshnessCorpus = Some(grown)).count() > 0,
+      "an appended-but-fresh corpus must keep serving")
+    // a shifted snapshot — all-novel vocabulary (df histogram collapses
+    // to df=1 mass) AND 3-token docs (len_ratio far under 0.8): both
+    // policy axes trip, so refusal under the DEFAULT policy is certain
+    val shifted = (0 until 400)
+      .map(i => (910000L + i, s"novelterm$i xq$i zz$i")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      TextOps.impactSearchServe(queries, path,
+        freshnessCorpus = Some(shifted)))
+    assert(e.getMessage.contains("STALE") &&
+      e.getMessage.contains("writeImpactIndex"), e.getMessage)
+    // the un-policied serve is unchanged (q152prod's path): no corpus,
+    // no check, same rows
+    assert(TextOps.impactSearchServe(queries, path).count() > 0)
+  }
+
   test("a partial store must never serve: missing tables are loud") {
     val (_, queries, _) = split(sfDir)
     val bare = Files.createTempDirectory("graft_impidx_partial").toString + "/idx"

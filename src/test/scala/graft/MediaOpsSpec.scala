@@ -192,7 +192,7 @@ class MediaOpsSpec extends SparkSpec {
       assert(imf.decoded && imf.codec == "imageio")
     } finally MediaOps.resetCodecs()
     assert(MediaOps.registeredCodecs.map(_.name) ==
-      Seq("imageio", "javasound", "mjpeg-luma", "y4m-luma",
+      Seq("imageio", "javasound", "ima-adpcm", "mjpeg-luma", "y4m-luma",
         "mpeg-headers", "ogg-headers", "bmff-headers", "flac-headers",
         "ebml-headers"))
   }
