@@ -694,32 +694,39 @@ object VectorOps {
     require(numPlanes % bandBits == 0, "numPlanes must be a multiple of bandBits")
     val planes = seededPlanes(numPlanes, seed)
     val numBands = numPlanes / bandBits
-    val bandCols = (0 until numBands).map { b =>
-      val bits = (0 until bandBits).map { j =>
-        val planeCol = array(planes(b * bandBits + j).map(lit(_)): _*)
-        when(dot(col("vec"), planeCol) > 0, lit(1L << j)).otherwise(0L)
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), bits.as("bsig"))
-    }
+    // ALL band signatures in one fused native kernel (r20): the Column
+    // formulation's numPlanes separate literal-array dots generated so
+    // much code that the bounded generated-class cache evicted it in
+    // long sessions and every re-plan re-paid Janino compilation — the
+    // r20 profile measured q58 at 1.01× baseline isolated vs 1.44× in
+    // suite context from exactly this. One reference-object kernel call
+    // compiles in constant time at any plane count (the auto form goes
+    // to 512 planes, where the inline formulation was 16× q58's).
+    val sig = vecs
+      .withColumn("sws", graft.plans.GraftFunctions.plane_sign_bands(
+        col("vec"), planes, bandBits))
+      .select(col("vec_id"), col("label"), col("sws"),
+        posexplode(col("sws")).as(Seq("band", "bsig")))
     // the band join runs ID-ONLY (r18): a pair agreeing in k bands used
     // to flow k times through a join carrying BOTH 64-double vectors and
-    // compute k identical cosines before a post-filter dedup — at low θ
-    // (many agreeing bands) that multiplied the dominant dot-product
-    // volume ~k× and shipped wide rows through the exploded exchange.
-    // Now the exploded frame is 4 integer-ish columns, the pair set
-    // dedups map-side BEFORE any float work, and each distinct pair
-    // fetches its two vectors once for a single exact cosine.
-    val sig = vecs
-      .withColumn("bs", explode(array(bandCols: _*)))
-      .select(col("vec_id"), col("label"),
-        col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+    // compute k identical cosines before a post-filter dedup. r18 fixed
+    // that with a distinct() over the pair set; r20 removes even that
+    // exchange — both sides carry their full signature array (numBands
+    // longs), and a pair is kept ONLY on its FIRST agreeing band: exact
+    // dedup as a map-side integer filter, no shuffle of the candidate
+    // volume at all.
+    val firstAgree = (numBands - 1 to 0 by -1).foldLeft(lit(numBands)) {
+      (acc, k) =>
+        when(element_at(col("a.sws"), k + 1) === element_at(col("b.sws"), k + 1),
+          lit(k)).otherwise(acc)
+    }
     val cand = sig.as("a")
       .join(sig.as("b"),
         col("a.label") === col("b.label") && col("a.band") === col("b.band") &&
           col("a.bsig") === col("b.bsig") && col("a.vec_id") < col("b.vec_id"))
+      .filter(col("a.band") === firstAgree)
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
         col("a.label").as("label"))
-      .distinct()
     val v = vecs.select(col("vec_id"), col("vec"), col("norm"))
     val cos = dot(col("va.vec"), col("vb.vec")) / (col("va.norm") * col("vb.norm"))
     cand.join(v.as("va"), col("a_id") === col("va.vec_id"))

@@ -58,6 +58,12 @@ object GraftFunctions {
   def bpe_encode(tokens: Column, rules: Seq[(String, String)]): Column =
     toCol(BpeEncode(toExpr(tokens), rules.map(_._1).toArray, rules.map(_._2).toArray))
 
+  /** Per-band sign-LSH signature array (array<long>) of an embedding
+    * column against a fixed plane matrix. See [[PlaneSignBands]]. */
+  def plane_sign_bands(vec: Column, planes: Seq[Array[Double]],
+      bandBits: Int): Column =
+    toCol(PlaneSignBands(toExpr(vec), planes.toArray, bandBits))
+
   private def intArg(e: Expression, fn: String, pos: Int): Int =
     if (e.foldable) e.eval().asInstanceOf[Number].intValue
     else throw new IllegalArgumentException(s"$fn: argument $pos must be a literal int")
