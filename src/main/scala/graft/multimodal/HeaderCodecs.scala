@@ -33,7 +33,8 @@ object HeaderCodecs {
   private val SampleRateV25 = Array(11025, 12000, 8000)
 
   private final case class Frame(sampleRate: Int, channels: Int,
-      bitrateKbps: Int, samples: Int, length: Int)
+      bitrateKbps: Int, samples: Int, length: Int, version: Int,
+      crcBytes: Int)
 
   /** Parse one Layer-III frame header at `off`; None unless a fully
     * valid (non-reserved, non-free-form) header starts there. */
@@ -57,7 +58,37 @@ object HeaderCodecs {
     }
     // Layer III frame byte length: floor(samples/8 * bitrate / rate) + pad
     val len = samples / 8 * (kbps * 1000) / sr + padding
-    if (len < 4) None else Some(Frame(sr, channels, kbps, samples, len))
+    if (len < 4) None
+    else Some(Frame(sr, channels, kbps, samples, len, version,
+      crcBytes = if ((b1 & 1) == 0) 2 else 0))
+  }
+
+  /** The frame's `global_gain` fields (one per granule per channel),
+    * read from the Layer-III side information at their fixed bit
+    * offsets (ISO/IEC 11172-3 §2.4.1.7 / the LSF variant): MPEG-1 =
+    * main_data_begin(9) + private(5 mono / 3 stereo) + scfsi(4·ch),
+    * then 59-bit per-(granule, channel) blocks with global_gain 21 bits
+    * in; MPEG-2/2.5 = main_data_begin(8) + private(1/2), 63-bit blocks,
+    * same +21. global_gain is the granule's quantizer step exponent —
+    * a REAL monotone per-frame energy proxy read without any Huffman or
+    * filterbank work (loud granules need coarser steps), which is what
+    * moves the mp3 tier's content slots off honest-zero (r20). Empty
+    * when the frame is too short to hold its side info.
+    */
+  private def globalGains(b: Array[Byte], off: Int, f: Frame): Seq[Int] = {
+    val si = off + 4 + f.crcBytes // side info start (byte offset)
+    val ch = f.channels
+    val (startBit, blockBits, blocks) =
+      if (f.version == 3) (9 + (if (ch == 1) 5 else 3) + 4 * ch, 59, 2 * ch)
+      else (8 + (if (ch == 1) 1 else 2), 63, ch)
+    def bits8(bitOff: Int): Int = { // 8 bits starting bitOff from si
+      val byteOff = si + (bitOff >> 3)
+      if (byteOff + 2 > b.length || byteOff + 2 > off + f.length) return -1
+      val w = ((b(byteOff) & 0xFF) << 8) | (b(byteOff + 1) & 0xFF)
+      (w >> (8 - (bitOff & 7))) & 0xFF
+    }
+    (0 until blocks).map(i => bits8(startBit + i * blockBits + 21))
+      .filter(_ >= 0)
   }
 
   /** Skip a leading ID3v2 tag (syncsafe 28-bit size at offset 6). */
@@ -76,7 +107,12 @@ object HeaderCodecs {
     * land exactly at EOF is refused too — a real sub-30ms one-frame mp3
     * is not worth weakening the screen on arbitrary bytes for. Features:
     * [sampleRate, channels, durationSec, avgBitrateKbps, nFrames,
-    *  vbr(0/1), 0, 0].
+    *  vbr(0/1), gainMean, gainStd] — the last two are the per-granule
+    * `global_gain` quantizer exponents (see [[globalGains]]) normalized
+    * by 255: a genuine energy-dynamics signal (a constant tone reads
+    * std ≈ 0, real program material fluctuates) read from the side
+    * info alone; full PCM content stats still need a DSP codec, so the
+    * codec name keeps saying `-headers`.
     */
   def decodeMpegHeaders(bytes: Array[Byte]): Option[Array[Float]] = {
     var off = skipId3(bytes)
@@ -92,6 +128,7 @@ object HeaderCodecs {
     first.map { f0 =>
       var (nFrames, samples, kbpsSum) = (0L, 0L, 0L)
       var vbr = false
+      var (gSum, gSq, gN) = (0.0, 0.0, 0L)
       var cur = off
       var ok = true
       while (ok && cur + 4 <= bytes.length) {
@@ -99,13 +136,20 @@ object HeaderCodecs {
           case Some(f) if f.sampleRate == f0.sampleRate =>
             nFrames += 1; samples += f.samples; kbpsSum += f.bitrateKbps
             if (f.bitrateKbps != f0.bitrateKbps) vbr = true
+            globalGains(bytes, cur, f).foreach { g =>
+              gSum += g; gSq += g.toDouble * g; gN += 1
+            }
             cur += f.length
           case _ => ok = false
         }
       }
       val dur = samples.toFloat / f0.sampleRate
+      val gMean = if (gN > 0) gSum / gN else 0.0
+      val gStd =
+        if (gN > 0) math.sqrt(math.max(0.0, gSq / gN - gMean * gMean)) else 0.0
       Array(f0.sampleRate.toFloat, f0.channels.toFloat, dur,
-        kbpsSum.toFloat / nFrames, nFrames.toFloat, if (vbr) 1f else 0f, 0f, 0f)
+        kbpsSum.toFloat / nFrames, nFrames.toFloat, if (vbr) 1f else 0f,
+        (gMean / 255.0).toFloat, (gStd / 255.0).toFloat)
     }
   }
 

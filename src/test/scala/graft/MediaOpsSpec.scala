@@ -254,6 +254,44 @@ class MediaOpsSpec extends SparkSpec {
     assert(HeaderCodecs.decodeMpegHeaders("words".getBytes("UTF-8")).isEmpty)
   }
 
+  /** plantedMp3 with explicit global_gain fields: the four per-frame
+    * (granule, channel) 8-bit gains of the MPEG-1 joint-stereo frame sit
+    * at side-info bit offsets 41/100/159/218 (start 9+3+8=20, 59-bit
+    * blocks, +21 within each) -- written with the mirror of the
+    * decoder's bit arithmetic so expectations stay analytic. */
+  private def plantedMp3Gains(gainsPerFrame: Seq[Int]): Array[Byte] = {
+    def put8(frame: Array[Byte], bitOff: Int, v: Int): Unit = {
+      val byteOff = 4 + (bitOff >> 3); val sh = bitOff & 7
+      val w = ((frame(byteOff) & 0xFF) << 8) | (frame(byteOff + 1) & 0xFF)
+      val mask = 0xFF00 >> sh
+      val nw = (w & ~mask) | ((v & 0xFF) << (8 - sh))
+      frame(byteOff) = ((nw >> 8) & 0xFF).toByte
+      frame(byteOff + 1) = (nw & 0xFF).toByte
+    }
+    gainsPerFrame.toArray.flatMap { g =>
+      val frame = new Array[Byte](417)
+      frame(0) = 0xFF.toByte; frame(1) = 0xFB.toByte
+      frame(2) = 0x90.toByte; frame(3) = 0x40.toByte
+      java.util.Arrays.fill(frame, 4, 417, 0xAA.toByte)
+      Seq(41, 100, 159, 218).foreach(off => put8(frame, off, g))
+      frame
+    }
+  }
+
+  test("mpeg-headers energy proxy (r20): planted global_gain reads exact mean/std; constant gain reads std 0") {
+    val flat = HeaderCodecs.decodeMpegHeaders(plantedMp3Gains(Seq(200, 200, 200))).get
+    assert(math.abs(flat(6) - 200 / 255f) < 1e-6, s"gain mean: ${flat(6)}")
+    assert(flat(7) == 0f, s"constant gain must read std 0: ${flat(7)}")
+    val gains = Seq(100, 200, 100)
+    val dyn = HeaderCodecs.decodeMpegHeaders(plantedMp3Gains(gains)).get
+    val mean = gains.map(_.toDouble).sum / gains.size
+    val std = math.sqrt(gains.map(g => g * g.toDouble).sum / gains.size - mean * mean)
+    assert(math.abs(dyn(6) - mean / 255) < 1e-6, s"gain mean: ${dyn(6)}")
+    assert(math.abs(dyn(7) - std / 255) < 1e-6, s"gain std: ${dyn(7)}")
+    // the structural features are untouched by the gain read
+    assert(dyn(0) == 44100f && dyn(1) == 2f && dyn(4) == 3f)
+  }
+
   test("ogg-headers codec: page walk + Vorbis id header — duration from the final granule") {
     val f = HeaderCodecs.decodeOggHeaders(plantedOgg()).get
     assert(f(0) == 44100f && f(1) == 2f, s"rate/channels: ${f.toSeq}")
