@@ -89,7 +89,10 @@ object AdpcmCodec extends MediaCodec {
         // (refusal-by-design is for structure we cannot trust, not for
         // a short read)
         case "data" => dataOff = p + 8; dataLen = math.min(len, avail).toInt
-        case "fmt " => if (len > avail) return None else fmt = p + 8
+        // fmt must DECLARE the 16 base format bytes we read — a shorter
+        // declaration would make the field reads below run into the
+        // NEXT chunk's header bytes and decode garbage as features
+        case "fmt " => if (len > avail || len < 16) return None else fmt = p + 8
         case "fact" => if (len >= 4 && avail >= 4) fact = u32(b, p + 8)
         case _ => if (len > avail) return None // torn non-data chunk
       }

@@ -1159,7 +1159,8 @@ object TextOps {
     require(fs.exists(p),
       s"impact index: no $what at $path — freeze one with writeImpactIndex " +
         "(serving against a guessed or partial index would silently " +
-        "mis-rank; this store is written atomically as four tables)")
+        "mis-rank; a complete store is five tables: postings, df, " +
+        "stats, dfhist, ids)")
   }
 
   /** The persisted index back as frames: (postings, df, stats). Missing
@@ -1202,14 +1203,14 @@ object TextOps {
       s"impactSearchServe: bad params qTerms=$qTerms k=$k")
     freshnessCorpus.foreach(c =>
       requireImpactFresh(c, path, maxPsi, lenRatioBounds))
-    val (qbag, postings, qtf) = serveBag(queryDocs, path, qTerms)
+    val h = serveBag(queryDocs, path, qTerms)
     // qbag (aboard the returned plan) is the consumer's releaseTree to
     // free; qtf's checkpoint is SEVERED from that plan by qbag's own
     // materialization and fully consumed now — release it here or the
     // serve-many loop leaks one query-batch frame per call
-    graft.CacheHygiene.release(qtf)
+    graft.CacheHygiene.release(h.qtf)
     VectorOps.rankTopK(
-      postings.join(broadcast(qbag.select(col("q_id"), col("term"))), "term")
+      h.postings.join(broadcast(h.qbag.select(col("q_id"), col("term"))), "term")
         .groupBy("q_id", "c_id").agg(sum("score_u").as("lex_u")),
       "q_id", "c_id", "lex_u", k)
       .select(col("q_id"), col("c_id"), col("lex_u"), col("rk"))
@@ -1234,7 +1235,12 @@ object TextOps {
     val (lo, hi) = lenRatioBounds
     require(maxPsi > 0 && lo > 0 && hi > lo,
       s"requireImpactFresh: bad policy maxPsi=$maxPsi bounds=$lenRatioBounds")
-    val r = impactIndexDrift(corpus, path).head()
+    val drift = impactIndexDrift(corpus, path)
+    val r = drift.head()
+    // the drift frame carries a corpus-sized term-count checkpoint
+    // aboard its plan; head() was its final consumer — release it, or a
+    // per-window freshness cadence pins one corpus-sized frame per check
+    graft.CacheHygiene.releaseTree(drift)
     val psi = r.getAs[Double]("psi")
     val lenRatio = r.getAs[Double]("len_ratio")
     require(psi <= maxPsi && lenRatio >= lo && lenRatio <= hi,
@@ -1259,17 +1265,23 @@ object TextOps {
       .cast("long")
   }
 
-  /** Shared serving head: the incoming docs' top-`qTerms` bags scored
-    * against the store's FROZEN context, plus the posting heads pruned
-    * to the bags' term buckets — (qbag MATERIALIZED [q_id, term,
-    * q_score_u], postings [term, c_id, score_u], qtf MATERIALIZED
-    * (doc_id, term, n, len)). qbag rides aboard every consumer's
-    * returned plan (their releaseTree frees it); qtf is handed back for
-    * consumers that need the raw term frame ([[impactGateEvidence]]'s
-    * novel-mass read) — callers that don't MUST release it themselves.
+  /** Everything a serving read derives before scoring candidates —
+    * handed back whole so consumers never re-read what the head already
+    * computed (the r20 review caught [[impactGateEvidence]] re-reading
+    * stats/df and re-collecting the term buckets per micro-batch):
+    * `qbag` MATERIALIZED [q_id, term, q_score_u]; `postings` pruned to
+    * the bag's buckets; `qtf` MATERIALIZED (doc_id, term, n, len);
+    * `dfc` the (term, df) store scan pruned to the QUERY terms'
+    * buckets; `stats` the 1-row frozen-context frame with its k1/b
+    * already read. qbag rides aboard every consumer's returned plan
+    * (their releaseTree frees it); qtf MUST be released by the caller.
     */
+  private final case class ServeHead(qbag: DataFrame, postings: DataFrame,
+      qtf: DataFrame, dfc: DataFrame, stats: DataFrame,
+      k1: Double, b: Double)
+
   private def serveBag(queryDocs: DataFrame, path: String,
-      qTerms: Int): (DataFrame, DataFrame, DataFrame) = {
+      qTerms: Int): ServeHead = {
     val spark = queryDocs.sparkSession
     val (postingsAll, dfAll, stats) = readImpactIndex(spark, path)
     val st = stats.head() // 1 row: the frozen context
@@ -1297,7 +1309,7 @@ object TextOps {
     val postings = postingsAll
       .where(col("tb").isin(btbs.map(Integer.valueOf): _*))
       .select(col("term"), col("c_id"), col("score_u"))
-    (qbag, postings, qtf)
+    ServeHead(qbag, postings, qtf, dfc, stats, k1, b)
   }
 
   /** Per-batch-doc lexical duplicate evidence against a persisted
@@ -1320,35 +1332,27 @@ object TextOps {
     */
   private[operators] def impactGateEvidence(batch: DataFrame, path: String,
       qTerms: Int): DataFrame = {
-    val spark = batch.sparkSession
-    val (qbag, postings, qtf) = serveBag(batch, path, qTerms)
-    val stats = spark.read.parquet(s"$path/stats")
-    val st = stats.head()
-    val (k1, b) = (st.getAs[Double]("k1"), st.getAs[Double]("b"))
+    val h = serveBag(batch, path, qTerms)
     // in-vocab terms of the batch (batch-bounded: the covered side of
-    // the df join, independent of bag truncation)
-    val qtbs2 = qtf.select(termBucket(col("term")).as("tb"))
-      .distinct().collect().map(_.getInt(0))
-    val covered = spark.read.parquet(s"$path/df")
-      .where(col("tb").isin(qtbs2.map(Integer.valueOf): _*))
-      .select(col("term"))
-      .join(broadcast(qtf.select(col("doc_id"), col("term"))),
+    // the head's already-pruned df scan, independent of bag truncation)
+    val covered = h.dfc.select(col("term"))
+      .join(broadcast(h.qtf.select(col("doc_id"), col("term"))),
         Seq("term"))
       .select(col("doc_id"), col("term"))
     // novel terms score at df=0 — they mint no candidate evidence (no
     // postings exist) but their mass counts toward what a candidate
     // would have to cover
-    val novelU = qtf
+    val novelU = h.qtf
       .join(broadcast(covered), Seq("doc_id", "term"), "left_anti")
       .withColumn("df", lit(0L))
-      .crossJoin(broadcast(stats.select(col("nd"), col("avgl"))))
+      .crossJoin(broadcast(h.stats.select(col("nd"), col("avgl"))))
       .select(col("doc_id").as("q_id"),
-        frozenScoreUExpr(k1, b).as("q_score_u"))
-    val selfU = qbag.select(col("q_id"), col("q_score_u"))
+        frozenScoreUExpr(h.k1, h.b).as("q_score_u"))
+    val selfU = h.qbag.select(col("q_id"), col("q_score_u"))
       .unionByName(novelU)
       .groupBy("q_id").agg(sum("q_score_u").as("self_u"))
     val top = VectorOps.rankTopK(
-      postings.join(broadcast(qbag.select(col("q_id"), col("term"))), "term")
+      h.postings.join(broadcast(h.qbag.select(col("q_id"), col("term"))), "term")
         .groupBy("q_id", "c_id").agg(sum("score_u").as("lex_u")),
       "q_id", "c_id", "lex_u", k = 1)
       .select(col("q_id"), col("lex_u").as("top_u"), col("c_id").as("top_c_id"))
@@ -1357,7 +1361,7 @@ object TextOps {
         .select(col("q_id").as("doc_id"), col("self_u"),
           col("top_u"), col("top_c_id")),
       "impact gate evidence")
-    graft.CacheHygiene.release(qbag, qtf) // fully consumed by the materialize
+    graft.CacheHygiene.release(h.qbag, h.qtf) // fully consumed by the materialize
     out
   }
 
@@ -1485,6 +1489,23 @@ object TextOps {
           val old = postingsAll
             .where(col("tb").isin(touched.map(Integer.valueOf): _*))
             .select(col("term"), col("c_id"), col("score_u"))
+          // torn-store tripwire (r20 review): these docs passed the id
+          // REGISTRY as unseen, so their postings must not already sit
+          // in the heads — if they do, a previous append crashed between
+          // the postings write and the registry append, and merging
+          // again would silently DOUBLE every affected head row (the
+          // ifAbsent replay path would otherwise do exactly that).
+          // Refuse loudly instead; the batch's own terms are by
+          // definition inside the touched buckets, so this scan sees
+          // every possible collision.
+          require(old.select(col("c_id")).distinct()
+              .join(broadcast(newU.select(col("doc_id").as("c_id")).distinct()),
+                Seq("c_id"))
+              .isEmpty,
+            "impactIndexAppend: unregistered batch docs already hold " +
+              "postings — a previous append crashed between the postings " +
+              "write and the registry append (the documented torn-store " +
+              "case); re-freeze with writeImpactIndex")
           val union = old
             .unionByName(newU
               .select(col("term"), col("doc_id").as("c_id"), col("score_u")))

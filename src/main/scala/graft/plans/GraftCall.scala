@@ -55,18 +55,37 @@ object GraftProcedures {
   /** A document source argument: a registered table/temp view name, or —
     * when it contains a `/` — a parquet path (the Iceberg-procedure
     * convention of taking table identifiers, widened for path-native
-    * stores). Must expose `doc_id` and `text`, checked here so the error
-    * names the procedure instead of surfacing as a resolution failure
-    * deep inside the tokenizer.
+    * stores). Must expose `doc_id` and `text`; resolution is
+    * CASE-INSENSITIVE (matching Spark's own default) and the frame is
+    * narrowed to exactly those two columns with doc_id cast to BIGINT —
+    * an INT-typed id would otherwise surface as a bare
+    * ClassCastException inside the table-CALL's declared-BIGINT result
+    * conversion instead of an error naming the procedure.
     */
   private def docSource(s: SparkSession, src: String,
       usage: String): org.apache.spark.sql.DataFrame = {
     require(src.trim.nonEmpty, s"$usage — document source must be non-empty")
     val df = if (src.contains('/')) s.read.parquet(src) else s.table(src)
-    require(df.columns.contains("doc_id") && df.columns.contains("text"),
-      s"$usage — source '$src' must have doc_id and text columns " +
-        s"(found: ${df.columns.mkString(", ")})")
-    df
+    def field(n: String) = df.schema.fields.find(_.name.equalsIgnoreCase(n))
+    (field("doc_id"), field("text")) match {
+      case (Some(id), Some(tx)) =>
+        require(tx.dataType == org.apache.spark.sql.types.StringType,
+          s"$usage — source '$src' column ${tx.name} must be STRING, " +
+            s"got ${tx.dataType.catalogString}")
+        require(Set[org.apache.spark.sql.types.DataType](
+            org.apache.spark.sql.types.ByteType,
+            org.apache.spark.sql.types.ShortType,
+            org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.LongType).contains(id.dataType),
+          s"$usage — source '$src' column ${id.name} must be an integer " +
+            s"type, got ${id.dataType.catalogString}")
+        df.select(org.apache.spark.sql.functions.col(id.name)
+            .cast("bigint").as("doc_id"),
+          org.apache.spark.sql.functions.col(tx.name).as("text"))
+      case _ => throw new IllegalArgumentException(
+        s"$usage — source '$src' must have doc_id and text columns " +
+          s"(found: ${df.columns.mkString(", ")})")
+    }
   }
 
   /** name → (session, args) → one result row (version / message). */

@@ -12,8 +12,10 @@ Usage:
 Reads BENCH_QUIET.json (min + rig_factor) and BASELINE.md's figure
 table; writes/reads tools/creep_history.json. Flags:
   - any query whose ratio exceeds GATE (2.0, the judge's gate),
-  - any query with >= 3 consecutive recorded increases,
-  - the WATCHLIST queries whenever they grow at all.
+  - 3-round monotone growth: the last two RECORDED rounds plus the
+    current run strictly increasing (gaps never splice — a query absent
+    from a record is not comparable across it),
+  - the WATCHLIST queries whenever they grow vs the last record.
 """
 import json
 import re
@@ -57,7 +59,10 @@ def quiet_ratios():
 
 def main():
     record = None
-    if len(sys.argv) > 2 and sys.argv[1] == "--record":
+    if len(sys.argv) > 1 and sys.argv[1] == "--record":
+        if len(sys.argv) < 3:
+            sys.exit("--record needs a round label (e.g. --record r20); "
+                     "nothing was appended")
         record = sys.argv[2]
     ratios, rig = quiet_ratios()
     hist = []
@@ -68,15 +73,17 @@ def main():
 
     flagged = []
     for name, r in sorted(ratios.items(), key=lambda kv: -kv[1]):
-        series = [h["ratios"].get(name) for h in hist] + [r]
-        series = [s for s in series if s is not None]
-        rising = (len(series) >= 3 and
-                  all(series[i] < series[i + 1] for i in range(len(series) - 3, len(series) - 1)))
+        # last two RECORDED rounds + current; a gap (None) disqualifies
+        # the window instead of splicing non-adjacent rounds together
+        series = [h["ratios"].get(name) for h in hist[-2:]] + [r]
+        rising = (len(series) == 3 and None not in series and
+                  series[0] < series[1] < series[2])
+        prev = hist[-1]["ratios"].get(name) if hist else None
         if r > GATE:
             flagged.append((name, series, f"OVER GATE {GATE}x"))
         elif rising:
             flagged.append((name, series, "monotone 3-round growth"))
-        elif name in WATCHLIST and len(series) >= 2 and series[-1] > series[-2]:
+        elif name in WATCHLIST and prev is not None and r > prev:
             flagged.append((name, series, "watchlist grew"))
     print(f"quiet record rig_factor={rig:.3f}, {len(ratios)} baselined queries")
     if flagged:
