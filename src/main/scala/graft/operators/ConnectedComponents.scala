@@ -40,6 +40,9 @@ object ConnectedComponents {
     * converge — silent partial connectivity would dedup wrongly.
     */
   def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    val reliable =
+      spark.conf.get(graft.CacheHygiene.ReliableFlag, "false").toBoolean
     // ONE execution of the caller's edge plan (for q94 that plan is the
     // whole near-dup pair mining) — nodes and the working edge set both
     // derive from this checkpoint. It backs the returned plan via
@@ -52,8 +55,13 @@ object ConnectedComponents {
       "connectedComponents base")
     val nodes = base.select(col("u").as("id"))
       .union(base.select(col("v").as("id"))).distinct()
-    var cur = graft.CacheHygiene.materialize(
-      base.filter(col("u") =!= col("v")), "connectedComponents edges")
+    // Round-0 working set: a plain filter VIEW over the base checkpoint —
+    // its own checkpoint bought nothing (the filter re-reads base's
+    // blocks) and cost one more driver-blocking job per closure (r21).
+    // `curOwned` guards release: releasing the round-0 view would
+    // unpersist base itself (CacheHygiene.release unwraps Filter).
+    var cur = base.filter(col("u") =!= col("v"))
+    var curOwned = false
 
     // (count, hash-sum) fingerprint: one cheap agg decides convergence.
     // The sum runs in decimal(38,0) — a long sum of 64-bit hashes
@@ -92,10 +100,24 @@ object ConnectedComponents {
     var fp = fingerprint(cur)
     val roundEdges = scala.collection.mutable.ArrayBuffer[Long](fp._1)
     var iter = 0
-    var converged = cur.isEmpty
+    // the fingerprint's count already answers emptiness — the former
+    // separate isEmpty probe was one more tiny job per closure (r21)
+    var converged = fp._1 == 0L
     while (!converged && iter < maxIter) {
-      val next = graft.CacheHygiene.materialize(
-        smallStar(largeStar(cur)), "connectedComponents round edges")
+      // Local mode: LAZY localCheckpoint, so the fingerprint aggregation
+      // below is the job that computes, persists AND lineage-truncates
+      // the round — one job per round instead of two (r21). Determinism
+      // under task retry holds: the star ops are deterministic keyed
+      // aggs/joins over a checkpointed input (no sampling, no rand), so
+      // a recomputed partition is bit-identical to the persisted one.
+      // Reliable mode keeps the EAGER checkpoint: a lazy reliable
+      // checkpoint recomputes the frame a second time to write it,
+      // which is the wrong trade on the cluster path the flag serves.
+      val next =
+        if (reliable)
+          graft.CacheHygiene.materialize(
+            smallStar(largeStar(cur)), "connectedComponents round edges")
+        else smallStar(largeStar(cur)).localCheckpoint(eager = false)
       val nfp = fingerprint(next)
       // Fingerprint equality is the cheap convergence signal; a hash-sum
       // collision between DIFFERENT edge sets (~2^-64 odds) would end the
@@ -107,8 +129,9 @@ object ConnectedComponents {
       // Converging rounds are the only ones that pay it (both frames are
       // checkpointed, so the check re-reads blocks, not lineage).
       converged = nfp == fp && next.exceptAll(cur).isEmpty
-      graft.CacheHygiene.release(cur)
+      if (curOwned) graft.CacheHygiene.release(cur)
       cur = next
+      curOwned = true
       fp = nfp
       roundEdges += nfp._1
       iter += 1

@@ -181,7 +181,23 @@ object TextOps {
     * corpus.
     */
   def ngramJaccard(docs: DataFrame, maxShingleDF: Int,
-      hashShingles: Boolean = false): DataFrame = {
+      hashShingles: Boolean = false): DataFrame =
+    ngramJaccardShared(docs, maxShingleDF, hashShingles)._1
+
+  /** [[ngramJaccard]] plus the materialized shingle-index handle. The
+    * distinct (doc_id, lang, s) frame feeds BOTH index sides and both
+    * size lookups; left lazy, the sizes subtree carries different pushed
+    * filters than the index subtree (no IsNotNull(lang)), so exchange
+    * reuse cannot merge them and the corpus is scanned+shingled+
+    * distinct-shuffled twice (r21, read off the q35 physical plan). One
+    * checkpoint makes every consumer a block read. Callers that consume
+    * the pair plan eagerly (the q94 closure) release the handle
+    * immediately after; plans returned to the caller (q35) carry the
+    * checkpoint as a leaf, which Verify's releaseTree / Bench's blanket
+    * unpersist already reap — the q99/q100 convention.
+    */
+  private[operators] def ngramJaccardShared(docs: DataFrame, maxShingleDF: Int,
+      hashShingles: Boolean = false): (DataFrame, DataFrame) = {
     // Shingling is a per-row codegen'd kernel (plans.Shingles): the old
     // posexplode + window-lead form paid a full doc_id-keyed shuffle
     // before the index could even build. (A transform() lambda would
@@ -189,8 +205,10 @@ object TextOps {
     val raw = docs
       .select(col("doc_id"), col("lang"),
         explode(graft.plans.GraftFunctions.shingles(tokens(col("text")), 3)).as("s"))
-    val ex = (if (hashShingles) raw.withColumn("s", xxhash64(col("s"))) else raw)
-      .distinct()
+    val ex = graft.CacheHygiene.materialize(
+      (if (hashShingles) raw.withColumn("s", xxhash64(col("s"))) else raw)
+        .distinct(),
+      "ngram shingle index")
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val index =
       if (maxShingleDF == Int.MaxValue) ex
@@ -212,11 +230,12 @@ object TextOps {
       .agg(count(lit(1)).as("inter"))
     val jac = col("inter").cast("double") /
       (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")
-    inter
+    (inter
       .join(sizes.as("sa"), col("a_id") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("b_id") === col("sb.doc_id"))
       .filter(jac >= 0.8)
-      .select(col("a_id"), col("b_id"), round(jac, 4).as("jaccard"))
+      .select(col("a_id"), col("b_id"), round(jac, 4).as("jaccard")),
+      ex)
   }
 
   /** Corpus-wide frequent tokens via the SpaceSaving sketch aggregate
@@ -1664,9 +1683,18 @@ object TextOps {
       .repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
+    // Local mode: LAZY localCheckpoint — the counts aggregation below is
+    // the job that computes, persists and lineage-truncates the sorted
+    // frame, fusing what were two full passes (checkpoint job + counts
+    // job) into one (r21). The frozen-order contract holds: the range
+    // boundaries are sampled once when the exchange first executes and
+    // live in the partitioner, so a retried task re-sorts into identical
+    // partitions and every later read hits the persisted blocks.
+    // Reliable mode keeps the EAGER checkpoint (a lazy reliable
+    // checkpoint recomputes the frame to write it — wrong trade there).
     val sorted =
       if (rel) arranged.checkpoint(eager = true)
-      else arranged.localCheckpoint(true)
+      else arranged.localCheckpoint(eager = false)
     val counts = sorted.groupBy("__pid").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     // The local row_number() below is a 32-bit int; a range partition
@@ -2514,9 +2542,16 @@ object TextOps {
     dedupComponentsOn(documents(s, d))
 
   def dedupComponentsOn(docs: DataFrame): DataFrame = {
+    // shared form + immediate release: ConnectedComponents.run consumes
+    // the pair plan EAGERLY (its base checkpoint executes the mining
+    // during the call), so the shingle-index checkpoint is dead the
+    // moment it returns — holding it would leak one corpus-sized block
+    // set per closure in a long session (r21)
+    val (pairs, shingleIndex) =
+      ngramJaccardShared(docs, maxShingleDF = Int.MaxValue)
     val labels = ConnectedComponents.run(
-      ngramJaccard(docs, maxShingleDF = Int.MaxValue)
-        .select(col("a_id").as("src"), col("b_id").as("dst")))
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+    graft.CacheHygiene.release(shingleIndex)
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -3294,9 +3329,17 @@ object TextOps {
   def q114BpePairs(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(explode(bpeTokens(col("text"))).as("w"))
-      .select(explode(adjacentPairs(charSyms(col("w")))).as("p"))
+      // the bpeLearn Zipf trick (r21): fold the token stream into the
+      // distinct-word frequency table FIRST, then explode pairs once per
+      // distinct word weighted by its count — pair occurrences per word
+      // are a pure function of the word, so Σ_word n·pairs(word) is
+      // bit-identical to counting every occurrence row, while the char-
+      // pair explode (the dominant per-task work) shrinks from the token
+      // stream to the vocabulary
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(explode(adjacentPairs(charSyms(col("w")))).as("p"), col("n"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(count(lit(1)).cast("long").as("cnt"))
+      .agg(sum("n").cast("long").as("cnt"))
       .orderBy(col("cnt").desc, col("a"), col("b"))
       .limit(20)
 
