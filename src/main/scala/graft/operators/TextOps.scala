@@ -864,7 +864,16 @@ object TextOps {
       k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(nQueries >= 1 && qTerms >= 1 && k >= 1 && k1 > 0 && b >= 0 && b <= 1,
       s"moreLikeThis: bad params nQueries=$nQueries qTerms=$qTerms k=$k k1=$k1 b=$b")
-    val scoredU = bm25ScoredU(docs, k1, b)
+    // Materialized once (r21): the scored frame feeds the query-bag
+    // window (doc_id < nQueries) AND the corpus pair join (≥ nQueries),
+    // and the two sides push DIFFERENT doc_id filters through the BM25
+    // aggregates down to the scan — exchange reuse cannot merge them, so
+    // the unmaterialized form tokenized and score-joined the corpus
+    // twice (18 scans on q147's physical plan). The checkpoint rides
+    // the returned plan as a leaf; Verify's releaseTree / Bench's
+    // blanket unpersist reap it (the q99/q152 convention).
+    val scoredU = graft.CacheHygiene.materialize(
+      bm25ScoredU(docs, k1, b), "moreLikeThis scored frame")
     val wq = Window.partitionBy("doc_id")
       .orderBy(col("score_u").desc, col("term"))
     val qbag = scoredU.filter(col("doc_id") < nQueries)
@@ -2276,12 +2285,17 @@ object TextOps {
   def unigramNll(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
-    val vocab = toks.groupBy("w").agg(count(lit(1)).as("nw"))
+    // vocab derives from the doc-keyed count (Σ_doc n ≡ occurrence
+    // count), so the token stream explodes ONCE and the two consumers
+    // share the (doc_id, w) exchange — the former independent
+    // vocab-keyed agg re-ran the scan+explode (r21, guide §2.3
+    // aggregate-before-shuffle)
+    val dc = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+    val vocab = dc.groupBy("w").agg(sum("n").as("nw"))
     val total = vocab.agg(sum("nw").cast("double").as("N"))
     val probs = vocab.crossJoin(broadcast(total))
       .select(col("w"), (log(col("nw").cast("double")) - log(col("N"))).as("lnp"))
-    toks.groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
-      .join(probs, "w")
+    dc.join(probs, "w")
       .groupBy("doc_id")
       .agg(sum("n").cast("long").as("n_tokens"),
         round(-sum(col("n").cast("double") * col("lnp")) / sum("n"), 4).as("nll"))
@@ -2319,12 +2333,14 @@ object TextOps {
       s"surpriseTail: tailPct must be in [1,100], got $tailPct")
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
-    val vocab = toks.groupBy("w").agg(count(lit(1)).as("nw"))
+    // one explode: vocab derives from the doc-keyed count (the q91 r21
+    // restructure — Σ_doc n ≡ occurrence count, exchange shared)
+    val dc = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+    val vocab = dc.groupBy("w").agg(sum("n").as("nw"))
     val total = vocab.agg(sum("nw").cast("double").as("N"))
     val probs = vocab.crossJoin(broadcast(total))
       .select(col("w"), (log(col("nw").cast("double")) - log(col("N"))).as("lnp"))
-    val dj = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
-      .join(probs, "w")
+    val dj = dc.join(probs, "w")
     val tot = dj.groupBy("doc_id")
       .agg(sum("n").cast("long").as("n_tokens"),
         sum(col("n").cast("double") * col("lnp")).as("sum_lnp"))
@@ -2381,7 +2397,12 @@ object TextOps {
     val total = uni.agg(sum("cu").cast("double").as("N"))
     val bi = docs.select(col("doc_id"),
       explode(graft.plans.GraftFunctions.shingles(tokens(col("text")), 2)).as("g"))
-    val bCounts = bi.groupBy("g").agg(count(lit(1)).as("cb"))
+    // one bigram explode: the corpus bigram table derives from the
+    // doc-keyed count (Σ_doc n ≡ cb), so the scoring join and the LM
+    // table share the (doc_id, g) exchange instead of each re-running
+    // the scan+shingle explode (r21, the q91 restructure)
+    val tb = bi.groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+    val bCounts = tb.groupBy("g").agg(sum("n").as("cb"))
       .withColumn("w1", element_at(split(col("g"), " "), 1))
       .withColumn("w2", element_at(split(col("g"), " "), 2))
     val c1 = bCounts.groupBy("w1").agg(sum("cb").as("c1"))
@@ -2391,8 +2412,7 @@ object TextOps {
       .select(col("g"),
         log(lam * col("cb").cast("double") / col("c1")
           + (lit(1.0) - lam) * col("cu").cast("double") / col("N")).as("lnp"))
-    bi.groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
-      .join(probs, "g")
+    tb.join(probs, "g")
       .groupBy("doc_id")
       .agg(sum("n").cast("long").as("n_bigrams"),
         round(-sum(col("n").cast("double") * col("lnp")) / sum("n"), 4)
@@ -2975,13 +2995,16 @@ object TextOps {
     val toks = docs.select(col("doc_id"), col("lang"),
         explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
-    val vocab = toks.groupBy("lang", "w").agg(count(lit(1)).as("nw"))
+    // one explode: the per-language vocab derives from the doc-keyed
+    // count (Σ_doc n ≡ occurrence count), sharing the (doc_id, lang, w)
+    // exchange with the scoring join (r21, the q91 restructure)
+    val dc = toks.groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("n"))
+    val vocab = dc.groupBy("lang", "w").agg(sum("n").as("nw"))
     val totals = vocab.groupBy("lang").agg(sum("nw").cast("double").as("N"))
     val probs = vocab.join(broadcast(totals), "lang")
       .select(col("lang"), col("w"),
         (log(col("nw").cast("double")) - log(col("N"))).as("lnp"))
-    val nll = toks.groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("n"))
-      .join(probs, Seq("lang", "w"))
+    val nll = dc.join(probs, Seq("lang", "w"))
       .groupBy("doc_id", "lang")
       .agg(sum("n").cast("long").as("n_tokens"),
         round(-sum(col("n").cast("double") * col("lnp")) / sum("n"), 4).as("nll"))
