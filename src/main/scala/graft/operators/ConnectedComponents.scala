@@ -40,6 +40,43 @@ object ConnectedComponents {
     * converge — silent partial connectivity would dedup wrongly.
     */
   def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val (base, cur) = starFixpoint(edges, maxIter)
+    val nodes = base.select(col("u").as("id"))
+      .union(base.select(col("v").as("id"))).distinct()
+    // fixpoint edges are stars (center = component min): members label to
+    // the center, centers and isolated nodes label to themselves. The
+    // final checkpoint (and `base`, via `nodes`) back the returned plan,
+    // so they are NOT released here. They sit UNDER a join, where
+    // near-root CacheHygiene.release cannot reach them by design —
+    // callers that have materialized the result and own it exclusively
+    // release them with [[graft.CacheHygiene.releaseTree]] (Verify does
+    // exactly that per query; Bench's between-timing blanket unpersist
+    // subsumes it — so repeated q94/q96/q99/q100 runs in one session
+    // don't accumulate immortal checkpoint blocks).
+    nodes.join(cur.select(col("v").as("id"), col("u").as("component")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Member→center labels ONLY: ids that are members of a non-trivial
+    * component, labeled with their component min; centers and isolated
+    * ids are ABSENT (at the star fixpoint each appears only as a center
+    * or not at all — a left-join + coalesce against the caller's own id
+    * universe labels them to themselves, exactly [[run]]'s semantics).
+    * For consumers that ALREADY hold the id universe (q94's docs frame)
+    * this skips [[run]]'s node-universe union+distinct+left-join — one
+    * exchange and a join side per closure query (r21).
+    */
+  private[operators] def runMembers(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val (_, cur) = starFixpoint(edges, maxIter)
+    cur.select(col("v").as("id"), col("u").as("component"))
+  }
+
+  /** The alternating-star fixpoint loop shared by [[run]] and
+    * [[runMembers]]: returns (base checkpoint, fixpoint star edges).
+    * Neither frame is released here — both back returned plans.
+    */
+  private def starFixpoint(edges: DataFrame, maxIter: Int): (DataFrame, DataFrame) = {
     val spark = edges.sparkSession
     val reliable =
       spark.conf.get(graft.CacheHygiene.ReliableFlag, "false").toBoolean
@@ -53,8 +90,6 @@ object ConnectedComponents {
           greatest(col("src"), col("dst")).as("v"))
         .distinct(),
       "connectedComponents base")
-    val nodes = base.select(col("u").as("id"))
-      .union(base.select(col("v").as("id"))).distinct()
     // Round-0 working set: a plain filter VIEW over the base checkpoint —
     // its own checkpoint bought nothing (the filter re-reads base's
     // blocks) and cost one more driver-blocking job per closure (r21).
@@ -143,20 +178,7 @@ object ConnectedComponents {
           "mislabel components silently")
     lastRounds = iter
     lastRoundEdges = roundEdges.toList
-
-    // fixpoint edges are stars (center = component min): members label to
-    // the center, centers and isolated nodes label to themselves. The
-    // final checkpoint (and `base`, via `nodes`) back the returned plan,
-    // so they are NOT released here. They sit UNDER a join, where
-    // near-root CacheHygiene.release cannot reach them by design —
-    // callers that have materialized the result and own it exclusively
-    // release them with [[graft.CacheHygiene.releaseTree]] (Verify does
-    // exactly that per query; Bench's between-timing blanket unpersist
-    // subsumes it — so repeated q94/q96/q99/q100 runs in one session
-    // don't accumulate immortal checkpoint blocks).
-    nodes.join(cur.select(col("v").as("id"), col("u").as("component")),
-        Seq("id"), "left")
-      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    (base, cur)
   }
 
   /** [[run]] plus the round count — spec hook for the O(log n) claim. */

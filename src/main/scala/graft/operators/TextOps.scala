@@ -2569,7 +2569,10 @@ object TextOps {
     // set per closure in a long session (r21)
     val (pairs, shingleIndex) =
       ngramJaccardShared(docs, maxShingleDF = Int.MaxValue)
-    val labels = ConnectedComponents.run(
+    // member-only labels (r21): the left join + coalesce below supplies
+    // the id universe, so CC's node-universe union+distinct+left-join is
+    // redundant here — centers and singletons label themselves either way
+    val labels = ConnectedComponents.runMembers(
       pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
     graft.CacheHygiene.release(shingleIndex)
     docs.select(col("doc_id"))
