@@ -187,7 +187,15 @@ object VectorOps {
     val narrow = keyed.filter(col("w") <= maxBucketWidth).drop("w", "m")
     val joinCond = keyCols.map(k => col(s"a.$k") === col(s"b.$k"))
       .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
-    val narrowPairs = narrow.as("a").join(narrow.as("b"), joinCond)
+    // Shuffled-hash on purpose (r21, guide §3.1 — the ngramJaccard
+    // decision applied to the other pair kernel): the estimate-driven
+    // default broadcasts the whole narrow frame (driver collect+build,
+    // 8 GB ceiling at corpus scale, and for the vec-carrying consumers
+    // the broadcast ships every embedding); the hinted shuffled-hash
+    // reuses the bucket-keyed partitioning both sides already have.
+    // Interleaved A/B on the q36 shape: min 1.95 vs 2.05, med 2.16 vs
+    // 2.23 over 8 alternating rounds.
+    val narrowPairs = narrow.as("a").join(narrow.hint("shuffle_hash").as("b"), joinCond)
       .select(col("a.doc_id").as("a_id") +: col("b.doc_id").as("b_id") +:
         carry.flatMap(c => Seq(col(s"a.$c").as(s"a_$c"), col(s"b.$c").as(s"b_$c"))): _*)
     val starPairs = keyed

@@ -67,9 +67,117 @@ object R21Ab {
           round(-sum(col("n").cast("double") * col("lnp")) / sum("n"), 4).as("nll"))
     }
 
+    // ngramJaccard pair-stage shapes (q35/q94's mining): the checkpointed
+    // distinct shingle index self-joined on (s, lang) — auto (estimate
+    // picks broadcast at sf0.1) vs an explicit shuffled-hash / sort-merge
+    // whose exchange both sides REUSE (the same LogicalRDD leaf).
+    def pairStage(hintName: Option[String]): DataFrame = {
+      val raw = docs.select(col("doc_id"), col("lang"),
+        explode(graft.plans.GraftFunctions.shingles(tokens(col("text")), 3)).as("s"))
+      val ex = graft.CacheHygiene.materialize(raw.distinct(), "ab shingle index")
+      val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val right = hintName.map(ex.hint(_)).getOrElse(ex)
+      val inter = ex.as("a")
+        .join(right.as("b"),
+          col("a.s") === col("b.s") && col("a.lang") === col("b.lang") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      val jac = col("inter").cast("double") /
+        (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")
+      inter
+        .join(sizes.as("sa"), col("a_id") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("b_id") === col("sb.doc_id"))
+        .filter(jac >= 0.8)
+        .select(col("a_id"), col("b_id"), round(jac, 4).as("jaccard"))
+    }
+
+    // q120-shape labels consumption: the one-arg wrapper's labels frame is
+    // read twice (sizes agg + join back) — lazy (docs⋈cc join runs twice)
+    // vs materialized once (one more blocking job, then block reads).
+    def labelsLazy(): DataFrame =
+      graft.operators.TextOps.dupWeightsOn(
+        graft.operators.TextOps.dedupComponentsOn(docs))
+    def labelsCkpt(): DataFrame = {
+      val l = graft.CacheHygiene.materialize(
+        graft.operators.TextOps.dedupComponentsOn(docs), "ab labels")
+      graft.operators.TextOps.dupWeightsOn(l)
+    }
+    // q134-shape: same question under the heavier card tail
+    def cardLazy(): DataFrame =
+      graft.operators.TextOps.memorizationCardOn(
+        graft.operators.TextOps.dedupComponentsOn(docs), docs)
+    def cardCkpt(): DataFrame = {
+      val l = graft.CacheHygiene.materialize(
+        graft.operators.TextOps.dedupComponentsOn(docs), "ab labels")
+      graft.operators.TextOps.memorizationCardOn(l, docs)
+    }
+
+    // q36-shape capped pair listing with the narrow self-join optionally
+    // hinted shuffled-hash (the widthCappedPairs internals, inlined)
+    def capPairs(hintName: Option[String]): DataFrame = {
+      val bucketed = graft.operators.VectorOps.bandedSignaturesPortable(docs)
+      val based = graft.CacheHygiene.materialize(bucketed, "ab buckets")
+      val stats = based.groupBy("band", "sig")
+        .agg(count(lit(1)).as("w"), min(struct(col("doc_id"))).as("m"))
+      val keyed = based.join(stats, Seq("band", "sig"))
+      val narrow = keyed.filter(col("w") <= graft.operators.VectorOps.MaxBucketWidth)
+        .drop("w", "m")
+      val right = hintName.map(narrow.hint(_)).getOrElse(narrow)
+      val narrowPairs = narrow.as("a").join(right.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      val starPairs = keyed
+        .filter(col("w") > graft.operators.VectorOps.MaxBucketWidth &&
+          col("doc_id") =!= col("m.doc_id"))
+        .select(col("m.doc_id").as("a_id"), col("doc_id").as("b_id"))
+      narrowPairs.union(starPairs)
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared_bands"))
+    }
+
+    // moreLikeThis/q145 scored-frame lineage: tf materialized (new) vs
+    // not (old — dl/dfc/stats/score each re-run the tokenize). Both
+    // variants end in an eager materialize of the scored frame, so the
+    // timed cost IS the lineage execution; the consuming count is trivial.
+    def scoredLineage(ckptTf: Boolean): DataFrame = {
+      val tf0 = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
+      val tf = if (ckptTf) graft.CacheHygiene.materialize(tf0, "ab tf") else tf0
+      val dl = tf.groupBy("doc_id").agg(sum("n").as("len"))
+      val stats = dl.agg(count(lit(1)).as("nd"), avg("len").as("avgl"))
+      val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val idf = log((col("nd").cast("double") - col("df") + 0.5) /
+        (col("df") + 0.5) + 1.0)
+      val norm = lit(1.2) * (lit(1 - 0.75) + lit(0.75) * col("len").cast("double") / col("avgl"))
+      val scored = tf.join(dl, "doc_id").join(dfc, "term")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("term"),
+          round(idf * (col("n") * lit(2.2)) / (col("n") + norm) * lit(1e6), 0)
+            .cast("long").as("score_u"))
+      val out = graft.CacheHygiene.materialize(scored, "ab scored")
+      if (ckptTf) graft.CacheHygiene.release(tf)
+      out
+    }
+
     val shapes: Seq[(String, () => DataFrame)] = what match {
       case "unigram" => Seq("old" -> (() => uniOld()), "new" -> (() => uniNew()),
         "ckpt" -> (() => uniCkpt()))
+      case "pairjoin" => Seq(
+        "auto" -> (() => pairStage(None)),
+        "shj" -> (() => pairStage(Some("shuffle_hash"))),
+        "smj" -> (() => pairStage(Some("merge"))))
+      case "labels" => Seq("lazy" -> (() => labelsLazy()),
+        "ckpt" -> (() => labelsCkpt()))
+      case "capjoin" => Seq(
+        "auto" -> (() => capPairs(None)),
+        "shj" -> (() => capPairs(Some("shuffle_hash"))))
+      case "scored" => Seq(
+        "old" -> (() => scoredLineage(ckptTf = false)),
+        "new" -> (() => scoredLineage(ckptTf = true)))
+      case "card" => Seq("lazy" -> (() => cardLazy()),
+        "ckpt" -> (() => cardCkpt()))
       case x => sys.error(s"unknown ab target $x")
     }
     def clear(): Unit = {
