@@ -1790,7 +1790,15 @@ object TextOps {
   def bloomGate(corpus: DataFrame, batch: DataFrame, textCol: String = "text",
       fpp: Double = 0.01, expectedItems: Option[Long] = None): DataFrame = {
     val s = corpus.sparkSession
-    val corpusFp = corpus.select(fingerprint(col(textCol)).as("fp"))
+    // corpus fingerprints materialized once (r21, guide §1.2 step 1): the
+    // sizing count, the filter-build aggregate and the verify semi-join
+    // each re-ran the corpus text scan + md5 — three full passes for one
+    // 8-byte-per-row frame. One checkpoint, three block reads; the handle
+    // rides the returned plan (admit's hits join), so the Verify/Bench
+    // sweep reaps it. At corpus scale this is the difference between one
+    // and three 100-TB text scans per gate build.
+    val corpusFp = graft.CacheHygiene.materialize(
+      corpus.select(fingerprint(col(textCol)).as("fp")), "bloom gate corpus fps")
     val n = math.max(expectedItems.getOrElse(corpusFp.count()), 1L)
     val bc = s.sparkContext.broadcast(
       BloomDedupGate.buildFilter(corpusFp, n, fpp)) // empty-corpus safe

@@ -161,6 +161,81 @@ object R21Ab {
       out
     }
 
+    // q127's fingerprint-index pair self-join, auto vs shuffled-hash
+    def winnowShape(hintName: Option[String]): DataFrame = {
+      val fps = graft.CacheHygiene.materialize(
+        graft.operators.TextOps.winnowFingerprints(docs), "ab winnow fps")
+      val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+      val a = fps.select(col("doc_id").as("a_id"), col("fp").as("a_fp"),
+        xxhash64(col("fp")).as("fph"))
+      val b0 = fps.select(col("doc_id").as("b_id"), col("fp").as("b_fp"),
+        xxhash64(col("fp")).as("fph"))
+      val b = hintName.map(b0.hint(_)).getOrElse(b0)
+      a.join(b, Seq("fph")).filter(col("a_fp") === col("b_fp") &&
+          col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2L)
+        .join(sizes.select(col("doc_id").as("a_id"), col("nf").as("__na")), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("nf").as("__nb")), "b_id")
+        .select(col("a_id"), col("b_id"), col("n_shared"),
+          round(col("n_shared").cast("double")
+            / (col("__na") + col("__nb") - col("n_shared")), 4).as("resemblance"))
+    }
+
+    // q100's pair-count source: full d+1-gram strings parsed back into
+    // (first, last) vs direct skip-gram pairs from two slices zipped
+    def collocPairs(zip: Boolean): DataFrame = {
+      val wl = tokens(col("text"))
+      val pairs0 =
+        if (!zip) {
+          val gramArrays = (2 to 5).map(n =>
+            graft.plans.GraftFunctions.shingles(wl, n))
+          docs.select(explode(concat(gramArrays: _*)).as("g"))
+            .select(substring_index(col("g"), " ", 1).as("x"),
+              substring_index(col("g"), " ", -1).as("y"))
+        } else {
+          val pairArrays = (1 to 4).map { d =>
+            arrays_zip(
+              slice(wl, lit(1), greatest(size(wl) - d, lit(0))),
+              slice(wl, lit(1 + d), greatest(size(wl) - d, lit(0))))
+          }
+          docs.select(explode(concat(pairArrays: _*)).as("p"))
+            .select(col("p")("0").as("x"), col("p")("1").as("y"))
+        }
+      pairs0.filter(length(col("x")) > 0 && length(col("y")) > 0)
+        .select(least(col("x"), col("y")).as("wa"),
+          greatest(col("x"), col("y")).as("wb"))
+        .groupBy("wa", "wb").agg(count(lit(1)).as("cab"))
+    }
+
+    // q86's one-shot bloom gate: corpus fingerprints computed per consumer
+    // (sizing count + filter build + verify semi-join = three text scans,
+    // the OLD shape, inlined) vs materialized once (the changed bloomGate)
+    def bloomShape(ckpt: Boolean): DataFrame = {
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+      if (ckpt)
+        graft.operators.TextOps.bloomGate(corpus, batch)
+          .select(col("doc_id"), col("fp"))
+      else {
+        val fpr = graft.operators.TextOps.fingerprint(col("text"))
+        val corpusFp = corpus.select(fpr.as("fp"))
+        val n = math.max(corpusFp.count(), 1L)
+        val bc = spark.sparkContext.broadcast(
+          graft.operators.BloomDedupGate.buildFilter(corpusFp, n, 0.01))
+        val batchFp = batch.select(col("doc_id"), fpr.as("fp"))
+        val maybe = graft.plans.BloomMightContain.might(col("fp"), bc)
+        val fresh = batchFp.filter(coalesce(!maybe, lit(true)))
+        val suspects = batchFp.filter(coalesce(maybe, lit(false)))
+        val suspectFps = suspects.select(col("fp")).distinct()
+        val hits = corpusFp
+          .join(broadcast(suspectFps), Seq("fp"), "left_semi").distinct()
+        fresh.unionByName(
+          suspects.join(broadcast(hits), Seq("fp"), "left_anti"))
+          .select(col("doc_id"), col("fp"))
+      }
+    }
+
     val shapes: Seq[(String, () => DataFrame)] = what match {
       case "unigram" => Seq("old" -> (() => uniOld()), "new" -> (() => uniNew()),
         "ckpt" -> (() => uniCkpt()))
@@ -176,6 +251,15 @@ object R21Ab {
       case "scored" => Seq(
         "old" -> (() => scoredLineage(ckptTf = false)),
         "new" -> (() => scoredLineage(ckptTf = true)))
+      case "winnow" => Seq(
+        "auto" -> (() => winnowShape(None)),
+        "shj" -> (() => winnowShape(Some("shuffle_hash"))))
+      case "colloc" => Seq(
+        "gram" -> (() => collocPairs(zip = false)),
+        "zip" -> (() => collocPairs(zip = true)))
+      case "bloom" => Seq(
+        "old" -> (() => bloomShape(ckpt = false)),
+        "new" -> (() => bloomShape(ckpt = true)))
       case "card" => Seq("lazy" -> (() => cardLazy()),
         "ckpt" -> (() => cardCkpt()))
       case x => sys.error(s"unknown ab target $x")
