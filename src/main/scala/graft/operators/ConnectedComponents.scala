@@ -40,7 +40,7 @@ object ConnectedComponents {
     * converge — silent partial connectivity would dedup wrongly.
     */
   def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val (base, cur) = starFixpoint(edges, maxIter)
+    val (base, cur, _) = starFixpoint(edges, maxIter)
     val nodes = base.select(col("u").as("id"))
       .union(base.select(col("v").as("id"))).distinct()
     // fixpoint edges are stars (center = component min): members label to
@@ -68,15 +68,26 @@ object ConnectedComponents {
     * exchange and a join side per closure query (r21).
     */
   private[operators] def runMembers(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val (_, cur) = starFixpoint(edges, maxIter)
+    val (base, cur, curOwned) = starFixpoint(edges, maxIter)
+    // Unlike [[run]] (whose returned plan reads base via `nodes`), the
+    // member-only result reads ONLY the fixpoint frame — when the loop
+    // ran at least one round, `cur` is its own checkpoint and base is
+    // dead weight; releasing it here keeps long sessions from
+    // accumulating one edge-set-sized block set per closure (r21). At
+    // zero rounds `cur` is still a filter VIEW over base, which must
+    // stay.
+    if (curOwned) graft.CacheHygiene.release(base)
     cur.select(col("v").as("id"), col("u").as("component"))
   }
 
   /** The alternating-star fixpoint loop shared by [[run]] and
-    * [[runMembers]]: returns (base checkpoint, fixpoint star edges).
-    * Neither frame is released here — both back returned plans.
+    * [[runMembers]]: returns (base checkpoint, fixpoint star edges,
+    * whether the fixpoint frame is its OWN checkpoint — false means it
+    * is still the round-0 filter view over base). Nothing is released
+    * here — base backs run()'s returned plan, and runMembers releases
+    * it only when the fixpoint frame no longer reads it.
     */
-  private def starFixpoint(edges: DataFrame, maxIter: Int): (DataFrame, DataFrame) = {
+  private def starFixpoint(edges: DataFrame, maxIter: Int): (DataFrame, DataFrame, Boolean) = {
     val spark = edges.sparkSession
     val reliable =
       spark.conf.get(graft.CacheHygiene.ReliableFlag, "false").toBoolean
@@ -178,7 +189,7 @@ object ConnectedComponents {
           "mislabel components silently")
     lastRounds = iter
     lastRoundEdges = roundEdges.toList
-    (base, cur)
+    (base, cur, curOwned)
   }
 
   /** [[run]] plus the round count — spec hook for the O(log n) claim. */

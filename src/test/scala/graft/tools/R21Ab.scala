@@ -92,6 +92,30 @@ object R21Ab {
         .select(col("a_id"), col("b_id"), round(jac, 4).as("jaccard"))
     }
 
+    // q35 mining with the pair join keyed on a precomputed xxhash64 of the
+    // shingle (8-byte hash-table probes) and the exact string demoted to a
+    // residual equality — result-identical (the residual kills collisions)
+    def pairStageHashKey(): DataFrame = {
+      val raw = docs.select(col("doc_id"), col("lang"),
+        explode(graft.plans.GraftFunctions.shingles(tokens(col("text")), 3)).as("s"))
+      val ex = graft.CacheHygiene.materialize(
+        raw.distinct().withColumn("sh", xxhash64(col("s"))), "ab shingle index hk")
+      val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = ex.as("a")
+        .join(ex.hint("shuffle_hash").as("b"),
+          col("a.sh") === col("b.sh") && col("a.lang") === col("b.lang") &&
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      val jac = col("inter").cast("double") /
+        (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")
+      inter
+        .join(sizes.as("sa"), col("a_id") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("b_id") === col("sb.doc_id"))
+        .filter(jac >= 0.8)
+        .select(col("a_id"), col("b_id"), round(jac, 4).as("jaccard"))
+    }
+
     // q120-shape labels consumption: the one-arg wrapper's labels frame is
     // read twice (sizes agg + join back) — lazy (docs⋈cc join runs twice)
     // vs materialized once (one more blocking job, then block reads).
@@ -260,6 +284,9 @@ object R21Ab {
       case "bloom" => Seq(
         "old" -> (() => bloomShape(ckpt = false)),
         "new" -> (() => bloomShape(ckpt = true)))
+      case "hashkey" => Seq(
+        "strkey" -> (() => pairStage(Some("shuffle_hash"))),
+        "hkey" -> (() => pairStageHashKey()))
       case "card" => Seq("lazy" -> (() => cardLazy()),
         "ckpt" -> (() => cardCkpt()))
       case x => sys.error(s"unknown ab target $x")
