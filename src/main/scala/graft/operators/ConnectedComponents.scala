@@ -94,13 +94,22 @@ object ConnectedComponents {
     // ONE execution of the caller's edge plan (for q94 that plan is the
     // whole near-dup pair mining) — nodes and the working edge set both
     // derive from this checkpoint. It backs the returned plan via
-    // `nodes`, so it is never released here.
-    val base = graft.CacheHygiene.materialize(
-      edges
-        .select(least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v"))
-        .distinct(),
-      "connectedComponents base")
+    // `nodes`, so it is never released here. Local mode uses the LAZY
+    // localCheckpoint (r21, the same fusion the round frames got): the
+    // round-0 fingerprint below is the single first-touch action, so it
+    // computes, persists and lineage-truncates the mining in ONE job
+    // where the eager form paid a materialize job plus a fingerprint
+    // job. Deterministic under retry (keyed distinct over the caller's
+    // deterministic plan); reliable mode keeps the eager checkpoint (a
+    // lazy reliable checkpoint recomputes the frame to write it).
+    val basePlan = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val base =
+      if (reliable)
+        graft.CacheHygiene.materialize(basePlan, "connectedComponents base")
+      else basePlan.localCheckpoint(eager = false)
     // Round-0 working set: a plain filter VIEW over the base checkpoint —
     // its own checkpoint bought nothing (the filter re-reads base's
     // blocks) and cost one more driver-blocking job per closure (r21).
