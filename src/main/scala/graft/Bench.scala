@@ -264,10 +264,44 @@ object Bench {
       }
     }
     def short(k: String): String = if (k.matches("q\\d+_.*")) k.takeWhile(_ != '_') else k
-    val qs = results.map { case (k, best, _) => f""""${short(k)}":$best%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    def line(p: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$p,"load1":$loadsJson,"canary":$canaryMed%.3f,"rig_factor":$rigFactor%.3f,"sf":"$sfDir"}"""
+    // Summary-line budget (r22, r21 verdict item 1): the driver keeps only
+    // the final ~2000 stdout characters and sbt's trailing "[success] ..."
+    // line eats ~75 of them — the r20 AND r21 summary lines both outgrew
+    // the window and lost their HEAD (r20's round-over-round comparison
+    // died to it). The whole line, prefix included, must fit in ~1900
+    // chars at 163 entries. The qNN keys and the metric/value/unit/queries
+    // shape are the driver contract, so the only lever is value encoding:
+    // the line degrades down a precision ladder, finest level first, until
+    // it fits. Every level keeps 2-decimal resolution on the smallest
+    // (gate-ratio-sensitive) queries for as long as arithmetic allows;
+    // the guaranteed-fit floor (1 decimal, clamped to 0.1 so a positive
+    // time can never print as 0) is provably ~1800 chars at 163 entries.
+    // Full 3-decimal per-pass data ALWAYS lives in BENCH_PASSES.json (and
+    // the quiet mirror) — the line's job is the driver parse, not the
+    // archive; load1/canary detail lives there too now, and `sf` degrades
+    // to the directory basename before any timing precision is dropped.
+    def stripz(s: String): String =
+      if (s.contains('.')) {
+        val t = s.reverse.dropWhile(_ == '0').reverse
+        if (t.endsWith(".")) t.dropRight(1) else t
+      } else s
+    // tiered value format: 2 decimals below `thresh`, 1 decimal to 10 s,
+    // whole seconds beyond — relative quantization stays under ~5-10%
+    // exactly where absolute seconds are large enough to absorb it
+    def tiered(v: Double, thresh: Double): String =
+      if (v < 0) "-1"
+      else if (v < thresh) stripz(f"$v%.2f")
+      else if (v < 10) stripz(f"$v%.1f")
+      else stripz(f"$v%.0f")
+    def qsJson(fmt: Double => String): String =
+      results.map { case (k, best, _) => s""""${short(k)}":${fmt(best)}""" }
+        .mkString("{", ",", "}")
+    val sfBase = new java.io.File(sfDir).getName
+    def line(fmt: Double => String, totDec: Int, meta: String): String = {
+      val tot = stripz(s"%.${totDec}f".format(total))
+      s"""{"metric":"total","value":$tot,"unit":"sec","queries":${qsJson(fmt)}$meta}"""
+    }
     // Per-pass centiseconds, keyed by bare NN (`"68":[15,77,16]`) for
     // qNN_* names; any other name keeps its full short form untouched.
     def pEntry(k: String, ss: Seq[Double]): String = {
@@ -279,12 +313,21 @@ object Bench {
       best > 0 && s.exists(v => v >= 0 && v > best * 1.5)
     }
     val pNoisy = if (noisy.isEmpty) "" else noisy.map { case (k, _, s) => pEntry(k, s) }.mkString(""","p":{""", ",", "}")
-    val budget = 1900 // driver tail is 2000 chars incl. sbt's trailing [success] line
-    val finalLine =
-      if (line(pAll).length <= budget) line(pAll)
-      else if (line(pNoisy).length <= budget) line(pNoisy)
-      else line("")
-    println(finalLine)
+    val metaFull =
+      f""","load1":$loadsJson,"canary":$canaryMed%.3f,"rig_factor":$rigFactor%.3f,"sf":"$sfDir""""
+    val metaLean = f""","rig_factor":$rigFactor%.2f,"sf":"$sfBase""""
+    val metaSf = s""","sf":"$sfBase""""
+    def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val budget = 1900
+    val ladder: Seq[String] = Seq(
+      line(f3, 3, metaFull + pAll),             // subset runs: everything
+      line(f3, 3, metaFull + pNoisy),           // full meta + noisy passes
+      line(f3, 3, metaFull),                    // full meta, 3 decimals
+      line(v => if (v < 0) "-1" else stripz(f"$v%.2f"), 2, metaLean),
+      line(tiered(_, 1.0), 2, metaSf),          // 2dec < 1 s, 1dec to 10 s
+      line(tiered(_, 0.5), 2, metaSf),          // 2dec < 0.5 s
+      line(v => if (v < 0) "-1" else tiered(math.max(v, 0.1), 0.0), 2, metaSf))
+    println(ladder.find(_.length <= budget).getOrElse(ladder.last))
     spark.stop()
   }
 }

@@ -96,9 +96,9 @@ object ConnectedComponents {
     // derive from this checkpoint. It backs the returned plan via
     // `nodes`, so it is never released here. Local mode uses the LAZY
     // localCheckpoint (r21, the same fusion the round frames got): the
-    // round-0 fingerprint below is the single first-touch action, so it
+    // round-0 stats job below is the single first-touch action, so it
     // computes, persists and lineage-truncates the mining in ONE job
-    // where the eager form paid a materialize job plus a fingerprint
+    // where the eager form paid a materialize job plus a convergence
     // job. Deterministic under retry (keyed distinct over the caller's
     // deterministic plan); reliable mode keeps the eager checkpoint (a
     // lazy reliable checkpoint recomputes the frame to write it).
@@ -118,14 +118,45 @@ object ConnectedComponents {
     var cur = base.filter(col("u") =!= col("v"))
     var curOwned = false
 
-    // (count, hash-sum) fingerprint: one cheap agg decides convergence.
-    // The sum runs in decimal(38,0) — a long sum of 64-bit hashes
-    // overflows almost immediately under ANSI mode.
-    def fingerprint(e: DataFrame): (Long, BigDecimal) = {
-      val r = e.agg(count(lit(1)),
-        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-          lit(java.math.BigDecimal.ZERO))).collect()(0)
-      (r.getLong(0), BigDecimal(r.getDecimal(1)))
+    // (edge count, is-star-set) in ONE job (r22, replacing the r21
+    // (count, hash-sum) fingerprint + converging-round exceptAll): a
+    // canonical (u < v, distinct) edge set is a disjoint union of
+    // min-rooted stars — i.e. THE fixpoint both star ops leave unchanged
+    // — exactly when no node appears on both the center (u) and member
+    // (v) side and no member appears twice. That is an EXACT convergence
+    // test over a single frame: the 2^-64 hash-collision caveat and the
+    // exact exceptAll confirmation job are both gone, and the loop stops
+    // the moment a round's OUTPUT is the fixpoint instead of one round
+    // later when the next output comes back equal — one fewer star-op
+    // round per closure plus the confirmation job.
+    //   Why the test is sufficient: if it holds, edges group by center c
+    // into stars that share no nodes (members are unique, centers never
+    // appear as members), so the set's components ARE those stars, each
+    // centered at its minimum (u < v per edge). largeStar maps every
+    // member straight to its center (m(member) = c, no larger neighbor
+    // pairs survive canonicalization) and smallStar regroups the same
+    // edges — both identities. Necessity: the algorithm's fixpoints are
+    // exactly the min-rooted disjoint star sets (Kiveris et al. §3), so
+    // the old equality test cannot stop before this one.
+    //   Shape: one explode (NOT a self-union — a single scan is the lazy
+    // checkpoint's sole first-toucher) into a map-side-combinable
+    // node-keyed agg, then a scalar fold. The node agg adds one narrow
+    // exchange per round; the saved confirming round removes two keyed
+    // aggs, two joins and a checkpoint over the same volume.
+    def roundStats(e: DataFrame): (Long, Boolean) = {
+      val r = e.select(explode(array(
+          struct(col("u").as("node"), lit(1L).as("cu"), lit(0L).as("cv")),
+          struct(col("v").as("node"), lit(0L).as("cu"), lit(1L).as("cv"))))
+          .as("x"))
+        .groupBy(col("x.node"))
+        .agg(sum(col("x.cu")).as("nu"), sum(col("x.cv")).as("nv"))
+        .agg(coalesce(sum("nv"), lit(0L)).as("edges"),
+          coalesce(max(when(col("nu") > 0 && col("nv") > 0, 1)
+            .otherwise(0)), lit(0)).as("mixed"),
+          coalesce(max("nv"), lit(0L)).as("maxv"))
+        .collect()(0)
+      val edges = r.getLong(0)
+      (edges, edges == 0L || (r.getInt(1) == 0 && r.getLong(2) <= 1L))
     }
 
     def largeStar(e: DataFrame): DataFrame = {
@@ -152,16 +183,19 @@ object ConnectedComponents {
         .distinct()
     }
 
-    var fp = fingerprint(cur)
-    val roundEdges = scala.collection.mutable.ArrayBuffer[Long](fp._1)
+    // round-0 stats answer emptiness AND star-ness in the same job that
+    // first-touches (materializes) the lazy base checkpoint — a pair
+    // mining whose output is already disjoint stars (every 2-clique
+    // corpus, and any closure re-run over labeled output) closes here
+    // with ZERO star rounds
+    val stats0 = roundStats(cur)
+    val roundEdges = scala.collection.mutable.ArrayBuffer[Long](stats0._1)
+    var converged = stats0._2
     var iter = 0
-    // the fingerprint's count already answers emptiness — the former
-    // separate isEmpty probe was one more tiny job per closure (r21)
-    var converged = fp._1 == 0L
     while (!converged && iter < maxIter) {
-      // Local mode: LAZY localCheckpoint, so the fingerprint aggregation
-      // below is the job that computes, persists AND lineage-truncates
-      // the round — one job per round instead of two (r21). Determinism
+      // Local mode: LAZY localCheckpoint, so the stats aggregation below
+      // is the job that computes, persists AND lineage-truncates the
+      // round — one job per round instead of two (r21). Determinism
       // under task retry holds: the star ops are deterministic keyed
       // aggs/joins over a checkpointed input (no sampling, no rand), so
       // a recomputed partition is bit-identical to the persisted one.
@@ -173,28 +207,18 @@ object ConnectedComponents {
           graft.CacheHygiene.materialize(
             smallStar(largeStar(cur)), "connectedComponents round edges")
         else smallStar(largeStar(cur)).localCheckpoint(eager = false)
-      val nfp = fingerprint(next)
-      // Fingerprint equality is the cheap convergence signal; a hash-sum
-      // collision between DIFFERENT edge sets (~2^-64 odds) would end the
-      // loop early and mislabel silently — the exact failure mode the
-      // maxIter exception exists to make loud. So the round where
-      // fingerprints FIRST match pays one exact set comparison: both
-      // sides are distinct sets and the fingerprint already proved equal
-      // counts, so one-directional exceptAll-is-empty proves equality.
-      // Converging rounds are the only ones that pay it (both frames are
-      // checkpointed, so the check re-reads blocks, not lineage).
-      converged = nfp == fp && next.exceptAll(cur).isEmpty
+      val (n, star) = roundStats(next)
+      converged = star
       if (curOwned) graft.CacheHygiene.release(cur)
       cur = next
       curOwned = true
-      fp = nfp
-      roundEdges += nfp._1
+      roundEdges += n
       iter += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: no convergence after $maxIter rounds " +
-          s"(${fp._1} edges) — raise maxIter; a partial closure would " +
+          s"(${roundEdges.last} edges) — raise maxIter; a partial closure would " +
           "mislabel components silently")
     lastRounds = iter
     lastRoundEdges = roundEdges.toList

@@ -784,6 +784,9 @@ object TextOps {
     // same duplication; different agg chains and pushed filters defeat
     // exchange reuse). The checkpoint rides the returned plan as a leaf;
     // Verify's releaseTree / Bench's blanket unpersist reap it.
+    // r22 examined-and-rejected: nd-as-literal via a fused collect (see
+    // lexCorpusFrames — interleaved A/B slower; the in-plan nd subtree
+    // rides the scoring join's own dl exchange).
     val tf = graft.CacheHygiene.materialize(
       termCounts(documents(s, d)), "tfidf term counts")
     val dl = tf.groupBy("doc_id").agg(sum("n").as("len"))
@@ -841,7 +844,10 @@ object TextOps {
     require(k >= 1 && k1 > 0 && b >= 0 && b <= 1,
       s"bm25: bad params k=$k k1=$k1 b=$b")
     // tf materialized once — the q78 discipline (r21): the before-plan
-    // tokenized the corpus four times (tf / dl / dfc / stats subtrees)
+    // tokenized the corpus four times (tf / dl / dfc / stats subtrees).
+    // r22 examined-and-rejected: stats-as-literals via a fused collect
+    // (see lexCorpusFrames — interleaved A/B slower; the in-plan stats
+    // subtree rides the scoring join's own dl exchange).
     val tf = graft.CacheHygiene.materialize(termCounts(docs), "bm25 term counts")
     val dl = tf.groupBy("doc_id").agg(sum("n").as("len"))
     val stats = dl.agg(count(lit(1)).as("nd"), avg("len").as("avgl"))
@@ -958,6 +964,14 @@ object TextOps {
   private def lexCorpusFrames(corpus: DataFrame, k1: Double, b: Double,
       materialize: Boolean = false)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // r22 examined-and-rejected: fusing a driver-side (nd, avgl) collect
+    // into a lazy tf checkpoint (stats as literals) measured 5-8% SLOWER
+    // interleaved (R22AbLex: min 0.822 vs 0.862, med 0.937 vs 1.012 on
+    // the q145 shape) — the dl aggregation serializes into the
+    // first-touch job, while the in-plan stats subtree rides the dl
+    // exchange the scoring join already computes (exchange reuse) and
+    // overlaps on idle cores. Same conclusion as the r21 LM-family
+    // checkpoint variant. The eager checkpoint stays.
     val tf0 = termCounts(corpus)
     val tf =
       if (materialize) graft.CacheHygiene.materialize(tf0, "lexical term counts")
@@ -1719,6 +1733,17 @@ object TextOps {
       require(s.sparkContext.getCheckpointDir.nonEmpty,
         "globalRank(reliable = true) needs a checkpoint dir: call " +
           "spark.sparkContext.setCheckpointDir(<HDFS/object-store path>) first")
+    // r22 examined-and-rejected (r21 verdict item 6): lazy-checkpointing
+    // the INPUT so the range sampler's pass doubles as its materialization
+    // measured wall-neutral locally (R22Probe q85 0.447 vs 0.466, q119
+    // 0.998 vs 0.965, same job counts) and is WRONG at scale: the sampler
+    // and the sort share every shuffle stage of the input's lineage (same
+    // RDD → same ShuffleMapStages, reused across the two jobs), so only
+    // the narrow post-exchange tail was ever computed twice — while the
+    // checkpoint persists the entire corpus-sized input to block storage
+    // to save it (§5 memory pressure for a tail of cheap maps). For
+    // exchange-free inputs (q85's scan+md5) the saved scan roughly pays
+    // for the block round-trip — a wash, not a win.
     val arranged = df
       .repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
@@ -3448,30 +3473,105 @@ object TextOps {
     */
   def bpeLearn(docs: DataFrame, merges: Int): Seq[(String, String)] = {
     require(merges >= 1, s"bpeLearn: merges must be >= 1, got $merges")
-    var cur = docs
+    val spark = docs.sparkSession
+    val reliable =
+      spark.conf.get(graft.CacheHygiene.ReliableFlag, "false").toBoolean
+    // Local mode: LAZY localCheckpoint — each round's argmax collect is
+    // the single first-touch action, so it computes, persists and
+    // lineage-truncates the vocab frame in ONE job where the eager form
+    // paid a materialize job PLUS the argmax job per round (r22, the CC/
+    // globalRank fusion). Deterministic under retry: keyed agg + per-row
+    // fold over a checkpointed input. Reliable mode keeps the eager
+    // checkpoint (the cluster trade, as everywhere).
+    def ckpt(d: DataFrame, what: String): DataFrame =
+      if (reliable) graft.CacheHygiene.materialize(d, what)
+      else d.localCheckpoint(eager = false)
+    var cur = ckpt(docs
       .select(explode(bpeTokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-      .select(charSyms(col("w")).as("sym"), col("n"))
-      .transform(d => graft.CacheHygiene.materialize(d))
+      .select(charSyms(col("w")).as("sym"), col("n")), "bpe vocab")
+    var prev: DataFrame = null // released once `cur` is first-touched
     val learned = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var exhausted = false
-    for (_ <- 1 to merges if !exhausted) {
+    while (learned.length < merges && !exhausted) {
+      val want = merges - learned.length
+      // BATCHED rounds (r22, r21 verdict item 4): collect the top
+      // (want+1) candidates once and apply the longest PREFIX that is
+      // provably the exact sequential merge order, cutting driver
+      // round-trips per learned merge. Candidate i (after the argmax,
+      // which is always exact) stays the next round's argmax iff
+      // nothing an earlier accepted merge touched can reach its count:
+      //   - i's own symbols are disjoint from every accepted merge's
+      //     {a, b} (so its count is invariant — an occurrence of (c, d)
+      //     is destroyed only by a merge consuming c or d, and created
+      //     only by one producing c or d);
+      //   - every TABLE pair sharing a symbol with an accepted merge
+      //     counts STRICTLY below i (each new pair (x, ab)/(ab, y)
+      //     occurrence was an (x, a)/(b, y) occurrence, so new-pair
+      //     counts are bounded by their interacting parents'; diminished
+      //     pairs only fall; strictness beats lex-tie ambiguity);
+      //   - the (want+1)-th count — the cut bound on every pair BELOW
+      //     the table — is strictly below i (bounds out-of-table
+      //     parents the same way); a table shorter than the limit was
+      //     never cut, so nothing lies below it;
+      //   - no accepted product a+b collides with an EXISTING symbol
+      //     (the symbol universe is exactly single chars plus prior
+      //     products, known driver-side): a collision would conflate
+      //     new (x, ab) pairs with live (x, ab) counts, and the SUM of
+      //     two individually-bounded counts is not bounded.
+      // Equal counts among accepted non-interacting candidates are safe:
+      // table order IS the (cnt desc, a, b) tie-break order. Candidates
+      // failing any test end the batch — the next collect re-derives
+      // exact counts, so a conservative stop costs a round-trip, never
+      // correctness. Equality with the sequential learner is spec-pinned
+      // (BpeEncodeSpec, batched-vs-local adversarial corpora).
       val top = cur
         .select(explode(adjacentPairs(col("sym"))).as("p"), col("n"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum("n").as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()
+        .limit(want + 1).collect()
+      // that collect materialized `cur`; the previous round frame is dead
+      if (prev != null) { graft.CacheHygiene.release(prev); prev = null }
       if (top.isEmpty) exhausted = true
       else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        learned += ((a, b))
-        val next = cur.withColumn("sym", applyMerge(col("sym"), a, b))
-          .transform(d => graft.CacheHygiene.materialize(d))
-        graft.CacheHygiene.release(cur)
-        cur = next
+        val cand = top.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val complete = cand.length <= want // table never cut
+        val usable = if (complete) cand.length else cand.length - 1
+        val known: Set[String] =
+          learned.map(p => p._1 + p._2).toSet // prior products; singles can't equal a 2+-char product
+        val accepted = scala.collection.mutable.ArrayBuffer(cand(0))
+        var stop = false
+        while (!stop && accepted.length < usable.min(want)) {
+          val c = cand(accepted.length)
+          val prevSyms = accepted.flatMap(x => Seq(x._1, x._2)).toSet
+          val safe =
+            !prevSyms.contains(c._1) && !prevSyms.contains(c._2) &&
+            accepted.forall(x => !known.contains(x._1 + x._2)) &&
+            (complete || cand.last._3 < c._3) &&
+            // accepted pairs are exempt from the interaction bound: a
+            // fully-applied merge's own pair count is 0 afterwards (a
+            // greedy pass leaves no adjacent (a, b), and merges never
+            // re-create one — symbols only fuse, never split)
+            cand.take(usable).forall(x =>
+              accepted.contains(x) ||
+                !(Seq(x._1, x._2).exists(prevSyms.contains) && x._3 >= c._3))
+          if (safe) accepted += c else stop = true
+        }
+        learned ++= accepted.map(x => (x._1, x._2))
+        if (learned.length < merges) {
+          // the LAST round never builds its merged frame — the learned
+          // list is complete and nobody reads it (r22; the old loop paid
+          // a full materialize job to throw the result away)
+          val next = ckpt(accepted.foldLeft(cur) { case (d, (a, b, _)) =>
+            d.withColumn("sym", applyMerge(col("sym"), a, b))
+          }, "bpe merged vocab")
+          prev = cur
+          cur = next
+        }
       }
     }
+    if (prev != null) graft.CacheHygiene.release(prev)
     graft.CacheHygiene.release(cur)
     learned.toList
   }

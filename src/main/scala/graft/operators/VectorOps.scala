@@ -183,7 +183,15 @@ object VectorOps {
     val stats = based.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("w"),
         min(struct((col("doc_id") +: carry.map(col)): _*)).as("m"))
-    val keyed = based.join(stats, keyCols)
+    // Shared-bucket prefilter (r22, guide §3.2 applied at the stats join):
+    // width-1 buckets — the overwhelming majority of LSH buckets at any
+    // scale — can never form an a<b pair and never star-route, yet they
+    // used to ride through the stats join into BOTH sides of the pair
+    // self-join (hash build included). Filtering the vocab-sized stats
+    // frame to w > 1 makes the inner join drop them at the probe, so the
+    // self-join's build tables and probe volume shrink to exactly the
+    // rows that can produce output. Output-identical by construction.
+    val keyed = based.join(stats.filter(col("w") > 1), keyCols)
     val narrow = keyed.filter(col("w") <= maxBucketWidth).drop("w", "m")
     val joinCond = keyCols.map(k => col(s"a.$k") === col(s"b.$k"))
       .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")

@@ -55,6 +55,45 @@ class BpeEncodeSpec extends SparkSpec {
     assert(local == distributed, s"local $local vs distributed $distributed")
   }
 
+  test("batched learner == local learner on adversarial planted corpora (r22)") {
+    import spark.implicits._
+    // each corpus targets one boundary of the batch-safety conditions;
+    // the batched distributed learner must reproduce the strictly
+    // sequential local learner merge for merge on all of them
+    val corpora: Seq[(String, Seq[String], Int)] = Seq(
+      // interacting runner-up: top-2 (x,a) shares a symbol with top-1
+      // (a,b) — the batch must STOP at 1, because after the merge the
+      // new pair (x,ab) is the true round-2 argmax, not (c,d)
+      ("interacting-new-pair", Seq.fill(10)("xab") ++ Seq.fill(9)("cd"), 3),
+      // disjoint well-separated counts: the whole table is one safe batch
+      ("disjoint-separated", Seq.fill(10)("ab") ++ Seq.fill(8)("cd") ++
+        Seq.fill(6)("ef"), 3),
+      // equal counts, disjoint, complete table: lex order IS the
+      // sequential order, batch may take both
+      ("equal-counts-complete", Seq.fill(5)("ab") ++ Seq.fill(5)("cd"), 2),
+      // equal counts AT the cut bound: candidate 2 ties the (want+1)-th
+      // row, so the batch must stop (an out-of-table pair could tie and
+      // win the lex break through a new pair)
+      ("tie-at-cut", Seq.fill(5)("ab") ++ Seq.fill(5)("cd") ++
+        Seq.fill(5)("ef"), 2),
+      // repeated-symbol words (aa pairs, overlap semantics) + chains
+      ("overlaps", Seq.fill(7)("aaa") ++ Seq.fill(6)("aab") ++
+        Seq.fill(5)("baa"), 4),
+      // deep multi-round learning over a richer vocabulary
+      ("deep", (for (a <- 'a' to 'f'; b <- 'a' to 'f')
+        yield s"$a$b$a$b").zipWithIndex.flatMap { case (w, i) =>
+          Seq.fill(i % 5 + 1)(w) }, 12))
+    for ((name, words, merges) <- corpora) {
+      val docs = words.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val distributed = TextOps.bpeLearn(docs, merges)
+      val wc = words.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      val local = TextOps.bpeLearnLocal(wc, merges)
+      assert(distributed == local,
+        s"$name: batched $distributed vs sequential $local")
+    }
+  }
+
   test("production-size table: 1500+ learned merges, kernel == sequential reference") {
     // deterministic synthetic vocabulary rich enough for 1,500+ merges
     // (the real corpus holds 31 distinct words and saturates at 89 — the

@@ -30,6 +30,29 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(out2(7L) == 7L, "a self-loop-only node is its own component")
   }
 
+  test("star-set input converges with ZERO star rounds (r22 exact star test)") {
+    // disjoint min-rooted stars: the round-0 stats job must detect the
+    // fixpoint directly — no star-op round, labels still exact
+    val stars = Seq((1L, 5L), (1L, 6L), (1L, 7L), (10L, 11L), (20L, 21L), (20L, 22L))
+    val out = labelsOf(stars)
+    assert(ConnectedComponents.lastRounds == 0,
+      s"already-star edges must close in 0 rounds, took ${ConnectedComponents.lastRounds}")
+    assert(out(5L) == 1L && out(6L) == 1L && out(7L) == 1L &&
+      out(11L) == 10L && out(21L) == 20L && out(22L) == 20L)
+    // NOT a star set despite unique members: 2 is a member (of 1) and a
+    // center (of 3) — the mixed-side test must force a round
+    val chain3 = Seq((1L, 2L), (2L, 3L))
+    val out2 = labelsOf(chain3)
+    assert(ConnectedComponents.lastRounds >= 1)
+    assert(out2(2L) == 1L && out2(3L) == 1L)
+    // NOT a star set despite disjoint sides: member 5 appears twice
+    // (stars 1 and 2 share it) — the duplicate-member test must fire
+    val shared = Seq((1L, 5L), (2L, 5L))
+    val out3 = labelsOf(shared)
+    assert(ConnectedComponents.lastRounds >= 1)
+    assert(out3(1L) == 1L && out3(2L) == 1L && out3(5L) == 1L)
+  }
+
   test("deterministic under repartitioning; empty edges; non-convergence is loud") {
     import spark.implicits._
     val edges = (1 to 200).map(i => ((i % 50).toLong, (i % 37).toLong + 50L))
