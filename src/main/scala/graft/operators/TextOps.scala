@@ -210,6 +210,14 @@ object TextOps {
         .distinct(),
       "ngram shingle index")
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // r22 examined-and-rejected: a df>1 semi-join prefilter ahead of the
+    // self-join (the widthCappedPairs w>1 idea) measured 9-10% SLOWER
+    // interleaved (R22Ab q35: min 0.838 vs 0.912, med 1.084 vs 1.195)
+    // and buys nothing at scale either — unlike q36's bucket stats, the
+    // df aggregate doesn't already exist on this path, and its exchange
+    // carries ~the index's own volume (mostly-unique shingles don't
+    // collapse under partial aggregation), so it only adds a serial agg
+    // + semi join to shrink a hash build the SHJ already partitions.
     val index =
       if (maxShingleDF == Int.MaxValue) ex
       else {

@@ -50,16 +50,46 @@ object R22Ab {
         .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared_bands"))
     }
 
+    // the q35 exact-string shingle index with a switchable df>1 semi
+    // prefilter ahead of the pair self-join
+    def jac(prefilter: Boolean): DataFrame = {
+      val raw = docs.select(col("doc_id"), col("lang"),
+        explode(graft.plans.GraftFunctions.shingles(
+          graft.operators.TextOps.tokens(col("text")), 3)).as("s"))
+      val ex = graft.CacheHygiene.materialize(raw.distinct(), "ab shingle index")
+      val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val index =
+        if (!prefilter) ex
+        else ex.join(
+          ex.groupBy("s", "lang").agg(count(lit(1)).as("df"))
+            .filter(col("df") > 1).select("s", "lang").hint("shuffle_hash"),
+          Seq("s", "lang"), "left_semi")
+      val inter = index.as("a")
+        .join(index.hint("shuffle_hash").as("b"),
+          col("a.s") === col("b.s") && col("a.lang") === col("b.lang") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      val j = col("inter").cast("double") /
+        (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")
+      inter.join(sizes.as("sa"), col("a_id") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("b_id") === col("sb.doc_id"))
+        .filter(j >= 0.8)
+        .select(col("a_id"), col("b_id"), round(j, 4).as("jaccard"))
+    }
+
+    val mk: Boolean => DataFrame =
+      if (args.length > 1 && args(1) == "q35") jac else pairs
     // warm both codegen paths
-    pairs(prefilter = false).count(); clear()
-    pairs(prefilter = true).count(); clear()
+    mk(false).count(); clear()
+    mk(true).count(); clear()
     val (as, bs) = (Array.newBuilder[Double], Array.newBuilder[Double])
     (1 to rounds).foreach { _ =>
       var t0 = System.nanoTime
-      val na = pairs(prefilter = false).count(); clear()
+      val na = mk(false).count(); clear()
       as += (System.nanoTime - t0) / 1e9
       t0 = System.nanoTime
-      val nb = pairs(prefilter = true).count(); clear()
+      val nb = mk(true).count(); clear()
       bs += (System.nanoTime - t0) / 1e9
       require(na == nb, s"row mismatch: $na vs $nb")
     }
@@ -67,8 +97,8 @@ object R22Ab {
       val s = xs.sorted
       f"min=${s.head}%.3f med=${s(s.length / 2)}%.3f all=[${s.map(x => f"$x%.2f").mkString(",")}]"
     }
-    println(s"AB q36 no-prefilter ${stats(as.result())}")
-    println(s"AB q36 prefilter    ${stats(bs.result())}")
+    println(s"AB no-prefilter ${stats(as.result())}")
+    println(s"AB prefilter    ${stats(bs.result())}")
     spark.stop()
   }
 }
