@@ -38,6 +38,14 @@ object ConnectedComponents {
     * self-loops and duplicate edges tolerated): (id, component) with
     * component = min id reachable. Throws if `maxIter` rounds don't
     * converge — silent partial connectivity would dedup wrongly.
+    *
+    * CALLER CONTRACT: `edges` must be a DETERMINISTIC plan (no sampling,
+    * no rand(), no first()-style order dependence). In local mode the
+    * base materialization is a LAZY localCheckpoint, so a task retried
+    * after partial persistence recomputes its partition from the
+    * caller's plan — a nondeterministic edge source would silently make
+    * persisted and recomputed partitions disagree. (Same contract on
+    * [[runMembers]].)
     */
   def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val (base, cur, _) = starFixpoint(edges, maxIter)
@@ -65,7 +73,8 @@ object ConnectedComponents {
     * universe labels them to themselves, exactly [[run]]'s semantics).
     * For consumers that ALREADY hold the id universe (q94's docs frame)
     * this skips [[run]]'s node-universe union+distinct+left-join — one
-    * exchange and a join side per closure query (r21).
+    * exchange and a join side per closure query (r21). Caller contract:
+    * `edges` must be a deterministic plan — see [[run]].
     */
   private[operators] def runMembers(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val (base, cur, curOwned) = starFixpoint(edges, maxIter)

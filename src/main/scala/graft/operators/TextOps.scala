@@ -1817,8 +1817,11 @@ object TextOps {
     * Sizing: a 10⁹-item corpus at fpp=0.01 is a ≈1.2 GB filter —
     * per-executor broadcast weight (see [[graft.plans.BloomMightContain]]);
     * shard the gate by source past that. `expectedItems` skips the
-    * sizing count() when the caller already knows the corpus cardinality
-    * (e.g. from manifest stats).
+    * separate sizing count() job over the fingerprint checkpoint when
+    * the caller already knows the corpus cardinality (e.g. from manifest
+    * stats) — since r21 eagerly materializes the fingerprints, the one
+    * corpus text scan happens either way; the parameter saves a job, not
+    * the scan.
     */
   def bloomGate(corpus: DataFrame, batch: DataFrame, textCol: String = "text",
       fpp: Double = 0.01, expectedItems: Option[Long] = None): DataFrame = {
@@ -2686,7 +2689,15 @@ object TextOps {
     * collapses into a ≤distinct-sizes aggregate; the corpus-scale work
     * ends there — the share arithmetic runs on the CHECKPOINTED tiny
     * card (one execution of the upstream however many branches read
-    * it; the q92 shared-aggregate lesson). */
+    * it; the q92 shared-aggregate lesson).
+    *
+    * CONTRACT (r22, the r21 wrappers' release coupling): the card's
+    * eager checkpoint above fully consumes `labels` DURING this call —
+    * q126/q134 release their labels checkpoint the moment this returns.
+    * If the card materialize is ever made lazy or removed, those
+    * wrappers' returned frames would read released storage and fail on
+    * first action; move their release into the Verify/Bench sweep
+    * first. (Same contract on [[memorizationCardOn]].) */
   def dupCardOn(labels: DataFrame, docs: DataFrame): DataFrame = {
     val sizes = labels.groupBy("cluster_rep")
       .agg(count(lit(1)).as("cluster_size"))
@@ -2725,6 +2736,9 @@ object TextOps {
     * wrapper mines it. Everything after the two doc-keyed joins is a
     * ≤(tiers×terciles)-row aggregate; docs with no tokens have no NLL
     * evidence and are absent (the q91 contract).
+    *
+    * CONTRACT: the card's eager checkpoint fully consumes `labels`
+    * during this call — see [[dupCardOn]]'s release-coupling note.
     */
   def memorizationCardOn(labels: DataFrame, docs: DataFrame): DataFrame = {
     val sizes = labels.groupBy("cluster_rep")
